@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is timed end-to-end (plan build + execution to a count on
+the driver — results stay distributed; no toPandas/collect of data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Headline set: flagship window + the heaviest relational/extension ops.
+HEADLINE = [
+    "q_gold_window",
+    "q_group_agg",
+    "q_join_agg",
+    "q_topk_per_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from etl_deltalake_spark.plans.registry import all_queries
+    from etl_deltalake_spark.session import get_spark
+
+    spark = get_spark("etl-deltalake-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry] + [
+        n for n in sorted(registry) if n not in HEADLINE
+    ]
+
+    # Warm the JVM + parquet footers once so timings measure the
+    # queries, not session startup.
+    registry[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

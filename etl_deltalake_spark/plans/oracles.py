@@ -1,0 +1,80 @@
+"""DuckDB oracle SQL — one ANSI-SQL string per query in queries.py.
+
+Tables ``region nation customer supplier part orders lineitem events
+documents embeddings`` are pre-registered views on the same parquet.
+Column aliases match the Spark plans exactly (driver hashes values
+after sorting columns by name).
+"""
+
+ORACLES: dict[str, str] = {}
+
+
+def oracle(name: str):
+    def register(sql: str) -> str:
+        ORACLES[name] = sql
+        return sql
+
+    return register
+
+
+oracle("q_gold_window")(
+    """
+    SELECT
+      l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice,
+      COALESCE(
+        l_extendedprice - lag(l_extendedprice) OVER w, l_extendedprice
+      ) AS diff_extendedprice,
+      COALESCE(l_quantity - lag(l_quantity) OVER w, l_quantity) AS diff_quantity,
+      SUM(l_quantity) OVER (
+        PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_quantity, l_extendedprice
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cumsum_quantity
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_quantity, l_extendedprice)
+    """
+)
+
+oracle("q_group_agg")(
+    """
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+)
+
+oracle("q_join_agg")(
+    """
+    SELECT
+      r_name, n_name,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """
+)
+
+oracle("q_topk_per_group")(
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+    """
+)

@@ -1,0 +1,131 @@
+"""Named query plans: one entry per operator in SURVEY.md §2.
+
+Every function takes ``(spark, sf_dir)`` and returns a lazy
+DataFrame. The matching DuckDB oracle SQL lives in
+``plans/oracles.py`` — column aliases MUST match pairwise.
+
+Oracle-parity rules used throughout (see SURVEY §7 hard parts):
+ - sums of doubles are computed over ``CAST(x AS DECIMAL(18,2))`` so
+   both engines produce the exact same decimal regardless of
+   partial-aggregation order, then cast back to DOUBLE for a stable
+   output schema;
+ - ratios/averages: exact decimal sum → one double division → round;
+ - window running sums use a TOTAL ordering so the sequential FP
+   additions happen in the same order in both engines (bitwise
+   equal);
+ - no DECIMAL in output schemas (precision rules differ across
+   engines) — final columns are STRING/BIGINT/DOUBLE/TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.window_agg import gold_aggregation, topk_per_group
+from etl_deltalake_spark.sources.catalog import load_table
+
+
+def _dec(c, scale: int = 2):
+    """Exact-sum helper: double → decimal for order-insensitive sums."""
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------- flagship
+
+def q_gold_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4 (reference main.py:345-388) over lineitem.
+
+    Grouped diff of extendedprice+quantity and running sum of
+    quantity per order, ordered by the total key (l_shipdate,
+    l_linenumber).
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    # Ordering must be total over the SELECTED columns: the fixture
+    # has duplicate (l_orderkey, l_shipdate, l_linenumber) tuples at
+    # sf>=0.01, so the value columns join the ordering — remaining
+    # ties are then full-duplicate rows and the output multiset is
+    # order-invariant (oracle-stable).
+    out = gold_aggregation(
+        li,
+        group_col="l_orderkey",
+        diff_cols=["l_extendedprice", "l_quantity"],
+        cumsum_cols=["l_quantity"],
+        order_cols=["l_shipdate", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("diff_l_extendedprice").alias("diff_extendedprice"),
+        F.col("diff_l_quantity").alias("diff_quantity"),
+        F.col("cumsum_l_quantity").alias("cumsum_quantity"),
+    )
+
+
+# ------------------------------------------------------- group aggregation
+
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style reduction (SURVEY §2.8: absent in reference).
+
+    Map-side partial aggregation + one shuffle on the (tiny) group
+    key; decimal sums for oracle exactness.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: revenue per nation (joins absent in reference, §2.8).
+
+    customer←orders is a shuffle join on custkey; nation/region are
+    broadcast (small dims) — Catalyst chooses this under the 64 MB
+    threshold, F.broadcast pins it.
+    """
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority (top-k absent in ref, §2.8)."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = topk_per_group(
+        orders,
+        group_cols=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rn").cast("bigint").alias("rn"),
+    ).orderBy("o_orderpriority", "rn")

@@ -1,0 +1,130 @@
+"""Persistent-table layer: write, append, and MERGE.
+
+Re-expresses the reference's storage operators (SURVEY §2.1):
+ - S5 ``guardar_data_delta`` (reference main.py:391-426): mode
+   overwrite/append with optional partition columns.
+ - S6 ``guardar_nueva_data`` (reference main.py:429-475): insert-only
+   MERGE — ``when_not_matched_insert_all`` keyed on a join predicate;
+   existing keys are left untouched (idempotent append/dedup, NOT a
+   full upsert). The reference's partitioned branch silently degrades
+   to a blind append (main.py:455-462); we do NOT copy that quirk —
+   merge semantics are identical with or without partitioning here.
+
+When the ``delta-spark`` package is present the Delta path is used
+(ACID MERGE, schema enforcement); otherwise a Parquet implementation
+provides the same logical semantics: new-keys-only anti-join +
+append. At 100 TB the anti-join is a shuffle on the merge key —
+partition both sides on that key (``partition_cols``) so repeated
+merges stay co-located, and rely on AQE to handle skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """S5: persist a DataFrame as a (Delta|Parquet) table.
+
+    Unlike the reference, invalid args raise instead of print-and-
+    return-None (SURVEY §2.7 error model).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    fmt = "delta" if _delta_available() else "parquet"
+    writer = df.write.format(fmt).mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """S4: lazy scan of a persisted table."""
+    fmt = "delta" if _delta_available() else "parquet"
+    return spark.read.format(fmt).load(path)
+
+
+def merge_insert_if_absent(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """S6: insert source rows whose key is absent from the target.
+
+    Delta path: ``DeltaTable.merge(...).whenNotMatchedInsertAll()``
+    (the reference's predicate string ``source.id = target.id``,
+    main.py:603, generalizes to ``key_cols``). Parquet path:
+    left-anti join then append — same rows land, without Delta's
+    transactional conflict detection.
+    """
+    if _delta_available():
+        from delta.tables import DeltaTable
+
+        target = DeltaTable.forPath(spark, path)
+        predicate = " AND ".join(f"target.{c} = source.{c}" for c in key_cols)
+        (
+            target.alias("target")
+            .merge(source.alias("source"), predicate)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+
+    existing = read_table(spark, path).select(*key_cols)
+    new_rows = source.join(existing, on=list(key_cols), how="left_anti")
+    # Materialize before appending: the anti-join plan reads the
+    # target path that the append below mutates.
+    new_rows = new_rows.localCheckpoint(eager=True)
+    write_table(new_rows, path, mode="append", partition_cols=partition_cols)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """Full upsert: update matched keys, insert unmatched.
+
+    The reference never ships this (its MERGE is insert-only); it is
+    table stakes for an engine, so provided here. Parquet fallback:
+    keep target rows whose key is absent from source, union source,
+    overwrite.
+    """
+    if _delta_available():
+        from delta.tables import DeltaTable
+
+        target = DeltaTable.forPath(spark, path)
+        predicate = " AND ".join(f"target.{c} = source.{c}" for c in key_cols)
+        (
+            target.alias("target")
+            .merge(source.alias("source"), predicate)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+
+    target_df = read_table(spark, path)
+    kept = target_df.join(source.select(*key_cols), on=list(key_cols), how="left_anti")
+    merged = kept.unionByName(source.select(*target_df.columns)).localCheckpoint(eager=True)
+    write_table(merged, path, mode="overwrite", partition_cols=partition_cols)
