@@ -78,3 +78,88 @@ oracle("q_topk_per_group")(
     ORDER BY o_orderpriority, rn
     """
 )
+
+oracle("q_clean_coerce")(
+    """
+    SELECT
+      event_id,
+      ROUND(COALESCE(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE), 0.0), 3)
+        AS k_value,
+      COALESCE(NULLIF(event_type, ''), 'Sin Dato') AS event_type_clean,
+      printf('%.3f', value) AS value_str
+    FROM events
+    """
+)
+
+oracle("q_remap_values")(
+    """
+    SELECT
+      n_nationkey,
+      CASE n_name
+        WHEN 'NATION_0' THEN 'NATION_ZERO'
+        WHEN 'NATION_1' THEN 'NATION_ONE'
+        WHEN 'NATION_7' THEN 'NATION_SEVEN'
+        ELSE n_name
+      END AS n_name,
+      n_regionkey
+    FROM nation
+    """
+)
+
+oracle("q_melt")(
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """
+)
+
+oracle("q_pivot")(
+    """
+    SELECT
+      user_id,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+)
+
+oracle("q_split_explode")(
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex(p_name, ' ')) AS token
+      FROM part
+    )
+    GROUP BY token
+    ORDER BY token
+    """
+)
+
+oracle("q_regex_extract")(
+    """
+    SELECT
+      p_partkey,
+      regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+      regexp_extract(p_name, '(\\w+) (\\w+)', 2) AS noun
+    FROM part
+    """
+)
+
+oracle("q_mask_email")(
+    """
+    SELECT
+      c_custkey,
+      substr(md5(c_name), 1, 8) || '@' || lower(regexp_replace(c_name, '\\s+', '', 'g')) || '.org'
+        AS email,
+      '*****@' || lower(regexp_replace(c_name, '\\s+', '', 'g')) || '.org' AS email_masked
+    FROM customer
+    """
+)

@@ -129,3 +129,107 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("rn").cast("bigint").alias("rn"),
     ).orderBy("o_orderpriority", "rn")
+
+
+# ----------------------------------------------------- cleaning (C1-C10)
+
+def q_clean_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C3+C4+C5+C6+C9 over events (SURVEY §2.4).
+
+    Extracts a numeric field from the JSON props string, coerces it
+    (unparseable → null → 0), rounds, sentinel-fills strings, and
+    formats a fixed-3-decimal string — the reference's Silver
+    cleaning chain (main.py:298-342) on real fixture data.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    k_raw = F.regexp_extract("props", r'"k": (\d+)', 1)
+    return ev.select(
+        "event_id",
+        F.round(F.coalesce(k_raw.try_cast("double"), F.lit(0.0)), 3).alias("k_value"),
+        F.coalesce(
+            F.when(F.col("event_type") == "", None).otherwise(F.col("event_type")),
+            F.lit("Sin Dato"),
+        ).alias("event_type_clean"),
+        F.format_string("%.3f", F.col("value")).alias("value_str"),
+    )
+
+
+def q_remap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: dictionary value remap (reference main.py:265, dict 572-590)."""
+    from etl_deltalake_spark.operators.cleaning import remap_values
+
+    nation = load_table(spark, "nation", sf_dir)
+    mapping = {"NATION_0": "NATION_ZERO", "NATION_1": "NATION_ONE", "NATION_7": "NATION_SEVEN"}
+    return remap_values(nation, "n_name", mapping).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+# ------------------------------------------------------- reshape (R1-R6)
+
+def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: wide → long unpivot (reference main.py:216)."""
+    from etl_deltalake_spark.operators.reshape import melt
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return melt(
+        li,
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_discount", "l_tax"],
+        var_name="variable",
+        value_name="value",
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: long → wide pivot (reference main.py:222).
+
+    ``first`` in the reference is nondeterministic; the engine query
+    uses an exact decimal sum per cell for oracle stability. Pivot
+    values passed explicitly — no distinct-discovery job.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(_dec("value")).cast("double"))
+    )
+    return out.orderBy("user_id")
+
+
+def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5+R6: split a delimited string and explode (main.py:253-257)."""
+    from etl_deltalake_spark.operators.reshape import split_explode
+
+    part = load_table(spark, "part", sf_dir)
+    tokens = split_explode(part.select("p_partkey", "p_name"), "p_name", split_pattern=" ")
+    return (
+        tokens.groupBy(F.col("p_name").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("token")
+    )
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: regex key split (reference main.py:219) over part brands."""
+    part = load_table(spark, "part", sf_dir)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_extract("p_name", r"(\w+) (\w+)", 2).alias("noun"),
+    )
+
+
+# ------------------------------------------------------------ PII (U1-U2)
+
+def q_mask_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2: deterministic synthetic email + masking (main.py:481-551)."""
+    from etl_deltalake_spark.operators.pii import add_masked_email, add_synth_email
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    with_email = add_synth_email(cust, "c_name")
+    confidential = with_email  # pre-mask branch (reference main.py:615)
+    masked = add_masked_email(with_email, "email")
+    return confidential.select("c_custkey", "email").join(
+        masked.select("c_custkey", "email_masked"), "c_custkey"
+    )

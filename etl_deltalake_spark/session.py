@@ -48,6 +48,10 @@ def get_spark(app_name: str = "etl-deltalake-spark", master: str | None = None) 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The events fixture stores TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert in the
+        # catalog (sources/catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

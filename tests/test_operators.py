@@ -1,0 +1,152 @@
+"""Unit tests pinning quirk semantics from the reference (SURVEY §5.4).
+
+Tiny literal frames; each test pins one behavior worth protecting:
+ - diff first-row-keeps-own-value (reference main.py:377)
+ - empty-string → null → sentinel ordering (main.py:318 → 332)
+ - coerce-unparseable → 0 (main.py:325)
+ - split/explode with mixed delimiters (main.py:253-257)
+ - melt→regex-split→pivot wide-format roundtrip (main.py:216-222)
+ - mask keeps domain, drops original (main.py:537-545)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_gold_diff_first_row_own_value(spark):
+    from etl_deltalake_spark.operators.window_agg import gold_aggregation
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 12.0), ("b", 1, 7.0)],
+        "grp string, seq int, v double",
+    )
+    out = gold_aggregation(df, "grp", "v", "v", order_cols=["seq"]).collect()
+    rows = {(r.grp, r.seq): r for r in out}
+    assert rows[("a", 1)].diff_v == 10.0  # first row: own value, not null
+    assert rows[("a", 2)].diff_v == 5.0
+    assert rows[("a", 3)].diff_v == -3.0
+    assert rows[("b", 1)].diff_v == 7.0
+    assert rows[("a", 3)].cumsum_v == 37.0
+    assert rows[("b", 1)].cumsum_v == 7.0
+
+
+def test_clean_frame_empty_to_sentinel_ordering(spark):
+    from etl_deltalake_spark.operators.cleaning import clean_frame
+
+    df = spark.createDataFrame(
+        [("", "12.3456"), (None, "oops"), ("ok", None)],
+        "s string, n string",
+    )
+    out = clean_frame(df, numeric_coerce=["n"]).collect()
+    svals = sorted(r.s for r in out)
+    # '' goes through null → sentinel (reference main.py:318→332)
+    assert svals == ["Sin Dato", "Sin Dato", "ok"]
+    nvals = sorted(r.n for r in out)
+    # unparseable 'oops' → null → 0; None → 0; 12.3456 rounds to 3
+    assert nvals == [0.0, 0.0, 12.346]
+
+
+def test_remap_values_unmatched_passthrough(spark):
+    from etl_deltalake_spark.operators.cleaning import remap_values
+
+    df = spark.createDataFrame([("UK",), ("Japan",), (None,)], "country string")
+    out = remap_values(df, "country", {"UK": "United Kingdom"}).collect()
+    vals = {r.country for r in out}
+    assert vals == {"United Kingdom", "Japan", None}
+
+
+def test_split_explode_mixed_delimiters(spark):
+    from etl_deltalake_spark.operators.reshape import split_explode
+
+    df = spark.createDataFrame(
+        [(1, "US, UK"), (2, "DE;FR"), (3, "JP")], "id int, country string"
+    )
+    out = split_explode(df, "country").collect()
+    got = sorted((r.id, r.country) for r in out)
+    assert got == [(1, "UK"), (1, "US"), (2, "DE"), (2, "FR"), (3, "JP")]
+
+
+def test_wide_melt_pivot_roundtrip(spark):
+    """The reference's signature wide→long→wide chain (O3)."""
+    from etl_deltalake_spark.operators.reshape import melt, pivot_first, regex_split_key
+
+    wide = spark.createDataFrame(
+        [("r1", "binance", "100.5", "okx", "55.1")],
+        "`rowid` string, `122.name` string, `122.volume_usd` string, "
+        "`95.name` string, `95.volume_usd` string",
+    ).drop("rowid")
+    long = regex_split_key(melt(wide), "variable")
+    out = pivot_first(long, "crypto_id", "variable", "value", ["name", "volume_usd"])
+    rows = {r.crypto_id: r for r in out.collect()}
+    assert rows["122"].name == "binance" and rows["122"].volume_usd == "100.5"
+    assert rows["95"].name == "okx" and rows["95"].volume_usd == "55.1"
+
+
+def test_mask_email_drops_original(spark):
+    from etl_deltalake_spark.operators.pii import add_masked_email, add_synth_email
+
+    df = spark.createDataFrame([("Acme Corp",)], "name string")
+    emailed = add_synth_email(df, "name")
+    email = emailed.collect()[0].email
+    assert email.endswith("@acmecorp.org") and len(email.split("@")[0]) == 8
+    masked = add_masked_email(emailed, "email")
+    assert "email" not in masked.columns
+    assert masked.collect()[0].email_masked == "*****@acmecorp.org"
+
+
+def test_merge_insert_if_absent(spark, tmp_path):
+    from etl_deltalake_spark.sources.table_format import (
+        merge_insert_if_absent,
+        read_table,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    write_table(base, path)
+    src = spark.createDataFrame([(2, "CHANGED"), (3, "c")], "id int, v string")
+    merge_insert_if_absent(spark, path, src, ["id"])
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    # id=2 untouched (insert-only merge, reference main.py:465-470); id=3 inserted
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_upsert(spark, tmp_path):
+    from etl_deltalake_spark.sources.table_format import (
+        merge_upsert,
+        read_table,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    write_table(base, path)
+    src = spark.createDataFrame([(2, "CHANGED"), (3, "c")], "id int, v string")
+    merge_upsert(spark, path, src, ["id"])
+    got = {(r.id, r.v) for r in read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "CHANGED"), (3, "c")}
+
+
+def test_write_table_rejects_bad_mode(spark, tmp_path):
+    from etl_deltalake_spark.sources.table_format import write_table
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="mode"):
+        write_table(df, str(tmp_path / "x"), mode="bogus")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Partitioned layout exists in the reference (main.py:418) but no
+    read ever prunes (SURVEY §4); here the scan must prune."""
+    from etl_deltalake_spark.sources.table_format import read_table, write_table
+
+    df = spark.createDataFrame(
+        [(i, "US" if i % 2 else "DE") for i in range(10)], "id int, country string"
+    )
+    write_table(df, str(tmp_path / "p"), partition_cols=["country"])
+    scan = read_table(spark, str(tmp_path / "p")).filter(F.col("country") == "US")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert scan.count() == 5
+    assert "PartitionFilters: [isnotnull(country" in plan or "country#" in plan
