@@ -1,0 +1,129 @@
+"""Relational operators absent from the reference (SURVEY §2.8).
+
+The reference has no joins, reductions, distinct, set ops, or sorts
+— its only "join" is the MERGE predicate (main.py:603) and the dict
+remap (main.py:265). These are table stakes for an engine; most are
+thin, documented wrappers over stock DataFrame ops, plus two custom
+compositions Spark lacks natively: as-of join and range join.
+
+Scale notes per operator are in each docstring; the common theme:
+one hash shuffle on the join/group key, broadcast for bounded dims,
+AQE for skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    how: str = "left",
+    right_on: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` per key (backward direction).
+
+    Implemented with the union-window algorithm, NOT an inequality
+    join: tag both sides, union, and carry the last non-null right
+    payload forward within a (key, time)-ordered window. This is ONE
+    hash shuffle on the key + a per-partition sort — an inequality
+    join would be a broadcast-nested-loop (quadratic) or an exploding
+    equi+filter join. At 100 TB both inputs shuffle once on ``on``;
+    skewed keys split via AQE.
+
+    Ties: if several right rows share (key, right_time), the carried
+    row among them is unspecified — pre-dedup the right side for
+    determinism (the oracle queries do).
+    """
+    if how != "left":
+        raise ValueError("only how='left' is implemented")
+    right_on = right_on or on
+    lcols = left.columns
+    # marker: right=0 sorts before left=1 at equal times → inclusive <=
+    r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_m"),
+        *[F.col(c) for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(  # noqa: E741
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_m"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        *[F.col(c) for c in lcols],
+    )
+    unioned = r.unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_cols]
+    )
+    return filled.filter(F.col("_m") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_f_{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    range_cond,
+) -> DataFrame:
+    """Range join: equi-key plus an interval predicate.
+
+    Keeping at least one equality conjunct makes Catalyst pick a
+    hash join with the range predicate as a post-filter; a pure
+    inequality condition degrades to broadcast-nested-loop. For
+    huge time ranges, bucket the time dimension into the key
+    (coarse-bucket equi-join then exact filter).
+    """
+    return left.join(right, on & range_cond if range_cond is not None else on)
+
+
+def semi_join(left: DataFrame, right: DataFrame, *cond) -> DataFrame:
+    """left rows with ≥1 match (EXISTS). No right columns, no dup rows."""
+    return left.join(right, list(cond) if cond else None, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, *cond) -> DataFrame:
+    """left rows with NO match (NOT EXISTS)."""
+    return left.join(right, list(cond) if cond else None, "left_anti")
+
+
+def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(a ∪ b) − (a ∩ b), distinct — exercises all three set ops."""
+    return a.union(b).distinct().subtract(a.intersect(b))
+
+
+def dedup_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup (SURVEY §2.9). For deterministic survivor choice
+    under a subset, prefer ``keep_first_by``."""
+    return df.dropDuplicates(list(subset)) if subset else df.distinct()
+
+
+def keep_first_by(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence
+) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under a total
+    ordering (row_number = 1). One shuffle on keys."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

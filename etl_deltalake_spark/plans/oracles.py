@@ -163,3 +163,105 @@ oracle("q_mask_email")(
     FROM customer
     """
 )
+
+oracle("q_distinct")(
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """
+)
+
+oracle("q_rollup")(
+    """
+    SELECT
+      o_orderstatus, o_orderpriority,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """
+)
+
+oracle("q_cube")(
+    """
+    SELECT
+      l_returnflag, l_linestatus,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """
+)
+
+oracle("q_set_ops")(
+    """
+    SELECT nationkey FROM (
+      (SELECT c_nationkey AS nationkey FROM customer
+       UNION
+       SELECT s_nationkey FROM supplier)
+      EXCEPT
+      (SELECT c_nationkey FROM customer
+       INTERSECT
+       SELECT s_nationkey FROM supplier)
+    )
+    ORDER BY nationkey
+    """
+)
+
+oracle("q_semi_anti")(
+    """
+    SELECT c_mktsegment, COUNT(*) AS n, 'has_orders' AS tag
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, COUNT(*) AS n, 'no_orders' AS tag
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment, tag
+    """
+)
+
+oracle("q_sort_limit")(
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """
+)
+
+oracle("q_asof_join")(
+    """
+    WITH orders_u AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+        ) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           o.o_orderkey, o.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN orders_u o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """
+)
+
+oracle("q_range_join")(
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_fast_ship
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+)

@@ -233,3 +233,134 @@ def q_mask_email(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confidential.select("c_custkey", "email").join(
         masked.select("c_custkey", "email_masked"), "c_custkey"
     )
+
+
+# ------------------------------------------- relational completeness (§2.8)
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (absent in reference, SURVEY §2.8)."""
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select("c_mktsegment", "c_nationkey").distinct().orderBy(
+        "c_mktsegment", "c_nationkey"
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (absent in reference, SURVEY §2.8)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (absent in reference, SURVEY §2.8)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT via symmetric difference (§2.8)."""
+    from etl_deltalake_spark.operators.relational import symmetric_difference
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return symmetric_difference(cust, supp).orderBy("nationkey")
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join, tagged and unioned (absent in ref, §2.8)."""
+    from etl_deltalake_spark.operators.relational import anti_join, semi_join
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey")
+    with_orders = semi_join(cust, orders, cust.c_custkey == orders.o_custkey)
+    without = anti_join(cust, orders, cust.c_custkey == orders.o_custkey)
+    tag = lambda df, t: df.groupBy("c_mktsegment").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("tag", F.lit(t))
+    return tag(with_orders, "has_orders").unionByName(tag(without, "no_orders")).orderBy(
+        "c_mktsegment", "tag"
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit with total tiebreak (absent in ref, §2.8)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.8 joins row): latest order at or before
+    each event's timestamp, per user. Union-window algorithm — one
+    shuffle, no inequality join."""
+    from etl_deltalake_spark.operators.relational import asof_join, keep_first_by
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    # Deterministic right side: one order per (custkey, orderdate) —
+    # keep the max orderkey (ties would make the as-of pick arbitrary).
+    orders_u = keep_first_by(
+        orders, ["o_custkey", "o_orderdate"], [F.col("o_orderkey").desc()]
+    )
+    out = asof_join(
+        events,
+        orders_u,
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems shipped within 7 days of their order's
+    date (equi-key keeps it a hash join; SURVEY §2.8)."""
+    from etl_deltalake_spark.operators.relational import range_join
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = range_join(
+        li,
+        orders,
+        on=li.l_orderkey == orders.o_orderkey,
+        range_cond=(li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 7 DAYS")),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_ship"))
+        .orderBy("o_orderpriority")
+    )
