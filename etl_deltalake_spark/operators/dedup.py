@@ -1,0 +1,338 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard (SURVEY §2.9 — first-class extensions for training-data
+pipelines).
+
+Design for scale:
+ - Exact dedup: hash-groupBy on a content fingerprint — one shuffle
+   on the hash, never on the raw text.
+ - MinHash+LSH: per-doc signatures are computed scan-side with
+   array expressions (no UDFs, no shuffle); banding turns the
+   quadratic all-pairs problem into an equi-join on (band_idx,
+   band_hash) — the only shuffle. Exact Jaccard runs only on
+   candidate pairs.
+ - All hashing is md5-based so the DuckDB oracle reproduces results
+   exactly; signature minima compare md5 hex strings
+   lexicographically (identical ordering in both engines).
+
+These operators deliberately avoid ``pyspark.ml.feature.MinHashLSH``:
+the ml version is seed-randomized and not oracle-reproducible, and
+its vector types force row conversions. Plain column expressions
+keep everything in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.text import normalize_text
+
+
+def shingles(col: str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of the normalized text, as a
+    single array expression.
+
+    PERFORMANCE CAVEAT: expressions referenced inside a higher-order
+    ``transform`` lambda are re-evaluated per array element in
+    Spark's interpreted HOF path — here the full normalize+split
+    chain runs once per output shingle, O(words²) regex work per
+    document. Use ``shingle_rows`` (exploded, codegen'd, measured
+    ~25× faster at sf0.1) for anything beyond one-off expressions.
+    """
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.array_distinct(grams)
+
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    with_count: bool = False,
+) -> DataFrame:
+    """Distinct word k-gram shingles as (doc, gram) rows — the
+    whole-stage-codegen path every dedup operator builds on.
+
+    Shape: normalize+split ONCE per document (plain projection),
+    ``posexplode`` to (doc, pos, word) rows, assemble k-grams with
+    ``lead`` windows, then a distinct that reuses the window's hash
+    partitioning on doc (no second shuffle). Matches ``shingles()``
+    exactly, including the short-document case (one truncated gram
+    when the doc has fewer than k words).
+
+    ``with_count=True`` appends ``n_sh`` (the doc's distinct-shingle
+    count) via one more window over the same partitioning.
+    """
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, k)]
+    )
+    g = w.select(
+        "doc",
+        "pos",
+        gram.alias("gram"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n_words"),
+    )
+    out = (
+        g.filter(
+            (F.col("pos") <= F.col("n_words") - k)
+            | ((F.col("pos") == 0) & (F.col("n_words") < k))
+        )
+        .select("doc", "gram")
+        .distinct()
+    )
+    if with_count:
+        out = out.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        )
+    return out
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 16) -> Column:
+    """MinHash signature as a single array expression: for seed j,
+    min over shingles of md5(j ':' shingle) — hex strings compared
+    lexicographically.
+
+    NOTE: correct but slow in hot paths — nested higher-order
+    lambdas are interpreted (not codegen'd) and re-evaluate
+    ``shingle_col`` once per seed. ``minhash_signature_cols`` is the
+    production form (exploded rows + codegen'd md5 + groupBy-min);
+    this expression form remains for one-off/composability use.
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.transform(
+        seeds,
+        lambda j: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 16
+) -> DataFrame:
+    """MinHash signatures via the whole-stage-codegen path.
+
+    Shape: shingle arrays are computed ONCE per doc, exploded to
+    (doc, shingle) rows, each row gets ``num_perm`` md5 columns
+    (plain codegen'd expressions — no higher-order lambdas), and a
+    single groupBy(doc) takes per-seed minima (string min =
+    lexicographic = array_min of the expression form, so results are
+    bit-identical to ``minhash_signature``).
+
+    Scale: the explode multiplies rows by ~n_shingles but keeps them
+    narrow; the groupBy reuses the shingle stage's partitioning on
+    doc (map-side partial mins, no extra wide shuffle). Output:
+    doc, n_sh, h0..h{num_perm-1}.
+    """
+    sh = shingle_rows(df, id_col, text_col, k)
+    hashed = sh.select(
+        "doc",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(j)), F.col("gram"))).alias(f"h{j}")
+            for j in range(num_perm)
+        ],
+    )
+    return hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_perm)],
+    )
+
+
+def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Band hashes: md5 of each band's concatenated signature rows.
+
+    Two docs collide on a band iff that band's signature rows all
+    match → P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+    """
+    idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return F.transform(
+        idx,
+        lambda b: F.md5(
+            F.concat_ws("|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
+        ),
+    )
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct
+    normalized text with the surviving (min) id and duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle
+    candidate join.
+
+    Candidates come from an equi-join on individual shingles (docs
+    sharing ≥1 shingle); exact Jaccard is then computed from the
+    shared-shingle count and set sizes — no array re-join needed:
+    |A∩B| = number of joined shingle rows because shingles are
+    distinct per doc. Shuffle: one on shingle, one on the pair.
+    At 100 TB add a document-frequency cap on shingles (drop
+    ubiquitous shingles) before the join; not needed at fixture
+    scale and omitted to keep oracle semantics exact.
+    """
+    sh = shingle_rows(df, id_col, text_col, k, with_count=True).withColumnRenamed(
+        "gram", "s"
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.round(
+        F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
+        6,
+    )
+    return (
+        shared.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-collision candidates, then
+    exact Jaccard verification on candidates only.
+
+    The scale path: signatures via the codegen'd exploded-row path
+    (one groupBy shuffle on the doc id), candidates via an equi-join
+    on (band_idx, band_hash), exact verification restricted to
+    candidates. Compare with ``jaccard_pairs`` (exact but joins on
+    every shingle — quadratic in shingle document frequency).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_table(df, id_col, text_col, k=k, num_perm=num_perm)
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh_df = shingle_rows(df, id_col, text_col, k).groupBy("doc").agg(
+        F.collect_list("gram").alias("sh")
+    )
+    sh_a = sh_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        joined.select(
+            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str, token_col: Column) -> DataFrame:
+    """16-bit SimHash via the codegen path: distinct tokens exploded
+    to rows, one 16-bit md5-derived hash per row, per-bit ±1 sums in
+    a single groupBy, bits reassembled from the 16 aggregate columns.
+
+    Same output as ``simhash16`` for documents with ≥1 token; zero-
+    token documents drop out (no rows to aggregate — matches the
+    SQL-oracle GROUP BY shape). One shuffle on the doc id.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(token_col)).alias("t"),
+    )
+    h = t.select(
+        "doc", F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("int").alias("h")
+    )
+    g = h.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    sim = F.lit(0)
+    for i in range(16):
+        sim = sim + F.when(F.col(f"b{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return g.select("doc", sim.cast("bigint").alias("simhash"))
+
+
+def simhash16(token_col: Column) -> Column:
+    """16-bit SimHash over a token array.
+
+    Per token: 16-bit hash = first 4 hex chars of md5(token); each
+    bit contributes ±1; sign of the per-bit sum sets the output bit.
+    Uses distinct tokens with weight 1 (documented simplification).
+    Pure array expressions — scan-side, oracle-reproducible.
+    Hot-path note: the 16 ``aggregate`` calls each re-evaluate the
+    token hashes in the interpreted HOF path — ``simhash_table`` is
+    the production form.
+    """
+    toks = F.array_distinct(token_col)
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    bit_sum = lambda i: F.aggregate(  # noqa: E731
+        th,
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    out = F.lit(0)
+    for i in range(16):
+        out = out + F.when(bit_sum(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out.cast("bigint")

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (SURVEY §2.9).
+
+``embeddings.embedding`` is ``array<float>``; all math casts to
+double element-wise (exact) and reduces sequentially with
+``F.aggregate`` — JVM-side, no UDFs.
+
+Scale design:
+ - ``cosine_topk`` (brute force) is the correctness baseline: one
+   scan, per-row O(d) work, top-k via a single ordered window —
+   linear in N, embarrassingly parallel.
+ - ``hyperplane_bucket`` is the ANN scale path: 8 deterministic
+   random-hyperplane sign bits bucket the vectors (scan-side);
+   search then touches only the query's bucket (~N/256 of the
+   data). Hyperplane weights derive from md5(plane, dim) → ±1, so
+   the oracle reproduces the partition exactly. An IVF variant
+   (k-means centroids) would beat it on recall but is not
+   oracle-reproducible; LSH keeps the gate honest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two numeric arrays (double)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, scale: int = 6) -> Column:
+    """Cosine similarity rounded to ``scale`` (absorbs sub-1e-12
+    cross-engine summation-order noise)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    Ties broken by id — deterministic. Top-k via row_number window
+    over a single partition is fine for k·partitions ≪ N; Spark's
+    TakeOrdered handles the global limit without a full sort.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
+    )
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cos_sim")
+    )
+
+
+def hyperplane_bits(vec_col: Column, dims: int, planes: int = 8) -> Column:
+    """Deterministic random-hyperplane sign bits as a bitstring.
+
+    Plane p weight for dim d = +1 if md5('p,d') starts with 0-7
+    else -1 (an unbiased ±1 draw, identical in any engine with md5).
+    """
+    def plane_dot(p: int) -> Column:
+        weights = F.array(
+            *[
+                F.lit(1.0 if int(_md5_first_hex(p, d), 16) < 8 else -1.0)
+                for d in range(dims)
+            ]
+        )
+        return dot(vec_col, weights)
+
+    bits = [F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(planes)]
+    return F.concat(*bits)
+
+
+def _md5_first_hex(p: int, d: int) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{p},{d}".encode()).hexdigest()[0]
+
+
+def bucketed_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: restrict the scan to the query's hyperplane bucket.
+
+    Recall is approximate (vectors near the boundary land in other
+    buckets); the trade is touching ~1/2^planes of the data. The
+    bucket expression is a literal-weight dot product — Catalyst
+    folds the weights, the scan stays vectorized.
+    """
+    import hashlib
+
+    dims = len(query_vec)
+    qbits = "".join(
+        "1"
+        if sum(
+            (1.0 if int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[0], 16) < 8 else -1.0)
+            * query_vec[d]
+            for d in range(dims)
+        )
+        >= 0
+        else "0"
+        for p in range(planes)
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bits(F.col(vec_col), dims, planes).alias("bucket"),
+    ).filter(F.col("bucket") == qbits)
+    scored = bucketed.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cos_sim")
+    )
+
+
+def pairwise_knn(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 1,
+    max_ids: int | None = None,
+) -> DataFrame:
+    """Exact k-NN per vector (self-join). Quadratic — the correctness
+    baseline; cap the probe side with ``max_ids`` or use the LSH
+    bucket variant at scale."""
+    left = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    if max_ids is not None:
+        left = left.filter(F.col("qid") < max_ids)
+    right = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    pairs = left.join(right, F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.9).
+
+All pure column expressions over ``documents.text`` — JVM-side,
+vectorized, no Python UDFs. Each returns a Column so queries can
+compose them; the SQL oracle mirrors each formula exactly.
+
+At 100 TB these run embarrassingly parallel on the scan — no
+shuffle; the only care is keeping regexes linear-time (no
+backtracking constructs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word-ish tokens or single punctuation — a BPE-ish pre-tokenizer
+# split (public GPT-2-style regex simplified to RE2-safe form).
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# Marker stopwords per language for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "est"),
+    "zh": ("de", "shi", "bu"),
+}
+
+
+def tokens(col: str) -> Column:
+    """Tokenize: array of BPE-ish tokens (lowercased)."""
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def word_count(col: str) -> Column:
+    """Whitespace word count."""
+    return F.size(F.split(F.trim(F.col(col)), r"\s+")).cast("bigint")
+
+
+def stopword_ratio(col: str) -> Column:
+    """Fraction of whitespace words that are stopwords (round 6)."""
+    words = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+    return F.round(stop / F.size(words), 6)
+
+
+def punct_ratio(col: str) -> Column:
+    """Punctuation chars / total chars (round 6); 0 for empty."""
+    total = F.length(col).cast("double")
+    punct = (total - F.length(F.regexp_replace(col, r"[^\w\s]", ""))).cast("double")
+    return F.when(total == 0, F.lit(0.0)).otherwise(F.round(punct / total, 6))
+
+
+def quality_score(col: str) -> Column:
+    """Composite quality heuristic in [0,1] (round 6).
+
+    0.4·length-score + 0.4·(1−stopword-excess) + 0.2·(1−punct-ratio):
+    a documented, deterministic stand-in for model-based quality
+    scoring — the shape (bounded sub-scores, weighted sum) is what a
+    real pipeline tunes.
+    """
+    len_score = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_pen = F.least(stopword_ratio(col) * 2.0, F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.4 * (1.0 - stop_pen) + 0.2 * (1.0 - punct_ratio(col)), 6
+    )
+
+
+def _isin_filter(markers: tuple[str, ...]):
+    # Closure factory: a default-arg lambda would grow a second
+    # parameter that PySpark's higher-order-function binding treats
+    # as a lambda variable (Column), not a Python value.
+    return lambda w: w.isin(*markers)
+
+
+def lang_scores(col: str) -> dict[str, Column]:
+    """Per-language marker-word hit counts (the n-gram heuristic)."""
+    words = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    return {
+        lang: F.size(F.filter(words, _isin_filter(markers))).cast("bigint")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: str) -> Column:
+    """Predicted language: argmax of marker counts, ties broken by
+    fixed precedence (de, en, es, fr, zh) — deterministic and
+    SQL-mirrorable as a CASE chain."""
+    s = lang_scores(col)
+    ordered = sorted(LANG_MARKERS)  # de, en, es, fr, zh
+    best = s[ordered[0]]
+    for lang in ordered[1:]:
+        best = F.greatest(best, s[lang])
+    expr = F.lit(ordered[-1])
+    for lang in reversed(ordered[:-1]):
+        expr = F.when(s[lang] == best, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: str) -> Column:
+    """Canonical form: lowercase, strip punctuation, collapse spaces."""
+    cleaned = F.regexp_replace(F.lower(F.col(col)), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint_md5(col: str) -> Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_table(df, id_col: str, text_col: str, k: int = 5):
+    """Row-level md5 fingerprint + min-shingle (winnowing-style)
+    fingerprint via the codegen'd exploded-shingle path — the
+    production form of ``fingerprint_md5``+``shingle_fingerprint``
+    (one shuffle on the doc id; see operators/dedup.shingle_rows).
+    Output: doc, fp, shingle_fp."""
+    from pyspark.sql import functions as F  # local: avoid shadowing
+
+    from etl_deltalake_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, k)
+    mins = sh.groupBy("doc").agg(F.min(F.md5("gram")).alias("shingle_fp"))
+    fps = df.select(
+        F.col(id_col).alias("doc"), fingerprint_md5(text_col).alias("fp")
+    )
+    return fps.join(mins, "doc")
+
+
+def shingle_fingerprint(col: str, k: int = 5) -> Column:
+    """Winnowing-style fingerprint: min md5 over word k-gram shingles
+    of the normalized text (a single representative hash; the full
+    winnowing window is overkill for fixture-scale docs).
+    Hot-path note: prefer ``fingerprint_table`` — the transform
+    lambda here re-evaluates the normalize+split chain per shingle
+    in the interpreted HOF path."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return F.array_min(F.transform(shingles, F.md5))

@@ -265,3 +265,298 @@ oracle("q_range_join")(
     ORDER BY o_orderpriority
     """
 )
+
+# ---------------------------------------------------------------- extensions
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKEN_PAT = "'[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'"
+_STOPS = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
+
+oracle("q_text_stats")(
+    f"""
+    SELECT
+      doc_id,
+      n_tokens, n_words, stop_ratio, punct_ratio,
+      ROUND(0.4 * LEAST(len_chars / 500.0, 1.0)
+            + 0.4 * (1.0 - LEAST(stop_ratio * 2.0, 1.0))
+            + 0.2 * (1.0 - punct_ratio), 6) AS quality
+    FROM (
+      SELECT
+        doc_id,
+        CAST(len(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS BIGINT) AS n_tokens,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+        ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              w -> w IN {_STOPS}))
+              / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stop_ratio,
+        ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / length(text), 6) AS punct_ratio,
+        CAST(length(text) AS DOUBLE) AS len_chars
+      FROM documents
+    )
+    """
+)
+
+_LANG_COUNT = {
+    "de": "('der', 'und', 'das')",
+    "en": "('the', 'and', 'of')",
+    "es": "('el', 'los', 'que')",
+    "fr": "('le', 'les', 'est')",
+    "zh": "('de', 'shi', 'bu')",
+}
+_lang_cols = ",\n        ".join(
+    f"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    f"w -> w IN {m})) AS BIGINT) AS c_{lang}"
+    for lang, m in _LANG_COUNT.items()
+)
+
+oracle("q_lang_id")(
+    f"""
+    SELECT doc_id, lang,
+      CASE
+        WHEN c_de = best THEN 'de'
+        WHEN c_en = best THEN 'en'
+        WHEN c_es = best THEN 'es'
+        WHEN c_fr = best THEN 'fr'
+        ELSE 'zh'
+      END AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+        c_de, c_en, c_es, c_fr, c_zh,
+        GREATEST(c_de, c_en, c_es, c_fr, c_zh) AS best
+      FROM (
+        SELECT doc_id, lang,
+        {_lang_cols}
+        FROM documents
+      )
+    )
+    """
+)
+
+oracle("q_fingerprint")(
+    f"""
+    SELECT doc_id,
+      md5(norm) AS fp,
+      list_min(list_transform(
+        range(1, GREATEST(len(words) - 5, 0) + 2),
+        i -> md5(array_to_string(words[i:i+4], ' '))
+      )) AS shingle_fp
+    FROM (
+      SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS words
+      FROM documents
+    )
+    """
+)
+
+oracle("q_dedup_exact")(
+    f"""
+    SELECT md5({_NORM}) AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """
+)
+
+_SHINGLES = f"""
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, GREATEST(len(string_split({_NORM}, ' ')) - 3, 0) + 2),
+    i -> array_to_string((string_split({_NORM}, ' '))[i:i+2], ' ')
+  )) AS sh
+  FROM documents
+"""
+
+oracle("q_jaccard_pairs")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+    FROM shared
+    WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+)
+
+oracle("q_minhash_lsh")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (
+      SELECT doc_id, sh,
+        list_transform(range(0, 16), j ->
+          list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))
+        ) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, sh,
+        unnest(list_transform(range(0, 4), b ->
+          md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band_hash,
+        unnest(range(0, 4)) AS band_idx
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+    FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+    WHERE ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+)
+
+_simhash_bits = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) >= 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+
+oracle("q_simhash")(
+    f"""
+    SELECT doc_id, CAST({_simhash_bits} AS BIGINT) AS simhash
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(t), 1, 4) AS INT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(lower(text), {_TOKEN_PAT}))) AS t
+        FROM documents
+      )
+    )
+    GROUP BY doc_id
+    """
+)
+
+oracle("q_cosine_topk")(
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+)
+
+
+def _ann_bucket_sql(planes: int = 8, dims: int = 64, k: int = 5) -> str:
+    """Hyperplane-LSH oracle with the ±1 weight matrix baked in as
+    literals (same md5-derived weights as operators/similarity.py)."""
+    import hashlib
+
+    def w(p: int, d: int) -> float:
+        return 1.0 if int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[0], 16) < 8 else -1.0
+
+    def dot_expr(vec: str, p: int) -> str:
+        return " + ".join(f"({w(p, d):+.1f} * {vec}[{d + 1}])" for d in range(dims))
+
+    def bucket_expr(vec: str) -> str:
+        cases = ", ".join(
+            f"CASE WHEN ({dot_expr(vec, p)}) >= 0 THEN '1' ELSE '0' END"
+            for p in range(planes)
+        )
+        return f"concat({cases})"
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v AS qv, {bucket_expr('v')} AS qb FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e)
+    SELECT b.vec_id,
+           ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cos_sim
+    FROM b, q
+    WHERE b.bucket = q.qb
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+oracle("q_ann_bucket")(_ann_bucket_sql())
+
+oracle("q_binary_meta")(
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """
+)
+
+oracle("q_media_features")(
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(CEIL(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) AS n_frames
+    FROM documents
+    """
+)
+
+oracle("q_stream_tumbling")(
+    """
+    SELECT
+      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+)
+
+oracle("q_tumbling_window")(
+    """
+    SELECT
+      time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+)
+
+oracle("q_session_window")(
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    x AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  >= INTERVAL 10 MINUTE
+             THEN 1 ELSE 0 END AS ns
+      FROM e
+    ),
+    y AS (
+      SELECT user_id, ts,
+        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM y
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """
+)

@@ -1,0 +1,242 @@
+"""Extension query plans: text analysis, dedup, similarity search,
+multimodal plumbing, and streaming batch-equivalents (SURVEY §2.9 +
+§2.8 streaming row).
+
+Same contract as plans/queries.py: ``q_*(spark, sf_dir) ->
+DataFrame``, column aliases matching plans/oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.sources.catalog import load_table
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ------------------------------------------------------------ text analysis
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals (SURVEY §2.9 text analysis)."""
+    from etl_deltalake_spark.operators import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.word_count("text").alias("n_words"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (SURVEY §2.9)."""
+    from etl_deltalake_spark.operators import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized md5 + min-shingle hash
+    (codegen'd exploded-shingle path — operators/text.py)."""
+    from etl_deltalake_spark.operators.text import fingerprint_table
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return fingerprint_table(docs, "doc_id", "text", k=5).select(
+        F.col("doc").alias("doc_id"), "fp", "shingle_fp"
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (SURVEY §2.9)."""
+    from etl_deltalake_spark.operators.dedup import exact_dedup_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup_stats(docs, "doc_id", "text")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (SURVEY §2.9)."""
+    from etl_deltalake_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact verification (§2.9).
+
+    The fixture parquet is one small file → one input partition, so
+    repartition by doc id first; on a real lake the scan already has
+    thousands of splits and this is a no-op to omit."""
+    from etl_deltalake_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, num_perm=16, bands=4, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (SURVEY §2.9; codegen'd groupBy
+    path — operators/dedup.simhash_table)."""
+    from etl_deltalake_spark.operators.dedup import simhash_table
+    from etl_deltalake_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return simhash_table(docs, "doc_id", tokens("text")).select(
+        F.col("doc").alias("doc_id"), "simhash"
+    )
+
+
+# -------------------------------------------------------- similarity search
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (SURVEY §2.9)."""
+    from etl_deltalake_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 against vec_id=0 — the scale path
+    (touches ~1/256 of rows; SURVEY §2.9)."""
+    from etl_deltalake_spark.operators.similarity import bucketed_ann_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return bucketed_ann_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=5, planes=8
+    )
+
+
+# ------------------------------------------------------ multimodal plumbing
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: byte length + content checksum
+    (SURVEY §2.9 multimodal). The decode stage itself is the gated
+    stub in operators/multimodal.py; this exercises the typed-binary
+    scan path end-to-end."""
+    docs = load_table(spark, "documents", sf_dir)
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads — the multimodal decode execution path with a
+    deterministic byte-level kernel (operators/multimodal.py; the
+    codec decode itself is the gated stub)."""
+    from pyspark.sql.types import BinaryType
+
+    from etl_deltalake_spark.operators.multimodal import map_payload_features
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        "doc_id", F.col("text").cast(BinaryType()).alias("payload")
+    )
+    return map_payload_features(media, "doc_id", "payload", frame_size=64).select(
+        "doc_id", "n_bytes", "checksum", F.col("n_frames").cast("int").alias("n_frames")
+    )
+
+
+# --------------------------------------------- streaming batch-equivalents
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (SURVEY §2.8 streaming).
+
+    Batch-equivalent of the Structured Streaming pipeline in
+    streaming/pipeline.py — same F.window expression; the streaming
+    test proves parity between the two paths.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path: readStream over the events
+    parquet → tumbling windowed agg → availableNow drain to a memory
+    sink (streaming/pipeline.py). Shares q_tumbling_window's oracle —
+    stream and batch must agree exactly."""
+    import tempfile
+
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    stream = P.read_events_stream(spark, sf_dir, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgraft_q_stream_")
+    import uuid
+
+    name = f"t_{uuid.uuid4().hex[:12]}"
+    q = (
+        P.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user (SURVEY §2.8)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )

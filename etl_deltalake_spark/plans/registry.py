@@ -13,16 +13,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_deltalake_spark.plans import queries as _q
+from etl_deltalake_spark.plans import queries_ext as _qx
 from etl_deltalake_spark.plans.oracles import ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+_MODULES = (_q, _qx)
+
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for name, fn in inspect.getmembers(_q, inspect.isfunction):
-        if name.startswith("q_"):
-            out[name] = fn
+    for mod in _MODULES:
+        for name, fn in inspect.getmembers(mod, inspect.isfunction):
+            if name.startswith("q_"):
+                out[name] = fn
     return out
 
 

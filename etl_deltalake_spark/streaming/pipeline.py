@@ -1,0 +1,232 @@
+"""Structured Streaming pipelines over the ``events`` table
+(SURVEY §2.8 streaming row — absent in the reference, whose
+"incremental" path is batch HTTP polling + a JSON watermark file,
+reference main.py:79-105, 131-159).
+
+Spark-first mapping:
+ - source       → ``spark.readStream`` (file source here; Kafka on a
+                  real deployment — same downstream plan).
+ - watermark    → ``withWatermark`` (replaces the reference's
+                  metadata_ingestion.json bookkeeping, which it wrote
+                  but never read — SURVEY §2.1 S7).
+ - windows      → tumbling/sliding ``F.window``, ``F.session_window``.
+ - dedup        → ``dropDuplicatesWithinWatermark`` (bounded state).
+ - custom state → ``applyInPandasWithState`` running per-key totals.
+ - sink         → ``foreachBatch`` → MERGE (sources/table_format.py),
+                  giving exactly-once-per-epoch upserts on Delta.
+
+Every aggregation here reuses the SAME column expressions as its
+batch twin in plans/queries_ext.py; tests prove stream-vs-batch
+parity with ``trigger(availableNow=True)``.
+
+Scale: watermark + windowed agg keeps state bounded (only open
+windows live in the state store); shuffle partitions size the state
+store parallelism. At 100 TB/day the file source becomes Kafka and
+``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` paces micro-batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_deltalake_spark.sources.catalog import load_table
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, sf_dir_for_schema: str,
+    glob: str = "events.parquet",
+) -> DataFrame:
+    """File-source stream of events rows.
+
+    ``source_dir`` must be a directory (streaming file-source
+    requirement); ``glob`` restricts it to the events file(s). Schema
+    comes from the batch table (streams can't infer); the nanosecond
+    ``ts`` arrives as long (session sets ``nanosAsLong``) and
+    converts to a timestamp exactly like the batch catalog path, so
+    stream and batch plans share semantics.
+    """
+    batch_schema = load_table(spark, "events", sf_dir_for_schema).schema
+    raw_fields = [
+        StructField("ts", LongType())
+        if f.name == "ts"
+        else f
+        for f in batch_schema.fields
+    ]
+    stream = (
+        spark.readStream.schema(StructType(raw_fields))
+        .option("pathGlobFilter", glob)
+        .parquet(source_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums — the streaming twin of
+    plans/queries_ext.q_tumbling_window (same expressions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding windows (1 hour, slide 30 min) — SURVEY §2.8."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Session windows (10-min gap) per user — streaming twin of
+    q_session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Late-data-safe dedup on event_id: state is dropped once the
+    watermark passes — bounded memory, unlike a global distinct."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total_c", LongType())]
+)
+
+
+def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (SURVEY §2.8 stateful row).
+
+    State = (event count, total value in integer cents — exact
+    accumulation across micro-batches). Each micro-batch folds its
+    Arrow batches into state and emits the updated row per user.
+    """
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total_c = state.get if state.exists else (0, 0)
+        last_type = None
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer cents: deterministic, order-insensitive sum
+            total_c += int(round(pdf["value"].astype(float).sum() * 100))
+            if len(pdf):
+                last_type = pdf.sort_values("ts").iloc[-1]["event_type"]
+        state.update((n, total_c))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_c / 100.0],
+                "last_event_type": [last_type],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, output_mode: str = "append"
+) -> list:
+    """Drain a stream with ``availableNow`` into an in-memory sink and
+    return the rows — the batch-parity test harness."""
+    import uuid
+
+    name = f"t_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name).collect()
+
+
+def stream_merge_into(
+    stream_df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Sink pattern: foreachBatch → MERGE upsert into a persistent
+    table (exactly-once per epoch on Delta; Parquet fallback gives
+    the same rows without transactional isolation)."""
+    from etl_deltalake_spark.sources.table_format import merge_upsert, write_table
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if not os.path.exists(target_path):
+            write_table(batch_df, target_path, mode="overwrite")
+        else:
+            merge_upsert(batch_df.sparkSession, target_path, batch_df, key_cols)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

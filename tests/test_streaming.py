@@ -1,0 +1,99 @@
+"""Structured Streaming pipelines vs their batch twins.
+
+Each streaming query drains the sf0.001 events fixture with
+``trigger(availableNow=True)`` and must reproduce the batch plan's
+result exactly (same expressions → same rows).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from etl_deltalake_spark.streaming import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return P.read_events_stream(spark, sf_dir, sf_dir)
+
+
+@pytest.fixture()
+def ckpt():
+    d = tempfile.mkdtemp(prefix="sgraft_ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _canon(rows, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in rows)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream, ckpt):
+    from etl_deltalake_spark.plans.queries_ext import q_tumbling_window
+
+    got = P.run_available_now(
+        P.tumbling_counts(events_stream), ckpt, output_mode="complete"
+    )
+    want = q_tumbling_window(spark, sf_dir).collect()
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_stream, ckpt):
+    from etl_deltalake_spark.plans.queries_ext import q_session_window
+
+    got = P.run_available_now(
+        P.session_counts(events_stream), ckpt, output_mode="complete"
+    )
+    want = q_session_window(spark, sf_dir).collect()
+    cols = ["user_id", "session_start", "session_end", "n"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_dedup_stream(spark, sf_dir, events_stream, ckpt):
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    got = P.run_available_now(P.dedup_stream(events_stream), ckpt)
+    n_distinct = load_table(spark, "events", sf_dir).select("event_id").distinct().count()
+    assert len(got) == n_distinct
+
+
+def test_stateful_running_totals(spark, sf_dir, events_stream, ckpt):
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    got = P.run_available_now(
+        P.user_running_totals(events_stream), ckpt, output_mode="update"
+    )
+    # One update row per user per micro-batch; the LAST row per user
+    # must equal the batch per-user totals (exact integer-cents sum).
+    final = {}
+    for r in got:
+        final[r["user_id"]] = r
+    want = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    )
+    assert len(final) == len(want)
+    for r in want:
+        g = final[r["user_id"]]
+        assert g["n_events"] == r["n_events"]
+        assert abs(g["total_value"] - r["total_value"]) < 1e-9
+
+
+def test_sliding_counts_runs(spark, events_stream, ckpt):
+    got = P.run_available_now(
+        P.sliding_counts(events_stream), ckpt, output_mode="complete"
+    )
+    assert len(got) > 0
