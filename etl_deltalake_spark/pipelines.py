@@ -1,0 +1,153 @@
+"""Medallion pipelines: the reference's three driver entry points
+(SURVEY §3) re-expressed Spark-first.
+
+Layer layout mirrors the reference's path convention
+(``Datos_Delta/{Bronze,Silver,Gold,Confidential}/...``,
+main.py:599-635) under a caller-supplied root. Differences from the
+reference, by design (each noted in SURVEY §3):
+
+ - the watermark is read AND used (reference records but never
+   consumes it — main.py:19-38 dead code);
+ - Silver is MERGE-upserted instead of append-everything-again
+   (reference main.py:622 grows Silver quadratically);
+ - errors raise instead of print-and-return-None (main.py error
+   model, SURVEY §2.7);
+ - the exchanges payload goes map-explode → long directly
+   (SURVEY §2.3 note); melt/pivot remain available as standalone
+   operators in operators/reshape.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.cleaning import clean_frame, remap_values
+from etl_deltalake_spark.operators.pii import add_masked_email, add_synth_email
+from etl_deltalake_spark.operators.window_agg import gold_aggregation
+from etl_deltalake_spark.sources.http_json import (
+    http_extract_incremental,
+    wide_json_to_long,
+)
+from etl_deltalake_spark.sources.table_format import (
+    merge_insert_if_absent,
+    read_table,
+    write_table,
+)
+from etl_deltalake_spark.sources.watermark import commit_watermark, read_watermark
+
+TICKER_FLOAT_COLS = [
+    "price_usd", "percent_change_24h", "percent_change_1h",
+    "percent_change_7d", "price_btc", "market_cap_usd", "volume24",
+    "volume24a", "csupply", "tsupply", "msupply",
+]
+
+
+def run_ticker_incremental(
+    spark: SparkSession,
+    root: str,
+    base_url: str,
+    fetcher: Callable,
+    params: Mapping | None = None,
+) -> DataFrame:
+    """Entry point 1 (reference main.py:593-635): incremental ticker
+    Bronze→Silver→Gold.
+
+    Bronze: raw append (audit trail). Silver: numeric coercion +
+    sentinel fills on THIS RUN's rows only (watermark-filtered),
+    MERGE-upserted on (id, ingested_at). Gold: grouped lag-diff +
+    running sum (the reference's signature computation,
+    main.py:345-388) recomputed over Silver.
+    """
+    bronze, silver, gold = (
+        f"{root}/Bronze/CoinLore/ticker",
+        f"{root}/Silver/CoinLore/ticker",
+        f"{root}/Gold/CoinLore/ticker",
+    )
+    wm_store = f"{root}/control/watermarks"
+
+    df, new_wm = http_extract_incremental(
+        spark, base_url, "ticker", params=params, fetcher=fetcher
+    )
+    last = read_watermark(spark, wm_store, "ticker")
+    df = df.withColumn("ingested_at", F.lit(new_wm))
+    if last is not None:
+        # idempotent re-poll guard: drop batches at/before the watermark
+        df = df.filter(F.lit(new_wm) > F.lit(last))
+
+    import os
+
+    write_table(df, bronze, mode="append" if os.path.exists(bronze) else "overwrite")
+
+    cleaned = clean_frame(
+        df, numeric_coerce=TICKER_FLOAT_COLS, sentinel="Sin Dato", round_scale=3
+    )
+    if os.path.exists(silver):
+        merge_insert_if_absent(spark, silver, cleaned, ["id", "ingested_at"])
+    else:
+        write_table(cleaned, silver, mode="overwrite")
+    commit_watermark(spark, wm_store, "ticker", "ingested_at", new_wm)
+
+    gold_df = gold_aggregation(
+        read_table(spark, silver),
+        group_col="id",
+        diff_cols=["market_cap_usd", "volume24"],
+        cumsum_cols=["volume24a"],
+        order_cols=["ingested_at"],
+    )
+    write_table(gold_df, gold, mode="overwrite")
+    return gold_df
+
+
+COUNTRY_REMAP = {
+    # the reference's normalization dict (main.py:572-590), trimmed to
+    # the shape that matters: canonicalize variant country labels.
+    "Cayman Islands": "United Kingdom",
+    "Hong Kong": "Japan",
+    "UK": "United Kingdom",
+    "USA": "United States",
+}
+
+
+def run_exchanges_full(
+    spark: SparkSession,
+    root: str,
+    payload: Mapping[str, Mapping],
+) -> tuple[DataFrame, DataFrame]:
+    """Entry point 2 (reference main.py:596-623): full exchanges
+    Bronze→Silver with a Confidential branch.
+
+    Wide dict-of-dicts → long via map-explode (no melt/pivot detour),
+    country split+explode with the NOT-IN junk filter and remap
+    (main.py:253-265), sentinel fills, fixed-3-decimal volume string
+    (main.py:288), synthetic email, then an immutable branch: the
+    Confidential table keeps real emails, Silver gets the masked
+    column only and is partitioned by country (main.py:615-623).
+    Returns (confidential_df, silver_df).
+    """
+    bronze = f"{root}/Bronze/CoinLore/exchanges"
+    silver = f"{root}/Silver/CoinLore/exchanges"
+    confidential = f"{root}/Confidential/CoinLore/exchanges"
+
+    raw = wide_json_to_long(spark, payload, key_name="id")
+    write_table(raw, bronze, mode="overwrite")
+
+    df = raw.select("id", "name", "name_id", "volume_usd", "active_pairs", "url", "country")
+    df = df.withColumn(
+        "country", F.explode(F.split(F.regexp_replace("country", ";", ","), ", "))
+    ).filter(~F.col("country").isin("EU", "NV"))
+    df = remap_values(df, "country", COUNTRY_REMAP)
+    df = clean_frame(df, sentinel="Sin Dato", round_scale=None)
+    df = df.withColumn(
+        "volume_usd",
+        F.format_string("%.3f", F.coalesce(F.col("volume_usd").cast("double"), F.lit(0.0))),
+    )
+
+    with_email = add_synth_email(df, "name_id")
+    masked = add_masked_email(with_email, "email")
+
+    write_table(with_email, confidential, mode="overwrite")
+    write_table(masked, silver, mode="overwrite", partition_cols=["country"])
+    return with_email, masked

@@ -198,16 +198,15 @@ oracle("q_cube")(
 
 oracle("q_set_ops")(
     """
-    SELECT nationkey FROM (
-      (SELECT c_nationkey AS nationkey FROM customer
-       UNION
-       SELECT s_nationkey FROM supplier)
-      EXCEPT
-      (SELECT c_nationkey FROM customer
-       INTERSECT
-       SELECT s_nationkey FROM supplier)
-    )
-    ORDER BY nationkey
+    SELECT 'never_sold' AS op, COUNT(*) AS n FROM (
+      SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 'sold', COUNT(*) FROM (
+      SELECT p_partkey FROM part INTERSECT SELECT l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 'key_universe', COUNT(*) FROM (
+      SELECT p_partkey FROM part UNION SELECT l_partkey FROM lineitem)
+    ORDER BY op
     """
 )
 
@@ -263,6 +262,51 @@ oracle("q_range_join")(
       AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
+    """
+)
+
+oracle("q_scalar_funcs")(
+    """
+    SELECT
+      p_partkey,
+      upper(p_name) AS up_name,
+      CAST(length(p_name) AS BIGINT) AS len_name,
+      substr(p_name, 1, 8) AS pre8,
+      lpad(p_brand, 12, '*') AS brand_pad,
+      translate(p_brand, '#', '-') AS brand_tr,
+      CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+      reverse(p_brand) AS rev_brand,
+      concat_ws('|', p_brand, p_type) AS brand_type,
+      CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
+      array_to_string(list_sort(string_split(p_type, ' ')), '_') AS sorted_words,
+      pow(p_size, 2) AS size_sq,
+      CAST(p_size % 7 AS BIGINT) AS mod7,
+      ROUND(sqrt(p_retailprice), 6) AS root_price,
+      CAST(GREATEST(p_size, 25) AS BIGINT) AS size_floor25
+    FROM part
+    ORDER BY p_partkey
+    """
+)
+
+oracle("q_datetime_funcs")(
+    """
+    SELECT
+      event_id,
+      CAST(year(ts) AS BIGINT) AS yr,
+      CAST(month(ts) AS BIGINT) AS mo,
+      CAST(day(ts) AS BIGINT) AS dom,
+      CAST(hour(ts) AS BIGINT) AS hr,
+      CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+      CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+      CAST(date_diff('day', CAST(ts AS DATE), DATE '2025-06-01') AS BIGINT)
+        AS days_to_jun,
+      strftime(ts, '%Y-%m-%d %H:%M') AS ts_fmt,
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(ceil("value") AS BIGINT) AS val_ceil,
+      CAST(floor("value") AS BIGINT) AS val_floor,
+      ROUND(abs("value" - 50.0), 6) AS val_dev
+    FROM events
+    ORDER BY event_id
     """
 )
 

@@ -278,16 +278,22 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT via symmetric difference (§2.8)."""
-    from etl_deltalake_spark.operators.relational import symmetric_difference
+    """UNION / INTERSECT / EXCEPT, tagged counts (§2.8).
 
-    cust = load_table(spark, "customer", sf_dir).select(
-        F.col("c_nationkey").alias("nationkey")
+    Parts-never-sold (EXCEPT) vs parts-sold (INTERSECT) vs the key
+    universe (UNION) — each branch a distinct set op so all three
+    code paths execute and every branch is non-empty."""
+    parts = load_table(spark, "part", sf_dir).select(F.col("p_partkey").alias("k"))
+    sold = load_table(spark, "lineitem", sf_dir).select(F.col("l_partkey").alias("k"))
+    tag = lambda df, t: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit(t).alias("op"), "n")
+    return (
+        tag(parts.exceptAll(sold.distinct()), "never_sold")
+        .unionByName(tag(parts.intersect(sold), "sold"))
+        .unionByName(tag(parts.union(sold).distinct(), "key_universe"))
+        .orderBy("op")
     )
-    supp = load_table(spark, "supplier", sf_dir).select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return symmetric_difference(cust, supp).orderBy("nationkey")
 
 
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +320,57 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library — string/array/math surface (SURVEY
+    §2.8 'scalar function library' row: the reference uses a handful
+    of pandas string ops; the engine exposes the full
+    pyspark.sql.functions surface). All expressions stay in
+    whole-stage codegen; zero shuffles beyond the final sort."""
+    part = load_table(spark, "part", sf_dir)
+    words = F.split("p_type", " ")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.length("p_name").cast("bigint").alias("len_name"),
+        F.substring("p_name", 1, 8).alias("pre8"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_brand", "#", "-").alias("brand_tr"),
+        F.instr("p_name", "a").cast("bigint").alias("pos_a"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.array_join(F.sort_array(words), "_").alias("sorted_words"),
+        F.pow("p_size", 2).alias("size_sq"),
+        (F.col("p_size") % 7).cast("bigint").alias("mod7"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("root_price"),
+        F.greatest(F.col("p_size"), F.lit(25)).cast("bigint").alias("size_floor25"),
+    ).orderBy("p_partkey")
+
+
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library — date/time/JSON surface (SURVEY §2.8;
+    reference touches dates only via strptime/strftime of an HTTP
+    header, main.py:49-53)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("bigint").alias("yr"),
+        F.month("ts").cast("bigint").alias("mo"),
+        F.dayofmonth("ts").cast("bigint").alias("dom"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        F.last_day("ts").cast("string").alias("month_end"),
+        F.datediff(F.lit("2025-06-01").cast("date"), F.to_date("ts"))
+        .cast("bigint")
+        .alias("days_to_jun"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("ts_fmt"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.ceil("value").cast("bigint").alias("val_ceil"),
+        F.floor("value").cast("bigint").alias("val_floor"),
+        F.round(F.abs(F.col("value") - 50.0), 6).alias("val_dev"),
+    ).orderBy("event_id")
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,87 @@
+"""Watermark control table: incremental-extraction bookkeeping done
+right (SURVEY §2.1 S7–S9).
+
+The reference keeps `{table: {incremental_column, last_value}}` in a
+JSON file (metadata_ingestion.json:1-6) written by
+``actualizar_utlimo_valor`` (main.py:59-76) — but its reader
+(``obtener_ultimo_valor``, main.py:19-38) is dead code, so every
+"incremental" run re-extracts everything. Here the watermark is a
+one-row-per-table parquet/Delta control table that the incremental
+load actually CONSUMES: read watermark → filter source > watermark →
+process → commit new watermark. At scale the filter is a pushed-down
+predicate on the source scan (parquet min/max stats or Delta data
+skipping prune whole files).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.sources.table_format import read_table, write_table
+
+_SCHEMA_COLS = ("table_name", "incremental_column", "last_value")
+
+
+def read_watermark(spark: SparkSession, store_path: str, table_name: str):
+    """S7 (made live): last committed watermark value for a table, as
+    an ISO string, or None on first run."""
+    if not os.path.exists(store_path):
+        return None
+    rows = (
+        read_table(spark, store_path)
+        .filter(F.col("table_name") == table_name)
+        .select("last_value")
+        .collect()
+    )
+    return rows[0]["last_value"] if rows else None
+
+
+def commit_watermark(
+    spark: SparkSession,
+    store_path: str,
+    table_name: str,
+    incremental_column: str,
+    last_value: str,
+) -> None:
+    """S9: upsert this table's watermark row (read-modify-overwrite;
+    the store is tiny — one row per table)."""
+    new_row = spark.createDataFrame(
+        [(table_name, incremental_column, str(last_value))], list(_SCHEMA_COLS)
+    )
+    if os.path.exists(store_path):
+        others = read_table(spark, store_path).filter(
+            F.col("table_name") != table_name
+        )
+        merged = others.unionByName(new_row).localCheckpoint(eager=True)
+    else:
+        merged = new_row
+    write_table(merged, store_path, mode="overwrite")
+
+
+def incremental_load(
+    spark: SparkSession,
+    source: DataFrame,
+    store_path: str,
+    table_name: str,
+    incremental_column: str,
+) -> tuple[DataFrame, str | None]:
+    """The reference's intended-but-unwired incremental semantics:
+    rows strictly newer than the committed watermark.
+
+    Returns (delta_df, new_watermark). ``delta_df`` is lazy — the
+    watermark predicate reaches the scan (parquet row-group stats /
+    Delta file pruning make this cheap at 100 TB). Commit the
+    returned watermark AFTER the delta has been durably written:
+    crash between write and commit re-extracts (at-least-once), and
+    an insert-only MERGE downstream makes that idempotent.
+    """
+    last = read_watermark(spark, store_path, table_name)
+    delta = source if last is None else source.filter(
+        F.col(incremental_column) > F.lit(last)
+    )
+    row = delta.select(F.max(incremental_column).alias("m")).collect()[0]
+    new_wm = None if row["m"] is None else str(row["m"])
+    return delta, new_wm
