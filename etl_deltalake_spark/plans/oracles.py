@@ -579,6 +579,42 @@ oracle("q_tumbling_window")(
     """
 )
 
+oracle("q_embed_near_dup")(
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.uv, b.uv), 6) AS cos_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.42
+    ORDER BY id_a, id_b
+    """
+)
+
+oracle("q_sliding_window")(
+    """
+    WITH x AS (
+      SELECT event_type,
+        unnest([
+          time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+          time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+            - INTERVAL '30 minutes'
+        ]) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM x
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+)
+
 oracle("q_session_window")(
     """
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -139,6 +139,18 @@ def q_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (SURVEY §2.9 dedup family; threshold tuned to the fixture's
+    cosine range — synthetic vectors have no true dups)."""
+    from etl_deltalake_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.42).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ------------------------------------------------------ multimodal plumbing
 
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,6 +236,18 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (SURVEY §2.8) — each
+    event lands in exactly two windows."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
 
 
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
