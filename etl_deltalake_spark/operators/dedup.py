@@ -53,46 +53,49 @@ def shingle_rows(
     k: int = 3,
     with_count: bool = False,
 ) -> DataFrame:
-    """Distinct word k-gram shingles as (doc, gram) rows — the
-    whole-stage-codegen path every dedup operator builds on.
+    """Distinct word k-gram shingles as (doc, gram) rows — the fast
+    path every dedup operator builds on. Zero shuffles: everything
+    runs scan-side.
 
-    Shape: normalize+split ONCE per document (plain projection),
-    ``posexplode`` to (doc, pos, word) rows, assemble k-grams with
-    ``lead`` windows, then a distinct that reuses the window's hash
-    partitioning on doc (no second shuffle). Matches ``shingles()``
-    exactly, including the short-document case (one truncated gram
-    when the doc has fewer than k words).
+    Two plan-shape rules this encodes (both measured, see SCALE.md):
 
+    1. ``words`` is materialized in its OWN projection and referenced
+       twice by the gram expression — CollapseProject declines to
+       inline a non-cheap alias used more than once, so the
+       normalize+split regex chain evaluates once per document and
+       the gram-assembly lambda only touches the bound ``words``
+       attribute. Inlining it (as ``shingles()`` does) re-evaluates
+       the regexes per output shingle.
+    2. The gram array feeds ``explode`` as a raw EXPRESSION, not an
+       aliased column: exploding an aliased attribute makes
+       InferFiltersFromGenerate add a ``size(grams) > 0`` filter
+       whose pushdown re-inlines the whole gram expression into the
+       scan — resurrecting the per-element re-evaluation (measured
+       12 s vs 0.6 s at sf0.1 for this one planner difference; the
+       filter is semantically a no-op here since every document
+       yields ≥1 gram).
+
+    Matches ``shingles()`` exactly, including the short-document
+    case (one truncated gram when the doc has fewer than k words).
     ``with_count=True`` appends ``n_sh`` (the doc's distinct-shingle
-    count) via one more window over the same partitioning.
+    count) — the array builds twice per row in that case, still
+    attribute-bound and cheap.
     """
     w = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "w"),
+        F.split(normalize_text(text_col), " ").alias("words"),
     )
-    win = Window.partitionBy("doc").orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, k)]
-    )
-    g = w.select(
-        "doc",
-        "pos",
-        gram.alias("gram"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n_words"),
-    )
-    out = (
-        g.filter(
-            (F.col("pos") <= F.col("n_words") - k)
-            | ((F.col("pos") == 0) & (F.col("n_words") < k))
+    wcol = F.col("words")
+    grams_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, k)),
         )
-        .select("doc", "gram")
-        .distinct()
     )
-    if with_count:
-        out = out.withColumn(
-            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-        )
-    return out
+    count_cols = (
+        [F.size(grams_expr).cast("bigint").alias("n_sh")] if with_count else []
+    )
+    return w.select("doc", *count_cols, F.explode(grams_expr).alias("gram"))
 
 
 def minhash_signature(shingle_col: Column, num_perm: int = 16) -> Column:
@@ -239,7 +242,13 @@ def minhash_near_dup_pairs(
     every shingle — quadratic in shingle document frequency).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature_table(df, id_col, text_col, k=k, num_perm=num_perm)
+    # The signature table (one narrow row per doc, ~100 bytes/doc
+    # regardless of text size) feeds BOTH sides of the candidate
+    # self-join; localCheckpoint materializes it once so Spark does
+    # not re-derive the whole shingle pipeline per branch.
+    sig = minhash_signature_table(
+        df, id_col, text_col, k=k, num_perm=num_perm
+    ).localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.md5(
@@ -265,8 +274,11 @@ def minhash_near_dup_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sh_df = shingle_rows(df, id_col, text_col, k).groupBy("doc").agg(
-        F.collect_list("gram").alias("sh")
+    sh_df = (
+        shingle_rows(df, id_col, text_col, k)
+        .groupBy("doc")
+        .agg(F.collect_list("gram").alias("sh"))
+        .localCheckpoint(eager=True)
     )
     sh_a = sh_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
