@@ -293,6 +293,65 @@ def minhash_near_dup_pairs(
     )
 
 
+def label_propagation_clusters(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    iterations: int = 4,
+) -> DataFrame:
+    """Near-dup clustering: connected components over a pair graph
+    via min-label propagation, bounded to ``iterations`` hops — the
+    iterative-algorithm building block a dedup pipeline needs to turn
+    pairwise matches into groups (keep one doc per cluster).
+
+    label_{i+1}(v) = min(label_i(v), min over neighbors label_i(u));
+    after K rounds every node holds the min doc id within K hops —
+    exact connected components when K ≥ cluster diameter (near-dup
+    clusters are shallow; K=4 default). Deterministic and
+    SQL-mirrorable as K chained CTEs, so the oracle can verify it.
+
+    Scale: each round is one join + groupBy on the edge list (shuffle
+    on node id); edges are localCheckpointed once so the (possibly
+    expensive) pair-generation plan runs once, and labels are
+    checkpointed per round to truncate the iterative lineage —
+    the standard Spark iterative-graph pattern.
+
+    Output: (doc, cluster) — cluster is the propagated min label.
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("doc")).distinct().withColumn(
+        "label", F.col("doc")
+    )
+    for _ in range(iterations):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc == nbr.src, "left")
+            .select(
+                labels.doc,
+                F.least(
+                    labels.label, F.coalesce(nbr.nbr_min, labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("doc", F.col("label").alias("cluster"))
+
+
 def simhash_table(df: DataFrame, id_col: str, token_col: Column) -> DataFrame:
     """16-bit SimHash via the codegen path: distinct tokens exploded
     to rows, one 16-bit md5-derived hash per row, per-bit ±1 sums in

@@ -265,6 +265,17 @@ oracle("q_range_join")(
     """
 )
 
+oracle("q_count_distinct")(
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+)
+
 oracle("q_scalar_funcs")(
     """
     SELECT
@@ -427,6 +438,42 @@ oracle("q_jaccard_pairs")(
     FROM shared
     WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
     ORDER BY doc_a, doc_b
+    """
+)
+
+_lp_rounds = "".join(
+    f""",
+    l{i} AS (
+      SELECT l.doc, LEAST(l.label, COALESCE(MIN(d.label), l.label)) AS label
+      FROM l{i - 1} l
+      LEFT JOIN edges e ON e.src = l.doc
+      LEFT JOIN l{i - 1} d ON d.doc = e.dst
+      GROUP BY l.doc, l.label
+    )"""
+    for i in range(1, 5)
+)
+
+oracle("q_dedup_clusters")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS doc, src AS label FROM edges){_lp_rounds}
+    SELECT doc, label AS cluster FROM l4 ORDER BY doc
     """
 )
 

@@ -245,6 +245,26 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (SURVEY §2.8 reduction row).
+
+    count(DISTINCT x) expands to a two-stage aggregate in Spark
+    (partial distinct per partition, then final) — one logical line,
+    two physical hash aggregations. The approximate variant
+    (approx_count_distinct / HLL) is exercised in unit tests — its
+    sketch results are engine-specific so it cannot be oracle-gated.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (absent in reference, SURVEY §2.8)."""
     orders = load_table(spark, "orders", sf_dir)

@@ -94,6 +94,24 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: Jaccard pairs → 4-round min-label
+    propagation → (doc, cluster) (SURVEY §2.9 — the iterative step
+    that turns pairwise near-dups into keep-one groups)."""
+    from etl_deltalake_spark.operators.dedup import (
+        jaccard_pairs,
+        label_propagation_clusters,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return label_propagation_clusters(pairs, "doc_a", "doc_b", iterations=4).orderBy(
+        "doc"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (SURVEY §2.9; codegen'd groupBy
     path — operators/dedup.simhash_table)."""

@@ -1,0 +1,66 @@
+"""Surface tests: approximate sketches, the foreachBatch→MERGE
+streaming sink, and the public functions module."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.sources.catalog import load_table
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL sketches are engine-specific (not oracle-gated); pin the
+    contract instead: within 5% of exact at default rsd."""
+    orders = load_table(spark, "orders", sf_dir)
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).head()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_stream_merge_into_upserts(spark, sf_dir, tmp_path):
+    """foreachBatch → MERGE sink: draining the same stream twice must
+    be idempotent (keyed upsert, not blind append)."""
+    import shutil
+
+    from etl_deltalake_spark.sources.table_format import read_table
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    target = str(tmp_path / "target")
+    stream = P.user_running_totals(
+        P.read_events_stream(spark, sf_dir, sf_dir)
+    )
+    ck1 = str(tmp_path / "ck1")
+    P.stream_merge_into(stream, target, ["user_id"], ck1)
+    n_users = read_table(spark, target).count()
+    assert n_users > 0
+
+    # replay from scratch (fresh checkpoint): same keys → same count
+    shutil.rmtree(ck1)
+    stream2 = P.user_running_totals(
+        P.read_events_stream(spark, sf_dir, sf_dir)
+    )
+    P.stream_merge_into(stream2, target, ["user_id"], str(tmp_path / "ck2"))
+    assert read_table(spark, target).count() == n_users
+
+
+def test_functions_module_surface(spark):
+    from etl_deltalake_spark import functions as EF
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox. The end!", "Alice Smith")],
+        ["id", "text", "name"],
+    )
+    row = df.select(
+        EF.token_count("text").alias("nt"),
+        EF.normalize_text("text").alias("norm"),
+        EF.quality_score("text").alias("q"),
+        EF.synth_email("name").alias("email"),
+        EF.fingerprint_md5("text").alias("fp"),
+    ).head()
+    assert row.nt == 8
+    assert row.norm == "the quick brown fox the end"
+    assert 0.0 <= row.q <= 1.0
+    assert row.email.endswith("@alicesmith.org")
+    assert len(row.fp) == 32
