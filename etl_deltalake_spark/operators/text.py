@@ -134,6 +134,40 @@ def fingerprint_table(df, id_col: str, text_col: str, k: int = 5):
     return fps.join(mins, "doc")
 
 
+def tfidf_table(df, id_col: str, text_col: str, top_k: int = 3):
+    """TF-IDF scores, top-k terms per document (SURVEY §2.9 text
+    analysis; smooth idf = ln((1+N)/(1+df)) + 1, sklearn-style).
+
+    Pure DataFrame ops (no MLlib — HashingTF's murmur buckets are
+    engine-specific and not oracle-reproducible): explode tokens →
+    per-(doc,term) counts → document frequency → join + score →
+    ranked window. Shuffles: (doc,term) agg, term agg, the df join
+    (broadcast when the vocabulary is small), final window on doc.
+    N (corpus size) is computed once driver-side — one tiny count
+    job, the standard pattern for global scalars in iterative/scored
+    pipelines.
+
+    Output: doc, term, tfidf, rn (1..top_k).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc").distinct().count()
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        "doc", "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= top_k)
+    )
+
+
 def shingle_fingerprint(col: str, k: int = 5) -> Column:
     """Winnowing-style fingerprint: min md5 over word k-gram shingles
     of the normalized text (a single representative hash; the full

@@ -265,6 +265,66 @@ oracle("q_range_join")(
     """
 )
 
+oracle("q_window_funcs")(
+    """
+    SELECT * FROM (
+      SELECT
+        o_orderpriority,
+        o_orderkey,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        ROUND(cume_dist() OVER w, 6) AS cume,
+        lag(o_orderkey, 1) OVER w AS prev_key,
+        lead(o_orderkey, 1) OVER w AS next_key,
+        first_value(o_orderkey) OVER wf AS top_key,
+        last_value(o_orderkey) OVER wf AS bottom_key
+      FROM orders
+      WINDOW
+        w AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey ASC),
+        wf AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rnk <= 50
+    ORDER BY o_orderpriority, rnk
+    """
+)
+
+oracle("q_time_rollup")(
+    """
+    WITH g AS (
+      SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'month', date_trunc('month', ts), event_type, COUNT(*),
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      FROM events GROUP BY 2, 3
+    )
+    SELECT grain, CAST(bucket AS TIMESTAMP) AS bucket, event_type, n, total_value
+    FROM g
+    ORDER BY grain, bucket, event_type
+    """
+)
+
+oracle("q_fuzzy_pairs")(
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 5
+    ORDER BY name_a, name_b
+    """
+)
+
 oracle("q_count_distinct")(
     """
     SELECT o_orderpriority,
@@ -387,6 +447,33 @@ oracle("q_lang_id")(
         FROM documents
       )
     )
+    """
+)
+
+oracle("q_tfidf")(
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((1.0 + nn.n) / (1.0 + dfq.df)) + 1), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN nn
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+             ) AS BIGINT) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, rn
     """
 )
 

@@ -342,6 +342,86 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window breadth (SURVEY §2.8): rank,
+    dense_rank, ntile, percent_rank, cume_dist, lag/lead, first/last
+    over one total-ordered window — all share a single shuffle+sort
+    (one Window physical node)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+            F.lead("o_orderkey", 1).over(w).alias("next_key"),
+            F.first("o_orderkey").over(wf).alias("top_key"),
+            F.last("o_orderkey").over(wf).alias("bottom_key"),
+        )
+        .filter(F.col("rnk") <= 50)
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (SURVEY §2.9 spirit):
+    the same event stream pre-aggregated at hour/day/month grains,
+    tagged and unioned — the continuous-aggregate pattern for
+    time-series serving. Each grain is one groupBy; the coarser
+    grains could equally derive from the finer (re-aggregation) —
+    at 100 TB that cascade is the cheaper path."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def grain(unit: str) -> DataFrame:
+        return (
+            ev.groupBy(
+                F.date_trunc(unit, F.col("ts")).alias("bucket"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(_dec("value")).cast("double").alias("total_value"),
+            )
+            .select(F.lit(unit).alias("grain"), "bucket", "event_type", "n", "total_value")
+        )
+
+    return (
+        grain("hour")
+        .unionByName(grain("day"))
+        .unionByName(grain("month"))
+        .orderBy("grain", "bucket", "event_type")
+    )
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance (dedup-adjacent §2.9):
+    nation-name pairs within Levenshtein ≤ 5 — the record-linkage
+    primitive; at scale, block first (e.g. on soundex/prefix) so the
+    cross join never materializes."""
+    nation = load_table(spark, "nation", sf_dir)
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+        .orderBy("name_a", "name_b")
+    )
+
+
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function library — string/array/math surface (SURVEY
     §2.8 'scalar function library' row: the reference uses a handful

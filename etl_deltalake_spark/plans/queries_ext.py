@@ -43,6 +43,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (SURVEY §2.9)."""
+    from etl_deltalake_spark.operators.text import tfidf_table
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return (
+        tfidf_table(docs, "doc_id", "text", top_k=3)
+        .select(F.col("doc").alias("doc_id"), "term", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: normalized md5 + min-shingle hash
     (codegen'd exploded-shingle path — operators/text.py)."""
