@@ -1,0 +1,93 @@
+"""Physical-layout operators: bucketing for co-located joins and
+salting for skewed keys (SURVEY §2.8 joins row, 100 TB posture).
+
+Neither exists in the reference (single-process pandas has no
+shuffle); both are table stakes for the scale this engine targets:
+
+ - **Bucketing** pre-shuffles a table ONCE at write time; every
+   subsequent equi-join or aggregation on the bucket key reads
+   co-located data and skips its exchange entirely (verified by
+   ``tests/test_partitioning.py`` asserting no Exchange in the
+   joined plan). This is how a 100 TB fact table amortizes its
+   shuffle across hundreds of downstream queries.
+ - **Salting** splits a pathologically hot key across
+   ``salt_n`` sub-keys: the build side replicates each row n times,
+   the probe side picks a deterministic salt — the shuffle then
+   spreads the hot key over n reducers. AQE's skew-join handles
+   moderate skew automatically; explicit salting is for the extreme
+   tail (one key ≫ a whole executor's memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on the join
+    key. Readers joining two tables bucketed identically on the key
+    get a shuffle-free (and with sort_cols, sort-free) sort-merge
+    join."""
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Scan a bucketed table with its bucket metadata (the catalog
+    carries the bucket spec; a plain path read would lose it)."""
+    return spark.table(table_name)
+
+
+def salt_col(key: Column, salt_n: int) -> Column:
+    """Deterministic salt in [0, salt_n) derived from the row's key —
+    reproducible across retries (a rand() salt breaks task retry
+    idempotency)."""
+    return F.pmod(F.xxhash64(key), F.lit(salt_n)).cast("int")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_n: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's hot keys spread over ``salt_n``
+    reducers.
+
+    left grows a deterministic salt from a uniqueness-bearing hash of
+    the whole row; right (the smaller / build side) is replicated
+    ``salt_n``× via explode. Join key becomes (key, salt). Result
+    equals the plain join (verified in tests); cost trade: right side
+    is duplicated salt_n times — keep salt_n ≤ a few dozen.
+    """
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.struct(*left.columns)), F.lit(salt_n)).cast("int")
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    out = salted_left.join(
+        salted_right,
+        (salted_left[left_key] == salted_right[right_key])
+        & (salted_left["_salt"] == salted_right["_salt"]),
+        how,
+    )
+    return out.drop("_salt")
