@@ -124,6 +124,60 @@ def frame_offsets(payload_col: str | Column, frame_size: int, n_frames: int) -> 
     return F.transform(idx, lambda i: (usable * i / F.lit(max(n_frames - 1, 1))).cast("long"))
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_size: int = 64,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling over binary payloads: ``n_frames`` evenly
+    spaced fixed-size byte windows per payload, one output row per
+    frame — the video-frame-extraction execution shape with a
+    deterministic byte-slice kernel (a real container parser slots
+    into the same mapInPandas signature; offsets follow
+    ``frame_offsets``). Arrow-batched, no shuffle; rows-per-input
+    multiplies by n_frames but frames are bounded-size.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                usable = max(len(data) - frame_size, 0)
+                for i in range(n_frames):
+                    off = int(usable * i / max(n_frames - 1, 1))
+                    ids.append(doc)
+                    idxs.append(i)
+                    offs.append(off)
+                    frames.append(data[off : off + frame_size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return src.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
 def map_payload_features(
     df: DataFrame, id_col: str, payload_col: str, frame_size: int = 64
 ) -> DataFrame:

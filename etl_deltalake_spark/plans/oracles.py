@@ -687,6 +687,35 @@ oracle("q_media_features")(
     """
 )
 
+oracle("q_frame_sample")(
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, 4)) AS INT) AS frame_idx,
+             text,
+             GREATEST(length(text) - 64, 0) AS usable
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           CAST(TRUNC(usable * frame_idx / 3.0) AS BIGINT) AS frame_offset,
+           md5(substr(text, CAST(TRUNC(usable * frame_idx / 3.0) AS BIGINT) + 1, 64))
+             AS frame_md5
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """
+)
+
+oracle("q_grouping_sets")(
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """
+)
+
 oracle("q_stream_tumbling")(
     """
     SELECT

@@ -297,6 +297,24 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL surface
+    (SURVEY §2.8; rollup/cube are the DataFrame-side shorthands).
+    One Expand node feeds a single aggregation — each input row is
+    replicated once per grouping set, no multi-pass scan."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT, tagged counts (§2.8).
 

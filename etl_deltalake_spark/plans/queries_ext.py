@@ -217,6 +217,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the Arrow mapInPandas kernel: 4 evenly
+    spaced 64-byte frames per payload, checksummed — the DuckDB
+    oracle re-derives each frame with substr arithmetic, so the
+    Python kernel's slicing is cross-engine verified (documents are
+    ASCII: char offsets == byte offsets)."""
+    from pyspark.sql.types import BinaryType
+
+    from etl_deltalake_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        "doc_id", F.col("text").cast(BinaryType()).alias("payload")
+    )
+    frames = sample_frames(media, "doc_id", "payload", frame_size=64, n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_offset", F.md5("frame").alias("frame_md5")
+    ).orderBy("doc_id", "frame_idx")
+
+
 # --------------------------------------------- streaming batch-equivalents
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
