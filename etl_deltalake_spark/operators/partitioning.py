@@ -61,6 +61,42 @@ def salt_col(key: Column, salt_n: int) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(salt_n)).cast("int")
 
 
+def salted_agg_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_col: Column,
+    sum_alias: str,
+    salt_n: int = 8,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Two-stage aggregation for pathologically skewed group keys:
+    partial sums per (key, salt), then final per key.
+
+    Stage 1's shuffle spreads each hot key over ``salt_n`` reducers;
+    stage 2 shuffles only #groups×salt_n pre-aggregated rows. With
+    an exact (decimal/long) ``sum_col`` the result is bit-identical
+    to the one-stage aggregate — order-insensitive sums are what
+    make the rewrite safe. Spark's own map-side partial aggregation
+    covers mild skew already; this is for keys so hot a single
+    reducer's FINAL partial overflows (count also returned, summed
+    across stages the same way).
+    """
+    salt = (
+        salt_col(salt_source, salt_n)
+        if salt_source is not None
+        else F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(salt_n)).cast("int")
+    )
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(F.sum(sum_col).alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
+    )
+    return (
+        partial.groupBy(*group_cols)
+        .agg(F.sum("_psum").alias(sum_alias), F.sum("_pcnt").alias("n"))
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

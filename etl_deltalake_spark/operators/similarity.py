@@ -12,9 +12,12 @@ Scale design:
    random-hyperplane sign bits bucket the vectors (scan-side);
    search then touches only the query's bucket (~N/256 of the
    data). Hyperplane weights derive from md5(plane, dim) → ±1, so
-   the oracle reproduces the partition exactly. An IVF variant
-   (k-means centroids) would beat it on recall but is not
-   oracle-reproducible; LSH keeps the gate honest.
+   the oracle reproduces the partition exactly.
+ - ``ivf_assign``/``ivf_topk`` is the IVF scale path: nearest-
+   centroid coarse quantization, then the probe touches only
+   nprobe/nlist of the data. With a deterministic codebook the
+   assignment is oracle-reproducible; production swaps in k-means
+   centroids (pyspark.ml KMeans, seeded).
 """
 
 from __future__ import annotations
@@ -138,6 +141,88 @@ def bucketed_ann_topk(
         .limit(k)
         .select(id_col, "cos_sim")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    scale: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties
+    to the lowest centroid id) — the IVF coarse-quantization step.
+
+    The codebook is driver-resident by construction (IVF codebooks
+    are nlist×d floats — KBs to a few MBs), so assignment folds into
+    the scan as literal-weight expressions: zero shuffles, whole
+    rows never leave their partition. For nlist in the thousands,
+    swap the when-chain for a broadcast join + per-id window argmax
+    (same result, one small broadcast).
+    """
+    sims = {
+        cid: cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]), scale)
+        for cid, cv in centroids
+    }
+    best = None
+    for cid in sims:
+        best = sims[cid] if best is None else F.greatest(best, sims[cid])
+    # ascending ids, first maximal match wins — matches an argmax
+    # with (score DESC, cid ASC) tie-breaking in any engine
+    assign = None
+    for cid in sorted(sims):
+        cond = sims[cid] == best
+        assign = (
+            F.when(cond, F.lit(cid)) if assign is None else assign.when(cond, F.lit(cid))
+        )
+    return df.select(
+        F.col(id_col), F.col(vec_col), assign.cast("long").alias("cluster_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    k: int = 5,
+    nprobe: int = 1,
+    scale: int = 6,
+) -> DataFrame:
+    """IVF-style ANN top-k: probe only the ``nprobe`` clusters whose
+    centroids are nearest the query.
+
+    The scan touches ~nprobe/nlist of the rows (the cluster filter
+    sits on the scan; with the assignment persisted as a partition
+    column it becomes partition PRUNING — zero I/O outside the
+    probed clusters). Recall loss is vectors whose nearest centroid
+    differs from the query's — raise nprobe to trade I/O for recall.
+    Centroids here are caller-supplied; production builds them with
+    k-means (pyspark.ml.clustering.KMeans) — deterministic seeds
+    keep re-runs stable.
+    """
+    import math
+
+    def cos_py(a: Sequence[float], b: Sequence[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), scale)
+
+    probed = sorted(
+        centroids, key=lambda c: (-cos_py(query_vec, c[1]), c[0])
+    )[:nprobe]
+    probe_ids = [cid for cid, _ in probed]
+
+    assigned = ivf_assign(df, id_col, vec_col, centroids, scale)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = assigned.filter(F.col("cluster_id").isin(probe_ids)).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        cosine(F.col(vec_col), q, scale).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
 def dot_raw(a: Column, b: Column) -> Column:

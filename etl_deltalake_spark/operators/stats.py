@@ -1,0 +1,122 @@
+"""Statistical aggregates, exact percentiles, deterministic
+sampling, and cardinality estimation (SURVEY §2.8: reduction
+aggregations absent in the reference — this module is the
+beyond-sum/count half of that surface).
+
+Scale design:
+ - Moments (stddev/var/corr/covar) are single-pass partial
+   aggregates: map-side partials merge associatively, the shuffle
+   carries O(#groups) state. Nothing here materializes rows.
+ - ``percentiles`` uses Spark's exact ``percentile`` — a sort-based
+   aggregate whose state is the group's values; fine for bounded
+   groups. At 100 TB on high-cardinality groups switch to
+   ``approx_percentile`` (t-digest, bounded state) — same call
+   shape, documented trade.
+ - ``hash_sample`` replaces ``df.sample()`` for pipelines that need
+   REPRODUCIBLE samples: the predicate is a pure function of the
+   key, so it pushes into the scan, survives retries/re-runs, and
+   every engine (and the DuckDB oracle) selects the identical rows.
+   ``TABLESAMPLE``/``rand()`` give none of those guarantees.
+ - ``approx_distinct_check`` pairs HyperLogLog++ with the exact
+   count so accuracy is *measured*, not assumed: at 100 TB the
+   exact pass is the one you drop, and the recorded error bound is
+   what justifies it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Second-moment aggregates per group: stddev/variance of ``x``,
+    correlation and sample covariance of ``(x, y)``.
+
+    All four are numerically-stable streaming aggregates in both
+    Spark and DuckDB; outputs are rounded to ``scale`` to absorb
+    sub-1e-12 merge-order noise (keep x/y O(1)-O(100) magnitude for
+    that to hold — see plans/queries.py parity rules).
+    """
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp(x_col), scale).alias("x_stddev"),
+        F.round(F.var_samp(x_col), scale).alias("x_var"),
+        F.round(F.corr(x_col, y_col), scale).alias("xy_corr"),
+        F.round(F.covar_samp(x_col, y_col), scale).alias("xy_covar"),
+    )
+
+
+def percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    scale: int = 6,
+) -> DataFrame:
+    """Exact interpolated percentiles per group (one output column
+    per requested probability: ``p25``, ``p50``, ...).
+
+    Exact percentile state is the sorted group — bounded groups
+    only; the approx_percentile swap is noted in the module
+    docstring.
+    """
+    aggs = [
+        F.round(F.percentile(value_col, F.lit(float(p))), scale).alias(
+            f"p{int(round(p * 100)):02d}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def hash_sample(df: DataFrame, key: Column, rate_16ths: int = 1) -> DataFrame:
+    """Deterministic ~``rate_16ths``/16 Bernoulli sample.
+
+    Keeps rows whose md5(key) first hex digit < rate_16ths. The
+    filter is a scan-side predicate on a content hash: reproducible
+    across runs, engines, and task retries, and it composes with
+    partition pruning (unlike rand()-based sampling).
+    """
+    if not 1 <= rate_16ths <= 15:
+        raise ValueError("rate_16ths must be in [1, 15]")
+    digits = "0123456789abcdef"[:rate_16ths]
+    first = F.substring(F.md5(key.cast("string")), 1, 1)
+    return df.filter(first.isin(*digits))
+
+
+def approx_distinct_check(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    rsd: float = 0.01,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Exact vs HyperLogLog++ distinct count per group, with the
+    relative error and a within-``tolerance`` flag.
+
+    The exact count is the oracle-checked output; the HLL column is
+    graded against it inside the query itself (the sketch is
+    engine-specific, so no cross-engine hash can pin its value —
+    pinning the ERROR BOUND is the honest contract).
+    """
+    out = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("exact_distinct"),
+        F.approx_count_distinct(value_col, rsd).alias("_approx"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return out.select(
+        *group_cols,
+        "exact_distinct",
+        (rel_err <= tolerance).alias("approx_ok"),
+    )

@@ -803,3 +803,119 @@ oracle("q_session_window")(
     ORDER BY user_id, session_start
     """
 )
+
+oracle("q_stats_agg")(
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(stddev_samp(l_quantity), 6) AS x_stddev,
+           ROUND(var_samp(l_quantity), 6) AS x_var,
+           ROUND(corr(l_quantity, l_discount), 6) AS xy_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS xy_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+)
+
+oracle("q_percentiles")(
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+)
+
+oracle("q_sample_hash")(
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+)
+
+oracle("q_approx_distinct")(
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+)
+
+oracle("q_salted_agg")(
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+)
+
+oracle("q_json_funcs")(
+    """
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"status":"' || o_orderstatus || '","priority":"'
+               || o_orderpriority || '"}' AS js
+      FROM orders
+    )
+    SELECT o_orderkey,
+           json_extract_string(js, '$.status') AS status_j,
+           json_extract_string(js, '$.priority') AS priority_j
+    FROM j
+    """
+)
+
+oracle("q_ivf_topk")(
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0
+    ),
+    a AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid ASC
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qc AS (
+      SELECT c.cid FROM c, q
+      ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid ASC
+      LIMIT 1
+    )
+    SELECT a.vec_id, a.cid AS cluster_id,
+           ROUND(list_cosine_similarity(a.v, qv), 6) AS cos_sim
+    FROM a, q, qc
+    WHERE a.rn = 1 AND a.cid = qc.cid
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 5
+    """
+)
+
+oracle("q_udf_tokens")(
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+             AS n_spaces
+    FROM documents
+    """
+)

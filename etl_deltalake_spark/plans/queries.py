@@ -539,3 +539,103 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_fast_ship"))
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------- statistics / sampling / skew
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/var/corr/covar) per group —
+    the beyond-sum half of SURVEY §2.8's reduction row. Single-pass
+    partial aggregates; shuffle carries O(#groups) state."""
+    from etl_deltalake_spark.operators.stats import group_stats
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return group_stats(li, ["l_returnflag"], "l_quantity", "l_discount").orderBy(
+        "l_returnflag"
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per group (SURVEY §2.8). At
+    100 TB swap percentile → approx_percentile (t-digest, bounded
+    state) for unbounded groups — same call shape."""
+    from etl_deltalake_spark.operators.stats import percentiles
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return percentiles(li, ["l_returnflag"], "l_quantity").orderBy("l_returnflag")
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 hash-sample of orders, then aggregate.
+
+    The content-hash predicate is scan-side and reproducible across
+    engines/retries — the sampling pattern a training-data pipeline
+    needs (rand()/TABLESAMPLE are neither stable nor
+    oracle-checkable)."""
+    from etl_deltalake_spark.operators.stats import hash_sample
+
+    orders = load_table(spark, "orders", sf_dir)
+    sampled = hash_sample(orders, F.col("o_orderkey"), rate_16ths=1)
+    return (
+        sampled.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs HyperLogLog++ distinct counts, error-bound checked
+    INSIDE the query (the sketch value is engine-specific; its
+    accuracy contract is what the oracle pins — SURVEY §2.8
+    reduction row, scale path for q_count_distinct)."""
+    from etl_deltalake_spark.operators.stats import approx_distinct_check
+
+    orders = load_table(spark, "orders", sf_dir)
+    return approx_distinct_check(
+        orders, ["o_orderpriority"], "o_custkey", rsd=0.01, tolerance=0.05
+    ).orderBy("o_orderpriority")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a 3-hot-key distribution
+    (l_returnflag at 60k rows — real skew). Exact decimal sums make
+    the rewrite bit-identical to the one-stage plan the oracle runs
+    (operators/partitioning.py)."""
+    from etl_deltalake_spark.operators.partitioning import salted_agg_sum
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_agg_sum(
+        li,
+        ["l_returnflag"],
+        _dec("l_extendedprice"),
+        "sum_price",
+        salt_n=8,
+        salt_source=F.col("l_orderkey"),
+    )
+    return out.select(
+        "l_returnflag", F.col("sum_price").cast("double").alias("sum_price"), "n"
+    ).orderBy("l_returnflag")
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON build + path extraction + typed parse (SURVEY §2.8
+    scalar-function row: the semi-structured slice). get_json_object
+    is a per-path probe; from_json yields a typed struct — both
+    scan-side, codegen'd."""
+    orders = load_table(spark, "orders", sf_dir)
+    js = F.concat(
+        F.lit('{"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('","priority":"'),
+        F.col("o_orderpriority"),
+        F.lit('"}'),
+    )
+    parsed = F.from_json(js, "status string, priority string")
+    return orders.select(
+        "o_orderkey",
+        F.get_json_object(js, "$.status").alias("status_j"),
+        parsed.getField("priority").alias("priority_j"),
+    )

@@ -171,6 +171,53 @@ def q_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: nearest-centroid coarse quantization,
+    probe the query's cluster only (SURVEY §2.9 similarity scale
+    path alongside q_ann_bucket).
+
+    The codebook here is a deterministic subsample (every 50th
+    vector) so the DuckDB oracle re-derives the identical partition
+    — honest recall accounting. Production swaps in seeded k-means
+    centroids; the collect is the codebook only (nlist×d floats,
+    driver-resident by design), never data rows."""
+    from etl_deltalake_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cents]
+    return ivf_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        centroids,
+        k=5,
+        nprobe=1,
+    ).select("vec_id", "cluster_id", "cos_sim")
+
+
+def q_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's vectorized-UDF escape hatch, oracle-verified:
+    Arrow-batched pandas UDFs computing character and space counts
+    (SURVEY §2.6 — the general extension surface replacing the
+    reference's iterrows loops, main.py:502, 537-539). Row-at-a-time
+    Python UDFs are banned from hot paths; this is the sanctioned
+    shape when an expression genuinely needs Python."""
+    from etl_deltalake_spark.operators.udfs import n_chars, n_spaces
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        n_chars("text").alias("n_chars"),
+        n_spaces("text").alias("n_spaces"),
+    )
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline
     (SURVEY §2.9 dedup family; threshold tuned to the fixture's
