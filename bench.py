@@ -43,17 +43,33 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    from etl_deltalake_spark.plans.registry import all_queries
+    from etl_deltalake_spark.plans import queries as _q
+    from etl_deltalake_spark.plans import queries_ext as _qx
     from etl_deltalake_spark.session import get_spark
+    from etl_deltalake_spark.sources.catalog import load_table
 
     spark = get_spark("etl-deltalake-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    registry = all_queries()
+    # Resolve from the query modules directly (not the curated
+    # 50-entry driver registry) so the headline set stays comparable
+    # across rounds even when registry membership changes.
+    registry = {
+        n: getattr(mod, n)
+        for mod in (_q, _qx)
+        for n in dir(mod)
+        if n.startswith("q_")
+    }
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm the JVM + parquet footers once so timings measure the
-    # queries, not session startup.
-    registry[names[0]](spark, sf_dir).count()
+    # Neutral warmup: count every fixture table once. Warms the JVM,
+    # codegen, and parquet footers WITHOUT pre-running any timed query
+    # (the old warmup ran names[0], so its own timing was self-warmed
+    # while the other queries paid first-touch costs).
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        load_table(spark, t, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
 
+def require_min_columns(df: DataFrame, min_cols: int, context: str = "") -> DataFrame:
+    """P1 (reference main.py:209-210): schema-arity guard.
+
+    The reference prints and implicitly returns None when the
+    normalized frame has fewer than 17 columns; here a too-narrow
+    frame raises (fail-fast error model, SURVEY §2.7). Driver-side
+    check on the schema — no job runs.
+    """
+    if len(df.columns) < min_cols:
+        where = f" in {context}" if context else ""
+        raise ValueError(
+            f"expected at least {min_cols} columns{where}, got "
+            f"{len(df.columns)}: {df.columns}"
+        )
+    return df
+
+
 def string_cols(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
 

@@ -113,7 +113,17 @@ def salted_join(
     ``salt_n``× via explode. Join key becomes (key, salt). Result
     equals the plain join (verified in tests); cost trade: right side
     is duplicated salt_n times — keep salt_n ≤ a few dozen.
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    replicated salt_n times, so right/full outer joins would emit
+    every unmatched right row salt_n times instead of once.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (right side is "
+            f"replicated {salt_n}x; outer-right semantics would duplicate "
+            f"unmatched right rows), got {how!r}"
+        )
     salted_left = left.withColumn(
         "_salt", F.pmod(F.xxhash64(F.struct(*left.columns)), F.lit(salt_n)).cast("int")
     )

@@ -115,8 +115,13 @@ def approx_distinct_check(
     rel_err = F.abs(F.col("_approx") - F.col("exact_distinct")) / F.col(
         "exact_distinct"
     )
+    # An all-null group has exact_distinct = 0; rel_err would be NULL
+    # there, so the verdict degenerates to "sketch also says 0".
+    ok = F.when(
+        F.col("exact_distinct") == 0, F.col("_approx") == 0
+    ).otherwise(rel_err <= tolerance)
     return out.select(
         *group_cols,
         "exact_distinct",
-        (rel_err <= tolerance).alias("approx_ok"),
+        ok.alias("approx_ok"),
     )

@@ -34,6 +34,7 @@ from etl_deltalake_spark.sources.http_json import (
 from etl_deltalake_spark.sources.table_format import (
     merge_insert_if_absent,
     read_table,
+    table_exists,
     write_table,
 )
 from etl_deltalake_spark.sources.watermark import commit_watermark, read_watermark
@@ -77,14 +78,14 @@ def run_ticker_incremental(
         # idempotent re-poll guard: drop batches at/before the watermark
         df = df.filter(F.lit(new_wm) > F.lit(last))
 
-    import os
-
-    write_table(df, bronze, mode="append" if os.path.exists(bronze) else "overwrite")
+    write_table(
+        df, bronze, mode="append" if table_exists(spark, bronze) else "overwrite"
+    )
 
     cleaned = clean_frame(
         df, numeric_coerce=TICKER_FLOAT_COLS, sentinel="Sin Dato", round_scale=3
     )
-    if os.path.exists(silver):
+    if table_exists(spark, silver):
         merge_insert_if_absent(spark, silver, cleaned, ["id", "ingested_at"])
     else:
         write_table(cleaned, silver, mode="overwrite")
@@ -115,6 +116,7 @@ def run_exchanges_full(
     spark: SparkSession,
     root: str,
     payload: Mapping[str, Mapping],
+    min_source_columns: int = 17,
 ) -> tuple[DataFrame, DataFrame]:
     """Entry point 2 (reference main.py:596-623): full exchanges
     Bronze→Silver with a Confidential branch.
@@ -130,6 +132,18 @@ def run_exchanges_full(
     bronze = f"{root}/Bronze/CoinLore/exchanges"
     silver = f"{root}/Silver/CoinLore/exchanges"
     confidential = f"{root}/Confidential/CoinLore/exchanges"
+
+    # P1 schema guard (reference main.py:209-210): the reference checks
+    # the json_normalize'd WIDE frame's arity (one column per exchange
+    # field). The wide arity of a dict-of-dicts payload is the total
+    # field count across entries — fail fast on truncated payloads
+    # instead of the reference's print-and-return-None.
+    wide_arity = sum(len(fields) for fields in payload.values())
+    if wide_arity < min_source_columns:
+        raise ValueError(
+            f"exchanges payload has {wide_arity} source columns; "
+            f"expected at least {min_source_columns} (truncated API response?)"
+        )
 
     raw = wide_json_to_long(spark, payload, key_name="id")
     write_table(raw, bronze, mode="overwrite")

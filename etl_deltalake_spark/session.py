@@ -55,7 +55,6 @@ def get_spark(app_name: str = "etl-deltalake-spark", master: str | None = None) 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
     )
     if _delta_available():
         builder = builder.config(

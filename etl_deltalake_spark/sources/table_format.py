@@ -34,6 +34,20 @@ def _delta_available() -> bool:
         return False
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic existence check through the Hadoop FS API.
+
+    ``os.path.exists`` only sees the driver's local filesystem — on
+    ``s3://``/``abfss://``/``hdfs://`` it is always False, which would
+    silently turn every incremental run into a "first run" overwrite.
+    The Hadoop FileSystem resolves whatever scheme the path carries.
+    """
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
+
+
 def write_table(
     df: DataFrame,
     path: str,

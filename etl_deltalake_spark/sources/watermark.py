@@ -15,20 +15,23 @@ skipping prune whole files).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_deltalake_spark.sources.table_format import read_table, write_table
+from etl_deltalake_spark.sources.table_format import (
+    read_table,
+    table_exists,
+    write_table,
+)
 
 _SCHEMA_COLS = ("table_name", "incremental_column", "last_value")
 
 
 def read_watermark(spark: SparkSession, store_path: str, table_name: str):
     """S7 (made live): last committed watermark value for a table, as
-    an ISO string, or None on first run."""
-    if not os.path.exists(store_path):
+    an ISO string, or None on first run. Existence goes through the
+    Hadoop FS API so object-store paths behave like local ones."""
+    if not table_exists(spark, store_path):
         return None
     rows = (
         read_table(spark, store_path)
@@ -47,14 +50,27 @@ def commit_watermark(
     last_value: str,
 ) -> None:
     """S9: upsert this table's watermark row (read-modify-overwrite;
-    the store is tiny — one row per table)."""
+    the store is tiny — one row per table).
+
+    Monotonic: a commit that would move the watermark BACKWARDS is
+    dropped — e.g. a re-poll whose batch was discarded by the
+    idempotency guard must not rewind the watermark and re-admit an
+    already-ingested window on the next run. Single-writer by design;
+    with Delta available this becomes a transactional MERGE.
+    """
     new_row = spark.createDataFrame(
         [(table_name, incremental_column, str(last_value))], list(_SCHEMA_COLS)
     )
-    if os.path.exists(store_path):
-        others = read_table(spark, store_path).filter(
-            F.col("table_name") != table_name
+    if table_exists(spark, store_path):
+        current = read_table(spark, store_path)
+        prev = (
+            current.filter(F.col("table_name") == table_name)
+            .select("last_value")
+            .collect()
         )
+        if prev and prev[0]["last_value"] >= str(last_value):
+            return
+        others = current.filter(F.col("table_name") != table_name)
         merged = others.unionByName(new_row).localCheckpoint(eager=True)
     else:
         merged = new_row

@@ -135,7 +135,12 @@ _RUNNING_SCHEMA = StructType(
 )
 
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total_c", LongType())]
+    [
+        StructField("n", LongType()),
+        StructField("total_c", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_type", StringType()),
+    ]
 )
 
 
@@ -144,22 +149,33 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     ``applyInPandasWithState`` (SURVEY §2.8 stateful row).
 
     State = (event count, total value in integer cents — exact
-    accumulation across micro-batches). Each micro-batch folds its
-    Arrow batches into state and emits the updated row per user.
+    accumulation across micro-batches — plus the timestamp and type of
+    the latest event seen so far). The (ts, type) pair is compared
+    across ALL Arrow chunks of a micro-batch AND against the persisted
+    state, so ``last_event_type`` is the true max-ts event across the
+    key's whole history, not the last chunk's.
     """
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, total_c = state.get if state.exists else (0, 0)
-        last_type = None
+        if state.exists:
+            n, total_c, last_us, last_type = state.get
+            if last_us is not None and last_us < 0:
+                last_us, last_type = None, None
+        else:
+            n, total_c, last_us, last_type = 0, 0, None, None
         for pdf in pdfs:
             n += len(pdf)
             # integer cents: deterministic, order-insensitive sum
             total_c += int(round(pdf["value"].astype(float).sum() * 100))
             if len(pdf):
-                last_type = pdf.sort_values("ts").iloc[-1]["event_type"]
-        state.update((n, total_c))
+                ts_int = pdf["ts"].astype("int64")
+                i = ts_int.idxmax()
+                ts_us = int(ts_int.loc[i])
+                if last_us is None or ts_us >= last_us:
+                    last_us, last_type = ts_us, pdf["event_type"].loc[i]
+        state.update((n, total_c, -1 if last_us is None else last_us, last_type))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -212,15 +228,18 @@ def stream_merge_into(
     """Sink pattern: foreachBatch → MERGE upsert into a persistent
     table (exactly-once per epoch on Delta; Parquet fallback gives
     the same rows without transactional isolation)."""
-    from etl_deltalake_spark.sources.table_format import merge_upsert, write_table
+    from etl_deltalake_spark.sources.table_format import (
+        merge_upsert,
+        table_exists,
+        write_table,
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        import os
-
-        if not os.path.exists(target_path):
+        spark = batch_df.sparkSession
+        if not table_exists(spark, target_path):
             write_table(batch_df, target_path, mode="overwrite")
         else:
-            merge_upsert(batch_df.sparkSession, target_path, batch_df, key_cols)
+            merge_upsert(spark, target_path, batch_df, key_cols)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

@@ -59,6 +59,18 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert a == b
 
 
+def test_salted_join_rejects_outer_right(spark, sf_dir):
+    """Right side is replicated salt_n times — right/full outer would
+    duplicate unmatched right rows, so those modes must refuse."""
+    import pytest
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey")
+    for how in ("right", "full", "left_semi"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(orders, customer, "o_custkey", "c_custkey", how=how)
+
+
 def test_salt_spreads_hot_key(spark):
     from etl_deltalake_spark.operators.partitioning import salt_col
 

@@ -154,7 +154,36 @@ def test_exchanges_full_pipeline(spark, tmp_path):
     assert any(p.startswith("country=") for p in parts)
 
 
+def test_exchanges_schema_guard_raises_on_truncated_payload(spark, tmp_path):
+    """P1 (reference main.py:209-210): fewer than 17 wide source
+    columns must fail fast, not print-and-return-None."""
+    truncated = {"122": EXCHANGES_PAYLOAD["122"], "37": EXCHANGES_PAYLOAD["37"]}
+    with pytest.raises(ValueError, match="source columns"):
+        P.run_exchanges_full(spark, str(tmp_path / "lake"), truncated)
+
+
+def test_require_min_columns_guard(spark):
+    from etl_deltalake_spark.operators.cleaning import require_min_columns
+
+    df = spark.createDataFrame([(1, "a")], ["x", "y"])
+    assert require_min_columns(df, 2) is df
+    with pytest.raises(ValueError, match="at least 3 columns"):
+        require_min_columns(df, 3, context="unit")
+
+
 # ------------------------------------------------- watermark machinery
+
+
+def test_commit_watermark_is_monotonic(spark, tmp_path):
+    """A stale/backwards commit (clock skew, dropped re-poll batch)
+    must not rewind the watermark and re-admit an ingested window."""
+    store = str(tmp_path / "wm")
+    commit_watermark(spark, store, "t", "ts", "2024-01-05")
+    commit_watermark(spark, store, "t", "ts", "2024-01-03")  # dropped
+    assert read_watermark(spark, store, "t") == "2024-01-05"
+    commit_watermark(spark, store, "t", "ts", "2024-01-06")  # advances
+    assert read_watermark(spark, store, "t") == "2024-01-06"
+
 
 
 def test_incremental_load_filters_and_advances(spark, tmp_path):
