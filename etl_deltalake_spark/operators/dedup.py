@@ -186,39 +186,57 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 50,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shared-shingle
-    candidate join.
+    """Exact n-gram Jaccard near-dup pairs: shared-shingle candidate
+    join with a document-frequency cap, exact set verification.
 
-    Candidates come from an equi-join on individual shingles (docs
-    sharing ≥1 shingle); exact Jaccard is then computed from the
-    shared-shingle count and set sizes — no array re-join needed:
-    |A∩B| = number of joined shingle rows because shingles are
-    distinct per doc. Shuffle: one on shingle, one on the pair.
-    At 100 TB add a document-frequency cap on shingles (drop
-    ubiquitous shingles) before the join; not needed at fixture
-    scale and omitted to keep oracle semantics exact.
+    Candidate generation equi-joins on individual shingles, but only
+    shingles appearing in ≤ ``max_df`` documents participate — the
+    cap bounds the join's fan-out to max_df² per shingle, so one
+    ubiquitous "stop shingle" (say 1M docs) can no longer produce
+    10¹² candidate rows. The cap changes candidate RECALL only (a
+    pair found exclusively through ubiquitous shingles is skipped);
+    verification is exact: Jaccard is computed from each candidate
+    pair's FULL distinct-shingle sets via array intersection, not
+    from capped shared counts. ``max_df=None`` disables the cap
+    (exhaustive candidates — the pre-round-2 behavior).
+
+    Shuffles: one on shingle (doc-frequency count + candidate join
+    reuse the same partitioning), one on doc for the set tables, one
+    on the pair. At fixture scale the cap is a no-op (max shingle DF
+    is 9), so the oracle mirrors it without changing results.
     """
-    sh = shingle_rows(df, id_col, text_col, k, with_count=True).withColumnRenamed(
-        "gram", "s"
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+    sh = shingle_rows(df, id_col, text_col, k).withColumnRenamed("gram", "s")
+    capped = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        capped = sh.join(rare, "s")
+    a = capped.select(F.col("doc").alias("doc_a"), "s")
+    b = capped.select(F.col("doc").alias("doc_b"), "s")
+    candidates = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    jac = F.round(
-        F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
-        6,
+    sets = (
+        sh.groupBy("doc")
+        .agg(F.collect_list("s").alias("sh"))
+        .localCheckpoint(eager=True)
     )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        shared.select("doc_a", "doc_b", jac.alias("jaccard"))
+        joined.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -105,6 +105,56 @@ def anti_join(left: DataFrame, right: DataFrame, *cond) -> DataFrame:
     return left.join(right, list(cond) if cond else None, "left_anti")
 
 
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 5,
+    band_size: int = 8,
+) -> DataFrame:
+    """Fuzzy string pairs (Levenshtein ≤ ``max_dist``) with blocking —
+    the record-linkage pattern that scales: an EQUI-join on
+    (first char, length band) generates candidates, the edit-distance
+    filter runs within blocks only. No cartesian product.
+
+    Recall contract: ``levenshtein(a, b) >= |len(a) - len(b)|``, so
+    with ``band_size > max_dist`` any qualifying pair's length bands
+    differ by at most 1 — the right side explodes each name into its
+    own and both adjacent bands, guaranteeing zero length-based
+    recall loss. First-char blocking is the standard (lossy-by-
+    design) linkage cut: pairs whose first characters differ are not
+    compared; callers needing first-char tolerance can union a
+    second pass blocked on, e.g., soundex.
+
+    Output: (name_a, name_b, dist), name_a < name_b.
+    """
+    if band_size <= max_dist:
+        raise ValueError(
+            f"band_size ({band_size}) must exceed max_dist ({max_dist}) "
+            "for the adjacent-band expansion to guarantee length recall"
+        )
+    band = F.floor(F.length(name_col) / band_size)
+    a = df.select(
+        F.col(name_col).alias("name_a"),
+        F.substring(name_col, 1, 1).alias("bk_char"),
+        band.alias("bk_band"),
+    )
+    b = df.select(
+        F.col(name_col).alias("name_b"),
+        F.substring(name_col, 1, 1).alias("bk_char"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("bk_band"),
+    )
+    return (
+        a.join(b, ["bk_char", "bk_band"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:
     """(a ∪ b) − (a ∩ b), distinct — exercises all three set ops."""
     return a.union(b).distinct().subtract(a.intersect(b))

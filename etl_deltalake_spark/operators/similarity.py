@@ -247,6 +247,113 @@ def unit_vec(vec_col: Column) -> Column:
     return F.transform(v, lambda x: x / norm(vec_col))
 
 
+def unit_vec_table(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, uv) table of unit-normalized vectors, materialized once.
+
+    The norm lives in its own projection and is referenced twice
+    (inside the normalize lambda and as a carried column), so
+    CollapseProject keeps it a per-ROW scalar instead of re-inlining
+    the O(d) reduction per element (the interpreted-HOF trap
+    ``unit_vec`` documents). The localCheckpoint pins the normalized
+    arrays so both sides of a pair join and the verify stage reuse
+    them without re-derivation.
+    """
+    v = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    w = v.select("id", "v", F.sqrt(dot_raw(F.col("v"), F.col("v"))).alias("_n"))
+    return (
+        w.select(
+            "id",
+            "v",
+            F.transform("v", lambda x: x / F.col("_n")).alias("uv"),
+            "_n",
+        )
+        .localCheckpoint(eager=True)
+        .select("id", "v", "uv")
+    )
+
+
+def _seeded_pm1(table: int, plane: int, dim: int) -> float:
+    """Deterministic ±1 hyperplane weight: md5('t,p,d') first hex
+    digit < 8 → +1 (unbiased, reproducible in any engine with md5)."""
+    import hashlib
+
+    h = hashlib.md5(f"{table},{plane},{dim}".encode()).hexdigest()[0]
+    return 1.0 if int(h, 16) < 8 else -1.0
+
+
+def bucketed_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dims: int,
+    planes: int = 4,
+    tables: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets —
+    the sub-quadratic default (replaces the exact all-pairs
+    ``cosine_near_dup_pairs`` as the wired plan).
+
+    Candidates are pairs sharing a bucket in ANY of ``tables``
+    independent hyperplane tables (standard OR-amplification: per-
+    table P(candidate) = p^planes with p = 1 - θ/π, overall
+    1-(1-p^planes)^tables); generation is an EQUI-join on
+    (table, bucket) — never all-pairs, no BroadcastNestedLoopJoin.
+    Verification computes exact cosine on the candidates only, so
+    precision is exact and only recall is approximate. At the fixture
+    (d=64, threshold 0.42): 22.5k candidate pairs vs 124,750
+    all-pairs, ~5.5× cut that grows with corpus size (bucket
+    occupancy ~N/2^planes per table).
+
+    The bucket bits are literal-weight dot-product signs computed on
+    the RAW double vector (sign is norm-invariant; raw values are
+    bitwise identical across engines, so the DuckDB oracle re-derives
+    the exact partition with an explicit left-to-right sum chain —
+    the same validated pattern as q_ann_bucket's oracle).
+    """
+    base = unit_vec_table(df, id_col, vec_col)
+
+    def bucket_col(t: int) -> Column:
+        bits = []
+        for p in range(planes):
+            weights = F.array(
+                *[F.lit(_seeded_pm1(t, p, d)) for d in range(dims)]
+            )
+            bits.append(
+                F.when(dot_raw(F.col("v"), weights) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+            )
+        return F.concat(*bits)
+
+    banded = base.select(
+        "id",
+        F.posexplode(F.array(*[bucket_col(t) for t in range(tables)])).alias(
+            "tbl", "bucket"
+        ),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    candidates = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ua = base.select(F.col("id").alias("id_a"), F.col("uv").alias("ua"))
+    ub = base.select(F.col("id").alias("id_b"), F.col("uv").alias("ub"))
+    return (
+        candidates.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_raw(F.col("ua"), F.col("ub")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,

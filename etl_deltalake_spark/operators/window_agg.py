@@ -68,6 +68,83 @@ def gold_aggregation(
     return df.select(*cols)
 
 
+def gold_aggregation_incremental(
+    new_rows: DataFrame,
+    state: DataFrame | None,
+    group_col: str | Sequence[str],
+    diff_cols: str | Sequence[str],
+    cumsum_cols: str | Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Gold diff/cumsum over ONLY the new batch, seeded from per-group
+    carry-over state — the CDF-style incremental recompute (VERDICT
+    r01 item 9: Gold cost proportional to the delta, not to Silver).
+
+    ``state`` has one row per group: ``prev_{c}`` (the last seen
+    value) for each diff column and ``prev_cumsum_{c}`` (the running
+    total so far) for each cumsum column; None/empty means cold
+    start. Within the batch the normal window computes; the batch's
+    FIRST row per group splices onto history (diff against
+    ``prev_{c}`` instead of keeping its own value) and every running
+    sum is offset by ``prev_cumsum_{c}``. Appending the result to the
+    existing Gold table equals a full recompute over all of Silver
+    (proven in tests/test_pipelines.py) while scanning only the new
+    rows plus one state row per group (broadcast-sized).
+    """
+    group = _as_list(group_col)
+    diffs = _as_list(diff_cols)
+    cumsums = _as_list(cumsum_cols)
+    out = gold_aggregation(new_rows, group, diffs, cumsums, order_cols)
+    if state is None:
+        return out
+    w = Window.partitionBy(*group).orderBy(*order_cols)
+    out = out.withColumn("_rn", F.row_number().over(w))
+    out = out.join(F.broadcast(state), on=group, how="left")
+    fixed = [F.col(c) for c in new_rows.columns]
+    for c in diffs:
+        prev = F.col(f"prev_{c}")
+        fixed.append(
+            F.when(
+                (F.col("_rn") == 1) & prev.isNotNull(), F.col(c) - prev
+            )
+            .otherwise(F.col(f"diff_{c}"))
+            .alias(f"diff_{c}")
+        )
+    for c in cumsums:
+        fixed.append(
+            (F.col(f"cumsum_{c}") + F.coalesce(F.col(f"prev_cumsum_{c}"), F.lit(0.0)))
+            .alias(f"cumsum_{c}")
+        )
+    return out.select(*fixed)
+
+
+def gold_state_from(
+    gold: DataFrame,
+    group_col: str | Sequence[str],
+    diff_cols: str | Sequence[str],
+    cumsum_cols: str | Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Carry-over state for ``gold_aggregation_incremental``: each
+    group's latest Gold row, projected to prev values/running totals.
+
+    Derived with one window over the Gold table; at scale keep a
+    compact one-row-per-group state table updated on each append (or
+    Z-order Gold on the group key) so this scan prunes instead of
+    reading full history.
+    """
+    group = _as_list(group_col)
+    diffs = _as_list(diff_cols)
+    cumsums = _as_list(cumsum_cols)
+    w = Window.partitionBy(*group).orderBy(*[F.col(c).desc() for c in order_cols])
+    latest = gold.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.select(
+        *group,
+        *[F.col(c).alias(f"prev_{c}") for c in diffs],
+        *[F.col(f"cumsum_{c}").alias(f"prev_cumsum_{c}") for c in cumsums],
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

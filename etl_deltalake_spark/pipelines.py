@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from etl_deltalake_spark.operators.cleaning import clean_frame, remap_values
 from etl_deltalake_spark.operators.pii import add_masked_email, add_synth_email
-from etl_deltalake_spark.operators.window_agg import gold_aggregation
+from etl_deltalake_spark.operators.window_agg import (
+    gold_aggregation,
+    gold_aggregation_incremental,
+    gold_state_from,
+)
 from etl_deltalake_spark.sources.http_json import (
     http_extract_incremental,
     wide_json_to_long,
@@ -60,7 +64,12 @@ def run_ticker_incremental(
     sentinel fills on THIS RUN's rows only (watermark-filtered),
     MERGE-upserted on (id, ingested_at). Gold: grouped lag-diff +
     running sum (the reference's signature computation,
-    main.py:345-388) recomputed over Silver.
+    main.py:345-388) computed INCREMENTALLY — only this batch's rows
+    are windowed, spliced onto per-coin carry-over state from the
+    existing Gold table, and appended; the result equals a full
+    recompute over Silver (tests prove it) at delta-proportional
+    cost. The watermark guard ensures a batch is all-new or all-
+    dropped, so batch rows == rows the Silver merge inserted.
     """
     bronze, silver, gold = (
         f"{root}/Bronze/CoinLore/ticker",
@@ -91,15 +100,20 @@ def run_ticker_incremental(
         write_table(cleaned, silver, mode="overwrite")
     commit_watermark(spark, wm_store, "ticker", "ingested_at", new_wm)
 
-    gold_df = gold_aggregation(
-        read_table(spark, silver),
+    gold_args = dict(
         group_col="id",
         diff_cols=["market_cap_usd", "volume24"],
         cumsum_cols=["volume24a"],
         order_cols=["ingested_at"],
     )
-    write_table(gold_df, gold, mode="overwrite")
-    return gold_df
+    if table_exists(spark, gold):
+        state = gold_state_from(read_table(spark, gold), **gold_args)
+        batch_gold = gold_aggregation_incremental(cleaned, state, **gold_args)
+        write_table(batch_gold, gold, mode="append")
+    else:
+        # cold start: the first batch IS the full history
+        write_table(gold_aggregation(cleaned, **gold_args), gold, mode="overwrite")
+    return read_table(spark, gold)
 
 
 COUNTRY_REMAP = {

@@ -510,20 +510,32 @@ _SHINGLES = f"""
   FROM documents
 """
 
+# Candidate pairs from the DF-capped shingle join + exact Jaccard
+# verification on the FULL shingle sets (mirrors dedup.jaccard_pairs
+# with max_df=50 — a no-op cap at fixture scale, max shingle DF is 9).
+_JACCARD_BODY = """
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 50),
+    capped AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    jp AS (
+      SELECT c.doc_a, c.doc_b,
+        ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+          AS jaccard
+      FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+    )
+"""
+
 oracle("q_jaccard_pairs")(
     f"""
     WITH sh AS ({_SHINGLES}),
-    ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS shared
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    )
-    SELECT doc_a, doc_b,
-           ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
-    FROM shared
-    WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
+    {_JACCARD_BODY}
+    SELECT doc_a, doc_b, jaccard FROM jp
+    WHERE jaccard >= 0.5
     ORDER BY doc_a, doc_b
     """
 )
@@ -540,33 +552,10 @@ _lp_rounds = "".join(
     for i in range(1, 5)
 )
 
-oracle("q_dedup_clusters")(
-    f"""
-    WITH sh AS ({_SHINGLES}),
-    ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS shared
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM shared
-      WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    l0 AS (SELECT DISTINCT src AS doc, src AS label FROM edges){_lp_rounds}
-    SELECT doc, label AS cluster FROM l4 ORDER BY doc
-    """
-)
-
-oracle("q_minhash_lsh")(
-    f"""
-    WITH sh AS ({_SHINGLES}),
+# MinHash signatures → LSH band candidates → exact Jaccard verify —
+# shared by q_minhash_lsh (pair output) and q_dedup_clusters (pair
+# input to label propagation), mirroring dedup.minhash_near_dup_pairs.
+_MINHASH_BODY = """
     sig AS (
       SELECT doc_id, sh,
         list_transform(range(0, 16), j ->
@@ -586,13 +575,38 @@ oracle("q_minhash_lsh")(
       FROM banded a JOIN banded b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
+    ),
+    mh_pairs AS (
+      SELECT c.doc_a, c.doc_b,
+        ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+          AS jaccard
+      FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+      WHERE ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+            >= 0.5
     )
-    SELECT c.doc_a, c.doc_b,
-      ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
-    FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-    WHERE ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.5
+"""
+
+oracle("q_dedup_clusters")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    {_MINHASH_BODY},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS doc, src AS label FROM edges){_lp_rounds}
+    SELECT doc, label AS cluster FROM l4 ORDER BY doc
+    """
+)
+
+oracle("q_minhash_lsh")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    {_MINHASH_BODY}
+    SELECT doc_a, doc_b, jaccard FROM mh_pairs
     ORDER BY doc_a, doc_b
     """
 )
@@ -742,8 +756,33 @@ oracle("q_tumbling_window")(
     """
 )
 
-oracle("q_embed_near_dup")(
-    """
+def _embed_near_dup_sql(
+    threshold: float = 0.42, dims: int = 64, planes: int = 4, tables: int = 3
+) -> str:
+    """Mirror of similarity.bucketed_near_dup_pairs: per-table
+    hyperplane buckets (explicit left-to-right sum chains over the
+    raw vector — same evaluation order as Spark's aggregate fold),
+    equi-join candidates, exact cosine verify on unit vectors."""
+    import hashlib
+
+    def w(t: int, p: int, d: int) -> float:
+        h = hashlib.md5(f"{t},{p},{d}".encode()).hexdigest()[0]
+        return 1.0 if int(h, 16) < 8 else -1.0
+
+    def bucket_expr(t: int) -> str:
+        cases = ", ".join(
+            "CASE WHEN ("
+            + " + ".join(f"({w(t, p, d):+.1f} * v[{d + 1}])" for d in range(dims))
+            + ") >= 0 THEN '1' ELSE '0' END"
+            for p in range(planes)
+        )
+        return f"concat({cases})"
+
+    tbl_sql = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM e"
+        for t in range(tables)
+    )
+    return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -751,14 +790,22 @@ oracle("q_embed_near_dup")(
       SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
       FROM e
+    ),
+    banded AS ({tbl_sql}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.uv, b.uv), 6) AS cos_sim
-    FROM u a JOIN u b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.42
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(x.uv, y.uv), 6) AS cos_sim
+    FROM cand c JOIN u x ON c.id_a = x.vec_id JOIN u y ON c.id_b = y.vec_id
+    WHERE ROUND(list_dot_product(x.uv, y.uv), 6) >= {threshold}
     ORDER BY id_a, id_b
     """
-)
+
+
+oracle("q_embed_near_dup")(_embed_near_dup_sql())
 
 oracle("q_sliding_window")(
     """
@@ -861,6 +908,24 @@ oracle("q_salted_agg")(
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+    """
+)
+
+oracle("q_bucketed_join_agg")(
+    """
+    SELECT c_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """
+)
+
+oracle("q_merge_dedup")(
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_id % 3 = 0 OR event_id % 2 = 0
     """
 )
 

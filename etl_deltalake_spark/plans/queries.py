@@ -422,21 +422,17 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching via edit distance (dedup-adjacent §2.9):
-    nation-name pairs within Levenshtein ≤ 5 — the record-linkage
-    primitive; at scale, block first (e.g. on soundex/prefix) so the
-    cross join never materializes."""
+    nation-name pairs within Levenshtein ≤ 5 through the BLOCKED
+    plan — an equi-join on (first char, length band) generates
+    candidates (hash join, no cartesian product), Levenshtein filters
+    within blocks (operators/relational.blocked_fuzzy_pairs). On the
+    nation fixture the blocking loses nothing (all names share a
+    prefix and a length band), so the exhaustive oracle matches."""
+    from etl_deltalake_spark.operators.relational import blocked_fuzzy_pairs
+
     nation = load_table(spark, "nation", sf_dir)
-    a = nation.select(F.col("n_name").alias("name_a"))
-    b = nation.select(F.col("n_name").alias("name_b"))
-    return (
-        a.join(b, F.col("name_a") < F.col("name_b"))
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
-        )
-        .filter(F.col("dist") <= 5)
-        .orderBy("name_a", "name_b")
+    return blocked_fuzzy_pairs(nation, "n_name", max_dist=5, band_size=8).orderBy(
+        "name_a", "name_b"
     )
 
 
@@ -618,6 +614,80 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag", F.col("sum_price").cast("double").alias("sum_price"), "n"
     ).orderBy("l_returnflag")
+
+
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free star-join aggregation over BUCKETED tables — the
+    100 TB amortization story as a registered, oracle-gated query.
+
+    orders and customer are written bucketed (8 buckets) on the
+    custkey join key (operators/partitioning.write_bucketed); the
+    join then reads co-located buckets (SortMergeJoin, no Exchange)
+    and the revenue-per-customer aggregation reuses the join's
+    hash-partitioning — the WHOLE plan runs without a single
+    shuffle (asserted in tests/test_plan_shapes.py). This is how a
+    fact table's one-time write-side shuffle is amortized across
+    every downstream custkey join/agg.
+    """
+    import tempfile
+
+    from etl_deltalake_spark.operators.partitioning import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgraft_buckets_")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey")
+    write_bucketed(
+        orders, "sg_bkt_orders", f"{base}/orders", ["o_custkey"], 8,
+        sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        customer, "sg_bkt_customer", f"{base}/customer", ["c_custkey"], 8,
+        sort_cols=["c_custkey"],
+    )
+    bo = read_bucketed(spark, "sg_bkt_orders")
+    bc = read_bucketed(spark, "sg_bkt_customer")
+    # merge hint pins SortMergeJoin (a broadcast would hide the
+    # bucketed-scan co-location this query demonstrates).
+    return (
+        bc.join(bo.hint("merge"), bc.c_custkey == bo.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 MERGE insert-if-absent under the oracle gate (reference
+    main.py:429-475: ``when_not_matched_insert_all``).
+
+    Seeds a target table with the event_id%3==0 slice of events,
+    merges the event_id%2==0 slice (overlap at %6∈{0}∪{3 via %3}),
+    returns the final table: rows already present are untouched, new
+    keys are inserted — exactly the anti-join-union the DuckDB oracle
+    states declaratively. Runs the REAL storage code path: Delta ACID
+    MERGE when delta-spark is available, the parquet left-anti
+    fallback otherwise (sources/table_format.py).
+    """
+    import tempfile
+
+    from etl_deltalake_spark.sources.table_format import (
+        merge_insert_if_absent,
+        read_table,
+        write_table,
+    )
+
+    path = tempfile.mkdtemp(prefix="sgraft_merge_") + "/t"
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    write_table(ev.filter(F.col("event_id") % 3 == 0), path, mode="overwrite")
+    merge_insert_if_absent(
+        spark, path, ev.filter(F.col("event_id") % 2 == 0), ["event_id"]
+    )
+    return read_table(spark, path)
 
 
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:

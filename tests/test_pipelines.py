@@ -114,6 +114,32 @@ def test_ticker_incremental_two_polls(spark, tmp_path):
     assert wm == "2024-01-02 00:00:02"
 
 
+def test_incremental_gold_equals_full_recompute(spark, tmp_path):
+    """Three polls through the incremental Gold path must produce the
+    exact table a full gold_aggregation over Silver would — diff
+    splicing across batch boundaries and cumsum carry-over included."""
+    from etl_deltalake_spark.operators.window_agg import gold_aggregation
+
+    root = str(tmp_path / "lake")
+    for poll in (1, 2, 3):
+        P.run_ticker_incremental(
+            spark, root, "https://fake.api", make_ticker_fetcher(poll)
+        )
+    gold = read_table(spark, f"{root}/Gold/CoinLore/ticker")
+    full = gold_aggregation(
+        read_table(spark, f"{root}/Silver/CoinLore/ticker"),
+        group_col="id",
+        diff_cols=["market_cap_usd", "volume24"],
+        cumsum_cols=["volume24a"],
+        order_cols=["ingested_at"],
+    )
+    cols = sorted(gold.columns)
+    assert cols == sorted(full.columns)
+    got = sorted(map(tuple, gold.select(*cols).collect()))
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want
+
+
 def test_ticker_repoll_same_watermark_is_idempotent(spark, tmp_path):
     root = str(tmp_path / "lake")
     P.run_ticker_incremental(spark, root, "https://fake.api", make_ticker_fetcher(1))

@@ -1,0 +1,52 @@
+"""Executed-plan assertions across the WHOLE registry: no registered
+query may plan a quadratic join (BroadcastNestedLoopJoin /
+CartesianProduct) — the round-1 verdict's scale gate. The exact
+all-pairs baselines (cosine_near_dup_pairs, pairwise_knn) are
+deliberately unregistered; the wired plans are the blocked/bucketed
+variants."""
+
+from __future__ import annotations
+
+import re
+
+from etl_deltalake_spark.plans.registry import all_queries
+
+_FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_quadratic_join_in_any_registered_query(spark, sf_dir):
+    offenders: dict[str, str] = {}
+    for name, fn in sorted(all_queries().items()):
+        plan = _physical_plan(fn(spark, sf_dir))
+        for node in _FORBIDDEN:
+            if node in plan:
+                offenders[name] = node
+    assert not offenders, f"quadratic join nodes in registered plans: {offenders}"
+
+
+def test_bucketed_join_agg_has_no_exchange(spark, sf_dir):
+    """The q_bucketed_join_agg plan must be shuffle-FREE end to end:
+    bucketed scans feed the SortMergeJoin and the aggregation reuses
+    its partitioning (the 100 TB shuffle-amortization pattern)."""
+    from etl_deltalake_spark.plans.queries import q_bucketed_join_agg
+
+    df = q_bucketed_join_agg(spark, sf_dir)
+    df.count()
+    plan = _physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert not re.search(r"Exchange", plan), plan
+
+
+def test_fuzzy_pairs_plan_is_hash_join(spark, sf_dir):
+    """Blocked fuzzy matching must candidate-generate via an
+    equi-join (hash/sort-merge), never a nested-loop product."""
+    from etl_deltalake_spark.plans.queries import q_fuzzy_pairs
+
+    plan = _physical_plan(q_fuzzy_pairs(spark, sf_dir))
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
+    for node in _FORBIDDEN:
+        assert node not in plan, plan
