@@ -110,6 +110,52 @@ def merge_insert_if_absent(
     write_table(new_rows, path, mode="append", partition_cols=partition_cols)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """OPTIMIZE-style small-file compaction (maintenance op the
+    reference's Delta storage would get from ``OPTIMIZE``; the
+    parquet fallback provides the same layout effect).
+
+    Many small files are the natural residue of incremental appends
+    (each micro-batch/poll writes its own files); at scale they
+    dominate scan open/footer costs. Delta path: transactional
+    ``optimize().executeCompaction()``. Parquet path: rewrite at
+    ~``target_file_bytes`` per file into a side directory, then swap
+    via Hadoop FS rename — the data never materializes on the driver
+    and the source files stay readable until the swap. The swap is
+    delete+rename (NOT atomic): single-writer maintenance windows
+    only; the Delta branch is the concurrent-safe form.
+
+    Returns the file count written.
+    """
+    if _delta_available():
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).optimize().executeCompaction()
+        return -1
+
+    import math
+
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(src).getLength()
+    n_files = max(1, math.ceil(size / target_file_bytes))
+
+    tmp = path.rstrip("/") + "__compacting"
+    df = read_table(spark, path).repartition(n_files)
+    write_table(df, tmp, mode="overwrite", partition_cols=partition_cols)
+
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(src, True)
+    fs.rename(tmp_path, src)
+    return n_files
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

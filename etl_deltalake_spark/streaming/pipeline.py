@@ -117,6 +117,48 @@ def session_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def click_purchase_join(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join (SURVEY §2.8 joins × streaming):
+    purchases attributed to a same-user click within ``max_lag``.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance, so Spark can expire join state once the
+    watermark passes — the state store holds only the open lag
+    window per side, not unbounded history. The same column
+    expressions run as a plain batch join (parity proven in
+    tests/test_streaming.py).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Late-data-safe dedup on event_id: state is dropped once the
     watermark passes — bounded memory, unlike a global distinct."""

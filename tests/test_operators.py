@@ -181,6 +181,32 @@ def test_write_table_rejects_bad_mode(spark, tmp_path):
         write_table(df, str(tmp_path / "x"), mode="bogus")
 
 
+def test_compact_table_reduces_files_keeps_rows(spark, sf_dir, tmp_path):
+    """OPTIMIZE-style compaction: a fragmented append-heavy table is
+    rewritten to ~target-sized files with identical contents."""
+    import glob
+
+    from etl_deltalake_spark.sources.catalog import load_table
+    from etl_deltalake_spark.sources.table_format import (
+        compact_table,
+        read_table,
+        write_table,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    path = str(tmp_path / "fragmented")
+    write_table(ev.repartition(16), path)
+    n_before = len(glob.glob(f"{path}/part-*"))
+    assert n_before >= 16
+    want = sorted(map(tuple, ev.collect()))
+
+    n_written = compact_table(spark, path)
+    n_after = len(glob.glob(f"{path}/part-*"))
+    assert n_written == 1 and n_after == 1  # tiny table → one file
+    got = sorted(map(tuple, read_table(spark, path).collect()))
+    assert got == want
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     """Partitioned layout exists in the reference (main.py:418) but no
     read ever prunes (SURVEY §4); here the scan must prune."""

@@ -104,6 +104,89 @@ def test_ivf_topk_subset_of_probed_cluster(spark, sf_dir):
     assert out[0]["vec_id"] == 0 and abs(out[0]["cos_sim"] - 1.0) < 1e-9
 
 
+def test_bucketed_near_dup_subset_of_exact_with_recall(spark, sf_dir):
+    """LSH-bucketed near-dup pairs must be a SUBSET of the exact
+    all-pairs result with identical cos_sim values (exact verify →
+    precision 1.0), non-empty at fixture scale, and candidate
+    generation must be an equi-join (no nested-loop product)."""
+    from etl_deltalake_spark.operators.similarity import (
+        bucketed_near_dup_pairs,
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = len(emb.select("embedding").head()["embedding"])
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.42).collect()
+    }
+    bucketed_df = bucketed_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.42, dims=dims, planes=4, tables=3
+    )
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cos_sim"] for r in bucketed_df.collect()
+    }
+    assert bucketed, "bucketed path found no pairs at fixture scale"
+    assert set(bucketed) <= set(exact)
+    for pair, sim in bucketed.items():
+        assert sim == exact[pair]
+    plan = _plan(bucketed_df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocked_fuzzy_keeps_cross_length_pairs(spark):
+    """Adjacent-band expansion: pairs whose lengths straddle a band
+    boundary (7 vs 9 chars → bands 0 and 1 at band_size=8) must
+    still be compared; first-char blocking is the only recall cut."""
+    from etl_deltalake_spark.operators.relational import blocked_fuzzy_pairs
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("alphabe",), ("alphabets",), ("alpha_x_y",), ("beta",)], ["name"]
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in blocked_fuzzy_pairs(df, "name", max_dist=5, band_size=8).collect()
+    }
+    # len 7 vs len 9, dist 2 — found despite different length bands
+    assert got[("alphabe", "alphabets")] == 2
+    # same first char, len 9 vs 9, within 5
+    assert ("alpha_x_y", "alphabets") in got
+    # 'beta' pairs blocked away by first char (dist to others > 5 anyway)
+    assert not any("beta" in p for pair in got for p in pair)
+    with pytest.raises(ValueError, match="band_size"):
+        blocked_fuzzy_pairs(df, "name", max_dist=8, band_size=8)
+
+
+def test_jaccard_df_cap_drops_only_candidates(spark):
+    """The document-frequency cap prunes CANDIDATE generation; for
+    surviving pairs the Jaccard value stays exact (full-set verify)."""
+    from etl_deltalake_spark.operators.dedup import jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "omega psi chi phi upsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3, max_df=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3, max_df=50).collect()
+    }
+    assert uncapped == capped  # cap is a no-op when no shingle is hot
+    assert (1, 2) in capped and (1, 3) not in capped
+    # max_df=1 drops every shared shingle → no candidates at all
+    assert (
+        jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3, max_df=1).count() == 0
+    )
+
+
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     from etl_deltalake_spark.operators.similarity import cosine_topk
 

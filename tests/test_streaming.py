@@ -92,6 +92,53 @@ def test_stateful_running_totals(spark, sf_dir, events_stream, ckpt):
         assert abs(g["total_value"] - r["total_value"]) < 1e-9
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream, ckpt):
+    """Stream-stream inner join with watermarked, time-bounded state
+    must equal the identical batch join (withWatermark is a no-op on
+    batch frames, so the same function serves both)."""
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    got = P.run_available_now(
+        P.click_purchase_join(events_stream), ckpt, output_mode="append"
+    )
+    want = P.click_purchase_join(load_table(spark, "events", sf_dir)).collect()
+    cols = ["user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"]
+    assert len(got) > 0
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stateful_last_event_type_is_batchwide(spark, sf_dir, events_stream, ckpt):
+    """last_event_type must be the type of the user's max-ts event
+    across the whole input, not an artifact of Arrow chunking
+    (ADVICE r01). Asserted for users whose max ts is unique."""
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    got = P.run_available_now(
+        P.user_running_totals(events_stream), ckpt, output_mode="update"
+    )
+    final = {}
+    for r in got:
+        final[r["user_id"]] = r["last_event_type"]
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.groupBy("user_id").agg(F.max("ts").alias("mts"))
+    at_max = (
+        ev.join(mx, "user_id")
+        .filter(F.col("ts") == F.col("mts"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_at_max"),
+            F.first("event_type").alias("t"),
+        )
+        .filter(F.col("n_at_max") == 1)
+        .collect()
+    )
+    assert at_max, "fixture has no user with a unique max-ts event"
+    for r in at_max:
+        assert final[r["user_id"]] == r["t"], r["user_id"]
+
+
 def test_sliding_counts_runs(spark, events_stream, ckpt):
     got = P.run_available_now(
         P.sliding_counts(events_stream), ckpt, output_mode="complete"
