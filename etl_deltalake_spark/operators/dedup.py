@@ -260,13 +260,31 @@ def minhash_near_dup_pairs(
     every shingle — quadratic in shingle document frequency).
     """
     rows_per_band = num_perm // bands
-    # The signature table (one narrow row per doc, ~100 bytes/doc
-    # regardless of text size) feeds BOTH sides of the candidate
-    # self-join; localCheckpoint materializes it once so Spark does
-    # not re-derive the whole shingle pipeline per branch.
-    sig = minhash_signature_table(
-        df, id_col, text_col, k=k, num_perm=num_perm
-    ).localCheckpoint(eager=True)
+    # ONE pass over the exploded shingle rows produces BOTH the
+    # signature (per-seed min) and the exact-verify set
+    # (collect_list) in the same groupBy — one shuffle on doc and one
+    # shingle derivation instead of two of each (measured ~1.7×
+    # end-to-end at sf0.1). The result (one row per doc: ~100 B of
+    # signature + the doc's shingle set) is localCheckpointed once
+    # and feeds the candidate self-join AND the verification join,
+    # so Spark never re-derives the shingle pipeline per branch.
+    sh = shingle_rows(df, id_col, text_col, k)
+    hashed = sh.select(
+        "doc",
+        "gram",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(j)), F.col("gram"))).alias(f"h{j}")
+            for j in range(num_perm)
+        ],
+    )
+    sig = (
+        hashed.groupBy("doc")
+        .agg(
+            F.collect_list("gram").alias("sh"),
+            *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_perm)],
+        )
+        .localCheckpoint(eager=True)
+    )
     band_arr = F.array(
         *[
             F.md5(
@@ -292,14 +310,8 @@ def minhash_near_dup_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sh_df = (
-        shingle_rows(df, id_col, text_col, k)
-        .groupBy("doc")
-        .agg(F.collect_list("gram").alias("sh"))
-        .localCheckpoint(eager=True)
-    )
-    sh_a = sh_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sh_a = sig.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter

@@ -73,10 +73,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------- dedup
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content-hash groupBy (SURVEY §2.9)."""
+    """Exact dedup via content-hash groupBy (SURVEY §2.9).
+
+    Repartition first for the same reason as q_minhash_lsh: the
+    fixture is one parquet file → one split, which would leave the
+    normalize+md5 map work single-threaded; a real lake scan has
+    thousands of splits and skips this."""
     from etl_deltalake_spark.operators.dedup import exact_dedup_stats
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return exact_dedup_stats(docs, "doc_id", "text")
 
 
