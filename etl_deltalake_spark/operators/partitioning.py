@@ -54,6 +54,78 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def z_value(cols: Sequence[str], bits: int = 16) -> Column:
+    """Morton (Z-order) value of non-negative integer columns, as a
+    pure column expression: bit i of column j lands at output bit
+    ``i*len(cols)+j``.
+
+    Interleaving makes file ranges cover a hyper-cube instead of a
+    slice, so a filter on ANY clustered column prunes ~N^((d-1)/d) of
+    the files — linear (lexicographic) clustering only prunes on the
+    leading column. Columns must already be non-negative ints below
+    ``2**bits`` (dictionary-encode / quantize upstream); that keeps
+    this deterministic and engine-reproducible, with no hidden
+    min-max scan.
+    """
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits*len(cols) must fit a long, got {bits}*{len(cols)}")
+    n = len(cols)
+    total: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(
+                F.col(c).cast("long").bitwiseAND(F.lit(1 << i)), i
+            )
+            total = total + F.shiftleft(bit, i * n + j)
+    return total
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    zorder_bits: int | None = None,
+) -> None:
+    """Persist with rows range-clustered on ``cluster_cols`` so
+    parquet min/max stats make selective scans skip whole files —
+    the OPTIMIZE ZORDER counterpart of ``compact_table``.
+
+    Linear mode (default): ``repartitionByRange`` + in-partition sort
+    — each file owns a contiguous key range, so a filter on the
+    LEADING column touches the few files whose range intersects.
+    Z-order mode (``zorder_bits``): cluster on the Morton value
+    instead, so filters on any single clustered column still prune
+    (at ~N^((d-1)/d) instead of N^0 effectiveness).
+
+    The ranges come from Spark's reservoir-sampling range partitioner
+    — no extra full pass over the data; at 100 TB this is one shuffle
+    that every later selective scan amortizes, exactly like
+    bucketing amortizes join exchanges.
+    """
+    if zorder_bits is not None:
+        clustered = (
+            df.withColumn("_z", z_value(cluster_cols, zorder_bits))
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        clustered = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    clustered.write.mode("overwrite").parquet(path)
+
+
+def files_touched(df: DataFrame) -> int:
+    """How many distinct files contribute rows to ``df`` — the
+    observable effect of min/max file skipping (matching rows
+    concentrated in few files ⇒ selective scans open few files)."""
+    return (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+
+
 def salt_col(key: Column, salt_n: int) -> Column:
     """Deterministic salt in [0, salt_n) derived from the row's key —
     reproducible across retries (a rand() salt breaks task retry

@@ -53,25 +53,59 @@ def write_table(
     path: str,
     mode: str = "overwrite",
     partition_cols: Sequence[str] | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """S5: persist a DataFrame as a (Delta|Parquet) table.
 
     Unlike the reference, invalid args raise instead of print-and-
     return-None (SURVEY §2.7 error model).
+
+    Appends enforce the existing column set: a parquet append
+    SILENTLY accepts any schema (the mismatch only surfaces — or
+    worse, doesn't — at read time), so the Delta-style write-time
+    check is re-created here. ``merge_schema=True`` permits a
+    superset schema (new nullable columns); readers then need
+    ``read_table(..., merge_schema=True)`` on the parquet path, while
+    Delta handles it transactionally via its own ``mergeSchema``.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     fmt = "delta" if _delta_available() else "parquet"
+    if mode == "append" and table_exists(df.sparkSession, path):
+        existing = set(read_table(df.sparkSession, path).columns)
+        incoming = set(df.columns)
+        if incoming != existing:
+            if not merge_schema:
+                raise ValueError(
+                    f"schema enforcement: append columns {sorted(incoming)} != "
+                    f"table columns {sorted(existing)}; pass merge_schema=True "
+                    "to evolve (new columns) or overwrite to replace"
+                )
+            if not incoming >= existing:
+                raise ValueError(
+                    "schema evolution adds columns only; append is missing "
+                    f"existing columns {sorted(existing - incoming)}"
+                )
     writer = df.write.format(fmt).mode(mode)
+    if merge_schema and fmt == "delta":
+        writer = writer.option("mergeSchema", "true")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """S4: lazy scan of a persisted table."""
+def read_table(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """S4: lazy scan of a persisted table. ``merge_schema=True``
+    reconciles per-file schemas after evolution (parquet pays a
+    footer scan per file for it, so it stays opt-in; Delta reads its
+    unified schema from the log for free)."""
     fmt = "delta" if _delta_available() else "parquet"
-    return spark.read.format(fmt).load(path)
+    reader = spark.read.format(fmt)
+    if merge_schema and fmt == "parquet":
+        reader = reader.option("mergeSchema", "true")
+    return reader.load(path)
 
 
 def merge_insert_if_absent(

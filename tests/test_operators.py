@@ -207,6 +207,42 @@ def test_compact_table_reduces_files_keeps_rows(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_append_schema_enforced_and_evolvable(spark, tmp_path):
+    """Parquet appends silently accept any schema; write_table
+    re-creates Delta's write-time enforcement, with merge_schema=True
+    as the explicit evolution path (supersets only)."""
+    import pytest
+
+    from etl_deltalake_spark.sources.table_format import read_table, write_table
+
+    path = str(tmp_path / "enforced")
+    write_table(spark.createDataFrame([(1, "a")], ["id", "val"]), path)
+
+    with pytest.raises(ValueError, match="schema enforcement"):
+        write_table(
+            spark.createDataFrame([(2, "b", "x")], ["id", "val", "extra"]),
+            path,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="adds columns only"):
+        write_table(
+            spark.createDataFrame([(2,)], ["id"]),
+            path,
+            mode="append",
+            merge_schema=True,
+        )
+    write_table(
+        spark.createDataFrame([(2, "b", "x")], ["id", "val", "extra"]),
+        path,
+        mode="append",
+        merge_schema=True,
+    )
+    got = read_table(spark, path, merge_schema=True)
+    assert set(got.columns) == {"id", "val", "extra"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["extra"] is None and rows[2]["extra"] == "x"
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     """Partitioned layout exists in the reference (main.py:418) but no
     read ever prunes (SURVEY §4); here the scan must prune."""

@@ -71,6 +71,71 @@ def test_salted_join_rejects_outer_right(spark, sf_dir):
             salted_join(orders, customer, "o_custkey", "c_custkey", how=how)
 
 
+def test_clustered_layout_skips_files(spark, sf_dir, tmp_path):
+    """Range clustering concentrates a key range into few files, so a
+    selective scan contributes rows from ~1 file; the same filter over
+    a hash-scattered layout draws from every file."""
+    from etl_deltalake_spark.operators.partitioning import (
+        files_touched,
+        write_clustered,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    lo, hi = 100, 200
+    scattered_path = str(tmp_path / "scattered")
+    li.repartition(16).write.mode("overwrite").parquet(scattered_path)
+    clustered_path = str(tmp_path / "clustered")
+    write_clustered(li, clustered_path, ["l_orderkey"], n_files=16)
+
+    pred = (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+    scattered = spark.read.parquet(scattered_path).filter(pred)
+    clustered = spark.read.parquet(clustered_path).filter(pred)
+    assert scattered.count() == clustered.count() > 0
+    assert files_touched(scattered) >= 12  # matches smeared everywhere
+    assert files_touched(clustered) <= 2  # matches live in ~one range file
+
+
+def test_zorder_prunes_on_nonleading_column(spark, tmp_path):
+    """Lexicographic clustering on (a, b) can't prune a filter on b
+    alone (every a-slice holds all of b); Z-order interleaving can."""
+    from etl_deltalake_spark.operators.partitioning import (
+        files_touched,
+        write_clustered,
+        z_value,
+    )
+
+    grid = (
+        spark.range(0, 256 * 256)
+        .select(
+            (F.col("id") / 256).cast("int").alias("a"),
+            (F.col("id") % 256).cast("int").alias("b"),
+        )
+    )
+    linear_path, zorder_path = str(tmp_path / "lin"), str(tmp_path / "zord")
+    write_clustered(grid, linear_path, ["a", "b"], n_files=16)
+    write_clustered(grid, zorder_path, ["a", "b"], n_files=16, zorder_bits=8)
+
+    pred = F.col("b") < 64
+    lin = spark.read.parquet(linear_path).filter(pred)
+    zord = spark.read.parquet(zorder_path).filter(pred)
+    assert lin.count() == zord.count() == 256 * 64
+    assert files_touched(lin) >= 12  # b is unsorted within every a-slice
+    assert files_touched(zord) <= 8  # quadrant blocks: ~1/4 of files + edges
+
+    # z_value is a bijective interleave on in-range inputs
+    zs = grid.select(z_value(["a", "b"], 8).alias("z"))
+    assert zs.distinct().count() == 256 * 256
+    mn, mx = zs.agg(F.min("z"), F.max("z")).head()
+    assert (mn, mx) == (0, 256 * 256 - 1)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fit a long"):
+        z_value(["a", "b", "c", "d"], 16)
+
+
 def test_salt_spreads_hot_key(spark):
     from etl_deltalake_spark.operators.partitioning import salt_col
 
