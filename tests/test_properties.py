@@ -1,0 +1,190 @@
+"""Property-based tests (hypothesis): each checks an operator against
+an independent brute-force model on small generated inputs, probing
+edge shapes example-based tests miss (empty groups, ties, chains,
+single-element arrays).
+
+The reference has no tests at all (SURVEY §5); this file extends the
+oracle strategy with randomized models. Example counts are kept small
+— every example is a real Spark job — the value is in the adversarial
+shapes, not the volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.too_slow],
+    print_blob=True,
+)
+
+keys = st.integers(min_value=0, max_value=3)
+times = st.integers(min_value=0, max_value=30)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=20),
+    right=st.dictionaries(
+        st.tuples(keys, times), st.integers(0, 99), min_size=0, max_size=20
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == per-row 'latest right with rt <= lt per key'.
+    Right side is unique on (key, time) so the tie rule is moot."""
+    from etl_deltalake_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "row_id int, k int, t int"
+    )
+    rrows = [(k, t, v) for (k, t), v in right.items()]
+    rdf = spark.createDataFrame(rrows or [(None, None, None)], "k int, rt int, payload int")
+    if not rrows:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        r["row_id"]: r["payload"]
+        for r in asof_join(ldf, rdf, "k", "t", "rt", ["payload"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        candidates = [(rt, v) for (rk, rt), v in right.items() if rk == k and rt <= t]
+        want = max(candidates)[1] if candidates else None
+        assert got[i] == want, (i, k, t, candidates)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.text("ab", min_size=0, max_size=3),
+            st.text("xy", min_size=0, max_size=3),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_melt_pivot_roundtrip(spark, rows):
+    """wide → melt → pivot_first → the original wide frame (unique
+    ids ⇒ F.first is deterministic)."""
+    from etl_deltalake_spark.operators.reshape import melt, pivot_first
+
+    wide = spark.createDataFrame(rows, "id int, v0 string, v1 string")
+    long = melt(wide, id_vars=["id"], value_vars=["v0", "v1"])
+    back = pivot_first(long, "id", "variable", "value", pivot_values=["v0", "v1"])
+    want = sorted(rows)
+    got = sorted(map(tuple, back.select("id", "v0", "v1").collect()))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=15,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_label_propagation_is_connected_components(spark, edges):
+    """Min-label propagation (iterations ≥ node count) == union-find
+    connected components with min-id labels."""
+    from etl_deltalake_spark.operators.dedup import label_propagation_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {
+        r["doc"]: r["cluster"]
+        for r in label_propagation_clusters(pairs, iterations=8).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    want = {n: min(ms) for ms in members.values() for n in ms}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-(2**40), 2**40)),
+        min_size=1,
+        max_size=25,
+    ),
+    salt_n=st.integers(1, 5),
+)
+def test_salted_agg_sum_equals_plain(spark, rows, salt_n):
+    """Two-stage salted aggregation is exactly the one-stage sum for
+    order-insensitive (integer) sums, any salt width."""
+    from etl_deltalake_spark.operators.partitioning import salted_agg_sum
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_agg_sum(df, ["k"], F.col("v"), "total", salt_n=salt_n).collect()
+    }
+    want: dict[int, list[int]] = {}
+    for k, v in rows:
+        acc = want.setdefault(k, [0, 0])
+        acc[0] += v
+        acc[1] += 1
+    assert got == {k: (s, n) for k, (s, n) in want.items()}
+
+
+@settings(deadline=None, max_examples=6, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "omega"]),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_minhash_pairs_subset_of_exact_and_complete_on_identicals(spark, texts):
+    """LSH near-dup pairs ⊆ exact Jaccard pairs with equal values
+    (verification is exact ⇒ precision 1.0), and every pair of
+    IDENTICAL texts must be found (equal signatures collide in every
+    band ⇒ recall 1.0 at jaccard=1)."""
+    from etl_deltalake_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            df, "doc_id", "text", k=2, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    for i, a in enumerate(texts):
+        for j2 in range(i + 1, len(texts)):
+            if texts[j2] == a:
+                assert (i, j2) in lsh, (i, j2, a)
