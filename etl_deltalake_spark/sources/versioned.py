@@ -322,6 +322,41 @@ class VersionedTable:
             return empty
         return self.spark.read.parquet(*files)
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed read: rows ADDED by commits in
+        ``(from_version, to_version]`` — the Delta CDF idiom that lets
+        downstream layers (e.g. the incremental Gold recompute in
+        ``window_agg.gold_aggregation_incremental``) process exactly
+        the delta instead of rescanning the table.
+
+        Append and upsert/overwrite commits expose their added files;
+        for an overwrite that means the full post-image (matching
+        Delta CDF, where a rewrite emits its rewritten rows — callers
+        treating appends as inserts should check ``history()`` for
+        intervening overwrites). Cost is proportional to the files
+        added in the window, not table size — file-level change
+        tracking is the reason the commit log exists.
+        """
+        commits = self._commits()
+        tip = commits[-1].version if commits else 0
+        to_version = tip if to_version is None else to_version
+        if not from_version <= to_version <= tip:
+            raise ValueError(
+                f"need from_version <= to_version <= {tip}, "
+                f"got ({from_version}, {to_version})"
+            )
+        files = [
+            f"{self.path}/{f}"
+            for c in commits
+            if from_version < c.version <= to_version
+            for f in c.add
+        ]
+        if not files:
+            return self.read(version=to_version).limit(0)
+        return self.spark.read.parquet(*files)
+
     def history(self) -> list[dict]:
         """Commit metadata, newest first (Delta's DESCRIBE HISTORY)."""
         return [

@@ -142,6 +142,48 @@ def test_snapshot_isolation_under_overwrite(spark, vt):
     assert _rows(vt.read()) == [(2, "b")]
 
 
+def test_read_changes_returns_exactly_the_delta(spark, vt):
+    vt.write(_df(spark, [(1, "a"), (2, "b")]), timestamp="2026-01-01T00:00:00")
+    vt.write(_df(spark, [(3, "c")]), timestamp="2026-01-02T00:00:00")
+    vt.write(_df(spark, [(4, "d")]), timestamp="2026-01-03T00:00:00")
+    assert _rows(vt.read_changes(1)) == [(3, "c"), (4, "d")]
+    assert _rows(vt.read_changes(1, 2)) == [(3, "c")]
+    assert _rows(vt.read_changes(3, 3)) == []  # empty window, schema kept
+    assert vt.read_changes(3, 3).columns == ["id", "val"]
+    with pytest.raises(ValueError, match="from_version <= to_version"):
+        vt.read_changes(2, 1)
+    with pytest.raises(ValueError, match="from_version <= to_version"):
+        vt.read_changes(1, 99)
+
+
+def test_cdf_drives_incremental_gold(spark, vt):
+    """The CDF + carry-over-state loop: Gold over read_changes()
+    appended to prior Gold == full recompute over the whole Silver
+    snapshot — the delta-proportional pipeline at 100 TB."""
+    from etl_deltalake_spark.operators.window_agg import (
+        gold_aggregation,
+        gold_aggregation_incremental,
+        gold_state_from,
+    )
+
+    batch1 = [(1, 10, 1.0), (1, 20, 2.0), (2, 10, 5.0)]
+    batch2 = [(1, 30, 4.0), (2, 20, 1.0), (3, 10, 9.0)]
+    schema = "grp int, ts int, v double"
+    args = dict(group_col="grp", diff_cols="v", cumsum_cols="v", order_cols=["ts"])
+
+    v1 = vt.write(spark.createDataFrame(batch1, schema), timestamp="2026-01-01T00:00:00")
+    gold = gold_aggregation(vt.read(), **args)
+
+    vt.write(spark.createDataFrame(batch2, schema), timestamp="2026-01-02T00:00:00")
+    delta = vt.read_changes(v1)  # ONLY batch2's files are read
+    incr = gold_aggregation_incremental(
+        delta, gold_state_from(gold, **args), **args
+    )
+    combined = _rows(gold.unionByName(incr))
+    full = _rows(gold_aggregation(vt.read(), **args))
+    assert combined == full
+
+
 def test_read_distributes_no_driver_rows(spark, vt):
     """The snapshot read is a plain distributed parquet scan — filters
     push down to it like any other table."""
