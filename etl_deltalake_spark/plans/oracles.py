@@ -502,13 +502,20 @@ oracle("q_dedup_exact")(
     """
 )
 
-_SHINGLES = f"""
+def _shingles_sql(src: str = "documents") -> str:
+    """Distinct word-3-gram shingle sets of the normalized text —
+    parameterized on the source relation so composed pipelines
+    (q_corpus_prep) can shingle a filtered CTE."""
+    return f"""
   SELECT doc_id, list_distinct(list_transform(
     range(1, GREATEST(len(string_split({_NORM}, ' ')) - 3, 0) + 2),
     i -> array_to_string((string_split({_NORM}, ' '))[i:i+2], ' ')
   )) AS sh
-  FROM documents
+  FROM {src}
 """
+
+
+_SHINGLES = _shingles_sql()
 
 # Candidate pairs from the DF-capped shingle join + exact Jaccard
 # verification on the FULL shingle sets (mirrors dedup.jaccard_pairs
@@ -599,6 +606,67 @@ oracle("q_dedup_clusters")(
     ),
     l0 AS (SELECT DISTINCT src AS doc, src AS label FROM edges){_lp_rounds}
     SELECT doc, label AS cluster FROM l4 ORDER BY doc
+    """
+)
+
+# The full corpus-preparation funnel (operators/corpus.prepare_corpus):
+# quality floor → lang allowlist → exact dedup keep-min → LSH near-dup
+# keep-one. Every stage re-derived in SQL; stage formulas are byte-
+# identical to the q_text_stats / q_lang_id / q_dedup_exact /
+# q_dedup_clusters oracles they compose.
+oracle("q_corpus_prep")(
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+        ROUND(0.4 * LEAST(length(text) / 500.0, 1.0)
+              + 0.4 * (1.0 - LEAST(stop_ratio * 2.0, 1.0))
+              + 0.2 * (1.0 - punct_ratio), 6) AS quality,
+        CASE
+          WHEN c_de = best THEN 'de'
+          WHEN c_en = best THEN 'en'
+          WHEN c_es = best THEN 'es'
+          WHEN c_fr = best THEN 'fr'
+          ELSE 'zh'
+        END AS lang_pred
+      FROM (
+        SELECT doc_id, lang, text,
+          ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                w -> w IN {_STOPS}))
+                / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
+            AS stop_ratio,
+          ROUND((length(text)
+                 - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                / length(text), 6) AS punct_ratio,
+          c_de, c_en, c_es, c_fr, c_zh,
+          GREATEST(c_de, c_en, c_es, c_fr, c_zh) AS best
+        FROM (
+          SELECT doc_id, lang, text,
+          {_lang_cols}
+          FROM documents
+        )
+      )
+    ),
+    kept AS (
+      SELECT doc_id, lang, text, quality FROM scored
+      WHERE quality >= 0.3 AND lang_pred IN ('en', 'es')
+    ),
+    exact AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5({_NORM})
+    ),
+    docs2 AS (SELECT k.* FROM kept k JOIN exact USING (doc_id)),
+    sh AS ({_shingles_sql("docs2")}),
+    {_MINHASH_BODY},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS doc, src AS label FROM edges){_lp_rounds},
+    losers AS (SELECT doc FROM l4 WHERE doc != label)
+    SELECT d.doc_id, d.lang, d.quality
+    FROM docs2 d LEFT JOIN losers ON d.doc_id = losers.doc
+    WHERE losers.doc IS NULL
+    ORDER BY doc_id
     """
 )
 

@@ -140,6 +140,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation funnel (SURVEY §2.9 composed):
+    quality floor → language allowlist → exact dedup (keep min id) →
+    MinHash+LSH near-dup keep-one (operators/corpus.py). The oracle
+    re-derives every stage in SQL, so the full composition — not just
+    each stage — is cross-engine verified.
+
+    Scale shape: the two filters are scan-side column predicates, the
+    exact dedup shuffles 32-char fingerprints, and the near-dup stage
+    runs LSH band equi-joins on the already-shrunk survivor set —
+    never all-pairs, no driver-side data."""
+    from etl_deltalake_spark.operators.corpus import prepare_corpus
+    from etl_deltalake_spark.operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    clean = prepare_corpus(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        min_quality=0.3,
+        langs=["en", "es"],
+        near_dup_threshold=0.5,
+    )
+    return clean.select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    ).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (SURVEY §2.9; codegen'd groupBy
     path — operators/dedup.simhash_table)."""

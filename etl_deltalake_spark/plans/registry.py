@@ -22,6 +22,9 @@ occupy driver slots):
    aggregation carry executed-plan assertions in
    tests/test_partitioning.py and test_stats_similarity.py; their
    oracle answers duplicate plain-aggregate queries already gated.
+ - q_dedup_clusters: q_corpus_prep runs the identical MinHash+LSH →
+   label-propagation path end-to-end inside the full curation funnel
+   (strictly stronger composition coverage).
 """
 
 from __future__ import annotations
@@ -83,7 +86,7 @@ REGISTERED: tuple[str, ...] = (
     "q_dedup_exact",
     "q_minhash_lsh",
     "q_jaccard_pairs",
-    "q_dedup_clusters",
+    "q_corpus_prep",
     "q_simhash",
     "q_fingerprint",
     "q_text_stats",
@@ -104,6 +107,7 @@ RETIRED: tuple[str, ...] = (
     "q_distinct",
     "q_sample_hash",
     "q_salted_agg",
+    "q_dedup_clusters",
 )
 
 

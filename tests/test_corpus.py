@@ -1,0 +1,74 @@
+"""Corpus-preparation funnel: composition invariants on the
+documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.corpus import (
+    corpus_funnel,
+    near_dup_keep_min,
+    prepare_corpus,
+)
+from etl_deltalake_spark.operators.dedup import minhash_near_dup_pairs
+from etl_deltalake_spark.operators.text import normalize_text, quality_score
+from etl_deltalake_spark.sources.catalog import load_table
+
+THRESHOLD = 0.6
+
+
+def test_funnel_monotone_and_consistent(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    funnel = corpus_funnel(
+        docs, min_quality=0.3, langs=["en", "es"], near_dup_threshold=THRESHOLD
+    )
+    names = [n for n, _ in funnel]
+    counts = [c for _, c in funnel]
+    assert names == ["raw", "quality", "lang", "exact_dedup", "near_dup"]
+    assert counts[0] == docs.count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0
+    # the end-to-end frame agrees with the funnel's last stage
+    clean = prepare_corpus(
+        docs, min_quality=0.3, langs=["en", "es"], near_dup_threshold=THRESHOLD
+    )
+    assert clean.count() == counts[-1]
+
+
+def test_no_surviving_exact_or_near_duplicates(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    clean = prepare_corpus(docs, near_dup_threshold=THRESHOLD).localCheckpoint(
+        eager=True
+    )
+    # exact: all normalized texts distinct
+    n = clean.count()
+    assert clean.select(F.md5(normalize_text("text"))).distinct().count() == n
+    # near: the SAME detector finds nothing above threshold (every
+    # pair edge lost a non-min endpoint; edges between cluster minima
+    # cannot exist)
+    leftover = minhash_near_dup_pairs(
+        clean, "doc_id", "text", threshold=THRESHOLD
+    )
+    assert leftover.count() == 0
+
+
+def test_filters_respected_and_columns_preserved(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    clean = prepare_corpus(docs, min_quality=0.3, langs=["en"])
+    assert clean.columns == docs.columns
+    bad = clean.filter(
+        (quality_score("text") < 0.3) | (~F.col("lang").isNull() & F.lit(False))
+    )
+    assert bad.count() == 0
+
+
+def test_near_dup_keep_min_keeps_singletons(spark):
+    """Docs with no near-duplicate must pass through untouched."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "completely different text about other things entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(r["doc_id"] for r in near_dup_keep_min(df, "doc_id", "text", 0.9).collect())
+    assert out == [1, 3]
