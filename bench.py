@@ -36,6 +36,10 @@ HEADLINE = [
     "q_text_stats",
     "q_tumbling_window",
     "q_asof_join",
+    # composed pipelines (round 2): the full curation funnel and
+    # sequence packing — end-to-end shapes, not single operators.
+    "q_corpus_prep",
+    "q_pack_sequences",
 ]
 
 

@@ -100,6 +100,11 @@ def prepare_corpus(
     if langs is not None:
         out = out.filter(lang_id(text_col).isin(list(langs)))
     out = exact_dedup_keep_min(out, id_col, text_col)
+    # The survivor set feeds BOTH the near-dup pair generation and
+    # the final keep-one anti-join; checkpoint it (lazily — it first
+    # materializes inside the pair stage's own checkpoint) so the
+    # filter + semi-join prefix runs once, not once per branch.
+    out = out.localCheckpoint(eager=False)
     return near_dup_keep_min(
         out, id_col, text_col, threshold=near_dup_threshold
     )

@@ -1,0 +1,176 @@
+"""Sequence packing & dataset mixing for training-data pipelines
+(SURVEY §2.9 extension surface — ops a pretraining corpus pipeline
+runs after curation).
+
+``pack_sequences`` implements concatenate-and-chunk packing: within a
+shard, documents are laid end-to-end on a token axis and sliced into
+fixed ``budget``-token context windows (bins). A document spanning a
+bin boundary contributes tokens to both bins — exactly the
+GPT-style packing model, and fully expressible with window cumsum +
+sequence/explode, no Python.
+
+``weighted_mix`` implements deterministic mixture reweighting: each
+source keeps a fixed fraction of its rows, selected by a stable
+modulus rule on the id so re-runs and the SQL oracle reproduce the
+same sample.
+
+Scale shape:
+- Packing's only shuffle is the per-shard window sort, and the rows
+  entering it are (id, n_tokens) pairs — the text column never
+  shuffles. Each shard's window sorts ~N/n_shards tiny rows; set
+  ``n_shards`` to cluster parallelism at 100 TB. A single global
+  ordering (n_shards=1) would serialize the cumsum on one task —
+  that is the anti-pattern sharding exists to avoid.
+- Mixing is a scan-side filter after a broadcast join against a
+  weights table of |sources| rows; no shuffle of the fact side.
+
+The shard rule (``id % n_shards``) and sampling rule
+(``id % granularity < weight*granularity``) are modulus- not
+hash-based so a SQL oracle on another engine derives the identical
+partition; production can swap in ``F.xxhash64`` for balance on
+non-uniform ids (documented trade: engine-specific hashes are not
+cross-engine reproducible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign each document to the ``budget``-token bins it occupies.
+
+    Output: one row per (doc, bin) with
+      doc         document id
+      shard       packing shard (id % n_shards)
+      bin         0-based bin index within the shard
+      tokens_in_bin  tokens this doc contributes to this bin
+      n_tokens    the doc's total token count
+      start_off   the doc's start offset on the shard's token axis
+
+    Invariants (asserted in tests/test_packing.py): per-doc
+    tokens_in_bin sums to n_tokens; every bin except a shard's last
+    holds exactly ``budget`` tokens; bins are contiguous from 0.
+    Zero-token docs occupy no bin and are dropped.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        tokens.cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = base.select(
+        "doc",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_off"),
+    ).withColumn("end_off", F.col("start_off") + F.col("n_tokens"))
+    first_bin = F.floor(F.col("start_off") / budget)
+    last_bin = F.floor((F.col("end_off") - 1) / budget)
+    exploded = offs.filter(F.col("n_tokens") > 0).withColumn(
+        "bin", F.explode(F.sequence(first_bin, last_bin))
+    )
+    lo = F.greatest(F.col("start_off"), F.col("bin") * budget)
+    hi = F.least(F.col("end_off"), (F.col("bin") + 1) * budget)
+    return exploded.select(
+        "doc",
+        "shard",
+        F.col("bin").cast("bigint").alias("bin"),
+        (hi - lo).cast("bigint").alias("tokens_in_bin"),
+        "n_tokens",
+        "start_off",
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-(shard, bin) fill report over ``pack_sequences`` output:
+    docs in the bin, tokens, and fill ratio (round 6). The curation
+    dashboard view — one groupBy shuffle on (shard, bin)."""
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens_in_bin").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "bin",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.lit(float(budget)), 6).alias("fill"),
+        )
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: Mapping[str, float],
+    granularity: int = 1000,
+) -> DataFrame:
+    """Deterministic mixture reweighting: keep a ``weights[source]``
+    fraction of each source's rows (sources absent from ``weights``
+    are dropped). Selection is ``id % granularity <
+    round(weight * granularity)`` — stable across runs and engines.
+
+    The weights ship as a broadcast-joined lookup of |sources| rows
+    (the C2 dict-remap pattern at scale); the fact side is filtered
+    scan-side with no shuffle.
+    """
+    for s, wt in weights.items():
+        if not 0.0 <= wt <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0,1], got {wt}")
+    spark = df.sparkSession
+    wrows = [(s, int(round(wt * granularity))) for s, wt in weights.items()]
+    wtab = spark.createDataFrame(wrows, [source_col, "_keep_below"])
+    return (
+        df.join(F.broadcast(wtab), source_col)
+        .filter((F.col(id_col) % granularity) < F.col("_keep_below"))
+        .drop("_keep_below")
+    )
+
+
+def mix_report(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: Mapping[str, float],
+    granularity: int = 1000,
+) -> DataFrame:
+    """Per-source before/after row counts and achieved rate for a
+    ``weighted_mix`` configuration — the report a curator reads to
+    confirm the realized mixture. One aggregation over each frame."""
+    before = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        weighted_mix(df, id_col, source_col, weights, granularity)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        before.join(after, source_col, "left")
+        .na.fill(0, ["n_after"])
+        .select(
+            source_col,
+            "n_before",
+            "n_after",
+            F.round(F.col("n_after") / F.col("n_before"), 6).alias("rate"),
+        )
+    )

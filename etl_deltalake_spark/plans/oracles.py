@@ -609,6 +609,64 @@ oracle("q_dedup_clusters")(
     """
 )
 
+# Concatenate-and-chunk packing (operators/packing.pack_sequences):
+# per-shard running token offsets → bin span per doc → exploded
+# (doc, bin) rows with the contributed token count.
+oracle("q_pack_sequences")(
+    f"""
+    WITH base AS (
+      SELECT doc_id AS doc, doc_id % 4 AS shard,
+        CAST(len(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc, shard, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY shard ORDER BY doc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM base
+    ),
+    ex AS (
+      SELECT doc, shard, n_tokens, start_off,
+        start_off + n_tokens AS end_off,
+        unnest(range(
+          CAST(floor(start_off / 512) AS BIGINT),
+          CAST(floor((start_off + n_tokens - 1) / 512) AS BIGINT) + 1
+        )) AS bin
+      FROM offs WHERE n_tokens > 0
+    )
+    SELECT doc, shard, bin,
+      LEAST(end_off, (bin + 1) * 512) - GREATEST(start_off, bin * 512)
+        AS tokens_in_bin,
+      n_tokens, start_off
+    FROM ex
+    ORDER BY doc, bin
+    """
+)
+
+# Mixture reweighting report (operators/packing.mix_report): the
+# modulus selection rule re-derived relationally.
+oracle("q_weighted_mix")(
+    """
+    WITH w(source, keep_below) AS (
+      VALUES ('src0', 1000), ('src1', 600), ('src2', 300), ('src3', 0)
+    ),
+    pre AS (SELECT source, COUNT(*) AS n_before FROM documents GROUP BY 1),
+    post AS (
+      SELECT d.source, COUNT(*) AS n_after
+      FROM documents d JOIN w USING (source)
+      WHERE d.doc_id % 1000 < w.keep_below
+      GROUP BY 1
+    )
+    SELECT pre.source, pre.n_before,
+      COALESCE(post.n_after, 0) AS n_after,
+      ROUND(COALESCE(post.n_after, 0) / pre.n_before, 6) AS rate
+    FROM pre LEFT JOIN post USING (source)
+    ORDER BY pre.source
+    """
+)
+
 # The full corpus-preparation funnel (operators/corpus.prepare_corpus):
 # quality floor → lang allowlist → exact dedup keep-min → LSH near-dup
 # keep-one. Every stage re-derived in SQL; stage formulas are byte-

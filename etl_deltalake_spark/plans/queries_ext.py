@@ -184,6 +184,36 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing into 512-token context
+    windows across 4 shards (operators/packing.py — SURVEY §2.9
+    training-data surface). One row per (doc, bin) with the token
+    span the doc contributes; the oracle re-derives the whole token
+    axis in SQL."""
+    from etl_deltalake_spark.operators.packing import pack_sequences
+    from etl_deltalake_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(
+        docs, "doc_id", token_count("text"), budget=512, n_shards=4
+    ).orderBy("doc", "bin")
+
+
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture reweighting report (operators/packing.py
+    weighted_mix/mix_report): per-source before/after counts and the
+    achieved rate under a fixed weights table. Sources absent from
+    the weights drop to zero — visible in the report, as a curator
+    needs."""
+    from etl_deltalake_spark.operators.packing import mix_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    weights = {"src0": 1.0, "src1": 0.6, "src2": 0.3, "src3": 0.0}
+    return mix_report(docs, "doc_id", "source", weights, granularity=1000).orderBy(
+        "source"
+    )
+
+
 # -------------------------------------------------------- similarity search
 
 _VEC_CACHE: dict[str, list[float]] = {}

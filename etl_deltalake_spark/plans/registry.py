@@ -25,6 +25,10 @@ occupy driver slots):
  - q_dedup_clusters: q_corpus_prep runs the identical MinHash+LSH →
    label-propagation path end-to-end inside the full curation funnel
    (strictly stronger composition coverage).
+
+SLOTLESS entries are newer oracle-paired queries that never held a
+driver slot (the 50 are full); they carry the same pytest oracle
+gate as the retired set.
 """
 
 from __future__ import annotations
@@ -110,6 +114,12 @@ RETIRED: tuple[str, ...] = (
     "q_dedup_clusters",
 )
 
+# Oracle-paired queries without a driver slot (pytest-gated).
+SLOTLESS: tuple[str, ...] = (
+    "q_pack_sequences",
+    "q_weighted_mix",
+)
+
 
 def _lookup(name: str) -> QueryFn:
     for mod in _MODULES:
@@ -130,8 +140,9 @@ def all_queries() -> dict[str, QueryFn]:
 
 def retired_queries() -> dict[str, QueryFn]:
     """Queries kept out of the capped driver registry but still part
-    of the engine surface (pytest-gated, see module docstring)."""
-    return {name: _lookup(name) for name in RETIRED}
+    of the engine surface (pytest-gated, see module docstring) —
+    both the retired and the slotless sets."""
+    return {name: _lookup(name) for name in RETIRED + SLOTLESS}
 
 
 def all_oracles() -> dict[str, str]:

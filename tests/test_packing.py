@@ -1,0 +1,120 @@
+"""Sequence packing & mixture reweighting invariants
+(operators/packing.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.packing import (
+    mix_report,
+    pack_sequences,
+    packing_stats,
+    weighted_mix,
+)
+from etl_deltalake_spark.operators.text import token_count
+from etl_deltalake_spark.sources.catalog import load_table
+
+BUDGET = 512
+
+
+@pytest.fixture(scope="module")
+def packed(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(
+        docs, "doc_id", token_count("text"), budget=BUDGET, n_shards=4
+    ).localCheckpoint(eager=True)
+
+
+def test_per_doc_tokens_conserved(packed, spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = packed.groupBy("doc", "n_tokens").agg(
+        F.sum("tokens_in_bin").alias("got")
+    )
+    assert per_doc.filter(F.col("got") != F.col("n_tokens")).count() == 0
+    # every doc with tokens appears
+    n_docs = docs.filter(token_count("text") > 0).count()
+    assert packed.select("doc").distinct().count() == n_docs
+
+
+def test_all_bins_full_except_shard_last(packed):
+    stats = packing_stats(packed, BUDGET)
+    last = packed.groupBy("shard").agg(F.max("bin").alias("last_bin"))
+    not_last = stats.join(
+        last, (stats.shard == last.shard) & (stats.bin < last.last_bin)
+    )
+    assert not_last.filter(F.col("n_tokens") != BUDGET).count() == 0
+    # no bin ever exceeds the budget, and fill is in (0, 1]
+    assert stats.filter(F.col("n_tokens") > BUDGET).count() == 0
+    assert stats.filter((F.col("fill") <= 0) | (F.col("fill") > 1)).count() == 0
+
+
+def test_bins_contiguous_from_zero(packed):
+    per_shard = packed.groupBy("shard").agg(
+        F.min("bin").alias("lo"),
+        F.max("bin").alias("hi"),
+        F.countDistinct("bin").alias("n"),
+    )
+    bad = per_shard.filter(
+        (F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)
+    )
+    assert bad.count() == 0
+
+
+def test_boundary_spanning_doc_splits_exactly():
+    """A doc crossing a bin boundary contributes to both bins with
+    the exact split."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        [(0, "a " * 300), (4, "b " * 300)], ["doc_id", "text"]
+    )
+    # one shard (ids 0,4 -> both % 1 == 0): offsets 0..300, 300..600
+    out = {
+        (r["doc"], r["bin"]): r["tokens_in_bin"]
+        for r in pack_sequences(
+            df, "doc_id", token_count("text"), budget=512, n_shards=1
+        ).collect()
+    }
+    assert out == {(0, 0): 300, (4, 0): 212, (4, 1): 88}
+
+
+def test_pack_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", token_count("text"), budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", token_count("text"), budget=8, n_shards=0)
+
+
+def test_weighted_mix_rates_and_determinism(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = weighted_mix(docs, "doc_id", "source", weights)
+    assert kept.filter(~F.col("source").isin(*weights)).count() == 0
+    assert (
+        kept.filter(F.col("source") == "src0").count()
+        == docs.filter(F.col("source") == "src0").count()
+    )
+    assert kept.filter(F.col("source") == "src2").count() == 0
+    # deterministic: second run selects the identical rows
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_mix(docs, "doc_id", "source", weights)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        weighted_mix(docs, "doc_id", "source", {"src0": 1.5})
+
+
+def test_mix_report_covers_all_sources(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    rep = mix_report(docs, "doc_id", "source", {"src0": 1.0, "src1": 0.4})
+    rows = {r["source"]: r for r in rep.collect()}
+    assert set(rows) == {r["source"] for r in docs.select("source").distinct().collect()}
+    assert rows["src0"]["rate"] == 1.0
+    assert rows["src5"]["n_after"] == 0

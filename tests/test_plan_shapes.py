@@ -41,6 +41,23 @@ def test_bucketed_join_agg_has_no_exchange(spark, sf_dir):
     assert not re.search(r"Exchange", plan), plan
 
 
+def test_pack_sequences_shuffles_counts_not_text(spark, sf_dir):
+    """Sequence packing's window shuffle must carry only
+    (doc, shard, n_tokens) — tokenization collapses to a count BEFORE
+    the exchange, so the text column never shuffles."""
+    from etl_deltalake_spark.operators.packing import pack_sequences
+    from etl_deltalake_spark.operators.text import token_count
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    df = pack_sequences(docs, "doc_id", token_count("text"), budget=512)
+    plan = _physical_plan(df)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(shard" in exchanges[0], exchanges[0]
+    assert "text" not in exchanges[0], exchanges[0]
+
+
 def test_fuzzy_pairs_plan_is_hash_join(spark, sf_dir):
     """Blocked fuzzy matching must candidate-generate via an
     equi-join (hash/sort-merge), never a nested-loop product."""

@@ -8,15 +8,21 @@ from __future__ import annotations
 import pytest
 
 from etl_deltalake_spark.plans.oracles import ORACLES
-from etl_deltalake_spark.plans.registry import REGISTERED, RETIRED, retired_queries
+from etl_deltalake_spark.plans.registry import (
+    REGISTERED,
+    RETIRED,
+    SLOTLESS,
+    retired_queries,
+)
 from tests.test_oracle import _canon_rows, _duck_result, _spark_result
 
 
 def test_registered_and_retired_are_disjoint():
-    assert not set(REGISTERED) & set(RETIRED)
+    assert not set(REGISTERED) & set(RETIRED + SLOTLESS)
+    assert not set(RETIRED) & set(SLOTLESS)
 
 
-@pytest.mark.parametrize("name", sorted(RETIRED))
+@pytest.mark.parametrize("name", sorted(RETIRED + SLOTLESS))
 def test_retired_query_vs_oracle(name, spark, duck, sf_dir):
     fn = retired_queries()[name]
     s_cols, s_rows = _spark_result(spark, sf_dir, fn)
