@@ -40,6 +40,9 @@ HEADLINE = [
     # sequence packing — end-to-end shapes, not single operators.
     "q_corpus_prep",
     "q_pack_sequences",
+    # round-2 analytics additions
+    "q_lm_score",
+    "q_resample_locf",
 ]
 
 

@@ -168,6 +168,64 @@ def tfidf_table(df, id_col: str, text_col: str, top_k: int = 3):
     )
 
 
+def bigram_lm_scores(df, id_col: str, text_col: str):
+    """Corpus bigram language-model quality score per document — the
+    relational form of the KenLM-style LM filter a curation pipeline
+    runs (score docs by how probable their token sequences are under
+    a model trained on the corpus itself; outlier-low scores flag
+    boilerplate/garbage).
+
+    Model: add-one-smoothed bigram MLE over the corpus,
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); per-doc score is the
+    mean log-probability over its bigrams.
+
+    Execution shape: posexplode tokens scan-side → bigram via a lead
+    window (ONE shuffle on doc id) → two count aggregations (bigram,
+    unigram — shuffles on the n-gram keys, map-side partial) → join
+    scores back (the n-gram count tables are Zipf-small relative to
+    the corpus; Spark broadcasts them when they fit) → one final
+    groupBy on doc. V and the corpus size are single-row aggregates
+    cross-joined in — no driver-side collect.
+
+    Determinism across engines: the per-doc mean is computed as an
+    exact DECIMAL(20,10) sum of per-bigram log-probs divided by the
+    bigram count — order-independent, so the DuckDB oracle matches
+    bitwise after the final ROUND(.., 6).
+
+    Output: doc, n_bigrams, lm_score.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc", F.col("term").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    c_uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
+    c_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    vocab = tok.agg(F.countDistinct("term").alias("v"))
+    logp = F.log(
+        (F.col("c_big") + 1.0) / (F.col("c_uni") + F.col("v"))
+    ).cast("decimal(20,10)")
+    return (
+        big.join(c_big, ["w1", "w2"])
+        .join(c_uni, F.col("w1") == F.col("term"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("lm_score"),
+        )
+    )
+
+
 def shingle_fingerprint(col: str, k: int = 5) -> Column:
     """Winnowing-style fingerprint: min md5 over word k-gram shingles
     of the normalized text (a single representative hash; the full

@@ -1,0 +1,87 @@
+"""Time-series regularization: bucket → gap-filled grid → LOCF
+(last observation carried forward).
+
+The reference's time-series handling is implicit (appended ticker
+snapshots diffed per coin, SURVEY §2.5); a real analytics engine also
+needs the inverse operation — turning an irregular event stream into
+a regular grid with explicit gaps. This is the standard
+resample/interpolate surface (pandas ``resample().ffill()``,
+TimescaleDB ``time_bucket_gapfill + locf``) expressed as DataFrame
+ops.
+
+Scale shape (three key-partitioned shuffles, no driver-side data):
+1. bucket reduction — window row_number over (key, bucket) keeps the
+   LAST observation per bucket under a TOTAL order (ts, then a
+   tiebreak id) so re-runs and the SQL oracle agree on ties;
+2. per-key span + ``sequence`` explode builds the grid — grid size
+   is span/step per key, generated distributed, never collected;
+3. the LOCF window runs per key ordered by bucket.
+Carried values pass through untouched (no float arithmetic), so
+cross-engine comparison is bitwise by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 day",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Regularize per-key series onto a ``step`` grid with LOCF fill.
+
+    Buckets are ``date_trunc`` periods (``step`` ∈ day/hour/minute…);
+    each key's grid spans its own first..last observed bucket. Output
+    one row per (key, bucket):
+      value_locf  last observed value at or before the bucket
+      is_gap      true when the bucket itself had no observation
+
+    Within a bucket the surviving observation is the max-(ts,
+    tiebreak) row; pass a unique ``tiebreak_col`` for full
+    determinism when equal timestamps occur.
+    """
+    unit = step.split()[-1].rstrip("s")
+    order = [F.col("_ts").desc()]
+    if tiebreak_col is not None:
+        order.append(F.col("_tb").desc())
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        F.col(ts_col).alias("_ts"),
+        *( [F.col(tiebreak_col).alias("_tb")] if tiebreak_col else [] ),
+        F.col(value_col).alias("value"),
+    )
+    wb = Window.partitionBy("key", "bucket").orderBy(*order)
+    obs = (
+        b.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select("key", "bucket", "value")
+    )
+    grid = (
+        b.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval {step}"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(obs, ["key", "bucket"], "left")
+    wl = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "key",
+        "bucket",
+        F.last("value", ignorenulls=True).over(wl).alias("value_locf"),
+        F.col("value").isNull().alias("is_gap"),
+    )

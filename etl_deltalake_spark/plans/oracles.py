@@ -609,6 +609,80 @@ oracle("q_dedup_clusters")(
     """
 )
 
+# Gap-filled LOCF resample (operators/timeseries.resample_locf):
+# last-per-bucket under a total (ts, event_id) order, per-key grid,
+# IGNORE NULLS carry-forward.
+oracle("q_resample_locf")(
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket, ts, event_id, value
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM b
+      ) WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+        unnest(generate_series(lo, hi, INTERVAL '1 day')) AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, o.value
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    )
+    SELECT user_id, bucket,
+      last_value(value IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS value_locf,
+      (value IS NULL) AS is_gap
+    FROM j
+    ORDER BY user_id, bucket
+    """
+)
+
+# Corpus bigram LM scoring (operators/text.bigram_lm_scores):
+# add-one smoothed bigram MLE over the whole corpus, per-doc mean
+# log-prob via an exact DECIMAL sum (order-independent across
+# engines).
+oracle("q_lm_score")(
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term,
+        generate_subscripts(regexp_extract_all(lower(text), {_TOKEN_PAT}), 1)
+          AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cu AS (SELECT term, COUNT(*) AS c_uni FROM tok GROUP BY 1),
+    cb AS (SELECT w1, w2, COUNT(*) AS c_big FROM big GROUP BY 1, 2),
+    v AS (SELECT COUNT(DISTINCT term) AS v FROM tok)
+    SELECT b.doc_id,
+      COUNT(*) AS n_bigrams,
+      ROUND(
+        CAST(SUM(CAST(ln((cb.c_big + 1.0) / (cu.c_uni + v.v))
+                      AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)
+        AS lm_score
+    FROM big b
+    JOIN cb USING (w1, w2)
+    JOIN cu ON cu.term = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    ORDER BY doc_id
+    """
+)
+
 # Concatenate-and-chunk packing (operators/packing.pack_sequences):
 # per-shard running token offsets → bin span per doc → exploded
 # (doc, bin) rows with the contributed token count.

@@ -184,6 +184,42 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): per-user
+    daily buckets, gap-filled grid, last-observation-carried-forward
+    values — the resample/ffill surface over the events stream.
+    Carried doubles pass through untouched so the oracle comparison
+    is bitwise."""
+    from etl_deltalake_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        resample_locf(
+            ev, "user_id", "ts", "value", step="1 day", tiebreak_col="event_id"
+        )
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "bucket")
+    )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM quality scoring (operators/text.py
+    bigram_lm_scores — the relational KenLM-style filter): add-one
+    smoothed bigram MLE trained on the corpus itself, per-doc mean
+    log-probability. DECIMAL-exact summation keeps the mean
+    order-independent so the oracle matches bitwise."""
+    from etl_deltalake_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return (
+        bigram_lm_scores(docs, "doc_id", "text")
+        .select(F.col("doc").alias("doc_id"), "n_bigrams", "lm_score")
+        .orderBy("doc_id")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk sequence packing into 512-token context
     windows across 4 shards (operators/packing.py — SURVEY §2.9

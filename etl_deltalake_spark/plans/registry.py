@@ -118,6 +118,8 @@ RETIRED: tuple[str, ...] = (
 SLOTLESS: tuple[str, ...] = (
     "q_pack_sequences",
     "q_weighted_mix",
+    "q_lm_score",
+    "q_resample_locf",
 )
 
 

@@ -146,6 +146,46 @@ def test_salted_agg_sum_equals_plain(spark, rows, salt_n):
     assert got == {k: (s, n) for k, (s, n) in want.items()}
 
 
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+    budget=st.integers(1, 17),
+    n_shards=st.integers(1, 4),
+)
+def test_pack_sequences_matches_bruteforce(spark, rows, budget, n_shards):
+    """pack_sequences == a Python concat-and-chunk model: per shard,
+    docs laid end-to-end in id order and sliced into budget-token
+    bins."""
+    from etl_deltalake_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        (r["doc"], r["bin"]): (
+            r["shard"], r["tokens_in_bin"], r["n_tokens"], r["start_off"]
+        )
+        for r in pack_sequences(
+            df, "doc_id", F.col("n"), budget=budget, n_shards=n_shards
+        ).collect()
+    }
+    want = {}
+    shards: dict[int, int] = {}
+    for doc, n in sorted(rows):
+        if n == 0:
+            continue
+        shard = doc % n_shards
+        start = shards.get(shard, 0)
+        shards[shard] = start + n
+        for b in range(start // budget, (start + n - 1) // budget + 1):
+            lo, hi = max(start, b * budget), min(start + n, (b + 1) * budget)
+            want[(doc, b)] = (shard, hi - lo, n, start)
+    assert got == want
+
+
 @settings(deadline=None, max_examples=6, suppress_health_check=[HealthCheck.too_slow])
 @given(
     texts=st.lists(
