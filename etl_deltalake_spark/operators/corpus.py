@@ -84,6 +84,37 @@ def near_dup_keep_min(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def _funnel_stages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float,
+    langs: Sequence[str] | None,
+    near_dup_threshold: float,
+) -> list[tuple[str, DataFrame]]:
+    """The single definition of the funnel's stage composition —
+    ``prepare_corpus`` takes the last frame, ``corpus_funnel`` counts
+    every frame, so the report always describes exactly the pipeline
+    that runs (they previously each composed their own copy and had
+    already drifted on checkpointing)."""
+    stages: list[tuple[str, DataFrame]] = [("raw", df)]
+    cur = df.filter(quality_score(text_col) >= min_quality)
+    stages.append(("quality", cur))
+    if langs is not None:
+        cur = cur.filter(lang_id(text_col).isin(list(langs)))
+        stages.append(("lang", cur))
+    cur = exact_dedup_keep_min(cur, id_col, text_col)
+    # The survivor set feeds BOTH the near-dup pair generation and
+    # the final keep-one anti-join; checkpoint it (lazily — it first
+    # materializes inside the pair stage's own checkpoint) so the
+    # filter + semi-join prefix runs once, not once per branch.
+    cur = cur.localCheckpoint(eager=False)
+    stages.append(("exact_dedup", cur))
+    cur = near_dup_keep_min(cur, id_col, text_col, threshold=near_dup_threshold)
+    stages.append(("near_dup", cur))
+    return stages
+
+
 def prepare_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -96,18 +127,9 @@ def prepare_corpus(
     columns. Stage parameters are the knobs a data curator sweeps;
     ``corpus_funnel`` reports the per-stage attrition for that
     sweep."""
-    out = df.filter(quality_score(text_col) >= min_quality)
-    if langs is not None:
-        out = out.filter(lang_id(text_col).isin(list(langs)))
-    out = exact_dedup_keep_min(out, id_col, text_col)
-    # The survivor set feeds BOTH the near-dup pair generation and
-    # the final keep-one anti-join; checkpoint it (lazily — it first
-    # materializes inside the pair stage's own checkpoint) so the
-    # filter + semi-join prefix runs once, not once per branch.
-    out = out.localCheckpoint(eager=False)
-    return near_dup_keep_min(
-        out, id_col, text_col, threshold=near_dup_threshold
-    )
+    return _funnel_stages(
+        df, id_col, text_col, min_quality, langs, near_dup_threshold
+    )[-1][1]
 
 
 def corpus_funnel(
@@ -121,14 +143,7 @@ def corpus_funnel(
     """Per-stage surviving-row counts (the curation report). Each
     count is an aggregate job over that stage's lazy frame — rows
     never reach the driver."""
-    stages: list[tuple[str, DataFrame]] = [("raw", df)]
-    cur = df.filter(quality_score(text_col) >= min_quality)
-    stages.append(("quality", cur))
-    if langs is not None:
-        cur = cur.filter(lang_id(text_col).isin(list(langs)))
-        stages.append(("lang", cur))
-    cur = exact_dedup_keep_min(cur, id_col, text_col)
-    stages.append(("exact_dedup", cur))
-    cur = near_dup_keep_min(cur, id_col, text_col, threshold=near_dup_threshold)
-    stages.append(("near_dup", cur))
+    stages = _funnel_stages(
+        df, id_col, text_col, min_quality, langs, near_dup_threshold
+    )
     return [(name, frame.count()) for name, frame in stages]

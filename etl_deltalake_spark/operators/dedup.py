@@ -51,7 +51,6 @@ def shingle_rows(
     id_col: str,
     text_col: str,
     k: int = 3,
-    with_count: bool = False,
 ) -> DataFrame:
     """Distinct word k-gram shingles as (doc, gram) rows — the fast
     path every dedup operator builds on. Zero shuffles: everything
@@ -77,9 +76,6 @@ def shingle_rows(
 
     Matches ``shingles()`` exactly, including the short-document
     case (one truncated gram when the doc has fewer than k words).
-    ``with_count=True`` appends ``n_sh`` (the doc's distinct-shingle
-    count) — the array builds twice per row in that case, still
-    attribute-bound and cheap.
     """
     w = df.select(
         F.col(id_col).alias("doc"),
@@ -92,10 +88,7 @@ def shingle_rows(
             lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, k)),
         )
     )
-    count_cols = (
-        [F.size(grams_expr).cast("bigint").alias("n_sh")] if with_count else []
-    )
-    return w.select("doc", *count_cols, F.explode(grams_expr).alias("gram"))
+    return w.select("doc", F.explode(grams_expr).alias("gram"))
 
 
 def minhash_signature(shingle_col: Column, num_perm: int = 16) -> Column:

@@ -312,6 +312,24 @@ def bucketed_near_dup_pairs(
     the same validated pattern as q_ann_bucket's oracle).
     """
     base = unit_vec_table(df, id_col, vec_col)
+    # A wrong caller-supplied dims would null every plane's dot product
+    # (zip_with pads with nulls), putting ALL rows in one bucket — the
+    # exact quadratic join this function exists to avoid, with correct
+    # output masking the blowup. Fail loudly row-side instead.
+    base = base.withColumn(
+        "v",
+        F.when(F.size("v") == dims, F.col("v")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"bucketed_near_dup_pairs: dims={dims} != vector "
+                        "length "
+                    ),
+                    F.size("v").cast("string"),
+                )
+            )
+        ),
+    )
 
     def bucket_col(t: int) -> Column:
         bits = []

@@ -45,14 +45,41 @@ def resample_locf(
     Within a bucket the surviving observation is the max-(ts,
     tiebreak) row; pass a unique ``tiebreak_col`` for full
     determinism when equal timestamps occur.
+
+    ``step`` may be a multiple of a fixed-duration unit ("15 minutes",
+    "2 days"): those buckets are epoch-aligned floors so the grid's
+    ``sequence`` lands exactly on bucket boundaries. Calendar units
+    (month/year, variable duration) are only valid with count 1, where
+    ``date_trunc`` is the correct bucketing; any other combination
+    raises instead of silently dropping off-grid observations.
     """
-    unit = step.split()[-1].rstrip("s")
+    parts = step.split()
+    n = int(parts[0]) if len(parts) == 2 and parts[0].isdigit() else 1
+    unit = parts[-1].rstrip("s")
+    _fixed_secs = {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+    }
+    if n > 1 and unit not in _fixed_secs:
+        raise ValueError(
+            f"resample_locf: step {step!r} mixes a multi-count with the "
+            f"calendar unit {unit!r} (variable duration); only counts of "
+            f"1 are supported for month/year"
+        )
+    if n > 1:
+        step_secs = n * _fixed_secs[unit]
+        def _bucket(c):
+            return F.timestamp_seconds(
+                F.floor(F.unix_timestamp(c) / step_secs) * step_secs
+            )
+    else:
+        def _bucket(c):
+            return F.date_trunc(unit, c)
     order = [F.col("_ts").desc()]
     if tiebreak_col is not None:
         order.append(F.col("_tb").desc())
     b = df.select(
         F.col(key_col).alias("key"),
-        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        _bucket(F.col(ts_col)).alias("bucket"),
         F.col(ts_col).alias("_ts"),
         *( [F.col(tiebreak_col).alias("_tb")] if tiebreak_col else [] ),
         F.col(value_col).alias("value"),

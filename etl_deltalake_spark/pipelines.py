@@ -87,9 +87,30 @@ def run_ticker_incremental(
         # idempotent re-poll guard: drop batches at/before the watermark
         df = df.filter(F.lit(new_wm) > F.lit(last))
 
-    write_table(
-        df, bronze, mode="append" if table_exists(spark, bronze) else "overwrite"
-    )
+    # Crash-safety contract: the watermark commits LAST, so a failure
+    # after any write re-processes the batch on the next run. Every
+    # layer write is therefore guarded to be idempotent on re-run —
+    # Bronze/Gold skip a batch they already hold (the batch is
+    # identified by its single ingested_at == new_wm), Silver's MERGE
+    # is insert-if-absent by construction. The earlier ordering
+    # (commit after Silver, before Gold) silently lost the batch from
+    # Gold forever when the Gold append failed.
+    def _has_batch(path: str) -> bool:
+        return (
+            table_exists(spark, path)
+            and read_table(spark, path)
+            .filter(F.col("ingested_at") == F.lit(new_wm))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    if not _has_batch(bronze):
+        write_table(
+            df,
+            bronze,
+            mode="append" if table_exists(spark, bronze) else "overwrite",
+        )
 
     cleaned = clean_frame(
         df, numeric_coerce=TICKER_FLOAT_COLS, sentinel="Sin Dato", round_scale=3
@@ -98,7 +119,6 @@ def run_ticker_incremental(
         merge_insert_if_absent(spark, silver, cleaned, ["id", "ingested_at"])
     else:
         write_table(cleaned, silver, mode="overwrite")
-    commit_watermark(spark, wm_store, "ticker", "ingested_at", new_wm)
 
     gold_args = dict(
         group_col="id",
@@ -107,12 +127,14 @@ def run_ticker_incremental(
         order_cols=["ingested_at"],
     )
     if table_exists(spark, gold):
-        state = gold_state_from(read_table(spark, gold), **gold_args)
-        batch_gold = gold_aggregation_incremental(cleaned, state, **gold_args)
-        write_table(batch_gold, gold, mode="append")
+        if not _has_batch(gold):
+            state = gold_state_from(read_table(spark, gold), **gold_args)
+            batch_gold = gold_aggregation_incremental(cleaned, state, **gold_args)
+            write_table(batch_gold, gold, mode="append")
     else:
         # cold start: the first batch IS the full history
         write_table(gold_aggregation(cleaned, **gold_args), gold, mode="overwrite")
+    commit_watermark(spark, wm_store, "ticker", "ingested_at", new_wm)
     return read_table(spark, gold)
 
 

@@ -72,8 +72,10 @@ def write_table(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     fmt = "delta" if _delta_available() else "parquet"
     if mode == "append" and table_exists(df.sparkSession, path):
-        existing = set(read_table(df.sparkSession, path).columns)
-        incoming = set(df.columns)
+        existing_types = dict(read_table(df.sparkSession, path).dtypes)
+        incoming_types = dict(df.dtypes)
+        existing = set(existing_types)
+        incoming = set(incoming_types)
         if incoming != existing:
             if not merge_schema:
                 raise ValueError(
@@ -86,6 +88,21 @@ def write_table(
                     "schema evolution adds columns only; append is missing "
                     f"existing columns {sorted(existing - incoming)}"
                 )
+        # Types are enforced even when the name sets agree — a same-name
+        # type change lands mixed-type parquet files that only fail (or
+        # silently misread) at scan time. Delta enforces this at write
+        # time; so do we.
+        retyped = {
+            c: (existing_types[c], incoming_types[c])
+            for c in incoming & existing
+            if incoming_types[c] != existing_types[c]
+        }
+        if retyped:
+            raise ValueError(
+                "schema enforcement: append changes column types "
+                f"{retyped} (table_type, append_type); cast the frame or "
+                "overwrite to change types"
+            )
     writer = df.write.format(fmt).mode(mode)
     if merge_schema and fmt == "delta":
         writer = writer.option("mergeSchema", "true")

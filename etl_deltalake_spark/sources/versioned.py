@@ -104,7 +104,10 @@ class Commit:
     operation: str
     add: tuple[str, ...]
     remove: tuple[str, ...]
-    schema: list[str]
+    # (name, DDL type) pairs — Delta enforces types, not just names.
+    # Older commits recorded bare names; those load with type None and
+    # the type half of enforcement degrades gracefully to name-only.
+    schema: tuple[tuple[str, str | None], ...]
     timestamp: str  # writer-supplied wall clock, ISO-8601
 
 
@@ -137,20 +140,32 @@ class VersionedTable:
                     operation=doc["operation"],
                     add=tuple(doc["add"]),
                     remove=tuple(doc["remove"]),
-                    schema=list(doc["schema"]),
+                    schema=tuple(
+                        (c, None) if isinstance(c, str) else (c[0], c[1])
+                        for c in doc["schema"]
+                    ),
                     timestamp=doc["timestamp"],
                 )
             )
         return sorted(out, key=lambda c: c.version)
 
-    def latest_version(self) -> int:
-        commits = self._commits()
+    def latest_version(self, commits: list[Commit] | None = None) -> int:
+        if commits is None:
+            commits = self._commits()
         return commits[-1].version if commits else 0
 
     def _snapshot_files(
-        self, version: int | None = None, timestamp: str | None = None
+        self,
+        version: int | None = None,
+        timestamp: str | None = None,
+        commits: list[Commit] | None = None,
     ) -> tuple[list[str], Commit | None]:
-        commits = self._commits()
+        """Resolve the live file set at a snapshot. ``commits`` lets a
+        caller that already replayed the log reuse it — each replay is
+        O(#commits) driver-side metadata reads, which matters on object
+        stores where every small read is ~100 ms."""
+        if commits is None:
+            commits = self._commits()
         if timestamp is not None:
             eligible = [c for c in commits if c.timestamp <= timestamp]
             if not eligible:
@@ -193,7 +208,7 @@ class VersionedTable:
         operation: str,
         add: Sequence[str],
         remove: Sequence[str],
-        schema: Sequence[str],
+        schema: Sequence[tuple[str, str]],
         timestamp: str,
     ) -> bool:
         doc = {
@@ -201,20 +216,28 @@ class VersionedTable:
             "operation": operation,
             "add": list(add),
             "remove": list(remove),
-            "schema": list(schema),
+            "schema": [list(c) for c in schema],
             "timestamp": timestamp,
         }
         return _write_file_atomic(
             self.spark, self._log_path(version), json.dumps(doc).encode()
         )
 
-    def _check_schema(self, df: DataFrame, operation: str) -> None:
-        commits = self._commits()
+    def _check_schema(
+        self, df: DataFrame, operation: str, commits: list[Commit]
+    ) -> None:
+        """Name AND type enforcement (Delta semantics): a same-name
+        append with a changed type would land mixed-type parquet files
+        that only blow up — or silently misread — at scan time."""
         if not commits:
             return
-        expected = commits[-1].schema
-        got = list(df.columns)
-        if got != expected:
+        expected = list(commits[-1].schema)
+        got = df.dtypes
+        names_ok = [n for n, _ in got] == [n for n, _ in expected]
+        types_ok = names_ok and all(
+            et is None or gt == et for (_, gt), (_, et) in zip(got, expected)
+        )
+        if not (names_ok and types_ok):
             raise ValueError(
                 f"schema enforcement: {operation} schema {got} != table "
                 f"schema {expected}; overwrite to change the schema"
@@ -243,21 +266,22 @@ class VersionedTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        commits = self._commits()
         if mode == "append":
-            self._check_schema(df, "append")
+            self._check_schema(df, "append", commits)
         for _ in range(max_retries):
-            version = self.latest_version() + 1
+            version = self.latest_version(commits) + 1
             remove: Sequence[str] = ()
             if mode == "overwrite":
-                live, _latest = self._snapshot_files()
+                live, _latest = self._snapshot_files(commits=commits)
                 remove = [f[len(self.path) + 1 :] for f in live]
             add = self._write_data_files(df, version)
             if self._try_commit(
-                version, mode, add, remove, df.columns, timestamp
+                version, mode, add, remove, df.dtypes, timestamp
             ):
                 return version
             # Lost the race: orphan the just-written files (vacuum
-            # collects them) and retry against the new tip.
+            # collects them), re-replay the log, retry against the tip.
             if add:
                 jvm, fs, _ = _fs(self.spark, self.path)
                 fs.delete(
@@ -266,8 +290,9 @@ class VersionedTable:
                     ),
                     True,
                 )
+            commits = self._commits()
             if mode == "append":
-                self._check_schema(df, "append")
+                self._check_schema(df, "append", commits)
         raise RuntimeError(
             f"could not commit after {max_retries} attempts (contended table?)"
         )
@@ -290,7 +315,7 @@ class VersionedTable:
         (remove just the touched files) — the full-rewrite keeps this
         fallback simple.
         """
-        self._check_schema(source, "upsert")
+        self._check_schema(source, "upsert", self._commits())
         current = self.read()
         kept = current.join(
             source.select(*key_cols), on=list(key_cols), how="left_anti"
@@ -315,11 +340,13 @@ class VersionedTable:
             raise ValueError(f"{self.path} has no commits")
         if not files:
             # A snapshot can be legitimately empty (overwrite with an
-            # empty frame); preserve its schema from the commit record.
-            empty = self.spark.createDataFrame([], schema=", ".join(
-                f"`{c}` string" for c in latest.schema
-            ))
-            return empty
+            # empty frame); rebuild its TYPED schema from the commit
+            # record (pre-typed-log commits lack types and degrade to
+            # string, flagged in the DDL below rather than silently).
+            ddl = ", ".join(
+                f"`{name}` {dtype or 'string'}" for name, dtype in latest.schema
+            )
+            return self.spark.createDataFrame([], schema=ddl)
         return self.spark.read.parquet(*files)
 
     def read_changes(
@@ -404,7 +431,7 @@ class VersionedTable:
         keep_versions = [c.version for c in commits][-retain_versions:]
         referenced: set[str] = set()
         for v in keep_versions:
-            files, _ = self._snapshot_files(version=v)
+            files, _ = self._snapshot_files(version=v, commits=commits)
             referenced.update(files)
         jvm, fs, _ = _fs(self.spark, self.path)
         data_dir = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{_DATA_DIR}")

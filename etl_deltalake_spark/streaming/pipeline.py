@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -180,6 +181,9 @@ _STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
         StructField("total_c", LongType()),
+        # explicit presence flag — a sentinel value (e.g. -1) would
+        # collide with legitimate pre-1970 (negative-epoch) timestamps
+        StructField("has_last", BooleanType()),
         StructField("last_ts_us", LongType()),
         StructField("last_type", StringType()),
     ]
@@ -202,8 +206,8 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n, total_c, last_us, last_type = state.get
-            if last_us is not None and last_us < 0:
+            n, total_c, has_last, last_us, last_type = state.get
+            if not has_last:
                 last_us, last_type = None, None
         else:
             n, total_c, last_us, last_type = 0, 0, None, None
@@ -217,7 +221,9 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
                 ts_us = int(ts_int.loc[i])
                 if last_us is None or ts_us >= last_us:
                     last_us, last_type = ts_us, pdf["event_type"].loc[i]
-        state.update((n, total_c, -1 if last_us is None else last_us, last_type))
+        state.update(
+            (n, total_c, last_us is not None, last_us or 0, last_type)
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

@@ -243,6 +243,26 @@ def test_append_schema_enforced_and_evolvable(spark, tmp_path):
     assert rows[1]["extra"] is None and rows[2]["extra"] == "x"
 
 
+def test_append_type_change_rejected(spark, tmp_path):
+    """Same column NAMES but a changed TYPE must fail at write time —
+    Delta enforces types, and mixed-type parquet files only surface
+    (or silently misread) at scan time."""
+    import pytest
+
+    from etl_deltalake_spark.sources.table_format import write_table
+
+    path = str(tmp_path / "typed")
+    write_table(
+        spark.createDataFrame([(1, 1.5)], "id bigint, value double"), path
+    )
+    with pytest.raises(ValueError, match="changes column types"):
+        write_table(
+            spark.createDataFrame([(2, "oops")], "id bigint, value string"),
+            path,
+            mode="append",
+        )
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     """Partitioned layout exists in the reference (main.py:418) but no
     read ever prunes (SURVEY §4); here the scan must prune."""

@@ -135,6 +135,22 @@ def test_bucketed_near_dup_subset_of_exact_with_recall(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_near_dup_wrong_dims_fails_loudly(spark, sf_dir):
+    """A wrong dims must raise at execution, not silently hash every
+    vector into one bucket (which restores the quadratic join with
+    correct-looking output)."""
+    import pytest
+
+    from etl_deltalake_spark.operators.similarity import bucketed_near_dup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    wrong = bucketed_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.42, dims=128, planes=2, tables=1
+    )
+    with pytest.raises(Exception, match="dims=128 != vector length"):
+        wrong.collect()
+
+
 def test_blocked_fuzzy_keeps_cross_length_pairs(spark):
     """Adjacent-band expansion: pairs whose lengths straddle a band
     boundary (7 vs 9 chars → bands 0 and 1 at band_size=8) must

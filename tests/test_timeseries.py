@@ -52,6 +52,43 @@ def test_tiebreak_on_equal_timestamps(spark):
     assert len(got) == 1 and got[0]["value_locf"] == 6.0
 
 
+def test_multi_unit_step_keeps_off_grid_observations(spark):
+    """A '15 minutes' step must bucket to epoch-aligned 15-minute
+    floors — observations away from the bare-minute grid previously
+    vanished (grid stepped 15 min from the first bucket while
+    observations truncated to the 1-minute floor)."""
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 7), 1, 10.0),
+        (1, datetime(2024, 1, 1, 0, 20), 2, 20.0),
+        (1, datetime(2024, 1, 1, 1, 2), 3, 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {
+        (r["bucket"].hour, r["bucket"].minute): (r["value_locf"], r["is_gap"])
+        for r in resample_locf(
+            df, "user_id", "ts", "value", "15 minutes", "event_id"
+        ).collect()
+    }
+    assert out == {
+        (0, 0): (10.0, False),   # 00:07 → epoch-aligned 00:00 bucket
+        (0, 15): (20.0, False),  # 00:20 → 00:15 bucket, NOT dropped
+        (0, 30): (20.0, True),
+        (0, 45): (20.0, True),
+        (1, 0): (30.0, False),
+    }
+
+
+def test_multi_unit_calendar_step_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 1.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    with pytest.raises(ValueError, match="calendar unit"):
+        resample_locf(df, "user_id", "ts", "value", "2 months", "event_id")
+
+
 def test_grid_is_contiguous_per_key(spark, sf_dir):
     from etl_deltalake_spark.sources.catalog import load_table
 

@@ -77,6 +77,28 @@ def test_schema_enforced_on_append_not_overwrite(spark, vt):
     assert vt.read().columns == ["id", "val", "extra"]
 
 
+def test_schema_enforces_types_not_just_names(spark, vt):
+    vt.write(spark.createDataFrame([(1, 1.5)], "id bigint, val double"))
+    retyped = spark.createDataFrame([(2, "oops")], "id bigint, val string")
+    with pytest.raises(ValueError, match="schema enforcement"):
+        vt.write(retyped, mode="append")
+    with pytest.raises(ValueError, match="schema enforcement"):
+        vt.upsert(retyped, ["id"])
+
+
+def test_empty_snapshot_read_keeps_types(spark, vt):
+    vt.write(spark.createDataFrame([(1, 1.5)], "id bigint, val double"))
+    empty = spark.createDataFrame([], "id bigint, val double")
+    vt.write(empty, mode="overwrite", timestamp="2026-01-02T00:00:00")
+    got = vt.read()
+    assert got.count() == 0
+    assert got.dtypes == [("id", "bigint"), ("val", "double")]
+    # and the typed empty frame composes with the next typed batch
+    assert got.unionByName(
+        spark.createDataFrame([(2, 2.5)], "id bigint, val double")
+    ).count() == 1
+
+
 def test_compact_is_a_commit_and_time_travel_safe(spark, vt):
     for i in range(5):
         vt.write(_df(spark, [(i, str(i))]), timestamp=f"2026-01-0{i + 1}T00:00:00")
