@@ -1,0 +1,192 @@
+"""Corpus-curation signals and gates beyond dedup: repetition
+quality signals, eval-set decontamination, and per-source quota
+sampling.
+
+The reference has no corpus surface at all (it is a ticker ETL;
+SURVEY §2.9 mandates the training-data extensions); these are the
+three curation steps a large-scale pipeline runs between dedup and
+packing:
+
+ - ``repetition_stats``: Gopher-style repetition signals (Rae et
+   al., "Scaling Language Models: Methods, Analysis & Insights from
+   Training Gopher", 2021, §A1.1 repetition filters) — documents
+   dominated by repeated words/n-grams are boilerplate or spam and
+   get filtered on these fractions.
+ - ``contamination_report`` / ``decontaminate``: n-gram-overlap
+   decontamination against a benchmark/eval set (the GPT-3 paper's
+   13-gram overlap method, Brown et al. 2020 §C, at corpus scale) —
+   training docs that substantially overlap an eval document leak
+   the benchmark.
+ - ``quota_sample``: deterministic per-source document caps — the
+   mixing-weights guard that stops one crawl dump from dominating a
+   blend (cf. The Pile's per-set epochs, Gao et al. 2020 §2).
+
+Scale shapes:
+ - repetition_stats: word frequencies shuffle (doc, word) pairs once,
+   then reduce per doc; the n-gram ratios are pure scan-side array
+   expressions (no explode, no shuffle).
+ - contamination: the BENCH side is tiny by construction (an eval
+   set); its distinct shingle set broadcasts, so the corpus side
+   never shuffles — one scan + per-doc aggregation. The corpus is
+   never joined against itself.
+ - quota_sample: one hash-partitioned window per group; the sort key
+   is md5(id) so the sample is deterministic, uniform within a
+   source, and reproducible across engines (no sampleBy/RNG seed
+   drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.text import normalize_text
+
+
+def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(text_col), " ").alias("words"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals on the normalized text:
+
+      n_words            token count
+      dup_word_frac      1 - distinct_words / words
+      dup_2gram_frac     1 - distinct_2grams / 2grams
+      top_word_frac      occurrences of the most frequent word / words
+
+    The two dup fractions are scan-side array expressions (the word
+    array is aliased once and attribute-bound, same CollapseProject
+    rule as dedup.shingle_rows); only top_word_frac needs word
+    frequencies — a (doc, word) groupBy whose shuffle carries tokens,
+    not documents, then a per-doc max. Filters like
+    ``dup_word_frac > 0.9`` are the standard boilerplate gate.
+    """
+    w = _words(df, id_col, text_col)
+    wcol = F.col("words")
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(wcol) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, 2)),
+    )
+    scan = w.select(
+        "doc",
+        F.size(wcol).cast("bigint").alias("n_words"),
+        F.round(
+            1 - F.size(F.array_distinct(wcol)) / F.size(wcol), 6
+        ).alias("dup_word_frac"),
+        F.round(1 - F.size(F.array_distinct(g2)) / F.size(g2), 6).alias(
+            "dup_2gram_frac"
+        ),
+    )
+    freq = (
+        w.select("doc", F.explode(wcol).alias("word"))
+        .groupBy("doc", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc")
+        .agg(F.max("cnt").alias("_top"))
+    )
+    return scan.join(freq, "doc").select(
+        "doc",
+        "n_words",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        F.round(F.col("_top") / F.col("n_words"), 6).alias("top_word_frac"),
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Distinct word k-gram rows, k parameterized (dedup.shingle_rows
+    pins k at call sites; decontamination conventionally uses longer
+    grams — 13 in GPT-3 — to avoid chance collisions)."""
+    w = _words(df, id_col, text_col)
+    wcol = F.col("words")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, k)),
+        )
+    )
+    return w.select("doc", F.explode(grams).alias("gram"))
+
+
+def contamination_report(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Corpus documents whose k-gram shingle sets overlap a benchmark
+    set above ``threshold``: (doc, n_shingles, n_hit, overlap_frac).
+
+    ``bench`` is the eval corpus (same id/text columns). Its DISTINCT
+    gram set is eval-set-sized → broadcast; the corpus side is one
+    scan + one per-doc reduction, never self-joined. overlap_frac is
+    |doc_grams ∩ bench_grams| / |doc_grams| — the doc-side containment
+    (a tiny eval doc fully inside a training doc must still flag).
+    """
+    bench_grams = _doc_shingles(bench, id_col, text_col, k).select(
+        "gram"
+    ).distinct()
+    sh = _doc_shingles(df, id_col, text_col, k)
+    hits = (
+        sh.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, "doc", "left")
+        .select(
+            "doc",
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("overlap_frac"),
+        )
+        .filter(F.col("overlap_frac") >= threshold)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Drop the documents ``contamination_report`` flags; returns the
+    cleaned corpus with the input's columns (anti-join on the id —
+    ids and grams shuffle, full rows never do)."""
+    flagged = contamination_report(
+        df, bench, id_col, text_col, k, threshold
+    ).select(F.col("doc").alias(id_col))
+    return df.join(flagged, on=id_col, how="left_anti")
+
+
+def quota_sample(
+    df: DataFrame, group_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen deterministically
+    by md5(id) order (ties broken by the id itself): a reproducible
+    uniform-within-group sample with no RNG, so two engines — or two
+    runs over re-partitioned data — select identical rows. One
+    hash-partitioned window per group; no driver participation."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )

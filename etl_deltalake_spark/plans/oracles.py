@@ -1184,3 +1184,84 @@ oracle("q_udf_tokens")(
     FROM documents
     """
 )
+
+
+# Gopher-style repetition signals (operators/curation.repetition_stats):
+# the dup fractions are pure list expressions; top_word_frac needs
+# word frequencies. Slice/range bounds mirror the Spark k-gram
+# pattern exactly (one truncated gram for single-word docs).
+oracle("q_repetition_stats")(
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    g AS (
+      SELECT doc_id, words,
+        list_transform(
+          range(1, GREATEST(len(words) - 2, 0) + 2),
+          i -> array_to_string(words[i:i+1], ' ')
+        ) AS g2
+      FROM w
+    ),
+    scan AS (
+      SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        ROUND(1 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+          AS dup_word_frac,
+        ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+          AS dup_2gram_frac
+      FROM g
+    ),
+    freq AS (
+      SELECT doc_id, MAX(cnt) AS top FROM (
+        SELECT doc_id, word, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(words) AS word FROM w)
+        GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id AS doc, n_words, dup_word_frac, dup_2gram_frac,
+      ROUND(CAST(top AS DOUBLE) / n_words, 6) AS top_word_frac
+    FROM scan s JOIN freq USING (doc_id)
+    ORDER BY doc
+    """
+)
+
+# Eval-set decontamination (operators/curation.contamination_report):
+# bench slice doc_id % 97 = 0, 3-gram shingles, doc-side containment
+# >= 5%.
+oracle("q_decontaminate")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    bg AS (
+      SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 97 = 0
+    ),
+    ex AS (
+      SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 97 != 0
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hit FROM ex JOIN bg USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc, n_shingles,
+      COALESCE(n_hit, 0) AS n_hit,
+      ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_shingles, 6)
+        AS overlap_frac
+    FROM tot t LEFT JOIN hits USING (doc_id)
+    WHERE ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_shingles, 6) >= 0.05
+    ORDER BY doc
+    """
+)
+
+# Deterministic per-source quota sample (operators/curation.
+# quota_sample): md5(id) order, ties by id — identical row choice in
+# both engines.
+oracle("q_quota_sample")(
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      ) AS rn FROM documents
+    ) WHERE rn <= 40
+    ORDER BY doc_id
+    """
+)

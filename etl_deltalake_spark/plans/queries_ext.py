@@ -250,6 +250,46 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document
+    (operators/curation.repetition_stats): dup-word, dup-2gram, and
+    top-word fractions — the boilerplate/spam gate a curation
+    pipeline applies before dedup."""
+    from etl_deltalake_spark.operators.curation import repetition_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_stats(docs, "doc_id", "text").orderBy("doc")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination report
+    (operators/curation.contamination_report): corpus docs whose
+    3-gram shingle sets overlap the benchmark slice (doc_id % 97 = 0)
+    above 5% — the GPT-3-style n-gram leak check. The bench gram set
+    broadcasts; the corpus is never self-joined."""
+    from etl_deltalake_spark.operators.curation import contamination_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(
+        corpus, bench, "doc_id", "text", k=3, threshold=0.05
+    ).orderBy("doc")
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota sampling
+    (operators/curation.quota_sample): at most 40 docs per source,
+    chosen by md5(doc_id) order — reproducible across engines and
+    re-partitions, no RNG."""
+    from etl_deltalake_spark.operators.curation import quota_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quota_sample(docs, "source", "doc_id", 40).select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
 # -------------------------------------------------------- similarity search
 
 _VEC_CACHE: dict[str, list[float]] = {}

@@ -120,6 +120,9 @@ SLOTLESS: tuple[str, ...] = (
     "q_weighted_mix",
     "q_lm_score",
     "q_resample_locf",
+    "q_repetition_stats",
+    "q_decontaminate",
+    "q_quota_sample",
 )
 
 

@@ -1,0 +1,102 @@
+"""Curation-operator semantics (operators/curation.py): repetition
+signals, decontamination, quota sampling. Cross-engine value gates
+are the q_repetition_stats / q_decontaminate / q_quota_sample oracles
+in tests/test_retired_queries.py; these pin the operator semantics on
+hand-built fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.curation import (
+    contamination_report,
+    decontaminate,
+    quota_sample,
+    repetition_stats,
+)
+
+
+def test_repetition_stats_hand_example(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # 5 words, 2 distinct; top 'a' x3
+            (2, "x y z"),           # all distinct
+            (3, "w w w w"),         # fully repeated
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 5
+    assert out[1]["dup_word_frac"] == 0.6          # 1 - 2/5
+    assert out[1]["top_word_frac"] == 0.6          # 3/5
+    # 2-grams of doc 1: ab ba ab ba -> 2 distinct of 4
+    assert out[1]["dup_2gram_frac"] == 0.5
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["dup_word_frac"] == 0.75
+    assert out[3]["top_word_frac"] == 1.0
+
+
+def test_contamination_flags_exact_and_partial_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # full copy
+            (2, "completely unrelated words here padding text"),
+            (3, "prefix words then the quick brown fox appears"),  # partial
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r["doc"]: r["overlap_frac"]
+        for r in contamination_report(
+            corpus, bench, "doc_id", "text", k=3, threshold=0.0
+        ).collect()
+    }
+    assert rep[1] == 1.0
+    assert rep[2] == 0.0
+    assert 0.0 < rep[3] < 1.0
+    cleaned = decontaminate(corpus, bench, "doc_id", "text", k=3, threshold=0.5)
+    assert sorted(r["doc_id"] for r in cleaned.collect()) == [2, 3]
+
+
+def test_quota_sample_caps_and_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], ["doc_id", "source"]
+    )
+    out = quota_sample(df, "source", "doc_id", 10)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {"s0": 10, "s1": 10, "s2": 10}
+    # deterministic: same rows on re-run and after a repartition
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in quota_sample(df.repartition(7), "source", "doc_id", 10).collect()
+    )
+    assert ids1 == ids2
+    # under-quota groups keep everything
+    small = quota_sample(df.filter(F.col("doc_id") < 5), "source", "doc_id", 10)
+    assert small.count() == 5
+    with pytest.raises(ValueError, match="quota"):
+        quota_sample(df, "source", "doc_id", 0)
+
+
+def test_contamination_plan_broadcasts_bench_no_self_join(spark, sf_dir):
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = contamination_report(
+        corpus, bench, "doc_id", "text", k=3, threshold=0.05
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
