@@ -1,0 +1,73 @@
+"""Structured physical-plan inspection: the programmatic form of the
+``.explain("formatted")`` audit this repo's SCALE.md does by hand.
+
+An engine that claims "no BNLJ in registered plans" or "this join is
+shuffle-free" should be able to ASSERT it; tests previously grepped
+raw plan strings ad hoc (tests/test_partitioning.py,
+test_plan_shapes.py) — this centralizes the parsing so plan
+regressions fail with a named counter instead of a string miss.
+
+Driver-side only, metadata-sized: reads the executed plan string,
+never touches data.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Counters over the executed physical plan:
+
+      exchanges          shuffle boundaries (Exchange hashpartitioning/
+                         rangepartitioning; AQE may collapse later)
+      broadcasts         BroadcastExchange nodes (broadcast joins)
+      bnlj               BroadcastNestedLoopJoin nodes (all-pairs —
+                         should be 0 in every scale-path plan)
+      cartesian          CartesianProduct nodes (ditto)
+      sort_merge_joins   SortMergeJoin nodes
+      hash_joins         BroadcastHashJoin + ShuffledHashJoin nodes
+      codegen_spans      WholeStageCodegen regions (wider = more of
+                         the plan fused into JVM loops)
+      scans              parquet/file scan nodes
+      pushed_filters     scan-level PushedFilters entries (non-empty
+                         lists only — evidence predicate pushdown
+                         reached the reader)
+    """
+    plan = plan_string(df)
+    pushed = [
+        m
+        for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        if m.strip()
+    ]
+    return {
+        "exchanges": len(re.findall(r"\bExchange (?:hash|range)partitioning", plan)),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "hash_joins": plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin"),
+        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "scans": len(re.findall(r"FileScan|Scan parquet", plan)),
+        "pushed_filters": pushed,
+    }
+
+
+def assert_scale_safe(df: DataFrame) -> dict:
+    """Raise AssertionError if the plan contains an all-pairs join
+    (BNLJ / CartesianProduct); returns the report otherwise. The
+    one-line guard an operator test adds to lock in its shape."""
+    report = plan_report(df)
+    if report["bnlj"] or report["cartesian"]:
+        raise AssertionError(
+            f"all-pairs join in plan (bnlj={report['bnlj']}, "
+            f"cartesian={report['cartesian']}):\n{plan_string(df)}"
+        )
+    return report

@@ -1265,3 +1265,80 @@ oracle("q_quota_sample")(
     ORDER BY doc_id
     """
 )
+
+
+# Declarative expectations report (operators/expectations.check):
+# every count_if rule is one conditional count in a single scan; the
+# uniqueness rule is its own grouped count.
+oracle("q_expectations")(
+    """
+    WITH agg AS (
+      SELECT
+        CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+          AS nn,
+        CAST(COUNT(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'),
+                                          FALSE) THEN 1 END) AS BIGINT)
+          AS av,
+        CAST(COUNT(CASE WHEN NOT COALESCE(
+              o_totalprice >= 0.0 AND o_totalprice <= 100000.0,
+              FALSE) THEN 1 END) AS BIGINT) AS ir,
+        CAST(GREATEST(1 - COUNT(*), COUNT(*) - 1000, 0) AS BIGINT) AS rc
+      FROM orders
+    ),
+    uq AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS u FROM (
+        SELECT COUNT(*) AS n FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1
+      )
+    )
+    SELECT rule, failing_rows = 0 AS passed, failing_rows FROM (
+      SELECT 'not_null_o_orderkey' AS rule, nn AS failing_rows FROM agg
+      UNION ALL
+      SELECT 'unique_o_orderkey', u FROM uq
+      UNION ALL
+      SELECT 'accepted_values_o_orderstatus', av FROM agg
+      UNION ALL
+      SELECT 'in_range_o_totalprice', ir FROM agg
+      UNION ALL
+      SELECT 'row_count_between_1_1000', rc FROM agg
+    )
+    ORDER BY rule
+    """
+)
+
+# SCD Type-2 merge (operators/scd.scd2_merge): batch1 (keys % 11 !=
+# 0) at 2024-01-01, batch2 (all keys, segment swapped for % 7 == 0)
+# at 2024-02-01 — closed+reopened for changed keys, kept for
+# unchanged, opened for new.
+oracle("q_scd2")(
+    """
+    WITH b1 AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 11 != 0
+    ),
+    b2 AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+          AS c_mktsegment
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current FROM (
+      SELECT b1.c_custkey, b1.c_mktsegment,
+        DATE '2024-01-01' AS valid_from, DATE '2024-02-01' AS valid_to,
+        FALSE AS is_current
+      FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+      WHERE b1.c_mktsegment IS DISTINCT FROM b2.c_mktsegment
+      UNION ALL
+      SELECT b1.c_custkey, b1.c_mktsegment,
+        DATE '2024-01-01', DATE '9999-12-31', TRUE
+      FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+      WHERE b1.c_mktsegment IS NOT DISTINCT FROM b2.c_mktsegment
+      UNION ALL
+      SELECT b2.c_custkey, b2.c_mktsegment,
+        DATE '2024-02-01', DATE '9999-12-31', TRUE
+      FROM b2 LEFT JOIN b1 ON b1.c_custkey = b2.c_custkey
+      WHERE b1.c_custkey IS NULL
+         OR b1.c_mktsegment IS DISTINCT FROM b2.c_mktsegment
+    )
+    ORDER BY c_custkey, valid_from
+    """
+)

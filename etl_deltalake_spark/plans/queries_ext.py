@@ -290,6 +290,52 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/expectations.check):
+    five rules over orders evaluated in ONE aggregation pass (plus the
+    uniqueness groupBy) — the dbt-test/Deequ surface, generalizing the
+    reference's arity guard (main.py:209-210)."""
+    from etl_deltalake_spark.operators import expectations as X
+
+    orders = load_table(spark, "orders", sf_dir)
+    return X.check(
+        orders,
+        [
+            X.not_null("o_orderkey"),
+            X.unique("o_orderkey"),
+            X.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            X.in_range("o_totalprice", 0.0, 100000.0),
+            X.row_count_between(1, 1000),
+        ],
+    ).orderBy("rule")
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.scd2_merge): load
+    the customer dimension (keys with custkey % 11 != 0) at
+    2024-01-01, then merge a 2024-02-01 batch that changes the
+    segment for custkey % 7 == 0 and introduces the % 11 keys —
+    changed keys get a closed row + a new open row, unchanged keys
+    keep their original row, new keys open. One key-shuffle join."""
+    from etl_deltalake_spark.operators.scd import scd2_init, scd2_merge
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    b1 = cust.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "eff", F.lit("2024-01-01")
+    )
+    t1 = scd2_init(b1, ["c_custkey"], ["c_mktsegment"], "eff")
+    b2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).withColumn("eff", F.lit("2024-02-01"))
+    t2 = scd2_merge(t1, b2, ["c_custkey"], ["c_mktsegment"], "eff")
+    return t2.orderBy("c_custkey", "valid_from")
+
+
 # -------------------------------------------------------- similarity search
 
 _VEC_CACHE: dict[str, list[float]] = {}

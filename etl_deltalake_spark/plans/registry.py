@@ -123,6 +123,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_repetition_stats",
     "q_decontaminate",
     "q_quota_sample",
+    "q_expectations",
+    "q_scd2",
 )
 
 

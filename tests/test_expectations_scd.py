@@ -1,0 +1,143 @@
+"""Data-quality expectations (operators/expectations.py) and SCD
+Type-2 merge (operators/scd.py) semantics on hand-built fixtures;
+cross-engine value gates are the q_expectations / q_scd2 oracles in
+tests/test_retired_queries.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators import expectations as X
+from etl_deltalake_spark.operators.scd import scd2_init, scd2_merge
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (2, "zz", -5.0),
+            (3, None, 30.0),
+        ],
+        ["id", "cat", "val"],
+    )
+
+
+def test_each_rule_kind(spark, frame):
+    report = {
+        r["rule"]: (r["passed"], r["failing_rows"])
+        for r in X.check(
+            frame,
+            [
+                X.not_null("id"),
+                X.not_null("cat"),
+                X.unique("id"),
+                X.accepted_values("cat", ["a", "b"]),
+                X.in_range("val", 0.0, 25.0),
+                X.row_count_between(1, 3),
+                X.satisfies("val_pos_when_a", (F.col("cat") != "a") | (F.col("val") > 0)),
+            ],
+        ).collect()
+    }
+    assert report["not_null_id"] == (True, 0)
+    assert report["not_null_cat"] == (False, 1)
+    assert report["unique_id"] == (False, 2)  # both id=2 rows count
+    # NULL cat and 'zz' both violate accepted_values
+    assert report["accepted_values_cat"] == (False, 2)
+    # -5.0 and 30.0 out of range
+    assert report["in_range_val"] == (False, 2)
+    assert report["row_count_between_1_3"] == (False, 1)  # 4 rows, hi=3
+    assert report["val_pos_when_a"] == (True, 0)
+
+
+def test_enforce_raises_with_all_failures(spark, frame):
+    with pytest.raises(ValueError, match="not_null_cat.*unique_id") as ei:
+        X.enforce(frame, [X.not_null("cat"), X.unique("id"), X.not_null("id")])
+    assert "not_null_id" not in str(ei.value)
+    X.enforce(frame, [X.not_null("id")])  # passing set is silent
+
+
+def test_references_rule_counts_orphans(spark, frame):
+    dim = spark.createDataFrame([("a",), ("b",)], ["code"])
+    report = {
+        r["rule"]: (r["passed"], r["failing_rows"])
+        for r in X.check(frame, [X.references("cat", dim, "code")]).collect()
+    }
+    # 'zz' is an orphan; the NULL cat row is NOT a violation
+    assert report["references_cat"] == (False, 1)
+
+
+def test_duplicate_rule_names_rejected(spark, frame):
+    with pytest.raises(ValueError, match="duplicate rule"):
+        X.check(frame, [X.not_null("id"), X.not_null("id")])
+
+
+def _scd_rows(df):
+    return sorted(
+        (
+            (
+                r["k"],
+                r["attr"],
+                str(r["valid_from"]),
+                str(r["valid_to"]),
+                r["is_current"],
+            )
+            for r in df.collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+
+
+def test_scd2_changed_unchanged_new_absent(spark):
+    b1 = spark.createDataFrame(
+        [(1, "x", "2024-01-01"), (2, "y", "2024-01-01"), (3, None, "2024-01-01")],
+        ["k", "attr", "eff"],
+    )
+    t1 = scd2_init(b1, ["k"], ["attr"], "eff")
+    # k=1 changed, k=2 absent (kept), k=3 null->null unchanged, k=4 new
+    b2 = spark.createDataFrame(
+        [(1, "X", "2024-02-01"), (3, None, "2024-02-01"), (4, "w", "2024-02-01")],
+        ["k", "attr", "eff"],
+    )
+    t2 = scd2_merge(t1, b2, ["k"], ["attr"], "eff")
+    assert _scd_rows(t2) == [
+        (1, "x", "2024-01-01", "2024-02-01", False),
+        (1, "X", "2024-02-01", "9999-12-31", True),
+        (2, "y", "2024-01-01", "9999-12-31", True),
+        (3, None, "2024-01-01", "9999-12-31", True),
+        (4, "w", "2024-02-01", "9999-12-31", True),
+    ]
+
+
+def test_scd2_null_transition_opens_version(spark):
+    t1 = scd2_init(
+        spark.createDataFrame(
+            [(1, None, "2024-01-01")], "k bigint, attr string, eff string"
+        ),
+        ["k"], ["attr"], "eff",
+    )
+    t2 = scd2_merge(
+        t1,
+        spark.createDataFrame([(1, "now-set", "2024-03-01")], ["k", "attr", "eff"]),
+        ["k"], ["attr"], "eff",
+    )
+    assert _scd_rows(t2) == [
+        (1, None, "2024-01-01", "2024-03-01", False),
+        (1, "now-set", "2024-03-01", "9999-12-31", True),
+    ]
+
+
+def test_scd2_second_merge_preserves_closed_history(spark):
+    b = lambda attr, eff: spark.createDataFrame(
+        [(1, attr, eff)], ["k", "attr", "eff"]
+    )
+    t = scd2_init(b("a", "2024-01-01"), ["k"], ["attr"], "eff")
+    t = scd2_merge(t, b("b", "2024-02-01"), ["k"], ["attr"], "eff")
+    t = scd2_merge(t, b("c", "2024-03-01"), ["k"], ["attr"], "eff")
+    assert _scd_rows(t) == [
+        (1, "a", "2024-01-01", "2024-02-01", False),
+        (1, "b", "2024-02-01", "2024-03-01", False),
+        (1, "c", "2024-03-01", "9999-12-31", True),
+    ]

@@ -9,23 +9,39 @@ from __future__ import annotations
 
 import re
 
-from etl_deltalake_spark.plans.registry import all_queries
+from etl_deltalake_spark.plans.inspect import plan_report, plan_string
+from etl_deltalake_spark.plans.registry import all_queries, retired_queries
 
 _FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
 
 def _physical_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_string(df)
 
 
-def test_no_quadratic_join_in_any_registered_query(spark, sf_dir):
-    offenders: dict[str, str] = {}
-    for name, fn in sorted(all_queries().items()):
-        plan = _physical_plan(fn(spark, sf_dir))
-        for node in _FORBIDDEN:
-            if node in plan:
-                offenders[name] = node
-    assert not offenders, f"quadratic join nodes in registered plans: {offenders}"
+# Queries whose one BNLJ is a SINGLE-ROW broadcast cross join (a
+# scalar aggregate folded into the plan — O(n), not all-pairs):
+# q_lm_score crossJoins the 1-row vocab-size aggregate.
+_SCALAR_CROSS_OK = {"q_lm_score": 1}
+
+
+def test_no_quadratic_join_in_any_query(spark, sf_dir):
+    """Registered AND retired/slotless: the whole query surface must
+    plan equi-joins, never all-pairs (plans/inspect.plan_report).
+    Single-row scalar cross joins are allowlisted by name with their
+    exact expected count — anything beyond fails."""
+    offenders: dict[str, dict] = {}
+    everything = {**all_queries(), **retired_queries()}
+    for name, fn in sorted(everything.items()):
+        report = plan_report(fn(spark, sf_dir))
+        if (
+            report["bnlj"] != _SCALAR_CROSS_OK.get(name, 0)
+            or report["cartesian"]
+        ):
+            offenders[name] = {
+                "bnlj": report["bnlj"], "cartesian": report["cartesian"]
+            }
+    assert not offenders, f"quadratic join nodes in plans: {offenders}"
 
 
 def test_bucketed_join_agg_has_no_exchange(spark, sf_dir):
