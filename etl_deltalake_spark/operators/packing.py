@@ -174,3 +174,62 @@ def mix_report(
             F.round(F.col("n_after") / F.col("n_before"), 6).alias("rate"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the chunking step a pretraining/RAG pipeline runs before packing
+    or embedding (stride = chunk_tokens - overlap; the final window
+    may be short; a doc shorter than one window yields one chunk).
+
+    Output: (doc, chunk_idx, chunk_start, n_tokens, chunk_text) with
+    chunk_start the 0-based token offset and chunk_text the
+    space-joined window. Tokenization is the whitespace split of the
+    normalized text (the same axis quality/lang/shingle operators
+    use), so chunk boundaries agree with the rest of the curation
+    stack.
+
+    Scale shape: entirely scan-side — normalize → split once
+    (attribute-bound, the CollapseProject rule dedup.shingle_rows
+    documents), window offsets via ``sequence`` + explode, window
+    content via ``slice``. Zero shuffles, zero UDFs; text is read
+    once per doc and only the emitted chunks leave the scan.
+    """
+    from etl_deltalake_spark.operators.text import normalize_text
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(text_col), " ").alias("words"),
+    )
+    wcol = F.col("words")
+    # number of windows: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.ceil(
+        F.greatest(F.size(wcol) - overlap, F.lit(1)) / F.lit(stride)
+    ).cast("int")
+    exploded = w.select(
+        "doc",
+        wcol,
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.slice(F.col("words"), start + 1, chunk_tokens)
+    return exploded.select(
+        "doc",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("chunk_start"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -1342,3 +1342,33 @@ oracle("q_scd2")(
     ORDER BY c_custkey, valid_from
     """
 )
+
+
+# Overlapping token-window chunking (operators/packing.
+# chunk_documents, 32/8): stride 24; slice bounds are the same
+# elements in both engines (Spark slice(arr, s+1, 32) == DuckDB
+# arr[s+1 : s+32] inclusive).
+oracle("q_chunk_docs")(
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    n AS (
+      SELECT doc_id, words,
+        CAST(ceil(GREATEST(len(words) - 8, 1) / 24.0) AS INT) AS n_chunks
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, words, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+    )
+    SELECT doc_id AS doc,
+      CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+      CAST(len(words[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT)
+        AS n_tokens,
+      array_to_string(words[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+        AS chunk_text
+    FROM e
+    ORDER BY doc, chunk_idx
+    """
+)

@@ -290,6 +290,19 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking
+    (operators/packing.chunk_documents): 32-token windows, 8-token
+    overlap — entirely scan-side (sequence/explode/slice), zero
+    shuffles; the pre-embedding / pre-packing step."""
+    from etl_deltalake_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    ).orderBy("doc", "chunk_idx")
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report (operators/expectations.check):
     five rules over orders evaluated in ONE aggregation pass (plus the

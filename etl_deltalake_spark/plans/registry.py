@@ -125,6 +125,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_quota_sample",
     "q_expectations",
     "q_scd2",
+    "q_chunk_docs",
 )
 
 

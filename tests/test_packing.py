@@ -118,3 +118,58 @@ def test_mix_report_covers_all_sources(spark, sf_dir):
     assert set(rows) == {r["source"] for r in docs.select("source").distinct().collect()}
     assert rows["src0"]["rate"] == 1.0
     assert rows["src5"]["n_after"] == 0
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from etl_deltalake_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, words), (2, "solo")], ["doc_id", "text"])
+    out = {
+        (r["doc"], r["chunk_idx"]): r
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=4, overlap=2
+        ).collect()
+    }
+    # doc 1: stride 2, ceil((10-2)/2)=4 chunks at starts 0,2,4,6
+    assert sorted(k for k in out if k[0] == 1) == [(1, i) for i in range(4)]
+    assert out[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[(1, 1)]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+    assert out[(1, 3)]["chunk_text"] == "w6 w7 w8 w9"
+    assert out[(1, 3)]["chunk_start"] == 6
+    assert all(out[(1, i)]["n_tokens"] == 4 for i in range(4))
+    # short doc: one (possibly short) chunk
+    assert out[(2, 0)]["chunk_text"] == "solo" and out[(2, 0)]["n_tokens"] == 1
+
+
+def test_chunk_documents_token_conservation_no_overlap(spark, sf_dir):
+    """With overlap=0 the chunks partition the token axis exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.operators.packing import chunk_documents
+    from etl_deltalake_spark.operators.text import normalize_text
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    got = (
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=0)
+        .groupBy("doc")
+        .agg(F.sum("n_tokens").alias("n"))
+    )
+    want = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.split(normalize_text("text"), " ")).cast("bigint").alias("m"),
+    )
+    assert got.join(want, "doc").filter(F.col("n") != F.col("m")).count() == 0
+
+
+def test_chunk_documents_rejects_bad_args(spark):
+    import pytest
+
+    from etl_deltalake_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
