@@ -1,0 +1,128 @@
+"""Table reconciliation: keyed diff of two relations and a one-pass
+column profile — the observability half of the quality toolkit
+(operators/expectations.py is the gating half).
+
+``table_diff`` answers "what changed between these two snapshots?"
+(e.g. two VersionedTable versions, or source vs migrated copy):
+per-key classification into added / removed / changed / unchanged,
+computed with ONE full-outer key-shuffle join and null-safe column
+comparison — the same join shape as scd.scd2_merge, because a diff
+IS an SCD2 change detection without the history write.
+
+``profile_columns`` answers "what does this table look like?":
+null count, distinct count (exact), min/max per column, all compiled
+into a single aggregation pass over one scan (distinct counts make it
+one shuffle); the report is #columns rows. At 100 TB swap the exact
+``count_distinct`` for ``approx_count_distinct`` via ``approx=True``
+— same report shape, sketch-merge instead of key shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff: one row per key present in either side, classified
+
+      added      key only in ``right``
+      removed    key only in ``left``
+      changed    key in both, any compared column differs (null-safe)
+      unchanged  key in both, all compared columns equal
+
+    ``compare_cols`` defaults to every shared non-key column. Output
+    is (key_cols..., diff) — project/join back for full rows; keeping
+    the diff table narrow means only keys + compared values shuffle.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    a = left.select(
+        *key_cols, *[F.col(c).alias(f"_l_{c}") for c in compare_cols]
+    )
+    b = right.select(
+        *[F.col(k).alias(f"_rk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
+    )
+    cond = [a[k].eqNullSafe(b[f"_rk_{k}"]) for k in key_cols]
+    j = a.join(b, cond, "full")
+
+    in_left = a[key_cols[0]].isNotNull()
+    in_right = b[f"_rk_{key_cols[0]}"].isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+    diff = (
+        F.when(~in_left, F.lit("added"))
+        .when(~in_right, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    keys = [
+        F.coalesce(a[k], b[f"_rk_{k}"]).alias(k) for k in key_cols
+    ]
+    return j.select(*keys, diff.alias("diff"))
+
+
+def diff_summary(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """(diff, n) counts over ``table_diff`` — the four-row report a
+    migration check reads."""
+    return (
+        table_diff(left, right, key_cols, compare_cols)
+        .groupBy("diff")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Per-column profile: (col_name, n_null, n_distinct, min_str,
+    max_str) — min/max rendered as strings so one report covers mixed
+    types. Every statistic for every column is computed in a SINGLE
+    aggregation (one scan; the exact distincts expand internally, or
+    HLL sketches when ``approx=True``); the stack() pivot to rows is
+    over the 1-row aggregate, driver-free.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    missing = [c for c in cols if c not in set(df.columns)]
+    if missing:
+        raise ValueError(f"unknown columns {missing}")
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count_if(F.col(c).isNull()).cast("bigint").alias(f"_null_{c}"),
+            nd(c).cast("bigint").alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `_null_{c}`, `_nd_{c}`, `_min_{c}`, `_max_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(col_name, n_null, n_distinct, min_str, max_str)"
+        )
+    )

@@ -1372,3 +1372,73 @@ oracle("q_chunk_docs")(
     ORDER BY doc, chunk_idx
     """
 )
+
+
+# Keyed snapshot diff (operators/reconcile.table_diff): one
+# full-outer join, null-safe compare.
+oracle("q_table_diff")(
+    """
+    WITH l AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 13 != 0
+    ),
+    r AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+          AS c_mktsegment
+      FROM customer WHERE c_custkey % 17 != 0
+    )
+    SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+      CASE WHEN l.c_custkey IS NULL THEN 'added'
+           WHEN r.c_custkey IS NULL THEN 'removed'
+           WHEN l.c_mktsegment IS NOT DISTINCT FROM r.c_mktsegment
+             THEN 'unchanged'
+           ELSE 'changed' END AS diff
+    FROM l FULL JOIN r ON l.c_custkey = r.c_custkey
+    ORDER BY c_custkey
+    """
+)
+
+# One-pass column profiler (operators/reconcile.profile_columns):
+# per-column null/distinct/min/max as strings (no double columns in
+# the query — cross-engine float FORMATTING is not pinned, values
+# are).
+oracle("q_profile")(
+    """
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col_name,
+        CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+          AS n_null,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+        CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+        CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT),
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+        CAST(COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT),
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        CAST(MIN(o_orderstatus) AS VARCHAR),
+        CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+        CAST(COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS BIGINT),
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        CAST(MIN(o_orderpriority) AS VARCHAR),
+        CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+        CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT),
+        CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+        CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+      FROM orders
+    )
+    ORDER BY col_name
+    """
+)

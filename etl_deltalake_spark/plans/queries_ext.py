@@ -303,6 +303,46 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc", "chunk_idx")
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/reconcile.table_diff): left =
+    customers sans % 13 keys, right = customers sans % 17 keys with
+    the segment swapped for % 7 — classifies every key added/removed/
+    changed/unchanged in one full-outer key join (the migration /
+    version reconciliation check)."""
+    from etl_deltalake_spark.operators.reconcile import table_diff
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    left = cust.filter(F.col("c_custkey") % 13 != 0)
+    right = cust.filter(F.col("c_custkey") % 17 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return table_diff(left, right, ["c_custkey"]).orderBy("c_custkey")
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/reconcile.profile_columns):
+    null/distinct/min/max for five orders columns in a single
+    aggregation over one scan."""
+    from etl_deltalake_spark.operators.reconcile import profile_columns
+
+    orders = load_table(spark, "orders", sf_dir)
+    return profile_columns(
+        orders,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate",
+        ],
+    ).orderBy("col_name")
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report (operators/expectations.check):
     five rules over orders evaluated in ONE aggregation pass (plus the

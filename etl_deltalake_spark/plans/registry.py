@@ -126,6 +126,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_expectations",
     "q_scd2",
     "q_chunk_docs",
+    "q_table_diff",
+    "q_profile",
 )
 
 

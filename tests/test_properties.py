@@ -228,3 +228,79 @@ def test_minhash_pairs_subset_of_exact_and_complete_on_identicals(spark, texts):
         for j2 in range(i + 1, len(texts)):
             if texts[j2] == a:
                 assert (i, j2) in lsh, (i, j2, a)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    chunk=st.integers(min_value=1, max_value=6),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+def test_chunk_documents_matches_bruteforce(spark, docs, chunk, overlap_frac):
+    """chunk_documents == the sliding-window model: starts at
+    0, stride, 2*stride, ...; each window is words[s : s+chunk];
+    ceil(max(n - overlap, 1) / stride) windows."""
+    import math
+
+    from etl_deltalake_spark.operators.packing import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id int, text string"
+    )
+    got = {
+        (r["doc"], r["chunk_idx"]): (r["chunk_start"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    }
+    for i, ws in enumerate(docs):
+        # normalize_text of "" splits to [""] — one empty token
+        words = ws if ws else [""]
+        n = len(words)
+        n_chunks = math.ceil(max(n - overlap, 1) / stride)
+        for c in range(n_chunks):
+            s = c * stride
+            piece = words[s : s + chunk]
+            assert got[(i, c)] == (s, len(piece), " ".join(piece)), (
+                i, c, words, chunk, overlap,
+            )
+        assert (i, n_chunks) not in got
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    quota=st.integers(min_value=1, max_value=5),
+)
+def test_quota_sample_matches_bruteforce(spark, rows, quota):
+    """quota_sample == per-group head(quota) of rows sorted by
+    (md5(str(id)), id)."""
+    import hashlib
+
+    from etl_deltalake_spark.operators.curation import quota_sample
+
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    got = sorted(
+        r["id"] for r in quota_sample(df, "grp", "id", quota).collect()
+    )
+    want = []
+    for g in {g for _, g in rows}:
+        members = sorted(
+            (i for i, gg in rows if gg == g),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        want.extend(members[:quota])
+    assert got == sorted(want)
