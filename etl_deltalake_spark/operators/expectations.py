@@ -97,6 +97,11 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     names = [n for n, _, _ in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names in {names}")
+    if not rules:
+        # empty rule set passes trivially: an empty typed report
+        return df.sparkSession.createDataFrame(
+            [], "rule string, passed boolean, failing_rows bigint"
+        )
 
     aggs = []
     for name, kind, p in rules:
@@ -116,15 +121,16 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         elif kind not in ("unique", "fk"):
             raise ValueError(f"unknown rule kind {kind!r}")
 
+    scalar_kinds = ("count_if", "row_count")
     parts = []
     if aggs:
         wide = df.agg(*aggs)
         stack_expr = ", ".join(
             f"'{name}', `{name}`"
             for name, kind, _ in rules
-            if kind != "unique"
+            if kind in scalar_kinds
         )
-        n_scalar = len([1 for _, k, _ in rules if k != "unique"])
+        n_scalar = len([1 for _, k, _ in rules if k in scalar_kinds])
         parts.append(
             wide.select(
                 F.expr(

@@ -47,18 +47,25 @@ def table_diff(
     if compare_cols is None:
         shared = [c for c in left.columns if c in set(right.columns)]
         compare_cols = [c for c in shared if c not in set(key_cols)]
+    # Side presence is tracked with explicit marker columns — testing
+    # the key columns for NULL would misclassify legitimately
+    # NULL-keyed rows (eqNullSafe matches them across sides) as
+    # 'added' regardless of where they live.
     a = left.select(
-        *key_cols, *[F.col(c).alias(f"_l_{c}") for c in compare_cols]
+        *key_cols,
+        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_l"),
     )
     b = right.select(
         *[F.col(k).alias(f"_rk_{k}") for k in key_cols],
         *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_r"),
     )
     cond = [a[k].eqNullSafe(b[f"_rk_{k}"]) for k in key_cols]
     j = a.join(b, cond, "full")
 
-    in_left = a[key_cols[0]].isNotNull()
-    in_right = b[f"_rk_{key_cols[0]}"].isNotNull()
+    in_left = F.coalesce(F.col("_in_l"), F.lit(False))
+    in_right = F.coalesce(F.col("_in_r"), F.lit(False))
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))

@@ -74,16 +74,22 @@ def scd2_merge(
     closed = current.filter(~F.col("is_current")).select(*schema_cols)
     open_rows = current.filter(F.col("is_current")).select(*schema_cols)
 
+    open_rows = open_rows.withColumn("_in_cur", F.lit(True))
     up = updates.select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
         F.col(effective_col).cast("date").alias("_u_eff"),
+        F.lit(True).alias("_in_upd"),
     )
+    # SQL MERGE key semantics: NULL keys never match (plain ==), but
+    # presence is tracked with explicit markers so a NULL-keyed open
+    # row still takes the 'absent → keep' branch instead of being
+    # silently dropped, and a NULL-keyed update still opens a row.
     cond = [open_rows[k] == up[f"_u_{k}"] for k in key_cols]
     j = open_rows.join(up, cond, "full")
 
-    has_open = j[key_cols[0]].isNotNull() if key_cols else F.lit(False)
-    has_upd = j[f"_u_{key_cols[0]}"].isNotNull()
+    has_open = F.coalesce(j["_in_cur"], F.lit(False))
+    has_upd = F.coalesce(j["_in_upd"], F.lit(False))
     changed = has_open & has_upd & ~_all_same(j, tracked_cols)
 
     kept_open = j.filter(has_open & (~has_upd | ~changed)).select(*schema_cols)

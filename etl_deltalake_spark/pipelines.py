@@ -41,7 +41,13 @@ from etl_deltalake_spark.sources.table_format import (
     table_exists,
     write_table,
 )
-from etl_deltalake_spark.sources.watermark import commit_watermark, read_watermark
+from etl_deltalake_spark.sources.watermark import (
+    clear_pending,
+    commit_watermark,
+    read_pending,
+    read_watermark,
+    write_pending,
+)
 
 TICKER_FLOAT_COLS = [
     "price_usd", "percent_change_24h", "percent_change_1h",
@@ -78,10 +84,24 @@ def run_ticker_incremental(
     )
     wm_store = f"{root}/control/watermarks"
 
-    df, new_wm = http_extract_incremental(
+    df, derived_wm = http_extract_incremental(
         spark, base_url, "ticker", params=params, fetcher=fetcher
     )
     last = read_watermark(spark, wm_store, "ticker")
+
+    # Two-phase batch identity: the batch stamp must be STABLE across
+    # a crash + re-poll, or every idempotency guard keyed on it misses
+    # (the re-poll derives a fresh wall-clock watermark and the same
+    # rows double-ingest under a second ingested_at). Phase 1 durably
+    # records the stamp before any table write; a surviving
+    # uncommitted marker makes the re-run adopt the ORIGINAL stamp.
+    pending = read_pending(spark, wm_store, "ticker")
+    if pending is not None and (last is None or pending > last):
+        new_wm = pending  # resume the crashed batch under its identity
+    else:
+        new_wm = derived_wm
+        write_pending(spark, wm_store, "ticker", new_wm)
+
     df = df.withColumn("ingested_at", F.lit(new_wm))
     if last is not None:
         # idempotent re-poll guard: drop batches at/before the watermark
@@ -91,10 +111,11 @@ def run_ticker_incremental(
     # after any write re-processes the batch on the next run. Every
     # layer write is therefore guarded to be idempotent on re-run —
     # Bronze/Gold skip a batch they already hold (the batch is
-    # identified by its single ingested_at == new_wm), Silver's MERGE
-    # is insert-if-absent by construction. The earlier ordering
-    # (commit after Silver, before Gold) silently lost the batch from
-    # Gold forever when the Gold append failed.
+    # identified by its single ingested_at == new_wm, stable via the
+    # pending marker above), Silver's MERGE is insert-if-absent by
+    # construction. The earlier ordering (commit after Silver, before
+    # Gold) silently lost the batch from Gold forever when the Gold
+    # append failed.
     def _has_batch(path: str) -> bool:
         return (
             table_exists(spark, path)
@@ -135,6 +156,7 @@ def run_ticker_incremental(
         # cold start: the first batch IS the full history
         write_table(gold_aggregation(cleaned, **gold_args), gold, mode="overwrite")
     commit_watermark(spark, wm_store, "ticker", "ingested_at", new_wm)
+    clear_pending(spark, wm_store, "ticker")
     return read_table(spark, gold)
 
 

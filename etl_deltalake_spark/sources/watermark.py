@@ -101,3 +101,54 @@ def incremental_load(
     row = delta.select(F.max(incremental_column).alias("m")).collect()[0]
     new_wm = None if row["m"] is None else str(row["m"])
     return delta, new_wm
+
+
+_PENDING_PREFIX = "_pending_"
+
+
+def read_pending(spark: SparkSession, store_path: str, table_name: str):
+    """Pending-batch watermark written by ``write_pending`` before a
+    run's first table write, or None. A surviving pending value whose
+    batch never committed is how a crashed run's re-execution learns
+    the ORIGINAL batch identity (see pipelines.run_ticker_incremental:
+    the batch stamp must be stable across the re-poll, or every
+    idempotency guard keyed on it misses and the batch double-
+    ingests)."""
+    return read_watermark(spark, store_path, _PENDING_PREFIX + table_name)
+
+
+def write_pending(
+    spark: SparkSession, store_path: str, table_name: str, value: str
+) -> None:
+    """Phase 1 of the two-phase batch commit: durably record the
+    batch identity BEFORE any table write. Overwrites a stale pending
+    value (one in-flight batch per table — single-writer, like
+    ``commit_watermark``)."""
+    name = _PENDING_PREFIX + table_name
+    new_row = spark.createDataFrame(
+        [(name, "pending", str(value))], list(_SCHEMA_COLS)
+    )
+    if table_exists(spark, store_path):
+        others = read_table(spark, store_path).filter(
+            F.col("table_name") != name
+        )
+        merged = others.unionByName(new_row).localCheckpoint(eager=True)
+    else:
+        merged = new_row
+    write_table(merged, store_path, mode="overwrite")
+
+
+def clear_pending(
+    spark: SparkSession, store_path: str, table_name: str
+) -> None:
+    """Phase 2 (after ``commit_watermark``): drop the pending marker.
+    A crash between commit and clear is benign — the next run sees
+    pending <= committed watermark and discards the stale marker."""
+    if not table_exists(spark, store_path):
+        return
+    name = _PENDING_PREFIX + table_name
+    current = read_table(spark, store_path)
+    remaining = current.filter(F.col("table_name") != name).localCheckpoint(
+        eager=True
+    )
+    write_table(remaining, store_path, mode="overwrite")

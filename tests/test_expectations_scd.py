@@ -141,3 +141,54 @@ def test_scd2_second_merge_preserves_closed_history(spark):
         (1, "b", "2024-02-01", "2024-03-01", False),
         (1, "c", "2024-03-01", "9999-12-31", True),
     ]
+
+
+def test_fk_combines_with_scalar_rules(spark, frame):
+    """references() must compose with count_if rules in one check()
+    call — the module docstring's own recommended pairing (previously
+    the fk rule name leaked into the scalar stack() and crashed)."""
+    dim = spark.createDataFrame([("a",), ("b",)], ["code"])
+    report = {
+        r["rule"]: (r["passed"], r["failing_rows"])
+        for r in X.check(
+            frame,
+            [X.not_null("cat"), X.references("cat", dim, "code"), X.unique("id")],
+        ).collect()
+    }
+    assert report["not_null_cat"] == (False, 1)
+    assert report["references_cat"] == (False, 1)
+    assert report["unique_id"] == (False, 2)
+
+
+def test_empty_rule_set_passes(spark, frame):
+    assert X.check(frame, []).count() == 0
+    X.enforce(frame, [])  # no raise
+
+
+def test_scd2_null_keyed_rows_not_dropped(spark):
+    """A NULL business key never matches (SQL MERGE semantics) but
+    the rows must not vanish: the open row keeps, the update opens."""
+    t1 = scd2_init(
+        spark.createDataFrame(
+            [(None, "orphan", "2024-01-01"), (1, "a", "2024-01-01")],
+            "k bigint, attr string, eff string",
+        ),
+        ["k"], ["attr"], "eff",
+    )
+    t2 = scd2_merge(
+        t1,
+        spark.createDataFrame(
+            [(None, "new-orphan", "2024-02-01")],
+            "k bigint, attr string, eff string",
+        ),
+        ["k"], ["attr"], "eff",
+    )
+    rows = sorted(
+        ((r["k"], r["attr"], r["is_current"]) for r in t2.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1] or ""),
+    )
+    assert rows == [
+        (None, "new-orphan", True),   # NULL-keyed update opens
+        (None, "orphan", True),       # NULL-keyed open row kept
+        (1, "a", True),
+    ]

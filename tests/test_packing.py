@@ -173,3 +173,16 @@ def test_chunk_documents_rejects_bad_args(spark):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+
+
+def test_chunk_documents_plan_is_scan_side(spark, sf_dir):
+    """Chunking must be pure scan-side: zero exchanges, zero joins."""
+    from etl_deltalake_spark.operators.packing import chunk_documents
+    from etl_deltalake_spark.plans.inspect import plan_report
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    report = plan_report(chunk_documents(docs, "doc_id", "text"))
+    assert report["exchanges"] == 0
+    assert report["bnlj"] == 0 and report["cartesian"] == 0
+    assert report["sort_merge_joins"] + report["hash_joins"] == 0

@@ -253,3 +253,78 @@ def test_wide_json_to_long_idiomatic(spark):
     assert set(df.columns) >= {"id", "name", "volume_usd", "country"}
     with pytest.raises(ValueError):
         wide_json_to_long(spark, {}, key_name="id")
+
+
+def test_crash_before_gold_recovers_without_duplicates(spark, tmp_path, monkeypatch):
+    """Crash between the Silver merge and the Gold append, then re-run
+    with a LATER clock: the pending-batch marker pins the original
+    batch identity, so Bronze/Silver gain no duplicate rows, Gold gets
+    the batch exactly once, and the watermark commits the ORIGINAL
+    stamp — not the re-poll's."""
+    from etl_deltalake_spark.sources.watermark import read_pending
+
+    root = str(tmp_path / "lake")
+    wm_store = f"{root}/control/watermarks"
+    P.run_ticker_incremental(spark, root, "https://fake.api", make_ticker_fetcher(1))
+
+    real_write = P.write_table
+
+    def failing_write(df, path, *a, **k):
+        if "/Gold/" in path:
+            raise RuntimeError("injected gold-write failure")
+        return real_write(df, path, *a, **k)
+
+    monkeypatch.setattr(P, "write_table", failing_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        P.run_ticker_incremental(
+            spark, root, "https://fake.api", make_ticker_fetcher(2)
+        )
+    monkeypatch.setattr(P, "write_table", real_write)
+
+    # the crashed batch's identity survived
+    assert read_pending(spark, wm_store, "ticker") == "2024-01-02 00:00:02"
+
+    # re-run: SAME poll-2 data, clock has moved on (later Date header)
+    poll2_data, _ = make_ticker_fetcher(2)("u")
+
+    def refetch(url, params=None, headers=None):
+        return poll2_data, {"Date": "Wed, 03 Jan 2024 00:00:09 GMT"}
+
+    P.run_ticker_incremental(spark, root, "https://fake.api", refetch)
+
+    bronze = read_table(spark, f"{root}/Bronze/CoinLore/ticker")
+    silver = read_table(spark, f"{root}/Silver/CoinLore/ticker")
+    gold = read_table(spark, f"{root}/Gold/CoinLore/ticker")
+    assert bronze.count() == 6, "Bronze must not double-ingest the batch"
+    assert silver.count() == 6, "Silver must not double-ingest the batch"
+    assert gold.count() == 6, "Gold must hold the batch exactly once"
+    # batch kept its ORIGINAL stamp; nothing under the re-poll's clock
+    assert silver.filter(F.col("ingested_at") == "2024-01-02 00:00:02").count() == 3
+    assert silver.filter(F.col("ingested_at") > "2024-01-02 00:00:02").count() == 0
+    # cumsum proves Gold saw poll 1 + poll 2 exactly once each
+    g = {
+        (r["id"], r["ingested_at"]): r["cumsum_volume24a"]
+        for r in gold.select("id", "ingested_at", "cumsum_volume24a").collect()
+    }
+    assert g[("90", "2024-01-02 00:00:02")] == 150.0
+    # watermark committed the original stamp and the marker is gone
+    assert read_watermark(spark, wm_store, "ticker") == "2024-01-02 00:00:02"
+    assert read_pending(spark, wm_store, "ticker") is None
+
+
+def test_stale_pending_from_committed_batch_is_ignored(spark, tmp_path):
+    """A pending marker at/below the committed watermark (crash
+    between commit and clear) must NOT hijack the next batch's
+    identity."""
+    from etl_deltalake_spark.sources.watermark import read_pending, write_pending
+
+    root = str(tmp_path / "lake")
+    wm_store = f"{root}/control/watermarks"
+    P.run_ticker_incremental(spark, root, "https://fake.api", make_ticker_fetcher(1))
+    # simulate the commit-then-crash-before-clear window
+    write_pending(spark, wm_store, "ticker", "2024-01-01 00:00:01")
+    P.run_ticker_incremental(spark, root, "https://fake.api", make_ticker_fetcher(2))
+    silver = read_table(spark, f"{root}/Silver/CoinLore/ticker")
+    assert silver.count() == 6
+    assert silver.filter(F.col("ingested_at") == "2024-01-02 00:00:02").count() == 3
+    assert read_pending(spark, wm_store, "ticker") is None

@@ -85,3 +85,15 @@ def test_diff_plan_is_single_key_join(spark, sf_dir):
 
     report = assert_scale_safe(q_table_diff(spark, sf_dir))
     assert report["sort_merge_joins"] + report["hash_joins"] == 1
+
+
+def test_diff_null_keys_classified_by_side_not_key(spark):
+    """NULL-keyed rows must classify by which side holds them (they
+    match each other under eqNullSafe), never blanket-'added'."""
+    schema = "k bigint, v string"
+    l_only = spark.createDataFrame([(None, "x")], schema)
+    empty = spark.createDataFrame([], schema)
+    assert table_diff(l_only, empty, ["k"]).collect()[0]["diff"] == "removed"
+    assert table_diff(empty, l_only, ["k"]).collect()[0]["diff"] == "added"
+    both = table_diff(l_only, spark.createDataFrame([(None, "y")], schema), ["k"])
+    assert both.collect()[0]["diff"] == "changed"
