@@ -190,3 +190,41 @@ def quota_sample(
         .filter(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by the
+    md5 of its id — deterministic, engine-reproducible, and stable
+    under re-partitioning or incremental growth (a doc's split never
+    changes when new docs arrive, unlike fraction-of-position
+    schemes). Adds a ``split`` column.
+
+    ``fractions`` must sum to 1 (±1e-9). Boundaries are cumulative
+    fractions of the 32-hex-digit md5 space; the comparison is plain
+    string ordering on the full digest against literal hex cutoffs,
+    so any engine with md5 reproduces the exact assignment. Scan-side
+    expression — zero shuffles, no RNG seed to drift.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be non-negative: {fractions}")
+    # cumulative cutoffs as full-width 32-hex literals (first 12 hex
+    # digits carry the fraction; the rest zero-padded)
+    names = list(fractions)
+    cuts = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        cuts.append(f"{int(acc * 16**12):012x}" + "0" * 20)
+    h = F.md5(F.col(id_col).cast("string"))
+    expr = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(h < cut, F.lit(name)).otherwise(expr)
+    # nested whens evaluate smallest cutoff first via the fold above
+    return df.withColumn("split", expr)

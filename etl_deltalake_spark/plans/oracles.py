@@ -1442,3 +1442,21 @@ oracle("q_profile")(
     ORDER BY col_name
     """
 )
+
+
+# Deterministic hash split (operators/curation.hash_split, 80/10/10):
+# cumulative md5-hex cutoffs, plain string comparison in both engines.
+oracle("q_hash_split")(
+    """
+    SELECT doc_id,
+      CASE
+        WHEN md5(CAST(doc_id AS VARCHAR))
+             < 'cccccccccccc00000000000000000000' THEN 'train'
+        WHEN md5(CAST(doc_id AS VARCHAR))
+             < 'e6666666666600000000000000000000' THEN 'val'
+        ELSE 'test'
+      END AS split
+    FROM documents
+    ORDER BY doc_id
+    """
+)

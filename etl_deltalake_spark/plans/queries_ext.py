@@ -303,6 +303,19 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc", "chunk_idx")
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators/curation.hash_split, 80/10/10 by md5(doc_id) hex
+    range): scan-side expression, no RNG, stable under corpus
+    growth."""
+    from etl_deltalake_spark.operators.curation import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split").orderBy("doc_id")
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed snapshot diff (operators/reconcile.table_diff): left =
     customers sans % 13 keys, right = customers sans % 17 keys with

@@ -128,6 +128,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_chunk_docs",
     "q_table_diff",
     "q_profile",
+    "q_hash_split",
 )
 
 

@@ -100,3 +100,36 @@ def test_contamination_plan_broadcasts_bench_no_self_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hash_split_fractions_and_determinism(spark, sf_dir):
+    from etl_deltalake_spark.operators.curation import hash_split
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    assert counts["train"] > counts.get("val", 0)
+    # stable under growth: a subset's assignments equal the full run's
+    sub = hash_split(
+        docs.filter(F.col("doc_id") < 100), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_hash_split_rejects_bad_fractions(spark, sf_dir):
+    from etl_deltalake_spark.operators.curation import hash_split
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(docs, "doc_id", {"train": 1.2, "val": -0.2})
