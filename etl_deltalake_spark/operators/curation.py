@@ -214,15 +214,28 @@ def hash_split(
         raise ValueError(f"fractions must sum to 1, got {total}")
     if any(f < 0 for f in fractions.values()):
         raise ValueError(f"fractions must be non-negative: {fractions}")
-    # cumulative cutoffs as full-width 32-hex literals (first 12 hex
-    # digits carry the fraction; the rest zero-padded)
-    names = list(fractions)
+    # Zero-fraction splits can never receive a row — drop them before
+    # building cutoffs (a trailing zero split would otherwise push a
+    # cumulative fraction to 1.0, whose cutoff overflows 12 hex digits
+    # and corrupts the string comparison). Cutoffs are additionally
+    # clamped below 16^12 against float-rounding at the top end.
+    names = [n for n, f in fractions.items() if f > 0]
+    if not names:
+        raise ValueError("at least one fraction must be positive")
     cuts = []
     acc = 0.0
     for name in names[:-1]:
         acc += fractions[name]
-        cuts.append(f"{int(acc * 16**12):012x}" + "0" * 20)
-    h = F.md5(F.col(id_col).cast("string"))
+        cut = min(int(acc * 16**12), 16**12 - 1)
+        cuts.append(f"{cut:012x}" + "0" * 20)
+    # A NULL id cannot be hashed — it would silently fall through to
+    # the last split (md5(NULL) is NULL, every comparison NULL); fail
+    # loudly row-side instead.
+    h = F.when(
+        F.col(id_col).isNotNull(), F.md5(F.col(id_col).cast("string"))
+    ).otherwise(
+        F.raise_error(F.lit(f"hash_split: NULL {id_col} cannot be assigned"))
+    )
     expr = F.lit(names[-1])
     for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
         expr = F.when(h < cut, F.lit(name)).otherwise(expr)

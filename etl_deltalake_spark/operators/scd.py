@@ -70,6 +70,8 @@ def scd2_merge(
     enforce upstream with expectations.unique; multi-row batches
     need a pre-collapse to the latest row per key.
     """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
     schema_cols = [*key_cols, *tracked_cols, "valid_from", "valid_to", "is_current"]
     closed = current.filter(~F.col("is_current")).select(*schema_cols)
     open_rows = current.filter(F.col("is_current")).select(*schema_cols)

@@ -44,8 +44,7 @@ from etl_deltalake_spark.sources.table_format import (
 from etl_deltalake_spark.sources.watermark import (
     clear_pending,
     commit_watermark,
-    read_pending,
-    read_watermark,
+    read_batch_state,
     write_pending,
 )
 
@@ -87,15 +86,13 @@ def run_ticker_incremental(
     df, derived_wm = http_extract_incremental(
         spark, base_url, "ticker", params=params, fetcher=fetcher
     )
-    last = read_watermark(spark, wm_store, "ticker")
-
     # Two-phase batch identity: the batch stamp must be STABLE across
     # a crash + re-poll, or every idempotency guard keyed on it misses
     # (the re-poll derives a fresh wall-clock watermark and the same
     # rows double-ingest under a second ingested_at). Phase 1 durably
     # records the stamp before any table write; a surviving
     # uncommitted marker makes the re-run adopt the ORIGINAL stamp.
-    pending = read_pending(spark, wm_store, "ticker")
+    last, pending = read_batch_state(spark, wm_store, "ticker")
     if pending is not None and (last is None or pending > last):
         new_wm = pending  # resume the crashed batch under its identity
     else:
@@ -141,6 +138,15 @@ def run_ticker_incremental(
     else:
         write_table(cleaned, silver, mode="overwrite")
 
+    # Gold derives from the DURABLY-STORED Silver batch, not the
+    # in-memory poll: on a crash-recovery re-run the re-fetched
+    # payload may differ from what the crashed run merged into Silver
+    # (live API moved on), and Silver's insert-if-absent keeps the
+    # original rows — aggregating `cleaned` instead would break
+    # "Gold == full recompute over Silver" for that batch.
+    batch_rows = read_table(spark, silver).filter(
+        F.col("ingested_at") == F.lit(new_wm)
+    )
     gold_args = dict(
         group_col="id",
         diff_cols=["market_cap_usd", "volume24"],
@@ -150,11 +156,15 @@ def run_ticker_incremental(
     if table_exists(spark, gold):
         if not _has_batch(gold):
             state = gold_state_from(read_table(spark, gold), **gold_args)
-            batch_gold = gold_aggregation_incremental(cleaned, state, **gold_args)
+            batch_gold = gold_aggregation_incremental(
+                batch_rows, state, **gold_args
+            )
             write_table(batch_gold, gold, mode="append")
     else:
         # cold start: the first batch IS the full history
-        write_table(gold_aggregation(cleaned, **gold_args), gold, mode="overwrite")
+        write_table(
+            gold_aggregation(batch_rows, **gold_args), gold, mode="overwrite"
+        )
     commit_watermark(spark, wm_store, "ticker", "ingested_at", new_wm)
     clear_pending(spark, wm_store, "ticker")
     return read_table(spark, gold)

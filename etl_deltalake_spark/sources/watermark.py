@@ -31,15 +31,70 @@ def read_watermark(spark: SparkSession, store_path: str, table_name: str):
     """S7 (made live): last committed watermark value for a table, as
     an ISO string, or None on first run. Existence goes through the
     Hadoop FS API so object-store paths behave like local ones."""
+    return read_values(spark, store_path, [table_name])[table_name]
+
+
+def read_values(
+    spark: SparkSession, store_path: str, table_names: list[str]
+) -> dict:
+    """One store read serving several lookups (name → value or None).
+    The store is metadata-sized but lives on object storage — callers
+    that need both the committed and the pending value (the pipeline
+    does, every run) should pay one list/read round, not two."""
+    out = {n: None for n in table_names}
     if not table_exists(spark, store_path):
-        return None
+        return out
     rows = (
         read_table(spark, store_path)
-        .filter(F.col("table_name") == table_name)
-        .select("last_value")
+        .filter(F.col("table_name").isin(table_names))
+        .select("table_name", "last_value")
         .collect()
     )
-    return rows[0]["last_value"] if rows else None
+    for r in rows:
+        out[r["table_name"]] = r["last_value"]
+    return out
+
+
+def _overwrite_store(
+    spark: SparkSession, store_path: str, merged: DataFrame
+) -> None:
+    """The store's single write path: checkpoint the new contents off
+    the table being replaced, then overwrite. Every mutation
+    (commit/pending/clear) funnels through here so a swap to
+    transactional Delta MERGE is one edit."""
+    write_table(
+        merged.localCheckpoint(eager=True), store_path, mode="overwrite"
+    )
+
+
+def _upsert_row(
+    spark: SparkSession,
+    store_path: str,
+    table_name: str,
+    incremental_column: str,
+    value: str,
+) -> None:
+    new_row = spark.createDataFrame(
+        [(table_name, incremental_column, str(value))], list(_SCHEMA_COLS)
+    )
+    if table_exists(spark, store_path):
+        others = read_table(spark, store_path).filter(
+            F.col("table_name") != table_name
+        )
+        _overwrite_store(spark, store_path, others.unionByName(new_row))
+    else:
+        write_table(new_row, store_path, mode="overwrite")
+
+
+def _delete_row(
+    spark: SparkSession, store_path: str, table_name: str
+) -> None:
+    if not table_exists(spark, store_path):
+        return
+    remaining = read_table(spark, store_path).filter(
+        F.col("table_name") != table_name
+    )
+    _overwrite_store(spark, store_path, remaining)
 
 
 def commit_watermark(
@@ -58,23 +113,10 @@ def commit_watermark(
     already-ingested window on the next run. Single-writer by design;
     with Delta available this becomes a transactional MERGE.
     """
-    new_row = spark.createDataFrame(
-        [(table_name, incremental_column, str(last_value))], list(_SCHEMA_COLS)
-    )
-    if table_exists(spark, store_path):
-        current = read_table(spark, store_path)
-        prev = (
-            current.filter(F.col("table_name") == table_name)
-            .select("last_value")
-            .collect()
-        )
-        if prev and prev[0]["last_value"] >= str(last_value):
-            return
-        others = current.filter(F.col("table_name") != table_name)
-        merged = others.unionByName(new_row).localCheckpoint(eager=True)
-    else:
-        merged = new_row
-    write_table(merged, store_path, mode="overwrite")
+    prev = read_watermark(spark, store_path, table_name)
+    if prev is not None and prev >= str(last_value):
+        return
+    _upsert_row(spark, store_path, table_name, incremental_column, last_value)
 
 
 def incremental_load(
@@ -117,6 +159,18 @@ def read_pending(spark: SparkSession, store_path: str, table_name: str):
     return read_watermark(spark, store_path, _PENDING_PREFIX + table_name)
 
 
+def read_batch_state(
+    spark: SparkSession, store_path: str, table_name: str
+) -> tuple[str | None, str | None]:
+    """(committed watermark, pending marker) in ONE store read — the
+    pair every incremental run needs before deciding its batch
+    identity."""
+    vals = read_values(
+        spark, store_path, [table_name, _PENDING_PREFIX + table_name]
+    )
+    return vals[table_name], vals[_PENDING_PREFIX + table_name]
+
+
 def write_pending(
     spark: SparkSession, store_path: str, table_name: str, value: str
 ) -> None:
@@ -124,18 +178,9 @@ def write_pending(
     batch identity BEFORE any table write. Overwrites a stale pending
     value (one in-flight batch per table — single-writer, like
     ``commit_watermark``)."""
-    name = _PENDING_PREFIX + table_name
-    new_row = spark.createDataFrame(
-        [(name, "pending", str(value))], list(_SCHEMA_COLS)
+    _upsert_row(
+        spark, store_path, _PENDING_PREFIX + table_name, "pending", value
     )
-    if table_exists(spark, store_path):
-        others = read_table(spark, store_path).filter(
-            F.col("table_name") != name
-        )
-        merged = others.unionByName(new_row).localCheckpoint(eager=True)
-    else:
-        merged = new_row
-    write_table(merged, store_path, mode="overwrite")
 
 
 def clear_pending(
@@ -144,11 +189,4 @@ def clear_pending(
     """Phase 2 (after ``commit_watermark``): drop the pending marker.
     A crash between commit and clear is benign — the next run sees
     pending <= committed watermark and discards the stale marker."""
-    if not table_exists(spark, store_path):
-        return
-    name = _PENDING_PREFIX + table_name
-    current = read_table(spark, store_path)
-    remaining = current.filter(F.col("table_name") != name).localCheckpoint(
-        eager=True
-    )
-    write_table(remaining, store_path, mode="overwrite")
+    _delete_row(spark, store_path, _PENDING_PREFIX + table_name)

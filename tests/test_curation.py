@@ -133,3 +133,20 @@ def test_hash_split_rejects_bad_fractions(spark, sf_dir):
         hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1})
     with pytest.raises(ValueError, match="non-negative"):
         hash_split(docs, "doc_id", {"train": 1.2, "val": -0.2})
+
+
+def test_hash_split_zero_fraction_split_gets_nothing(spark, sf_dir):
+    """A zero-fraction split must receive NO rows — a trailing zero
+    previously overflowed the 12-hex cutoff and leaked ~half the
+    corpus into it."""
+    from etl_deltalake_spark.operators.curation import hash_split
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = hash_split(docs, "doc_id", {"train": 0.5, "val": 0.5, "test": 0.0})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("test", 0) == 0
+    assert counts["train"] + counts["val"] == docs.count()
+    # both live splits actually receive rows at fixture scale
+    assert counts["train"] > 0 and counts["val"] > 0
