@@ -125,3 +125,71 @@ def approx_distinct_check(
         "exact_distinct",
         ok.alias("approx_ok"),
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit y = slope·x + intercept,
+    with the squared correlation (r²) — the regr_slope/regr_intercept
+    /regr_r2 aggregate family, built from exact sufficient statistics.
+
+    Inputs quantize to DECIMAL at ``decimals``; the five sums
+    (Σx, Σy, Σx², Σy², Σxy) then accumulate exactly, so they are
+    order-insensitive single-pass partial aggregates (map-side
+    combine, O(#groups) shuffle state — the same scale shape as any
+    groupBy sum at 100 TB) AND the float math downstream is a pure
+    function of exact integers, reproducible bitwise by the SQL
+    oracle. Built-in ``regr_slope`` folds doubles in partition order,
+    which no cross-engine oracle can pin.
+
+    Groups with zero x-variance get NULL slope/intercept/r2 (vertical
+    line); output is rounded at 6.
+    """
+    x = F.col(x_col).cast(f"decimal(18,{decimals})")
+    y = F.col(y_col).cast(f"decimal(18,{decimals})")
+    agg = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("n")
+    # Bounded re-casts keep every decimal product inside BOTH engines'
+    # 38-digit cap (Spark silently rounds via precision-loss past it,
+    # DuckDB errors). Sizes assume quantized business measures: first
+    # moments fit (18,2), second moments (24,4), group counts (12,0).
+    d1, d2 = decimals, 2 * decimals
+    n_d = n.cast("decimal(12,0)")
+    sx = F.col("_sx").cast(f"decimal(18,{d1})")
+    sy = F.col("_sy").cast(f"decimal(18,{d1})")
+    sxx = F.col("_sxx").cast(f"decimal(24,{d2})")
+    syy = F.col("_syy").cast(f"decimal(24,{d2})")
+    sxy = F.col("_sxy").cast(f"decimal(24,{d2})")
+
+    def _diff(prod_a, prod_b):
+        return (
+            prod_a.cast(f"decimal(30,{d2})") - prod_b.cast(f"decimal(30,{d2})")
+        ).cast("double")
+
+    num = _diff(n_d * sxy, sx * sy)
+    den_x = _diff(n_d * sxx, sx * sx)
+    den_y = _diff(n_d * syy, sy * sy)
+    slope = F.when(den_x != 0, num / den_x)
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / n
+    r2 = F.when((den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y))
+    return agg.select(
+        *group_cols,
+        n.alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -112,3 +112,73 @@ def resample_locf(
         F.last("value", ignorenulls=True).over(wl).alias("value_locf"),
         F.col("value").isNull().alias("is_gap"),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_secs: int = 3600,
+    z_threshold: float = 3.0,
+    decimals: int = 2,
+) -> DataFrame:
+    """Event-time rolling mean/std + z-score anomaly flag per key:
+    each row's statistics cover the trailing ``window_secs`` seconds
+    (a RANGE frame over epoch seconds — value-based, so ties and
+    gaps behave identically in Spark and the SQL oracle, unlike a
+    ROWS frame whose tie order is engine-dependent).
+
+    One shuffle on the key; the frame slides per partition. The
+    moments come from exact DECIMAL window sums (values quantized at
+    ``decimals``), so mean/var are ratios of exact integers — the
+    float math is deterministic and the DuckDB oracle reproduces it
+    bitwise. Sample variance (n−1); rows with a singleton frame get
+    NULL std/z and a false flag.
+
+    At 100 TB this is the standard telemetry-anomaly shape: the only
+    cost is the per-key shuffle, state is one frame per key, and
+    skewed keys split under AQE.
+    """
+    sec = F.unix_timestamp(F.col(ts_col)).alias("_sec")
+    v = F.col(value_col).cast(f"decimal(18,{decimals})")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        sec,
+        v.alias("_v"),
+        (v * v).alias("_v2"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("_sec")
+        .rangeBetween(-window_secs, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    # Bounded re-casts keep every decimal product/sum inside BOTH
+    # engines' 38-digit cap (Spark silently rounds on overflow via
+    # precision-loss, DuckDB errors): frame sums fit (18,2)/(18,4)
+    # for quantized telemetry values, counts fit (12,0).
+    d1, d2 = decimals, 2 * decimals
+    n_d = n.cast("decimal(12,0)")
+    s1 = F.sum("_v").over(w).cast(f"decimal(18,{d1})")
+    s2 = F.sum("_v2").over(w).cast(f"decimal(18,{d2})")
+    mean = s1.cast("double") / n
+    # sample variance from exact sums: (n·Σx² − (Σx)²) / (n·(n−1))
+    var = (
+        (n_d * s2).cast(f"decimal(30,{d2})") - (s1 * s1).cast(f"decimal(30,{d2})")
+    ).cast("double") / (n * (n - F.lit(1)))
+    std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    z = F.when(
+        (n > 1) & (std > 0), (F.col("_v").cast("double") - mean) / std
+    )
+    return base.select(
+        "key",
+        "ts",
+        F.col("_v").cast("double").alias("value"),
+        n.cast("bigint").alias("n_win"),
+        F.round(mean, 6).alias("mean_win"),
+        F.round(std, 6).alias("std_win"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

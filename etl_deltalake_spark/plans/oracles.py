@@ -1460,3 +1460,136 @@ oracle("q_hash_split")(
     ORDER BY doc_id
     """
 )
+
+
+# ---------------------------------------------------------- round 3
+
+oracle("q_bm25")(
+    f"""
+    WITH lens AS (
+      SELECT doc_id AS doc,
+             CAST(len(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS BIGINT) AS dl
+      FROM documents
+    ),
+    consts AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM lens
+    ),
+    qtf AS (
+      SELECT doc, term, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id AS doc,
+               unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term
+        FROM documents
+      )
+      WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+    scored AS (
+      SELECT qtf.doc,
+             CAST(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+               AS DECIMAL(18,6)
+             ) AS s
+      FROM qtf
+      JOIN dfreq USING (term)
+      JOIN lens USING (doc)
+      CROSS JOIN consts
+    ),
+    agg AS (SELECT doc, CAST(SUM(s) AS DOUBLE) AS score FROM scored GROUP BY doc),
+    ranked AS (
+      SELECT doc AS doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+      FROM agg
+    )
+    SELECT doc_id, score, rank FROM ranked WHERE rank <= 20 ORDER BY rank
+    """
+)
+
+oracle("q_rolling_anomaly")(
+    """
+    WITH base AS (
+      SELECT user_id AS key, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    win AS (
+      SELECT key, ts, v,
+        COUNT(*) OVER w AS n,
+        CAST(SUM(v) OVER w AS DECIMAL(18,2)) AS s1,
+        CAST(SUM(v * v) OVER w AS DECIMAL(18,4)) AS s2
+      FROM base
+      WINDOW w AS (
+        PARTITION BY key ORDER BY sec
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+      )
+    ),
+    stats AS (
+      SELECT key, ts, v, n,
+        CAST(s1 AS DOUBLE) / n AS mean,
+        CASE WHEN n > 1 THEN sqrt(greatest(
+          CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(s2 AS DECIMAL(19,4)) AS DECIMAL(30,4))
+               - CAST(CAST(s1 AS DECIMAL(19,2)) * s1 AS DECIMAL(30,4)) AS DOUBLE)
+          / (n * (n - 1)), 0.0)) END AS std
+      FROM win
+    ),
+    z AS (
+      SELECT key, ts, v, n, mean, std,
+        CASE WHEN n > 1 AND std > 0
+             THEN (CAST(v AS DOUBLE) - mean) / std END AS zval
+      FROM stats
+    )
+    SELECT
+      key AS user_id, ts,
+      CAST(v AS DOUBLE) AS value,
+      CAST(n AS BIGINT) AS n_win,
+      ROUND(mean, 6) AS mean_win,
+      ROUND(std, 6) AS std_win,
+      ROUND(zval, 6) AS z,
+      COALESCE(abs(zval) > 2.0, FALSE) AS is_anomaly
+    FROM z
+    ORDER BY user_id, ts, value
+    """
+)
+
+oracle("q_linreg")(
+    """
+    WITH agg AS (
+      SELECT l_suppkey,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS syy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS sxy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY 1
+    ),
+    fit AS (
+      SELECT l_suppkey, n, sx, sy,
+        CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxy AS DECIMAL(30,4))
+             - CAST(CAST(sx AS DECIMAL(19,2)) * sy AS DECIMAL(30,4)) AS DOUBLE) AS num,
+        CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxx AS DECIMAL(30,4))
+             - CAST(CAST(sx AS DECIMAL(19,2)) * sx AS DECIMAL(30,4)) AS DOUBLE) AS den_x,
+        CAST(CAST(CAST(n AS DECIMAL(12,0)) * syy AS DECIMAL(30,4))
+             - CAST(CAST(sy AS DECIMAL(19,2)) * sy AS DECIMAL(30,4)) AS DOUBLE) AS den_y
+      FROM agg
+    )
+    SELECT l_suppkey, n,
+      ROUND(CASE WHEN den_x <> 0 THEN num / den_x END, 6) AS slope,
+      ROUND((CAST(sy AS DOUBLE)
+             - (CASE WHEN den_x <> 0 THEN num / den_x END)
+               * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+      ROUND(CASE WHEN den_x <> 0 AND den_y <> 0
+                 THEN (num * num) / (den_x * den_y) END, 6) AS r2
+    FROM fit
+    ORDER BY l_suppkey
+    """
+)

@@ -651,3 +651,42 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ------------------------------------------------------------ round 3: search / rolling / regression
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 3-term query (SURVEY §2.9
+    text analysis — retrieval counterpart of q_tfidf)."""
+    from etl_deltalake_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(
+        docs, "doc_id", "text", ("spark", "window", "merge"), k=20
+    ).orderBy("rank")
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling mean/std + z-score anomaly flag per
+    user over the events stream (time-series telemetry shape)."""
+    from etl_deltalake_spark.operators.timeseries import rolling_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    return rolling_stats(
+        ev, "user_id", "ts", "value", window_secs=3600, z_threshold=2.0
+    ).select(
+        F.col("key").alias("user_id"),
+        "ts", "value", "n_win", "mean_win", "std_win", "z", "is_anomaly",
+    ).orderBy("user_id", "ts", "value")
+
+
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier OLS fit of extendedprice on quantity — the
+    regr_slope/intercept/r2 aggregate family from exact sufficient
+    statistics (operators/stats.grouped_linreg)."""
+    from etl_deltalake_spark.operators.stats import grouped_linreg
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return grouped_linreg(
+        li, ["l_suppkey"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_suppkey")

@@ -129,6 +129,10 @@ SLOTLESS: tuple[str, ...] = (
     "q_table_diff",
     "q_profile",
     "q_hash_split",
+    # round 3
+    "q_bm25",
+    "q_rolling_anomaly",
+    "q_linreg",
 )
 
 

@@ -41,10 +41,8 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
-
-from etl_deltalake_spark.sources.catalog import load_table
-
 
 def read_events_stream(
     spark: SparkSession, source_dir: str, sf_dir_for_schema: str,
@@ -54,24 +52,28 @@ def read_events_stream(
 
     ``source_dir`` must be a directory (streaming file-source
     requirement); ``glob`` restricts it to the events file(s). Schema
-    comes from the batch table (streams can't infer); the nanosecond
-    ``ts`` arrives as long (session sets ``nanosAsLong``) and
-    converts to a timestamp exactly like the batch catalog path, so
-    stream and batch plans share semantics.
+    comes from the raw parquet file (streams can't infer). ``ts`` may
+    be stored as TIMESTAMP(MICROS) (arrives as a timestamp — no
+    conversion) or TIMESTAMP(NANOS) (Spark's reader only accepts it
+    as long via ``nanosAsLong``; converted here with the same
+    truncating division as the batch catalog path), so stream and
+    batch plans share semantics under either fixture encoding.
     """
-    batch_schema = load_table(spark, "events", sf_dir_for_schema).schema
-    raw_fields = [
-        StructField("ts", LongType())
-        if f.name == "ts"
-        else f
-        for f in batch_schema.fields
-    ]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir_for_schema}/events.parquet").schema
     stream = (
-        spark.readStream.schema(StructType(raw_fields))
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", glob)
         .parquet(source_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        # Watermarks require TIMESTAMP (with local tz); the session runs
+        # UTC so the cast is value-preserving against the batch/oracle
+        # reads of the same file.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

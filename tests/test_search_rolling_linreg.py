@@ -1,0 +1,141 @@
+"""Unit tests for round-3 operators: BM25 search, rolling anomaly
+stats, grouped OLS regression (oracle parity is covered by
+tests/test_retired_queries.py; these pin semantics on tiny frames)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark join spark window"),
+        (2, "spark merge"),
+        (3, "filter scan batch"),
+        (4, "window window window window merge"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_matches_only_and_ranks(docs):
+    from etl_deltalake_spark.operators.search import bm25_topk
+
+    out = bm25_topk(docs, "doc_id", "text", ("spark", "window"), k=10).collect()
+    hit_ids = {r["doc_id"] for r in out}
+    assert hit_ids == {1, 2, 4}  # doc 3 matches no query term
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranks == [1, 2, 3]
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_tf_saturation(spark):
+    """BM25's k1 bounds the tf contribution: 100 repeats of a term
+    must score less than (k1+1)·idf — unlike raw tf·idf."""
+    from etl_deltalake_spark.operators.search import bm25_scores
+
+    rows = [(1, " ".join(["spark"] * 100)), (2, "spark other words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc"]: r["score"] for r in
+           bm25_scores(df, "doc_id", "text", ("spark",)).collect()}
+    # both docs contain the term; saturation keeps the spam doc's
+    # advantage bounded (< 2.2x here, not 100x)
+    assert out[1] < 2.2 * out[2]
+
+
+def test_inverted_index_postings_sorted(docs):
+    from etl_deltalake_spark.operators.search import build_inverted_index
+
+    idx = {r["term"]: r for r in
+           build_inverted_index(docs, "doc_id", "text").collect()}
+    assert idx["spark"]["df"] == 2
+    postings = [p["doc"] for p in idx["spark"]["postings"]]
+    assert postings == sorted(postings)
+    assert idx["window"]["df"] == 2
+    tf_by_doc = {p["doc"]: p["tf"] for p in idx["window"]["postings"]}
+    assert tf_by_doc == {1: 1, 4: 4}
+
+
+def test_bm25_query_filter_is_pushed(docs):
+    """The query-term IN filter must sit under the first aggregate
+    (scan-side), so the shuffle only carries query-term postings."""
+    from etl_deltalake_spark.operators.search import doc_term_freqs
+
+    plan = doc_term_freqs(
+        docs, "doc_id", "text", vocab=("spark",)
+    )._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.rfind("Filter")
+    assert agg_pos != -1 and filt_pos != -1 and filt_pos > agg_pos, plan
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=s)
+
+
+def test_rolling_stats_window_and_anomaly(spark):
+    from etl_deltalake_spark.operators.timeseries import rolling_stats
+
+    rows = [
+        (1, _ts(0), 10.0),
+        (1, _ts(1800), 10.0),
+        (1, _ts(3600), 10.0),
+        (1, _ts(7300), 10.0),   # >1h after every prior row: frame resets
+        (2, _ts(0), 1.0),
+        (2, _ts(10), 1.0),
+        (2, _ts(20), 100.0),    # spike
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = rolling_stats(df, "user_id", "ts", "value", window_secs=3600,
+                        z_threshold=1.1)
+    got = {(r["key"], r["ts"]): r for r in out.collect()}
+    # first row: singleton frame -> no std, no anomaly
+    r0 = got[(1, _ts(0))]
+    assert r0["n_win"] == 1 and r0["std_win"] is None and not r0["is_anomaly"]
+    # third row sees all three constant values -> std 0, no z
+    r2 = got[(1, _ts(3600))]
+    assert r2["n_win"] == 3 and r2["std_win"] == 0.0 and r2["z"] is None
+    # row after a >1h gap only sees itself
+    assert got[(1, _ts(7300))]["n_win"] == 1
+    # spike flags as anomaly; its frame mean reflects all 3 values
+    spike = got[(2, _ts(20))]
+    assert spike["n_win"] == 3
+    assert spike["mean_win"] == 34.0
+    assert spike["is_anomaly"]
+
+
+def test_grouped_linreg_recovers_line(spark):
+    from etl_deltalake_spark.operators.stats import grouped_linreg
+
+    rows = (
+        [("a", float(x), 2.0 * x + 5.0) for x in range(1, 6)]
+        + [("b", float(x), -1.5 * x + 3.0) for x in range(1, 6)]
+        + [("c", 4.0, 7.0), ("c", 4.0, 9.0)]  # vertical: zero x-variance
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in grouped_linreg(df, ["g"], "x", "y").collect()}
+    assert out["a"]["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert out["a"]["intercept"] == pytest.approx(5.0, abs=1e-6)
+    assert out["a"]["r2"] == pytest.approx(1.0, abs=1e-6)
+    assert out["b"]["slope"] == pytest.approx(-1.5, abs=1e-6)
+    assert out["c"]["slope"] is None and out["c"]["r2"] is None
+    assert out["a"]["n"] == 5
+
+
+def test_grouped_linreg_ignores_null_pairs(spark):
+    from etl_deltalake_spark.operators.stats import grouped_linreg
+
+    rows = [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", None, 99.0),
+            ("a", 3.0, None), ("a", 3.0, 6.0)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = grouped_linreg(df, ["g"], "x", "y").collect()[0]
+    assert out["n"] == 3
+    assert out["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert out["intercept"] == pytest.approx(0.0, abs=1e-6)
