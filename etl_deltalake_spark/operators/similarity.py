@@ -426,3 +426,74 @@ def pairwise_knn(
         .filter(F.col("rn") <= k)
         .select("qid", "nid", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+def kmeans_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Train an IVF codebook with Lloyd's algorithm expressed as
+    DataFrame aggregations — the production upgrade over the
+    caller-supplied centroids in ``ivf_topk``.
+
+    Assignment = max rounded cosine (ties to the lowest centroid id,
+    exactly ``ivf_assign``); update = per-dimension mean of the
+    assigned RAW vectors (cosine to a centroid is scale-invariant,
+    so skipping re-normalization changes nothing downstream). Means
+    accumulate DECIMAL(18,9)-quantized elements, making every
+    iteration a pure function of the data — deterministic across
+    partitionings AND reproducible by the SQL oracle (the usual
+    double groupBy-sum folds in partition order; this one can't).
+
+    Init: the ``k`` lowest-id vectors (deterministic; production
+    would seed with k-means|| — pyspark.ml — where determinism isn't
+    a contract). Empty clusters keep their previous centroid.
+
+    Scale: per iteration one scan + one (cluster, dim)-keyed shuffle
+    whose map-side partials cap shuffle rows at k·d·partitions;
+    driver traffic is the k·d codebook itself — the same
+    codebook-only-collect contract as ``ivf_topk``. Iterations are
+    O(1) jobs, not lineage growth (each starts from the cached
+    vector table).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    seeds = vecs.orderBy("id").limit(k).collect()
+    centroids: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)
+    ]
+    for _ in range(iterations):
+        assigned = ivf_assign(vecs, "id", "v", centroids, scale)
+        stats = (
+            assigned.select(
+                "cluster_id", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(18,9)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in stats:
+            # float(Decimal)/int mirrors the engines' CAST(s AS
+            # DOUBLE)/n exactly (both correctly-rounded)
+            new.setdefault(r["cluster_id"], {})[r["pos"]] = (
+                float(r["s"]) / r["n"]
+            )
+        centroids = [
+            (
+                cid,
+                [new[cid][p] for p in sorted(new[cid])]
+                if cid in new
+                else old,
+            )
+            for cid, old in centroids
+        ]
+    return centroids

@@ -1593,3 +1593,74 @@ oracle("q_linreg")(
     ORDER BY l_suppkey
     """
 )
+
+
+def _kmeans_ivf_sql(k: int = 4, iterations: int = 2) -> str:
+    """Lloyd's algorithm unrolled as chained CTEs: seeds = the k
+    lowest-id vectors; each iteration = rounded-cosine argmax
+    assignment (ties to the lowest centroid id) + per-dimension
+    DECIMAL(18,9)-exact mean, mirroring
+    operators/similarity.kmeans_codebook step for step. Empty
+    clusters fall back to the previous centroid via LEFT JOIN +
+    COALESCE, as in the operator."""
+    ctes = [
+        """vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cluster_id,
+             v AS cv
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, cluster_id, v FROM (
+        SELECT vecs.vec_id, {prev}.cluster_id, vecs.v,
+               row_number() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(vecs.v, {prev}.cv), 6)
+                            DESC,
+                          {prev}.cluster_id ASC
+               ) AS rn
+        FROM vecs CROSS JOIN {prev}
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""m{i} AS (
+      SELECT cluster_id, pos,
+             CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+      FROM (
+        SELECT cluster_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM a{i}
+      )
+      GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"n{i} AS (SELECT cluster_id, list(m ORDER BY pos) AS cv "
+            f"FROM m{i} GROUP BY 1)"
+        )
+        ctes.append(f"""c{i} AS (
+      SELECT {prev}.cluster_id, COALESCE(n{i}.cv, {prev}.cv) AS cv
+      FROM {prev} LEFT JOIN n{i} USING (cluster_id)
+    )""")
+        prev = f"c{i}"
+    final = f"""
+    SELECT vec_id, cluster_id, cs AS cos_sim FROM (
+      SELECT vecs.vec_id, {prev}.cluster_id,
+             ROUND(list_cosine_similarity(vecs.v, {prev}.cv), 6) AS cs,
+             row_number() OVER (
+               PARTITION BY vecs.vec_id
+               ORDER BY ROUND(list_cosine_similarity(vecs.v, {prev}.cv), 6)
+                          DESC,
+                        {prev}.cluster_id ASC
+             ) AS rn
+      FROM vecs CROSS JOIN {prev}
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
+    return "WITH " + ",\n    ".join(ctes) + final
+
+
+oracle("q_kmeans_ivf")(_kmeans_ivf_sql())

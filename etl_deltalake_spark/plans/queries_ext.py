@@ -690,3 +690,29 @@ def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_linreg(
         li, ["l_suppkey"], "l_quantity", "l_extendedprice"
     ).orderBy("l_suppkey")
+
+
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-trained IVF assignment (k=4, 2 iterations) over the
+    embeddings table — the iterative-algorithm surface, fully
+    oracle-gated because every step is a pure function of the data
+    (deterministic seeds + decimal-sum means, see
+    operators/similarity.kmeans_codebook)."""
+    from etl_deltalake_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        kmeans_codebook,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = kmeans_codebook(emb, "vec_id", "embedding", k=4, iterations=2)
+    assigned = ivf_assign(emb, "vec_id", "embedding", centroids)
+    sim = None
+    for cid, cv in centroids:
+        c = cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cv]))
+        sim = F.when(F.col("cluster_id") == cid, c) if sim is None else sim.when(
+            F.col("cluster_id") == cid, c
+        )
+    return assigned.select(
+        F.col("vec_id"), "cluster_id", sim.alias("cos_sim")
+    ).orderBy("vec_id")

@@ -133,6 +133,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_bm25",
     "q_rolling_anomaly",
     "q_linreg",
+    "q_kmeans_ivf",
 )
 
 

@@ -139,3 +139,42 @@ def test_grouped_linreg_ignores_null_pairs(spark):
     assert out["n"] == 3
     assert out["slope"] == pytest.approx(2.0, abs=1e-6)
     assert out["intercept"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_kmeans_codebook_properties(spark):
+    from etl_deltalake_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_codebook,
+    )
+
+    # two tight clusters around orthogonal directions + their ids
+    rows = (
+        [(i, [1.0 + 0.01 * i, 0.0, 0.1]) for i in range(5)]
+        + [(10 + i, [0.0, 1.0 + 0.01 * i, 0.1]) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = kmeans_codebook(df, "vec_id", "embedding", k=2, iterations=3)
+    assert [cid for cid, _ in cb] == [0, 1]
+    # training separates the two directions
+    assigned = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(df, "vec_id", "embedding", cb).collect()
+    }
+    g0 = {assigned[i] for i in range(5)}
+    g1 = {assigned[10 + i] for i in range(5)}
+    assert len(g0) == 1 and len(g1) == 1 and g0 != g1
+    # deterministic: retraining yields the identical codebook
+    cb2 = kmeans_codebook(df, "vec_id", "embedding", k=2, iterations=3)
+    assert cb == cb2
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    from etl_deltalake_spark.operators.similarity import kmeans_codebook
+
+    # all vectors identical: one cluster takes everything, the other
+    # keeps its (identical) seed instead of dying
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = kmeans_codebook(df, "vec_id", "embedding", k=2, iterations=2)
+    assert len(cb) == 2
+    assert all(len(v) == 3 for _, v in cb)
