@@ -43,6 +43,13 @@ HEADLINE = [
     # round-2 analytics additions
     "q_lm_score",
     "q_resample_locf",
+    # round-3 additions: full-text relevance, rolling event-time
+    # anomaly stats, exact-sufficient-statistics regression, and the
+    # Lloyd-trained IVF codebook (iterative-algorithm family)
+    "q_bm25",
+    "q_rolling_anomaly",
+    "q_linreg",
+    "q_kmeans_ivf",
 ]
 
 

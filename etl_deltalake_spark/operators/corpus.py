@@ -91,6 +91,7 @@ def _funnel_stages(
     min_quality: float,
     langs: Sequence[str] | None,
     near_dup_threshold: float,
+    quality_col: str | None = None,
 ) -> list[tuple[str, DataFrame]]:
     """The single definition of the funnel's stage composition —
     ``prepare_corpus`` takes the last frame, ``corpus_funnel`` counts
@@ -98,12 +99,28 @@ def _funnel_stages(
     that runs (they previously each composed their own copy and had
     already drifted on checkpointing)."""
     stages: list[tuple[str, DataFrame]] = [("raw", df)]
-    cur = df.filter(quality_score(text_col) >= min_quality)
-    stages.append(("quality", cur))
+    # The quality/lang signals are the funnel's heaviest column
+    # expressions (regex splits + HOF filters); computing them ONCE
+    # in a checkpointed projection means the two filter stages and
+    # every downstream branch (dedup groupBy + semi-join probe both
+    # re-reference the filtered frame) reuse scored rows instead of
+    # re-evaluating the scoring chain per branch.
+    scored = df.select(
+        "*",
+        quality_score(text_col).alias("_q"),
+        lang_id(text_col).alias("_lang"),
+    ).localCheckpoint(eager=False)
+    cols = list(df.columns)
+    if quality_col is not None:
+        # surface the already-computed score instead of making the
+        # caller re-evaluate the scoring chain on the output
+        cols.append(F.col("_q").alias(quality_col))
+    cur = scored.filter(F.col("_q") >= min_quality)
+    stages.append(("quality", cur.select(*cols)))
     if langs is not None:
-        cur = cur.filter(lang_id(text_col).isin(list(langs)))
-        stages.append(("lang", cur))
-    cur = exact_dedup_keep_min(cur, id_col, text_col)
+        cur = cur.filter(F.col("_lang").isin(list(langs)))
+        stages.append(("lang", cur.select(*cols)))
+    cur = exact_dedup_keep_min(cur.select(*cols), id_col, text_col)
     # The survivor set feeds BOTH the near-dup pair generation and
     # the final keep-one anti-join; checkpoint it (lazily — it first
     # materializes inside the pair stage's own checkpoint) so the
@@ -122,13 +139,17 @@ def prepare_corpus(
     min_quality: float = 0.3,
     langs: Sequence[str] | None = None,
     near_dup_threshold: float = 0.8,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """The full funnel; returns the cleaned corpus with the input's
-    columns. Stage parameters are the knobs a data curator sweeps;
-    ``corpus_funnel`` reports the per-stage attrition for that
-    sweep."""
+    columns (plus the computed quality score as ``quality_col`` when
+    requested — it's already evaluated for the filter, so surfacing
+    it is free). Stage parameters are the knobs a data curator
+    sweeps; ``corpus_funnel`` reports the per-stage attrition for
+    that sweep."""
     return _funnel_stages(
-        df, id_col, text_col, min_quality, langs, near_dup_threshold
+        df, id_col, text_col, min_quality, langs, near_dup_threshold,
+        quality_col=quality_col,
     )[-1][1]
 
 

@@ -331,13 +331,20 @@ def label_propagation_clusters(
     after K rounds every node holds the min doc id within K hops —
     exact connected components when K ≥ cluster diameter (near-dup
     clusters are shallow; K=4 default). Deterministic and
-    SQL-mirrorable as K chained CTEs, so the oracle can verify it.
+    SQL-mirrorable as K chained CTEs, so the oracle can verify it
+    (a run that converges early equals the fully-unrolled SQL: once
+    no label changes, further rounds are identity).
 
     Scale: each round is one join + groupBy on the edge list (shuffle
     on node id); edges are localCheckpointed once so the (possibly
     expensive) pair-generation plan runs once, and labels are
     checkpointed per round to truncate the iterative lineage —
-    the standard Spark iterative-graph pattern.
+    the standard Spark iterative-graph pattern. Rounds after
+    convergence are SKIPPED: the per-round changed-flag scan costs
+    one pass over the (node-count-sized, checkpointed) label table,
+    while a wasted round costs a full edge join — at 100 TB the
+    early exit is the difference between diameter(graph) rounds and
+    always-K rounds.
 
     Output: (doc, cluster) — cluster is the propagated min label.
     """
@@ -362,16 +369,23 @@ def label_propagation_clusters(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_min"))
         )
-        labels = (
+        stepped = (
             labels.join(nbr, labels.doc == nbr.src, "left")
             .select(
                 labels.doc,
                 F.least(
                     labels.label, F.coalesce(nbr.nbr_min, labels.label)
                 ).alias("label"),
+                (
+                    F.coalesce(nbr.nbr_min, labels.label) < labels.label
+                ).alias("_changed"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        converged = stepped.filter(F.col("_changed")).limit(1).count() == 0
+        labels = stepped.drop("_changed")
+        if converged:
+            break
     return labels.select("doc", F.col("label").alias("cluster"))
 
 

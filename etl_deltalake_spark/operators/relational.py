@@ -28,9 +28,14 @@ def asof_join(
     right_cols: Sequence[str],
     how: str = "left",
     right_on: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` per key (backward direction).
+    ``right_time <= left_time`` per key (``direction="backward"``,
+    the default) or the earliest right row with ``right_time >=
+    left_time`` (``direction="forward"`` — the lead/next-quote
+    variant; same one-shuffle union-window plan, with the carry
+    running over the FOLLOWING frame instead of the preceding one).
 
     Implemented with the union-window algorithm, NOT an inequality
     join: tag both sides, union, and carry the last non-null right
@@ -46,9 +51,13 @@ def asof_join(
     """
     if how != "left":
         raise ValueError("only how='left' is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_on = right_on or on
     lcols = left.columns
-    # marker: right=0 sorts before left=1 at equal times → inclusive <=
+    # marker (backward): right=0 sorts before left=1 at equal times →
+    # inclusive <=; forward flips the marker so right sorts AFTER
+    # left at equal times and the following-frame first() is inclusive >=
     r = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
@@ -64,14 +73,32 @@ def asof_join(
         *[F.col(c) for c in lcols],
     )
     unioned = r.unionByName(l)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_m")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_cols]
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = [
+            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_cols
+        ]
+    else:
+        # left (_m=1) sorts before right (_m=0 → recoded 2) at equal
+        # times, and the first right payload at-or-after fills in
+        unioned = unioned.withColumn(
+            "_m", F.when(F.col("_m") == 0, F.lit(2)).otherwise(F.lit(1))
+        )
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_m")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = [
+            F.first(c, ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_cols
+        ]
+    filled = unioned.select("*", *carry)
     return filled.filter(F.col("_m") == 1).select(
         *[F.col(c) for c in lcols],
         *[F.col(f"_f_{c}").alias(c) for c in right_cols],

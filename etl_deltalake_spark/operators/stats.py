@@ -193,3 +193,56 @@ def grouped_linreg(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Fixed-range equi-width histogram (optionally per group):
+    bucket i covers [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/n,
+    except the last bucket which is closed at ``hi``; values outside
+    [lo, hi] are clamped into the edge buckets (standard profiling
+    semantics — out-of-range mass stays visible at the edges instead
+    of vanishing).
+
+    One aggregation on (group, bucket) — map-side combine caps
+    shuffle rows at n_buckets per group per partition, the same
+    shape as any groupBy count at 100 TB. Empty buckets are absent
+    from the output (dense output would need a grid join; callers
+    charting the result left-join a sequence).
+
+    Bucket edges come from the caller (fixed range), not a data
+    scan, so the plan is single-pass and the bucket function is a
+    pure per-row expression both engines reproduce bitwise.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_buckets
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("bigint")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    gcols = list(group_cols or [])
+    return (
+        df.filter(v.isNotNull())
+        .select(*gcols, bucket.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *gcols,
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias(
+                "bucket_lo"
+            ),
+            F.round(
+                F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6
+            ).alias("bucket_hi"),
+            "n",
+        )
+    )

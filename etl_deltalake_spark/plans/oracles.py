@@ -1664,3 +1664,23 @@ def _kmeans_ivf_sql(k: int = 4, iterations: int = 2) -> str:
 
 
 oracle("q_kmeans_ivf")(_kmeans_ivf_sql())
+
+
+oracle("q_histogram")(
+    """
+    SELECT l_returnflag, bucket,
+           ROUND(0.0 + bucket * 5.0, 6) AS bucket_lo,
+           ROUND(0.0 + (bucket + 1) * 5.0, 6) AS bucket_hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT l_returnflag,
+             LEAST(GREATEST(
+               CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0) AS BIGINT),
+               0), 9) AS bucket
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL
+    )
+    GROUP BY 1, 2
+    ORDER BY l_returnflag, bucket
+    """
+)

@@ -152,7 +152,6 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs LSH band equi-joins on the already-shrunk survivor set —
     never all-pairs, no driver-side data."""
     from etl_deltalake_spark.operators.corpus import prepare_corpus
-    from etl_deltalake_spark.operators.text import quality_score
 
     docs = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -164,10 +163,9 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.3,
         langs=["en", "es"],
         near_dup_threshold=0.5,
+        quality_col="quality",
     )
-    return clean.select(
-        "doc_id", "lang", quality_score("text").alias("quality")
-    ).orderBy("doc_id")
+    return clean.select("doc_id", "lang", "quality").orderBy("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,3 +714,15 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         F.col("vec_id"), "cluster_id", sim.alias("cos_sim")
     ).orderBy("vec_id")
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag equi-width histogram of lineitem quantity —
+    single-pass profiling aggregation (operators/stats.histogram)."""
+    from etl_deltalake_spark.operators.stats import histogram
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return histogram(
+        li, "l_quantity", lo=0.0, hi=50.0, n_buckets=10,
+        group_cols=["l_returnflag"],
+    ).orderBy("l_returnflag", "bucket")

@@ -134,6 +134,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_rolling_anomaly",
     "q_linreg",
     "q_kmeans_ivf",
+    "q_histogram",
 )
 
 

@@ -178,3 +178,53 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     cb = kmeans_codebook(df, "vec_id", "embedding", k=2, iterations=2)
     assert len(cb) == 2
     assert all(len(v) == 3 for _, v in cb)
+
+
+def test_histogram_buckets_and_clamping(spark):
+    from etl_deltalake_spark.operators.stats import histogram
+
+    rows = [("a", -5.0), ("a", 0.0), ("a", 4.9), ("a", 5.0), ("a", 99.0),
+            ("b", 10.0), ("a", None)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = {(r["g"], r["bucket"]): r for r in
+           histogram(df, "x", lo=0.0, hi=10.0, n_buckets=2,
+                     group_cols=["g"]).collect()}
+    # -5 clamps into bucket 0; 99 and the right-edge 10.0 clamp into
+    # the last bucket; null dropped
+    assert out[("a", 0)]["n"] == 3
+    assert out[("a", 1)]["n"] == 2
+    assert out[("b", 1)]["n"] == 1
+    assert out[("a", 0)]["bucket_lo"] == 0.0
+    assert out[("a", 0)]["bucket_hi"] == 5.0
+    assert sum(r["n"] for r in out.values()) == 6
+
+
+def test_asof_join_forward(spark):
+    from etl_deltalake_spark.operators.relational import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 25, "t2"), (2, 5, "t3"), (1, 100, "t4")],
+        ["key", "t", "trade"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 30, 2.0), (2, 1, 9.0), (2, 50, 8.0)],
+        ["key", "qt", "px"],
+    )
+    fwd = {
+        r["trade"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="key", left_time="t", right_time="qt",
+            right_cols=["px"], direction="forward",
+        ).collect()
+    }
+    # t1@10 -> quote@10 (inclusive); t2@25 -> quote@30; t3@5 -> quote@50;
+    # t4@100 -> nothing after it
+    assert fwd == {"t1": 1.0, "t2": 2.0, "t3": 8.0, "t4": None}
+    back = {
+        r["trade"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="key", left_time="t", right_time="qt",
+            right_cols=["px"], direction="backward",
+        ).collect()
+    }
+    assert back == {"t1": 1.0, "t2": 1.0, "t3": 9.0, "t4": 2.0}
