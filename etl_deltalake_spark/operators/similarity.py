@@ -51,6 +51,21 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), scale)
 
 
+def l2_sq(a: Column, b: Column, scale: int = 6) -> Column:
+    """Squared euclidean distance, rounded to ``scale``. The fold is
+    sequential (((0+t1)+t2)+...) with t_i = (a_i−b_i)² ≥ +0.0, and
+    0.0+t1 == t1 exactly, so a SQL mirror written as the same
+    left-associated term chain reproduces it bitwise."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(_to_double(a), _to_double(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        scale,
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -149,9 +164,13 @@ def ivf_assign(
     vec_col: str,
     centroids: Sequence[tuple[int, Sequence[float]]],
     scale: int = 6,
+    sim_col: str | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine, ties
-    to the lowest centroid id) — the IVF coarse-quantization step.
+    """Assign every vector to its nearest centroid (max cosine or min
+    squared-L2 per ``metric``; ties to the lowest centroid id) — the
+    IVF/PQ coarse-quantization step. ``sim_col`` additionally outputs
+    the winning similarity/distance.
 
     The codebook is driver-resident by construction (IVF codebooks
     are nlist×d floats — KBs to a few MBs), so assignment folds into
@@ -159,25 +178,48 @@ def ivf_assign(
     rows never leave their partition. For nlist in the thousands,
     swap the when-chain for a broadcast join + per-id window argmax
     (same result, one small broadcast).
+
+    Each centroid's cosine fold is materialized ONCE in its own
+    projection and the argmax references the bound columns — the
+    fold is an interpreted higher-order expression, and inlining it
+    into both the ``greatest`` chain and every when-condition (the
+    previous shape) re-evaluated it up to 2·nlist times per row
+    (the same planner trap dedup.shingle_rows documents).
     """
-    sims = {
-        cid: cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]), scale)
-        for cid, cv in centroids
-    }
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be cosine|l2, got {metric!r}")
+    measure = cosine if metric == "cosine" else l2_sq
+    pick = F.greatest if metric == "cosine" else F.least
+    simmed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            measure(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]), scale
+            ).alias(f"_s{cid}")
+            for cid, cv in centroids
+        ],
+    )
+    cids = sorted(cid for cid, _ in centroids)
     best = None
-    for cid in sims:
-        best = sims[cid] if best is None else F.greatest(best, sims[cid])
+    for cid in cids:
+        c = F.col(f"_s{cid}")
+        best = c if best is None else pick(best, c)
     # ascending ids, first maximal match wins — matches an argmax
     # with (score DESC, cid ASC) tie-breaking in any engine
     assign = None
-    for cid in sorted(sims):
-        cond = sims[cid] == best
+    for cid in cids:
+        cond = F.col(f"_s{cid}") == F.col("_best")
         assign = (
             F.when(cond, F.lit(cid)) if assign is None else assign.when(cond, F.lit(cid))
         )
-    return df.select(
-        F.col(id_col), F.col(vec_col), assign.cast("long").alias("cluster_id")
+    out = simmed.withColumn("_best", best).select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign.cast("long").alias("cluster_id"),
+        *([F.col("_best").alias(sim_col)] if sim_col else []),
     )
+    return out
 
 
 def ivf_topk(
@@ -435,6 +477,7 @@ def kmeans_codebook(
     k: int = 8,
     iterations: int = 3,
     scale: int = 6,
+    metric: str = "cosine",
 ) -> list[tuple[int, list[float]]]:
     """Train an IVF codebook with Lloyd's algorithm expressed as
     DataFrame aggregations — the production upgrade over the
@@ -468,7 +511,7 @@ def kmeans_codebook(
         (i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)
     ]
     for _ in range(iterations):
-        assigned = ivf_assign(vecs, "id", "v", centroids, scale)
+        assigned = ivf_assign(vecs, "id", "v", centroids, scale, metric=metric)
         stats = (
             assigned.select(
                 "cluster_id", F.posexplode("v").alias("pos", "val")
@@ -497,3 +540,151 @@ def kmeans_codebook(
             for cid, old in centroids
         ]
     return centroids
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    m: int = 4,
+    ksub: int = 8,
+    iterations: int = 2,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train a product-quantization codebook: split each vector into
+    ``m`` contiguous subspaces of dims/m and run L2 Lloyd k-means
+    (``kmeans_codebook``) independently per subspace.
+
+    PQ is the 100 TB memory story for embeddings: a d=64 float vector
+    (256 B) compresses to m log2(ksub)-bit codes (here 4×3 bits),
+    and ADC scoring never touches the original vectors. Training
+    cost: m small k-means runs — at scale, run them on a hash-sample
+    (stats.hash_sample) since codebooks need only distributional
+    coverage. Deterministic seeds + decimal means keep the whole
+    train→encode→score pipeline oracle-reproducible.
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col).alias("id"),
+            F.slice(_to_double(F.col(vec_col)), j * dsub + 1, dsub).alias("v"),
+        )
+        books.append(
+            kmeans_codebook(
+                sub, "id", "v", k=ksub, iterations=iterations, metric="l2"
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    scale: int = 6,
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the id of the
+    nearest (min rounded squared-L2, ties low) centroid.
+
+    Pure scan-side column expressions: subvectors materialize once
+    in their own projection, each (subspace, centroid) distance fold
+    evaluates once, per-subspace argmins select the codes. Zero
+    shuffles; output is (id, codes array<long>) — the compressed
+    representation downstream ADC scoring consumes.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    subbed = df.select(
+        F.col(id_col),
+        *[
+            F.slice(_to_double(F.col(vec_col)), j * dsub + 1, dsub).alias(f"_sub{j}")
+            for j in range(m)
+        ],
+    )
+    dist_cols = []
+    for j, cb in enumerate(codebooks):
+        for cid, cv in cb:
+            dist_cols.append(
+                l2_sq(
+                    F.col(f"_sub{j}"),
+                    F.array(*[F.lit(float(x)) for x in cv]),
+                    scale,
+                ).alias(f"_d{j}_{cid}")
+            )
+    disted = subbed.select(F.col(id_col), *dist_cols)
+    codes = []
+    for j, cb in enumerate(codebooks):
+        cids = sorted(cid for cid, _ in cb)
+        best = None
+        for cid in cids:
+            c = F.col(f"_d{j}_{cid}")
+            best = c if best is None else F.least(best, c)
+        code = None
+        for cid in cids:
+            cond = F.col(f"_d{j}_{cid}") == best
+            code = (
+                F.when(cond, F.lit(cid))
+                if code is None
+                else code.when(cond, F.lit(cid))
+            )
+        codes.append(code.cast("long").alias(f"_c{j}"))
+    return disted.select(F.col(id_col), *codes).select(
+        F.col(id_col),
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+    )
+
+
+def _round_half_up(x: float, scale: int = 6) -> float:
+    """Driver-side mirror of the engines' ROUND (exact-decimal
+    HALF_UP, not Python's banker's rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    query_vec: Sequence[float],
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    k: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query's distance
+    table (m × ksub rounded partial squared distances, computed
+    driver-side with the engines' exact summation order and HALF_UP
+    rounding) folds into the plan as literal array lookups — scoring
+    touches ONLY the compressed codes, never the original vectors.
+    Output distance is √(Σ partials), rounded; ties break by id.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+
+    def part(j: int, cv: Sequence[float]) -> float:
+        qs = query_vec[j * dsub : (j + 1) * dsub]
+        acc = 0.0
+        for a, b in zip(qs, cv):
+            acc += (float(a) - float(b)) * (float(a) - float(b))
+        return _round_half_up(acc, scale)
+
+    total = None
+    for j, cb in enumerate(codebooks):
+        table = F.array(
+            *[F.lit(part(j, cv)) for _, cv in sorted(cb, key=lambda c: c[0])]
+        )
+        term = F.element_at(table, (F.element_at("codes", j + 1) + 1).cast("int"))
+        total = term if total is None else total + term
+    scored = codes_df.select(
+        F.col(id_col), F.round(F.sqrt(total), scale).alias("pq_dist")
+    )
+    w = Window.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "pq_dist", "rank")
+    )

@@ -246,3 +246,81 @@ def histogram(
             "n",
         )
     )
+
+
+def approx_percentile_check(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    prob: float = 0.5,
+    accuracy: int = 10000,
+    rel_tolerance: float = 0.05,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact vs approximate (Greenwald-Khanna / t-digest-style)
+    percentile per group, with a within-tolerance verdict — the
+    quantile twin of ``approx_distinct_check``.
+
+    The exact interpolated percentile is the oracle-checked output;
+    the sketch value is graded INSIDE the query (sketch internals
+    are engine-specific — pinning the error bound is the honest
+    cross-engine contract). At 100 TB the exact sort-based aggregate
+    is the one you drop; the recorded bound justifies it.
+
+    Groups whose exact percentile is 0 fall back to an absolute
+    check (approx == 0) to avoid a divide-by-zero NULL verdict.
+    """
+    out = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(value_col, F.lit(float(prob))), scale).alias(
+            "exact_pct"
+        ),
+        F.approx_percentile(
+            value_col, F.lit(float(prob)), F.lit(accuracy)
+        ).alias("_approx"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_pct")) / F.abs(
+        F.col("exact_pct")
+    )
+    ok = F.when(
+        F.col("exact_pct") == 0, F.col("_approx") == 0
+    ).otherwise(rel_err <= rel_tolerance)
+    return out.select(*group_cols, "exact_pct", ok.alias("approx_ok"))
+
+
+def value_entropy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Shannon entropy (nats) of ``value_col``'s value distribution
+    per group — the profiling signal for key skew / dedup potential
+    (H = 0 means one value dominates totally; H = ln(distinct) means
+    uniform).
+
+    Two chained aggregations: value counts (map-side combine), then
+    the entropy reduction per group. The per-value terms −p·ln p are
+    quantized to DECIMAL(18,12) before the final sum, so the
+    reduction is order-insensitive and the SQL oracle reproduces it
+    bitwise; p itself is a ratio of exact longs. NULLs count as a
+    regular category (profiling wants to see them).
+    """
+    gcols = list(group_cols)
+    counts = (
+        df.select(*gcols, F.col(value_col).alias("_v"))
+        .groupBy(*gcols, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # total per group via a second aggregation (not a window over the
+    # counts: keeps the plan map-combinable at any group cardinality)
+    totals = counts.groupBy(*gcols).agg(F.sum("_c").alias("_n"))
+    joined = counts.join(totals, gcols) if gcols else counts.crossJoin(totals)
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    term = (-p * F.log(p)).cast("decimal(18,12)")
+    return (
+        joined.select(*gcols, term.alias("_t"), F.col("_n"))
+        .groupBy(*gcols)
+        .agg(
+            F.round(F.sum("_t").cast("double"), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )

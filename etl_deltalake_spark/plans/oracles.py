@@ -1684,3 +1684,171 @@ oracle("q_histogram")(
     ORDER BY l_returnflag, bucket
     """
 )
+
+
+oracle("q_approx_pct")(
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS exact_pct,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+)
+
+oracle("q_entropy")(
+    """
+    WITH counts AS (
+      SELECT source, lang AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY 1)
+    SELECT source,
+           ROUND(CAST(SUM(CAST(
+             (-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+             * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy,
+           COUNT(*) AS n_distinct
+    FROM counts JOIN totals USING (source)
+    GROUP BY source
+    ORDER BY source
+    """
+)
+
+
+oracle("q_outer_join")(
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+    ),
+    cust AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+           c_name,
+           COALESCE(n_orders, 0) AS n_orders,
+           o_custkey IS NOT NULL AS has_orders,
+           c_custkey IS NOT NULL AS high_balance
+    FROM per_cust FULL OUTER JOIN cust ON o_custkey = c_custkey
+    ORDER BY custkey
+    """
+)
+
+
+def _pq_topk_sql(
+    m: int = 4, ksub: int = 8, iterations: int = 2, dims: int = 64,
+    k: int = 10,
+) -> str:
+    """Product-quantization oracle: per-subspace L2 Lloyd k-means
+    (same chained-CTE pattern as _kmeans_ivf_sql, with the argmin on
+    ROUND(squared L2, 6) ties-low), final-codebook encode, and ADC
+    scoring from the query\'s per-(subspace, centroid) distance
+    table. Every squared distance is the explicit left-associated
+    term chain, matching Spark\'s sequential fold bitwise."""
+    dsub = dims // m
+
+    def dist(a: str, b: str) -> str:
+        terms = [
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])"
+            for i in range(1, dsub + 1)
+        ]
+        return "ROUND(" + " + ".join(terms) + ", 6)"
+
+    ctes = [
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)"
+    ]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        ctes.append(
+            f"vs{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs)"
+        )
+        ctes.append(
+            f"""s{j}c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cluster_id, v AS cv
+      FROM (SELECT vec_id, v FROM vs{j} ORDER BY vec_id LIMIT {ksub})
+    )"""
+        )
+        prev = f"s{j}c0"
+        for i in range(1, iterations + 1):
+            ctes.append(
+                f"""s{j}a{i} AS (
+      SELECT vec_id, cluster_id, v FROM (
+        SELECT vs{j}.vec_id, {prev}.cluster_id, vs{j}.v,
+               row_number() OVER (
+                 PARTITION BY vs{j}.vec_id
+                 ORDER BY {dist(f"vs{j}.v", f"{prev}.cv")} ASC,
+                          {prev}.cluster_id ASC
+               ) AS rn
+        FROM vs{j} CROSS JOIN {prev}
+      ) WHERE rn = 1
+    )"""
+            )
+            ctes.append(
+                f"""s{j}m{i} AS (
+      SELECT cluster_id, pos,
+             CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mv
+      FROM (
+        SELECT cluster_id, unnest(v) AS val,
+               generate_subscripts(v, 1) AS pos
+        FROM s{j}a{i}
+      )
+      GROUP BY 1, 2
+    )"""
+            )
+            ctes.append(
+                f"s{j}n{i} AS (SELECT cluster_id, list(mv ORDER BY pos) AS cv "
+                f"FROM s{j}m{i} GROUP BY 1)"
+            )
+            ctes.append(
+                f"""s{j}c{i} AS (
+      SELECT {prev}.cluster_id, COALESCE(s{j}n{i}.cv, {prev}.cv) AS cv
+      FROM {prev} LEFT JOIN s{j}n{i} USING (cluster_id)
+    )"""
+            )
+            prev = f"s{j}c{i}"
+        ctes.append(
+            f"""enc{j} AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vs{j}.vec_id, {prev}.cluster_id,
+               row_number() OVER (
+                 PARTITION BY vs{j}.vec_id
+                 ORDER BY {dist(f"vs{j}.v", f"{prev}.cv")} ASC,
+                          {prev}.cluster_id ASC
+               ) AS rn
+        FROM vs{j} CROSS JOIN {prev}
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"qs{j} AS (SELECT v AS qv FROM vs{j} WHERE vec_id = 0)"
+        )
+        ctes.append(
+            f"""dt{j} AS (
+      SELECT cluster_id, {dist("cv", "qv")} AS pd
+      FROM {prev} CROSS JOIN qs{j}
+    )"""
+        )
+    joins = "enc0 e0 JOIN dt0 d0 ON e0.cluster_id = d0.cluster_id"
+    for j in range(1, m):
+        joins += (
+            f" JOIN enc{j} e{j} ON e{j}.vec_id = e0.vec_id"
+            f" JOIN dt{j} d{j} ON e{j}.cluster_id = d{j}.cluster_id"
+        )
+    total = " + ".join(f"d{j}.pd" for j in range(m))
+    final = f"""
+    SELECT vec_id, pq_dist, rank FROM (
+      SELECT e0.vec_id,
+             ROUND(sqrt({total}), 6) AS pq_dist,
+             CAST(row_number() OVER (
+               ORDER BY ROUND(sqrt({total}), 6) ASC, e0.vec_id ASC
+             ) AS BIGINT) AS rank
+      FROM {joins}
+    ) WHERE rank <= {k}
+    ORDER BY rank
+    """
+    return "WITH " + ",\n    ".join(ctes) + final
+
+
+oracle("q_pq_topk")(_pq_topk_sql())

@@ -697,23 +697,17 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic seeds + decimal-sum means, see
     operators/similarity.kmeans_codebook)."""
     from etl_deltalake_spark.operators.similarity import (
-        cosine,
         ivf_assign,
         kmeans_codebook,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
     centroids = kmeans_codebook(emb, "vec_id", "embedding", k=4, iterations=2)
-    assigned = ivf_assign(emb, "vec_id", "embedding", centroids)
-    sim = None
-    for cid, cv in centroids:
-        c = cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cv]))
-        sim = F.when(F.col("cluster_id") == cid, c) if sim is None else sim.when(
-            F.col("cluster_id") == cid, c
-        )
-    return assigned.select(
-        F.col("vec_id"), "cluster_id", sim.alias("cos_sim")
-    ).orderBy("vec_id")
+    return (
+        ivf_assign(emb, "vec_id", "embedding", centroids, sim_col="cos_sim")
+        .select("vec_id", "cluster_id", "cos_sim")
+        .orderBy("vec_id")
+    )
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,3 +720,73 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_quantity", lo=0.0, hi=50.0, n_buckets=10,
         group_cols=["l_returnflag"],
     ).orderBy("l_returnflag", "bucket")
+
+
+def q_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs sketch median per returnflag with a bounded-error
+    verdict (operators/stats.approx_percentile_check — the quantile
+    twin of q_approx_distinct's honest-sketch contract)."""
+    from etl_deltalake_spark.operators.stats import approx_percentile_check
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return approx_percentile_check(
+        li, ["l_returnflag"], "l_quantity", prob=0.5
+    ).orderBy("l_returnflag")
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the language distribution over
+    documents (operators/stats.value_entropy) — the key-skew /
+    dedup-potential profiling signal."""
+    from etl_deltalake_spark.operators.stats import value_entropy
+
+    docs = load_table(spark, "documents", sf_dir)
+    return value_entropy(docs, ["source"], "lang").orderBy("source")
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completeness (SURVEY §2.8 joins row): order
+    counts per customer vs a high-balance customer subset — both
+    unmatched sides survive null-extended. Shuffle hash/sort-merge
+    on the key like any equi-join; no new scale shape."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_acctbal") > 9000
+    ).select("c_custkey", "c_name")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        per_cust.join(
+            cust, per_cust.o_custkey == cust.c_custkey, "full_outer"
+        )
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("o_custkey").isNotNull().alias("has_orders"),
+            F.col("c_custkey").isNotNull().alias("high_balance"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 for vec_id=0: L2 Lloyd
+    codebooks per subspace (m=4, ksub=8, 2 iterations) → compressed
+    codes → asymmetric-distance scoring over codes only. The whole
+    train→encode→score pipeline is deterministic, so the oracle
+    re-derives it bitwise (operators/similarity.pq_*)."""
+    from etl_deltalake_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = pq_train(emb, "vec_id", "embedding", dims=64, m=4, ksub=8,
+                     iterations=2)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    return pq_adc_topk(
+        codes, "vec_id", _query_vec(spark, sf_dir), books, k=10
+    ).orderBy("rank")

@@ -135,6 +135,10 @@ SLOTLESS: tuple[str, ...] = (
     "q_linreg",
     "q_kmeans_ivf",
     "q_histogram",
+    "q_approx_pct",
+    "q_entropy",
+    "q_outer_join",
+    "q_pq_topk",
 )
 
 

@@ -228,3 +228,67 @@ def test_asof_join_forward(spark):
         ).collect()
     }
     assert back == {"t1": 1.0, "t2": 1.0, "t3": 9.0, "t4": 2.0}
+
+
+def test_value_entropy_semantics(spark):
+    import math
+
+    from etl_deltalake_spark.operators.stats import value_entropy
+
+    rows = (
+        [("uniform", v) for v in ["a", "b", "c", "d"] * 5]
+        + [("constant", "x")] * 8
+        + [("withnull", "y")] * 3
+        + [("withnull", None)] * 3
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in value_entropy(df, ["g"], "v").collect()}
+    assert out["uniform"]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out["uniform"]["n_distinct"] == 4
+    assert out["constant"]["entropy"] == 0.0
+    # null is a category: 50/50 split -> ln 2
+    assert out["withnull"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["withnull"]["n_distinct"] == 2
+
+
+def test_pq_roundtrip_and_compression(spark):
+    from etl_deltalake_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    # 3 well-separated 8-d clusters, ids INTERLEAVED across clusters
+    # so the lowest-id seeds cover all three (seeding with one
+    # cluster's points would legitimately split it instead)
+    base = [[10.0, 0, 0, 0, 0, 0, 0, 0], [0, 0, 10.0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 10.0, 0, 0]]
+    rows = []
+    for i in range(12):
+        c, off = i % 3, i // 3
+        v = [x + (0.1 * off if x else 0.0) for x in base[c]]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_train(df, "vec_id", "embedding", dims=8, m=2, ksub=4,
+                     iterations=2)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    codes = pq_encode(df, "vec_id", "embedding", books)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert all(len(c) == 2 for c in got.values())
+    assert all(0 <= x < 4 for c in got.values() for x in c)
+    # ksub=4 over 3 true clusters legitimately splits one cluster
+    # across codes, so code-identity is NOT asserted; the retrieval
+    # property is the contract: ADC against the cluster-0 direction
+    # must fill the top-4 with exactly the cluster-0 members
+    top = pq_adc_topk(codes, "vec_id", base[0], books, k=4).collect()
+    assert {r["vec_id"] for r in top} == {0, 3, 6, 9}
+    dists = [r["pq_dist"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert dists == sorted(dists)
+
+
+def test_pq_rejects_indivisible_dims(spark):
+    from etl_deltalake_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, "vec_id", "embedding", dims=3, m=2)
