@@ -299,3 +299,102 @@ def stream_merge_into(
         .start()
     )
     q.awaitTermination()
+
+
+_ANOMALY_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("std_value", DoubleType()),
+        StructField("n_anomalies", LongType()),
+    ]
+)
+
+
+def user_anomaly_stats(
+    events: DataFrame, z_threshold: float = 3.0, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user streaming anomaly monitor on Spark 4's
+    ``transformWithStateInPandas`` (the successor API to
+    ``applyInPandasWithState`` — typed value-state handles, timers,
+    state TTL; this operator exercises the new surface alongside the
+    classic one in ``user_running_totals``). NOTE: the API's
+    state-server protocol requires the ``protobuf`` package at
+    runtime; the test gates on its availability (absent in this
+    container — the classic API path carries the executed coverage).
+
+    State = (n, Σvalue, Σvalue²) in exact integer cents/cents² —
+    order-insensitive accumulation, so results are chunking- and
+    batch-split-independent. Each event's z-score is computed against
+    the PRIOR events' mean/std (a true online monitor never scores a
+    point against statistics that already include it); anomalies
+    (|z| > threshold once ≥2 prior events exist) are counted in
+    arrival order within a batch. Emits one update row per user per
+    micro-batch with the running mean/std over ALL events seen.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    thr = float(z_threshold)
+
+    class _Monitor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, sum_c BIGINT, sumsq_c2 BIGINT, anom BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, sum_c, sumsq_c2, anom = self._agg.get()
+            else:
+                n, sum_c, sumsq_c2, anom = 0, 0, 0, 0
+            for pdf in rows:
+                ordered = pdf.sort_values("ts", kind="stable")
+                for v in ordered["value"].astype(float):
+                    c = int(round(v * 100))
+                    if n >= 2:
+                        mean = (sum_c / 100.0) / n
+                        var = (n * (sumsq_c2 / 10000.0) - (sum_c / 100.0) ** 2) / (
+                            n * (n - 1)
+                        )
+                        std = var**0.5 if var > 0 else 0.0
+                        if std > 0 and abs((v - mean) / std) > thr:
+                            anom += 1
+                    n += 1
+                    sum_c += c
+                    sumsq_c2 += c * c
+            self._agg.update((n, sum_c, sumsq_c2, anom))
+            mean = (sum_c / 100.0) / n if n else None
+            if n >= 2:
+                var = (n * (sumsq_c2 / 10000.0) - (sum_c / 100.0) ** 2) / (
+                    n * (n - 1)
+                )
+                std = var**0.5 if var > 0 else 0.0
+            else:
+                std = None
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "mean_value": [mean],
+                    "std_value": [std],
+                    "n_anomalies": [anom],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Monitor(),
+            outputStructType=_ANOMALY_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

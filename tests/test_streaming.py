@@ -14,6 +14,13 @@ import pytest
 
 from etl_deltalake_spark.streaming import pipeline as P
 
+try:  # transformWithStateInPandas speaks protobuf to the state server
+    from google.protobuf import descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 
 @pytest.fixture(scope="module")
 def events_stream(spark, sf_dir):
@@ -144,3 +151,48 @@ def test_sliding_counts_runs(spark, events_stream, ckpt):
         P.sliding_counts(events_stream), ckpt, output_mode="complete"
     )
     assert len(got) > 0
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(state-server protocol); not installed in this container",
+)
+def test_transform_with_state_anomaly_monitor(spark, sf_dir, events_stream, ckpt):
+    """transformWithStateInPandas runner: final per-user row must
+    carry the exact batch-computed running stats (integer-cents
+    state is order-insensitive), and the anomaly count is bounded
+    by the event count."""
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    got = P.run_available_now(
+        P.user_anomaly_stats(events_stream, z_threshold=2.0),
+        ckpt,
+        output_mode="update",
+    )
+    assert got, "no output rows"
+    final = {}
+    for r in got:
+        final[r["user_id"]] = r
+    want = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+                / F.count(F.lit(1))
+            ).alias("mean_value"),
+        )
+        .collect()
+    )
+    assert len(final) == len(want)
+    for r in want:
+        g = final[r["user_id"]]
+        assert g["n_events"] == r["n_events"]
+        assert abs(g["mean_value"] - r["mean_value"]) < 1e-9
+        assert 0 <= g["n_anomalies"] <= g["n_events"]
+        if g["n_events"] >= 2:
+            assert g["std_value"] is not None and g["std_value"] >= 0.0
