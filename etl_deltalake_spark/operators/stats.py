@@ -324,3 +324,100 @@ def value_entropy(
             F.count(F.lit(1)).alias("n_distinct"),
         )
     )
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    decimals: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Feature scaling: per input column, append the z-score
+    (``{c}_z``) and min-max ([0,1], ``{c}_mm``) normalized values —
+    the standard model-input prep transform.
+
+    One aggregation computes every column's sufficient statistics
+    (exact decimal sums → deterministic mean/std, same bounded-cast
+    discipline as ``grouped_linreg``); the 1-row stats frame
+    broadcast-cross-joins back so scaling is a scan-side expression.
+    Constant columns (std 0 / zero range) yield NULL scaled values
+    rather than ±inf.
+    """
+    d1, d2 = decimals, 2 * decimals
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast(f"decimal(18,{d1})")
+        aggs += [
+            F.count(F.col(c)).alias(f"_n_{c}"),
+            F.sum(v).cast(f"decimal(18,{d1})").alias(f"_s1_{c}"),
+            F.sum(v * v).cast(f"decimal(24,{d2})").alias(f"_s2_{c}"),
+            F.min(v).alias(f"_mn_{c}"),
+            F.max(v).alias(f"_mx_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    keep = list(df.columns)
+    scaled = []
+    for c in cols:
+        n = F.col(f"_n_{c}")
+        s1, s2 = F.col(f"_s1_{c}"), F.col(f"_s2_{c}")
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        mean = s1.cast("double") / n
+        var = (
+            (n.cast("decimal(12,0)") * s2).cast(f"decimal(30,{d2})")
+            - (s1 * s1).cast(f"decimal(30,{d2})")
+        ).cast("double") / (n * (n - F.lit(1)))
+        std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+        x = F.col(c).cast("double")
+        z = F.when(std > 0, (x - mean) / std)
+        rng = (mx - mn).cast("double")
+        mm = F.when(rng > 0, (x - mn.cast("double")) / rng)
+        scaled += [
+            F.round(z, scale).alias(f"{c}_z"),
+            F.round(mm, scale).alias(f"{c}_mm"),
+        ]
+    return out.select(*keep, *scaled)
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    out_col: str = "qbucket",
+    scale: int = 6,
+) -> DataFrame:
+    """Equi-depth bucketing (quantile discretizer): bucket i holds
+    values in [q_{i/n}, q_{(i+1)/n}) by exact interpolated
+    percentile cutpoints, the last bucket closed above.
+
+    The n−1 cutpoints are a single exact-percentile aggregate — a
+    driver-resident list of n−1 doubles (the same codebook-only
+    collect contract as the ANN operators) that folds back into the
+    scan as a literal comparison chain: rows never shuffle. Rounded
+    cutpoints (``scale``) keep the boundary comparisons
+    engine-reproducible. NULL values get a NULL bucket.
+
+    At 100 TB swap the exact percentile for approx_percentile (same
+    call shape, bounded state) — the bucket boundaries move within
+    the sketch's rank-error bound, the plan doesn't change.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        *[
+            F.round(
+                F.percentile(value_col, F.lit(float(p))), scale
+            ).alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    ).collect()[0]
+    cuts = [row[f"_q{i}"] for i in range(len(probs))]
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(0)
+    for c in cuts:
+        if c is not None:
+            bucket = bucket + F.when(v >= F.lit(float(c)), 1).otherwise(0)
+    return df.withColumn(
+        out_col, F.when(v.isNotNull(), bucket.cast("bigint"))
+    )

@@ -25,3 +25,41 @@ def n_chars(s: pd.Series) -> pd.Series:
 def n_spaces(s: pd.Series) -> pd.Series:
     """Space count — stands in for any per-string Python metric."""
     return s.str.count(" ").astype("int64")
+
+
+def sentence_spans_udtf():
+    """Python UDTF (Spark 4 table-function surface): split a
+    document into sentence spans with character offsets — one output
+    row per sentence, lateral-joinable against the documents table.
+
+    UDTFs complete the extension-surface triad (scalar pandas_udf,
+    grouped applyInPandas/mapInPandas, and table functions). Like
+    any Python UDF this is the slow path — one interpreter call per
+    input row — so it belongs in enrichment stages, not hot scans;
+    the sentence split itself is intentionally simple/deterministic
+    (., !, ? terminators) so tests pin exact spans.
+
+    Returned lazily from a factory because @udtf-decorated classes
+    capture the active SparkSession at decoration time.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: bigint, start_pos: bigint, end_pos: bigint, sentence: string")
+    class SentenceSpans:
+        def eval(self, text: str):
+            if text is None:
+                return
+            start, idx = 0, 0
+            n = len(text)
+            for i, ch in enumerate(text):
+                if ch in ".!?":
+                    seg = text[start : i + 1].strip()
+                    if seg:
+                        yield idx, start, i + 1, seg
+                        idx += 1
+                    start = i + 1
+            tail = text[start:].strip()
+            if tail:
+                yield idx, start, n, tail
+
+    return SentenceSpans

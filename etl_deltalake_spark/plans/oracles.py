@@ -1852,3 +1852,86 @@ def _pq_topk_sql(
 
 
 oracle("q_pq_topk")(_pq_topk_sql())
+
+
+oracle("q_standardize")(
+    """
+    WITH stats AS (
+      SELECT
+        COUNT(l_quantity) AS n_q,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s1_q,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS s2_q,
+        MIN(CAST(l_quantity AS DECIMAL(18,2))) AS mn_q,
+        MAX(CAST(l_quantity AS DECIMAL(18,2))) AS mx_q,
+        COUNT(l_extendedprice) AS n_p,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s1_p,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS s2_p,
+        MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS mn_p,
+        MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS mx_p
+      FROM lineitem
+    ),
+    derived AS (
+      SELECT *,
+        CAST(s1_q AS DOUBLE) / n_q AS mean_q,
+        sqrt(greatest(
+          CAST(CAST(CAST(n_q AS DECIMAL(12,0)) * CAST(s2_q AS DECIMAL(19,4))
+                    AS DECIMAL(30,4))
+               - CAST(CAST(s1_q AS DECIMAL(19,2)) * s1_q AS DECIMAL(30,4))
+               AS DOUBLE) / (n_q * (n_q - 1)), 0.0)) AS std_q,
+        CAST(s1_p AS DOUBLE) / n_p AS mean_p,
+        sqrt(greatest(
+          CAST(CAST(CAST(n_p AS DECIMAL(12,0)) * CAST(s2_p AS DECIMAL(19,4))
+                    AS DECIMAL(30,4))
+               - CAST(CAST(s1_p AS DECIMAL(19,2)) * s1_p AS DECIMAL(30,4))
+               AS DOUBLE) / (n_p * (n_p - 1)), 0.0)) AS std_p
+      FROM stats
+    )
+    SELECT
+      l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      ROUND(CASE WHEN std_q > 0
+        THEN (CAST(l_quantity AS DOUBLE) - mean_q) / std_q END, 6)
+        AS l_quantity_z,
+      ROUND(CASE WHEN CAST(mx_q - mn_q AS DOUBLE) > 0
+        THEN (CAST(l_quantity AS DOUBLE) - CAST(mn_q AS DOUBLE))
+             / CAST(mx_q - mn_q AS DOUBLE) END, 6) AS l_quantity_mm,
+      ROUND(CASE WHEN std_p > 0
+        THEN (CAST(l_extendedprice AS DOUBLE) - mean_p) / std_p END, 6)
+        AS l_extendedprice_z,
+      ROUND(CASE WHEN CAST(mx_p - mn_p AS DOUBLE) > 0
+        THEN (CAST(l_extendedprice AS DOUBLE) - CAST(mn_p AS DOUBLE))
+             / CAST(mx_p - mn_p AS DOUBLE) END, 6) AS l_extendedprice_mm
+    FROM lineitem CROSS JOIN derived
+    ORDER BY l_orderkey, l_linenumber
+    """
+)
+
+
+oracle("q_quantile_bucket")(
+    """
+    WITH cuts AS (
+      SELECT
+        ROUND(quantile_cont(o_totalprice, 0.25), 6) AS c0,
+        ROUND(quantile_cont(o_totalprice, 0.50), 6) AS c1,
+        ROUND(quantile_cont(o_totalprice, 0.75), 6) AS c2
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT
+        CASE WHEN o_totalprice IS NULL THEN NULL ELSE
+          CAST((CASE WHEN CAST(o_totalprice AS DOUBLE) >= c0 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(o_totalprice AS DOUBLE) >= c1 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(o_totalprice AS DOUBLE) >= c2 THEN 1 ELSE 0 END)
+             AS BIGINT) END AS qbucket,
+        o_totalprice
+      FROM orders CROSS JOIN cuts
+    )
+    SELECT qbucket, COUNT(*) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM bucketed
+    GROUP BY qbucket
+    ORDER BY qbucket
+    """
+)

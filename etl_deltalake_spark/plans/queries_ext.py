@@ -790,3 +790,40 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         codes, "vec_id", _query_vec(spark, sf_dir), books, k=10
     ).orderBy("rank")
+
+
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling over lineitem quantity/price: z-score and
+    min-max columns from one exact-decimal stats pass
+    (operators/stats.standardize)."""
+    from etl_deltalake_spark.operators.stats import standardize
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return standardize(li, ["l_quantity", "l_extendedprice"]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile discretization of order totals with per-bucket
+    counts (operators/stats.quantile_bucket): equi-depth buckets
+    from exact percentile cutpoints."""
+    from etl_deltalake_spark.operators.stats import quantile_bucket
+
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        quantile_bucket(orders, "o_totalprice", n_buckets=4)
+        .groupBy("qbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("lo"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("hi"),
+        )
+        .orderBy("qbucket")
+    )

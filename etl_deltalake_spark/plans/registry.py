@@ -139,6 +139,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_entropy",
     "q_outer_join",
     "q_pq_topk",
+    "q_standardize",
+    "q_quantile_bucket",
 )
 
 

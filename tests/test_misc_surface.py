@@ -64,3 +64,33 @@ def test_functions_module_surface(spark):
     assert 0.0 <= row.q <= 1.0
     assert row.email.endswith("@alicesmith.org")
     assert len(row.fp) == 32
+
+
+def test_sentence_spans_udtf(spark):
+    """UDTF extension surface: registered table function + lateral
+    join against a documents-shaped frame."""
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.operators.udfs import sentence_spans_udtf
+
+    fn = sentence_spans_udtf()
+    spark.udtf.register("sentence_spans", fn)
+    rows = spark.sql(
+        "SELECT * FROM sentence_spans('One. Two two! Three? ')"
+    ).collect()
+    assert [(r["sent_idx"], r["sentence"]) for r in rows] == [
+        (0, "One."), (1, "Two two!"), (2, "Three?"),
+    ]
+    assert rows[1]["start_pos"] == 4 and rows[1]["end_pos"] == 13
+
+    docs = spark.createDataFrame(
+        [(1, "A b. C d!"), (2, None), (3, "No terminator")],
+        ["doc_id", "text"],
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT doc_id, sent_idx, sentence FROM udtf_docs, "
+        "LATERAL sentence_spans(text) ORDER BY doc_id, sent_idx"
+    ).collect()
+    got = [(r["doc_id"], r["sent_idx"], r["sentence"]) for r in out]
+    assert got == [(1, 0, "A b."), (1, 1, "C d!"), (3, 0, "No terminator")]

@@ -23,7 +23,7 @@ def _physical_plan(df) -> str:
 # scalar aggregate folded into the plan — O(n), not all-pairs):
 # q_lm_score crossJoins the 1-row vocab-size aggregate; q_bm25
 # crossJoins the 1-row (N, avgdl) corpus-constants aggregate.
-_SCALAR_CROSS_OK = {"q_lm_score": 1, "q_bm25": 1}
+_SCALAR_CROSS_OK = {"q_lm_score": 1, "q_bm25": 1, "q_standardize": 1}
 
 
 def test_no_quadratic_join_in_any_query(spark, sf_dir):

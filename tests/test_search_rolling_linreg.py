@@ -292,3 +292,22 @@ def test_pq_rejects_indivisible_dims(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, "vec_id", "embedding", dims=3, m=2)
+
+
+def test_quantile_bucket_depth_and_nulls(spark):
+    from etl_deltalake_spark.operators.stats import quantile_bucket
+
+    rows = [("r", float(i)) for i in range(1, 101)] + [("r", None)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_bucket(df, "v", n_buckets=4)
+    counts = {
+        r["qbucket"]: r["n"]
+        for r in out.groupBy("qbucket").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # equi-depth: ~25 per bucket on uniform data; null -> null bucket
+    assert counts[None] == 1
+    assert sum(v for k, v in counts.items() if k is not None) == 100
+    assert all(20 <= v <= 30 for k, v in counts.items() if k is not None)
+    assert set(k for k in counts if k is not None) == {0, 1, 2, 3}
