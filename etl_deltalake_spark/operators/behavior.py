@@ -1,0 +1,128 @@
+"""Behavioral / event analytics over the events stream: ordered
+conversion funnels and cohort retention — the product-analytics
+surface (absent in the reference, whose events are coin ticks;
+standard in any warehouse serving growth metrics).
+
+Scale shapes:
+ - ``funnel_steps``: one conditional aggregation per funnel step,
+   each a groupBy on the user key (map-side combine; the join back
+   is keyed on the same column so AQE reuses the partitioning).
+   Steps are ORDERED: step k's timestamp is the user's earliest
+   step-k event at-or-after their step-(k−1) timestamp, so a
+   purchase before any click doesn't count as a conversion.
+ - ``cohort_retention``: two aggregations (first-seen cohort per
+   user, then distinct (cohort, offset) user counts). Cohort offset
+   arithmetic is integer date math — deterministic everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-user ordered funnel: for each step, the earliest
+    qualifying event timestamp (``{step}_ts``) — qualifying means
+    at-or-after the previous step's timestamp — plus a reached flag.
+    Users enter the output if they performed step 1.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias(f"{steps[0]}_ts"))
+    )
+    for prev, step in zip(steps, steps[1:]):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("user"), F.col(ts_col).alias("_t"))
+            .join(cur.select("user", F.col(f"{prev}_ts").alias("_p")), "user")
+            .filter(F.col("_t") >= F.col("_p"))
+            .groupBy("user")
+            .agg(F.min("_t").alias(f"{step}_ts"))
+        )
+        cur = cur.join(nxt, "user", "left")
+    return cur.select(
+        F.col("user").alias(user_col),
+        *[F.col(f"{s}_ts") for s in steps],
+        *[F.col(f"{s}_ts").isNotNull().alias(f"reached_{s}") for s in steps],
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel summary: users reaching each step (ordered semantics),
+    with the step index for deterministic output ordering."""
+    per_user = funnel_steps(df, user_col, ts_col, type_col, steps)
+    counts = per_user.agg(
+        *[
+            F.sum(F.col(f"reached_{s}").cast("bigint")).alias(f"_n_{s}")
+            for s in steps
+        ]
+    )
+    rows = None
+    for i, s in enumerate(steps):
+        row = counts.select(
+            F.lit(i + 1).cast("bigint").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"_n_{s}").alias("n_users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen
+    ``period`` (their cohort), counted as active in each later
+    period they produced any event. Offset 0 is the cohort period
+    itself (n_active = cohort size by construction).
+    """
+    if period not in ("week", "day"):
+        raise ValueError(
+            f"period must be week|day (integer datediff offsets), got {period!r}"
+        )
+    base = df.select(
+        F.col(user_col).alias("user"),
+        # DATE, not timestamp: period floors are day-aligned, and the
+        # SQL standard's date_trunc-on-week yields DATE in DuckDB
+        F.to_date(F.date_trunc(period, F.col(ts_col))).alias("p"),
+    )
+    firsts = base.groupBy("user").agg(F.min("p").alias("cohort"))
+    activity = (
+        base.join(firsts, "user")
+        .select(
+            "user",
+            "cohort",
+            # integer period offset: exact date arithmetic, no floats
+            (
+                F.datediff(F.col("p"), F.col("cohort"))
+                / (7 if period == "week" else 1)
+            )
+            .cast("bigint")
+            .alias("offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "offset").agg(
+        F.countDistinct("user").alias("n_active")
+    )

@@ -1935,3 +1935,52 @@ oracle("q_quantile_bucket")(
     ORDER BY qbucket
     """
 )
+
+
+oracle("q_funnel")(
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts >= s1.t
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+      GROUP BY 1
+    )
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s3)
+    ORDER BY step_idx
+    """
+)
+
+oracle("q_cohort")(
+    """
+    WITH base AS (
+      SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events
+    ),
+    firsts AS (SELECT u, MIN(p) AS cohort FROM base GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT base.u, cohort,
+             CAST(date_diff('day', CAST(cohort AS DATE), CAST(p AS DATE)) / 7
+                  AS BIGINT) AS "offset"
+      FROM base JOIN firsts ON base.u = firsts.u
+    )
+    SELECT cohort, "offset", COUNT(DISTINCT u) AS n_active
+    FROM activity
+    GROUP BY 1, 2
+    ORDER BY cohort, "offset"
+    """
+)

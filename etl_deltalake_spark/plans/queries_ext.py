@@ -827,3 +827,26 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qbucket")
     )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase over the
+    events stream (operators/behavior.funnel_counts): each step
+    counts only events at-or-after the user's previous step."""
+    from etl_deltalake_spark.operators.behavior import funnel_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step_idx")
+
+
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the events stream
+    (operators/behavior.cohort_retention)."""
+    from etl_deltalake_spark.operators.behavior import cohort_retention
+
+    ev = load_table(spark, "events", sf_dir)
+    return cohort_retention(ev, "user_id", "ts", period="week").orderBy(
+        "cohort", "offset"
+    )

@@ -141,6 +141,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_pq_topk",
     "q_standardize",
     "q_quantile_bucket",
+    "q_funnel",
+    "q_cohort",
 )
 
 

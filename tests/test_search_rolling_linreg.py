@@ -311,3 +311,61 @@ def test_quantile_bucket_depth_and_nulls(spark):
     assert sum(v for k, v in counts.items() if k is not None) == 100
     assert all(20 <= v <= 30 for k, v in counts.items() if k is not None)
     assert set(k for k in counts if k is not None) == {0, 1, 2, 3}
+
+
+def test_funnel_ordering_semantics(spark):
+    """A purchase BEFORE the user's first click must not count as a
+    conversion; one after it must."""
+    from etl_deltalake_spark.operators.behavior import (
+        funnel_counts,
+        funnel_steps,
+    )
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, _ts(0), "view"), (1, _ts(10), "click"), (1, _ts(20), "purchase"),
+        # u2: purchase precedes the click -> conversion must NOT count
+        (2, _ts(0), "view"), (2, _ts(5), "purchase"), (2, _ts(10), "click"),
+        # u3: view only
+        (3, _ts(0), "view"),
+        # u4: click with no view -> not in the funnel at all
+        (4, _ts(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+    per_user = {
+        r["user_id"]: r
+        for r in funnel_steps(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert set(per_user) == {1, 2, 3}
+    assert per_user[1]["reached_purchase"]
+    assert per_user[2]["reached_click"] and not per_user[2]["reached_purchase"]
+    assert not per_user[3]["reached_click"]
+    counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert counts == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from etl_deltalake_spark.operators.behavior import cohort_retention
+
+    import datetime
+
+    def d(day):
+        return datetime.datetime(2024, 1, day, 12, 0, 0)
+
+    rows = [
+        (1, d(1)), (1, d(8)), (1, d(22)),   # cohort wk0, active wk1, wk3
+        (2, d(2)), (2, d(9)),               # same cohort week, active wk1
+        (3, d(10)),                         # later cohort, only itself
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(str(r["cohort"]), r["offset"]): r["n_active"]
+           for r in cohort_retention(df, "user_id", "ts", "week").collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 2
+    assert out[("2024-01-01", 3)] == 1
+    assert out[("2024-01-08", 0)] == 1
+    assert len(out) == 4
