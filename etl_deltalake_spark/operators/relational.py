@@ -204,3 +204,45 @@ def keep_first_by(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_basket_size: int | None = 100,
+) -> DataFrame:
+    """Frequent co-occurrence mining: (item_a < item_b) pairs counted
+    across baskets — the market-basket / related-items primitive.
+
+    The self-join is an EQUI-join on the basket key, so the only
+    quadratic factor is per-basket fan-out (size²). That is exactly
+    the skew that kills this query at scale — one degenerate basket
+    with 100k items yields 10¹⁰ pairs — so baskets larger than
+    ``max_basket_size`` are dropped BEFORE the join (standard
+    practice: oversized baskets are bots/ETL artifacts and poison
+    the signal anyway; the cap changes which baskets participate,
+    never the pair counts of surviving baskets). Distinct items per
+    basket first, so re-ordered duplicates don't inflate counts.
+    """
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    if max_basket_size is not None:
+        ok = (
+            items.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_basket_size)
+            .select("b")
+        )
+        items = items.join(ok, "b")
+    a = items.select("b", F.col("i").alias("item_a"))
+    bb = items.select("b", F.col("i").alias("item_b"))
+    return (
+        a.join(bb, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )

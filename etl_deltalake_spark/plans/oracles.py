@@ -1984,3 +1984,29 @@ oracle("q_cohort")(
     ORDER BY cohort, "offset"
     """
 )
+
+
+oracle("q_copair")(
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    ok AS (
+      SELECT b FROM items GROUP BY b HAVING COUNT(*) <= 100
+    ),
+    kept AS (SELECT items.b, i FROM items JOIN ok USING (b)),
+    pairs AS (
+      SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_baskets
+      FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, n_baskets,
+           CAST(row_number() OVER (
+             ORDER BY n_baskets DESC, item_a ASC, item_b ASC
+           ) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 50
+    ORDER BY rank
+    """
+)

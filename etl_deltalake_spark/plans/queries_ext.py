@@ -8,7 +8,7 @@ DataFrame``, column aliases matching plans/oracles.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_deltalake_spark.sources.catalog import load_table
@@ -849,4 +849,24 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return cohort_retention(ev, "user_id", "ts", period="week").orderBy(
         "cohort", "offset"
+    )
+
+
+def q_copair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part co-occurrence pairs across orders (market-basket
+    primitive, operators/relational.cooccurrence_pairs), capped and
+    deterministically ranked."""
+    from etl_deltalake_spark.operators.relational import cooccurrence_pairs
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=2, max_basket_size=100
+    )
+    w = Window.orderBy(
+        F.col("n_baskets").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 50)
+        .orderBy("rank")
     )

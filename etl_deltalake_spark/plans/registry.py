@@ -143,6 +143,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_quantile_bucket",
     "q_funnel",
     "q_cohort",
+    "q_copair",
 )
 
 

@@ -369,3 +369,24 @@ def test_cohort_retention_offsets(spark):
     assert out[("2024-01-01", 3)] == 1
     assert out[("2024-01-08", 0)] == 1
     assert len(out) == 4
+
+
+def test_cooccurrence_cap_and_dedup(spark):
+    from etl_deltalake_spark.operators.relational import cooccurrence_pairs
+
+    rows = (
+        [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (2, "c")]
+        # oversized basket: must be dropped entirely by the cap
+        + [(9, f"x{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(
+            df, "basket", "item", min_count=1, max_basket_size=3
+        ).collect()
+    }
+    # duplicate (1,b) counted once; basket 9 excluded
+    assert out[("a", "b")] == 2
+    assert out[("a", "c")] == 1 and out[("b", "c")] == 1
+    assert not any(k for k in out if k[0].startswith("x"))
