@@ -25,6 +25,10 @@ occupy driver slots):
  - q_dedup_clusters: q_corpus_prep runs the identical MinHash+LSH →
    label-propagation path end-to-end inside the full curation funnel
    (strictly stronger composition coverage).
+ - q_jaccard_pairs (round 3): the exact shared-shingle baseline; its
+   slot went to q_pq_topk (product-quantization ANN, the round-3
+   flagship) — q_minhash_lsh keeps the near-dup family's driver row
+   and the Jaccard oracle stays pytest-gated.
 
 SLOTLESS entries are newer oracle-paired queries that never held a
 driver slot (the 50 are full); they carry the same pytest oracle
@@ -89,7 +93,7 @@ REGISTERED: tuple[str, ...] = (
     # LLM-data-pipeline extensions (SURVEY §2.9)
     "q_dedup_exact",
     "q_minhash_lsh",
-    "q_jaccard_pairs",
+    "q_pq_topk",
     "q_corpus_prep",
     "q_simhash",
     "q_fingerprint",
@@ -106,6 +110,7 @@ REGISTERED: tuple[str, ...] = (
 )
 
 RETIRED: tuple[str, ...] = (
+    "q_jaccard_pairs",
     "q_tumbling_window",
     "q_binary_meta",
     "q_distinct",
@@ -138,7 +143,6 @@ SLOTLESS: tuple[str, ...] = (
     "q_approx_pct",
     "q_entropy",
     "q_outer_join",
-    "q_pq_topk",
     "q_standardize",
     "q_quantile_bucket",
     "q_funnel",
