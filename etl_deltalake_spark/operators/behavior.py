@@ -69,21 +69,30 @@ def funnel_counts(
     """Funnel summary: users reaching each step (ordered semantics),
     with the step index for deterministic output ordering."""
     per_user = funnel_steps(df, user_col, ts_col, type_col, steps)
+    # sum over an empty frame is NULL — an empty funnel reports 0
     counts = per_user.agg(
         *[
-            F.sum(F.col(f"reached_{s}").cast("bigint")).alias(f"_n_{s}")
+            F.coalesce(
+                F.sum(F.col(f"reached_{s}").cast("bigint")), F.lit(0)
+            ).alias(f"_n_{s}")
             for s in steps
         ]
     )
-    rows = None
-    for i, s in enumerate(steps):
-        row = counts.select(
-            F.lit(i + 1).cast("bigint").alias("step_idx"),
-            F.lit(s).alias("step"),
-            F.col(f"_n_{s}").alias("n_users"),
-        )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    # one posexplode over the single aggregate row (an N-way union
+    # would plan N copies of the whole funnel subtree)
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("step"), F.col(f"_n_{s}").alias("n_users")
+            )
+            for s in steps
+        ]
+    )
+    return counts.select(F.posexplode(kv).alias("_i", "_kv")).select(
+        (F.col("_i") + 1).cast("bigint").alias("step_idx"),
+        F.col("_kv.step").alias("step"),
+        F.col("_kv.n_users").alias("n_users"),
+    )
 
 
 def cohort_retention(

@@ -55,6 +55,18 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_on = right_on or on
     lcols = left.columns
+    # The whole right payload is carried as ONE struct, not
+    # per-column: a right row whose px is NULL but sz isn't must
+    # carry as that single row — independent per-column
+    # last/first(ignorenulls) would stitch fields from DIFFERENT
+    # right rows. The struct itself is non-null for every right
+    # marker row (even when all its fields are null), so
+    # ignorenulls skips exactly the left rows.
+    from pyspark.sql.types import StructField, StructType
+
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     # marker (backward): right=0 sorts before left=1 at equal times →
     # inclusive <=; forward flips the marker so right sorts AFTER
     # left at equal times and the following-frame first() is inclusive >=
@@ -62,14 +74,14 @@ def asof_join(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_m"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     l = left.select(  # noqa: E741
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_m"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(payload_type).alias("_payload"),
         *[F.col(c) for c in lcols],
     )
     unioned = r.unionByName(l)
@@ -79,10 +91,7 @@ def asof_join(
             .orderBy("_t", "_m")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carry = [
-            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_cols
-        ]
+        carry = F.last("_payload", ignorenulls=True).over(w).alias("_f")
     else:
         # left (_m=1) sorts before right (_m=0 → recoded 2) at equal
         # times, and the first right payload at-or-after fills in
@@ -94,14 +103,11 @@ def asof_join(
             .orderBy("_t", "_m")
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        carry = [
-            F.first(c, ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_cols
-        ]
-    filled = unioned.select("*", *carry)
+        carry = F.first("_payload", ignorenulls=True).over(w).alias("_f")
+    filled = unioned.select("*", carry)
     return filled.filter(F.col("_m") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_f_{c}").alias(c) for c in right_cols],
+        *[F.col(f"_f.{c}").alias(c) for c in right_cols],
     )
 
 
@@ -228,7 +234,7 @@ def cooccurrence_pairs(
     """
     items = df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     if max_basket_size is not None:
         ok = (
             items.groupBy("b")

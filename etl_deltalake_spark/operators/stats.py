@@ -127,6 +127,25 @@ def approx_distinct_check(
     )
 
 
+def exact_mean_var(n, s1, s2, d2: int = 4):
+    """Mean and sample variance from exact decimal sufficient
+    statistics (count, Σx, Σx² — already cast to bounded decimals by
+    the caller): mean = Σx/n, var = (n·Σx² − (Σx)²)/(n·(n−1)).
+
+    The shared arithmetic behind ``rolling_stats``, ``standardize``
+    (and the same ladder ``grouped_linreg`` extends to covariances):
+    products re-cast to DECIMAL(30,d2) so both engines' 38-digit cap
+    is respected, then one exact subtraction before the double
+    division. Callers mirror this shape verbatim in their oracles.
+    """
+    mean = s1.cast("double") / n
+    var = (
+        (n.cast("decimal(12,0)") * s2).cast(f"decimal(30,{d2})")
+        - (s1 * s1).cast(f"decimal(30,{d2})")
+    ).cast("double") / (n * (n - F.lit(1)))
+    return mean, var
+
+
 def grouped_linreg(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -313,7 +332,19 @@ def value_entropy(
     # total per group via a second aggregation (not a window over the
     # counts: keeps the plan map-combinable at any group cardinality)
     totals = counts.groupBy(*gcols).agg(F.sum("_c").alias("_n"))
-    joined = counts.join(totals, gcols) if gcols else counts.crossJoin(totals)
+    if gcols:
+        # null-SAFE key equality: a NULL group key is a real group in
+        # a profiling tool; plain equality would silently drop it
+        t = totals.select(
+            *[F.col(g).alias(f"_g_{g}") for g in gcols], "_n"
+        )
+        cond = None
+        for g in gcols:
+            c = F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+            cond = c if cond is None else cond & c
+        joined = counts.join(t, cond).drop(*[f"_g_{g}" for g in gcols])
+    else:
+        joined = counts.crossJoin(totals)
     p = F.col("_c").cast("double") / F.col("_n").cast("double")
     term = (-p * F.log(p)).cast("decimal(18,12)")
     return (
@@ -362,11 +393,7 @@ def standardize(
         n = F.col(f"_n_{c}")
         s1, s2 = F.col(f"_s1_{c}"), F.col(f"_s2_{c}")
         mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
-        mean = s1.cast("double") / n
-        var = (
-            (n.cast("decimal(12,0)") * s2).cast(f"decimal(30,{d2})")
-            - (s1 * s1).cast(f"decimal(30,{d2})")
-        ).cast("double") / (n * (n - F.lit(1)))
+        mean, var = exact_mean_var(n, s1, s2, d2)
         std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
         x = F.col(c).cast("double")
         z = F.when(std > 0, (x - mean) / std)

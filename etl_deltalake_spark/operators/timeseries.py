@@ -159,15 +159,13 @@ def rolling_stats(
     # engines' 38-digit cap (Spark silently rounds on overflow via
     # precision-loss, DuckDB errors): frame sums fit (18,2)/(18,4)
     # for quantized telemetry values, counts fit (12,0).
+    from etl_deltalake_spark.operators.stats import exact_mean_var
+
     d1, d2 = decimals, 2 * decimals
-    n_d = n.cast("decimal(12,0)")
     s1 = F.sum("_v").over(w).cast(f"decimal(18,{d1})")
     s2 = F.sum("_v2").over(w).cast(f"decimal(18,{d2})")
-    mean = s1.cast("double") / n
     # sample variance from exact sums: (n·Σx² − (Σx)²) / (n·(n−1))
-    var = (
-        (n_d * s2).cast(f"decimal(30,{d2})") - (s1 * s1).cast(f"decimal(30,{d2})")
-    ).cast("double") / (n * (n - F.lit(1)))
+    mean, var = exact_mean_var(n, s1, s2, d2)
     std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
     z = F.when(
         (n > 1) & (std > 0), (F.col("_v").cast("double") - mean) / std

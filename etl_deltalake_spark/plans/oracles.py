@@ -1703,15 +1703,16 @@ oracle("q_entropy")(
       SELECT source, lang AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
     ),
     totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY 1)
-    SELECT source,
+    SELECT counts.source,
            ROUND(CAST(SUM(CAST(
              (-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
              * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
              AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy,
            COUNT(*) AS n_distinct
-    FROM counts JOIN totals USING (source)
-    GROUP BY source
-    ORDER BY source
+    FROM counts JOIN totals
+      ON counts.source IS NOT DISTINCT FROM totals.source
+    GROUP BY counts.source
+    ORDER BY counts.source
     """
 )
 

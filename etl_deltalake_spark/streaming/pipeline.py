@@ -351,15 +351,32 @@ def user_anomaly_stats(
                 n, sum_c, sumsq_c2, anom = self._agg.get()
             else:
                 n, sum_c, sumsq_c2, anom = 0, 0, 0, 0
-            for pdf in rows:
-                ordered = pdf.sort_values("ts", kind="stable")
-                for v in ordered["value"].astype(float):
-                    c = int(round(v * 100))
+            # Arrow hands the micro-batch over in chunks whose
+            # boundaries are partitioning artifacts; concat + ONE
+            # sort makes the arrival order (and so each event's
+            # prior-only z-score) batch-split independent.
+            from decimal import ROUND_HALF_UP, Decimal
+
+            chunks = [pdf for pdf in rows if len(pdf)]
+            batch = (
+                pd.concat(chunks).sort_values("ts", kind="stable")
+                if chunks
+                else None
+            )
+            if batch is not None:
+                for v in batch["value"].astype(float):
+                    # HALF_UP cents, mirroring engine ROUND — Python
+                    # round() is banker's and disagrees on half-cents
+                    c = int(
+                        Decimal(v * 100).quantize(
+                            Decimal(1), rounding=ROUND_HALF_UP
+                        )
+                    )
                     if n >= 2:
                         mean = (sum_c / 100.0) / n
-                        var = (n * (sumsq_c2 / 10000.0) - (sum_c / 100.0) ** 2) / (
-                            n * (n - 1)
-                        )
+                        var = (
+                            n * (sumsq_c2 / 10000.0) - (sum_c / 100.0) ** 2
+                        ) / (n * (n - 1))
                         std = var**0.5 if var > 0 else 0.0
                         if std > 0 and abs((v - mean) / std) > thr:
                             anom += 1

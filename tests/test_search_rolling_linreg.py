@@ -390,3 +390,34 @@ def test_cooccurrence_cap_and_dedup(spark):
     assert out[("a", "b")] == 2
     assert out[("a", "c")] == 1 and out[("b", "c")] == 1
     assert not any(k for k in out if k[0].startswith("x"))
+
+
+def test_asof_join_carries_whole_row_with_null_fields(spark):
+    """A right row whose payload contains NULL fields must carry AS
+    THAT ROW — per-column ignorenulls carries would stitch fields
+    from different right rows."""
+    from etl_deltalake_spark.operators.relational import asof_join
+
+    trades = spark.createDataFrame([(1, 30, "t1")], ["key", "t", "trade"])
+    quotes = spark.createDataFrame(
+        [(1, 10, 3.0, 7), (1, 20, None, 5)],
+        "key long, qt long, px double, sz long",
+    )
+    back = asof_join(
+        trades, quotes, on="key", left_time="t", right_time="qt",
+        right_cols=["px", "sz"],
+    ).collect()[0]
+    # nearest at-or-before is the t=20 row: px NULL, sz 5 — NOT px
+    # 3.0 stitched from the t=10 row
+    assert back["px"] is None and back["sz"] == 5
+
+    fwd_trades = spark.createDataFrame([(1, 5, "t1")], ["key", "t", "trade"])
+    fq = spark.createDataFrame(
+        [(1, 10, None, 9), (1, 20, 4.0, 2)],
+        "key long, qt long, px double, sz long",
+    )
+    fwd = asof_join(
+        fwd_trades, fq, on="key", left_time="t", right_time="qt",
+        right_cols=["px", "sz"], direction="forward",
+    ).collect()[0]
+    assert fwd["px"] is None and fwd["sz"] == 9
