@@ -252,3 +252,55 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_count)
     )
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_secs: int,
+) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key, made scale-safe by
+    time bucketing: each interval explodes to the epoch buckets it
+    covers, candidates equi-join on the bucket, and the exact
+    half-open overlap predicate (``l_start < r_end AND r_start <
+    l_end``) filters candidates. Duplicate candidates (a pair
+    overlapping several buckets) collapse via distinct on the two
+    row ids the caller must provide as columns named ``l_id`` /
+    ``r_id``.
+
+    This is the pre-bucketing pattern SCALE.md prescribes for pure
+    range joins: a raw inequality join plans a
+    BroadcastNestedLoopJoin (O(n·m)); bucketing bounds candidates to
+    pairs sharing a ``bucket_secs`` window — pick the bucket near
+    the TYPICAL interval length (too small explodes long intervals
+    across many buckets, too large admits distant candidates; both
+    only cost, never wrong). Exactness is unconditional: any
+    overlapping pair shares at least the bucket containing the
+    later start.
+    """
+    def buckets(start: str, end: str):
+        lo = F.floor(F.unix_timestamp(F.col(start)) / bucket_secs)
+        # the end bucket is included even when the interval ends
+        # exactly on a boundary: unix_timestamp TRUNCATES sub-second
+        # precision, so excluding it (end-1) could miss a true
+        # overlap whose counterpart starts inside the truncated
+        # boundary second — the inclusive form only ever costs a few
+        # extra candidates, which the exact filter discards
+        hi = F.floor(F.unix_timestamp(F.col(end)) / bucket_secs)
+        return F.explode(F.sequence(lo, F.greatest(hi, lo))).alias("_bk")
+
+    lb = left.select("*", buckets(l_start, l_end))
+    rb = right.select("*", buckets(r_start, r_end))
+    pairs = (
+        lb.join(rb, "_bk")
+        .filter(
+            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+        .drop("_bk")
+        .distinct()
+    )
+    return pairs

@@ -2011,3 +2011,26 @@ oracle("q_copair")(
     ORDER BY rank
     """
 )
+
+
+oracle("q_interval_join")(
+    """
+    WITH orders_w AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS TIMESTAMP) AS w_start,
+             CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS w_end
+      FROM orders
+    ),
+    campaigns(r_id, c_start, c_end) AS (
+      VALUES
+        (1, TIMESTAMP '1994-01-01', TIMESTAMP '1994-04-01'),
+        (2, TIMESTAMP '1994-07-01', TIMESTAMP '1994-10-01'),
+        (3, TIMESTAMP '1995-01-01', TIMESTAMP '1995-04-01')
+    )
+    SELECT r_id, COUNT(*) AS n_orders
+    FROM orders_w JOIN campaigns
+      ON w_start < c_end AND c_start < w_end
+    GROUP BY r_id
+    ORDER BY r_id
+    """
+)

@@ -870,3 +870,40 @@ def q_copair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .orderBy("rank")
     )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without an equi key, via time-bucket
+    blocking (operators/relational.bucketed_interval_join): order
+    fulfillment windows (orderdate..orderdate+30d) against fixed
+    quarterly campaign windows — counts per campaign."""
+    from etl_deltalake_spark.operators.relational import (
+        bucketed_interval_join,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_id"),
+        F.to_timestamp("o_orderdate").alias("w_start"),
+        F.to_timestamp(F.date_add("o_orderdate", 30)).alias("w_end"),
+    )
+    campaigns = spark.createDataFrame(
+        [
+            (1, "1994-01-01", "1994-04-01"),
+            (2, "1994-07-01", "1994-10-01"),
+            (3, "1995-01-01", "1995-04-01"),
+        ],
+        ["r_id", "c_start", "c_end"],
+    ).select(
+        "r_id",
+        F.to_timestamp("c_start").alias("c_start"),
+        F.to_timestamp("c_end").alias("c_end"),
+    )
+    pairs = bucketed_interval_join(
+        orders, campaigns, "w_start", "w_end", "c_start", "c_end",
+        bucket_secs=30 * 86400,
+    )
+    return (
+        pairs.groupBy("r_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("r_id")
+    )

@@ -148,6 +148,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_funnel",
     "q_cohort",
     "q_copair",
+    "q_interval_join",
 )
 
 

@@ -421,3 +421,46 @@ def test_asof_join_carries_whole_row_with_null_fields(spark):
         right_cols=["px", "sz"], direction="forward",
     ).collect()[0]
     assert fwd["px"] is None and fwd["sz"] == 9
+
+
+def test_bucketed_interval_join_exact_and_no_bnlj(spark):
+    """Bucketed interval join must equal the brute-force overlap
+    predicate and must plan an equi-join (no BNLJ)."""
+    from etl_deltalake_spark.operators.relational import (
+        bucketed_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, _ts(0), _ts(100)), (2, _ts(7200), _ts(7300)),
+         (3, _ts(50), _ts(60))],
+        ["l_id", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(90), _ts(200)), (11, _ts(7250), _ts(7260)),
+         (12, _ts(300), _ts(400)), (13, _ts(100), _ts(110))],
+        ["r_id", "rs", "re"],
+    )
+    out = bucketed_interval_join(
+        left, right, "ls", "le", "rs", "re", bucket_secs=3600
+    )
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    # half-open: (1,[0,100)) does NOT overlap (13,[100,110))
+    assert got == {(1, 10), (2, 11)}
+    brute = left.crossJoin(right).filter(
+        (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+    )
+    want = {(r["l_id"], r["r_id"]) for r in brute.collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # an interval spanning multiple buckets overlaps everything here
+    # but each pair must appear exactly ONCE despite multi-bucket
+    # candidate duplication
+    wide_l = spark.createDataFrame([(1, _ts(0), _ts(4 * 3600))],
+                                   ["l_id", "ls", "le"])
+    wide = bucketed_interval_join(
+        wide_l, right, "ls", "le", "rs", "re", bucket_secs=3600
+    ).collect()
+    pairs = [(r["l_id"], r["r_id"]) for r in wide]
+    assert sorted(pairs) == [(1, 10), (1, 11), (1, 12), (1, 13)]
+    assert len(pairs) == len(set(pairs))
