@@ -304,3 +304,127 @@ def test_quota_sample_matches_bruteforce(spark, rows, quota):
         )
         want.extend(members[:quota])
     assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=15),
+    right=st.dictionaries(
+        st.tuples(keys, times), st.integers(0, 99), min_size=0, max_size=15
+    ),
+)
+def test_asof_forward_matches_bruteforce(spark, left, right):
+    """direction='forward' == per-row 'earliest right with rt >= lt
+    per key' (the mirror of the backward property above)."""
+    from etl_deltalake_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "row_id int, k int, t int"
+    )
+    rrows = [(k, t, v) for (k, t), v in right.items()]
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)], "k int, rt int, payload int"
+    )
+    if not rrows:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        r["row_id"]: r["payload"]
+        for r in asof_join(
+            ldf, rdf, "k", "t", "rt", ["payload"], direction="forward"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        candidates = [
+            (rt, v) for (rk, rt), v in right.items() if rk == k and rt >= t
+        ]
+        want = min(candidates)[1] if candidates else None
+        assert got[i] == want, (i, k, t, candidates)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            keys,
+            st.integers(min_value=0, max_value=7200),
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    win=st.sampled_from([60, 600, 3600]),
+)
+def test_rolling_stats_matches_bruteforce(spark, rows, win):
+    """rolling_stats frame membership, count, and mean match a
+    brute-force trailing-window model (values quantized at 2
+    decimals like the operator)."""
+    import datetime
+    import math
+
+    from etl_deltalake_spark.operators.timeseries import rolling_stats
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    data = [(k, ts(s), v / 4.0) for k, s, v in rows]
+    df = spark.createDataFrame(data, ["k", "ts", "v"])
+    out = rolling_stats(df, "k", "ts", "v", window_secs=win).collect()
+    # brute force over quantized cents
+    model = {}
+    for k, s, v in rows:
+        q = round(v / 4.0 * 100) / 100.0
+        model.setdefault(k, []).append((s, q))
+    # rows with duplicate (k, ts, value) are indistinguishable; compare
+    # per-row against the model computed from its (k, sec)
+    for r in out:
+        k = r["key"]
+        sec = int((r["ts"] - datetime.datetime(2024, 1, 1)).total_seconds())
+        frame = [q for s, q in model[k] if sec - win <= s <= sec]
+        assert r["n_win"] == len(frame), (k, sec, frame)
+        want_mean = round(sum(frame) / len(frame), 6)
+        assert math.isclose(r["mean_win"], want_mean, abs_tol=1e-6), (
+            k, sec, frame, r["mean_win"],
+        )
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "merge", "scan", "row", "batch"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_bm25_matches_bruteforce(spark, docs):
+    """BM25 scores match a pure-Python reference computed with the
+    same formula (k1=1.2, b=0.75, rounded partials)."""
+    import math
+
+    from etl_deltalake_spark.operators.search import bm25_scores
+
+    query = ("spark", "merge")
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc"]: r["score"] for r in
+           bm25_scores(df, "doc_id", "text", query).collect()}
+
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs) / n
+    dfreq = {t: sum(1 for w in docs if t in w) for t in query}
+    for i, words in enumerate(docs):
+        dl = len(words)
+        score = 0.0
+        for t in query:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        if score > 0:
+            assert math.isclose(got[i], score, abs_tol=1e-4), (i, words)
+        else:
+            assert i not in got
