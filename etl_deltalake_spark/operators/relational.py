@@ -29,6 +29,7 @@ def asof_join(
     how: str = "left",
     right_on: str | None = None,
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` per key (``direction="backward"``,
@@ -36,6 +37,12 @@ def asof_join(
     left_time`` (``direction="forward"`` — the lead/next-quote
     variant; same one-shuffle union-window plan, with the carry
     running over the FOLLOWING frame instead of the preceding one).
+
+    ``tolerance`` bounds the match distance (pandas ``merge_asof``
+    semantics): a number for numeric time columns, an interval
+    string (e.g. ``"30 minutes"``) for timestamps; matches farther
+    than the tolerance become NULLs. Applied as a post-carry filter
+    — the plan shape doesn't change.
 
     Implemented with the union-window algorithm, NOT an inequality
     join: tag both sides, union, and carry the last non-null right
@@ -66,6 +73,7 @@ def asof_join(
 
     payload_type = StructType(
         [StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [StructField("_rt", right.schema[right_time].dataType)]
     )
     # marker (backward): right=0 sorts before left=1 at equal times →
     # inclusive <=; forward flips the marker so right sorts AFTER
@@ -74,7 +82,10 @@ def asof_join(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_m"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_payload"),
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(right_time).alias("_rt"),
+        ).alias("_payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     l = left.select(  # noqa: E741
@@ -105,9 +116,22 @@ def asof_join(
         )
         carry = F.first("_payload", ignorenulls=True).over(w).alias("_f")
     filled = unioned.select("*", carry)
+    out_payload = F.col("_f")
+    if tolerance is not None:
+        bound = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        gap = (
+            F.col("_t") - F.col("_f._rt")
+            if direction == "backward"
+            else F.col("_f._rt") - F.col("_t")
+        )
+        out_payload = F.when(gap <= bound, F.col("_f"))
     return filled.filter(F.col("_m") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_f.{c}").alias(c) for c in right_cols],
+        *[out_payload.getField(c).alias(c) for c in right_cols],
     )
 
 

@@ -464,3 +464,30 @@ def test_bucketed_interval_join_exact_and_no_bnlj(spark):
     pairs = [(r["l_id"], r["r_id"]) for r in wide]
     assert sorted(pairs) == [(1, 10), (1, 11), (1, 12), (1, 13)]
     assert len(pairs) == len(set(pairs))
+
+
+def test_asof_join_tolerance(spark):
+    from etl_deltalake_spark.operators.relational import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 100, "near"), (1, 500, "far")], ["key", "t", "trade"]
+    )
+    quotes = spark.createDataFrame([(1, 90, 1.5)], ["key", "qt", "px"])
+    got = {
+        r["trade"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="key", left_time="t", right_time="qt",
+            right_cols=["px"], tolerance=50,
+        ).collect()
+    }
+    # gap 10 <= 50 matches; gap 410 > 50 nulls out
+    assert got == {"near": 1.5, "far": None}
+    fwd = {
+        r["trade"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="key", left_time="t", right_time="qt",
+            right_cols=["px"], direction="forward", tolerance=50,
+        ).collect()
+    }
+    # forward: no quote at-or-after either trade except none
+    assert fwd == {"near": None, "far": None}
