@@ -448,3 +448,61 @@ def quantile_bucket(
     return df.withColumn(
         out_col, F.when(v.isNotNull(), bucket.cast("bigint"))
     )
+
+
+def cms_counts(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch frequency estimates, verified in-query
+    against exact counts — the point-frequency member of the sketch
+    family (HLL distinct counts, GK quantiles, and now CMS), with
+    the same honest-accuracy contract as ``approx_distinct_check``.
+
+    ``depth`` md5-derived hash rows of ``width`` buckets each; a
+    key's estimate is the MIN of its buckets' counts. CMS never
+    underestimates (every occurrence of the key lands in all of its
+    buckets), so ``never_under`` must be uniformly true — that
+    invariant plus the measured overestimate IS the output. The
+    sketch is deterministic (md5 buckets), so the DuckDB oracle
+    rebuilds the identical sketch and the whole estimate is
+    cross-engine exact.
+
+    Scale: the sketch is depth × width counters built by ``depth``
+    map-combinable aggregations — at 100 TB it replaces an exact
+    per-key count whose key cardinality no longer fits; here both
+    are computed to grade the sketch.
+    """
+
+    def bucket(i: int) -> Column:
+        h = F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("k").cast("string"))), 1, 8
+        )
+        return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(width))
+
+    hashed = df.select(F.col(key_col).alias("k")).select(
+        "k", *[bucket(i).alias(f"_b{i}") for i in range(depth)]
+    )
+    per_key = hashed.groupBy("k", *[f"_b{i}" for i in range(depth)]).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    est = None
+    out = per_key
+    for i in range(depth):
+        sketch_i = (
+            hashed.groupBy(F.col(f"_b{i}").alias("_sb"))
+            .agg(F.count(F.lit(1)).alias(f"_c{i}"))
+        )
+        out = out.join(
+            F.broadcast(sketch_i), out[f"_b{i}"] == sketch_i["_sb"]
+        ).drop("_sb")
+        c = F.col(f"_c{i}")
+        est = c if est is None else F.least(est, c)
+    return out.select(
+        F.col("k").alias(key_col),
+        "exact",
+        est.alias("cms_est"),
+        (est >= F.col("exact")).alias("never_under"),
+    )

@@ -2034,3 +2034,29 @@ oracle("q_interval_join")(
     ORDER BY r_id
     """
 )
+
+
+oracle("q_cms")(
+    """
+    WITH hashed AS (
+      SELECT o_custkey AS k,
+             CAST('0x' || substr(md5('0:' || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b0,
+             CAST('0x' || substr(md5('1:' || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b1,
+             CAST('0x' || substr(md5('2:' || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b2,
+             CAST('0x' || substr(md5('3:' || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b3
+      FROM orders
+    ),
+    per_key AS (
+      SELECT k, b0, b1, b2, b3, COUNT(*) AS exact FROM hashed GROUP BY 1,2,3,4,5
+    ),
+    s0 AS (SELECT b0 AS sb, COUNT(*) AS c0 FROM hashed GROUP BY 1),
+    s1 AS (SELECT b1 AS sb, COUNT(*) AS c1 FROM hashed GROUP BY 1),
+    s2 AS (SELECT b2 AS sb, COUNT(*) AS c2 FROM hashed GROUP BY 1),
+    s3 AS (SELECT b3 AS sb, COUNT(*) AS c3 FROM hashed GROUP BY 1)
+    SELECT k AS o_custkey, exact,
+           LEAST(c0, c1, c2, c3) AS cms_est,
+           LEAST(c0, c1, c2, c3) >= exact AS never_under
+    FROM per_key JOIN s0 ON per_key.b0 = s0.sb JOIN s1 ON per_key.b1 = s1.sb JOIN s2 ON per_key.b2 = s2.sb JOIN s3 ON per_key.b3 = s3.sb
+    ORDER BY o_custkey
+    """
+)

@@ -907,3 +907,13 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("r_id")
     )
+
+
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch customer order-count frequencies vs exact counts
+    (operators/stats.cms_counts) — deterministic md5 buckets, so the
+    sketch itself is cross-engine reproducible."""
+    from etl_deltalake_spark.operators.stats import cms_counts
+
+    orders = load_table(spark, "orders", sf_dir)
+    return cms_counts(orders, "o_custkey", depth=4, width=64).orderBy("o_custkey")

@@ -149,6 +149,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_cohort",
     "q_copair",
     "q_interval_join",
+    "q_cms",
 )
 
 

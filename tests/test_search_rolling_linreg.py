@@ -491,3 +491,18 @@ def test_asof_join_tolerance(spark):
     }
     # forward: no quote at-or-after either trade except none
     assert fwd == {"near": None, "far": None}
+
+
+def test_cms_never_underestimates_and_collides(spark):
+    from etl_deltalake_spark.operators.stats import cms_counts
+
+    rows = [(f"k{i % 50}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = cms_counts(df, "k", depth=3, width=8).collect()
+    assert len(out) == 50
+    assert all(r["never_under"] for r in out)
+    assert all(r["cms_est"] >= r["exact"] for r in out)
+    # width 8 << 50 keys forces collisions: some estimate must exceed
+    # its exact count (otherwise the sketch test proves nothing)
+    assert any(r["cms_est"] > r["exact"] for r in out)
+    assert all(r["exact"] == 10 for r in out)
