@@ -2060,3 +2060,22 @@ oracle("q_cms")(
     ORDER BY o_custkey
     """
 )
+
+
+oracle("q_redact")(
+    """
+    SELECT doc_id,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+?\\d[\\d\\- ]{7,14}\\d', '<PHONE>', 'g')
+           ) AS redacted_md5,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{7,14}\\d')) AS BIGINT) AS n_phone
+    FROM documents
+    ORDER BY doc_id
+    """
+)

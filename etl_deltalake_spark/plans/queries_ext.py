@@ -917,3 +917,17 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     return cms_counts(orders, "o_custkey", depth=4, width=64).orderBy("o_custkey")
+
+
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-text PII scrub + per-category audit counts over documents
+    (operators/text.redact_pii / pii_hits)."""
+    from etl_deltalake_spark.operators.text import pii_hits, redact_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    hits = pii_hits("text")
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+        *[c.alias(f"n_{name}") for name, c in hits.items()],
+    ).orderBy("doc_id")

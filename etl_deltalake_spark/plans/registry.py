@@ -150,6 +150,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_copair",
     "q_interval_join",
     "q_cms",
+    "q_redact",
 )
 
 

@@ -506,3 +506,31 @@ def test_cms_never_underestimates_and_collides(spark):
     # its exact count (otherwise the sketch test proves nothing)
     assert any(r["cms_est"] > r["exact"] for r in out)
     assert all(r["exact"] == 10 for r in out)
+
+
+def test_redact_pii_categories(spark):
+    from etl_deltalake_spark.operators.text import pii_hits, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org or call +1 555-123-4567"),
+        (2, "server at 192.168.1.10 answered"),
+        (3, "clean text with numbers 42 and 3.14"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hits = pii_hits("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            *[c.alias(f"n_{k}") for k, c in hits.items()],
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1]["red"] and "jane" not in out[1]["red"]
+    assert "<PHONE>" in out[1]["red"] and "555" not in out[1]["red"]
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["red"] == "server at <IP> answered"
+    assert out[2]["n_ipv4"] == 1
+    # short numbers and decimals survive
+    assert out[3]["red"] == rows[2][1]
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
