@@ -77,3 +77,52 @@ def faker_email_udf():
         )
 
     return _gen
+
+
+# Deterministic, RE2-safe PII patterns (no backtracking constructs).
+# Order matters: emails first (an email contains digit runs a phone
+# pattern could partially claim), then IPv4, then phone-ish runs —
+# a phone needs 10-15 digits with at most single separators, so ISO
+# dates (8 digits) and IPv4 fragments never match it.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d(?:[\- ]?\d){9,14}", "<PHONE>"),
+)
+
+
+def redact_pii(col: str) -> Column:
+    """Redact emails, IPv4 addresses, and phone-like digit runs from
+    free text — the compliance scrub a training corpus runs before
+    anything else sees the text (extends this module's single-column
+    email masking, reference main.py:517-551, to in-text PII).
+
+    Pure chained ``regexp_replace`` — scan-side, linear-time
+    patterns, no UDFs; the oracle mirrors each pattern with DuckDB's
+    global-flag regexp_replace. Replacement placeholders keep the
+    document's structure analyzable (token counts change
+    predictably instead of leaving holes).
+    """
+    out = F.col(col)
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_hits(col: str) -> dict[str, Column]:
+    """Per-category PII match counts — the audit signal that decides
+    whether a document is dropped vs scrubbed.
+
+    Counts follow ``redact_pii``'s PRECEDENCE: each category counts
+    matches on the text with the earlier categories already redacted,
+    so a digit run inside an email is an email hit, never also a
+    phone hit — the counts describe exactly what the scrub replaces.
+    """
+    out: dict[str, Column] = {}
+    cur = F.col(col)
+    for name, pattern, token in PII_PATTERNS:
+        out[name] = F.size(
+            F.regexp_extract_all(cur, F.lit(pattern), 0)
+        ).cast("bigint")
+        cur = F.regexp_replace(cur, pattern, token)
+    return out

@@ -286,15 +286,17 @@ def bucketed_interval_join(
     r_start: str,
     r_end: str,
     bucket_secs: int,
+    l_id: str = "l_id",
+    r_id: str = "r_id",
 ) -> DataFrame:
     """Interval-overlap join WITHOUT an equi key, made scale-safe by
     time bucketing: each interval explodes to the epoch buckets it
     covers, candidates equi-join on the bucket, and the exact
     half-open overlap predicate (``l_start < r_end AND r_start <
     l_end``) filters candidates. Duplicate candidates (a pair
-    overlapping several buckets) collapse via distinct on the two
-    row ids the caller must provide as columns named ``l_id`` /
-    ``r_id``.
+    overlapping several buckets) collapse by the two row-id columns
+    (``l_id``/``r_id`` — validated present), so payload columns of
+    any type ride along and the dedup compares ids, not whole rows.
 
     This is the pre-bucketing pattern SCALE.md prescribes for pure
     range joins: a raw inequality join plans a
@@ -306,6 +308,12 @@ def bucketed_interval_join(
     overlapping pair shares at least the bucket containing the
     later start.
     """
+    if bucket_secs <= 0:
+        raise ValueError(f"bucket_secs must be positive, got {bucket_secs}")
+    for c, side in ((l_id, left), (r_id, right)):
+        if c not in side.columns:
+            raise ValueError(f"row-id column {c!r} missing from input")
+
     def buckets(start: str, end: str):
         lo = F.floor(F.unix_timestamp(F.col(start)) / bucket_secs)
         # the end bucket is included even when the interval ends
@@ -325,6 +333,6 @@ def bucketed_interval_join(
             (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
         )
         .drop("_bk")
-        .distinct()
+        .dropDuplicates([l_id, r_id])
     )
     return pairs

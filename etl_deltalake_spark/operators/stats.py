@@ -488,12 +488,16 @@ def cms_counts(
     per_key = hashed.groupBy("k", *[f"_b{i}" for i in range(depth)]).agg(
         F.count(F.lit(1)).alias("exact")
     )
+    # each sketch row reduces from the per-key table (bucket counts =
+    # Σ exact over keys in the bucket) — ONE scan of the raw data
+    # instead of depth+1
+    per_key = per_key.localCheckpoint(eager=False)
     est = None
     out = per_key
     for i in range(depth):
         sketch_i = (
-            hashed.groupBy(F.col(f"_b{i}").alias("_sb"))
-            .agg(F.count(F.lit(1)).alias(f"_c{i}"))
+            per_key.groupBy(F.col(f"_b{i}").alias("_sb"))
+            .agg(F.sum("exact").alias(f"_c{i}"))
         )
         out = out.join(
             F.broadcast(sketch_i), out[f"_b{i}"] == sketch_i["_sb"]

@@ -242,40 +242,10 @@ def shingle_fingerprint(col: str, k: int = 5) -> Column:
     return F.array_min(F.transform(shingles, F.md5))
 
 
-# Deterministic, RE2-safe PII patterns (no backtracking constructs).
-# Order matters: emails first (an email contains digit runs a phone
-# pattern could partially claim), then IPv4, then phone-ish runs.
-PII_PATTERNS = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\- ]{7,14}\d", "<PHONE>"),
+# PII redaction lives in operators/pii.py (the dedicated compliance
+# module); re-exported here for composition with the text pipeline.
+from etl_deltalake_spark.operators.pii import (  # noqa: E402,F401
+    PII_PATTERNS,
+    pii_hits,
+    redact_pii,
 )
-
-
-def redact_pii(col: str) -> Column:
-    """Redact emails, IPv4 addresses, and phone-like digit runs from
-    free text — the compliance scrub a training corpus runs before
-    anything else sees the text (extends the reference's
-    single-column email masking, main.py:517-551, to in-text PII).
-
-    Pure chained ``regexp_replace`` — scan-side, linear-time
-    patterns, no UDFs; the oracle mirrors each pattern with DuckDB's
-    global-flag regexp_replace. Replacement placeholders keep the
-    document's structure analyzable (token counts change
-    predictably instead of leaving holes).
-    """
-    out = F.col(col)
-    for _, pattern, token in PII_PATTERNS:
-        out = F.regexp_replace(out, pattern, token)
-    return out
-
-
-def pii_hits(col: str) -> dict[str, Column]:
-    """Per-category PII match counts — the audit signal that decides
-    whether a document is dropped vs scrubbed."""
-    return {
-        name: F.size(F.regexp_extract_all(F.col(col), F.lit(pattern), 0)).cast(
-            "bigint"
-        )
-        for name, pattern, _ in PII_PATTERNS
-    }

@@ -2064,18 +2064,21 @@ oracle("q_cms")(
 
 oracle("q_redact")(
     """
+    WITH s1 AS (
+      SELECT doc_id, text AS t0,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT *, regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2 FROM s1
+    )
     SELECT doc_id,
-           md5(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-               '\\+?\\d[\\d\\- ]{7,14}\\d', '<PHONE>', 'g')
-           ) AS redacted_md5,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{7,14}\\d')) AS BIGINT) AS n_phone
-    FROM documents
+           md5(regexp_replace(t2, '\\+?\\d(?:[\\- ]?\\d){9,14}', '<PHONE>', 'g'))
+             AS redacted_md5,
+           CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t2, '\\+?\\d(?:[\\- ]?\\d){9,14}')) AS BIGINT) AS n_phone
+    FROM s2
     ORDER BY doc_id
     """
 )

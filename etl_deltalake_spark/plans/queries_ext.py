@@ -922,7 +922,7 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-text PII scrub + per-category audit counts over documents
     (operators/text.redact_pii / pii_hits)."""
-    from etl_deltalake_spark.operators.text import pii_hits, redact_pii
+    from etl_deltalake_spark.operators.pii import pii_hits, redact_pii
 
     docs = load_table(spark, "documents", sf_dir)
     hits = pii_hits("text")

@@ -534,3 +534,31 @@ def test_redact_pii_categories(spark):
     # short numbers and decimals survive
     assert out[3]["red"] == rows[2][1]
     assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+
+
+def test_redact_pii_precedence_and_dates(spark):
+    """Digit runs inside an email are email hits only; ISO dates are
+    not phones (review findings)."""
+    from etl_deltalake_spark.operators.pii import pii_hits, redact_pii
+
+    rows = [
+        (1, "reach a123456789@x.com today"),
+        (2, "between 2024-01-01 and 2024-02-03"),
+        (3, "ip-ish login 10.0.0.1@x.com seen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hits = pii_hits("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            *[c.alias(f"n_{k}") for k, c in hits.items()],
+        ).collect()
+    }
+    assert out[1]["red"] == "reach <EMAIL> today"
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 0
+    assert out[2]["red"] == rows[1][1]  # dates untouched
+    assert out[2]["n_phone"] == 0
+    assert out[3]["red"] == "ip-ish login <EMAIL> seen"
+    assert out[3]["n_email"] == 1 and out[3]["n_ipv4"] == 0
