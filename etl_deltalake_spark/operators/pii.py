@@ -79,15 +79,22 @@ def faker_email_udf():
     return _gen
 
 
-# Deterministic, RE2-safe PII patterns (no backtracking constructs).
+# Deterministic, RE2-safe PII patterns (no backtracking constructs,
+# no lookarounds — the DuckDB oracle runs the same patterns on RE2).
 # Order matters: emails first (an email contains digit runs a phone
-# pattern could partially claim), then IPv4, then phone-ish runs —
-# a phone needs 10-15 digits with at most single separators, so ISO
-# dates (8 digits) and IPv4 fragments never match it.
+# pattern could partially claim), then IPv4, then phones. The phone
+# pattern is STRUCTURAL, not a bare digit-run count: either an
+# optional 1-3 digit country code followed by 2-4 separator-delimited
+# groups of 3-4 digits (`+1 555-123-4567`, `555 123 4567`), or a
+# bare 10-15 digit run. Date/time shapes can never match it — ISO
+# dates split as 4-2-2 and clock times as 2-2, and a 2-digit group
+# is not a legal phone group, so `2024-01-15 12:30` and even two
+# adjacent dates (16 digits, singly separated — the trap the old
+# any-separator pattern fell into) are left untouched.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d(?:[\- ]?\d){9,14}", "<PHONE>"),
+    ("phone", r"\+?\b(?:\d{1,3}(?:[- ]\d{3,4}){2,4}|\d{10,15})\b", "<PHONE>"),
 )
 
 

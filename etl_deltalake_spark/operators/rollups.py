@@ -30,6 +30,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The state contract: these columns ARE the metric state, and
+# merge/result infer the group key as "everything else". A grouping
+# column reusing one of these names would silently be summed/dropped,
+# so rollup_state rejects the collision up front.
+_METRIC_COLS = ("n_rows", "n_vals", "sum_val", "min_val", "max_val")
+
 
 def rollup_state(
     df: DataFrame,
@@ -40,7 +46,17 @@ def rollup_state(
     """Partial aggregate state of one batch: per group, the row
     count, non-null value count, exact decimal sum, and min/max.
     Every column is additively mergeable (min/max merge by min/max).
+
+    Raises ValueError if a group column collides with a reserved
+    metric name — downstream merge/result infer the group key by
+    excluding the metric names, so a collision would corrupt state.
     """
+    clash = sorted(set(group_cols) & set(_METRIC_COLS))
+    if clash:
+        raise ValueError(
+            f"group_cols {clash} collide with reserved rollup metric "
+            f"columns {_METRIC_COLS}; rename them before building state"
+        )
     v = F.col(value_col).cast(f"decimal(18,{decimals})")
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -58,11 +74,7 @@ def merge_rollup_states(state: DataFrame, batch_state: DataFrame) -> DataFrame:
     on the group key (shuffle carries O(#groups) state rows, not
     data). sum-of-sums stays in DECIMAL so merging is exact and
     associative: any batch split yields identical state."""
-    group_cols = [
-        c
-        for c in state.columns
-        if c not in ("n_rows", "n_vals", "sum_val", "min_val", "max_val")
-    ]
+    group_cols = [c for c in state.columns if c not in _METRIC_COLS]
     return (
         state.unionByName(batch_state)
         .groupBy(*group_cols)
@@ -81,11 +93,7 @@ def rollup_result(state: DataFrame, scale: int = 6) -> DataFrame:
     """Read-time metrics derived from the state: total (double),
     avg, min, max, counts. Groups whose values were all null get
     NULL avg/min/max — same as a direct aggregate would."""
-    group_cols = [
-        c
-        for c in state.columns
-        if c not in ("n_rows", "n_vals", "sum_val", "min_val", "max_val")
-    ]
+    group_cols = [c for c in state.columns if c not in _METRIC_COLS]
     avg = F.when(
         F.col("n_vals") > 0,
         F.round(F.col("sum_val").cast("double") / F.col("n_vals"), scale),

@@ -1876,17 +1876,17 @@ oracle("q_standardize")(
     derived AS (
       SELECT *,
         CAST(s1_q AS DOUBLE) / n_q AS mean_q,
-        sqrt(greatest(
+        CASE WHEN n_q > 1 THEN sqrt(greatest(
           CAST(CAST(CAST(n_q AS DECIMAL(12,0)) * CAST(s2_q AS DECIMAL(19,4))
                     AS DECIMAL(30,4))
                - CAST(CAST(s1_q AS DECIMAL(19,2)) * s1_q AS DECIMAL(30,4))
-               AS DOUBLE) / (n_q * (n_q - 1)), 0.0)) AS std_q,
+               AS DOUBLE) / (n_q * (n_q - 1)), 0.0)) END AS std_q,
         CAST(s1_p AS DOUBLE) / n_p AS mean_p,
-        sqrt(greatest(
+        CASE WHEN n_p > 1 THEN sqrt(greatest(
           CAST(CAST(CAST(n_p AS DECIMAL(12,0)) * CAST(s2_p AS DECIMAL(19,4))
                     AS DECIMAL(30,4))
                - CAST(CAST(s1_p AS DECIMAL(19,2)) * s1_p AS DECIMAL(30,4))
-               AS DOUBLE) / (n_p * (n_p - 1)), 0.0)) AS std_p
+               AS DOUBLE) / (n_p * (n_p - 1)), 0.0)) END AS std_p
       FROM stats
     )
     SELECT
@@ -2073,11 +2073,11 @@ oracle("q_redact")(
       SELECT *, regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2 FROM s1
     )
     SELECT doc_id,
-           md5(regexp_replace(t2, '\\+?\\d(?:[\\- ]?\\d){9,14}', '<PHONE>', 'g'))
+           md5(regexp_replace(t2, '\\+?\\b(?:\\d{1,3}(?:[- ]\\d{3,4}){2,4}|\\d{10,15})\\b', '<PHONE>', 'g'))
              AS redacted_md5,
            CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(t2, '\\+?\\d(?:[\\- ]?\\d){9,14}')) AS BIGINT) AS n_phone
+           CAST(len(regexp_extract_all(t2, '\\+?\\b(?:\\d{1,3}(?:[- ]\\d{3,4}){2,4}|\\d{10,15})\\b')) AS BIGINT) AS n_phone
     FROM s2
     ORDER BY doc_id
     """

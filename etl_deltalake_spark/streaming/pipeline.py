@@ -357,9 +357,13 @@ def user_anomaly_stats(
             # prior-only z-score) batch-split independent.
             from decimal import ROUND_HALF_UP, Decimal
 
+            # Sort on a TOTAL key: ts alone leaves equal-ts events in
+            # Arrow-chunk arrival order (a partitioning artifact), so
+            # ties would score in a run-dependent order; (ts, value)
+            # makes tied events deterministic too.
             chunks = [pdf for pdf in rows if len(pdf)]
             batch = (
-                pd.concat(chunks).sort_values("ts", kind="stable")
+                pd.concat(chunks).sort_values(["ts", "value"], kind="stable")
                 if chunks
                 else None
             )

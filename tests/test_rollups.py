@@ -48,6 +48,15 @@ def test_merge_is_associative_three_batches(spark):
     assert _canon(left) == _canon(rollup_state(df, ["g"], "v"))
 
 
+def test_reserved_metric_name_collision_rejected(spark):
+    """A grouping column named like a metric column would be silently
+    summed/dropped by merge/result (they infer the group key by
+    exclusion) — rollup_state must refuse it up front."""
+    df = spark.createDataFrame([("a", 1, 1.0)], ["g", "sum_val", "v"])
+    with pytest.raises(ValueError, match="sum_val"):
+        rollup_state(df, ["g", "sum_val"], "v")
+
+
 def test_all_null_group_yields_null_metrics(spark):
     df = spark.createDataFrame(
         [("a", None), ("a", None), ("b", 2.0)], ["g", "v"]

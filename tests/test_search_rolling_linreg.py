@@ -545,6 +545,9 @@ def test_redact_pii_precedence_and_dates(spark):
         (1, "reach a123456789@x.com today"),
         (2, "between 2024-01-01 and 2024-02-03"),
         (3, "ip-ish login 10.0.0.1@x.com seen"),
+        (4, "meeting 2024-01-15 12:30 in room 5"),
+        (5, "from 2024-01-15 2024-02-03 inclusive"),
+        (6, "call 555 123 4567 or +1-555-123-4567"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     hits = pii_hits("text")
@@ -562,3 +565,11 @@ def test_redact_pii_precedence_and_dates(spark):
     assert out[2]["n_phone"] == 0
     assert out[3]["red"] == "ip-ish login <EMAIL> seen"
     assert out[3]["n_email"] == 1 and out[3]["n_ipv4"] == 0
+    # datetime prose survives: '12:30' after a date is not a phone
+    # fragment, and two adjacent dates (16 digits, singly separated)
+    # are not a phone either (round-3 advice)
+    assert out[4]["red"] == rows[3][1] and out[4]["n_phone"] == 0
+    assert out[5]["red"] == rows[4][1] and out[5]["n_phone"] == 0
+    # real phone shapes still match
+    assert out[6]["red"] == "call <PHONE> or <PHONE>"
+    assert out[6]["n_phone"] == 2
