@@ -10,14 +10,15 @@ Design (the 100 TB posture):
    partition, zero shuffles — throughput scales with executors.
    Repartition upstream only if payload skew is extreme (a few
    multi-GB videos in one partition).
- - The actual pixel/sample decoding needs codec libraries (Pillow,
-   ffmpeg, torchaudio ...) that are NOT in this container, so the
-   decode kernel is stubbed: ``decode_image`` raises
-   ``NotImplementedError`` unless a decoder is importable, and
-   ``fake_decode_features`` provides a deterministic stand-in used by
-   tests/oracles. The Spark-side contract — schemas, batching, UDF
-   signatures — is the real, tested part; swapping the kernel body
-   for Pillow later changes no plan shape.
+ - PNG decoding is REAL: ``decode_image`` runs the pure-stdlib codec
+   in ``operators/png.py`` (zlib + struct — no Pillow/ffmpeg needed)
+   inside an Arrow-batched kernel, with per-row errors captured in an
+   ``err`` column rather than failing the job. Other formats (JPEG,
+   audio, video containers) still need codec libraries absent from
+   this container; their payloads surface as decode errors, and
+   ``map_payload_features`` remains the format-agnostic byte-level
+   feature path. Swapping in a native decoder changes the kernel
+   body only, never the plan shape.
 
 No counterpart exists in the reference (its data is JSON text only);
 this module is a north-star extension (SURVEY §2.9).
@@ -63,13 +64,18 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decoder_available() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("pix_sum", LongType()),
+        StructField("n_pix", LongType()),
+        StructField("err", StringType()),
+    ]
+)
 
 
 def with_media_meta(
@@ -92,21 +98,69 @@ def with_media_meta(
     return df.withColumn(payload_col, payload).withColumn("media_meta", meta)
 
 
-def decode_image(df: DataFrame, payload_col: str) -> DataFrame:
-    """Decode image payloads to (width, height, mode) via Pillow.
+def decode_image(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL image decode over binary payloads: parse each payload as
+    PNG (pure-stdlib codec, operators/png.py — zlib inflate + chunk
+    CRC walk + per-scanline unfilter) and emit typed pixel features:
+    dimensions, channel count, bit depth, and the exact pixel-byte
+    sum/count (mean and any downstream stats derive from those in
+    Spark SQL, keeping float handling engine-side and deterministic).
 
-    STUB: the container has no codec libraries; raises until a
-    decoder is installed. The mapInPandas plumbing below
-    (``map_payload_features``) is the tested execution path — a real
-    decoder drops into the same kernel signature.
+    Failure posture for 100 TB corpora: a corrupt / truncated /
+    unsupported payload must not kill the job, so the kernel catches
+    per-row decode errors into the ``err`` column (feature columns
+    null) — filter ``err IS NULL`` downstream, audit the rest.
+
+    Arrow-batched ``mapInPandas``: one Python worker pass per input
+    partition, no shuffle; scales with executors. Swapping the codec
+    for a native decoder changes the kernel body only, never the plan.
+
+    Replaces the round-1..3 ``NotImplementedError`` stub (the
+    container has no Pillow/ffmpeg, but PNG needs neither).
     """
-    if not _decoder_available():
-        raise NotImplementedError(
-            "image decode requires Pillow (not in this container); "
-            "use fake_decode_features / map_payload_features for the "
-            "deterministic test path"
-        )
-    raise NotImplementedError("Pillow decode kernel not wired yet")
+    from etl_deltalake_spark.operators.png import PngError, decode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, bds, sums, ns, errs = [], [], [], [], [], [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc)
+                try:
+                    img = decode_png(bytes(payload))
+                except PngError as e:
+                    ws.append(None)
+                    hs.append(None)
+                    chs.append(None)
+                    bds.append(None)
+                    sums.append(None)
+                    ns.append(None)
+                    errs.append(str(e))
+                else:
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    chs.append(img.channels)
+                    bds.append(img.bit_depth)
+                    sums.append(sum(img.pixels))
+                    ns.append(len(img.pixels))
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "channels": pd.Series(chs, dtype="Int32"),
+                    "bit_depth": pd.Series(bds, dtype="Int32"),
+                    "pix_sum": pd.Series(sums, dtype="Int64"),
+                    "n_pix": pd.Series(ns, dtype="Int64"),
+                    "err": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return src.mapInPandas(kernel, schema=DECODE_SCHEMA)
 
 
 def frame_offsets(payload_col: str | Column, frame_size: int, n_frames: int) -> Column:

@@ -901,6 +901,32 @@ oracle("q_media_features")(
     """
 )
 
+oracle("q_media_decode")(
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS width,
+             2 + doc_id % 4 AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, channels,
+             unnest(range(0, CAST(width * height * channels AS BIGINT))) AS k
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(channels AS INT) AS channels,
+           ROUND(CAST(SUM((doc_id * 31 + k) % 256) AS DOUBLE) / COUNT(*), 6)
+             AS mean_pixel
+    FROM px
+    GROUP BY doc_id, width, height, channels
+    ORDER BY doc_id
+    """
+)
+
 oracle("q_frame_sample")(
     """
     WITH f AS (

@@ -75,15 +75,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy (SURVEY §2.9).
 
-    Repartition first for the same reason as q_minhash_lsh: the
-    fixture is one parquet file → one split, which would leave the
-    normalize+md5 map work single-threaded; a real lake scan has
-    thousands of splits and skips this."""
+    Deliberately NO pre-repartition (unlike q_minhash_lsh): the map
+    side is ONE md5 per row — microseconds per document — so there
+    is nothing to parallelize that the scan's own splits don't
+    already cover (parquet splits at maxPartitionBytes, so a real
+    lake scan has thousands of partitions). Shuffling the raw text
+    to spread a trivial map was measurably slower at every scale
+    tried (round-4 profile: the extra exchange roughly tripled the
+    query at sf0.1). The only data shuffle is the groupBy on 32-char
+    fingerprints — raw text never moves."""
     from etl_deltalake_spark.operators.dedup import exact_dedup_stats
 
-    docs = load_table(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, "documents", sf_dir)
     return exact_dedup_stats(docs, "doc_id", "text")
 
 
@@ -534,9 +537,9 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
-    payloads — the multimodal decode execution path with a
-    deterministic byte-level kernel (operators/multimodal.py; the
-    codec decode itself is the gated stub)."""
+    payloads — format-agnostic byte-level kernel
+    (operators/multimodal.py); see q_media_decode for the REAL PNG
+    pixel decode path."""
     from pyspark.sql.types import BinaryType
 
     from etl_deltalake_spark.operators.multimodal import map_payload_features
@@ -917,6 +920,54 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     return cms_counts(orders, "o_custkey", depth=4, width=64).orderBy("o_custkey")
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode, cross-engine verified: synthesize one
+    deterministic PNG per document (grayscale for even doc_id, RGB
+    for odd; pixel byte k = (doc_id*31 + k) % 256; scanline filters
+    cycling 0-4 so every unfilter branch runs), decode it with the
+    pure-stdlib codec (operators/png.py via multimodal.decode_image),
+    and emit dimensions + exact pixel mean. The DuckDB oracle
+    recomputes the same statistics from the closed-form pixel formula
+    — a decoder that mis-parses the container or mis-inverts any
+    scanline filter hash-mismatches immediately. Both stages are
+    Arrow-batched mapInPandas, zero shuffles."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.multimodal import decode_image
+    from etl_deltalake_spark.operators.png import encode_png
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_png(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                w = 3 + d % 5
+                h = 2 + d % 4
+                ctype = 0 if d % 2 == 0 else 2
+                ch = 1 if ctype == 0 else 3
+                px = bytes((d * 31 + k) % 256 for k in range(w * h * ch))
+                payloads.append(
+                    encode_png(px, w, h, color_type=ctype, filter_mode="cycle")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_png, schema="doc_id long, payload binary")
+    dec = decode_image(media, "doc_id", "payload")
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round(F.col("pix_sum").cast("double") / F.col("n_pix"), 6).alias(
+            "mean_pixel"
+        ),
+    ).orderBy("doc_id")
 
 
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:

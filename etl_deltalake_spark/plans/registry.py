@@ -151,6 +151,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_interval_join",
     "q_cms",
     "q_redact",
+    # round 4
+    "q_media_decode",
 )
 
 

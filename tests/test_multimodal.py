@@ -65,13 +65,33 @@ def test_frame_offsets(spark):
     assert offs == [0, 300, 600, 900]
 
 
-def test_decode_stub_gated(media):
-    try:
-        import PIL  # noqa: F401
+def test_decode_image_real(spark):
+    """decode_image is REAL now (stdlib PNG codec): valid payloads
+    yield pixel features, corrupt/non-PNG payloads yield err rows —
+    the job never dies on a bad file."""
+    from etl_deltalake_spark.operators.png import encode_png
 
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if not has_pil:
-        with pytest.raises(NotImplementedError):
-            M.decode_image(media, "payload")
+    px = bytes((i * 11) % 256 for i in range(6 * 5 * 3))
+    good = encode_png(px, 6, 5, color_type=2, filter_mode="cycle")
+    rows = [
+        (1, good),
+        (2, b"this is not a png"),
+        (3, good[: len(good) // 3]),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in M.decode_image(df, "doc_id", "payload").collect()}
+    assert len(out) == 3
+    ok = out[1]
+    assert (ok.width, ok.height, ok.channels, ok.bit_depth) == (6, 5, 3, 8)
+    assert ok.pix_sum == sum(px) and ok.n_pix == len(px)
+    assert ok.err is None
+    assert out[2].err is not None and out[2].width is None
+    assert out[3].err is not None and out[3].pix_sum is None
+
+
+def test_decode_image_over_media_payloads(media):
+    """Raw text payloads (not PNGs) surface as per-row errors, not
+    task failures."""
+    out = M.decode_image(media.limit(5), "doc_id", "payload").collect()
+    assert len(out) == 5
+    assert all(r.err is not None and r.width is None for r in out)
