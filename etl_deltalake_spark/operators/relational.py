@@ -288,6 +288,8 @@ def bucketed_interval_join(
     bucket_secs: int,
     l_id: str = "l_id",
     r_id: str = "r_id",
+    max_buckets: int = 4096,
+    on_long: str = "error",
 ) -> DataFrame:
     """Interval-overlap join WITHOUT an equi key, made scale-safe by
     time bucketing: each interval explodes to the epoch buckets it
@@ -302,37 +304,130 @@ def bucketed_interval_join(
     range joins: a raw inequality join plans a
     BroadcastNestedLoopJoin (O(n·m)); bucketing bounds candidates to
     pairs sharing a ``bucket_secs`` window — pick the bucket near
-    the TYPICAL interval length (too small explodes long intervals
-    across many buckets, too large admits distant candidates; both
-    only cost, never wrong). Exactness is unconditional: any
+    the TYPICAL interval length. Exactness is unconditional: any
     overlapping pair shares at least the bucket containing the
     later start.
+
+    Long-interval explode guard (the 100 TB footgun): an interval
+    spanning S seconds explodes to ~S/bucket_secs candidate rows, so
+    ONE year-long interval at bucket_secs=60 would emit ~525k rows.
+    ``max_buckets`` bounds per-row fan-out; intervals that would
+    exceed it are handled per ``on_long``:
+
+    - ``"error"`` (default): fail the job with a per-row
+      ``raise_error`` naming the offending id — pure codegen, no
+      validation job, nothing silently dropped. Pick a bigger
+      bucket_secs, raise max_buckets, or choose another mode.
+    - ``"drop"``: exclude long intervals from BOTH sides before the
+      explode (the ``cooccurrence_pairs.max_basket_size`` posture:
+      degenerate rows are usually ETL artifacts; dropping them is
+      explicit, bounded, and never corrupts surviving pairs).
+    - ``"split"``: stay EXACT by routing long intervals through a
+      second, coarser bucket level (``bucket_secs * max_buckets``):
+      short×short pairs join at the fine level, long×any and
+      short×long at the coarse level, results unioned and
+      id-deduped. Fan-out per short row ≤ max_buckets fine tiles +2
+      coarse probes; per long row span/(bucket_secs·max_buckets)+1 —
+      the year-long interval at bucket_secs=60 emits ~138 coarse
+      tiles instead of 525k. Costs two extra equi-joins (still no
+      nested-loop anywhere), so reserve it for inputs that really
+      mix scales.
     """
     if bucket_secs <= 0:
         raise ValueError(f"bucket_secs must be positive, got {bucket_secs}")
+    if max_buckets < 2:
+        raise ValueError(f"max_buckets must be >= 2, got {max_buckets}")
+    if on_long not in ("error", "drop", "split"):
+        raise ValueError(
+            f"on_long must be 'error', 'drop' or 'split', got {on_long!r}"
+        )
     for c, side in ((l_id, left), (r_id, right)):
         if c not in side.columns:
             raise ValueError(f"row-id column {c!r} missing from input")
 
-    def buckets(start: str, end: str):
-        lo = F.floor(F.unix_timestamp(F.col(start)) / bucket_secs)
+    def span_buckets(start: str, end: str, secs: int):
+        lo = F.floor(F.unix_timestamp(F.col(start)) / secs)
+        hi = F.floor(F.unix_timestamp(F.col(end)) / secs)
+        return lo, F.greatest(hi, lo)
+
+    def buckets(start: str, end: str, secs: int, guard_id: str | None):
+        lo, hi = span_buckets(start, end, secs)
         # the end bucket is included even when the interval ends
         # exactly on a boundary: unix_timestamp TRUNCATES sub-second
         # precision, so excluding it (end-1) could miss a true
         # overlap whose counterpart starts inside the truncated
         # boundary second — the inclusive form only ever costs a few
         # extra candidates, which the exact filter discards
-        hi = F.floor(F.unix_timestamp(F.col(end)) / bucket_secs)
-        return F.explode(F.sequence(lo, F.greatest(hi, lo))).alias("_bk")
+        seq = F.sequence(lo, hi)
+        if guard_id is not None:
+            seq = F.when(
+                hi - lo < F.lit(max_buckets),
+                seq,
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"bucketed_interval_join: interval {guard_id}="
+                        ),
+                        F.col(guard_id).cast("string"),
+                        F.lit(" spans "),
+                        (hi - lo + 1).cast("string"),
+                        F.lit(
+                            f" buckets > max_buckets={max_buckets} at "
+                            f"bucket_secs={bucket_secs}; raise bucket_secs/"
+                            "max_buckets or use on_long='drop'/'split'"
+                        ),
+                    )
+                )
+            )
+        return F.explode(seq).alias("_bk")
 
-    lb = left.select("*", buckets(l_start, l_end))
-    rb = right.select("*", buckets(r_start, r_end))
-    pairs = (
-        lb.join(rb, "_bk")
-        .filter(
-            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    def is_short(start: str, end: str):
+        lo, hi = span_buckets(start, end, bucket_secs)
+        return hi - lo < F.lit(max_buckets)
+
+    def overlap_pairs(lb: DataFrame, rb: DataFrame) -> DataFrame:
+        return (
+            lb.join(rb, "_bk")
+            .filter(
+                (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+            )
+            .drop("_bk")
         )
-        .drop("_bk")
-        .dropDuplicates([l_id, r_id])
-    )
-    return pairs
+
+    if on_long == "split":
+        coarse = bucket_secs * max_buckets
+        l_short = left.filter(is_short(l_start, l_end))
+        l_long = left.filter(~is_short(l_start, l_end))
+        r_short = right.filter(is_short(r_start, r_end))
+        r_long = right.filter(~is_short(r_start, r_end))
+        fine = overlap_pairs(
+            l_short.select("*", buckets(l_start, l_end, bucket_secs, None)),
+            r_short.select("*", buckets(r_start, r_end, bucket_secs, None)),
+        )
+        # long-left meets EVERY right row at the coarse level;
+        # short-left × long-right covers the remaining pair class
+        long_any = overlap_pairs(
+            l_long.select("*", buckets(l_start, l_end, coarse, None)),
+            right.select("*", buckets(r_start, r_end, coarse, None)),
+        )
+        short_long = overlap_pairs(
+            l_short.select("*", buckets(l_start, l_end, coarse, None)),
+            r_long.select("*", buckets(r_start, r_end, coarse, None)),
+        )
+        return (
+            fine.unionByName(long_any)
+            .unionByName(short_long)
+            .dropDuplicates([l_id, r_id])
+        )
+
+    if on_long == "drop":
+        left = left.filter(is_short(l_start, l_end))
+        right = right.filter(is_short(r_start, r_end))
+        l_guard = r_guard = None
+    else:  # "error": in-plan runtime guard, no extra jobs
+        l_guard, r_guard = l_id, r_id
+
+    lb = left.select("*", buckets(l_start, l_end, bucket_secs, l_guard))
+    rb = right.select("*", buckets(r_start, r_end, bucket_secs, r_guard))
+    return overlap_pairs(lb, rb).dropDuplicates([l_id, r_id])

@@ -901,6 +901,23 @@ oracle("q_media_features")(
     """
 )
 
+oracle("q_rollup_state")(
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_vals,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CASE WHEN COUNT(l_quantity) > 0 THEN
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(l_quantity), 6) END AS avg_val,
+           CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+           CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_val
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+)
+
 oracle("q_media_decode")(
     """
     WITH dims AS (

@@ -922,6 +922,32 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_counts(orders, "o_custkey", depth=4, width=64).orderBy("o_custkey")
 
 
+def q_rollup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance, oracle-verified end-to-end
+    (operators/rollups.py): build per-batch partial aggregate state
+    from TWO disjoint batch splits of lineitem, MERGE the states
+    (never rescanning either batch), derive read-time metrics — and
+    the DuckDB oracle computes the same metrics with a ONE-SHOT
+    aggregate over the whole table. A merge that isn't exactly
+    additive (float drift, lost nulls, min/max mixups) hash-fails.
+    DECIMAL sums keep maintained-state == recompute bitwise."""
+    from etl_deltalake_spark.operators.rollups import (
+        merge_rollup_states,
+        rollup_result,
+        rollup_state,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    group = ["l_returnflag", "l_linestatus"]
+    b1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    b2 = li.filter(F.col("l_orderkey") % 2 == 1)
+    state = merge_rollup_states(
+        rollup_state(b1, group, "l_quantity"),
+        rollup_state(b2, group, "l_quantity"),
+    )
+    return rollup_result(state).orderBy(*group)
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG pixel decode, cross-engine verified: synthesize one
     deterministic PNG per document (grayscale for even doc_id, RGB

@@ -466,6 +466,49 @@ def test_bucketed_interval_join_exact_and_no_bnlj(spark):
     assert len(pairs) == len(set(pairs))
 
 
+def test_bucketed_interval_join_long_interval_guard(spark):
+    """One pathological year-long interval must not detonate the
+    explode (round-3 verdict): default errors with the offending id,
+    'drop' excludes it, 'split' stays exact with bounded fan-out."""
+    from etl_deltalake_spark.operators.relational import (
+        bucketed_interval_join,
+    )
+
+    year = 365 * 24 * 3600
+    left = spark.createDataFrame(
+        [(1, _ts(0), _ts(100)), (2, _ts(0), _ts(year))],
+        ["l_id", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(50), _ts(60)), (11, _ts(year // 2), _ts(year // 2 + 10))],
+        ["r_id", "rs", "re"],
+    )
+    kw = dict(bucket_secs=60, max_buckets=64)
+
+    # default: the job fails loudly, naming the long row
+    with pytest.raises(Exception, match="l_id=2 spans"):
+        bucketed_interval_join(
+            left, right, "ls", "le", "rs", "re", **kw
+        ).collect()
+
+    # drop: long interval excluded, survivors exact
+    dropped = bucketed_interval_join(
+        left, right, "ls", "le", "rs", "re", on_long="drop", **kw
+    )
+    assert {(r["l_id"], r["r_id"]) for r in dropped.collect()} == {(1, 10)}
+
+    # split: EXACT result; coarse level bounds the long row's fan-out
+    # to ~span/(60*64)+1 = ~8213 tiles instead of ~525k
+    split = bucketed_interval_join(
+        left, right, "ls", "le", "rs", "re", on_long="split", **kw
+    )
+    got = {(r["l_id"], r["r_id"]) for r in split.collect()}
+    assert got == {(1, 10), (2, 10), (2, 11)}
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_tolerance(spark):
     from etl_deltalake_spark.operators.relational import asof_join
 
