@@ -29,6 +29,16 @@ occupy driver slots):
    slot went to q_pq_topk (product-quantization ANN, the round-3
    flagship) — q_minhash_lsh keeps the near-dup family's driver row
    and the Jaccard oracle stays pytest-gated.
+ - Round-4 rotation (three weakest registered rows ceded to the
+   strongest slotless members, per the round-3 verdict):
+   q_frame_sample → q_media_decode (byte-slice sampling vs the REAL
+   PNG pixel decode — strictly stronger multimodal coverage);
+   q_approx_distinct → q_interval_join (an HLL bound-check vs a
+   whole join family with no other driver row); q_fingerprint →
+   q_bm25 (its md5 fingerprint is the exact expression q_dedup_exact
+   groups by and its min-shingle rides the exploded-shingle path
+   q_minhash_lsh exercises harder, vs full-text relevance ranking
+   with no other driver row).
 
 SLOTLESS entries are newer oracle-paired queries that never held a
 driver slot (the 50 are full); they carry the same pytest oracle
@@ -69,7 +79,6 @@ REGISTERED: tuple[str, ...] = (
     "q_bucketed_join_agg",
     "q_topk_per_group",
     "q_count_distinct",
-    "q_approx_distinct",
     "q_rollup",
     "q_cube",
     "q_grouping_sets",
@@ -79,6 +88,7 @@ REGISTERED: tuple[str, ...] = (
     "q_window_funcs",
     "q_asof_join",
     "q_range_join",
+    "q_interval_join",
     "q_stats_agg",
     "q_percentiles",
     "q_time_rollup",
@@ -96,21 +106,24 @@ REGISTERED: tuple[str, ...] = (
     "q_pq_topk",
     "q_corpus_prep",
     "q_simhash",
-    "q_fingerprint",
     "q_text_stats",
     "q_lang_id",
     "q_tfidf",
     "q_udf_tokens",
+    "q_bm25",
     "q_cosine_topk",
     "q_ann_bucket",
     "q_ivf_topk",
     "q_embed_near_dup",
     "q_media_features",
-    "q_frame_sample",
+    "q_media_decode",
 )
 
 RETIRED: tuple[str, ...] = (
     "q_jaccard_pairs",
+    "q_frame_sample",
+    "q_approx_distinct",
+    "q_fingerprint",
     "q_tumbling_window",
     "q_binary_meta",
     "q_distinct",
@@ -135,7 +148,6 @@ SLOTLESS: tuple[str, ...] = (
     "q_profile",
     "q_hash_split",
     # round 3
-    "q_bm25",
     "q_rolling_anomaly",
     "q_linreg",
     "q_kmeans_ivf",
@@ -148,11 +160,10 @@ SLOTLESS: tuple[str, ...] = (
     "q_funnel",
     "q_cohort",
     "q_copair",
-    "q_interval_join",
     "q_cms",
     "q_redact",
     # round 4
-    "q_media_decode",
+    "q_rollup_state",
 )
 
 
