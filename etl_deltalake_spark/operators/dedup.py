@@ -389,6 +389,99 @@ def label_propagation_clusters(
     return labels.select("doc", F.col("label").alias("cluster"))
 
 
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication report: per document, the fraction
+    of its words covered by word ``k``-grams that also appear in at
+    least ``min_docs`` documents — the span-level tier between exact
+    doc dedup and MinHash near-dup (cf. Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which
+    finds cross-doc repeated substrings with suffix arrays; the
+    Spark-shaped equivalent buckets positioned grams by hash).
+
+    Output (one row per input document):
+
+      doc            the id
+      n_words        normalized token count
+      n_dup_spans    number of k-gram start positions whose gram is
+                     cross-doc duplicated
+      dup_span_frac  |union of duplicated spans| / n_words — the
+                     filterable signal (e.g. drop > 0.5, or trim)
+
+    Coverage is an exact interval union computed with one window:
+    span at position i covers [i, i+k) clipped to the document, so
+    covered_i = least(k, next_start - i, n_words - i) and the per-doc
+    sum never double-counts overlaps. SQL-mirrorable (lead + sum).
+
+    Scale shape: grams are md5-hashed scan-side, so every shuffle
+    carries (doc, pos, 32-hex) rows — raw text spans never move.
+    Unlike ``jaccard_pairs`` there is NO pair join to cap: the
+    duplicated-gram set comes from a linear groupBy count and rejoins
+    via left_semi, so a ubiquitous gram costs one counter, not df²
+    candidates — no max_df knob needed. Shuffles: distinct (doc,gh),
+    gh count, semi join on gh, window on doc (the doc groupBy and
+    report join reuse that partitioning).
+
+    Short documents (< k words) contribute their single truncated
+    gram, same convention as ``shingle_rows``; their coverage clips
+    at n_words so fractions never exceed 1.
+    """
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(text_col), " ").alias("words"),
+    )
+    wcol = F.col("words")
+    # md5 per positioned gram, assembled as a raw expression fed
+    # straight to posexplode (both shingle_rows planner rules apply:
+    # words attribute-bound once; no alias between array and explode)
+    grams_expr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(wcol, i + 1, k))),
+    )
+    pg = w.select(
+        "doc",
+        F.size(wcol).cast("bigint").alias("n_words"),
+        F.posexplode(grams_expr).alias("pos", "gh"),
+    )
+    dup_grams = (
+        pg.select("doc", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gh")
+    )
+    starts = pg.join(dup_grams, "gh", "left_semi")
+    win = Window.partitionBy("doc").orderBy("pos")
+    covered_i = F.least(
+        F.lit(k),
+        F.coalesce(F.lead("pos").over(win), F.col("n_words")) - F.col("pos"),
+        F.col("n_words") - F.col("pos"),
+    )
+    cov = (
+        starts.withColumn("_cov", covered_i)
+        .groupBy("doc")
+        .agg(
+            F.sum("_cov").alias("_covered"),
+            F.count(F.lit(1)).alias("n_dup_spans"),
+        )
+    )
+    totals = w.select("doc", F.size(wcol).cast("bigint").alias("n_words"))
+    return totals.join(cov, "doc", "left").select(
+        "doc",
+        "n_words",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("_covered"), F.lit(0)) / F.col("n_words"), 6
+        ).alias("dup_span_frac"),
+    )
+
+
 def simhash_table(df: DataFrame, id_col: str, token_col: Column) -> DataFrame:
     """16-bit SimHash via the codegen path: distinct tokens exploded
     to rows, one 16-bit md5-derived hash per row, per-bit ±1 sums in

@@ -2125,3 +2125,51 @@ oracle("q_redact")(
     ORDER BY doc_id
     """
 )
+
+
+# Substring-level duplication (operators/dedup.substring_dup_stats):
+# positioned 5-gram md5s, cross-doc duplicated grams via a linear
+# doc-frequency count, exact interval-union coverage with one lead
+# window — mirrors the Spark plan shape join-for-join.
+oracle("q_substring_dup")(
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(range(1, GREATEST(len(words) - 5, 0) + 2)) AS i
+      FROM w
+    ),
+    pg AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(words[i:i+4], ' ')) AS gh,
+             CAST(len(words) AS BIGINT) AS n_words
+      FROM pos
+    ),
+    dupg AS (
+      SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pg)
+      GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    starts AS (SELECT doc_id, pos, n_words FROM pg JOIN dupg USING (gh)),
+    cov AS (
+      SELECT doc_id,
+             SUM(LEAST(5, COALESCE(nxt, n_words) - pos, n_words - pos))
+               AS covered,
+             COUNT(*) AS n_spans
+      FROM (
+        SELECT doc_id, pos, n_words,
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM starts
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc,
+           t.n_words,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(COALESCE(covered, 0) AS DOUBLE) / t.n_words, 6)
+             AS dup_span_frac
+    FROM (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w) t
+    LEFT JOIN cov USING (doc_id)
+    ORDER BY doc
+    """
+)

@@ -1008,3 +1008,15 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redact_pii("text")).alias("redacted_md5"),
         *[c.alias(f"n_{name}") for name, c in hits.items()],
     ).orderBy("doc_id")
+
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report over documents
+    (operators/dedup.substring_dup_stats): per doc, the exact
+    interval-union fraction of words covered by cross-doc repeated
+    5-gram spans — the span-level dedup tier (doc-exact and near-dup
+    are q_dedup_exact / q_minhash_lsh)."""
+    from etl_deltalake_spark.operators.dedup import substring_dup_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return substring_dup_stats(docs, "doc_id", "text", k=5).orderBy("doc")

@@ -164,6 +164,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_redact",
     # round 4
     "q_rollup_state",
+    "q_substring_dup",
 )
 
 

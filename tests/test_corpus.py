@@ -72,3 +72,32 @@ def test_near_dup_keep_min_keeps_singletons(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = sorted(r["doc_id"] for r in near_dup_keep_min(df, "doc_id", "text", 0.9).collect())
     assert out == [1, 3]
+
+
+def test_substring_dup_interval_union(spark):
+    """Hand-built coverage check: overlapping duplicated spans count
+    once, non-duplicated docs report zero, and a short duplicated doc
+    clips at its own length."""
+    from etl_deltalake_spark.operators.dedup import substring_dup_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words
+    rows = [
+        # docs 1/2 share a 6-word run -> 2 overlapping 5-gram starts
+        # (pos 0,1) whose union covers all 6 words of doc 1
+        (1, shared),
+        (2, shared + " omega psi chi phi"),  # 10 words, 6 covered
+        (3, "one two three four five six seven eight nine ten"),  # unique
+        (4, "tiny shared doc"),  # < k words: single truncated gram
+        (5, "tiny shared doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc"]: r
+        for r in substring_dup_stats(df, "doc_id", "text", k=5).collect()
+    }
+    assert out[1]["n_dup_spans"] == 2 and out[1]["dup_span_frac"] == 1.0
+    assert out[2]["n_dup_spans"] == 2 and out[2]["dup_span_frac"] == 0.6
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_frac"] == 0.0
+    # truncated-gram doc: 1 span covering all 3 words, frac clips to 1
+    assert out[4]["n_dup_spans"] == 1 and out[4]["dup_span_frac"] == 1.0
+    assert out[5]["dup_span_frac"] == 1.0
