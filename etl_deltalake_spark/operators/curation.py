@@ -192,6 +192,67 @@ def quota_sample(
     )
 
 
+def quota_sample_two_phase(
+    df: DataFrame, group_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """``quota_sample`` for groups that dwarf a partition: a
+    per-partition pre-cap bounds what the exact window ever sees.
+
+    Phase 1 (``mapInPandas``, zero shuffle): within each input
+    partition, keep only the ``quota`` smallest rows per group by the
+    SAME (md5(id), id) key the window uses — an Arrow-batched
+    streaming top-k that carries at most quota rows per (group,
+    partition) across batches. Phase 2 is the unchanged exact window.
+    Because the global quota winners are each the winners of their own
+    partition, the pre-cap provably never drops a row the window would
+    keep — output is IDENTICAL to the single-phase form (for unique,
+    non-null ids, the same determinism contract as ``quota_sample``).
+
+    Scale: the window's shuffle input drops from the full group (a
+    crawl source can be 10⁹ rows) to quota × n_partitions rows per
+    group. The md5 here is Python-side (hashlib) but equals Spark's
+    ``md5(cast(id as string))`` for int/string ids, so both phases
+    rank identically.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    schema = df.schema
+    if group_col not in schema.names or id_col not in schema.names:
+        raise ValueError(
+            f"columns {group_col!r}/{id_col!r} not in {schema.names}"
+        )
+
+    def precap(batches):
+        import hashlib
+
+        import pandas as pd
+
+        kept: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keyed = pdf.assign(
+                _k=pdf[id_col]
+                .astype(str)
+                .map(lambda s: hashlib.md5(s.encode()).hexdigest())
+            )
+            for g, sub in keyed.groupby(group_col, sort=False, dropna=False):
+                prev = kept.get(g)
+                cur = (
+                    sub
+                    if prev is None
+                    else pd.concat([prev, sub], ignore_index=True)
+                )
+                kept[g] = cur.sort_values(
+                    ["_k", id_col], kind="mergesort"
+                ).head(quota)
+        for cur in kept.values():
+            yield cur.drop(columns=["_k"])
+
+    pre = df.mapInPandas(precap, schema=schema)
+    return quota_sample(pre, group_col, id_col, quota)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

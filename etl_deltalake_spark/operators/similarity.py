@@ -542,6 +542,113 @@ def kmeans_codebook(
     return centroids
 
 
+def kmeans_codebook_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 6,
+    metric: str = "cosine",
+) -> list[tuple[int, list[float]]]:
+    """``kmeans_codebook`` with broadcast-refresh iterations: the
+    codebook lives in a k-row DataFrame for the whole training loop
+    and the driver never deserializes per-cluster statistics — its
+    only data traffic is the final k×d codebook collect.
+
+    Per iteration: the centroid table is folded into a single
+    array-of-structs row and broadcast-joined onto the vectors on a
+    constant key (BroadcastHashJoin, not a nested-loop product);
+    assignment is a scan-side argmax over that array (sims
+    materialized once in their own projection — the ivf_assign
+    CollapseProject rule — with array_position's first-match giving
+    the lowest-cid tie-break, cents sorted by cid); the update is the
+    same (cluster, dim) decimal-sum shuffle, reassembled into arrays
+    and left-joined onto the previous codebook so empty clusters keep
+    their centroid. Each iteration's k-row result is eagerly
+    localCheckpointed — truncating what would otherwise be a
+    doubling-per-iteration lineage (the codebook feeds both the
+    assignment and the empty-cluster fallback).
+
+    Bitwise-identical to ``kmeans_codebook`` by construction: seeds
+    are the same k lowest-id vectors; means are CAST(decimal-sum AS
+    DOUBLE)/n in both forms; sims use the same rounded fold over the
+    same IEEE centroid values (tests/test_stats_similarity.py pins
+    list-equality across metrics). Preferable at nlist in the
+    thousands, where the collect-form's per-iteration stats
+    round-trip and its k·d literal when-chain dominate.
+    """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be cosine|l2, got {metric!r}")
+    measure = cosine if metric == "cosine" else l2_sq
+    vecs = df.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("id")
+    cent = (
+        vecs.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cid"),
+            F.col("v").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        cent_row = cent.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("_cents")
+        ).withColumn("_k", F.lit(1))
+        joined = vecs.withColumn("_k", F.lit(1)).join(
+            F.broadcast(cent_row), "_k"
+        )
+        simmed = joined.select(
+            "v",
+            F.transform(
+                F.col("_cents"), lambda c: measure(F.col("v"), c["cv"], scale)
+            ).alias("_sims"),
+            F.col("_cents"),
+        )
+        pick = F.array_max if metric == "cosine" else F.array_min
+        assigned = simmed.select(
+            "v",
+            F.element_at(
+                "_cents",
+                F.array_position(F.col("_sims"), pick(F.col("_sims"))).cast(
+                    "int"
+                ),
+            )["cid"].alias("cid"),
+        )
+        stats = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(18,9)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        newc = (
+            stats.select(
+                "cid",
+                "pos",
+                (F.col("s").cast("double") / F.col("n")).alias("m"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("ncv")
+            )
+        )
+        cent = (
+            cent.join(newc, "cid", "left")
+            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    rows = cent.orderBy("cid").collect()
+    return [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows]
+
+
 def pq_train(
     df: DataFrame,
     id_col: str,

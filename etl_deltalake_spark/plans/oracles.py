@@ -2173,3 +2173,24 @@ oracle("q_substring_dup")(
     ORDER BY doc
     """
 )
+
+
+# Streaming dedup-within-watermark (streaming/pipeline.dedup_stream,
+# q_stream_dedup): the stream sees every event twice (redelivery);
+# exact-copy rows collapse to one row per event_id, so doubling +
+# DISTINCT mirrors the watermark dedup at a fixture-spanning horizon.
+oracle("q_stream_dedup")(
+    """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT DISTINCT event_id, event_type, value FROM (
+        SELECT event_id, event_type, value FROM events
+        UNION ALL
+        SELECT event_id, event_type, value FROM events
+      )
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+)

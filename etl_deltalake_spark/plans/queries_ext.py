@@ -697,15 +697,18 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd-trained IVF assignment (k=4, 2 iterations) over the
     embeddings table — the iterative-algorithm surface, fully
     oracle-gated because every step is a pure function of the data
-    (deterministic seeds + decimal-sum means, see
-    operators/similarity.kmeans_codebook)."""
+    (deterministic seeds + decimal-sum means). Training runs the
+    broadcast-refresh form — the codebook stays in a k-row DataFrame
+    across iterations, no per-iteration stats collect — which is
+    bitwise-identical to the collect-form
+    (operators/similarity.kmeans_codebook_df)."""
     from etl_deltalake_spark.operators.similarity import (
         ivf_assign,
-        kmeans_codebook,
+        kmeans_codebook_df,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    centroids = kmeans_codebook(emb, "vec_id", "embedding", k=4, iterations=2)
+    centroids = kmeans_codebook_df(emb, "vec_id", "embedding", k=4, iterations=2)
     return (
         ivf_assign(emb, "vec_id", "embedding", centroids, sim_col="cos_sim")
         .select("vec_id", "cluster_id", "cos_sim")
@@ -1020,3 +1023,51 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return substring_dup_stats(docs, "doc_id", "text", k=5).orderBy("doc")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark through the REAL readStream path
+    (streaming/pipeline.dedup_stream): the source directory holds TWO
+    copies of the events file (simulated at-least-once redelivery),
+    the stream dedups on event_id within a watermark spanning the
+    fixture, and the drained sink is aggregated per event_type. The
+    DuckDB oracle doubles the table with UNION ALL and dedups it
+    back — a dedup that leaks a duplicate or drops a unique row
+    breaks the count AND the decimal sum."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    src = tempfile.mkdtemp(prefix="sgraft_dedup_src_")
+    for copy in ("events_a.parquet", "events_b.parquet"):
+        shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{copy}")
+    stream = P.read_events_stream(
+        spark, src, sf_dir, glob="events_*.parquet"
+    )
+    deduped = P.dedup_stream(stream, watermark="3650 days").select(
+        "event_id", "event_type", "value"
+    )
+    ckpt = tempfile.mkdtemp(prefix="sgraft_dedup_ckpt_")
+    name = f"d_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

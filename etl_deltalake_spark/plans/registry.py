@@ -165,6 +165,7 @@ SLOTLESS: tuple[str, ...] = (
     # round 4
     "q_rollup_state",
     "q_substring_dup",
+    "q_stream_dedup",
 )
 
 

@@ -150,3 +150,42 @@ def test_hash_split_zero_fraction_split_gets_nothing(spark, sf_dir):
     assert counts["train"] + counts["val"] == docs.count()
     # both live splits actually receive rows at fixture scale
     assert counts["train"] > 0 and counts["val"] > 0
+
+
+def test_quota_sample_two_phase_identical_with_giant_source(spark):
+    """One source dwarfs every partition (the case the pre-cap
+    exists for): the two-phase form must select EXACTLY the rows the
+    single-phase window selects, across partitionings."""
+    from etl_deltalake_spark.operators.curation import quota_sample_two_phase
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        # src_big: 2800 rows; two small sources share the rest
+        F.when(F.col("id") < 2800, F.lit("src_big"))
+        .when(F.col("id") % 2 == 0, F.lit("src_a"))
+        .otherwise(F.lit("src_b"))
+        .alias("source"),
+        (F.col("id") * 7 % 101).alias("payload"),
+    )
+    for parts in (1, 13):
+        d = df.repartition(parts)
+        base = sorted(
+            tuple(r) for r in quota_sample(d, "source", "doc_id", 25).collect()
+        )
+        two = sorted(
+            tuple(r)
+            for r in quota_sample_two_phase(d, "source", "doc_id", 25).collect()
+        )
+        assert two == base
+        assert len(two) == 25 + 25 + 25
+
+
+def test_quota_sample_two_phase_small_groups_pass_through(spark):
+    """Groups under quota survive intact (pre-cap must not drop)."""
+    from etl_deltalake_spark.operators.curation import quota_sample_two_phase
+
+    df = spark.range(0, 8).select(
+        F.col("id").alias("doc_id"), F.lit("only").alias("source")
+    ).repartition(5)
+    out = quota_sample_two_phase(df, "source", "doc_id", 50).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(8))

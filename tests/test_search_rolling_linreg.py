@@ -616,3 +616,35 @@ def test_redact_pii_precedence_and_dates(spark):
     # real phone shapes still match
     assert out[6]["red"] == "call <PHONE> or <PHONE>"
     assert out[6]["n_phone"] == 2
+
+
+def test_kmeans_codebook_df_bitwise_matches_collect_form(spark, sf_dir):
+    """The broadcast-refresh trainer must reproduce the collect-form
+    codebook BITWISE on real data, both metrics — same seeds, same
+    decimal-sum means, same rounded sims (the q_kmeans_ivf oracle
+    rides on this)."""
+    from etl_deltalake_spark.operators.similarity import (
+        kmeans_codebook,
+        kmeans_codebook_df,
+    )
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    for metric in ("cosine", "l2"):
+        a = kmeans_codebook(
+            emb, "vec_id", "embedding", k=4, iterations=2, metric=metric
+        )
+        b = kmeans_codebook_df(
+            emb, "vec_id", "embedding", k=4, iterations=2, metric=metric
+        )
+        assert a == b, f"codebook diverged for metric={metric}"
+
+
+def test_kmeans_codebook_df_empty_cluster_keeps_seed(spark):
+    from etl_deltalake_spark.operators.similarity import kmeans_codebook_df
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = kmeans_codebook_df(df, "vec_id", "embedding", k=2, iterations=2)
+    assert len(cb) == 2
+    assert all(len(v) == 3 for _, v in cb)
