@@ -10,12 +10,14 @@ Design (the 100 TB posture):
    partition, zero shuffles — throughput scales with executors.
    Repartition upstream only if payload skew is extreme (a few
    multi-GB videos in one partition).
- - PNG decoding is REAL: ``decode_image`` runs the pure-stdlib codec
-   in ``operators/png.py`` (zlib + struct — no Pillow/ffmpeg needed)
-   inside an Arrow-batched kernel, with per-row errors captured in an
-   ``err`` column rather than failing the job. Other formats (JPEG,
-   audio, video containers) still need codec libraries absent from
-   this container; their payloads surface as decode errors, and
+ - PNG and WAV decoding are REAL: ``decode_image`` runs the
+   pure-stdlib PNG codec in ``operators/png.py`` (zlib + struct) and
+   ``decode_audio`` the pure-stdlib PCM WAV codec in
+   ``operators/wav.py`` (struct + array) — no Pillow/ffmpeg needed —
+   inside Arrow-batched kernels, with per-row errors captured in an
+   ``err`` column rather than failing the job. Compressed formats
+   (JPEG, MP3, video containers) still need codec libraries absent
+   from this container; their payloads surface as decode errors, and
    ``map_payload_features`` remains the format-agnostic byte-level
    feature path. Swapping in a native decoder changes the kernel
    body only, never the plan shape.
@@ -161,6 +163,89 @@ def decode_image(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         F.col(payload_col).cast(BinaryType()).alias(payload_col),
     )
     return src.mapInPandas(kernel, schema=DECODE_SCHEMA)
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("samp_sum", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL audio decode over binary payloads: parse each payload as
+    PCM WAV (pure-stdlib codec, operators/wav.py — RIFF chunk walk
+    with header cross-checks + bulk array sample decode) and emit
+    typed audio features: channel count, sample rate, bit depth,
+    frame count, integer duration, and the exact sample sum / peak
+    absolute amplitude (means and loudness stats derive from those in
+    Spark SQL, keeping float handling engine-side and deterministic).
+
+    Same failure posture as ``decode_image``: corrupt / truncated /
+    non-PCM payloads land in the ``err`` column with null features —
+    a bad file never kills a 100 TB job. Arrow-batched
+    ``mapInPandas``, no shuffle; a native codec for compressed
+    formats swaps into the same kernel signature without touching the
+    plan.
+    """
+    from etl_deltalake_spark.operators.wav import WavError, decode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, rates, bds, nfs, durs, sums, peaks, errs = (
+                [], [], [], [], [], [], [], [], [],
+            )
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc)
+                try:
+                    au = decode_wav(bytes(payload))
+                except WavError as e:
+                    chs.append(None)
+                    rates.append(None)
+                    bds.append(None)
+                    nfs.append(None)
+                    durs.append(None)
+                    sums.append(None)
+                    peaks.append(None)
+                    errs.append(str(e))
+                else:
+                    chs.append(au.channels)
+                    rates.append(au.sample_rate)
+                    bds.append(au.bit_depth)
+                    nfs.append(au.n_frames)
+                    durs.append(au.duration_ms)
+                    sums.append(int(sum(au.samples)))
+                    peaks.append(
+                        int(max((abs(s) for s in au.samples), default=0))
+                    )
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "channels": pd.Series(chs, dtype="Int32"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "bit_depth": pd.Series(bds, dtype="Int32"),
+                    "n_frames": pd.Series(nfs, dtype="Int64"),
+                    "duration_ms": pd.Series(durs, dtype="Int64"),
+                    "samp_sum": pd.Series(sums, dtype="Int64"),
+                    "peak_abs": pd.Series(peaks, dtype="Int64"),
+                    "err": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return src.mapInPandas(kernel, schema=AUDIO_DECODE_SCHEMA)
 
 
 def frame_offsets(payload_col: str | Column, frame_size: int, n_frames: int) -> Column:

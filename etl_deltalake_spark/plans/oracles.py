@@ -2194,3 +2194,37 @@ oracle("q_stream_dedup")(
     ORDER BY event_type
     """
 )
+
+
+# PCM WAV decode (operators/wav.py via multimodal.decode_audio,
+# q_audio_decode): closed-form recompute of the synthesized clips'
+# amplitude statistics — sample k of doc d is
+# ((d*37 + k*101) % 65536) - 32768 over n_frames*channels samples.
+oracle("q_audio_decode")(
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS channels,
+             40 + doc_id % 50 AS n_frames
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, channels, n_frames,
+             ((doc_id * 37 + unnest(range(0, CAST(n_frames * channels AS BIGINT))) * 101) % 65536) - 32768
+               AS s
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(channels AS INT) AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(SUM(s) AS BIGINT) AS samp_sum,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           ROUND(CAST(SUM(s) AS DOUBLE) / (n_frames * channels), 6)
+             AS mean_sample
+    FROM samp
+    GROUP BY doc_id, channels, n_frames
+    ORDER BY doc_id
+    """
+)

@@ -1071,3 +1071,55 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode, cross-engine verified: synthesize one
+    deterministic clip per document (mono for even doc_id, stereo for
+    odd; 16-bit sample k = ((doc_id*37 + k*101) % 65536) - 32768;
+    frame count varying per doc), decode it with the pure-stdlib
+    codec (operators/wav.py via multimodal.decode_audio), and emit
+    format fields + exact amplitude stats. The DuckDB oracle
+    recomputes the same statistics from the closed-form sample
+    formula — a decoder that mis-walks the RIFF chunks, mis-reads the
+    header, or mis-signs samples hash-mismatches immediately. Both
+    stages are Arrow-batched mapInPandas, zero shuffles."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.multimodal import decode_audio
+    from etl_deltalake_spark.operators.wav import encode_wav
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_wav(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                channels = 1 + d % 2
+                n_frames = 40 + d % 50
+                samples = [
+                    ((d * 37 + k * 101) % 65536) - 32768
+                    for k in range(n_frames * channels)
+                ]
+                payloads.append(encode_wav(samples, channels, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_wav, schema="doc_id long, payload binary")
+    dec = decode_audio(media, "doc_id", "payload")
+    return dec.select(
+        "doc_id",
+        "channels",
+        "sample_rate",
+        "n_frames",
+        "duration_ms",
+        "samp_sum",
+        "peak_abs",
+        F.round(
+            F.col("samp_sum").cast("double")
+            / (F.col("n_frames") * F.col("channels")),
+            6,
+        ).alias("mean_sample"),
+    ).orderBy("doc_id")

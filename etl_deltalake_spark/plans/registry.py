@@ -166,6 +166,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_rollup_state",
     "q_substring_dup",
     "q_stream_dedup",
+    "q_audio_decode",
 )
 
 
