@@ -542,6 +542,61 @@ def kmeans_codebook(
     return centroids
 
 
+def _cos_py(a: Sequence[float], b: Sequence[float], scale: int = 6) -> float:
+    """Driver-side cosine with the engines' sequential fold order and
+    rounding — for codebook-sized probe selection only."""
+    import math
+
+    num = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) * float(x) for x in a))
+    nb = math.sqrt(sum(float(y) * float(y) for y in b))
+    return round(num / (na * nb), scale)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    k: int = 10,
+    nprobe: int = 1,
+    scale: int = 6,
+) -> DataFrame:
+    """IVF + PQ composed — the production ANN shape at 100 TB:
+    coarse-quantize to prune the corpus to ``nprobe``/nlist of its
+    rows (``ivf_assign``), then score ONLY the survivors' compressed
+    PQ codes with the query's asymmetric distance table
+    (``pq_encode`` → ``pq_adc_topk``). I/O touches the probed
+    clusters; scoring touches m-byte codes, never raw vectors — the
+    memory/recall trade both halves document individually, composed.
+
+    With assignments persisted as a partition column and codes
+    precomputed at ingest (the production layout), the whole query is
+    partition pruning + a literal-table lookup scan. Recall loss
+    compounds from both stages (probe misses + quantization error);
+    raise nprobe / ksub to trade cost for recall.
+
+    This is the classic non-residual variant (codes encode raw
+    vectors, one distance table per query). Residual IVFPQ (encode
+    v − centroid, one table per probed cluster) is the documented
+    refinement — same plan shape, per-cluster literal tables.
+    Deterministic end-to-end: probe selection, assignment, training,
+    encode, and ADC all reuse the oracle-reproducible primitives.
+    """
+    probed = sorted(
+        centroids, key=lambda c: (-_cos_py(query_vec, c[1], scale), c[0])
+    )[:nprobe]
+    probe_ids = [cid for cid, _ in probed]
+    assigned = ivf_assign(df, id_col, vec_col, centroids, scale)
+    survivors = assigned.filter(F.col("cluster_id").isin(probe_ids)).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    codes = pq_encode(survivors, id_col, vec_col, codebooks, scale)
+    return pq_adc_topk(codes, id_col, query_vec, codebooks, k, scale)
+
+
 def kmeans_codebook_df(
     df: DataFrame,
     id_col: str,

@@ -1781,14 +1781,19 @@ oracle("q_outer_join")(
 
 def _pq_topk_sql(
     m: int = 4, ksub: int = 8, iterations: int = 2, dims: int = 64,
-    k: int = 10,
+    k: int = 10, nprobe: int | None = None, centroid_mod: int = 50,
 ) -> str:
     """Product-quantization oracle: per-subspace L2 Lloyd k-means
     (same chained-CTE pattern as _kmeans_ivf_sql, with the argmin on
     ROUND(squared L2, 6) ties-low), final-codebook encode, and ADC
     scoring from the query\'s per-(subspace, centroid) distance
     table. Every squared distance is the explicit left-associated
-    term chain, matching Spark\'s sequential fold bitwise."""
+    term chain, matching Spark\'s sequential fold bitwise.
+
+    With ``nprobe`` set, the scored set is first pruned to vectors
+    whose nearest subsampled-centroid assignment (rounded cosine,
+    ties-low — the q_ivf_topk mirror) lands in the query\'s nprobe
+    best clusters: the IVF+PQ composition (similarity.ivfpq_topk)."""
     dsub = dims // m
 
     def dist(a: str, b: str) -> str:
@@ -1874,12 +1879,41 @@ def _pq_topk_sql(
       FROM {prev} CROSS JOIN qs{j}
     )"""
         )
+    if nprobe is not None:
+        ctes.append(
+            f"ivfc AS (SELECT vec_id AS cid, v AS cv FROM vecs "
+            f"WHERE vec_id % {centroid_mod} = 0)"
+        )
+        ctes.append("qfull AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)")
+        ctes.append(
+            f"""qc AS (
+      SELECT cid FROM ivfc, qfull
+      ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, cid ASC
+      LIMIT {nprobe}
+    )"""
+        )
+        ctes.append(
+            """iassign AS (
+      SELECT vec_id FROM (
+        SELECT vecs.vec_id, ivfc.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(vecs.v, ivfc.cv), 6)
+                            DESC,
+                          ivfc.cid ASC
+               ) AS rn
+        FROM vecs CROSS JOIN ivfc
+      ) WHERE rn = 1 AND cid IN (SELECT cid FROM qc)
+    )"""
+        )
     joins = "enc0 e0 JOIN dt0 d0 ON e0.cluster_id = d0.cluster_id"
     for j in range(1, m):
         joins += (
             f" JOIN enc{j} e{j} ON e{j}.vec_id = e0.vec_id"
             f" JOIN dt{j} d{j} ON e{j}.cluster_id = d{j}.cluster_id"
         )
+    if nprobe is not None:
+        joins += " JOIN iassign ia ON ia.vec_id = e0.vec_id"
     total = " + ".join(f"d{j}.pd" for j in range(m))
     final = f"""
     SELECT vec_id, pq_dist, rank FROM (
@@ -2228,3 +2262,9 @@ oracle("q_audio_decode")(
     ORDER BY doc_id
     """
 )
+
+
+# IVF + PQ composed ANN (operators/similarity.ivfpq_topk,
+# q_ivfpq_topk): the PQ train→encode→ADC chain restricted to the
+# query's 2 probed clusters — prune and compression verified stacked.
+oracle("q_ivfpq_topk")(_pq_topk_sql(nprobe=2))

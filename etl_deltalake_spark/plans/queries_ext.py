@@ -1123,3 +1123,28 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_sample"),
     ).orderBy("doc_id")
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed ANN top-10 for vec_id=0: coarse-probe the 2
+    nearest of the subsampled centroids, then ADC-score only the
+    survivors' compressed codes (operators/similarity.ivfpq_topk) —
+    the production shape where partition pruning and code-only
+    scoring stack. Fully deterministic, so the oracle re-derives
+    probe + assignment + training + encode + scoring bitwise."""
+    from etl_deltalake_spark.operators.similarity import ivfpq_topk, pq_train
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = pq_train(emb, "vec_id", "embedding", dims=64, m=4, ksub=8,
+                     iterations=2)
+    centroids = _ivf_centroids(spark, sf_dir)
+    return ivfpq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        centroids,
+        books,
+        k=10,
+        nprobe=2,
+    ).orderBy("rank")

@@ -39,6 +39,20 @@ occupy driver slots):
    groups by and its min-shingle rides the exploded-shingle path
    q_minhash_lsh exercises harder, vs full-text relevance ranking
    with no other driver row).
+ - Round-4 second rotation (new capability built this round):
+   q_ivf_topk → q_ivfpq_topk (the composition EXECUTES ivf_assign's
+   probe-filter AND the full PQ chain — strictly stronger than the
+   IVF half alone; q_pq_topk keeps the uncomposed PQ row);
+   q_sliding_window → q_stream_dedup (a batch F.window twin cedes to
+   a second REAL readStream path with stateful
+   dropDuplicatesWithinWatermark — the q_tumbling_window precedent);
+   q_media_features → q_audio_decode (byte-level checksum stats cede
+   so BOTH real decoders — PNG pixels and WAV samples — hold driver
+   rows; the Arrow-batch byte-feature path stays pytest-gated);
+   q_udf_tokens → q_substring_dup (char/space pandas_udf counts were
+   the weakest UDF evidence once two mapInPandas decode kernels are
+   driver-graded; substring-level span dedup is a first-class
+   training-data tier with no other driver row).
 
 SLOTLESS entries are newer oracle-paired queries that never held a
 driver slot (the 50 are full); they carry the same pytest oracle
@@ -98,7 +112,7 @@ REGISTERED: tuple[str, ...] = (
     "q_json_funcs",
     # streaming (SURVEY §2.8)
     "q_stream_tumbling",
-    "q_sliding_window",
+    "q_stream_dedup",
     "q_session_window",
     # LLM-data-pipeline extensions (SURVEY §2.9)
     "q_dedup_exact",
@@ -106,17 +120,17 @@ REGISTERED: tuple[str, ...] = (
     "q_pq_topk",
     "q_corpus_prep",
     "q_simhash",
+    "q_substring_dup",
     "q_text_stats",
     "q_lang_id",
     "q_tfidf",
-    "q_udf_tokens",
     "q_bm25",
     "q_cosine_topk",
     "q_ann_bucket",
-    "q_ivf_topk",
+    "q_ivfpq_topk",
     "q_embed_near_dup",
-    "q_media_features",
     "q_media_decode",
+    "q_audio_decode",
 )
 
 RETIRED: tuple[str, ...] = (
@@ -130,6 +144,13 @@ RETIRED: tuple[str, ...] = (
     "q_sample_hash",
     "q_salted_agg",
     "q_dedup_clusters",
+)
+
+RETIRED_R4: tuple[str, ...] = (
+    "q_ivf_topk",
+    "q_sliding_window",
+    "q_media_features",
+    "q_udf_tokens",
 )
 
 # Oracle-paired queries without a driver slot (pytest-gated).
@@ -164,9 +185,6 @@ SLOTLESS: tuple[str, ...] = (
     "q_redact",
     # round 4
     "q_rollup_state",
-    "q_substring_dup",
-    "q_stream_dedup",
-    "q_audio_decode",
 )
 
 
@@ -191,7 +209,7 @@ def retired_queries() -> dict[str, QueryFn]:
     """Queries kept out of the capped driver registry but still part
     of the engine surface (pytest-gated, see module docstring) —
     both the retired and the slotless sets."""
-    return {name: _lookup(name) for name in RETIRED + SLOTLESS}
+    return {name: _lookup(name) for name in RETIRED + RETIRED_R4 + SLOTLESS}
 
 
 def all_oracles() -> dict[str, str]:

@@ -11,6 +11,7 @@ from etl_deltalake_spark.plans.oracles import ORACLES
 from etl_deltalake_spark.plans.registry import (
     REGISTERED,
     RETIRED,
+    RETIRED_R4,
     SLOTLESS,
     retired_queries,
 )
@@ -18,11 +19,12 @@ from tests.test_oracle import _canon_rows, _duck_result, _spark_result
 
 
 def test_registered_and_retired_are_disjoint():
-    assert not set(REGISTERED) & set(RETIRED + SLOTLESS)
-    assert not set(RETIRED) & set(SLOTLESS)
+    assert not set(REGISTERED) & set(RETIRED + RETIRED_R4 + SLOTLESS)
+    assert not set(RETIRED) & set(RETIRED_R4 + SLOTLESS)
+    assert not set(RETIRED_R4) & set(SLOTLESS)
 
 
-@pytest.mark.parametrize("name", sorted(RETIRED + SLOTLESS))
+@pytest.mark.parametrize("name", sorted(RETIRED + RETIRED_R4 + SLOTLESS))
 def test_retired_query_vs_oracle(name, spark, duck, sf_dir):
     fn = retired_queries()[name]
     s_cols, s_rows = _spark_result(spark, sf_dir, fn)
