@@ -482,6 +482,100 @@ def substring_dup_stats(
     )
 
 
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The remediation twin of ``substring_dup_stats``: rebuild each
+    document's normalized text with cross-doc duplicated k-gram spans
+    REMOVED, keeping exactly one copy corpus-wide (the copy in the
+    lowest doc id containing the gram — Lee et al. 2021 remove all
+    but one occurrence of each duplicate substring; this is that
+    policy with a deterministic canonical choice).
+
+    A word position is dropped iff it is covered by a k-gram that (a)
+    occurs in ≥ ``min_docs`` documents and (b) this document is NOT
+    the gram's canonical (minimum) holder. Canonical docs keep their
+    copy intact, so no text is globally lost.
+
+    Output: (doc, n_words, n_kept, clean_text) — normalized text with
+    survivors joined by single spaces ('' when everything dropped).
+
+    Scale shape: all set logic runs on (doc, pos, 32-hex) rows — the
+    duplicated-gram table comes from the same linear doc-frequency
+    count as the stats op (now also carrying min(doc)); dropped word
+    positions come from a bounded k-per-start explode; survivors are
+    an anti-join of word rows against dropped positions; rebuild is
+    one groupBy(doc) assembling words ordered by position. Raw text
+    shuffles only as individual words at the rebuild — never as whole
+    documents duplicated per gram.
+    """
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize_text(text_col), " ").alias("words"),
+    )
+    wcol = F.col("words")
+    grams_expr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(wcol) - k, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(wcol, i + 1, k))),
+    )
+    pg = w.select(
+        "doc",
+        F.size(wcol).cast("bigint").alias("n_words"),
+        F.posexplode(grams_expr).alias("pos", "gh"),
+    )
+    dup_grams = (
+        pg.select("doc", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("_df"),
+            F.min("doc").alias("canonical_doc"),
+        )
+        .filter(F.col("_df") >= min_docs)
+        .select("gh", "canonical_doc")
+    )
+    drops = pg.join(dup_grams, "gh").filter(
+        F.col("doc") != F.col("canonical_doc")
+    )
+    dropped_pos = drops.select(
+        "doc",
+        F.explode(
+            F.sequence(
+                F.col("pos"),
+                F.least(F.col("pos") + k, F.col("n_words")) - 1,
+            )
+        ).alias("wp"),
+    ).distinct()
+    word_rows = w.select(
+        "doc",
+        F.size(wcol).cast("bigint").alias("n_words"),
+        F.posexplode(wcol).alias("wp", "word"),
+    )
+    kept = word_rows.join(dropped_pos, ["doc", "wp"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.first("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wp", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = w.select("doc", F.size(wcol).cast("bigint").alias("n_words"))
+    return totals.join(rebuilt.drop("n_words"), "doc", "left").select(
+        "doc",
+        "n_words",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def simhash_table(df: DataFrame, id_col: str, token_col: Column) -> DataFrame:
     """16-bit SimHash via the codegen path: distinct tokens exploded
     to rows, one 16-bit md5-derived hash per row, per-bit ±1 sums in

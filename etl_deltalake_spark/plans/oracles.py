@@ -2268,3 +2268,62 @@ oracle("q_audio_decode")(
 # q_ivfpq_topk): the PQ train→encode→ADC chain restricted to the
 # query's 2 probed clusters — prune and compression verified stacked.
 oracle("q_ivfpq_topk")(_pq_topk_sql(nprobe=2))
+
+
+# Duplicated-span removal (operators/dedup.strip_duplicate_spans,
+# q_strip_spans): same positioned-gram and duplicated-gram CTEs as
+# q_substring_dup, plus canonical-holder choice, k-per-start dropped
+# positions, anti-join survivors, and ordered reassembly.
+oracle("q_strip_spans")(
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(range(1, GREATEST(len(words) - 5, 0) + 2)) AS i
+      FROM w
+    ),
+    pg AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(words[i:i+4], ' ')) AS gh,
+             CAST(len(words) AS BIGINT) AS n_words
+      FROM pos
+    ),
+    dupg AS (
+      SELECT gh, MIN(doc_id) AS canonical_doc
+      FROM (SELECT DISTINCT doc_id, gh FROM pg)
+      GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    drops AS (
+      SELECT doc_id, pos, n_words FROM pg JOIN dupg USING (gh)
+      WHERE doc_id != canonical_doc
+    ),
+    dp AS (
+      SELECT DISTINCT doc_id,
+             unnest(range(pos, LEAST(pos + 5, n_words))) AS wp
+      FROM drops
+    ),
+    wr AS (
+      SELECT doc_id, generate_subscripts(words, 1) - 1 AS wp,
+             unnest(words) AS word
+      FROM w
+    ),
+    kept AS (
+      SELECT wr.doc_id, wr.wp, wr.word
+      FROM wr LEFT JOIN dp ON wr.doc_id = dp.doc_id AND wr.wp = dp.wp
+      WHERE dp.doc_id IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY wp) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc, t.n_words,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(clean_text, '')) AS clean_md5
+    FROM (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w) t
+    LEFT JOIN reb USING (doc_id)
+    ORDER BY doc
+    """
+)

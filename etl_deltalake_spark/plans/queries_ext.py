@@ -1148,3 +1148,21 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=2,
     ).orderBy("rank")
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-span REMOVAL over documents
+    (operators/dedup.strip_duplicate_spans): rebuild each doc's
+    normalized text with repeated 5-gram spans stripped, canonical
+    (min-doc) copies kept. The rebuilt text is md5'd so the driver
+    compares exact string equality without hauling documents."""
+    from etl_deltalake_spark.operators.dedup import strip_duplicate_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = strip_duplicate_spans(docs, "doc_id", "text", k=5)
+    return out.select(
+        "doc",
+        "n_words",
+        "n_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc")

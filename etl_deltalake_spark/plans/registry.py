@@ -185,6 +185,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_redact",
     # round 4
     "q_rollup_state",
+    "q_strip_spans",
 )
 
 

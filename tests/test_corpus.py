@@ -101,3 +101,30 @@ def test_substring_dup_interval_union(spark):
     # truncated-gram doc: 1 span covering all 3 words, frac clips to 1
     assert out[4]["n_dup_spans"] == 1 and out[4]["dup_span_frac"] == 1.0
     assert out[5]["dup_span_frac"] == 1.0
+
+
+def test_strip_duplicate_spans_keeps_canonical_copy(spark):
+    """Span removal policy: the lowest doc holding a duplicated gram
+    keeps its text; later docs lose exactly the covered words; unique
+    text is untouched everywhere."""
+    from etl_deltalake_spark.operators.dedup import strip_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-gram
+    rows = [
+        (1, shared + " unique one"),
+        (2, "prefix words here " + shared + " suffix tail"),
+        (3, "totally different content with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc"]: r
+        for r in strip_duplicate_spans(df, "doc_id", "text", k=5).collect()
+    }
+    # doc 1 is canonical: full text kept
+    assert out[1]["clean_text"] == shared + " unique one"
+    assert out[1]["n_kept"] == out[1]["n_words"] == 7
+    # doc 2 loses the 5 shared words, keeps prefix+suffix
+    assert out[2]["clean_text"] == "prefix words here suffix tail"
+    assert (out[2]["n_words"], out[2]["n_kept"]) == (10, 5)
+    # doc 3 untouched
+    assert out[3]["n_kept"] == out[3]["n_words"]
