@@ -50,6 +50,13 @@ HEADLINE = [
     "q_rolling_anomaly",
     "q_linreg",
     "q_kmeans_ivf",
+    # round-4 additions: substring-span dedup tier, the composed
+    # IVF+PQ ANN path (train+probe+ADC end-to-end), and both REAL
+    # stdlib media decoders (Arrow-kernel throughput)
+    "q_substring_dup",
+    "q_ivfpq_topk",
+    "q_media_decode",
+    "q_audio_decode",
 ]
 
 

@@ -2327,3 +2327,9 @@ oracle("q_strip_spans")(
     ORDER BY doc
     """
 )
+
+
+# Real-stream twins of the batch sliding/session queries: stream and
+# batch must agree exactly, so they share the batch oracles verbatim.
+oracle("q_stream_sliding")(ORACLES["q_sliding_window"])
+oracle("q_stream_session")(ORACLES["q_session_window"])

@@ -1166,3 +1166,52 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5("clean_text").alias("clean_md5"),
     ).orderBy("doc")
+
+
+def _drain_stream_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """availableNow-drain a streaming DataFrame into a uniquely-named
+    memory sink and return the sink table."""
+    import tempfile
+    import uuid
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="sgraft_stream_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the REAL readStream path
+    (streaming/pipeline.sliding_counts) — the streaming twin of the
+    batch sliding query, sharing its oracle: stream and batch must
+    agree exactly. Watermark spans the fixture so no window is
+    dropped as late across micro-batches."""
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    stream = P.read_events_stream(spark, sf_dir, sf_dir)
+    out = _drain_stream_to_memory(
+        P.sliding_counts(stream, watermark="3650 days"), "complete"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user through the REAL
+    readStream path (streaming/pipeline.session_counts), sharing the
+    batch q_session_window oracle — the merging session-state
+    operator verified stream-vs-SQL."""
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    stream = P.read_events_stream(spark, sf_dir, sf_dir)
+    out = _drain_stream_to_memory(
+        P.session_counts(stream, watermark="3650 days"), "complete"
+    )
+    return out.orderBy("user_id", "session_start")

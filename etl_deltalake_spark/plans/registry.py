@@ -186,6 +186,8 @@ SLOTLESS: tuple[str, ...] = (
     # round 4
     "q_rollup_state",
     "q_strip_spans",
+    "q_stream_sliding",
+    "q_stream_session",
 )
 
 

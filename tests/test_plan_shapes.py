@@ -22,8 +22,17 @@ def _physical_plan(df) -> str:
 # Queries whose one BNLJ is a SINGLE-ROW broadcast cross join (a
 # scalar aggregate folded into the plan — O(n), not all-pairs):
 # q_lm_score crossJoins the 1-row vocab-size aggregate; q_bm25
-# crossJoins the 1-row (N, avgdl) corpus-constants aggregate.
-_SCALAR_CROSS_OK = {"q_lm_score": 1, "q_bm25": 1, "q_standardize": 1}
+# crossJoins the 1-row (N, avgdl) corpus-constants aggregate;
+# q_ivfpq_topk broadcasts the 1-row collected-codebook array
+# (ivf_assign_df's constant-key join — Catalyst folds the trivially-
+# true key equality away, leaving a nested-loop node over exactly
+# one broadcast row).
+_SCALAR_CROSS_OK = {
+    "q_lm_score": 1,
+    "q_bm25": 1,
+    "q_standardize": 1,
+    "q_ivfpq_topk": 1,
+}
 
 
 def test_no_quadratic_join_in_any_query(spark, sf_dir):

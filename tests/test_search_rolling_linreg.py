@@ -648,3 +648,34 @@ def test_kmeans_codebook_df_empty_cluster_keeps_seed(spark):
     cb = kmeans_codebook_df(df, "vec_id", "embedding", k=2, iterations=2)
     assert len(cb) == 2
     assert all(len(v) == 3 for _, v in cb)
+
+
+def test_ivf_assign_df_bitwise_matches_literal_form(spark, sf_dir):
+    """The broadcast-table assignment must reproduce the literal-
+    expression ivf_assign row-for-row (cluster AND sim), both
+    metrics — q_ivfpq_topk's probe filter rides on this."""
+    from etl_deltalake_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_df,
+    )
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id % 50 = 0").collect()
+    ]
+    for metric in ("cosine", "l2"):
+        a = {
+            r["vec_id"]: (r["cluster_id"], r["s"])
+            for r in ivf_assign(
+                emb, "vec_id", "embedding", cents, sim_col="s", metric=metric
+            ).collect()
+        }
+        b = {
+            r["vec_id"]: (r["cluster_id"], r["s"])
+            for r in ivf_assign_df(
+                emb, "vec_id", "embedding", cents, sim_col="s", metric=metric
+            ).collect()
+        }
+        assert a == b, f"assignment diverged for metric={metric}"

@@ -9,6 +9,8 @@ from __future__ import annotations
 import struct
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from etl_deltalake_spark.operators.wav import (
     DecodedAudio,
@@ -121,3 +123,34 @@ def test_decode_audio_kernel_errs_do_not_fail(spark):
     assert out[1]["samp_sum"] == 0 and out[1]["peak_abs"] == 20
     assert out[2]["err"] is not None and out[2]["channels"] is None
     assert out[3]["err"] is not None
+
+
+@settings(deadline=None, max_examples=200, print_blob=True)
+@given(
+    frames=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+    ),
+    channels=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_roundtrip_property_16bit(frames, channels, rate):
+    """encode→decode is the identity on any 16-bit sample sequence,
+    channel count, and rate (pure-Python property, no Spark)."""
+    samples = frames * channels  # divisible-by-channels by construction
+    au = decode_wav(encode_wav(samples, channels, rate))
+    assert list(au.samples) == samples
+    assert (au.channels, au.sample_rate, au.bit_depth) == (channels, rate, 16)
+    assert au.n_frames == len(samples) // channels
+
+
+@settings(deadline=None, max_examples=200, print_blob=True)
+@given(
+    samples=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=0, max_size=65
+    ),
+)
+def test_roundtrip_property_8bit_mono(samples):
+    """8-bit round-trip including odd-length pad-byte handling."""
+    au = decode_wav(encode_wav(samples, 1, 8000, bit_depth=8))
+    assert list(au.samples) == samples
+    assert au.bit_depth == 8
