@@ -2333,3 +2333,186 @@ oracle("q_strip_spans")(
 # batch must agree exactly, so they share the batch oracles verbatim.
 oracle("q_stream_sliding")(ORACLES["q_sliding_window"])
 oracle("q_stream_session")(ORACLES["q_session_window"])
+
+
+# Two-phase quota sampling shares the single-phase oracle: identical
+# selection is the operator's contract (curation.quota_sample_two_phase).
+oracle("q_quota_two_phase")(ORACLES["q_quota_sample"])
+
+# Stream-stream join (streaming/pipeline.click_purchase_join,
+# q_stream_join): the batch self-join answer the streaming join must
+# reproduce exactly.
+oracle("q_stream_join")(
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """
+)
+
+
+def _ivfpq_residual_sql(
+    m: int = 4, ksub: int = 8, iterations: int = 2, dims: int = 64,
+    k: int = 10, nprobe: int = 2, centroid_mod: int = 50,
+) -> str:
+    """Residual IVF+PQ oracle (similarity.ivfpq_residual_topk): the
+    _pq_topk_sql training/encode/ADC chain with (a) residual vectors
+    v − centroid(v) as the training input, (b) survivors restricted
+    to the query's nprobe clusters, and (c) one ADC table per probed
+    cluster keyed by the vector's own assignment — the SQL scores ALL
+    survivors in one ranking, which equals the operator's
+    union-of-branch-top-ks because every global winner wins its
+    branch."""
+    dsub = dims // m
+
+    def dist(a: str, b: str) -> str:
+        terms = [
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])"
+            for i in range(1, dsub + 1)
+        ]
+        return "ROUND(" + " + ".join(terms) + ", 6)"
+
+    ctes = [
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"ivfc AS (SELECT vec_id AS cid, v AS cv FROM vecs "
+        f"WHERE vec_id % {centroid_mod} = 0)",
+        "qfull AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)",
+        """asg AS (
+      SELECT vec_id, cid, cv, v FROM (
+        SELECT vecs.vec_id, ivfc.cid, ivfc.cv, vecs.v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(vecs.v, ivfc.cv), 6)
+                            DESC,
+                          ivfc.cid ASC
+               ) AS rn
+        FROM vecs CROSS JOIN ivfc
+      ) WHERE rn = 1
+    )""",
+        f"""res AS (
+      SELECT vec_id, cid,
+             list_transform(range(1, {dims + 1}), i -> v[i] - cv[i]) AS v
+      FROM asg
+    )""",
+        f"""qc AS (
+      SELECT cid FROM ivfc, qfull
+      ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, cid ASC
+      LIMIT {nprobe}
+    )""",
+        f"""qres AS (
+      SELECT ivfc.cid,
+             list_transform(range(1, {dims + 1}), i -> qv[i] - cv[i]) AS qrv
+      FROM ivfc, qfull WHERE ivfc.cid IN (SELECT cid FROM qc)
+    )""",
+        "surv AS (SELECT vec_id, cid FROM res "
+        "WHERE cid IN (SELECT cid FROM qc))",
+    ]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        ctes.append(
+            f"vs{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM res)"
+        )
+        ctes.append(
+            f"""s{j}c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cluster_id, v AS cv
+      FROM (SELECT vec_id, v FROM vs{j} ORDER BY vec_id LIMIT {ksub})
+    )"""
+        )
+        prev = f"s{j}c0"
+        for i in range(1, iterations + 1):
+            ctes.append(
+                f"""s{j}a{i} AS (
+      SELECT vec_id, cluster_id, v FROM (
+        SELECT vs{j}.vec_id, {prev}.cluster_id, vs{j}.v,
+               row_number() OVER (
+                 PARTITION BY vs{j}.vec_id
+                 ORDER BY {dist(f"vs{j}.v", f"{prev}.cv")} ASC,
+                          {prev}.cluster_id ASC
+               ) AS rn
+        FROM vs{j} CROSS JOIN {prev}
+      ) WHERE rn = 1
+    )"""
+            )
+            ctes.append(
+                f"""s{j}m{i} AS (
+      SELECT cluster_id, pos,
+             CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mv
+      FROM (
+        SELECT cluster_id, unnest(v) AS val,
+               generate_subscripts(v, 1) AS pos
+        FROM s{j}a{i}
+      )
+      GROUP BY 1, 2
+    )"""
+            )
+            ctes.append(
+                f"s{j}n{i} AS (SELECT cluster_id, list(mv ORDER BY pos) AS cv "
+                f"FROM s{j}m{i} GROUP BY 1)"
+            )
+            ctes.append(
+                f"""s{j}c{i} AS (
+      SELECT {prev}.cluster_id, COALESCE(s{j}n{i}.cv, {prev}.cv) AS cv
+      FROM {prev} LEFT JOIN s{j}n{i} USING (cluster_id)
+    )"""
+            )
+            prev = f"s{j}c{i}"
+        ctes.append(
+            f"""enc{j} AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT sv.vec_id, {prev}.cluster_id,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id
+                 ORDER BY {dist("sv.v", f"{prev}.cv")} ASC,
+                          {prev}.cluster_id ASC
+               ) AS rn
+        FROM (SELECT vs{j}.vec_id, vs{j}.v FROM vs{j}
+              JOIN surv ON vs{j}.vec_id = surv.vec_id) sv
+        CROSS JOIN {prev}
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"qrs{j} AS (SELECT cid, qrv[{lo}:{hi}] AS qv FROM qres)"
+        )
+        ctes.append(
+            f"""dt{j} AS (
+      SELECT qrs{j}.cid AS pcid, {prev}.cluster_id,
+             {dist(f"{prev}.cv", f"qrs{j}.qv")} AS pd
+      FROM {prev} CROSS JOIN qrs{j}
+    )"""
+        )
+    joins = "surv s"
+    for j in range(m):
+        joins += (
+            f" JOIN enc{j} e{j} ON e{j}.vec_id = s.vec_id"
+            f" JOIN dt{j} d{j} ON d{j}.cluster_id = e{j}.cluster_id"
+            f" AND d{j}.pcid = s.cid"
+        )
+    total = " + ".join(f"d{j}.pd" for j in range(m))
+    final = f"""
+    SELECT vec_id, pq_dist, rank FROM (
+      SELECT s.vec_id,
+             ROUND(sqrt({total}), 6) AS pq_dist,
+             CAST(row_number() OVER (
+               ORDER BY ROUND(sqrt({total}), 6) ASC, s.vec_id ASC
+             ) AS BIGINT) AS rank
+      FROM {joins}
+    ) WHERE rank <= {k}
+    ORDER BY rank
+    """
+    return "WITH " + ",\n    ".join(ctes) + final
+
+
+oracle("q_ivfpq_residual")(_ivfpq_residual_sql())

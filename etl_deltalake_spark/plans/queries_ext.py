@@ -1215,3 +1215,61 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.session_counts(stream, watermark="3650 days"), "complete"
     )
     return out.orderBy("user_id", "session_start")
+
+
+def q_quota_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase quota sampling over documents
+    (operators/curation.quota_sample_two_phase): per-partition
+    Arrow-batched pre-cap, then the exact window — shares
+    q_quota_sample's oracle because the pre-cap provably never drops
+    a global winner; cross-engine equality proves the composed path,
+    not just the property test."""
+    from etl_deltalake_spark.operators.curation import quota_sample_two_phase
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return (
+        quota_sample_two_phase(docs, "source", "doc_id", 40)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join through the REAL readStream path
+    (streaming/pipeline.click_purchase_join): purchases attributed
+    to a same-user click within 30 minutes, both sides watermarked,
+    drained append-mode. The DuckDB oracle is the equivalent batch
+    self-join — the streaming join must emit exactly the relational
+    answer."""
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    stream = P.read_events_stream(spark, sf_dir, sf_dir)
+    out = _drain_stream_to_memory(
+        P.click_purchase_join(stream, watermark="3650 days"), "append"
+    )
+    return out.orderBy("click_id", "purchase_id")
+
+
+def q_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF+PQ ANN top-10 for vec_id=0: codes quantize
+    v − centroid(v), scoring unions one ADC table per probed cluster
+    (operators/similarity.ivfpq_residual_topk) — the Jégou-style
+    refinement, trained/encoded/scored deterministically so the
+    oracle re-derives every stage bitwise."""
+    from etl_deltalake_spark.operators.similarity import ivfpq_residual_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivfpq_residual_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        _ivf_centroids(spark, sf_dir),
+        m=4,
+        ksub=8,
+        iterations=2,
+        k=10,
+        nprobe=2,
+    ).orderBy("rank")

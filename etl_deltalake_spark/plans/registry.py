@@ -188,6 +188,9 @@ SLOTLESS: tuple[str, ...] = (
     "q_strip_spans",
     "q_stream_sliding",
     "q_stream_session",
+    "q_quota_two_phase",
+    "q_stream_join",
+    "q_ivfpq_residual",
 )
 
 
