@@ -2516,3 +2516,80 @@ def _ivfpq_residual_sql(
 
 
 oracle("q_ivfpq_residual")(_ivfpq_residual_sql())
+
+
+_TPCH_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+    "AS DOUBLE)"
+)
+
+oracle("q_tpch_q3")(
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {_TPCH_REV} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """
+)
+
+oracle("q_tpch_q5")(
+    f"""
+    SELECT n_name, {_TPCH_REV} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """
+)
+
+oracle("q_tpch_q10")(
+    f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name, {_TPCH_REV} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+)
+
+
+# Streaming incremental rollup (streaming/pipeline.
+# rollup_maintenance_stream, q_stream_rollup): three epochs of merged
+# partial state must equal the one-shot aggregate bitwise.
+oracle("q_stream_rollup")(
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(value) AS n_vals,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CASE WHEN COUNT(value) > 0 THEN
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(value), 6) END AS avg_val,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_val
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+)

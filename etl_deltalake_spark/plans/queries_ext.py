@@ -1273,3 +1273,130 @@ def q_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=2,
     ).orderBy("rank")
+
+
+# --------------------------------------------------- TPC-H classics
+# The fixture is TPC-H-shaped, so the three canonical multi-join
+# analytics queries run verbatim (adapted to the fixture's columns:
+# o_orderpriority stands in for o_shippriority in Q3's carry-through).
+# Decimal-first arithmetic keeps the revenue sums bitwise-comparable.
+
+def _revenue():
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): unshipped BUILDING-segment
+    orders by pending revenue — customer⋈orders⋈lineitem with
+    scan-side date predicates on both fact tables."""
+    cutoff = "1998-03-15"
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue from orders where
+    the supplier and customer share an ASIA nation, one order-date
+    year — the 6-table join with both dims broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): customers ranked by revenue lost
+    to returns in one quarter — top 20."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance through the REAL streaming
+    engine (streaming/pipeline.rollup_maintenance_stream): the events
+    table is split into THREE source files, maxFilesPerTrigger=1
+    forces three micro-batches, each merging its partial aggregate
+    state into the stored state — and the final state's read-time
+    metrics must equal DuckDB's one-shot aggregate over the whole
+    table bitwise. Grades the mergeable-state contract under real
+    epoch sequencing, not just the batch-split property test."""
+    import tempfile
+
+    from etl_deltalake_spark.operators.rollups import rollup_result
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    src = tempfile.mkdtemp(prefix="sgraft_rollup_src_")
+    ev = load_table(spark, "events", sf_dir)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    state_dir = tempfile.mkdtemp(prefix="sgraft_rollup_state_")
+    ckpt = tempfile.mkdtemp(prefix="sgraft_rollup_ckpt_")
+    # the rewritten splits carry load_table's normalized TIMESTAMP ts,
+    # so a plain schema'd readStream suffices (no nanos handling)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/part0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    final = P.rollup_maintenance_stream(
+        stream, ["event_type"], "value", state_dir, ckpt
+    )
+    return rollup_result(spark.read.parquet(final)).orderBy("event_type")

@@ -191,6 +191,10 @@ SLOTLESS: tuple[str, ...] = (
     "q_quota_two_phase",
     "q_stream_join",
     "q_ivfpq_residual",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_stream_rollup",
 )
 
 

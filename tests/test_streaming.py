@@ -196,3 +196,49 @@ def test_transform_with_state_anomaly_monitor(spark, sf_dir, events_stream, ckpt
         assert 0 <= g["n_anomalies"] <= g["n_events"]
         if g["n_events"] >= 2:
             assert g["std_value"] is not None and g["std_value"] >= 0.0
+
+
+def test_rollup_maintenance_stream_multi_epoch(spark, sf_dir):
+    """The foreachBatch rollup maintenance must actually sequence
+    MULTIPLE epochs (one per source file) and its final merged state
+    must equal a one-shot recompute bitwise."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.operators.rollups import rollup_result, rollup_state
+    from etl_deltalake_spark.sources.catalog import load_table
+    from etl_deltalake_spark.streaming.pipeline import rollup_maintenance_stream
+
+    src = tempfile.mkdtemp(prefix="sgraft_rollup_t_src_")
+    ev = load_table(spark, "events", sf_dir)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    state_dir = tempfile.mkdtemp(prefix="sgraft_rollup_t_state_")
+    ckpt = tempfile.mkdtemp(prefix="sgraft_rollup_t_ckpt_")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/part0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    final = rollup_maintenance_stream(
+        stream, ["event_type"], "value", state_dir, ckpt
+    )
+    versions = sorted(d for d in os.listdir(state_dir) if d.startswith("v"))
+    assert len(versions) == 3, f"expected 3 epochs, got {versions}"
+    assert final.endswith(versions[-1])
+    maintained = sorted(
+        tuple(r)
+        for r in rollup_result(spark.read.parquet(final)).collect()
+    )
+    oneshot = sorted(
+        tuple(r)
+        for r in rollup_result(
+            rollup_state(ev, ["event_type"], "value")
+        ).collect()
+    )
+    assert maintained == oneshot
