@@ -1,0 +1,93 @@
+"""Graph algorithms as DataFrame iterations (SURVEY §2.9 —
+iterative-algorithm surface beyond label propagation).
+
+``pagerank`` ranks nodes of an edge list by the stationary
+random-surfer distribution — in a training-data pipeline, the
+standard importance weight over a similarity/link graph (e.g. rank
+near-duplicate clusters by centrality, or weight crawl documents by
+their link graph, cf. Page et al. 1999).
+
+No counterpart in the reference (a linear ticker ETL, main.py:1-638);
+north-star extension per SURVEY §2.9. The iterative pattern
+(checkpointed per-round join + groupBy, driver sees only scalars)
+matches dedup.label_propagation_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    sum_decimals: int = 12,
+) -> DataFrame:
+    """Deterministic PageRank power iteration over an edge list:
+
+        rank_{i+1}(v) = (1-d)/N + d · Σ_{u→v} rank_i(u) / deg(u)
+
+    Output: (doc, rank) after ``iterations`` rounds.
+
+    Contract (what makes this oracle-reproducible BITWISE):
+     - Per-edge contributions quantize to DECIMAL(28, sum_decimals)
+       before the per-target sum, so the only order-sensitive float
+       reduction becomes an exact decimal sum — the same technique as
+       the Lloyd trainer's decimal means. Everything else is scalar
+       double arithmetic in a fixed expression order both engines
+       share.
+     - The node set is the distinct SOURCE endpoints: feed a
+       symmetrized edge list (both directions, as near-dup pairs are)
+       or isolated/dangling nodes simply don't participate. Dangling
+       mass is dropped, not redistributed (ranks sum to < 1 when
+       dangling nodes exist) — documented simplification; the
+       redistribution term is one extra scalar aggregate per round if
+       a use case needs it.
+
+    Scale: per round one edges⋈ranks join + one groupBy(dst) — the
+    shuffles carry (node, decimal) rows, never adjacency lists; edges
+    and the node table are localCheckpointed once, ranks per round
+    (truncating the iterative lineage, standard pattern). Driver
+    traffic is the node COUNT only.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("doc")).distinct().localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+    dec = f"decimal(28,{sum_decimals})"
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("doc", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc"),
+                (F.col("rank") / F.col("deg")).cast(dec).alias("c"),
+            )
+            .groupBy("doc")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "doc", "left")
+            .select(
+                "doc",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s"), F.lit(0).cast(dec)).cast("double")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

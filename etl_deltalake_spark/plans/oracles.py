@@ -2593,3 +2593,101 @@ oracle("q_stream_rollup")(
     ORDER BY event_type
     """
 )
+
+
+# PageRank over the near-dup graph (operators/graph.pagerank,
+# q_pagerank): 5 unrolled damped power-iteration rounds over the
+# shared MinHash pair SQL; per-edge contributions quantize to
+# DECIMAL(28,12) before each per-target sum so the only
+# order-sensitive reduction is exact — bitwise cross-engine.
+oracle("q_pagerank")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    {_MINHASH_BODY},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nd AS (SELECT DISTINCT src AS doc FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nd),
+    r0 AS (SELECT doc, CAST(1 AS DOUBLE) / nn.n AS rank FROM nd CROSS JOIN nn),
+    r1 AS (
+      SELECT nd.doc,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(COALESCE(s.s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+               AS rank
+      FROM nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS doc, SUM(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS s
+        FROM edges e
+        JOIN r0 r ON e.src = r.doc
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s USING (doc)
+    ),
+    r2 AS (
+      SELECT nd.doc,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(COALESCE(s.s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+               AS rank
+      FROM nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS doc, SUM(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS s
+        FROM edges e
+        JOIN r1 r ON e.src = r.doc
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s USING (doc)
+    ),
+    r3 AS (
+      SELECT nd.doc,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(COALESCE(s.s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+               AS rank
+      FROM nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS doc, SUM(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS s
+        FROM edges e
+        JOIN r2 r ON e.src = r.doc
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s USING (doc)
+    ),
+    r4 AS (
+      SELECT nd.doc,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(COALESCE(s.s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+               AS rank
+      FROM nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS doc, SUM(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS s
+        FROM edges e
+        JOIN r3 r ON e.src = r.doc
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s USING (doc)
+    ),
+    r5 AS (
+      SELECT nd.doc,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(COALESCE(s.s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+               AS rank
+      FROM nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS doc, SUM(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS s
+        FROM edges e
+        JOIN r4 r ON e.src = r.doc
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s USING (doc)
+    )
+    SELECT doc, rank FROM r5 ORDER BY doc
+    """
+)

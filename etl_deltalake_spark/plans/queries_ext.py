@@ -1400,3 +1400,27 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["event_type"], "value", state_dir, ckpt
     )
     return rollup_result(spark.read.parquet(final)).orderBy("event_type")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash+LSH near-duplicate graph
+    (operators/graph.pagerank): symmetrized near-dup pairs as edges,
+    5 damped power-iteration rounds, decimal-quantized contribution
+    sums so the DuckDB oracle (5 unrolled rounds over the same pair
+    SQL) matches bitwise — the second iterative-graph operator next
+    to label propagation."""
+    from etl_deltalake_spark.operators.dedup import minhash_near_dup_pairs
+    from etl_deltalake_spark.operators.graph import pagerank
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, num_perm=16, bands=4, threshold=0.5
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank(edges, iterations=5).orderBy("doc")

@@ -195,6 +195,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q5",
     "q_tpch_q10",
     "q_stream_rollup",
+    "q_pagerank",
 )
 
 

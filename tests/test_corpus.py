@@ -128,3 +128,23 @@ def test_strip_duplicate_spans_keeps_canonical_copy(spark):
     assert (out[2]["n_words"], out[2]["n_kept"]) == (10, 5)
     # doc 3 untouched
     assert out[3]["n_kept"] == out[3]["n_words"]
+
+
+def test_pagerank_semantics(spark):
+    """Star graph: the hub outranks every leaf; symmetric pair ranks
+    equal; all ranks positive and independent of edge-list order."""
+    from etl_deltalake_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    pair = [(10, 11), (11, 10)]
+    df = spark.createDataFrame(star + pair, ["src", "dst"])
+    out = {r["doc"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    assert all(v > 0 for v in out.values())
+    assert all(out[0] > out[i] for i in range(1, 5))
+    assert out[1] == out[2] == out[3] == out[4]
+    assert out[10] == out[11]
+    shuffled = spark.createDataFrame(
+        list(reversed(pair + star)), ["src", "dst"]
+    ).repartition(7)
+    out2 = {r["doc"]: r["rank"] for r in pagerank(shuffled, iterations=6).collect()}
+    assert out == out2  # partitioning/order never changes a bit
