@@ -253,6 +253,74 @@ def quota_sample_two_phase(
     return quota_sample(pre, group_col, id_col, quota)
 
 
+def negative_samples(
+    df: DataFrame, id_col: str, k: int = 4, seed: str = "neg"
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling — the
+    contrastive-training counterpart of ``hash_split``: for every
+    anchor row, ``k`` negatives drawn by hashing (seed, id, j) into
+    the id space. No RNG, so two engines — or a re-run over
+    re-partitioned data — draw identical negatives, and a given
+    anchor's negatives never change as the pipeline is re-executed.
+
+    Output: (id, j, neg_id) with j in 0..k-1 and neg_id != id
+    (a draw that hits its own anchor shifts to the next id mod N).
+
+    Requires DENSE ids 0..N-1 (validated with one scalar aggregate —
+    raises otherwise): then the draw IS the negative id and the whole
+    operator is a scan-side explode, zero joins, zero shuffles. For
+    sparse ids, assign a dense index first (row_number at small
+    scale; zipWithIndex-style per-partition offsets at 100 TB) and
+    map back — the hash-draw core is identical.
+
+    N ships as a folded literal (one scalar collect, same
+    codebook-only-collect contract as similarity.ivf_topk).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ).collect()[0]
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError("negative_samples: empty input")
+    if n < 2:
+        raise ValueError("negative_samples: need >= 2 ids to draw negatives")
+    if int(stats["nd"]) != n or int(stats["lo"]) != 0 or int(stats["hi"]) != n - 1:
+        raise ValueError(
+            f"negative_samples requires dense ids 0..N-1; got "
+            f"n={n} distinct={stats['nd']} min={stats['lo']} max={stats['hi']}"
+        )
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    keyed = df.select(F.col(id_col), j)
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col(id_col).cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n
+    )
+    neg = F.when(raw == F.col(id_col), (raw + 1) % n).otherwise(raw)
+    return keyed.select(
+        F.col(id_col), F.col("j").cast("bigint").alias("j"), neg.alias("neg_id")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -2691,3 +2691,28 @@ oracle("q_pagerank")(
     SELECT doc, rank FROM r5 ORDER BY doc
     """
 )
+
+
+# Deterministic negative sampling (operators/curation.
+# negative_samples, q_neg_samples): hash-modulo draws over the dense
+# id space, anchor-collision shifted by one.
+oracle("q_neg_samples")(
+    """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT doc_id, unnest(range(0, 4)) AS j FROM documents
+    ),
+    r AS (
+      SELECT doc_id, j,
+             CAST('0x' || substr(
+               md5('neg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+               1, 12) AS BIGINT) % n.n AS raw,
+             n.n AS n
+      FROM s, n
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS j,
+           CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END AS neg_id
+    FROM r
+    ORDER BY doc_id, j
+    """
+)

@@ -1424,3 +1424,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     return pagerank(edges, iterations=5).orderBy("doc")
+
+
+def q_neg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling over documents
+    (operators/curation.negative_samples): 4 hash-drawn negatives
+    per anchor, scan-side only — the oracle re-derives every draw
+    from the same md5 arithmetic."""
+    from etl_deltalake_spark.operators.curation import negative_samples
+
+    docs = load_table(spark, "documents", sf_dir)
+    return negative_samples(docs, "doc_id", k=4).orderBy("doc_id", "j")

@@ -196,6 +196,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q10",
     "q_stream_rollup",
     "q_pagerank",
+    "q_neg_samples",
 )
 
 

@@ -189,3 +189,23 @@ def test_quota_sample_two_phase_small_groups_pass_through(spark):
     ).repartition(5)
     out = quota_sample_two_phase(df, "source", "doc_id", 50).collect()
     assert sorted(r["doc_id"] for r in out) == list(range(8))
+
+
+def test_negative_samples_contract(spark):
+    """No self-negatives, exactly k draws per anchor, in-range ids,
+    deterministic across partitionings, dense-id validation raises."""
+    import pytest as _pytest
+
+    from etl_deltalake_spark.operators.curation import negative_samples
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    out = negative_samples(df, "doc_id", k=3).collect()
+    assert len(out) == 600
+    assert all(r["neg_id"] != r["doc_id"] for r in out)
+    assert all(0 <= r["neg_id"] < 200 for r in out)
+    out2 = negative_samples(df.repartition(13), "doc_id", k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    with _pytest.raises(ValueError, match="dense ids"):
+        negative_samples(
+            df.filter(F.col("doc_id") % 2 == 0), "doc_id", k=3
+        ).collect()

@@ -93,3 +93,20 @@ def test_fuzzy_pairs_plan_is_hash_join(spark, sf_dir):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
     for node in _FORBIDDEN:
         assert node not in plan, plan
+
+
+def test_substring_dup_shuffles_hashes_not_text(spark, sf_dir):
+    """Every exchange in the substring-dup plan must carry positioned
+    gram HASHES (or doc/pos keys) — never the text column or the
+    words array (the raw-text-never-moves contract)."""
+    from etl_deltalake_spark.operators.dedup import substring_dup_stats
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    df = substring_dup_stats(docs, "doc_id", "text", k=5)
+    df.count()
+    plan = _physical_plan(df)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges, plan
+    for ln in exchanges:
+        assert "text" not in ln and "words" not in ln, ln
