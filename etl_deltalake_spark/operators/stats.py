@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,6 +76,54 @@ def percentiles(
         for p in probs
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    threshold: float = 3.0,
+    scale: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier stats via the Median Absolute
+    Deviation: median, MAD = median(|x − median|), and the count of
+    rows whose |x − median| exceeds ``threshold`` · MAD — the robust
+    alternative to z-scores (a single wild value shifts a mean/std
+    arbitrarily but moves a median/MAD by at most one rank).
+
+    Shape: one grouped median pass, a broadcast-backed join of the
+    O(#groups) median table onto the rows, then a per-group window
+    computing MAD whose partitioning the final groupBy reuses —
+    shuffles carry (group, value) pairs. Exact medians sort the
+    group — bounded groups only, same contract as ``percentiles``;
+    swap approx_percentile at unbounded group size.
+
+    Output: group_cols, n, med, mad, n_outliers.
+    """
+    gcols = list(group_cols)
+    med = df.groupBy(*gcols).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med"),
+    )
+    dev = df.join(F.broadcast(med), gcols).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    w = Window.partitionBy(*gcols)
+    dev = dev.withColumn("_mad", F.percentile("_adev", F.lit(0.5)).over(w))
+    return (
+        dev.groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("_med"), scale).alias("med"),
+            F.round(F.first("_mad"), scale).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("_adev") > F.lit(threshold) * F.col("_mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
 
 
 def hash_sample(df: DataFrame, key: Column, rate_16ths: int = 1) -> DataFrame:

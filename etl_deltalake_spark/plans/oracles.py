@@ -2716,3 +2716,37 @@ oracle("q_neg_samples")(
     ORDER BY doc_id, j
     """
 )
+
+
+# MAD outlier stats (operators/stats.mad_outliers, q_mad): exact
+# interpolated medians, deviation median via the same grouped
+# recompute, unrounded values in the outlier comparison.
+oracle("q_mad")(
+    """
+    WITH src AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag, quantile_cont(price, 0.5) AS med
+      FROM src GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT s.l_returnflag, ABS(s.price - m.med) AS adev, m.med
+      FROM src s JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           COUNT(*) AS n,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """
+)

@@ -1435,3 +1435,18 @@ def q_neg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return negative_samples(docs, "doc_id", k=4).orderBy("doc_id", "j")
+
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier stats per returnflag over extended price
+    (operators/stats.mad_outliers): median, median absolute
+    deviation, and the 3-MAD outlier count — the robust z-score
+    alternative for data profiling."""
+    from etl_deltalake_spark.operators.stats import mad_outliers
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    return mad_outliers(li, ["l_returnflag"], "price", threshold=3.0).orderBy(
+        "l_returnflag"
+    )

@@ -197,6 +197,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_stream_rollup",
     "q_pagerank",
     "q_neg_samples",
+    "q_mad",
 )
 
 

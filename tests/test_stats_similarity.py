@@ -223,3 +223,19 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     ]
     # probing every cluster IS exhaustive search
     assert full_probe == brute
+
+
+def test_mad_outliers_robustness(spark):
+    """One wild value must not move the median/MAD materially, and
+    must be the single flagged outlier."""
+    from etl_deltalake_spark.operators.stats import mad_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14, 15, 16]] + [
+        ("g", 10000.0)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    out = mad_outliers(df, ["grp"], "x", threshold=3.0).collect()[0]
+    assert out["n"] == 8
+    assert 12.0 <= out["med"] <= 14.0
+    assert out["mad"] <= 3.0
+    assert out["n_outliers"] == 1
