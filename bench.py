@@ -98,15 +98,18 @@ def main() -> None:
     # min-of-2 reports the reproducible cost while still including
     # the plan build each run.
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     total = 0.0
     for name in names:
         best = None
         rows = 0
-        for _ in range(2):
+        for i in range(2):
             t0 = time.perf_counter()
             df = registry[name](spark, sf_dir)
             rows = df.count()
             dt = time.perf_counter() - t0
+            if i == 0:
+                first_run[name] = round(dt, 4)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
         total += best
@@ -119,6 +122,9 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                # first-touch timings (the r1-r3 single-run
+                # methodology) kept for cross-round comparability
+                "queries_first_run": first_run,
                 "sf": sf,
             }
         )
