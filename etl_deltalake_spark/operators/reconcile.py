@@ -96,6 +96,42 @@ def diff_summary(
     )
 
 
+def table_checksum(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Order-insensitive table fingerprint: (n_rows, checksum) where
+    checksum = Σ over rows of the first-48-bits of
+    md5(field-separated row rendering), as exact decimal. Because the
+    reduction is a commutative SUM of a per-row pure function, the
+    fingerprint is independent of row order, partitioning, and engine
+    — the cheap cross-system equality check you run before and after
+    a migration when a full ``table_diff`` (a key-shuffle join) is
+    too expensive. Two tables differing in any cell collide with
+    probability ~2⁻⁴⁸ per differing row-pair.
+
+    Row rendering: each column cast to string with an explicit
+    ``coalesce(…, '<null>')`` (``concat_ws`` silently DROPS nulls,
+    which would make (NULL,'x') collide with ('x',NULL)), joined on
+    0x1f. Cast-to-string is engine-portable for ints/strings/dates;
+    for floats/timestamps pass pre-formatted columns.
+
+    Scale: map-side partial sums; the shuffle carries one
+    (count, decimal) pair per partition. No keys, no join.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    rendered = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols],
+    )
+    row_sig = F.conv(F.substring(F.md5(rendered), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_sig).alias("checksum"),
+    )
+
+
 def profile_columns(
     df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False
 ) -> DataFrame:

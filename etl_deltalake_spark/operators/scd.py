@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 OPEN_TO = "9999-12-31"
@@ -112,6 +112,24 @@ def scd2_merge(
     return closed.unionByName(kept_open).unionByName(newly_closed).unionByName(
         opened
     )
+
+
+def scd2_snapshot(table: DataFrame, as_of) -> DataFrame:
+    """Time-travel read over an SCD2 table: reconstruct the dimension
+    exactly as it stood at ``as_of`` (date string or Column) with the
+    half-open validity predicate ``valid_from <= as_of < valid_to``.
+
+    This is the query-side payoff of SCD2 (and the portable analogue
+    of Delta's ``VERSION AS OF`` — reference main.py:465-470 keeps no
+    history at all, so point-in-time reads are impossible there).
+    Scale shape: a pure scan-side filter — both bounds push down to
+    the parquet scan and prune row groups on valid_from/valid_to
+    min/max stats; no shuffle, no join.
+    """
+    ts = as_of if isinstance(as_of, Column) else F.lit(as_of).cast("date")
+    return table.filter(
+        (F.col("valid_from") <= ts) & (ts < F.col("valid_to"))
+    ).drop("is_current")
 
 
 def _all_same(j: DataFrame, tracked_cols: Sequence[str]):

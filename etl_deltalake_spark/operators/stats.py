@@ -498,6 +498,92 @@ def quantile_bucket(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    num: int,
+    denom: int,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT frequent-item mining at unbounded key cardinality:
+    two-phase Misra-Gries. Returns every value whose count is
+    >= (num/denom) of the non-null total, with its exact count —
+    no approximation in the result, bounded memory in the plan.
+
+    Why not a plain groupBy+HAVING? At 100 TB the value column (e.g.
+    every word of a web corpus) has billions of distinct keys; a full
+    groupBy shuffles and materializes all of them to keep the handful
+    above threshold. Here:
+
+      phase 1  per-partition weighted Misra-Gries with k counters
+               (Arrow-batched mapInPandas, O(k) memory per task).
+               MG guarantees any item with partition count
+               > n_p/(k+1) survives in the counters; an item with
+               global share >= num/denom must have local share
+               >= num/denom on at least one partition (averaging),
+               so with k >= denom/num the union of per-partition
+               survivors is a SUPERSET of the true heavy hitters.
+               We use k = 2*ceil(denom/num) for slack.
+      phase 2  exact recount restricted to the candidate set
+               (broadcast semi-join — candidates are <= k per
+               partition, tiny) and an integer-exact threshold test
+               cnt*denom >= num*N. False candidates are filtered by
+               their exact counts, so the output is EXACT and
+               independent of partitioning.
+
+    The threshold is a rational (num, denom), never a float — the
+    comparison is integer arithmetic, bit-identical in any engine.
+    Shuffle traffic: candidate keys only. The total-count scalar is a
+    single-row broadcast cross join (the q_bm25 pattern).
+    """
+    import pandas as pd
+
+    if num <= 0 or denom <= 0:
+        raise ValueError("threshold num/denom must be positive")
+    k = counters if counters is not None else 2 * ((denom + num - 1) // num)
+    if k < (denom + num - 1) // num:
+        raise ValueError(
+            f"counters={k} breaks the superset guarantee: need >= denom/num "
+            f"= {(denom + num - 1) // num}"
+        )
+
+    vals = df.select(F.col(col).cast("string").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+
+    def mg(batches):
+        cnt: dict[str, int] = {}
+        for pdf in batches:
+            # weighted MG: fold each Arrow batch's value_counts in,
+            # decrementing all k counters when a new key arrives at
+            # capacity (error <= n_p/(k+1), the classic bound)
+            for v, c in pdf["_v"].value_counts().items():
+                c = int(c)
+                if v in cnt:
+                    cnt[v] += c
+                elif len(cnt) < k:
+                    cnt[v] = c
+                else:
+                    d = min(c, min(cnt.values()))
+                    cnt = {x: n - d for x, n in cnt.items() if n > d}
+                    if c > d:
+                        cnt[v] = c - d
+        yield pd.DataFrame({"_v": list(cnt.keys())})
+
+    cands = vals.mapInPandas(mg, "_v string").distinct()
+    exact = (
+        vals.join(F.broadcast(cands), "_v", "left_semi")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("_N"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * denom >= num * F.col("_N"))
+        .select(F.col("_v").alias(col), "cnt")
+    )
+
+
 def cms_counts(
     df: DataFrame,
     key_col: str,

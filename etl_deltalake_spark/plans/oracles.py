@@ -2750,3 +2750,88 @@ oracle("q_mad")(
     ORDER BY d.l_returnflag
     """
 )
+
+oracle("q_sessionize")(
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+             THEN 1 ELSE 0 END AS new_sess,
+        event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+        SUM(new_sess) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )::BIGINT AS session_n
+      FROM o
+    )
+    SELECT user_id, session_n,
+      COUNT(*)::BIGINT AS n_events,
+      MIN(ts) AS session_start,
+      MAX(ts) AS session_end,
+      (floor(epoch(MAX(ts)))::BIGINT - floor(epoch(MIN(ts)))::BIGINT) AS dur_secs
+    FROM s
+    GROUP BY user_id, session_n
+    ORDER BY user_id, session_n
+    """
+)
+
+oracle("q_time_travel")(
+    """
+    -- snapshot 2024-01-15: batch-1 rows only; %7 keys already carry
+    -- their 2024-02-01 close stamp in the final table
+    SELECT c_custkey, c_mktsegment,
+           DATE '2024-01-01' AS valid_from,
+           CASE WHEN c_custkey % 7 = 0 THEN DATE '2024-02-01'
+                ELSE DATE '9999-12-31' END AS valid_to,
+           '2024-01-15' AS snap
+    FROM customer WHERE c_custkey % 11 <> 0
+    UNION ALL
+    -- snapshot 2024-02-15: every key is open; changed (%7) and new
+    -- (%11) keys opened at the 2024-02-01 merge
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                ELSE c_mktsegment END AS c_mktsegment,
+           CASE WHEN c_custkey % 11 = 0 OR c_custkey % 7 = 0
+                THEN DATE '2024-02-01' ELSE DATE '2024-01-01'
+           END AS valid_from,
+           DATE '9999-12-31' AS valid_to,
+           '2024-02-15' AS snap
+    FROM customer
+    ORDER BY snap, c_custkey
+    """
+)
+
+oracle("q_heavy_hitters")(
+    r"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+      FROM documents
+    ),
+    f AS (SELECT word FROM w WHERE word <> ''),
+    t AS (SELECT COUNT(*) AS n FROM f)
+    SELECT word, COUNT(*)::BIGINT AS cnt
+    FROM f, t
+    GROUP BY word, t.n
+    HAVING COUNT(*) * 100 >= 1 * t.n
+    ORDER BY word
+    """
+)
+
+oracle("q_checksum")(
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+      SUM((('0x' || substr(md5(concat_ws(chr(31),
+            coalesce(c_custkey::VARCHAR, '<null>'),
+            coalesce(c_name, '<null>'),
+            coalesce(c_nationkey::VARCHAR, '<null>'),
+            coalesce(c_mktsegment, '<null>'))), 1, 12))::UBIGINT
+          )::DECIMAL(38,0)) AS checksum
+    FROM customer
+    """
+)

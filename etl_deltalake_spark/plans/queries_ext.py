@@ -1450,3 +1450,83 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(li, ["l_returnflag"], "price", threshold=3.0).orderBy(
         "l_returnflag"
     )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization of the event stream
+    (operators/behavior.session_stats): 30-minute inactivity gap,
+    event_id tiebreak for a total order, per-session event counts and
+    durations. One user-key shuffle; the (user, session) rollup
+    reuses the window's partitioning."""
+    from etl_deltalake_spark.operators.behavior import session_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    return session_stats(
+        ev, "user_id", "ts", gap_secs=1800, tiebreak_cols=["event_id"]
+    ).orderBy("user_id", "session_n")
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reads over the SCD2 dimension history
+    (operators/scd.scd2_snapshot): rebuild q_scd2's two-batch merge,
+    then reconstruct the dimension AS OF 2024-01-15 (pre-merge state)
+    and AS OF 2024-02-15 (post-merge state) — the portable analogue
+    of Delta time travel (reference main.py:465-470 is Type-1 and
+    keeps no history). Scan-side validity predicates, no shuffle
+    beyond the SCD2 build itself."""
+    from etl_deltalake_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+        scd2_snapshot,
+    )
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    b1 = cust.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "eff", F.lit("2024-01-01")
+    )
+    t1 = scd2_init(b1, ["c_custkey"], ["c_mktsegment"], "eff")
+    b2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).withColumn("eff", F.lit("2024-02-01"))
+    t2 = scd2_merge(t1, b2, ["c_custkey"], ["c_mktsegment"], "eff")
+    snaps = [
+        scd2_snapshot(t2, d).withColumn("snap", F.lit(d))
+        for d in ("2024-01-15", "2024-02-15")
+    ]
+    return snaps[0].unionByName(snaps[1]).orderBy("snap", "c_custkey")
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-term mining over the corpus
+    (operators/stats.heavy_hitters): every lowercased word with
+    >= 1/100 of total word mass, via per-partition Misra-Gries
+    candidates + broadcast exact recount — bounded memory at
+    unbounded vocabulary, exact integer threshold."""
+    from etl_deltalake_spark.operators.stats import heavy_hitters
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return heavy_hitters(words, "word", num=1, denom=100).orderBy("word")
+
+
+def q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive cross-engine table fingerprint
+    (operators/reconcile.table_checksum) over the customer dimension:
+    (n_rows, Σ 48-bit md5 row signatures) as exact decimal — the
+    DuckDB oracle recomputes the identical fingerprint from its own
+    md5, so any cell difference or null-rendering divergence
+    hash-fails. Map-side partial sums only; no keys shuffle."""
+    from etl_deltalake_spark.operators.reconcile import table_checksum
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    cust = load_table(spark, "customer", sf_dir).select(*cols)
+    return table_checksum(cust, cols)

@@ -198,6 +198,10 @@ SLOTLESS: tuple[str, ...] = (
     "q_pagerank",
     "q_neg_samples",
     "q_mad",
+    "q_sessionize",
+    "q_time_travel",
+    "q_heavy_hitters",
+    "q_checksum",
 )
 
 

@@ -1,0 +1,94 @@
+"""Distributed BPE merge training vs an independent pure-Python
+reference implementation (Sennrich et al. 2016 semantics): the merge
+SEQUENCE — pair identity and count, round for round — must match
+exactly, as must the final subword vocabulary. SQL can't express the
+iterative greedy re-tokenization, so the cross-check is this
+reference model rather than a DuckDB oracle (the rollups/kmeans
+precedent from earlier rounds)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.bpe import (
+    bpe_train,
+    bpe_vocab,
+    word_freqs,
+)
+from etl_deltalake_spark.sources.catalog import load_table
+
+
+def _ref_apply(seq: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_bpe(word_freq: dict[str, int], num_merges: int):
+    syms = {w: tuple(w) for w in word_freq}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: Counter[tuple[str, str]] = Counter()
+        for w, s in syms.items():
+            f = word_freq[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < 2:
+            break
+        merges.append((left, right, cnt))
+        syms = {w: _ref_apply(s, left, right) for w, s in syms.items()}
+    return merges, syms
+
+
+def test_bpe_merges_match_reference(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 200
+    )
+    wf = word_freqs(docs, "text")
+    word_freq = {r["word"]: r["freq"] for r in wf.collect()}
+    assert len(word_freq) > 20
+
+    ref_merges, ref_syms = _ref_bpe(word_freq, num_merges=20)
+    got_merges, final = bpe_train(wf, num_merges=20)
+
+    assert got_merges == ref_merges, (
+        f"merge sequence diverged: first diff at "
+        f"{next(i for i, (a, b) in enumerate(zip(got_merges, ref_merges)) if a != b)}"
+    )
+
+    # final vocabulary (token, freq) must match the reference's
+    ref_vocab: Counter[str] = Counter()
+    for w, s in ref_syms.items():
+        for tok in s:
+            ref_vocab[tok] += word_freq[w]
+    got_vocab = {
+        r["token"]: r["freq"] for r in bpe_vocab(final).collect()
+    }
+    assert got_vocab == dict(ref_vocab)
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """'aaaa' with pair (a,a) must merge left-to-right non-overlapping
+    → [aa, aa]; 'aaa' → [aa, a]. The fold-based _apply_merge must
+    reproduce exactly Sennrich's greedy scan."""
+    wf = spark.createDataFrame(
+        [("aaaa", 3), ("aaa", 2)], "word string, freq long"
+    )
+    merges, final = bpe_train(wf, num_merges=1)
+    assert merges == [("a", "a", 3 * 3 + 2 * 2)]
+    got = {r["word"]: r["syms"] for r in final.collect()}
+    assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}

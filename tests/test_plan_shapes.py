@@ -32,6 +32,9 @@ _SCALAR_CROSS_OK = {
     "q_bm25": 1,
     "q_standardize": 1,
     "q_ivfpq_topk": 1,
+    # heavy_hitters crossJoins the 1-row total-count aggregate for
+    # the integer threshold test (stats.heavy_hitters)
+    "q_heavy_hitters": 1,
 }
 
 
