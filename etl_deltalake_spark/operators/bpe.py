@@ -136,6 +136,77 @@ def bpe_train(
     return merges, syms
 
 
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a trained merge list to tokenize a corpus:
+    (id, tokens array<string>, n_tokens). The merge list is
+    rank-ordered; each word is re-tokenized by applying every merge
+    in rank order with the same greedy left-to-right semantics as
+    training.
+
+    Execution: the merges ship to executors via closure broadcast
+    (tokenizer-sized — thousands of pairs, not data) and apply inside
+    ONE Arrow-batched pandas UDF with a per-batch word→tokens memo —
+    Zipf repetition means most words hit the memo. This is the
+    production encode path: k chained ``aggregate`` folds would plan
+    k nested expressions; one vectorized kernel with memoization is
+    both faster and rank-exact. Scan-side only: no shuffle, text
+    never leaves its partition.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranked = [(left, right) for left, right, *_ in merges]
+
+    # functional pandas_udf form: this module uses stringified
+    # annotations (future import), which break hint-based eval-type
+    # inference — the two-arg form defaults to a scalar Arrow UDF
+    def _encode(texts):
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                seq = list(w)
+                for left, right in ranked:
+                    if left not in seq:
+                        continue
+                    out: list[str] = []
+                    i = 0
+                    while i < len(seq):
+                        if (
+                            i + 1 < len(seq)
+                            and seq[i] == left
+                            and seq[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(seq[i])
+                            i += 1
+                    seq = out
+                got = memo[w] = seq
+            return got
+
+        return texts.map(
+            lambda t: [
+                tok
+                for w in (t or "").lower().split()
+                for tok in enc_word(w)
+            ]
+        )
+
+    encode = pandas_udf(_encode, "array<string>")
+    toks = encode(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+    ).withColumn("n_tokens", F.size(F.col("tokens")).cast("bigint"))
+
+
 def bpe_vocab(final_syms: DataFrame) -> DataFrame:
     """(token, freq) vocabulary from the trained symbol table —
     frequency-weighted count of every surviving subword token."""

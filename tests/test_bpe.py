@@ -92,3 +92,42 @@ def test_bpe_greedy_overlap_semantics(spark):
     assert merges == [("a", "a", 3 * 3 + 2 * 2)]
     got = {r["word"]: r["syms"] for r in final.collect()}
     assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}
+
+
+def test_bpe_encode_matches_training_tokenization(spark, sf_dir):
+    """Encoding the SAME corpus with the trained merge list must
+    reproduce the training's final tokenization exactly: per-doc
+    tokens equal the reference encode, and the corpus-wide token
+    frequency table equals bpe_vocab(final_syms)."""
+    from collections import Counter
+
+    from etl_deltalake_spark.operators.bpe import bpe_encode
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 100
+    )
+    wf = word_freqs(docs, "text")
+    word_freq = {r["word"]: r["freq"] for r in wf.collect()}
+    ref_merges, ref_syms = _ref_bpe(word_freq, num_merges=15)
+    merges, final = bpe_train(wf, num_merges=15)
+    assert merges == ref_merges
+
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    got = {r["doc_id"]: r["tokens"] for r in enc.collect()}
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    for doc_id, text in texts.items():
+        want = [
+            tok for w in text.lower().split() for tok in ref_syms[w]
+        ]
+        assert got[doc_id] == want, f"doc {doc_id} tokenization diverged"
+
+    # corpus-wide consistency: encode-counts == training vocab
+    enc_counts: Counter[str] = Counter()
+    for toks in got.values():
+        enc_counts.update(toks)
+    vocab = {
+        r["token"]: r["freq"] for r in bpe_vocab(final).collect()
+    }
+    assert dict(enc_counts) == vocab
