@@ -498,6 +498,46 @@ def quantile_bucket(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into the group's
+    [p_lo, p_hi] exact interpolated percentile band (rounded to
+    ``scale`` so the bounds — and therefore every clamped value —
+    are cross-engine exact). Appends ``{value_col}_wins`` plus the
+    bounds; rows and other columns pass through.
+
+    The robust outlier-capping step of feature cleaning: unlike a
+    filter it keeps row counts stable (no survivorship bias), unlike
+    z-score clipping it is distribution-free.
+
+    Scale shape: ONE groupBy computes the per-group bounds
+    (#groups-sized → broadcast), the clamp is a map-side
+    least/greatest after a BroadcastHashJoin — the raw rows never
+    shuffle. Exact percentile state is the sorted group (bounded
+    groups; swap approx_percentile at unbounded cardinality, module
+    docstring).
+    """
+    bounds = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(value_col, F.lit(float(lo))), scale).alias("_lo"),
+        F.round(F.percentile(value_col, F.lit(float(hi))), scale).alias("_hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")
+    )
+    return (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .withColumn(f"{value_col}_wins", clipped)
+        .withColumnRenamed("_lo", f"{value_col}_lo")
+        .withColumnRenamed("_hi", f"{value_col}_hi")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

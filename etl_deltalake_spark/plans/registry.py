@@ -202,6 +202,13 @@ SLOTLESS: tuple[str, ...] = (
     "q_time_travel",
     "q_heavy_hitters",
     "q_checksum",
+    "q_tpch_q6",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_winsorize",
+    "q_bloom_join",
 )
 
 

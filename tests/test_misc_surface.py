@@ -94,3 +94,33 @@ def test_sentence_spans_udtf(spark):
     ).collect()
     got = [(r["doc_id"], r["sent_idx"], r["sentence"]) for r in out]
     assert got == [(1, 0, "A b."), (1, 1, "C d!"), (3, 0, "No terminator")]
+
+
+def test_bloom_prefilter_join_equals_plain_semi_join(spark, sf_dir):
+    """The Bloom pre-filter must be invisible in the RESULT: no
+    false negatives means bloom_prefilter_join == plain left_semi
+    join exactly, row for row."""
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.operators.bloom import bloom_prefilter_join
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    dim = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_acctbal") > 9000
+    )
+    got = sorted(
+        r["o_orderkey"]
+        for r in bloom_prefilter_join(
+            orders, dim, "o_custkey", "c_custkey", n_words=64
+        ).select("o_orderkey").collect()
+    )
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.join(
+            dim.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            "o_custkey",
+            "left_semi",
+        ).select("o_orderkey").collect()
+    )
+    assert got == want and len(want) > 0
