@@ -57,6 +57,14 @@ HEADLINE = [
     "q_ivfpq_topk",
     "q_media_decode",
     "q_audio_decode",
+    # round-4 second wave: gap sessionization (window+rollup on one
+    # shuffle), exact two-phase heavy hitters (Misra-Gries + recount),
+    # Bloom runtime-filter semi-join, and the TPC-H having-subquery
+    # shape
+    "q_sessionize",
+    "q_heavy_hitters",
+    "q_bloom_join",
+    "q_tpch_q18",
 ]
 
 

@@ -37,6 +37,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -369,4 +371,61 @@ def hash_split(
     for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
         expr = F.when(h < cut, F.lit(name)).otherwise(expr)
     # nested whens evaluate smallest cutoff first via the fold above
+    return df.withColumn("split", expr)
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """EXACT stratified splitting: within every stratum, splits get
+    floor-exact proportional shares (a stratum of 100 rows at
+    weights {train:8, val:1, test:1} yields exactly 80/10/10 —
+    ``hash_split`` only converges to fractions in expectation, which
+    on small or skewed strata over/under-fills splits).
+
+    Mechanics: rows order within their stratum by (md5(id), id) — a
+    deterministic total order uncorrelated with the data — then the
+    stratum's rank range maps onto the splits at cumulative-weight
+    cutoffs: row rn goes to the first split k with
+    rn·Σw ≤ n_stratum·cumw_k (integer arithmetic, no floats). Each
+    split's count is exactly the floor of its share, so deviation
+    from the ideal fraction is < 1 row per split per stratum.
+    Deterministic and engine-reproducible; unlike hash_split the
+    assignment is NOT stable under incremental growth (adding rows
+    re-ranks), so use this for frozen evaluation sets and hash_split
+    for growing corpora — complementary contracts.
+
+    Scale: ONE window shuffle on the strata key (rank and the
+    stratum count share the same window partitioning — one sort, two
+    frames, no second exchange). The cutoff mapping is a literal
+    when-chain over small integer weights.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive ints: {weights}")
+    total = sum(weights.values())
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    wn = Window.partitionBy(*strata_cols)
+    rn = F.row_number().over(w)
+    n_stratum = F.count(F.lit(1)).over(wn)
+    expr = None
+    acc = 0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = rn * total <= n_stratum * acc
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
     return df.withColumn("split", expr)

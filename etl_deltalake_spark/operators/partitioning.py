@@ -209,3 +209,33 @@ def salted_join(
         how,
     )
     return out.drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: Sequence[str], scale: int = 6
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the per-key row-count
+    distribution compressed to one report row — n_keys, n_rows, max
+    key count, p50/p99 of key counts, and skew_ratio = max count /
+    mean count. This is the profile you read BEFORE shuffling 100 TB
+    on a key: skew_ratio ≈ 1 means hash partitioning balances;
+    ≫ 1 means the hot key dominates a partition and the join wants
+    ``salted_join``/AQE skew handling.
+
+    Two aggregations (per-key counts, then the O(#keys) → 1-row
+    reduction); raw rows shuffle only their key columns.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    mean_cnt = F.sum("_cnt").cast("double") / F.count(F.lit(1)).cast(
+        "double"
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_cnt").alias("n_rows"),
+        F.max("_cnt").alias("max_cnt"),
+        F.round(F.percentile("_cnt", F.lit(0.5)), scale).alias("p50_cnt"),
+        F.round(F.percentile("_cnt", F.lit(0.99)), scale).alias("p99_cnt"),
+        F.round(F.max("_cnt").cast("double") / mean_cnt, scale).alias(
+            "skew_ratio"
+        ),
+    )

@@ -684,3 +684,64 @@ def cms_counts(
         est.alias("cms_est"),
         (est >= F.col("exact")).alias("never_under"),
     )
+
+
+def ab_welch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    value_col: str,
+    a: str,
+    b: str,
+    d1: int = 6,
+    d2: int = 6,
+    scale: int = 6,
+) -> DataFrame:
+    """Two-sample Welch t statistic per group for an A/B experiment:
+    means, sample variances, and t = (mean_a − mean_b) /
+    sqrt(var_a/n_a + var_b/n_b) — unequal variances, no pooling.
+
+    Exactness contract (the grouped_linreg ladder): per-variant
+    sufficient statistics (n, Σx, Σx²) accumulate as bounded
+    DECIMALs in ONE conditional aggregation pass — order-independent
+    and bitwise cross-engine — then the handful of double
+    divisions/sqrt mirror the oracle's expression tree exactly and
+    round to ``scale``. Groups with a singleton variant emit NULL t
+    (variance undefined), never a divide-by-zero.
+
+    Scale: one groupBy shuffle carrying O(#groups) decimal state;
+    the t arithmetic is driver-free column math on the aggregate.
+    """
+    v = F.col(value_col).cast(f"decimal(18,{d1})")
+    v2 = (v * v).cast(f"decimal(30,{d2})")
+
+    def side(tag: str, variant: str) -> list:
+        cond = F.col(variant_col) == variant
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, v)).alias(f"_s1_{tag}"),
+            F.sum(F.when(cond, v2)).alias(f"_s2_{tag}"),
+        ]
+
+    agg = df.groupBy(*group_cols).agg(*side("a", a), *side("b", b))
+
+    def mean_var(tag: str):
+        n = F.col(f"n_{tag}")
+        m, var = exact_mean_var(
+            n, F.col(f"_s1_{tag}"), F.col(f"_s2_{tag}"), d2=d2
+        )
+        return m, F.when(n > 1, var)
+
+    m_a, v_a = mean_var("a")
+    m_b, v_b = mean_var("b")
+    t = (m_a - m_b) / F.sqrt(
+        v_a / F.col("n_a") + v_b / F.col("n_b")
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(m_a, scale).alias("mean_a"),
+        F.round(m_b, scale).alias("mean_b"),
+        F.round(t, scale).alias("t_stat"),
+    )

@@ -180,3 +180,70 @@ def rolling_stats(
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 day",
+    tiebreak_col: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """``resample_locf``'s linear-interpolation sibling: gaps fill
+    with the time-weighted line between the surrounding observations
+    instead of carrying the last value —
+    v = v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev).
+
+    Output per (key, bucket): ``value_interp`` (observed values pass
+    through untouched; interpolated values round to ``scale``) and
+    ``is_gap``. The grid spans each key's first..last observed
+    bucket, so every gap has both neighbors — no extrapolation
+    branch exists to get wrong.
+
+    Scale shape: identical to resample_locf (bucket reduction → grid
+    explode → per-key window) plus ONE extra window direction: prev
+    = last non-null (bucket, value) looking back, next = first
+    looking forward, both over the same key partitioning — Catalyst
+    plans one sort, two frames, no extra shuffle.
+    """
+    locf_base = resample_locf(
+        df, key_col, ts_col, value_col, step, tiebreak_col
+    )
+    # recover the raw per-bucket observation: value_locf where not a
+    # gap IS the observed value
+    base = locf_base.select(
+        "key",
+        "bucket",
+        F.when(~F.col("is_gap"), F.col("value_locf")).alias("_obs"),
+        "is_gap",
+    )
+    sec = F.unix_timestamp(F.col("bucket")).cast("double")
+    mark = F.when(
+        F.col("_obs").isNotNull(),
+        F.struct(sec.alias("s"), F.col("_obs").alias("v")),
+    )
+    back = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev = F.last(mark, ignorenulls=True).over(back)
+    nxt = F.first(mark, ignorenulls=True).over(fwd)
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+        (sec - prev["s"]) / (nxt["s"] - prev["s"])
+    )
+    return base.select(
+        "key",
+        "bucket",
+        F.when(~F.col("is_gap"), F.col("_obs"))
+        .otherwise(F.round(interp, scale))
+        .alias("value_interp"),
+        "is_gap",
+    )

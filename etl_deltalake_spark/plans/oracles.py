@@ -2971,3 +2971,168 @@ oracle("q_bloom_join")(
     ORDER BY a.o_orderstatus
     """
 )
+
+oracle("q_stratified_split")(
+    """
+    SELECT doc_id, lang,
+      CASE WHEN rn * 10 <= n_stratum * 8 THEN 'train'
+           WHEN rn * 10 <= n_stratum * 9 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+      FROM documents
+    )
+    ORDER BY doc_id
+    """
+)
+
+oracle("q_ab_test")(
+    """
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'ctrl' ELSE 'treat' END AS variant,
+             CAST(value AS DECIMAL(18,6)) AS x,
+             CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+                  AS DECIMAL(30,6)) AS x2
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+        COUNT(CASE WHEN variant = 'ctrl' THEN 1 END)::BIGINT AS n_a,
+        SUM(CASE WHEN variant = 'ctrl' THEN x END) AS s1_a,
+        SUM(CASE WHEN variant = 'ctrl' THEN x2 END) AS s2_a,
+        COUNT(CASE WHEN variant = 'treat' THEN 1 END)::BIGINT AS n_b,
+        SUM(CASE WHEN variant = 'treat' THEN x END) AS s1_b,
+        SUM(CASE WHEN variant = 'treat' THEN x2 END) AS s2_b
+      FROM v GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n_a, n_b,
+        CAST(s1_a AS DOUBLE) / n_a AS mean_a,
+        CAST(s1_b AS DOUBLE) / n_b AS mean_b,
+        CASE WHEN n_a > 1 THEN
+          CAST(CAST(CAST(n_a AS DECIMAL(12,0)) * s2_a AS DECIMAL(30,6))
+               - CAST(s1_a * s1_a AS DECIMAL(30,6)) AS DOUBLE)
+          / (n_a * (n_a - 1)) END AS var_a,
+        CASE WHEN n_b > 1 THEN
+          CAST(CAST(CAST(n_b AS DECIMAL(12,0)) * s2_b AS DECIMAL(30,6))
+               - CAST(s1_b * s1_b AS DECIMAL(30,6)) AS DOUBLE)
+          / (n_b * (n_b - 1)) END AS var_b
+      FROM agg
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(mean_a, 6) AS mean_a,
+           ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+             AS t_stat
+    FROM m
+    ORDER BY event_type
+    """
+)
+
+oracle("q_skew_report")(
+    """
+    WITH c AS (
+      SELECT o_custkey, COUNT(*)::BIGINT AS cnt FROM orders GROUP BY 1
+    )
+    SELECT COUNT(*)::BIGINT AS n_keys,
+           SUM(cnt)::BIGINT AS n_rows,
+           MAX(cnt) AS max_cnt,
+           ROUND(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE)
+                 / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+                 6) AS skew_ratio
+    FROM c
+    """
+)
+
+oracle("q_resample_interp")(
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket, ts, event_id, value
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM b
+      ) WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+        unnest(generate_series(lo, hi, INTERVAL '1 day')) AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, o.value,
+             floor(epoch(g.bucket))::DOUBLE AS sec
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    ),
+    w AS (
+      SELECT user_id, bucket, value, sec,
+        last_value(CASE WHEN value IS NOT NULL THEN sec END IGNORE NULLS)
+          OVER back AS ps,
+        last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+          OVER back AS pv,
+        first_value(CASE WHEN value IS NOT NULL THEN sec END IGNORE NULLS)
+          OVER fwd AS ns,
+        first_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+          OVER fwd AS nv
+      FROM j
+      WINDOW back AS (
+        PARTITION BY user_id ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ),
+      fwd AS (
+        PARTITION BY user_id ORDER BY bucket
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      )
+    )
+    SELECT user_id, bucket,
+      CASE WHEN value IS NOT NULL THEN value
+           ELSE ROUND(pv + (nv - pv) * ((sec - ps) / (ns - ps)), 6)
+      END AS value_interp,
+      (value IS NULL) AS is_gap
+    FROM w
+    ORDER BY user_id, bucket
+    """
+)
+
+oracle("q_triangles")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    {_MINHASH_BODY},
+    canon AS (
+      SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+      FROM mh_pairs WHERE doc_a <> doc_b
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM canon e1
+      JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    nodes AS (
+      SELECT a AS node FROM canon UNION SELECT b FROM canon
+    ),
+    pn AS (
+      SELECT node, COUNT(*)::BIGINT AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, COALESCE(pn.n_triangles, 0)::BIGINT AS n_triangles
+    FROM nodes LEFT JOIN pn USING (node)
+    ORDER BY node
+    """
+)

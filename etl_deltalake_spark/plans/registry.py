@@ -209,6 +209,11 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q18",
     "q_winsorize",
     "q_bloom_join",
+    "q_stratified_split",
+    "q_ab_test",
+    "q_skew_report",
+    "q_resample_interp",
+    "q_triangles",
 )
 
 

@@ -1,0 +1,151 @@
+"""Property tests for the round-4 second-half operators: guarantees
+that the oracle queries can't express (partitioning invariance, exact
+proportions, adversarial edge cases)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.sources.catalog import load_table
+
+
+def test_heavy_hitters_partitioning_invariant(spark, sf_dir):
+    """The exact result must be identical whether Misra-Gries runs
+    on 1 partition or 32 — candidates may differ per partitioning,
+    the exact recount + threshold may not."""
+    from etl_deltalake_spark.operators.stats import heavy_hitters
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+
+    def run(parts: int):
+        return sorted(
+            tuple(r)
+            for r in heavy_hitters(
+                words.repartition(parts), "word", num=1, denom=100
+            ).collect()
+        )
+
+    a, b = run(1), run(32)
+    assert a == b and len(a) > 0
+
+
+def test_heavy_hitters_matches_plain_groupby(spark, sf_dir):
+    """Against the brute-force groupBy+filter on a column with small
+    cardinality where both are cheap."""
+    from etl_deltalake_spark.operators.stats import heavy_hitters
+
+    orders = load_table(spark, "orders", sf_dir)
+    got = sorted(
+        tuple(r)
+        for r in heavy_hitters(
+            orders, "o_orderpriority", num=1, denom=10
+        ).collect()
+    )
+    n = orders.count()
+    want = sorted(
+        (r["o_orderpriority"], r["cnt"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if r["cnt"] * 10 >= n
+    )
+    assert got == want and len(want) > 0
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every stratum must split floor-exactly by the weights:
+    integer cutoff ranks mean each split's count deviates from its
+    ideal fractional share by less than 1 row, per stratum — and the
+    assignment is deterministic across partitionings."""
+    from etl_deltalake_spark.operators.curation import stratified_split
+
+    rows = [(i, "s1" if i < 97 else "s2") for i in range(137)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    out = stratified_split(
+        df, ["stratum"], "id", {"train": 8, "val": 1, "test": 1}
+    )
+    counts = {
+        (r["stratum"], r["split"]): r["n"]
+        for r in out.groupBy("stratum", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for stratum, total in (("s1", 97), ("s2", 40)):
+        for split, w in (("train", 8), ("val", 1), ("test", 1)):
+            n = counts.get((stratum, split), 0)
+            exact = total * w / 10
+            assert abs(n - exact) < 1, (stratum, split, n, exact)
+    # determinism
+    again = {
+        (r["stratum"], r["split"]): r["n"]
+        for r in stratified_split(
+            df.repartition(7), ["stratum"], "id",
+            {"train": 8, "val": 1, "test": 1},
+        )
+        .groupBy("stratum", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == counts
+
+
+def test_ab_welch_singleton_variant_yields_null_t(spark):
+    from etl_deltalake_spark.operators.stats import ab_welch
+
+    df = spark.createDataFrame(
+        [("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 5.0)],
+        "grp string, variant string, v double",
+    )
+    row = ab_welch(df, ["grp"], "variant", "v", a="a", b="b").collect()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 1
+    assert row["t_stat"] is None
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: nodes 1-2-3 and 2-3-4 form two triangles;
+    1 and 4 are in one each, 2 and 3 in two each."""
+    from etl_deltalake_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+    # direction + duplicate edges must not change anything
+    noisy = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got2 = {
+        r["node"]: r["n_triangles"] for r in triangle_count(noisy).collect()
+    }
+    assert got2 == got
+
+
+def test_scd2_snapshot_boundary_semantics(spark):
+    """valid_from is inclusive, valid_to exclusive: a row closed at
+    2024-02-01 is visible AT 2024-01-31 and at its open date, but
+    not at 2024-02-01."""
+    from etl_deltalake_spark.operators.scd import scd2_snapshot
+
+    tbl = spark.createDataFrame(
+        [(1, "x", "2024-01-01", "2024-02-01", False),
+         (1, "y", "2024-02-01", "9999-12-31", True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "is_current",
+    )
+    at = lambda d: {
+        r["attr"] for r in scd2_snapshot(tbl, d).collect()
+    }
+    assert at("2024-01-01") == {"x"}
+    assert at("2024-01-31") == {"x"}
+    assert at("2024-02-01") == {"y"}
