@@ -53,6 +53,15 @@ occupy driver slots):
    the weakest UDF evidence once two mapInPandas decode kernels are
    driver-graded; substring-level span dedup is a first-class
    training-data tier with no other driver row).
+ - Round-4 third rotation: q_lang_id → q_heavy_hitters (the
+   marker-word heuristic is the weakest text row — its split/lower
+   expression surface rides q_text_stats' scan — while exact
+   two-phase Misra-Gries mining is a scale-pattern flagship with no
+   driver row); q_datetime_funcs → q_sessionize (the scalar-function
+   family keeps two driver rows — q_scalar_funcs, q_json_funcs — and
+   the date/time expression set stays pytest-oracle-gated; gap
+   sessionization gives the event-analytics family its first driver
+   row).
 
 SLOTLESS entries are newer oracle-paired queries that never held a
 driver slot (the 50 are full); they carry the same pytest oracle
@@ -108,7 +117,7 @@ REGISTERED: tuple[str, ...] = (
     "q_time_rollup",
     "q_fuzzy_pairs",
     "q_scalar_funcs",
-    "q_datetime_funcs",
+    "q_sessionize",
     "q_json_funcs",
     # streaming (SURVEY §2.8)
     "q_stream_tumbling",
@@ -122,7 +131,7 @@ REGISTERED: tuple[str, ...] = (
     "q_simhash",
     "q_substring_dup",
     "q_text_stats",
-    "q_lang_id",
+    "q_heavy_hitters",
     "q_tfidf",
     "q_bm25",
     "q_cosine_topk",
@@ -147,6 +156,8 @@ RETIRED: tuple[str, ...] = (
 )
 
 RETIRED_R4: tuple[str, ...] = (
+    "q_lang_id",
+    "q_datetime_funcs",
     "q_ivf_topk",
     "q_sliding_window",
     "q_media_features",
@@ -198,9 +209,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_pagerank",
     "q_neg_samples",
     "q_mad",
-    "q_sessionize",
     "q_time_travel",
-    "q_heavy_hitters",
     "q_checksum",
     "q_tpch_q6",
     "q_tpch_q13",
