@@ -429,3 +429,54 @@ def stratified_split(
         else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def corpus_divergence(
+    df: DataFrame,
+    side_col,
+    text_col: str,
+    top_k: int = 15,
+    scale: int = 6,
+) -> DataFrame:
+    """Distribution drift between two corpus slices: per-term
+    contributions to KL(P‖Q) where P is the unigram distribution of
+    the ``side_col``-true slice and Q of the false slice, both
+    add-one smoothed over the JOINT vocabulary — the domain-shift /
+    contamination-drift detector (which terms make corpus A unlike
+    corpus B).
+
+    Output: the ``top_k`` terms by KL contribution
+    (word, c_a, c_b, kl_contrib), ordered (contrib DESC, word).
+    Contributions are P·ln(P/Q) rounded to ``scale`` — pure scalar
+    double arithmetic on exact integer counts, so cross-engine
+    bitwise.
+
+    Scale shape: ONE pass over the exploded words with conditional
+    count aggregation (no per-side scans, no join of two count
+    tables); corpus totals (N_a, N_b, |V|) are a single-row
+    broadcast cross join (the q_bm25 pattern). Shuffle carries
+    (word, counts) only.
+    """
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    words = df.select(
+        side.alias("_a"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.count(F.when(F.col("_a"), 1)).alias("c_a"),
+        F.count(F.when(~F.col("_a"), 1)).alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("_na"),
+        F.sum("c_b").alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p = (F.col("c_a") + 1).cast("double") / (F.col("_na") + F.col("_v"))
+    q = (F.col("c_b") + 1).cast("double") / (F.col("_nb") + F.col("_v"))
+    contrib = F.round(p * F.log(p / q), scale)
+    return (
+        j.select("word", "c_a", "c_b", contrib.alias("kl_contrib"))
+        .orderBy(F.desc("kl_contrib"), "word")
+        .limit(top_k)
+    )

@@ -169,3 +169,36 @@ def profile_columns(
             "(col_name, n_null, n_distinct, min_str, max_str)"
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship merge (the MDM "golden record"): per key, each
+    attribute independently takes its value from the LATEST row
+    where that attribute is non-null — a newer row with a null phone
+    must not erase the older known phone, which is exactly what
+    keep-latest-row dedup (relational.merge_dedup) gets wrong for
+    sparse updates.
+
+    ``order_col`` must be a totally-ordering scalar (e.g. an event
+    sequence number, or epoch·shift + id for timestamp+tiebreak) —
+    per-attribute recency is ``max_by(col, order WHERE col IS NOT
+    NULL)``, the null-ordering-key-ignoring contract shared by Spark
+    ``max_by`` and DuckDB ``arg_max``. Output adds ``last_seen`` =
+    max order key per entity.
+
+    Scale: ONE groupBy carrying (key, order, values) — no window, no
+    join; map-side combine keeps shuffle state at O(#keys).
+    """
+    aggs = [
+        F.max_by(
+            F.col(c), F.when(F.col(c).isNotNull(), F.col(order_col))
+        ).alias(c)
+        for c in value_cols
+    ]
+    aggs.append(F.max(F.col(order_col)).alias("last_seen"))
+    return df.groupBy(*key_cols).agg(*aggs)

@@ -3136,3 +3136,51 @@ oracle("q_triangles")(
     ORDER BY node
     """
 )
+
+oracle("q_golden_record")(
+    """
+    WITH src AS (
+      SELECT o_custkey, o_orderkey,
+        CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus END AS status,
+        CASE WHEN o_orderkey % 5 <> 0 THEN o_orderpriority END AS priority
+      FROM orders
+    )
+    SELECT o_custkey,
+      arg_max(status, CASE WHEN status IS NOT NULL THEN o_orderkey END)
+        AS status,
+      arg_max(priority, CASE WHEN priority IS NOT NULL THEN o_orderkey END)
+        AS priority,
+      MAX(o_orderkey) AS last_seen
+    FROM src GROUP BY o_custkey
+    ORDER BY o_custkey
+    """
+)
+
+oracle("q_corpus_kl")(
+    r"""
+    WITH w AS (
+      SELECT (substr(source, 4)::INT % 2 = 0) AS a,
+             unnest(string_split_regex(lower(text), '\s+')) AS word
+      FROM documents
+    ),
+    f AS (SELECT a, word FROM w WHERE word <> ''),
+    counts AS (
+      SELECT word,
+        COUNT(CASE WHEN a THEN 1 END)::BIGINT AS c_a,
+        COUNT(CASE WHEN NOT a THEN 1 END)::BIGINT AS c_b
+      FROM f GROUP BY word
+    ),
+    t AS (
+      SELECT SUM(c_a)::BIGINT AS na, SUM(c_b)::BIGINT AS nb,
+             COUNT(*)::BIGINT AS v
+      FROM counts
+    )
+    SELECT word, c_a, c_b,
+      ROUND(((c_a + 1)::DOUBLE / (na + v))
+            * ln(((c_a + 1)::DOUBLE / (na + v))
+                 / ((c_b + 1)::DOUBLE / (nb + v))), 6) AS kl_contrib
+    FROM counts, t
+    ORDER BY kl_contrib DESC, word
+    LIMIT 15
+    """
+)

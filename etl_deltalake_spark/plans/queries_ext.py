@@ -1824,3 +1824,40 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return triangle_count(edges).orderBy("node")
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge per customer over the order stream
+    (operators/reconcile.golden_record): attributes nulled on
+    deterministic patterns (status on %3 orders, priority on %5)
+    must survive from the latest NON-NULL carrier, not the latest
+    row — one groupBy, no window, no join."""
+    from etl_deltalake_spark.operators.reconcile import golden_record
+
+    orders = load_table(spark, "orders", sf_dir)
+    src = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 != 0, F.col("o_orderstatus")
+        ).alias("status"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0, F.col("o_orderpriority")
+        ).alias("priority"),
+    )
+    return golden_record(
+        src, ["o_custkey"], "o_orderkey", ["status", "priority"]
+    ).orderBy("o_custkey")
+
+
+def q_corpus_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the even- and odd-numbered document
+    sources (operators/curation.corpus_divergence): top-15 terms by
+    add-one-smoothed KL(P‖Q) contribution — the domain-shift
+    detector. One conditional-count pass; corpus totals ride a
+    single-row broadcast cross join."""
+    from etl_deltalake_spark.operators.curation import corpus_divergence
+
+    docs = load_table(spark, "documents", sf_dir)
+    side = F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0
+    return corpus_divergence(docs, side, "text", top_k=15)

@@ -223,6 +223,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_skew_report",
     "q_resample_interp",
     "q_triangles",
+    "q_golden_record",
+    "q_corpus_kl",
 )
 
 

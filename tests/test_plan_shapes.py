@@ -35,6 +35,8 @@ _SCALAR_CROSS_OK = {
     # heavy_hitters crossJoins the 1-row total-count aggregate for
     # the integer threshold test (stats.heavy_hitters)
     "q_heavy_hitters": 1,
+    # corpus_divergence crossJoins the 1-row (N_a, N_b, |V|) totals
+    "q_corpus_kl": 1,
 }
 
 
