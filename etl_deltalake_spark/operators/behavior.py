@@ -129,9 +129,7 @@ def sessionize(
         prev.isNull()
         | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_secs)
     ).cast("bigint")
-    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_n", F.sum(new_sess).over(run))
 
 

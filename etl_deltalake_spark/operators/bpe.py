@@ -48,10 +48,10 @@ def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over whitespace-split lowercased text — the ONE
     corpus-sized aggregation of BPE training; everything after runs
     on this vocabulary-sized table."""
+    from etl_deltalake_spark.operators.text import word_tokens
+
     return (
-        df.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
-        )
+        df.select(F.explode(word_tokens(text_col)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -157,9 +157,16 @@ def bpe_encode(
     both faster and rank-exact. Scan-side only: no shuffle, text
     never leaves its partition.
     """
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     ranked = [(left, right) for left, right, *_ in merges]
+    # Java's \\s is ASCII-only; Python's is Unicode-aware. Pin the
+    # kernel to the exact character class word_freqs' Spark split
+    # uses, or non-ASCII whitespace (U+00A0 etc.) would tokenize
+    # differently between training and encoding.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     # functional pandas_udf form: this module uses stringified
     # annotations (future import), which break hint-based eval-type
@@ -194,7 +201,8 @@ def bpe_encode(
         return texts.map(
             lambda t: [
                 tok
-                for w in (t or "").lower().split()
+                for w in ws.split((t or "").lower())
+                if w
                 for tok in enc_word(w)
             ]
         )

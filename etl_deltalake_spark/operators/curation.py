@@ -457,10 +457,15 @@ def corpus_divergence(
     broadcast cross join (the q_bm25 pattern). Shuffle carries
     (word, counts) only.
     """
+    from etl_deltalake_spark.operators.text import word_tokens
+
     side = F.col(side_col) if isinstance(side_col, str) else side_col
-    words = df.select(
+    # a NULL side belongs to neither slice — dropping it here keeps
+    # the joint vocabulary honest (a word seen only on NULL-side rows
+    # must not get a spurious smoothed KL contribution)
+    words = df.filter(side.isNotNull()).select(
         side.alias("_a"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+        F.explode(word_tokens(text_col)).alias("word"),
     ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(
         F.count(F.when(F.col("_a"), 1)).alias("c_a"),

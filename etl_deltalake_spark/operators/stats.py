@@ -593,7 +593,9 @@ def heavy_hitters(
 
     def mg(batches):
         cnt: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             # weighted MG: fold each Arrow batch's value_counts in,
             # decrementing all k counters when a new key arrives at
             # capacity (error <= n_p/(k+1), the classic bound)
@@ -608,15 +610,27 @@ def heavy_hitters(
                     cnt = {x: n - d for x, n in cnt.items() if n > d}
                     if c > d:
                         cnt[v] = c - d
-        yield pd.DataFrame({"_v": list(cnt.keys())})
+        # candidates plus ONE per-partition row-count row (_v NULL):
+        # the total N rides out of the same pass, so the input is
+        # scanned exactly twice overall (MG + exact recount) — the
+        # two-phase minimum — instead of a third total-count scan
+        yield pd.DataFrame(
+            {
+                "_v": list(cnt.keys()) + [None],
+                "_n": [0] * len(cnt) + [n_part],
+            }
+        )
 
-    cands = vals.mapInPandas(mg, "_v string").distinct()
+    pass1 = vals.mapInPandas(mg, "_v string, _n long").localCheckpoint(
+        eager=True
+    )
+    cands = pass1.filter(F.col("_v").isNotNull()).select("_v").distinct()
+    total = pass1.agg(F.sum("_n").alias("_N"))
     exact = (
         vals.join(F.broadcast(cands), "_v", "left_semi")
         .groupBy("_v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = vals.agg(F.count(F.lit(1)).alias("_N"))
     return (
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * denom >= num * F.col("_N"))
@@ -718,7 +732,9 @@ def ab_welch(
     def side(tag: str, variant: str) -> list:
         cond = F.col(variant_col) == variant
         return [
-            F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+            # count of the VALUE expression, so NULL metrics are
+            # excluded from n exactly as they are from the sums
+            F.count(F.when(cond, v)).alias(f"n_{tag}"),
             F.sum(F.when(cond, v)).alias(f"_s1_{tag}"),
             F.sum(F.when(cond, v2)).alias(f"_s2_{tag}"),
         ]

@@ -30,6 +30,16 @@ LANG_MARKERS = {
 }
 
 
+
+def word_tokens(text_col) -> Column:
+    """Lowercased whitespace-split word array — THE tokenization
+    contract shared by q_heavy_hitters, bpe.word_freqs, and
+    curation.corpus_divergence (and mirrored by their DuckDB oracles
+    as string_split_regex(lower(text), '\\s+')). One definition so
+    the three can't drift; callers filter the '' artifacts."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(c), r"\s+")
+
 def tokens(col: str) -> Column:
     """Tokenize: array of BPE-ish tokens (lowercased)."""
     return F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_PATTERN), 0)

@@ -3002,10 +3002,10 @@ oracle("q_ab_test")(
     ),
     agg AS (
       SELECT event_type,
-        COUNT(CASE WHEN variant = 'ctrl' THEN 1 END)::BIGINT AS n_a,
+        COUNT(CASE WHEN variant = 'ctrl' THEN x END)::BIGINT AS n_a,
         SUM(CASE WHEN variant = 'ctrl' THEN x END) AS s1_a,
         SUM(CASE WHEN variant = 'ctrl' THEN x2 END) AS s2_a,
-        COUNT(CASE WHEN variant = 'treat' THEN 1 END)::BIGINT AS n_b,
+        COUNT(CASE WHEN variant = 'treat' THEN x END)::BIGINT AS n_b,
         SUM(CASE WHEN variant = 'treat' THEN x END) AS s1_b,
         SUM(CASE WHEN variant = 'treat' THEN x2 END) AS s2_b
       FROM v GROUP BY event_type

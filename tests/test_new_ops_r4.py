@@ -149,3 +149,44 @@ def test_scd2_snapshot_boundary_semantics(spark):
     assert at("2024-01-01") == {"x"}
     assert at("2024-01-31") == {"x"}
     assert at("2024-02-01") == {"y"}
+
+
+def test_ab_welch_ignores_null_metric_values(spark):
+    """A NULL metric value must not count toward n or shift the
+    mean: [1.0, NULL, 3.0] vs [5.0, 7.0] gives n_a=2, mean_a=2.0."""
+    from etl_deltalake_spark.operators.stats import ab_welch
+
+    df = spark.createDataFrame(
+        [("g", "a", 1.0), ("g", "a", None), ("g", "a", 3.0),
+         ("g", "b", 5.0), ("g", "b", 7.0)],
+        "grp string, variant string, v double",
+    )
+    row = ab_welch(df, ["grp"], "variant", "v", a="a", b="b").collect()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 2
+    assert row["mean_a"] == 2.0 and row["mean_b"] == 6.0
+
+
+def test_bpe_encode_ascii_whitespace_contract(spark):
+    """Non-ASCII whitespace (U+00A0) is NOT a separator in training
+    (Java \\s is ASCII-only) — encode must treat it identically or
+    token counts diverge from bpe_vocab."""
+    from collections import Counter
+
+    from etl_deltalake_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+        word_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab"), (2, "ab ab")], "doc_id long, text string"
+    )
+    wf = word_freqs(docs, "text")
+    merges, final = bpe_train(wf, num_merges=3)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    enc_counts = Counter(
+        tok for r in enc.collect() for tok in r["tokens"]
+    )
+    vocab = {r["token"]: r["freq"] for r in bpe_vocab(final).collect()}
+    assert dict(enc_counts) == vocab
