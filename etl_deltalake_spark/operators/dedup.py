@@ -631,3 +631,45 @@ def simhash16(token_col: Column) -> Column:
     for i in range(16):
         out = out + F.when(bit_sum(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out.cast("bigint")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dedup a NEW batch against the historical fingerprint store —
+    the production form of exact dedup: a 100 TB corpus is deduped
+    ONCE, and every incremental crawl batch checks only itself and
+    the compact store of already-seen fingerprints (32-char md5 per
+    historical doc, not the documents).
+
+    ``seen_fps`` is a one-column ``fp`` DataFrame (e.g. the stored
+    output of previous rounds). Returns the batch rows that survive
+    — first occurrence (min id) per fingerprint within the batch,
+    and no fingerprint already in the store — with the ``fp`` column
+    attached so the caller appends exactly these rows' fingerprints
+    back to the store for the next round.
+
+    Scale: batch-side fingerprints shuffle once for the in-batch
+    min-id reduction; the store probe is a key join on 32-char
+    strings (broadcast when the store fits, shuffle otherwise —
+    Spark picks by stats). Raw text never shuffles (the
+    exact_dedup_stats contract).
+    """
+    fp = batch.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    firsts = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    fresh = firsts.join(
+        seen_fps.select("fp").distinct(), "fp", "left_anti"
+    )
+    return fresh.join(batch, id_col).select(id_col, "fp", *
+        [c for c in batch.columns if c != id_col]
+    )

@@ -3184,3 +3184,24 @@ oracle("q_corpus_kl")(
     LIMIT 15
     """
 )
+
+oracle("q_incr_dedup")(
+    f"""
+    WITH f AS (
+      SELECT doc_id, n_chars, md5({_NORM}) AS fp
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM f WHERE doc_id % 2 = 1),
+    firsts AS (
+      SELECT doc_id, fp, n_chars FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY fp ORDER BY doc_id
+        ) AS rn FROM batch
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, fp, n_chars
+    FROM firsts WHERE fp NOT IN (SELECT fp FROM hist)
+    ORDER BY doc_id
+    """
+)

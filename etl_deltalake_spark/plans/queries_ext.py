@@ -1870,3 +1870,27 @@ def q_corpus_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     side = F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0
     return corpus_divergence(docs, side, "text", top_k=15)
+
+
+def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a new crawl batch against the
+    historical fingerprint store (operators/dedup.incremental_dedup):
+    even-id documents stand in for history (only their 32-char
+    fingerprints participate), odd-id documents are the new batch —
+    survivors are first-in-batch AND unseen-in-history. Returns
+    (doc_id, fp, n_chars) per survivor."""
+    from etl_deltalake_spark.operators.dedup import incremental_dedup
+    from etl_deltalake_spark.operators.text import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(normalize_text("text")).alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "n_chars"
+    )
+    return (
+        incremental_dedup(batch, hist, "doc_id", "text")
+        .select("doc_id", "fp", "n_chars")
+        .orderBy("doc_id")
+    )

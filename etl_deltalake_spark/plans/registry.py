@@ -225,6 +225,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_triangles",
     "q_golden_record",
     "q_corpus_kl",
+    "q_incr_dedup",
 )
 
 
