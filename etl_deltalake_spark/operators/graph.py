@@ -144,3 +144,55 @@ def triangle_count(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles")
     )
+
+
+def ancestor_paths(
+    edges: DataFrame,
+    child_col: str,
+    parent_col: str,
+    max_depth: int = 16,
+) -> DataFrame:
+    """Transitive ancestor closure of a parent-child hierarchy —
+    Spark's answer to SQL's ``WITH RECURSIVE`` (which Spark SQL does
+    not have): org charts, BOM explosions, category trees. Returns
+    (node, ancestor, depth) with depth >= 1 for every ancestor
+    reachable within ``max_depth`` steps.
+
+    Iterative frontier join, the standard recursive-query expansion:
+    round d joins the depth-(d−1) frontier's ancestors onto the edge
+    list; the frontier is localCheckpointed per round (flat lineage)
+    and the loop exits early when it empties — the driver sees one
+    COUNT scalar per round, never rows. On a DAG with shared
+    ancestors the same (node, ancestor) can appear via multiple
+    paths; callers wanting set-closure apply distinct() (on a tree —
+    the oracle fixture — paths are unique by construction).
+
+    At 100 TB: each round is one keyed equi-join shuffling
+    (node, ancestor) pairs; total work is Σ|frontier_d| — bounded by
+    path count, not node count squared. Hierarchies are shallow
+    (depth ≪ 20), so the round count is small and fixed.
+    """
+    e = edges.select(
+        F.col(child_col).alias("_c"), F.col(parent_col).alias("_p")
+    ).localCheckpoint(eager=True)
+    cur = e.select(
+        F.col("_c").alias("node"),
+        F.col("_p").alias("ancestor"),
+        F.lit(1).cast("bigint").alias("depth"),
+    ).localCheckpoint(eager=True)
+    out = cur
+    for _ in range(1, max_depth):
+        nxt = (
+            cur.join(e, cur["ancestor"] == e["_c"])
+            .select(
+                "node",
+                F.col("_p").alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out

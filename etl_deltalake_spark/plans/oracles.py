@@ -3205,3 +3205,20 @@ oracle("q_incr_dedup")(
     ORDER BY doc_id
     """
 )
+
+oracle("q_hierarchy")(
+    """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS child, (c_custkey // 10)::BIGINT AS parent
+      FROM customer WHERE c_custkey >= 10
+    ),
+    anc AS (
+      SELECT child AS node, parent AS ancestor, 1::BIGINT AS depth FROM e
+      UNION ALL
+      SELECT a.node, e.parent, a.depth + 1
+      FROM anc a JOIN e ON a.ancestor = e.child
+    )
+    SELECT node, ancestor, depth FROM anc
+    ORDER BY node, depth
+    """
+)

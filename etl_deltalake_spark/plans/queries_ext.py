@@ -1894,3 +1894,21 @@ def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal (operators/graph.ancestor_paths)
+    over a synthetic decimal tree on customers (parent = custkey/10):
+    every (node, ancestor, depth) path — graded against DuckDB's
+    native WITH RECURSIVE, so Spark's iterative frontier expansion
+    must match a real recursive-CTE engine row for row."""
+    from etl_deltalake_spark.operators.graph import ancestor_paths
+
+    cust = load_table(spark, "customer", sf_dir)
+    edges = cust.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("child"),
+        F.floor(F.col("c_custkey") / 10).cast("bigint").alias("parent"),
+    )
+    return ancestor_paths(edges, "child", "parent").orderBy(
+        "node", "depth"
+    )

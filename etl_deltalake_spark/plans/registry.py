@@ -226,6 +226,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_golden_record",
     "q_corpus_kl",
     "q_incr_dedup",
+    "q_hierarchy",
 )
 
 

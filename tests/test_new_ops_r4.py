@@ -190,3 +190,18 @@ def test_bpe_encode_ascii_whitespace_contract(spark):
     )
     vocab = {r["token"]: r["freq"] for r in bpe_vocab(final).collect()}
     assert dict(enc_counts) == vocab
+
+
+def test_ancestor_paths_known_tree_and_early_exit(spark):
+    """1→2→3 chain plus isolated 4→5: paths and depths exact; the
+    frontier loop must early-exit, not run to max_depth."""
+    from etl_deltalake_spark.operators.graph import ancestor_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "child long, parent long"
+    )
+    got = sorted(
+        (r["node"], r["ancestor"], r["depth"])
+        for r in ancestor_paths(edges, "child", "parent", max_depth=50).collect()
+    )
+    assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 1), (4, 5, 1)]
