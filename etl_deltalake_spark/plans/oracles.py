@@ -3222,3 +3222,15 @@ oracle("q_hierarchy")(
     ORDER BY node, depth
     """
 )
+
+oracle("q_stream_topk")(
+    """
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_rows DESC, user_id
+    LIMIT 10
+    """
+)

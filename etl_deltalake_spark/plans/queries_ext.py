@@ -1912,3 +1912,41 @@ def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ancestor_paths(edges, "child", "parent").orderBy(
         "node", "depth"
     )
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained top-k: the SAME mergeable per-key state
+    as q_stream_rollup, keyed at user granularity across three
+    forced micro-batch epochs, then a read-time top-10 heaviest
+    users (n_rows DESC, user_id tiebreak) — the continuously-
+    maintained leaderboard pattern: the stream updates O(#keys)
+    state, the top-k is a query over state, never over history.
+    Oracle = one-shot SQL top-k over the whole table."""
+    import tempfile
+
+    from etl_deltalake_spark.operators.rollups import rollup_result
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    src = tempfile.mkdtemp(prefix="sgraft_topk_src_")
+    ev = load_table(spark, "events", sf_dir)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    state_dir = tempfile.mkdtemp(prefix="sgraft_topk_state_")
+    ckpt = tempfile.mkdtemp(prefix="sgraft_topk_ckpt_")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/part0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    final = P.rollup_maintenance_stream(
+        stream, ["user_id"], "value", state_dir, ckpt
+    )
+    return (
+        rollup_result(spark.read.parquet(final))
+        .select("user_id", "n_rows", "total")
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(10)
+    )

@@ -227,6 +227,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_corpus_kl",
     "q_incr_dedup",
     "q_hierarchy",
+    "q_stream_topk",
 )
 
 
