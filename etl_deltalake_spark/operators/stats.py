@@ -761,3 +761,39 @@ def ab_welch(
         F.round(m_b, scale).alias("mean_b"),
         F.round(t, scale).alias("t_stat"),
     )
+
+
+def deterministic_mode(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Most-frequent value per group with a TOTAL tie-break
+    (count DESC, then lowest value) — native ``mode()`` in both
+    Spark and DuckDB leaves ties implementation-defined, which makes
+    it unusable wherever reproducibility is a contract (and
+    impossible to oracle-pair). Output: group_cols, mode_val,
+    mode_cnt; NULL values are excluded (a group of only NULLs drops,
+    matching SQL mode semantics).
+
+    Two keyed aggregations: (group, value) counts, then one
+    row_number window on the group — both shuffles carry
+    (group, value, count) triples.
+    """
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("mode_cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("mode_cnt"), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias("mode_val"),
+            "mode_cnt",
+        )
+    )

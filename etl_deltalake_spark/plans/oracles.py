@@ -3234,3 +3234,19 @@ oracle("q_stream_topk")(
     LIMIT 10
     """
 )
+
+oracle("q_mode")(
+    """
+    SELECT o_orderstatus, mode_val, mode_cnt FROM (
+      SELECT o_orderstatus, o_orderpriority AS mode_val,
+             COUNT(*)::BIGINT AS mode_cnt,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority
+             ) AS rn
+      FROM orders WHERE o_orderpriority IS NOT NULL
+      GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    ORDER BY o_orderstatus
+    """
+)

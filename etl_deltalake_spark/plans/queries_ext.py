@@ -1950,3 +1950,17 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "user_id")
         .limit(10)
     )
+
+
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (operators/stats.
+    deterministic_mode): the most common order priority per customer
+    segment-nation... kept simple: per o_orderstatus, the most
+    frequent o_orderpriority with total tie-break — native mode()'s
+    implementation-defined ties are exactly what this replaces."""
+    from etl_deltalake_spark.operators.stats import deterministic_mode
+
+    orders = load_table(spark, "orders", sf_dir)
+    return deterministic_mode(
+        orders, ["o_orderstatus"], "o_orderpriority"
+    ).orderBy("o_orderstatus")

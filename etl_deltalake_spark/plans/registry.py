@@ -228,6 +228,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_incr_dedup",
     "q_hierarchy",
     "q_stream_topk",
+    "q_mode",
 )
 
 
