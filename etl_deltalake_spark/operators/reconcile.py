@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -202,3 +202,52 @@ def golden_record(
     ]
     aggs.append(F.max(F.col(order_col)).alias("last_seen"))
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture batch (op ∈ I/U/D per row) to a
+    snapshot — the copy-on-write CDC merge: deletes remove the key,
+    inserts/updates replace it, untouched rows pass through. This is
+    the delete-handling MERGE the Type-1 upsert
+    (sources/table_format.py, reference main.py:465-470) lacks.
+
+    With ``seq_col`` the batch may carry several changes per key;
+    the LATEST (max seq, ties impossible with a proper sequence)
+    wins — a delete followed by a re-insert in one batch nets to the
+    re-inserted row, matching log-replay semantics.
+
+    Scale: one row_number collapse on the change batch (batch-sized,
+    not snapshot-sized) and ONE key anti-join against the snapshot —
+    the snapshot never shuffles more than its key columns; change
+    batches are broadcast when small.
+    """
+    ops = changes
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        ops = (
+            ops.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    # fail loudly on unknown ops — silently dropping them would
+    # desync the snapshot from the log
+    ops = ops.withColumn(
+        op_col,
+        F.when(
+            F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("apply_cdc: unknown op "), F.col(op_col))
+            )
+        ),
+    )
+    touched = ops.select(*key_cols)
+    survivors = base.join(touched, list(key_cols), "left_anti")
+    upserts = ops.filter(F.col(op_col) != "D").select(*base.columns)
+    return survivors.unionByName(upserts)

@@ -3250,3 +3250,24 @@ oracle("q_mode")(
     ORDER BY o_orderstatus
     """
 )
+
+oracle("q_cdc_apply")(
+    """
+    -- net snapshot after replaying the synthesized change log over
+    -- the even-key base: %12 keys re-inserted as 'R' (seq-2 wins),
+    -- other %4 keys deleted, %6-not-%4 keys updated to 'X', odd
+    -- keys inserted, the rest untouched
+    SELECT o_orderkey, o_custkey,
+           CASE
+             WHEN o_orderkey % 12 = 0 THEN 'R'
+             WHEN o_orderkey % 2 = 0 AND o_orderkey % 6 = 0
+                  AND o_orderkey % 4 <> 0 THEN 'X'
+             ELSE o_orderstatus
+           END AS o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 2 = 1
+       OR o_orderkey % 12 = 0
+       OR (o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0)
+    ORDER BY o_orderkey
+    """
+)

@@ -1964,3 +1964,44 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_mode(
         orders, ["o_orderstatus"], "o_orderpriority"
     ).orderBy("o_orderstatus")
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge with deletes (operators/reconcile.apply_cdc): base
+    snapshot = even-key orders; the change log deletes %4 keys,
+    updates %6 keys (status → 'X'), inserts the odd keys, with two
+    sequenced changes for %12 keys (delete at seq 1, re-insert at
+    seq 2 — log-replay nets to the re-insert). Oracle recomputes the
+    net snapshot from the same rules."""
+    from etl_deltalake_spark.operators.reconcile import apply_cdc
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    deletes = base.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.lit("D").alias("op"), F.lit(1).alias("seq"),
+    )
+    updates = base.filter(
+        (F.col("o_orderkey") % 6 == 0) & (F.col("o_orderkey") % 4 != 0)
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    reinserts = base.filter(F.col("o_orderkey") % 12 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        F.lit("I").alias("op"), F.lit(2).alias("seq"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts).unionByName(
+        reinserts
+    )
+    return apply_cdc(
+        base, changes, ["o_orderkey"], op_col="op", seq_col="seq"
+    ).orderBy("o_orderkey")

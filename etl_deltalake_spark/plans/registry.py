@@ -229,6 +229,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_hierarchy",
     "q_stream_topk",
     "q_mode",
+    "q_cdc_apply",
 )
 
 

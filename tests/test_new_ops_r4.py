@@ -205,3 +205,19 @@ def test_ancestor_paths_known_tree_and_early_exit(spark):
         for r in ancestor_paths(edges, "child", "parent", max_depth=50).collect()
     )
     assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 1), (4, 5, 1)]
+
+
+def test_apply_cdc_rejects_unknown_ops(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import PySparkRuntimeError
+
+    from etl_deltalake_spark.operators.reconcile import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "b", "UPSERT")], "k long, v string, op string"
+    )
+    with pytest.raises(Exception) as e:
+        apply_cdc(base, changes, ["k"]).collect()
+    assert "unknown op" in str(e.value)
