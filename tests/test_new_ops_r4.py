@@ -221,3 +221,62 @@ def test_apply_cdc_rejects_unknown_ops(spark):
     with pytest.raises(Exception) as e:
         apply_cdc(base, changes, ["k"]).collect()
     assert "unknown op" in str(e.value)
+
+
+def test_grouped_isotonic_matches_reference_pava(spark, sf_dir):
+    """Distributed PAVA vs an independent driver-side reference on
+    the same (x, y, id)-sorted sequences, plus the isotonic
+    optimality conditions: fit is non-decreasing and preserves the
+    group's sum (least-squares projection property)."""
+    from etl_deltalake_spark.operators.stats import grouped_isotonic
+
+    from pyspark.sql import Window
+
+    # the fixture has duplicate (orderkey, linenumber) pairs, so a
+    # derived key is NOT unique — assign a deterministic unique rid
+    # via a total-order row_number
+    w = Window.orderBy(
+        "l_orderkey", "l_linenumber", "l_shipdate", "x", "y"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        "l_orderkey", "l_linenumber", "l_shipdate",
+    ).withColumn("rid", F.row_number().over(w).cast("long")).drop(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    out = grouped_isotonic(li, ["l_returnflag"], "x", "y", "rid")
+    rows = out.collect()
+    assert len(rows) == li.count()
+
+    def ref_pava(ys):
+        sums, cnts = [], []
+        for v in ys:
+            sums.append(float(v))
+            cnts.append(1)
+            while len(sums) > 1 and sums[-2] * cnts[-1] > sums[-1] * cnts[-2]:
+                s, c = sums.pop(), cnts.pop()
+                sums[-1] += s
+                cnts[-1] += c
+        fit = []
+        for s, c in zip(sums, cnts):
+            fit.extend([s / c] * c)
+        return fit
+
+    by_group: dict = {}
+    for r in li.collect():
+        by_group.setdefault(r["l_returnflag"], []).append(
+            (r["x"], r["y"], r["rid"])
+        )
+    got = {
+        (r["l_returnflag"], r["rid"]): r["y_iso"] for r in rows
+    }
+    for g, pts in by_group.items():
+        pts.sort()
+        want = ref_pava([y for _, y, _ in pts])
+        fits = [got[(g, rid)] for _, _, rid in pts]
+        assert fits == [round(w, 9) for w in want], f"group {g} diverged"
+        # optimality conditions
+        assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
+        assert abs(sum(fits) - sum(y for _, y, _ in pts)) < 1e-3
