@@ -280,3 +280,55 @@ def test_grouped_isotonic_matches_reference_pava(spark, sf_dir):
         # optimality conditions
         assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
         assert abs(sum(fits) - sum(y for _, y, _ in pts)) < 1e-3
+
+
+def test_bloom_probe_is_scan_side_no_exchange(spark, sf_dir):
+    """The Bloom membership test must compile to pure scan-side
+    expressions — zero exchanges in the probe plan (the whole point
+    of the runtime-filter pattern)."""
+    from etl_deltalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from etl_deltalake_spark.plans.inspect import plan_string
+
+    dim = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_acctbal") > 9000
+    )
+    words = bloom_build(dim, "c_custkey", n_words=64)
+    probe = load_table(spark, "orders", sf_dir).filter(
+        bloom_might_contain(F.col("o_custkey"), words)
+    )
+    plan = plan_string(probe)
+    assert "Exchange" not in plan, plan
+
+
+def test_winsorize_bounds_join_is_broadcast(spark, sf_dir):
+    """The per-group bounds table must come back as a
+    BroadcastHashJoin — raw rows never shuffle for the clamp."""
+    from etl_deltalake_spark.operators.stats import winsorize
+    from etl_deltalake_spark.plans.inspect import plan_string
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    plan = plan_string(winsorize(li, ["l_returnflag"], "price"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_session_stats_single_user_exchange(spark, sf_dir):
+    """sessionize + session_stats must plan exactly ONE exchange
+    (hashpartitioning on the user key): the rollup's grouping keys
+    contain the window's partitioning, so EnsureRequirements adds no
+    second shuffle."""
+    from etl_deltalake_spark.operators.behavior import session_stats
+    from etl_deltalake_spark.plans.inspect import plan_string
+
+    ev = load_table(spark, "events", sf_dir)
+    df = session_stats(ev, "user_id", "ts", 1800, ["event_id"])
+    df.count()
+    plan = plan_string(df)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan
+    assert "user_id" in exchanges[0], exchanges[0]
