@@ -872,3 +872,57 @@ def grouped_isotonic(
         .groupBy(*gcols)
         .applyInPandas(fit, schema)
     )
+
+
+def benford_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution per group vs Benford's
+    law — the classic fabricated-data / unit-mix smell test for
+    financial columns. Output per (group, digit 1-9): observed
+    count, observed fraction, and the Benford expectation
+    log10(1 + 1/d), both rounded to ``scale``.
+
+    Digit extraction avoids float log/pow boundary hazards entirely:
+    the value renders through an exact DECIMAL(18,2) cast to a plain
+    string (identical rendering in any engine — no scientific
+    notation) and the first [1-9] match is the digit. Zero values
+    drop (they have no leading significant digit).
+
+    One groupBy on (group, digit); totals ride a per-group window
+    over the 9-row-per-group aggregate — nothing data-sized
+    shuffles twice.
+    """
+    import math
+
+    s = F.abs(F.col(value_col)).cast("decimal(18,2)").cast("string")
+    digit = F.regexp_extract(s, "[1-9]", 0)
+    base = (
+        df.filter(F.abs(F.col(value_col)) > 0)
+        .select(*group_cols, digit.alias("digit"))
+        .filter(F.col("digit") != "")
+    )
+    counts = base.groupBy(*group_cols, "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w = Window.partitionBy(*group_cols)
+    benford = None
+    for d in range(1, 10):
+        frac = F.lit(round(math.log10(1 + 1 / d), scale))
+        benford = (
+            F.when(F.col("digit") == str(d), frac)
+            if benford is None
+            else benford.when(F.col("digit") == str(d), frac)
+        )
+    return counts.select(
+        *group_cols,
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.sum("n_obs").over(w), scale).alias(
+            "obs_frac"
+        ),
+        benford.alias("benford_frac"),
+    )

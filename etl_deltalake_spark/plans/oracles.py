@@ -3271,3 +3271,46 @@ oracle("q_cdc_apply")(
     ORDER BY o_orderkey
     """
 )
+
+oracle("q_benford")(
+    """
+    WITH d AS (
+      SELECT l_returnflag,
+             regexp_extract(ABS(l_extendedprice)::DECIMAL(18,2)::VARCHAR,
+                            '[1-9]') AS digit
+      FROM lineitem WHERE ABS(l_extendedprice) > 0
+    ),
+    c AS (
+      SELECT l_returnflag, digit, COUNT(*)::BIGINT AS n_obs
+      FROM d WHERE digit <> '' GROUP BY 1, 2
+    )
+    SELECT l_returnflag, digit, n_obs,
+      ROUND(n_obs / SUM(n_obs) OVER (PARTITION BY l_returnflag), 6)
+        AS obs_frac,
+      ROUND(log10(1 + 1.0 / digit::INT), 6) AS benford_frac
+    FROM c
+    ORDER BY l_returnflag, digit
+    """
+)
+
+oracle("q_array_funcs")(
+    """
+    WITH g AS (
+      SELECT l_orderkey,
+             list_sort(list(DISTINCT l_partkey)) AS parts,
+             list_sort(list(DISTINCT l_suppkey)) AS supps
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+      len(list_intersect(parts, supps))::BIGINT AS n_common,
+      len(list_distinct(list_concat(parts, supps)))::BIGINT AS n_all,
+      len(list_filter(parts, x -> NOT list_contains(supps, x)))::BIGINT
+        AS n_only_parts,
+      parts[1] AS min_part,
+      len(list_filter(parts, x -> x % 2 = 0))::BIGINT AS n_even_parts,
+      list_aggregate(parts, 'sum')::BIGINT AS sum_parts,
+      len(list_filter(supps, x -> x < 100)) > 0 AS any_small_supp
+    FROM g
+    ORDER BY l_orderkey
+    """
+)

@@ -2005,3 +2005,47 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc(
         base, changes, ["o_orderkey"], op_col="op", seq_col="seq"
     ).orderBy("o_orderkey")
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of extended price per returnflag
+    (operators/stats.benford_profile) — digit extraction through an
+    exact decimal string render, no float log/pow boundaries."""
+    from etl_deltalake_spark.operators.stats import benford_profile
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return benford_profile(
+        li, ["l_returnflag"], "l_extendedprice"
+    ).orderBy("l_returnflag", "digit")
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation and higher-order-function breadth (SURVEY
+    §2.8 scalar library, array half): per-order sorted distinct
+    part/supplier key sets, then intersect/union/except sizes, an
+    aggregate fold sum, a filter count, and an exists test — every
+    result a scalar, so engine-specific array ORDER semantics never
+    reach the comparison."""
+    li = load_table(spark, "lineitem", sf_dir)
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts"),
+        F.array_sort(F.collect_set("l_suppkey")).alias("supps"),
+    )
+    return grp.select(
+        "l_orderkey",
+        F.size(F.array_intersect("parts", "supps"))
+        .cast("bigint")
+        .alias("n_common"),
+        F.size(F.array_union("parts", "supps")).cast("bigint").alias("n_all"),
+        F.size(F.array_except("parts", "supps"))
+        .cast("bigint")
+        .alias("n_only_parts"),
+        F.element_at("parts", 1).alias("min_part"),
+        F.size(F.filter("parts", lambda x: x % 2 == 0))
+        .cast("bigint")
+        .alias("n_even_parts"),
+        F.aggregate(
+            "parts", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sum_parts"),
+        F.exists("supps", lambda x: x < 100).alias("any_small_supp"),
+    ).orderBy("l_orderkey")

@@ -230,6 +230,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_stream_topk",
     "q_mode",
     "q_cdc_apply",
+    "q_benford",
+    "q_array_funcs",
 )
 
 
