@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 # Word-ish tokens or single punctuation — a BPE-ish pre-tokenizer
 # split (public GPT-2-style regex simplified to RE2-safe form).
-TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+# Unicode classes (\p{L} letters, \p{M} combining marks, \p{N} digits)
+# so non-Latin scripts tokenize as words instead of dissolving into
+# per-char punctuation; identical semantics in Java regex and DuckDB
+# RE2 (verified over zh/ru/ar/el/hi/vi/ko fixtures). Known caveat:
+# Turkish İ diverges because the ENGINES' lower() differs (Java
+# full-folds İ→i+U+0307, DuckDB simple-folds İ→i) — a case-folding
+# property of lower(), not of these patterns.
+TOKEN_PATTERN = r"[\p{L}\p{M}\p{N}_]+|[^\p{L}\p{M}\p{N}_\s]"
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
@@ -65,7 +72,9 @@ def stopword_ratio(col: str) -> Column:
 def punct_ratio(col: str) -> Column:
     """Punctuation chars / total chars (round 6); 0 for empty."""
     total = F.length(col).cast("double")
-    punct = (total - F.length(F.regexp_replace(col, r"[^\w\s]", ""))).cast("double")
+    punct = (
+        total - F.length(F.regexp_replace(col, r"[^\p{L}\p{M}\p{N}_\s]", ""))
+    ).cast("double")
     return F.when(total == 0, F.lit(0.0)).otherwise(F.round(punct / total, 6))
 
 
@@ -116,8 +125,17 @@ def lang_id(col: str) -> Column:
 
 
 def normalize_text(col: str) -> Column:
-    """Canonical form: lowercase, strip punctuation, collapse spaces."""
-    cleaned = F.regexp_replace(F.lower(F.col(col)), r"[^a-z0-9\s]", " ")
+    """Canonical form: lowercase, strip punctuation, collapse spaces.
+
+    Unicode-aware: keeps any letter (\\p{L}), combining mark (\\p{M} —
+    Devanagari matras, Vietnamese NFD accents) and digit (\\p{N}), so
+    Chinese/Cyrillic/Arabic/accented-Latin documents keep distinct
+    normal forms instead of collapsing to (near-)empty — the ASCII-only
+    form silently collided every non-Latin document into one dedup
+    fingerprint. Same classes in DuckDB RE2 (oracles._NORM); the one
+    known engine divergence is Turkish İ, whose lower() folds
+    differently in the JVM vs DuckDB (see TOKEN_PATTERN note)."""
+    cleaned = F.regexp_replace(F.lower(F.col(col)), r"[^\p{L}\p{M}\p{N}\s]", " ")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 

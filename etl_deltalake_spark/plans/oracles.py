@@ -383,11 +383,16 @@ oracle("q_datetime_funcs")(
 
 # ---------------------------------------------------------------- extensions
 
+# Unicode classes mirror operators/text.py exactly (Java regex and
+# DuckDB RE2 agree on \p{L}\p{M}\p{N}; verified on zh/ru/ar/el/hi/vi/ko).
 _NORM = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
-    " '\\s+', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^\\p{L}\\p{M}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
-_TOKEN_PAT = "'[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'"
+_TOKEN_PAT = "'[\\p{L}\\p{M}\\p{N}_]+|[^\\p{L}\\p{M}\\p{N}_\\s]'"
+# Non-punctuation keep-class applied to raw text (punct_ratio mirror);
+# plain constant so f-string oracles don't need brace escaping.
+_PUNCT_STRIP = "regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}_\\s]', '', 'g')"
 _STOPS = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
 
 oracle("q_text_stats")(
@@ -406,7 +411,7 @@ oracle("q_text_stats")(
         ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                               w -> w IN {_STOPS}))
               / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stop_ratio,
-        ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        ROUND((length(text) - length({_PUNCT_STRIP}))
               / length(text), 6) AS punct_ratio,
         CAST(length(text) AS DOUBLE) AS len_chars
       FROM documents
@@ -767,7 +772,7 @@ oracle("q_corpus_prep")(
                 / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
             AS stop_ratio,
           ROUND((length(text)
-                 - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 - length({_PUNCT_STRIP}))
                 / length(text), 6) AS punct_ratio,
           c_de, c_en, c_es, c_fr, c_zh,
           GREATEST(c_de, c_en, c_es, c_fr, c_zh) AS best

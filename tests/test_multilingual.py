@@ -1,0 +1,136 @@
+"""Multilingual text-normalization gate (round-5, VERDICT Wrong #1).
+
+The pre-round-5 `normalize_text` was ASCII-only: every non-Latin
+document normalized to (near-)empty, so the whole dedup family
+collapsed a multilingual corpus into one fingerprint. These tests pin
+the Unicode behavior with a mixed zh/ru/es/ar/el/hi/vi/ko fixture and
+grade Spark against an independent DuckDB oracle using the SAME
+Unicode classes (plans/oracles._NORM / _TOKEN_PAT):
+
+1. non-identical docs in ANY script get DISTINCT fingerprints;
+2. exact duplicates still collapse (per-script duplicate pairs);
+3. Spark's normalized text / token arrays match DuckDB byte-for-byte;
+4. exact_dedup_stats output matches the oracle SQL on this corpus.
+
+Known engine caveat excluded from fixtures: Turkish İ (the engines'
+lower() itself diverges — JVM full-folds İ→i+U+0307, DuckDB RE2
+simple-folds İ→i; a case-folding property, not a regex one).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.dedup import exact_dedup_stats, shingle_rows
+from etl_deltalake_spark.operators.text import normalize_text, tokens
+from etl_deltalake_spark.plans.oracles import _NORM, _TOKEN_PAT
+
+# (doc_id, text) — one unique doc per script plus an exact duplicate
+# pair per script (ids 100+ duplicate ids 1..8 verbatim).
+ML_DOCS = [
+    (1, "Hello, WORLD! This is plain English text no. 123."),
+    (2, "Привет, мир — это первый русский документ №42."),
+    (3, "你好，世界。这是一段中文文本，用于测试！"),
+    (4, "¡Hola, señor! ¿Cómo está? Café y niño añejo."),
+    (5, "مرحبا بالعالم، هذه وثيقة عربية رقم 456."),
+    (6, "Ελληνικά κείμενο· αυτή είναι μια δοκιμή."),
+    (7, "हिन्दी में यह एक परीक्षण पाठ है, संख्या १२३।"),
+    (8, "Tiếng Việt có dấu: đây là văn bản thử nghiệm."),
+    (9, "한국어 텍스트입니다. 중복 제거 테스트!"),
+    (10, "日本語のテキストです。２０２５年のテスト！"),
+    # second distinct doc per heavy script — must NOT collide
+    (11, "你好，世界。这是另一段不同的中文文本。"),
+    (12, "Привет, мир — это ВТОРОЙ русский документ."),
+    # exact duplicates (same content, new ids) — MUST collide
+    (101, "Hello, WORLD! This is plain English text no. 123."),
+    (103, "你好，世界。这是一段中文文本，用于测试！"),
+    (102, "Привет, мир — это первый русский документ №42."),
+    (105, "مرحبا بالعالم، هذه وثيقة عربية رقم 456."),
+]
+
+
+@pytest.fixture(scope="module")
+def ml_spark(spark):
+    return spark.createDataFrame(ML_DOCS, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def ml_duck():
+    con = duckdb.connect()
+    ml_df = pd.DataFrame(ML_DOCS, columns=["doc_id", "text"])
+    con.register("ml_pandas", ml_df)
+    con.execute("CREATE VIEW documents AS SELECT * FROM ml_pandas")
+    yield con
+    con.close()
+
+
+def test_normalized_text_matches_oracle_bytewise(ml_spark, ml_duck):
+    s = {
+        r["doc_id"]: r["norm"]
+        for r in ml_spark.select(
+            "doc_id", normalize_text("text").alias("norm")
+        ).collect()
+    }
+    d = dict(
+        ml_duck.execute(f"SELECT doc_id, {_NORM} FROM documents").fetchall()
+    )
+    assert s == d
+    # sanity: nothing normalized to empty (the ASCII-only failure mode)
+    assert all(len(v) > 0 for v in s.values())
+
+
+def test_tokens_match_oracle(ml_spark, ml_duck):
+    s = {
+        r["doc_id"]: list(r["t"])
+        for r in ml_spark.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    d = dict(
+        ml_duck.execute(
+            f"SELECT doc_id, regexp_extract_all(lower(text), {_TOKEN_PAT})"
+            " FROM documents"
+        ).fetchall()
+    )
+    assert s == {k: list(v) for k, v in d.items()}
+    # zh docs tokenize into word runs, not per-char punctuation soup
+    assert any(len(t) >= 2 for i, t in s.items() if i == 3)
+
+
+def test_exact_dedup_no_cross_script_collisions(ml_spark):
+    out = exact_dedup_stats(ml_spark, "doc_id", "text").collect()
+    # 12 distinct contents (ids 1..12); 4 of them duplicated once
+    assert len(out) == 12
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert {i for i, n in by_canon.items() if n == 2} == {1, 2, 3, 5}
+    assert all(n == 1 for i, n in by_canon.items() if i not in (1, 2, 3, 5))
+
+
+def test_exact_dedup_matches_oracle(ml_spark, ml_duck):
+    s_rows = sorted(
+        (r["fp"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup_stats(ml_spark, "doc_id", "text").collect()
+    )
+    d_rows = sorted(
+        ml_duck.execute(
+            f"""
+            SELECT md5({_NORM}) AS fp,
+                   MIN(doc_id) AS canonical_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert s_rows == d_rows
+
+
+def test_shingles_nonempty_for_cjk(ml_spark):
+    # CJK has no spaces — shingle_rows must still emit ≥1 gram per doc
+    sh = shingle_rows(ml_spark, "doc_id", "text", k=3)
+    counts = {
+        r["doc"]: r["n"]
+        for r in sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {d for d, _ in ML_DOCS}
+    assert all(n >= 1 for n in counts.values())
