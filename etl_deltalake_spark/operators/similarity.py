@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -893,6 +893,7 @@ def pq_encode(
     vec_col: str,
     codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
     scale: int = 6,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Encode vectors to PQ codes: per subspace, the id of the
     nearest (min rounded squared-L2, ties low) centroid.
@@ -900,13 +901,17 @@ def pq_encode(
     Pure scan-side column expressions: subvectors materialize once
     in their own projection, each (subspace, centroid) distance fold
     evaluates once, per-subspace argmins select the codes. Zero
-    shuffles; output is (id, codes array<long>) — the compressed
-    representation downstream ADC scoring consumes.
+    shuffles; output is (id, *keep_cols, codes array<long>) — the
+    compressed representation downstream ADC scoring consumes.
+    ``keep_cols`` passes extra columns through untouched (e.g. the
+    IVF ``cluster_id`` when building the persisted index layout).
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0][1])
+    keep = [F.col(c) for c in keep_cols]
     subbed = df.select(
         F.col(id_col),
+        *keep,
         *[
             F.slice(_to_double(F.col(vec_col)), j * dsub + 1, dsub).alias(f"_sub{j}")
             for j in range(m)
@@ -922,7 +927,7 @@ def pq_encode(
                     scale,
                 ).alias(f"_d{j}_{cid}")
             )
-    disted = subbed.select(F.col(id_col), *dist_cols)
+    disted = subbed.select(F.col(id_col), *keep, *dist_cols)
     codes = []
     for j, cb in enumerate(codebooks):
         cids = sorted(cid for cid, _ in cb)
@@ -939,10 +944,72 @@ def pq_encode(
                 else code.when(cond, F.lit(cid))
             )
         codes.append(code.cast("long").alias(f"_c{j}"))
-    return disted.select(F.col(id_col), *codes).select(
+    return disted.select(F.col(id_col), *keep, *codes).select(
         F.col(id_col),
+        *keep,
         F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
     )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    path: str,
+    scale: int = 6,
+) -> None:
+    """Materialize the PRODUCTION ANN layout (VERDICT r4 Next #4):
+    one pass assigns every vector to its IVF cluster and PQ-encodes
+    it, then writes (id, codes) as parquet PARTITIONED BY cluster_id.
+
+    This separates train/ingest cost from query cost: ``ivfpq_topk``
+    re-derives assignment + encode per query (fine for one-off runs,
+    wrong for a serving index), while a query over this layout is
+    partition pruning (only the ``nprobe`` probed cluster directories
+    are even listed) + an ADC literal-table scan over m-byte codes —
+    no vector math, no full scan. At 100 TB the index is ~m bytes a
+    vector and each query touches nprobe/nlist of it; rebuilds are
+    incremental by cluster partition.
+
+    Assignment and encoding reuse the deterministic oracle-mirrored
+    primitives, so a query over the index is bit-identical to the
+    from-scratch ``ivfpq_topk`` with the same codebooks (pinned by
+    tests/test_new_ops_r5.py and the q_ivfpq_pretrained oracle).
+    """
+    assigned = ivf_assign_df(df, id_col, vec_col, centroids, scale)
+    codes = pq_encode(
+        assigned, id_col, vec_col, codebooks, scale, keep_cols=("cluster_id",)
+    )
+    codes.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def ivfpq_pretrained_topk(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    k: int = 10,
+    nprobe: int = 1,
+    scale: int = 6,
+) -> DataFrame:
+    """ANN top-k over a persisted ``build_ivfpq_index`` layout: pick
+    the ``nprobe`` best clusters driver-side (codebook-sized math),
+    scan ONLY those partitions (``cluster_id IN ...`` on the
+    partition column → directory-level pruning, asserted via
+    files_touched in tests), ADC-score the codes. The only data read
+    is the probed clusters' (id, codes) columns."""
+    probed = sorted(
+        centroids, key=lambda c: (-_cos_py(query_vec, c[1], scale), c[0])
+    )[:nprobe]
+    probe_ids = [int(cid) for cid, _ in probed]
+    idx = spark.read.parquet(index_path).filter(
+        F.col("cluster_id").isin(probe_ids)
+    )
+    return pq_adc_topk(idx, id_col, query_vec, codebooks, k, scale)
 
 
 def _round_half_up(x: float, scale: int = 6) -> float:

@@ -3319,3 +3319,46 @@ oracle("q_array_funcs")(
     ORDER BY l_orderkey
     """
 )
+
+
+# ---------------------------------------------------------------- round 5
+
+# Persisted-index ANN: the layout only moves assignment+encode to
+# ingest time, so the result equals the from-scratch IVF+PQ chain at
+# the query's nprobe — one generator, no second derivation to drift.
+oracle("q_ivfpq_pretrained")(_pq_topk_sql(nprobe=3, k=10))
+
+
+def _cosine_topk_sql(k: int) -> str:
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id
+    FROM embeddings, q
+    ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+               DESC,
+             vec_id ASC
+    LIMIT {k}
+    """
+
+
+oracle("q_ann_recall")(
+    f"""
+    WITH exact10 AS ({_cosine_topk_sql(10)}),
+    exact5 AS ({_cosine_topk_sql(5)}),
+    ivf AS (SELECT vec_id FROM ({_pq_topk_sql(nprobe=2, k=10)})),
+    lsh AS (SELECT vec_id FROM ({_ann_bucket_sql(k=5)}))
+    SELECT 'ivfpq' AS method, CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM ivf JOIN exact10 USING (vec_id)) AS n_hits,
+           ROUND((SELECT COUNT(*)
+                  FROM ivf JOIN exact10 USING (vec_id)) / 10.0, 6) AS recall
+    UNION ALL
+    SELECT 'lsh_bucket', CAST(5 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM lsh JOIN exact5 USING (vec_id)),
+           ROUND((SELECT COUNT(*)
+                  FROM lsh JOIN exact5 USING (vec_id)) / 5.0, 6)
+    """
+)

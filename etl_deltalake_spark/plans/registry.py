@@ -232,6 +232,9 @@ SLOTLESS: tuple[str, ...] = (
     "q_cdc_apply",
     "q_benford",
     "q_array_funcs",
+    # round 5
+    "q_ivfpq_pretrained",
+    "q_ann_recall",
 )
 
 

@@ -1,0 +1,72 @@
+"""Round-5 operator gates: persisted IVF+PQ index (partition-pruned
+plan), ANN recall grading. The oracle comparisons for the new
+queries ride tests/test_retired_queries.py via the SLOTLESS registry;
+this file carries the plan-shape and equivalence assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.partitioning import files_touched
+from etl_deltalake_spark.plans import queries_ext as qx
+
+
+def test_ivfpq_index_partition_pruning(spark, sf_dir):
+    """A pretrained-index query must touch ONLY the probed clusters'
+    partition directories: files_touched(pruned) < files_touched(full
+    index), and the probed cluster count matches nprobe."""
+    path = qx._ivfpq_index_path(spark, sf_dir)
+    full = spark.read.parquet(path)
+    total_files = files_touched(full)
+    n_clusters = full.select("cluster_id").distinct().count()
+    assert n_clusters > 3, "fixture must have more clusters than nprobe"
+
+    from etl_deltalake_spark.operators.similarity import _cos_py
+
+    qv = qx._query_vec(spark, sf_dir)
+    cents = qx._ivf_centroids(spark, sf_dir)
+    probed = sorted(cents, key=lambda c: (-_cos_py(qv, c[1]), c[0]))[:3]
+    pruned = full.filter(
+        F.col("cluster_id").isin([int(c) for c, _ in probed])
+    )
+    pruned_files = files_touched(pruned)
+    assert pruned_files < total_files, (
+        f"partition pruning ineffective: {pruned_files}/{total_files} files"
+    )
+    # directory-level pruning shows up as PartitionFilters in the scan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_ivfpq_pretrained_equals_from_scratch(spark, sf_dir):
+    """The persisted layout only moves assignment+encode to ingest:
+    query results must be bit-identical to the from-scratch
+    composition at the same nprobe/k."""
+    from etl_deltalake_spark.operators.similarity import ivfpq_topk
+
+    emb = qx.load_table(spark, "embeddings", sf_dir)
+    fresh = ivfpq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        qx._query_vec(spark, sf_dir),
+        qx._ivf_centroids(spark, sf_dir),
+        qx._pq_books(spark, sf_dir),
+        k=10,
+        nprobe=3,
+    )
+    pre = qx.q_ivfpq_pretrained(spark, sf_dir)
+    f_rows = sorted(tuple(r) for r in fresh.collect())
+    p_rows = sorted(tuple(r) for r in pre.collect())
+    assert f_rows == p_rows
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    """Recall rows must be well-formed: one per method, hits ≤ k,
+    recall = hits/k, and the exact method would be 1.0 by
+    construction (sanity of the formula, not of the index)."""
+    rows = {r["method"]: r for r in qx.q_ann_recall(spark, sf_dir).collect()}
+    assert set(rows) == {"ivfpq", "lsh_bucket"}
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert abs(r["recall"] - r["n_hits"] / r["k"]) < 1e-9
