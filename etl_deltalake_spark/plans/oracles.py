@@ -3362,3 +3362,61 @@ oracle("q_ann_recall")(
                   FROM lsh JOIN exact5 USING (vec_id)) / 5.0, 6)
     """
 )
+
+
+def _sig_sql(src_sh: str) -> str:
+    return (
+        f"SELECT doc_id, list_transform(range(0, 16), j -> "
+        f"list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))"
+        f") AS sig FROM {src_sh}"
+    )
+
+
+def _band_sql(src_sig: str) -> str:
+    return (
+        f"SELECT doc_id, sig, "
+        f"unnest(list_transform(range(0, 4), b -> "
+        f"md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band_hash, "
+        f"unnest(range(0, 4)) AS band_idx FROM {src_sig}"
+    )
+
+
+_EST_J = "ROUND(len(list_filter(range(1, 17), i -> {a}.sig[i] = {b}.sig[i])) / 16.0, 6)"
+
+oracle("q_incr_neardup")(
+    f"""
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    shh AS ({_shingles_sql("hist")}),
+    shb AS ({_shingles_sql("bat")}),
+    sigh AS ({_sig_sql("shh")}),
+    sigb AS ({_sig_sql("shb")}),
+    bandh AS ({_band_sql("sigh")}),
+    bandb AS ({_band_sql("sigb")}),
+    hist_hits AS (
+      SELECT DISTINCT n.doc_id FROM bandb n JOIN bandh h
+        ON n.band_idx = h.band_idx AND n.band_hash = h.band_hash
+      WHERE {_EST_J.format(a="n", b="h")} >= 0.5
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandb a JOIN bandb b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      WHERE {_EST_J.format(a="a", b="b")} >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION ALL
+      SELECT doc_b, doc_a FROM prs
+    ),
+    l0 AS (SELECT DISTINCT src AS doc, src AS label FROM edges){_lp_rounds}
+    SELECT b.doc_id AS doc,
+           (b.doc_id IN (SELECT doc_id FROM hist_hits)) AS hist_dup,
+           COALESCE(l4.label, b.doc_id) AS cluster,
+           ((b.doc_id NOT IN (SELECT doc_id FROM hist_hits))
+            AND COALESCE(l4.label, b.doc_id) = b.doc_id) AS kept
+    FROM bat b LEFT JOIN l4 ON l4.doc = b.doc_id
+    ORDER BY doc
+    """
+)

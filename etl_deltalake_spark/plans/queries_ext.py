@@ -2150,3 +2150,46 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("ivfpq", ivf, exact10, 10).unionByName(
         row("lsh_bucket", lsh, exact5, 5)
     )
+
+
+_NEARDUP_STORE_CACHE: dict[str, str] = {}
+
+
+def _neardup_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the persisted MinHash signature/band store for
+    the HISTORY slice (doc_id % 3 == 0) — dedup.minhash_store written
+    to parquet. Deterministic, so a store left by an earlier process
+    is byte-compatible and reused (the ANN-index precedent)."""
+    if sf_dir not in _NEARDUP_STORE_CACHE:
+        import os
+
+        from etl_deltalake_spark.operators.dedup import minhash_store
+
+        sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = f"/tmp/spark_graft_neardup/{sfname}/store_v1_k3_p16_b4"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            hist = load_table(spark, "documents", sf_dir).filter(
+                F.col("doc_id") % 3 == 0
+            )
+            minhash_store(hist, "doc_id", "text").write.mode(
+                "overwrite"
+            ).parquet(path)
+        _NEARDUP_STORE_CACHE[sf_dir] = path
+    return _NEARDUP_STORE_CACHE[sf_dir]
+
+
+def q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup of a new batch (doc_id % 3 != 0)
+    against the persisted MinHash store of history (doc_id % 3 == 0)
+    — round 5, VERDICT r4 Next #6. History text is never re-read:
+    the probe joins the batch's bands against stored band hashes and
+    verifies with signature-estimated Jaccard
+    (operators/dedup.incremental_neardup); within-batch near-dups
+    cluster via label propagation and keep the min-id canonical."""
+    from etl_deltalake_spark.operators.dedup import incremental_neardup
+
+    store = spark.read.parquet(_neardup_store_path(spark, sf_dir))
+    batch = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 3 != 0
+    )
+    return incremental_neardup(batch, store, "doc_id", "text").orderBy("doc")

@@ -235,6 +235,7 @@ SLOTLESS: tuple[str, ...] = (
     # round 5
     "q_ivfpq_pretrained",
     "q_ann_recall",
+    "q_incr_neardup",
 )
 
 

@@ -61,6 +61,38 @@ def test_ivfpq_pretrained_equals_from_scratch(spark, sf_dir):
     assert f_rows == p_rows
 
 
+def test_incr_neardup_history_never_recomputed(spark, sf_dir):
+    """The incremental probe must consume the persisted store AS-IS:
+    the result's executed plan scans the store parquet but contains
+    NO scan of the documents table on the history side (batch-side
+    text work is pinned behind its localCheckpoint, so any documents
+    scan in this plan would be a history recomputation)."""
+    df = qx.q_incr_neardup(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "spark_graft_neardup" in plan, "store scan missing from plan"
+    assert "documents" not in plan, "history text rescanned in probe plan"
+
+
+def test_incr_neardup_semantics(spark, sf_dir):
+    """One row per batch doc; exact duplicates of history docs are
+    flagged hist_dup (the fixture's duplicate pairs straddle the
+    %3 split); kept implies canonical and not hist_dup."""
+    rows = qx.q_incr_neardup(spark, sf_dir).collect()
+    batch_n = (
+        qx.load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .count()
+    )
+    assert len(rows) == batch_n
+    assert any(r["hist_dup"] for r in rows), (
+        "fixture should have batch docs near-duplicating history"
+    )
+    for r in rows:
+        if r["kept"]:
+            assert not r["hist_dup"] and r["cluster"] == r["doc"]
+
+
 def test_ann_recall_bounds(spark, sf_dir):
     """Recall rows must be well-formed: one per method, hits ≤ k,
     recall = hits/k, and the exact method would be 1.0 by
