@@ -8,12 +8,14 @@ the container has no Pillow/ffmpeg, but PNG (the fixture format) is
 fully decodable from first principles.
 
 Scope (honest gates, not padding):
- - bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-   6 (RGBA), interlace 0. Palette (type 3), 1/2/4/16-bit depths and
-   Adam7 interlace raise ``UnsupportedPngError`` with the reason —
-   a corrupt or unsupported payload must not kill a 100 TB job, so
-   the Spark kernel maps these to an ``err`` column instead of
-   failing the task (see multimodal.decode_image).
+ - bit depths 8 and 16 for color types 0 (gray), 2 (RGB),
+   4 (gray+alpha), 6 (RGBA); palette (type 3, 8-bit indices,
+   expanded through PLTE to RGB on decode); interlace 0. Remaining
+   gates — 1/2/4-bit packed depths, Adam7 interlace, palette tRNS —
+   raise ``UnsupportedPngError`` with the reason: a corrupt or
+   unsupported payload must not kill a 100 TB job, so the Spark
+   kernel maps these to an ``err`` column instead of failing the
+   task (see multimodal.decode_image).
  - The per-scanline unfilter (Sub/Up/Average/Paeth, PNG spec §9) is
    sequential along x by construction (each byte's predictor uses the
    reconstructed byte bpp positions back), so the inner loop is
@@ -76,16 +78,28 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> DecodedImage:
-    """Decode a PNG byte string to raw 8-bit pixel bytes.
+    """Decode a PNG byte string to raw pixel bytes.
 
     Full container parse: signature, chunk walk with CRC verification,
     IDAT concatenation, zlib inflate, per-scanline unfilter.
+
+    Depth/type coverage (round 5 widened the two biggest gates):
+     - 8-bit gray/RGB/GA/RGBA (types 0/2/4/6) → 1 byte per sample;
+     - 16-bit of the same types → ``pixels`` keeps the big-endian
+       2-byte samples (``bit_depth`` 16, row stride
+       width*channels*2) — no precision-losing downsample;
+     - palette (type 3, 8-bit indices) → indices expand through PLTE
+       to RGB, so callers always see real samples (``channels`` 3,
+       ``bit_depth`` 8).
+    Still honestly gated: 1/2/4-bit packed depths, Adam7 interlace,
+    and palette tRNS transparency raise ``UnsupportedPngError``.
     """
     if len(data) < 8 or data[:8] != PNG_SIGNATURE:
         raise PngError("not a PNG: bad signature")
     pos = 8
     ihdr: tuple[int, int, int, int] | None = None
     idat = bytearray()
+    palette: bytes | None = None
     seen_iend = False
     while pos < len(data):
         if pos + 8 > len(data):
@@ -109,15 +123,34 @@ def decode_png(data: bytes) -> DecodedImage:
                 raise PngError("unknown compression/filter method")
             if interlace != 0:
                 raise UnsupportedPngError("Adam7 interlace not supported")
-            if bit_depth != 8:
-                raise UnsupportedPngError(f"bit depth {bit_depth} not supported")
-            if color_type not in CHANNELS:
+            if color_type == 3:
+                if bit_depth != 8:
+                    raise UnsupportedPngError(
+                        f"palette bit depth {bit_depth} not supported"
+                    )
+            elif color_type in CHANNELS:
+                if bit_depth not in (8, 16):
+                    raise UnsupportedPngError(
+                        f"bit depth {bit_depth} not supported"
+                    )
+            else:
                 raise UnsupportedPngError(
-                    f"color type {color_type} (palette?) not supported"
+                    f"color type {color_type} not supported"
                 )
             if width == 0 or height == 0:
                 raise PngError("zero-dimension image")
             ihdr = (width, height, bit_depth, color_type)
+        elif ctype == b"PLTE":
+            if ihdr is None:
+                raise PngError("PLTE before IHDR")
+            if length == 0 or length % 3 != 0 or length > 256 * 3:
+                raise PngError(f"bad PLTE length {length}")
+            palette = bytes(body)
+        elif ctype == b"tRNS":
+            if ihdr is not None and ihdr[3] == 3:
+                raise UnsupportedPngError(
+                    "palette transparency (tRNS) not supported"
+                )
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise PngError("IDAT before IHDR")
@@ -132,7 +165,10 @@ def decode_png(data: bytes) -> DecodedImage:
     if not idat:
         raise PngError("missing IDAT")
     width, height, bit_depth, color_type = ihdr
-    bpp = CHANNELS[color_type]  # bytes per pixel at depth 8
+    if color_type == 3 and palette is None:
+        raise PngError("palette image missing PLTE chunk")
+    samples = 1 if color_type == 3 else CHANNELS[color_type]
+    bpp = samples * (bit_depth // 8)  # filter unit: bytes per pixel
     stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
@@ -177,7 +213,20 @@ def decode_png(data: bytes) -> DecodedImage:
                 out[o + x] = (line[x] + _paeth(a, b, c)) & 0xFF
         else:
             raise PngError(f"unknown filter type {ftype} on scanline {y}")
-    return DecodedImage(width, height, color_type, bpp, bit_depth, bytes(out))
+    if color_type == 3:
+        # expand 8-bit palette indices through PLTE to RGB samples
+        n_entries = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise PngError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
+            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        return DecodedImage(width, height, color_type, 3, 8, bytes(rgb))
+    return DecodedImage(
+        width, height, color_type, samples, bit_depth, bytes(out)
+    )
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -196,17 +245,34 @@ def encode_png(
     color_type: int = 0,
     filter_mode: str = "cycle",
     compress_level: int = 6,
+    bit_depth: int = 8,
+    palette: bytes | None = None,
 ) -> bytes:
-    """Encode raw 8-bit pixel bytes as a PNG.
+    """Encode raw pixel bytes as a PNG.
 
     ``filter_mode``: ``"none"`` writes every scanline with filter 0;
     ``"cycle"`` applies filter ``y % 5`` to scanline y (so any image
     with height >= 5 exercises all five decoder unfilter branches —
     the property the roundtrip tests rely on).
+
+    ``bit_depth`` 16 (types 0/2/4/6) takes big-endian 2-byte samples.
+    ``color_type`` 3 takes 8-bit palette indices plus ``palette``
+    (concatenated RGB triples, ≤ 256 entries) and writes a PLTE
+    chunk.
     """
-    if color_type not in CHANNELS:
+    if color_type == 3:
+        if bit_depth != 8:
+            raise UnsupportedPngError("palette encode requires bit depth 8")
+        if not palette or len(palette) % 3 != 0 or len(palette) > 256 * 3:
+            raise PngError("palette must be 1..256 RGB triples")
+        samples = 1
+    elif color_type in CHANNELS:
+        if bit_depth not in (8, 16):
+            raise UnsupportedPngError(f"bit depth {bit_depth} not supported")
+        samples = CHANNELS[color_type]
+    else:
         raise UnsupportedPngError(f"color type {color_type} not supported")
-    bpp = CHANNELS[color_type]
+    bpp = samples * (bit_depth // 8)
     stride = width * bpp
     if len(pixels) != stride * height:
         raise PngError(
@@ -235,10 +301,14 @@ def encode_png(
             else:  # 4
                 c = pixels[o - stride + x - bpp] if (y > 0 and x >= bpp) else 0
                 raw.append((cur - _paeth(a, b, c)) & 0xFF)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    )
+    chunks = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        chunks += _chunk(b"PLTE", bytes(palette))
     return (
-        PNG_SIGNATURE
-        + _chunk(b"IHDR", ihdr)
+        chunks
         + _chunk(b"IDAT", zlib.compress(bytes(raw), compress_level))
         + _chunk(b"IEND", b"")
     )

@@ -160,10 +160,83 @@ def test_unsupported_interlace_and_depth_and_palette():
 
     with pytest.raises(UnsupportedPngError, match="interlace"):
         decode_png(ihdr_png(8, 0, 1))
+    # 1/2/4-bit packed depths remain gated (16-bit is supported now)
     with pytest.raises(UnsupportedPngError, match="bit depth"):
-        decode_png(ihdr_png(16, 0, 0))
+        decode_png(ihdr_png(4, 0, 0))
+    with pytest.raises(UnsupportedPngError, match="palette bit depth"):
+        decode_png(ihdr_png(4, 3, 0))
     with pytest.raises(UnsupportedPngError, match="color type"):
-        decode_png(ihdr_png(8, 3, 0))
+        decode_png(ihdr_png(8, 7, 0))
+
+
+# ------------------------------------------------ round 5: palette + 16-bit
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=7),
+    h=st.integers(min_value=1, max_value=7),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    filter_mode=st.sampled_from(["none", "cycle"]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_roundtrip_16bit(w, h, color_type, filter_mode, seed):
+    """16-bit samples survive encode→decode byte-exactly (big-endian
+    2-byte samples, no downsampling)."""
+    n = w * h * CHANNELS[color_type] * 2
+    px = bytes((seed * 2654435761 + i * 193) % 256 for i in range(n))
+    img = decode_png(encode_png(px, w, h, color_type, filter_mode, bit_depth=16))
+    assert (img.width, img.height, img.bit_depth) == (w, h, 16)
+    assert img.channels == CHANNELS[color_type]
+    assert img.pixels == px
+
+
+def test_roundtrip_palette_expands_to_rgb():
+    palette = bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51]
+    )  # 4 entries
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0, 0, 0, 1, 1, 2, 2, 3, 3, 0, 2, 1, 3])
+    img = decode_png(
+        encode_png(idx, 4, 5, color_type=3, filter_mode="cycle", palette=palette)
+    )
+    assert (img.width, img.height, img.channels, img.bit_depth) == (4, 5, 3, 8)
+    want = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    assert img.pixels == want
+
+
+def test_palette_error_surface():
+    palette = bytes([1, 2, 3, 4, 5, 6])  # 2 entries
+    # index out of range caught at expansion
+    data = encode_png(bytes([0, 1, 1, 2]), 2, 2, 3, "none", palette=palette)
+    with pytest.raises(PngError, match="palette index"):
+        decode_png(data)
+    # missing PLTE
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x00\x00\x00\x00\x00")
+    no_plte = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="missing PLTE"):
+        decode_png(no_plte)
+    # tRNS transparency stays an honest gate
+    trns = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette)
+        + _chunk(b"tRNS", b"\x80")
+        + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedPngError, match="tRNS"):
+        decode_png(trns)
+    # encoder guards
+    with pytest.raises(PngError, match="palette"):
+        encode_png(bytes(4), 2, 2, 3, "none")  # no palette given
+    with pytest.raises(UnsupportedPngError, match="bit depth"):
+        encode_png(bytes(4), 2, 2, 0, "none", bit_depth=12)
 
 
 def test_size_mismatch_rejected():
