@@ -53,6 +53,15 @@ occupy driver slots):
    the weakest UDF evidence once two mapInPandas decode kernels are
    driver-graded; substring-level span dedup is a first-class
    training-data tier with no other driver row).
+ - Round-5 rotation (new r5 capability takes the slots): q_pq_topk →
+   q_ivfpq_pretrained (the PERSISTED cluster-partitioned index layout
+   with pruning, whose oracle re-derives the identical train/encode/
+   ADC chain — the uncomposed PQ row stays pytest-gated); q_tfidf →
+   q_incr_neardup (text-relevance keeps q_bm25's driver row; the
+   incremental near-dup store tier is a new first-class capability);
+   q_cosine_topk → q_ann_recall (the recall query EXECUTES
+   cosine_topk twice as its ground truth AND both ANN tiers —
+   strictly more surface in one row).
  - Round-4 third rotation: q_lang_id → q_heavy_hitters (the
    marker-word heuristic is the weakest text row — its split/lower
    expression surface rides q_text_stats' scan — while exact
@@ -126,15 +135,15 @@ REGISTERED: tuple[str, ...] = (
     # LLM-data-pipeline extensions (SURVEY §2.9)
     "q_dedup_exact",
     "q_minhash_lsh",
-    "q_pq_topk",
+    "q_ivfpq_pretrained",
     "q_corpus_prep",
     "q_simhash",
     "q_substring_dup",
     "q_text_stats",
     "q_heavy_hitters",
-    "q_tfidf",
+    "q_incr_neardup",
     "q_bm25",
-    "q_cosine_topk",
+    "q_ann_recall",
     "q_ann_bucket",
     "q_ivfpq_topk",
     "q_embed_near_dup",
@@ -162,6 +171,12 @@ RETIRED_R4: tuple[str, ...] = (
     "q_sliding_window",
     "q_media_features",
     "q_udf_tokens",
+)
+
+RETIRED_R5: tuple[str, ...] = (
+    "q_pq_topk",
+    "q_tfidf",
+    "q_cosine_topk",
 )
 
 # Oracle-paired queries without a driver slot (pytest-gated).
@@ -232,10 +247,6 @@ SLOTLESS: tuple[str, ...] = (
     "q_cdc_apply",
     "q_benford",
     "q_array_funcs",
-    # round 5
-    "q_ivfpq_pretrained",
-    "q_ann_recall",
-    "q_incr_neardup",
 )
 
 
@@ -260,7 +271,7 @@ def retired_queries() -> dict[str, QueryFn]:
     """Queries kept out of the capped driver registry but still part
     of the engine surface (pytest-gated, see module docstring) —
     both the retired and the slotless sets."""
-    return {name: _lookup(name) for name in RETIRED + RETIRED_R4 + SLOTLESS}
+    return {name: _lookup(name) for name in RETIRED + RETIRED_R4 + RETIRED_R5 + SLOTLESS}
 
 
 def all_oracles() -> dict[str, str]:

@@ -12,6 +12,7 @@ from etl_deltalake_spark.plans.registry import (
     REGISTERED,
     RETIRED,
     RETIRED_R4,
+    RETIRED_R5,
     SLOTLESS,
     retired_queries,
 )
@@ -19,12 +20,13 @@ from tests.test_oracle import _canon_rows, _duck_result, _spark_result
 
 
 def test_registered_and_retired_are_disjoint():
-    assert not set(REGISTERED) & set(RETIRED + RETIRED_R4 + SLOTLESS)
-    assert not set(RETIRED) & set(RETIRED_R4 + SLOTLESS)
-    assert not set(RETIRED_R4) & set(SLOTLESS)
+    assert not set(REGISTERED) & set(RETIRED + RETIRED_R4 + RETIRED_R5 + SLOTLESS)
+    assert not set(RETIRED) & set(RETIRED_R4 + RETIRED_R5 + SLOTLESS)
+    assert not set(RETIRED_R4) & set(RETIRED_R5 + SLOTLESS)
+    assert not set(RETIRED_R5) & set(SLOTLESS)
 
 
-@pytest.mark.parametrize("name", sorted(RETIRED + RETIRED_R4 + SLOTLESS))
+@pytest.mark.parametrize("name", sorted(RETIRED + RETIRED_R4 + RETIRED_R5 + SLOTLESS))
 def test_retired_query_vs_oracle(name, spark, duck, sf_dir):
     fn = retired_queries()[name]
     s_cols, s_rows = _spark_result(spark, sf_dir, fn)
