@@ -65,6 +65,12 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_bloom_join",
     "q_tpch_q18",
+    # round-5 additions: the persisted-index ANN query (partition
+    # pruning + ADC only — the serving-path counterpart of
+    # q_ivfpq_topk's train+query) and the incremental MinHash
+    # near-dup probe against the persisted signature store
+    "q_ivfpq_pretrained",
+    "q_incr_neardup",
 ]
 
 

@@ -124,6 +124,56 @@ def lang_id(col: str) -> Column:
     return expr
 
 
+# Unicode scripts for character-level identification. Java regex
+# (\p{IsHan}) and DuckDB RE2 (\p{Han}) agree character-for-character
+# on these (verified across mixed-script fixtures).
+SCRIPTS = (
+    "Arabic",
+    "Cyrillic",
+    "Devanagari",
+    "Greek",
+    "Han",
+    "Hangul",
+    "Hiragana",
+    "Katakana",
+    "Latin",
+)
+
+
+def script_counts(col: str) -> dict[str, Column]:
+    """Per-script character counts — the robust FIRST stage of
+    language identification for a multilingual corpus: marker-word
+    heuristics (``lang_id``) only work within Latin script, while
+    script membership is a property of the code point itself. One
+    linear regex pass per script, scan-side, no shuffle."""
+    return {
+        sc: F.length(
+            F.regexp_replace(F.col(col), rf"[^\p{{Is{sc}}}]", "")
+        ).cast("bigint")
+        for sc in SCRIPTS
+    }
+
+
+def script_id(col: str) -> Column:
+    """Dominant Unicode script of the text: argmax of per-script
+    character counts, ties broken by fixed alphabetical precedence
+    (the ``lang_id`` convention), ``'unknown'`` when no counted
+    script appears (digits/punctuation-only). Mixed CJK text (Han +
+    kana) resolves to its dominant script — script ID is the routing
+    stage; per-language disambiguation runs downstream on the
+    script's subset."""
+    counts = script_counts(col)
+    best = None
+    for sc in SCRIPTS:
+        best = counts[sc] if best is None else F.greatest(best, counts[sc])
+    expr = F.lit("unknown")
+    for sc in reversed(SCRIPTS):
+        expr = F.when(
+            (counts[sc] == best) & (best > 0), F.lit(sc)
+        ).otherwise(expr)
+    return expr
+
+
 def normalize_text(col: str) -> Column:
     """Canonical form: lowercase, strip punctuation, collapse spaces.
 

@@ -3420,3 +3420,39 @@ oracle("q_incr_neardup")(
     ORDER BY doc
     """
 )
+
+
+_SCRIPTS = (
+    "Arabic", "Cyrillic", "Devanagari", "Greek", "Han", "Hangul",
+    "Hiragana", "Katakana", "Latin",
+)
+
+
+def _script_n(sc: str) -> str:
+    return (
+        f"CAST(length(regexp_replace(text, '[^\\p{{{sc}}}]', '', 'g'))"
+        f" AS BIGINT)"
+    )
+
+
+def _script_id_sql() -> str:
+    best = "GREATEST(" + ", ".join(f"n_{s.lower()}" for s in _SCRIPTS) + ")"
+    cases = " ".join(
+        f"WHEN n_{s.lower()} = {best} AND {best} > 0 THEN '{s}'"
+        for s in _SCRIPTS
+    )
+    return f"CASE {cases} ELSE 'unknown' END"
+
+
+oracle("q_script_profile")(
+    f"""
+    SELECT doc_id, n_latin, n_han, n_cyrillic,
+           {_script_id_sql()} AS script
+    FROM (
+      SELECT doc_id,
+        {", ".join(f"{_script_n(s)} AS n_{s.lower()}" for s in _SCRIPTS)}
+      FROM documents
+    )
+    ORDER BY doc_id
+    """
+)

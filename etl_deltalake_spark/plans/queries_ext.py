@@ -2193,3 +2193,25 @@ def q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 != 0
     )
     return incremental_neardup(batch, store, "doc_id", "text").orderBy("doc")
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling + dominant-script routing (round 5,
+    the multilingual follow-through to the Unicode normalize fix):
+    per-document character counts for representative scripts and the
+    script_id argmax over all nine (operators/text.script_id). On the
+    Latin-only fixture every doc routes to 'Latin' — the REAL
+    multilingual grading runs the same expressions over mixed
+    zh/ru/ar/el/hi/vi/ko docs in tests/test_multilingual.py; this
+    driver row pins the cross-engine expression chain itself."""
+    from etl_deltalake_spark.operators.text import script_counts, script_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    sc = script_counts("text")
+    return docs.select(
+        "doc_id",
+        sc["Latin"].alias("n_latin"),
+        sc["Han"].alias("n_han"),
+        sc["Cyrillic"].alias("n_cyrillic"),
+        script_id("text").alias("script"),
+    ).orderBy("doc_id")

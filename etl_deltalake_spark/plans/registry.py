@@ -247,6 +247,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_cdc_apply",
     "q_benford",
     "q_array_funcs",
+    # round 5
+    "q_script_profile",
 )
 
 

@@ -125,6 +125,35 @@ def test_exact_dedup_matches_oracle(ml_spark, ml_duck):
     assert s_rows == d_rows
 
 
+def test_script_id_matches_oracle_on_mixed_corpus(ml_spark, ml_duck):
+    """script_counts/script_id vs the DuckDB mirror on the mixed
+    corpus — and sanity: each doc routes to its actual script."""
+    from etl_deltalake_spark.operators.text import script_id
+    from etl_deltalake_spark.plans.oracles import _script_id_sql, _script_n, _SCRIPTS
+
+    s = dict(
+        (r["doc_id"], r["script"])
+        for r in ml_spark.select(
+            "doc_id", script_id("text").alias("script")
+        ).collect()
+    )
+    inner = ", ".join(f"{_script_n(sc)} AS n_{sc.lower()}" for sc in _SCRIPTS)
+    d = dict(
+        ml_duck.execute(
+            f"SELECT doc_id, {_script_id_sql()} FROM "
+            f"(SELECT doc_id, text, {inner} FROM documents)"
+        ).fetchall()
+    )
+    assert s == d
+    want = {
+        1: "Latin", 2: "Cyrillic", 3: "Han", 4: "Latin", 5: "Arabic",
+        6: "Greek", 7: "Devanagari", 8: "Latin", 9: "Hangul",
+        11: "Han", 12: "Cyrillic",
+    }
+    for doc, script in want.items():
+        assert s[doc] == script, f"doc {doc}: got {s[doc]}, want {script}"
+
+
 def test_shingles_nonempty_for_cjk(ml_spark):
     # CJK has no spaces — shingle_rows must still emit ≥1 gram per doc
     sh = shingle_rows(ml_spark, "doc_id", "text", k=3)
