@@ -8,14 +8,18 @@ the container has no Pillow/ffmpeg, but PNG (the fixture format) is
 fully decodable from first principles.
 
 Scope (honest gates, not padding):
- - bit depths 8 and 16 for color types 0 (gray), 2 (RGB),
-   4 (gray+alpha), 6 (RGBA); palette (type 3, 8-bit indices,
-   expanded through PLTE to RGB on decode); interlace 0. Remaining
-   gates — 1/2/4-bit packed depths, Adam7 interlace, palette tRNS —
-   raise ``UnsupportedPngError`` with the reason: a corrupt or
-   unsupported payload must not kill a 100 TB job, so the Spark
-   kernel maps these to an ``err`` column instead of failing the
-   task (see multimodal.decode_image).
+ - every spec-legal depth/type combination, interlaced or not: gray
+   at 1/2/4/8/16 bits (packed depths unpack MSB-first and left-bit-
+   replicate to 8-bit samples, spec §12.5), RGB/GA/RGBA at 8/16
+   bits (16-bit keeps big-endian 2-byte samples), palette at
+   1/2/4/8-bit indices expanded through PLTE to RGB, and Adam7
+   interlace (seven independently-filtered sub-images scattered
+   back, spec §8.2). The remaining gate — palette tRNS
+   transparency — raises ``UnsupportedPngError`` with the reason;
+   spec-ILLEGAL combinations (depth 3, 16-bit palette, …) raise
+   ``PngError``. A corrupt or unsupported payload must not kill a
+   100 TB job, so the Spark kernel maps both to an ``err`` column
+   instead of failing the task (see multimodal.decode_image).
  - The per-scanline unfilter (Sub/Up/Average/Paeth, PNG spec §9) is
    sequential along x by construction (each byte's predictor uses the
    reconstructed byte bpp positions back), so the inner loop is
@@ -51,7 +55,7 @@ class PngError(ValueError):
 
 
 class UnsupportedPngError(PngError):
-    """Valid-but-unsupported PNG (palette, 16-bit, interlaced...)."""
+    """Valid-but-unsupported PNG (palette tRNS transparency)."""
 
 
 class DecodedImage(NamedTuple):
@@ -61,6 +65,19 @@ class DecodedImage(NamedTuple):
     channels: int
     bit_depth: int
     pixels: bytes  # row-major, width*channels bytes per row
+
+
+# Adam7 interlace pass grid (PNG spec §8.2): x_start, y_start,
+# x_step, y_step for each of the seven passes.
+ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -83,16 +100,18 @@ def decode_png(data: bytes) -> DecodedImage:
     Full container parse: signature, chunk walk with CRC verification,
     IDAT concatenation, zlib inflate, per-scanline unfilter.
 
-    Depth/type coverage (round 5 widened the two biggest gates):
-     - 8-bit gray/RGB/GA/RGBA (types 0/2/4/6) → 1 byte per sample;
-     - 16-bit of the same types → ``pixels`` keeps the big-endian
-       2-byte samples (``bit_depth`` 16, row stride
-       width*channels*2) — no precision-losing downsample;
-     - palette (type 3, 8-bit indices) → indices expand through PLTE
-       to RGB, so callers always see real samples (``channels`` 3,
-       ``bit_depth`` 8).
-    Still honestly gated: 1/2/4-bit packed depths, Adam7 interlace,
-    and palette tRNS transparency raise ``UnsupportedPngError``.
+    Depth/type coverage (round 5 closed all gates but tRNS):
+     - gray (type 0) at 1/2/4/8/16 bits — packed depths unpack to
+       left-bit-replicated 8-bit samples (spec §12.5);
+     - RGB/GA/RGBA (types 2/4/6) at 8/16 bits — 16-bit keeps the
+       big-endian 2-byte samples (row stride width*channels*2), no
+       precision-losing downsample;
+     - palette (type 3) at 1/2/4/8-bit indices → expanded through
+       PLTE to RGB (``channels`` 3, ``bit_depth`` 8);
+     - interlace 0 or Adam7 (1): the seven passes unfilter
+       independently and scatter into the output grid.
+    Still honestly gated: palette tRNS transparency raises
+    ``UnsupportedPngError``.
     """
     if len(data) < 8 or data[:8] != PNG_SIGNATURE:
         raise PngError("not a PNG: bad signature")
@@ -121,17 +140,21 @@ def decode_png(data: bytes) -> DecodedImage:
             )
             if comp != 0 or filt != 0:
                 raise PngError("unknown compression/filter method")
-            if interlace != 0:
-                raise UnsupportedPngError("Adam7 interlace not supported")
+            if interlace not in (0, 1):
+                raise PngError(f"interlace method {interlace} invalid")
             if color_type == 3:
-                if bit_depth != 8:
-                    raise UnsupportedPngError(
-                        f"palette bit depth {bit_depth} not supported"
+                if bit_depth not in (1, 2, 4, 8):
+                    raise PngError(
+                        f"palette bit depth {bit_depth} invalid"
                     )
+            elif color_type == 0:
+                if bit_depth not in (1, 2, 4, 8, 16):
+                    raise PngError(f"gray bit depth {bit_depth} invalid")
             elif color_type in CHANNELS:
                 if bit_depth not in (8, 16):
-                    raise UnsupportedPngError(
-                        f"bit depth {bit_depth} not supported"
+                    raise PngError(
+                        f"bit depth {bit_depth} invalid for color type "
+                        f"{color_type}"
                     )
             else:
                 raise UnsupportedPngError(
@@ -139,7 +162,7 @@ def decode_png(data: bytes) -> DecodedImage:
                 )
             if width == 0 or height == 0:
                 raise PngError("zero-dimension image")
-            ihdr = (width, height, bit_depth, color_type)
+            ihdr = (width, height, bit_depth, color_type, interlace)
         elif ctype == b"PLTE":
             if ihdr is None:
                 raise PngError("PLTE before IHDR")
@@ -164,24 +187,85 @@ def decode_png(data: bytes) -> DecodedImage:
         raise PngError("missing IEND")
     if not idat:
         raise PngError("missing IDAT")
-    width, height, bit_depth, color_type = ihdr
+    width, height, bit_depth, color_type, interlace = ihdr
     if color_type == 3 and palette is None:
         raise PngError("palette image missing PLTE chunk")
     samples = 1 if color_type == 3 else CHANNELS[color_type]
-    bpp = samples * (bit_depth // 8)  # filter unit: bytes per pixel
-    stride = width * bpp
+    # expanded form: bytes per pixel AFTER sub-byte unpack (1 byte
+    # per sample at depths ≤ 8, 2 at depth 16)
+    unit = samples * (2 if bit_depth == 16 else 1)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from e
-    if len(raw) != (stride + 1) * height:
+    if interlace == 0:
+        out, off = _unfilter_pass(
+            raw, 0, width, height, samples, bit_depth, color_type
+        )
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        out = bytearray(width * height * unit)
+        off = 0
+        for x0, y0, dx, dy in ADAM7:
+            w_p = (width - x0 + dx - 1) // dx
+            h_p = (height - y0 + dy - 1) // dy
+            if w_p <= 0 or h_p <= 0:
+                continue
+            sub, off = _unfilter_pass(
+                raw, off, w_p, h_p, samples, bit_depth, color_type
+            )
+            for j in range(h_p):
+                for i in range(w_p):
+                    src = (j * w_p + i) * unit
+                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * unit
+                    out[dst : dst + unit] = sub[src : src + unit]
+    if off != len(raw):
         raise PngError(
-            f"decompressed size {len(raw)} != expected {(stride + 1) * height}"
+            f"decompressed size {len(raw)} != expected {off}"
+        )
+    if color_type == 3:
+        # expand palette indices through PLTE to RGB samples
+        n_entries = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise PngError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
+            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        return DecodedImage(width, height, color_type, 3, 8, bytes(rgb))
+    # sub-byte gray was expanded to 8-bit samples in _unfilter_pass
+    return DecodedImage(
+        width, height, color_type, samples, max(bit_depth, 8), bytes(out)
+    )
+
+
+def _unfilter_pass(
+    raw: bytes,
+    offset: int,
+    width: int,
+    height: int,
+    samples: int,
+    bit_depth: int,
+    color_type: int,
+) -> tuple[bytearray, int]:
+    """Unfilter one (sub-)image's scanlines starting at ``offset`` in
+    the inflated stream; returns (expanded pixel bytes, next offset).
+    Expanded form: one byte per sample for depths ≤ 8 (gray left-bit-
+    replicated per spec §12.5, palette indices raw), big-endian byte
+    pairs at 16."""
+    # filter unit (spec §9.2): bytes per pixel, min 1 for packed
+    # sub-byte depths; scanline length rounds up to whole bytes
+    bpp = max(1, samples * bit_depth // 8)
+    stride = (width * samples * bit_depth + 7) // 8
+    need = (stride + 1) * height
+    if offset + need > len(raw):
+        raise PngError(
+            f"decompressed size {len(raw)} != expected {offset + need}"
         )
     out = bytearray(stride * height)
     prev_start = -stride  # reconstructed previous scanline offset
     for y in range(height):
-        fpos = y * (stride + 1)
+        fpos = offset + y * (stride + 1)
         ftype = raw[fpos]
         line = raw[fpos + 1 : fpos + 1 + stride]
         o = y * stride
@@ -213,20 +297,24 @@ def decode_png(data: bytes) -> DecodedImage:
                 out[o + x] = (line[x] + _paeth(a, b, c)) & 0xFF
         else:
             raise PngError(f"unknown filter type {ftype} on scanline {y}")
-    if color_type == 3:
-        # expand 8-bit palette indices through PLTE to RGB samples
-        n_entries = len(palette) // 3
-        rgb = bytearray(width * height * 3)
-        for i, idx in enumerate(out):
-            if idx >= n_entries:
-                raise PngError(
-                    f"palette index {idx} out of range ({n_entries} entries)"
-                )
-            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
-        return DecodedImage(width, height, color_type, 3, 8, bytes(rgb))
-    return DecodedImage(
-        width, height, color_type, samples, bit_depth, bytes(out)
-    )
+    if bit_depth < 8:
+        # unpack MSB-first packed samples; gray left-bit-replicates
+        # to 8-bit (spec §12.5: 1-bit 0/255, 2-bit ×85, 4-bit ×17),
+        # palette indices stay raw for PLTE lookup
+        scale_factor = {1: 255, 2: 85, 4: 17}[bit_depth]
+        per_byte = 8 // bit_depth
+        mask = (1 << bit_depth) - 1
+        unpacked = bytearray(width * height)
+        for y in range(height):
+            row = out[y * stride : (y + 1) * stride]
+            o = y * width
+            for x in range(width):
+                b = row[x // per_byte]
+                shift = 8 - bit_depth * (x % per_byte + 1)
+                v = (b >> shift) & mask
+                unpacked[o + x] = v if color_type == 3 else v * scale_factor
+        out = unpacked
+    return out, offset + need
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -247,6 +335,7 @@ def encode_png(
     compress_level: int = 6,
     bit_depth: int = 8,
     palette: bytes | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode raw pixel bytes as a PNG.
 
@@ -256,53 +345,70 @@ def encode_png(
     the property the roundtrip tests rely on).
 
     ``bit_depth`` 16 (types 0/2/4/6) takes big-endian 2-byte samples.
-    ``color_type`` 3 takes 8-bit palette indices plus ``palette``
+    ``color_type`` 3 takes palette indices plus ``palette``
     (concatenated RGB triples, ≤ 256 entries) and writes a PLTE
-    chunk.
+    chunk. Packed depths (1/2/4, gray or palette) take ONE sample
+    per input byte — gray as the left-bit-replicated 8-bit values
+    ``decode_png`` emits (so encode∘decode is the identity), palette
+    as raw indices — and pack MSB-first internally. ``interlace``
+    writes Adam7 (each pass gathered and filtered independently).
     """
     if color_type == 3:
-        if bit_depth != 8:
-            raise UnsupportedPngError("palette encode requires bit depth 8")
+        if bit_depth not in (1, 2, 4, 8):
+            raise PngError(f"palette bit depth {bit_depth} invalid")
         if not palette or len(palette) % 3 != 0 or len(palette) > 256 * 3:
             raise PngError("palette must be 1..256 RGB triples")
         samples = 1
+    elif color_type == 0:
+        if bit_depth not in (1, 2, 4, 8, 16):
+            raise PngError(f"gray bit depth {bit_depth} invalid")
+        samples = 1
     elif color_type in CHANNELS:
         if bit_depth not in (8, 16):
-            raise UnsupportedPngError(f"bit depth {bit_depth} not supported")
+            raise PngError(
+                f"bit depth {bit_depth} invalid for color type {color_type}"
+            )
         samples = CHANNELS[color_type]
     else:
         raise UnsupportedPngError(f"color type {color_type} not supported")
-    bpp = samples * (bit_depth // 8)
-    stride = width * bpp
-    if len(pixels) != stride * height:
-        raise PngError(
-            f"pixel buffer is {len(pixels)} bytes, expected {stride * height}"
-        )
     if filter_mode not in ("none", "cycle"):
         raise ValueError(f"filter_mode must be 'none' or 'cycle', got {filter_mode!r}")
-    raw = bytearray()
-    for y in range(height):
-        o = y * stride
-        ftype = 0 if filter_mode == "none" else y % 5
-        raw.append(ftype)
-        if ftype == 0:
-            raw.extend(pixels[o : o + stride])
-            continue
-        for x in range(stride):
-            cur = pixels[o + x]
-            a = pixels[o + x - bpp] if x >= bpp else 0
-            b = pixels[o - stride + x] if y > 0 else 0
-            if ftype == 1:
-                raw.append((cur - a) & 0xFF)
-            elif ftype == 2:
-                raw.append((cur - b) & 0xFF)
-            elif ftype == 3:
-                raw.append((cur - ((a + b) >> 1)) & 0xFF)
-            else:  # 4
-                c = pixels[o - stride + x - bpp] if (y > 0 and x >= bpp) else 0
-                raw.append((cur - _paeth(a, b, c)) & 0xFF)
+    unit = samples * (2 if bit_depth == 16 else 1)
+    if len(pixels) != width * height * unit:
+        raise PngError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * unit}"
+        )
+    if not interlace:
+        raw = _filter_pass(
+            pixels, width, height, samples, bit_depth, color_type, filter_mode
+        )
+    else:  # Adam7: gather each pass sub-image, filter independently
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            w_p = (width - x0 + dx - 1) // dx
+            h_p = (height - y0 + dy - 1) // dy
+            if w_p <= 0 or h_p <= 0:
+                continue
+            sub = bytearray(w_p * h_p * unit)
+            for j in range(h_p):
+                for i in range(w_p):
+                    src = ((y0 + j * dy) * width + (x0 + i * dx)) * unit
+                    sub[(j * w_p + i) * unit : (j * w_p + i + 1) * unit] = (
+                        pixels[src : src + unit]
+                    )
+            raw += _filter_pass(
+                sub, w_p, h_p, samples, bit_depth, color_type, filter_mode
+            )
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+        ">IIBBBBB",
+        width,
+        height,
+        bit_depth,
+        color_type,
+        0,
+        0,
+        1 if interlace else 0,
     )
     chunks = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
     if color_type == 3:
@@ -312,3 +418,66 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(raw), compress_level))
         + _chunk(b"IEND", b"")
     )
+
+
+def _filter_pass(
+    pixels: bytes,
+    width: int,
+    height: int,
+    samples: int,
+    bit_depth: int,
+    color_type: int,
+    filter_mode: str,
+) -> bytearray:
+    """Filter one (sub-)image's scanlines: pack sub-byte depths
+    MSB-first, then apply filter 0 (``"none"``) or ``y % 5``
+    (``"cycle"``) per scanline. Input is the expanded form
+    ``_unfilter_pass`` emits, so encode∘decode is the identity."""
+    if bit_depth < 8:
+        scale_factor = {1: 255, 2: 85, 4: 17}[bit_depth]
+        per_byte = 8 // bit_depth
+        stride = (width * bit_depth + 7) // 8
+        work = bytearray(stride * height)
+        for y in range(height):
+            for x in range(width):
+                v = pixels[y * width + x]
+                if color_type == 0:
+                    if v % scale_factor:
+                        raise PngError(
+                            f"gray value {v} not representable at "
+                            f"{bit_depth}-bit depth"
+                        )
+                    v //= scale_factor
+                elif v >= (1 << bit_depth):
+                    raise PngError(
+                        f"palette index {v} exceeds {bit_depth}-bit depth"
+                    )
+                shift = 8 - bit_depth * (x % per_byte + 1)
+                work[y * stride + x // per_byte] |= v << shift
+        bpp = 1
+    else:
+        bpp = samples * (bit_depth // 8)
+        stride = width * bpp
+        work = pixels
+    raw = bytearray()
+    for y in range(height):
+        o = y * stride
+        ftype = 0 if filter_mode == "none" else y % 5
+        raw.append(ftype)
+        if ftype == 0:
+            raw.extend(work[o : o + stride])
+            continue
+        for x in range(stride):
+            cur = work[o + x]
+            a = work[o + x - bpp] if x >= bpp else 0
+            b = work[o - stride + x] if y > 0 else 0
+            if ftype == 1:
+                raw.append((cur - a) & 0xFF)
+            elif ftype == 2:
+                raw.append((cur - b) & 0xFF)
+            elif ftype == 3:
+                raw.append((cur - ((a + b) >> 1)) & 0xFF)
+            else:  # 4
+                c = work[o - stride + x - bpp] if (y > 0 and x >= bpp) else 0
+                raw.append((cur - _paeth(a, b, c)) & 0xFF)
+    return raw

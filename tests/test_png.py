@@ -149,7 +149,7 @@ def test_crc_corruption_detected():
 
 
 def test_unsupported_interlace_and_depth_and_palette():
-    def ihdr_png(bit_depth, color_type, interlace):
+    def ihdr_png(bit_depth, color_type, _unused=0, interlace=0):
         ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace)
         return (
             PNG_SIGNATURE
@@ -158,13 +158,16 @@ def test_unsupported_interlace_and_depth_and_palette():
             + _chunk(b"IEND", b"")
         )
 
-    with pytest.raises(UnsupportedPngError, match="interlace"):
-        decode_png(ihdr_png(8, 0, 1))
-    # 1/2/4-bit packed depths remain gated (16-bit is supported now)
-    with pytest.raises(UnsupportedPngError, match="bit depth"):
-        decode_png(ihdr_png(4, 0, 0))
-    with pytest.raises(UnsupportedPngError, match="palette bit depth"):
-        decode_png(ihdr_png(4, 3, 0))
+    # interlace methods beyond 0/1 are malformed
+    with pytest.raises(PngError, match="interlace method"):
+        decode_png(ihdr_png(8, 0, 0, interlace=2))
+    # spec-ILLEGAL depth/type combinations are malformed, not gated
+    with pytest.raises(PngError, match="invalid"):
+        decode_png(ihdr_png(3, 0, 0))
+    with pytest.raises(PngError, match="invalid"):
+        decode_png(ihdr_png(16, 3, 0))
+    with pytest.raises(PngError, match="invalid"):
+        decode_png(ihdr_png(4, 2, 0))
     with pytest.raises(UnsupportedPngError, match="color type"):
         decode_png(ihdr_png(8, 7, 0))
 
@@ -235,8 +238,60 @@ def test_palette_error_surface():
     # encoder guards
     with pytest.raises(PngError, match="palette"):
         encode_png(bytes(4), 2, 2, 3, "none")  # no palette given
-    with pytest.raises(UnsupportedPngError, match="bit depth"):
+    with pytest.raises(PngError, match="invalid"):
         encode_png(bytes(4), 2, 2, 0, "none", bit_depth=12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    depth=st.sampled_from([1, 2, 4]),
+    filter_mode=st.sampled_from(["none", "cycle"]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_roundtrip_packed_gray(w, h, depth, filter_mode, seed):
+    """1/2/4-bit gray roundtrips: packed MSB-first scanlines decode
+    back to the left-bit-replicated 8-bit samples that were encoded
+    (encode∘decode identity, including non-byte-aligned row ends)."""
+    scale = {1: 255, 2: 85, 4: 17}[depth]
+    px = bytes(
+        ((seed * 2654435761 + i * 131) % (1 << depth)) * scale
+        for i in range(w * h)
+    )
+    img = decode_png(encode_png(px, w, h, 0, filter_mode, bit_depth=depth))
+    assert (img.width, img.height, img.channels, img.bit_depth) == (w, h, 1, 8)
+    assert img.pixels == px
+
+
+def test_roundtrip_packed_palette():
+    """2-bit palette: indices pack 4-per-byte, expand through PLTE."""
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    idx = bytes([(i * 3) % 4 for i in range(5 * 4)])  # width 5: pad bits
+    img = decode_png(
+        encode_png(idx, 5, 4, 3, "cycle", bit_depth=2, palette=palette)
+    )
+    assert (img.width, img.height, img.channels, img.bit_depth) == (5, 4, 3, 8)
+    assert img.pixels == b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_packed_gray_hand_vector():
+    """Spec vector independent of our encoder: 1-bit 10×2 image with
+    pattern 1010101010 / 0101010101 packed by hand (0xAA80? no — MSB
+    first: 10101010 10______ → 0xAA,0x80 row0; 01010101 01______ →
+    0x55,0x40 row1), filter 0."""
+    raw = b"\x00\xaa\x80" + b"\x00\x55\x40"
+    ihdr = struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    img = decode_png(data)
+    row0 = bytes([255, 0] * 5)
+    row1 = bytes([0, 255] * 5)
+    assert img.pixels == row0 + row1
 
 
 def test_size_mismatch_rejected():
@@ -252,3 +307,57 @@ def test_size_mismatch_rejected():
     )
     with pytest.raises(PngError, match="decompressed size"):
         decode_png(data)
+
+
+# ------------------------------------------------ round 5: Adam7 interlace
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=11),
+    h=st.integers(min_value=1, max_value=11),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    depth=st.sampled_from([8, 16]),
+    filter_mode=st.sampled_from(["none", "cycle"]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_roundtrip_adam7(w, h, color_type, depth, filter_mode, seed):
+    """Adam7 roundtrips across color types and depths — including
+    dimensions where some passes are empty (w or h < 5)."""
+    n = w * h * CHANNELS[color_type] * (depth // 8)
+    px = bytes((seed * 2654435761 + i * 151) % 256 for i in range(n))
+    img = decode_png(
+        encode_png(
+            px, w, h, color_type, filter_mode, bit_depth=depth, interlace=True
+        )
+    )
+    assert (img.width, img.height, img.bit_depth) == (w, h, depth)
+    assert img.pixels == px
+
+
+def test_roundtrip_adam7_packed_and_palette():
+    """Adam7 composes with sub-byte packing and palette expansion."""
+    # 2-bit gray, 9x9 (all 7 passes non-empty)
+    px = bytes(((i * 5) % 4) * 85 for i in range(9 * 9))
+    img = decode_png(
+        encode_png(px, 9, 9, 0, "cycle", bit_depth=2, interlace=True)
+    )
+    assert img.pixels == px
+    # 4-bit palette
+    palette = bytes(b for i in range(16) for b in (i * 16, 255 - i * 16, i))
+    idx = bytes((i * 7) % 16 for i in range(6 * 7))
+    img2 = decode_png(
+        encode_png(idx, 6, 7, 3, "cycle", bit_depth=4, palette=palette,
+                   interlace=True)
+    )
+    assert img2.pixels == b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_adam7_interlace_flag_in_container():
+    """The written IHDR carries interlace=1 and decode uses the
+    7-pass layout (byte streams differ from the sequential form)."""
+    px = bytes(range(64))
+    seq = encode_png(px, 8, 8, 0, "none")
+    il = encode_png(px, 8, 8, 0, "none", interlace=True)
+    assert seq[28] == 0 and il[28] == 1  # IHDR interlace byte
+    assert decode_png(il).pixels == decode_png(seq).pixels == px
