@@ -356,3 +356,129 @@ def map_payload_features(
         F.col(payload_col).cast(BinaryType()).alias(payload_col),
     )
     return src.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def box_resize(
+    pixels: bytes, w: int, h: int, channels: int, tw: int, th: int
+) -> bytes:
+    """Exact area-average (box) downsample of 8-bit interleaved
+    pixels to ``tw × th``: output pixel (i, j) is the round-half-up
+    mean of the input box [⌊i·w/tw⌋, ⌊(i+1)·w/tw⌋) ×
+    [⌊j·h/th⌋, ⌊(j+1)·h/th⌋) per channel (boxes widened to ≥ 1 px so
+    upscales degrade to nearest-neighbor rather than erroring).
+    Integer arithmetic only — deterministic across platforms, so
+    resized payloads hash identically everywhere (the property the
+    tests pin)."""
+    if tw <= 0 or th <= 0:
+        raise ValueError(f"target {tw}x{th} must be positive")
+    out = bytearray(tw * th * channels)
+    for j in range(th):
+        y0 = j * h // th
+        y1 = max(y0 + 1, (j + 1) * h // th)
+        for i in range(tw):
+            x0 = i * w // tw
+            x1 = max(x0 + 1, (i + 1) * w // tw)
+            n = (y1 - y0) * (x1 - x0)
+            for c in range(channels):
+                s = 0
+                for y in range(y0, y1):
+                    base = (y * w + x0) * channels + c
+                    for x in range(x1 - x0):
+                        s += pixels[base + x * channels]
+                out[(j * tw + i) * channels + c] = (2 * s + n) // (2 * n)
+    return bytes(out)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_md5", StringType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    target_w: int,
+    target_h: int,
+) -> DataFrame:
+    """Thumbnail/resize stage over binary PNG payloads (the third leg
+    of decode / feature-extract / RESIZE / frame-sample): decode with
+    the stdlib codec, exact integer box-mean downsample
+    (``box_resize``), re-encode as PNG (filter 0, fixed compression
+    level → byte-deterministic output, md5 attached for cheap
+    downstream comparison). 16-bit inputs downconvert to 8-bit by
+    high byte before pooling (documented precision trade; palette
+    inputs arrive already PLTE-expanded to RGB).
+
+    Same execution posture as ``decode_image``: Arrow-batched
+    ``mapInPandas``, zero shuffles, per-row errors in ``err`` instead
+    of task failure. Gated against an independent pure-Python
+    reference + hand vectors in tests/test_multimodal.py (resize is
+    not SQL-expressible at reasonable cost — the BPE/isotonic
+    grading precedent)."""
+    import hashlib
+
+    from etl_deltalake_spark.operators.png import (
+        PngError,
+        decode_png,
+        encode_png,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ows, ohs, blobs, md5s, errs = (
+                [], [], [], [], [], [], [], [],
+            )
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc)
+                try:
+                    img = decode_png(bytes(payload))
+                    px = img.pixels
+                    if img.bit_depth == 16:
+                        px = px[::2]  # big-endian high bytes
+                    small = box_resize(
+                        px, img.width, img.height, img.channels,
+                        target_w, target_h,
+                    )
+                    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[img.channels]
+                    blob = encode_png(
+                        small, target_w, target_h, ctype, "none"
+                    )
+                except (PngError, ValueError) as e:
+                    ws.append(None); hs.append(None)
+                    ows.append(None); ohs.append(None)
+                    blobs.append(None); md5s.append(None)
+                    errs.append(str(e))
+                else:
+                    ws.append(img.width); hs.append(img.height)
+                    ows.append(target_w); ohs.append(target_h)
+                    blobs.append(blob)
+                    md5s.append(hashlib.md5(blob).hexdigest())
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "out_w": pd.Series(ows, dtype="Int32"),
+                    "out_h": pd.Series(ohs, dtype="Int32"),
+                    "resized": pd.Series(blobs, dtype="object"),
+                    "resized_md5": pd.Series(md5s, dtype="object"),
+                    "err": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return src.mapInPandas(kernel, schema=RESIZE_SCHEMA)

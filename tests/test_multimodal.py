@@ -95,3 +95,81 @@ def test_decode_image_over_media_payloads(media):
     out = M.decode_image(media.limit(5), "doc_id", "payload").collect()
     assert len(out) == 5
     assert all(r.err is not None and r.width is None for r in out)
+
+
+# ------------------------------------------------------- round 5: resize
+
+
+def test_box_resize_hand_vector():
+    """4x4 gray 0..15 → 2x2: each output is the round-half-up mean
+    of its 2x2 box (2.5→3, 4.5→5, 10.5→11, 12.5→13)."""
+    from etl_deltalake_spark.operators.multimodal import box_resize
+
+    px = bytes(range(16))
+    assert box_resize(px, 4, 4, 1, 2, 2) == bytes([3, 5, 11, 13])
+
+
+def test_box_resize_matches_independent_reference():
+    """Random images vs a Fraction-exact independent mean (incl.
+    non-divisible shapes and multi-channel)."""
+    from fractions import Fraction
+
+    from etl_deltalake_spark.operators.multimodal import box_resize
+
+    def ref(px, w, h, ch, tw, th):
+        out = []
+        for j in range(th):
+            y0, y1 = j * h // th, max(j * h // th + 1, (j + 1) * h // th)
+            for i in range(tw):
+                x0 = i * w // tw
+                x1 = max(x0 + 1, (i + 1) * w // tw)
+                for c in range(ch):
+                    vals = [
+                        px[(y * w + x) * ch + c]
+                        for y in range(y0, y1)
+                        for x in range(x0, x1)
+                    ]
+                    m = Fraction(sum(vals), len(vals))
+                    # round half up
+                    out.append(int(m + Fraction(1, 2)))
+        return bytes(out)
+
+    import random
+
+    rnd = random.Random(7)
+    for w, h, ch, tw, th in [(5, 3, 1, 2, 2), (7, 7, 3, 3, 2), (4, 6, 4, 4, 3), (2, 2, 1, 3, 3)]:
+        px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        assert box_resize(px, w, h, ch, tw, th) == ref(px, w, h, ch, tw, th)
+
+
+def test_resize_image_end_to_end(spark):
+    """Spark kernel: synthesize PNGs, resize to 2x2, verify the
+    resized payload decodes to exactly box_resize(original), md5s
+    are deterministic across runs, and corrupt payloads land in err."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.multimodal import box_resize, resize_image
+    from etl_deltalake_spark.operators.png import decode_png, encode_png
+
+    rows = []
+    for d in range(8):
+        w, h = 3 + d % 5, 2 + d % 4
+        ctype = 0 if d % 2 == 0 else 2
+        ch = 1 if ctype == 0 else 3
+        px = bytes((d * 31 + k) % 256 for k in range(w * h * ch))
+        rows.append((d, encode_png(px, w, h, ctype, "cycle"), px, w, h, ch))
+    rows.append((99, b"not a png", None, None, None, None))
+    df = spark.createDataFrame(
+        [(d, p) for d, p, *_ in rows], "doc_id long, payload binary"
+    )
+    out1 = {r["doc_id"]: r for r in resize_image(df, "doc_id", "payload", 2, 2).collect()}
+    out2 = {r["doc_id"]: r for r in resize_image(df, "doc_id", "payload", 2, 2).collect()}
+    assert out1[99]["err"] is not None and out1[99]["resized"] is None
+    for d, _, px, w, h, ch in rows[:-1]:
+        r = out1[d]
+        assert r["err"] is None
+        assert (r["width"], r["height"], r["out_w"], r["out_h"]) == (w, h, 2, 2)
+        dec = decode_png(bytes(r["resized"]))
+        assert (dec.width, dec.height, dec.channels) == (2, 2, ch)
+        assert dec.pixels == box_resize(px, w, h, ch, 2, 2)
+        assert r["resized_md5"] == out2[d]["resized_md5"]
