@@ -115,6 +115,53 @@ def _md5_first_hex(p: int, d: int) -> str:
     return hashlib.md5(f"{p},{d}".encode()).hexdigest()[0]
 
 
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    out_dim: int,
+    scale: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with the
+    deterministic ±1 sign matrix (Achlioptas 2001, "Database-friendly
+    random projections": ±1 entries preserve pairwise distances with
+    the same guarantee as Gaussians):
+
+        y_j = round( (Σ_d w(j,d)·x_d) / √out_dim , scale )
+
+    with w(j,d) the md5-derived ±1 draw ``hyperplane_bits`` uses, so
+    any engine with md5 re-derives the identical matrix — the oracle
+    mirrors the whole expression term-for-term (q_random_proj).
+
+    The production use: shrink 1k-4k-dim embeddings to 32-128 dims
+    BEFORE the expensive ANN/clustering stages — distance
+    computations drop proportionally while JL keeps relative
+    distances within (1±ε) for ε ≈ √(8·ln n / out_dim). Execution is
+    pure scan-side column math (weights are plan literals): no
+    shuffle, no UDF; at 100 TB this runs at parquet-read speed.
+    Output: (id, proj array<double> of out_dim rounded components).
+    """
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    vec = _to_double(F.col(vec_col))
+
+    def comp(j: int) -> Column:
+        weights = F.array(
+            *[
+                F.lit(1.0 if int(_md5_first_hex(j, d), 16) < 8 else -1.0)
+                for d in range(dims)
+            ]
+        )
+        return F.round(dot(vec, weights) * F.lit(inv), scale)
+
+    return df.select(
+        F.col(id_col),
+        F.array(*[comp(j) for j in range(out_dim)]).alias("proj"),
+    )
+
+
 def bucketed_ann_topk(
     df: DataFrame,
     id_col: str,

@@ -3456,3 +3456,24 @@ oracle("q_script_profile")(
     ORDER BY doc_id
     """
 )
+
+
+# JL ±1 projection (q_random_proj): the weight matrix is baked in
+# as literals from the same md5 derivation the Spark operator uses.
+
+
+oracle("q_random_proj")(
+    """
+    SELECT vec_id,
+      ROUND(((-1.0 * v[1]) + (-1.0 * v[2]) + (-1.0 * v[3]) + (-1.0 * v[4]) + (-1.0 * v[5]) + (-1.0 * v[6]) + (-1.0 * v[7]) + (+1.0 * v[8]) + (-1.0 * v[9]) + (-1.0 * v[10]) + (+1.0 * v[11]) + (-1.0 * v[12]) + (-1.0 * v[13]) + (+1.0 * v[14]) + (+1.0 * v[15]) + (+1.0 * v[16]) + (+1.0 * v[17]) + (+1.0 * v[18]) + (+1.0 * v[19]) + (+1.0 * v[20]) + (-1.0 * v[21]) + (-1.0 * v[22]) + (+1.0 * v[23]) + (-1.0 * v[24]) + (+1.0 * v[25]) + (-1.0 * v[26]) + (+1.0 * v[27]) + (+1.0 * v[28]) + (+1.0 * v[29]) + (+1.0 * v[30]) + (+1.0 * v[31]) + (+1.0 * v[32]) + (-1.0 * v[33]) + (-1.0 * v[34]) + (+1.0 * v[35]) + (+1.0 * v[36]) + (-1.0 * v[37]) + (+1.0 * v[38]) + (+1.0 * v[39]) + (+1.0 * v[40]) + (+1.0 * v[41]) + (+1.0 * v[42]) + (-1.0 * v[43]) + (-1.0 * v[44]) + (+1.0 * v[45]) + (-1.0 * v[46]) + (-1.0 * v[47]) + (+1.0 * v[48]) + (+1.0 * v[49]) + (-1.0 * v[50]) + (-1.0 * v[51]) + (-1.0 * v[52]) + (-1.0 * v[53]) + (+1.0 * v[54]) + (-1.0 * v[55]) + (+1.0 * v[56]) + (-1.0 * v[57]) + (+1.0 * v[58]) + (-1.0 * v[59]) + (+1.0 * v[60]) + (-1.0 * v[61]) + (+1.0 * v[62]) + (-1.0 * v[63]) + (+1.0 * v[64])) * 0.35355339059327373, 6) AS y0,
+      ROUND(((-1.0 * v[1]) + (+1.0 * v[2]) + (+1.0 * v[3]) + (-1.0 * v[4]) + (-1.0 * v[5]) + (+1.0 * v[6]) + (+1.0 * v[7]) + (-1.0 * v[8]) + (+1.0 * v[9]) + (+1.0 * v[10]) + (+1.0 * v[11]) + (-1.0 * v[12]) + (+1.0 * v[13]) + (-1.0 * v[14]) + (-1.0 * v[15]) + (+1.0 * v[16]) + (+1.0 * v[17]) + (+1.0 * v[18]) + (+1.0 * v[19]) + (-1.0 * v[20]) + (+1.0 * v[21]) + (-1.0 * v[22]) + (+1.0 * v[23]) + (+1.0 * v[24]) + (-1.0 * v[25]) + (-1.0 * v[26]) + (-1.0 * v[27]) + (+1.0 * v[28]) + (-1.0 * v[29]) + (+1.0 * v[30]) + (-1.0 * v[31]) + (+1.0 * v[32]) + (+1.0 * v[33]) + (+1.0 * v[34]) + (+1.0 * v[35]) + (+1.0 * v[36]) + (+1.0 * v[37]) + (-1.0 * v[38]) + (+1.0 * v[39]) + (-1.0 * v[40]) + (-1.0 * v[41]) + (-1.0 * v[42]) + (+1.0 * v[43]) + (-1.0 * v[44]) + (+1.0 * v[45]) + (-1.0 * v[46]) + (+1.0 * v[47]) + (+1.0 * v[48]) + (-1.0 * v[49]) + (+1.0 * v[50]) + (+1.0 * v[51]) + (-1.0 * v[52]) + (+1.0 * v[53]) + (-1.0 * v[54]) + (+1.0 * v[55]) + (+1.0 * v[56]) + (+1.0 * v[57]) + (-1.0 * v[58]) + (-1.0 * v[59]) + (+1.0 * v[60]) + (+1.0 * v[61]) + (-1.0 * v[62]) + (+1.0 * v[63]) + (+1.0 * v[64])) * 0.35355339059327373, 6) AS y1,
+      ROUND(((-1.0 * v[1]) + (+1.0 * v[2]) + (-1.0 * v[3]) + (+1.0 * v[4]) + (-1.0 * v[5]) + (-1.0 * v[6]) + (-1.0 * v[7]) + (-1.0 * v[8]) + (+1.0 * v[9]) + (-1.0 * v[10]) + (-1.0 * v[11]) + (-1.0 * v[12]) + (-1.0 * v[13]) + (+1.0 * v[14]) + (-1.0 * v[15]) + (-1.0 * v[16]) + (-1.0 * v[17]) + (-1.0 * v[18]) + (+1.0 * v[19]) + (-1.0 * v[20]) + (+1.0 * v[21]) + (-1.0 * v[22]) + (-1.0 * v[23]) + (-1.0 * v[24]) + (+1.0 * v[25]) + (+1.0 * v[26]) + (+1.0 * v[27]) + (-1.0 * v[28]) + (-1.0 * v[29]) + (+1.0 * v[30]) + (+1.0 * v[31]) + (+1.0 * v[32]) + (+1.0 * v[33]) + (+1.0 * v[34]) + (-1.0 * v[35]) + (-1.0 * v[36]) + (-1.0 * v[37]) + (-1.0 * v[38]) + (+1.0 * v[39]) + (+1.0 * v[40]) + (+1.0 * v[41]) + (-1.0 * v[42]) + (+1.0 * v[43]) + (-1.0 * v[44]) + (-1.0 * v[45]) + (+1.0 * v[46]) + (-1.0 * v[47]) + (-1.0 * v[48]) + (+1.0 * v[49]) + (+1.0 * v[50]) + (+1.0 * v[51]) + (+1.0 * v[52]) + (+1.0 * v[53]) + (-1.0 * v[54]) + (+1.0 * v[55]) + (-1.0 * v[56]) + (-1.0 * v[57]) + (+1.0 * v[58]) + (+1.0 * v[59]) + (+1.0 * v[60]) + (-1.0 * v[61]) + (-1.0 * v[62]) + (-1.0 * v[63]) + (+1.0 * v[64])) * 0.35355339059327373, 6) AS y2,
+      ROUND(((+1.0 * v[1]) + (-1.0 * v[2]) + (+1.0 * v[3]) + (+1.0 * v[4]) + (-1.0 * v[5]) + (+1.0 * v[6]) + (+1.0 * v[7]) + (+1.0 * v[8]) + (+1.0 * v[9]) + (+1.0 * v[10]) + (+1.0 * v[11]) + (-1.0 * v[12]) + (-1.0 * v[13]) + (+1.0 * v[14]) + (-1.0 * v[15]) + (-1.0 * v[16]) + (+1.0 * v[17]) + (-1.0 * v[18]) + (-1.0 * v[19]) + (-1.0 * v[20]) + (+1.0 * v[21]) + (+1.0 * v[22]) + (-1.0 * v[23]) + (+1.0 * v[24]) + (+1.0 * v[25]) + (+1.0 * v[26]) + (-1.0 * v[27]) + (-1.0 * v[28]) + (-1.0 * v[29]) + (+1.0 * v[30]) + (-1.0 * v[31]) + (-1.0 * v[32]) + (-1.0 * v[33]) + (-1.0 * v[34]) + (+1.0 * v[35]) + (+1.0 * v[36]) + (+1.0 * v[37]) + (+1.0 * v[38]) + (+1.0 * v[39]) + (-1.0 * v[40]) + (+1.0 * v[41]) + (-1.0 * v[42]) + (+1.0 * v[43]) + (-1.0 * v[44]) + (+1.0 * v[45]) + (-1.0 * v[46]) + (+1.0 * v[47]) + (-1.0 * v[48]) + (+1.0 * v[49]) + (-1.0 * v[50]) + (-1.0 * v[51]) + (-1.0 * v[52]) + (+1.0 * v[53]) + (+1.0 * v[54]) + (+1.0 * v[55]) + (+1.0 * v[56]) + (+1.0 * v[57]) + (+1.0 * v[58]) + (+1.0 * v[59]) + (+1.0 * v[60]) + (-1.0 * v[61]) + (+1.0 * v[62]) + (-1.0 * v[63]) + (-1.0 * v[64])) * 0.35355339059327373, 6) AS y3,
+      ROUND(((+1.0 * v[1]) + (-1.0 * v[2]) + (-1.0 * v[3]) + (+1.0 * v[4]) + (-1.0 * v[5]) + (+1.0 * v[6]) + (+1.0 * v[7]) + (+1.0 * v[8]) + (-1.0 * v[9]) + (+1.0 * v[10]) + (-1.0 * v[11]) + (+1.0 * v[12]) + (-1.0 * v[13]) + (+1.0 * v[14]) + (+1.0 * v[15]) + (+1.0 * v[16]) + (-1.0 * v[17]) + (-1.0 * v[18]) + (+1.0 * v[19]) + (-1.0 * v[20]) + (+1.0 * v[21]) + (+1.0 * v[22]) + (-1.0 * v[23]) + (+1.0 * v[24]) + (+1.0 * v[25]) + (+1.0 * v[26]) + (+1.0 * v[27]) + (+1.0 * v[28]) + (+1.0 * v[29]) + (+1.0 * v[30]) + (+1.0 * v[31]) + (+1.0 * v[32]) + (-1.0 * v[33]) + (+1.0 * v[34]) + (+1.0 * v[35]) + (+1.0 * v[36]) + (+1.0 * v[37]) + (+1.0 * v[38]) + (-1.0 * v[39]) + (+1.0 * v[40]) + (-1.0 * v[41]) + (-1.0 * v[42]) + (-1.0 * v[43]) + (+1.0 * v[44]) + (-1.0 * v[45]) + (+1.0 * v[46]) + (+1.0 * v[47]) + (+1.0 * v[48]) + (+1.0 * v[49]) + (-1.0 * v[50]) + (-1.0 * v[51]) + (+1.0 * v[52]) + (+1.0 * v[53]) + (-1.0 * v[54]) + (+1.0 * v[55]) + (+1.0 * v[56]) + (-1.0 * v[57]) + (+1.0 * v[58]) + (+1.0 * v[59]) + (+1.0 * v[60]) + (-1.0 * v[61]) + (-1.0 * v[62]) + (+1.0 * v[63]) + (-1.0 * v[64])) * 0.35355339059327373, 6) AS y4,
+      ROUND(((-1.0 * v[1]) + (-1.0 * v[2]) + (+1.0 * v[3]) + (-1.0 * v[4]) + (+1.0 * v[5]) + (+1.0 * v[6]) + (-1.0 * v[7]) + (-1.0 * v[8]) + (+1.0 * v[9]) + (+1.0 * v[10]) + (+1.0 * v[11]) + (+1.0 * v[12]) + (+1.0 * v[13]) + (-1.0 * v[14]) + (+1.0 * v[15]) + (-1.0 * v[16]) + (+1.0 * v[17]) + (+1.0 * v[18]) + (+1.0 * v[19]) + (+1.0 * v[20]) + (-1.0 * v[21]) + (+1.0 * v[22]) + (+1.0 * v[23]) + (-1.0 * v[24]) + (+1.0 * v[25]) + (-1.0 * v[26]) + (+1.0 * v[27]) + (-1.0 * v[28]) + (-1.0 * v[29]) + (-1.0 * v[30]) + (-1.0 * v[31]) + (-1.0 * v[32]) + (+1.0 * v[33]) + (+1.0 * v[34]) + (+1.0 * v[35]) + (+1.0 * v[36]) + (-1.0 * v[37]) + (+1.0 * v[38]) + (+1.0 * v[39]) + (-1.0 * v[40]) + (-1.0 * v[41]) + (+1.0 * v[42]) + (+1.0 * v[43]) + (+1.0 * v[44]) + (-1.0 * v[45]) + (-1.0 * v[46]) + (+1.0 * v[47]) + (-1.0 * v[48]) + (-1.0 * v[49]) + (-1.0 * v[50]) + (-1.0 * v[51]) + (+1.0 * v[52]) + (+1.0 * v[53]) + (+1.0 * v[54]) + (+1.0 * v[55]) + (+1.0 * v[56]) + (+1.0 * v[57]) + (+1.0 * v[58]) + (+1.0 * v[59]) + (+1.0 * v[60]) + (+1.0 * v[61]) + (-1.0 * v[62]) + (-1.0 * v[63]) + (-1.0 * v[64])) * 0.35355339059327373, 6) AS y5,
+      ROUND(((-1.0 * v[1]) + (+1.0 * v[2]) + (+1.0 * v[3]) + (-1.0 * v[4]) + (+1.0 * v[5]) + (+1.0 * v[6]) + (-1.0 * v[7]) + (-1.0 * v[8]) + (+1.0 * v[9]) + (-1.0 * v[10]) + (-1.0 * v[11]) + (+1.0 * v[12]) + (-1.0 * v[13]) + (+1.0 * v[14]) + (+1.0 * v[15]) + (+1.0 * v[16]) + (-1.0 * v[17]) + (+1.0 * v[18]) + (-1.0 * v[19]) + (-1.0 * v[20]) + (-1.0 * v[21]) + (-1.0 * v[22]) + (-1.0 * v[23]) + (-1.0 * v[24]) + (+1.0 * v[25]) + (-1.0 * v[26]) + (-1.0 * v[27]) + (+1.0 * v[28]) + (-1.0 * v[29]) + (-1.0 * v[30]) + (-1.0 * v[31]) + (+1.0 * v[32]) + (-1.0 * v[33]) + (+1.0 * v[34]) + (+1.0 * v[35]) + (-1.0 * v[36]) + (+1.0 * v[37]) + (-1.0 * v[38]) + (+1.0 * v[39]) + (-1.0 * v[40]) + (-1.0 * v[41]) + (-1.0 * v[42]) + (+1.0 * v[43]) + (-1.0 * v[44]) + (-1.0 * v[45]) + (+1.0 * v[46]) + (-1.0 * v[47]) + (-1.0 * v[48]) + (+1.0 * v[49]) + (+1.0 * v[50]) + (+1.0 * v[51]) + (+1.0 * v[52]) + (-1.0 * v[53]) + (+1.0 * v[54]) + (-1.0 * v[55]) + (+1.0 * v[56]) + (-1.0 * v[57]) + (-1.0 * v[58]) + (-1.0 * v[59]) + (-1.0 * v[60]) + (-1.0 * v[61]) + (+1.0 * v[62]) + (+1.0 * v[63]) + (+1.0 * v[64])) * 0.35355339059327373, 6) AS y6,
+      ROUND(((-1.0 * v[1]) + (-1.0 * v[2]) + (-1.0 * v[3]) + (+1.0 * v[4]) + (+1.0 * v[5]) + (+1.0 * v[6]) + (-1.0 * v[7]) + (-1.0 * v[8]) + (-1.0 * v[9]) + (+1.0 * v[10]) + (+1.0 * v[11]) + (-1.0 * v[12]) + (-1.0 * v[13]) + (-1.0 * v[14]) + (-1.0 * v[15]) + (+1.0 * v[16]) + (-1.0 * v[17]) + (+1.0 * v[18]) + (+1.0 * v[19]) + (+1.0 * v[20]) + (-1.0 * v[21]) + (+1.0 * v[22]) + (-1.0 * v[23]) + (-1.0 * v[24]) + (-1.0 * v[25]) + (+1.0 * v[26]) + (-1.0 * v[27]) + (-1.0 * v[28]) + (+1.0 * v[29]) + (+1.0 * v[30]) + (+1.0 * v[31]) + (-1.0 * v[32]) + (-1.0 * v[33]) + (-1.0 * v[34]) + (+1.0 * v[35]) + (+1.0 * v[36]) + (-1.0 * v[37]) + (+1.0 * v[38]) + (+1.0 * v[39]) + (+1.0 * v[40]) + (-1.0 * v[41]) + (-1.0 * v[42]) + (-1.0 * v[43]) + (-1.0 * v[44]) + (+1.0 * v[45]) + (-1.0 * v[46]) + (-1.0 * v[47]) + (-1.0 * v[48]) + (-1.0 * v[49]) + (+1.0 * v[50]) + (-1.0 * v[51]) + (-1.0 * v[52]) + (+1.0 * v[53]) + (+1.0 * v[54]) + (-1.0 * v[55]) + (+1.0 * v[56]) + (-1.0 * v[57]) + (-1.0 * v[58]) + (-1.0 * v[59]) + (-1.0 * v[60]) + (+1.0 * v[61]) + (+1.0 * v[62]) + (-1.0 * v[63]) + (+1.0 * v[64])) * 0.35355339059327373, 6) AS y7
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ORDER BY vec_id
+    """
+)

@@ -2215,3 +2215,19 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc["Cyrillic"].alias("n_cyrillic"),
         script_id("text").alias("script"),
     ).orderBy("doc_id")
+
+
+def q_random_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection of the 64-d embeddings to
+    8 components (operators/similarity.random_projection) — the
+    shrink-before-ANN stage. Weights are md5-derived plan literals,
+    so the oracle re-derives the identical matrix and every component
+    compares bitwise after rounding."""
+    from etl_deltalake_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = random_projection(emb, "vec_id", "embedding", dims=64, out_dim=8)
+    return proj.select(
+        "vec_id",
+        *[F.element_at("proj", j + 1).alias(f"y{j}") for j in range(8)],
+    ).orderBy("vec_id")

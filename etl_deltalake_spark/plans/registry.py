@@ -249,6 +249,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_array_funcs",
     # round 5
     "q_script_profile",
+    "q_random_proj",
 )
 
 

@@ -150,6 +150,38 @@ def test_skew_aware_join_splits_hot_key(spark):
     assert "xxhash64" not in j2._jdf.queryExecution().executedPlan().toString()
 
 
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property, empirically pinned: projecting 64→32 dims with
+    the ±1 matrix keeps every pairwise squared distance within
+    [0.3, 2.5]× of the original and the mean ratio near 1 (measured
+    0.44-1.86, mean 0.985 on the fixture — bounds leave margin but
+    would catch a broken weight matrix or scaling)."""
+    from etl_deltalake_spark.operators.similarity import random_projection
+
+    emb = qx.load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 40
+    )
+    orig = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()
+    }
+    proj = {
+        r["vec_id"]: list(r["proj"])
+        for r in random_projection(
+            emb, "vec_id", "embedding", dims=64, out_dim=32
+        ).collect()
+    }
+    ids = sorted(orig)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            do = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            dp = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            ratios.append(dp / do)
+    assert all(0.3 < r < 2.5 for r in ratios)
+    assert 0.85 < sum(ratios) / len(ratios) < 1.15
+
+
 def test_ann_recall_bounds(spark, sf_dir):
     """Recall rows must be well-formed: one per method, hits ≤ k,
     recall = hits/k, and the exact method would be 1.0 by
