@@ -97,7 +97,7 @@ oracle("q_remap_values")(
       n_nationkey,
       CASE n_name
         WHEN 'NATION_0' THEN 'NATION_ZERO'
-        WHEN 'NATION_1' THEN 'NATION_ONE'
+        WHEN 'NATION_12' THEN 'NATION_ONE'
         WHEN 'NATION_7' THEN 'NATION_SEVEN'
         ELSE n_name
       END AS n_name,
@@ -3475,5 +3475,96 @@ oracle("q_random_proj")(
       ROUND(((-1.0 * v[1]) + (-1.0 * v[2]) + (-1.0 * v[3]) + (+1.0 * v[4]) + (+1.0 * v[5]) + (+1.0 * v[6]) + (-1.0 * v[7]) + (-1.0 * v[8]) + (-1.0 * v[9]) + (+1.0 * v[10]) + (+1.0 * v[11]) + (-1.0 * v[12]) + (-1.0 * v[13]) + (-1.0 * v[14]) + (-1.0 * v[15]) + (+1.0 * v[16]) + (-1.0 * v[17]) + (+1.0 * v[18]) + (+1.0 * v[19]) + (+1.0 * v[20]) + (-1.0 * v[21]) + (+1.0 * v[22]) + (-1.0 * v[23]) + (-1.0 * v[24]) + (-1.0 * v[25]) + (+1.0 * v[26]) + (-1.0 * v[27]) + (-1.0 * v[28]) + (+1.0 * v[29]) + (+1.0 * v[30]) + (+1.0 * v[31]) + (-1.0 * v[32]) + (-1.0 * v[33]) + (-1.0 * v[34]) + (+1.0 * v[35]) + (+1.0 * v[36]) + (-1.0 * v[37]) + (+1.0 * v[38]) + (+1.0 * v[39]) + (+1.0 * v[40]) + (-1.0 * v[41]) + (-1.0 * v[42]) + (-1.0 * v[43]) + (-1.0 * v[44]) + (+1.0 * v[45]) + (-1.0 * v[46]) + (-1.0 * v[47]) + (-1.0 * v[48]) + (-1.0 * v[49]) + (+1.0 * v[50]) + (-1.0 * v[51]) + (-1.0 * v[52]) + (+1.0 * v[53]) + (+1.0 * v[54]) + (-1.0 * v[55]) + (+1.0 * v[56]) + (-1.0 * v[57]) + (-1.0 * v[58]) + (-1.0 * v[59]) + (-1.0 * v[60]) + (+1.0 * v[61]) + (+1.0 * v[62]) + (-1.0 * v[63]) + (+1.0 * v[64])) * 0.35355339059327373, 6) AS y7
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     ORDER BY vec_id
+    """
+)
+
+
+oracle("q_tpch_q7")(
+    f"""
+    SELECT supp_nation, cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {_TPCH_REV} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    , LATERAL (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation) x
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((supp_nation = 'NATION_12' AND cust_nation = 'NATION_10')
+        OR (supp_nation = 'NATION_10' AND cust_nation = 'NATION_12'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+)
+
+_Q8_VOL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+oracle("q_tpch_q8")(
+    f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_Q8_VOL}
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({_Q8_VOL}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """
+)
+
+oracle("q_tpch_q17")(
+    """
+    WITH pp AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             COUNT(*) AS n_li
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN pp ON l_partkey = pk
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(n_li AS DECIMAL(18,0)) * 5 < sum_qty
+    """
+)
+
+oracle("q_tpch_q22")(
+    """
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos,
+             COUNT(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey % 5 AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+            * CAST(n_pos AS DECIMAL(18,0)) > sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    ORDER BY 1
     """
 )

@@ -2231,3 +2231,175 @@ def q_random_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.element_at("proj", j + 1).alias(f"y{j}") for j in range(8)],
     ).orderBy("vec_id")
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between a nation PAIR in
+    either direction, grouped by (supplier nation, customer nation,
+    ship year) — the two-aliased-dimension join shape. Both nation
+    dims broadcast; the fact shuffles once for the aggregate."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_12")
+        & (F.col("cust_nation") == "NATION_10")
+    ) | (
+        (F.col("supp_nation") == "NATION_10")
+        & (F.col("cust_nation") == "NATION_12")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(_revenue().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of
+    AMERICA-region ECONOMY-part revenue per order year — the
+    conditional-aggregate-over-join shape. Share = decimal-exact
+    conditional sum / decimal-exact total, divided in double and
+    rounded, so both engines agree bitwise."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "AMERICA"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(
+            F.broadcast(region), F.col("n1_region") == region.r_regionkey
+        )
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            F.round(share_num / F.sum(vol).cast("double"), 6).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the
+    fixture schema (no p_container column — the brand filter alone
+    selects the part subset): weekly revenue lost if orders below
+    20% of a part's average quantity stopped. The correlated-scalar-
+    subquery shape, expressed as a per-part aggregate join; the
+    threshold predicate is rewritten DECIMAL-EXACT
+    (5·l_quantity·count < sum_qty ⟺ l_quantity < 0.2·avg) so no
+    float boundary can diverge between engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(
+            _dec("l_quantity") * F.col("n_li").cast("decimal(18,0)") * 5
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to the fixture
+    schema (no c_phone — country code derives from c_nationkey % 5,
+    and every fixture customer has SOME order, so "never ordered"
+    becomes "no orders since 2000-01-01"): well-funded customers gone
+    inactive, counted per country code. The NOT-EXISTS anti-join + global-scalar-threshold shape;
+    the above-average predicate is rewritten decimal-exact
+    (c_acctbal·n_pos > sum_pos ⟺ c_acctbal > avg over positive
+    balances) to kill float boundaries."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(
+            _dec("c_acctbal") * F.col("n_pos").cast("decimal(18,0)")
+            > F.col("sum_pos")
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

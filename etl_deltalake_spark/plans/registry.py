@@ -250,6 +250,10 @@ SLOTLESS: tuple[str, ...] = (
     # round 5
     "q_script_profile",
     "q_random_proj",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q17",
+    "q_tpch_q22",
 )
 
 
