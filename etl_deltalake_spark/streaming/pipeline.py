@@ -484,3 +484,99 @@ def user_anomaly_stats(
             timeMode="None",
         )
     )
+
+
+def neardup_maintenance_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """Streaming NEAR-dup dedup (round 5): each micro-batch probes
+    the persisted MinHash signature/band store
+    (operators/dedup.minhash_store), keeps only canonical novel
+    documents, and appends exactly those documents' store rows — so
+    the store grows monotonically with the deduped corpus and later
+    batches dedup against everything that survived before them.
+    The streaming twin of ``incremental_neardup`` the way
+    q_stream_dedup twins ``incremental_dedup``.
+
+    Per epoch (``neardup_epoch`` is the foreachBatch body, unit-
+    gated against a sequential batch replay in tests):
+      1. read the store (empty schema on first epoch);
+      2. ``incremental_neardup(batch, store)`` → per-doc
+         hist_dup / cluster / kept verdicts;
+      3. append verdicts (+ epoch) to ``out_dir``;
+      4. append kept docs' ``minhash_store`` rows to ``store_dir``.
+
+    At 100 TB: the store is ~2 KB/doc of signatures (never text); a
+    batch's cost is its own signatures + two band equi-joins. Restart
+    safety rides the checkpoint — an epoch replay re-appends the same
+    verdicts (dedup downstream on (doc, epoch)); Delta MERGE makes
+    step 4 idempotent where available (sources/table_format.py).
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: neardup_epoch(
+                batch_df, epoch_id, id_col, text_col, store_dir, out_dir,
+                k, num_perm, bands, threshold,
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def neardup_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    out_dir: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch of ``neardup_maintenance_stream`` (exposed so
+    tests can drive epochs deterministically)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_store,
+    )
+
+    spark = batch_df.sparkSession
+    if os.path.exists(os.path.join(store_dir, "_SUCCESS")) or any(
+        f.endswith(".parquet")
+        for f in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+    ):
+        store = spark.read.schema(
+            "doc long, sig array<string>, band_idx long, band_hash string"
+        ).parquet(store_dir)
+    else:
+        store = spark.createDataFrame(
+            [], "doc long, sig array<string>, band_idx long, band_hash string"
+        )
+    verdicts = incremental_neardup(
+        batch_df, store, id_col, text_col, k, num_perm, bands, threshold
+    ).localCheckpoint(eager=True)
+    verdicts.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+        "append"
+    ).parquet(out_dir)
+    kept = verdicts.filter(F.col("kept")).select("doc")
+    new_rows = minhash_store(batch_df, id_col, text_col, k, num_perm, bands)
+    new_rows.join(kept, "doc").write.mode("append").parquet(store_dir)

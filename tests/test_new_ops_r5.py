@@ -191,3 +191,82 @@ def test_ann_recall_bounds(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r["n_hits"] <= r["k"]
         assert abs(r["recall"] - r["n_hits"] / r["k"]) < 1e-9
+
+
+def test_neardup_epochs_match_sequential_replay(spark, sf_dir, tmp_path):
+    """Two driven epochs of the streaming near-dup sink must equal a
+    sequential batch replay: epoch 0 dedups against an empty store,
+    epoch 1 against exactly epoch 0's kept docs."""
+    from etl_deltalake_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_store,
+    )
+    from etl_deltalake_spark.streaming.pipeline import neardup_epoch
+
+    docs = qx.load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 100
+    ).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 50)
+    b2 = docs.filter(F.col("doc_id") >= 50)
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "out")
+    neardup_epoch(b1, 0, "doc_id", "text", store_dir, out_dir)
+    neardup_epoch(b2, 1, "doc_id", "text", store_dir, out_dir)
+
+    out = spark.read.parquet(out_dir)
+    got_e0 = {
+        (r["doc"], r["hist_dup"], r["cluster"], r["kept"])
+        for r in out.filter(F.col("epoch") == 0).collect()
+    }
+    got_e1 = {
+        (r["doc"], r["hist_dup"], r["cluster"], r["kept"])
+        for r in out.filter(F.col("epoch") == 1).collect()
+    }
+
+    empty = spark.createDataFrame(
+        [], "doc long, sig array<string>, band_idx long, band_hash string"
+    )
+    ref_v1 = incremental_neardup(b1, empty, "doc_id", "text")
+    want_e0 = {
+        (r["doc"], r["hist_dup"], r["cluster"], r["kept"])
+        for r in ref_v1.collect()
+    }
+    kept1 = ref_v1.filter(F.col("kept")).select("doc")
+    store1 = minhash_store(b1, "doc_id", "text").join(kept1, "doc")
+    want_e1 = {
+        (r["doc"], r["hist_dup"], r["cluster"], r["kept"])
+        for r in incremental_neardup(b2, store1, "doc_id", "text").collect()
+    }
+    assert got_e0 == want_e0
+    assert got_e1 == want_e1
+    # store holds exactly the kept docs' band rows (4 bands each)
+    n_kept = len([1 for *_, k in got_e0 | got_e1 if k])
+    assert spark.read.parquet(store_dir).count() == 4 * n_kept
+
+
+def test_neardup_stream_end_to_end(spark, sf_dir, tmp_path):
+    """The real readStream → foreachBatch path runs and emits one
+    verdict per input document."""
+    from etl_deltalake_spark.streaming.pipeline import (
+        neardup_maintenance_stream,
+    )
+
+    docs = qx.load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 60
+    ).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    neardup_maintenance_stream(
+        stream,
+        "doc_id",
+        "text",
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 60
+    assert out.filter(F.col("kept")).count() >= 1
