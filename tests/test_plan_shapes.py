@@ -37,6 +37,11 @@ _SCALAR_CROSS_OK = {
     "q_heavy_hitters": 1,
     # corpus_divergence crossJoins the 1-row (N_a, N_b, |V|) totals
     "q_corpus_kl": 1,
+    # round 5: recall grading crossJoins the 1-row query vector
+    # inside cosine_topk (exact ground truth); Q22 broadcasts the
+    # 1-row positive-balance (sum, count) threshold aggregate
+    "q_ann_recall": 1,
+    "q_tpch_q22": 1,
 }
 
 
