@@ -97,7 +97,7 @@ oracle("q_remap_values")(
       n_nationkey,
       CASE n_name
         WHEN 'NATION_0' THEN 'NATION_ZERO'
-        WHEN 'NATION_12' THEN 'NATION_ONE'
+        WHEN 'NATION_1' THEN 'NATION_ONE'
         WHEN 'NATION_7' THEN 'NATION_SEVEN'
         ELSE n_name
       END AS n_name,
