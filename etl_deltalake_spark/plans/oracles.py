@@ -3568,3 +3568,33 @@ oracle("q_tpch_q22")(
     ORDER BY 1
     """
 )
+
+
+def _recall_curve_sql() -> str:
+    """Each nprobe branch's heavy PQ chain appears exactly ONCE, as a
+    MATERIALIZED CTE (DuckDB would otherwise inline-duplicate it per
+    reference and blow memory)."""
+    ctes = ["e AS MATERIALIZED (" + _cosine_topk_sql(10) + ")"]
+    rows = []
+    for np in (1, 2, 3):
+        ctes.append(
+            f"a{np} AS MATERIALIZED (SELECT vec_id FROM "
+            f"({_pq_topk_sql(nprobe=np, k=10)}))"
+        )
+        rows.append(
+            f"""
+    SELECT CAST({np} AS BIGINT) AS nprobe,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM a{np} JOIN e USING (vec_id)) AS n_hits,
+           ROUND((SELECT COUNT(*)
+              FROM a{np} JOIN e USING (vec_id)) / 10.0, 6) AS recall_at_10
+    """
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    UNION ALL\n".join(rows)
+        + "\n    ORDER BY nprobe\n"
+    )
+
+
+oracle("q_ivf_recall_curve")(_recall_curve_sql())

@@ -254,6 +254,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q8",
     "q_tpch_q17",
     "q_tpch_q22",
+    "q_ivf_recall_curve",
 )
 
 
