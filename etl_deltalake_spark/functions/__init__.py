@@ -10,7 +10,7 @@ is the engine-level generalization the driver's oracle exercises.
 Grouped by family:
  - text:       tokens, token_count, word_count, stopword_ratio,
                punct_ratio, quality_score, lang_id, normalize_text,
-               fingerprint_md5
+               fingerprint_md5, script_counts, script_id
  - dedup:      shingles (expression form; prefer the table-valued
                operators in operators.dedup for hot paths)
  - similarity: dot, norm, cosine, unit_vec, hyperplane_bits
@@ -36,6 +36,8 @@ from etl_deltalake_spark.operators.text import (
     normalize_text,
     punct_ratio,
     quality_score,
+    script_counts,
+    script_id,
     stopword_ratio,
     token_count,
     tokens,
@@ -55,6 +57,8 @@ __all__ = [
     "norm",
     "punct_ratio",
     "quality_score",
+    "script_counts",
+    "script_id",
     "shingles",
     "stopword_ratio",
     "synth_email",
