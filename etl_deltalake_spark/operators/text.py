@@ -304,6 +304,68 @@ def bigram_lm_scores(df, id_col: str, text_col: str):
     )
 
 
+def bigram_lm_transfer_scores(
+    train_df, score_df, id_col: str, text_col: str
+):
+    """Score one corpus under a bigram LM trained on ANOTHER — the
+    real curation form of ``bigram_lm_scores``: production pipelines
+    score candidate data against a model fit on a trusted reference
+    corpus (KenLM-on-Wikipedia-style filtering), not on the candidate
+    set itself.
+
+    Model: add-one-smoothed bigram MLE from ``train_df``;
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) with V = train vocabulary
+    size. Unseen bigrams fall back to the +1 numerator; unseen w1
+    contributes log(1/V·…) via COALESCE(c_uni, 0) — out-of-domain
+    text scores low, which is exactly the filter signal.
+
+    Execution shape mirrors ``bigram_lm_scores`` (one window shuffle
+    per corpus for bigram assembly, Zipf-small count tables joined
+    back — broadcast when they fit, 1-row V cross join); per-doc
+    means use the DECIMAL(20,10) exact-sum so the DuckDB oracle
+    matches bitwise. Output: doc, n_bigrams, lm_score.
+    """
+    from pyspark.sql import Window
+
+    def _bigrams(df):
+        tok = df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(tokens(text_col)).alias("pos", "term"),
+        )
+        w = Window.partitionBy("doc").orderBy("pos")
+        big = (
+            tok.withColumn("nxt", F.lead("term").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .select("doc", F.col("term").alias("w1"), F.col("nxt").alias("w2"))
+        )
+        return tok, big
+
+    t_tok, t_big = _bigrams(train_df)
+    c_uni = t_tok.groupBy(F.col("term").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c_uni")
+    )
+    c_big = t_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    vocab = t_tok.agg(F.countDistinct("term").alias("v"))
+
+    _, s_big = _bigrams(score_df)
+    logp = F.log(
+        (F.coalesce(F.col("c_big"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v"))
+    ).cast("decimal(20,10)")
+    return (
+        s_big.join(c_big, ["w1", "w2"], "left")
+        .join(c_uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("lm_score"),
+        )
+    )
+
+
 def shingle_fingerprint(col: str, k: int = 5) -> Column:
     """Winnowing-style fingerprint: min md5 over word k-gram shingles
     of the normalized text (a single representative hash; the full

@@ -3598,3 +3598,47 @@ def _recall_curve_sql() -> str:
 
 
 oracle("q_ivf_recall_curve")(_recall_curve_sql())
+
+
+oracle("q_lm_transfer")(
+    f"""
+    WITH tokt AS (
+      SELECT doc_id,
+        unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term,
+        generate_subscripts(regexp_extract_all(lower(text), {_TOKEN_PAT}), 1)
+          AS pos
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    bigt AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2
+      FROM tokt a JOIN tokt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cu AS (SELECT term AS w1, COUNT(*) AS c_uni FROM tokt GROUP BY 1),
+    cb AS (SELECT w1, w2, COUNT(*) AS c_big FROM bigt GROUP BY 1, 2),
+    v AS (SELECT COUNT(DISTINCT term) AS v FROM tokt),
+    toks AS (
+      SELECT doc_id,
+        unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term,
+        generate_subscripts(regexp_extract_all(lower(text), {_TOKEN_PAT}), 1)
+          AS pos
+      FROM documents WHERE doc_id % 2 <> 0
+    ),
+    bigs AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT b.doc_id,
+      COUNT(*) AS n_bigrams,
+      ROUND(
+        CAST(SUM(CAST(ln((COALESCE(cb.c_big, 0) + 1.0)
+                         / (COALESCE(cu.c_uni, 0) + v.v))
+                      AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)
+        AS lm_score
+    FROM bigs b
+    LEFT JOIN cb USING (w1, w2)
+    LEFT JOIN cu USING (w1)
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    ORDER BY doc_id
+    """
+)

@@ -2433,3 +2433,22 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
+
+
+def q_lm_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM TRANSFER scoring (round 5): train the add-one MLE on
+    the even-doc reference slice, score the odd docs under it
+    (operators/text.bigram_lm_transfer_scores) — the held-out-model
+    curation filter, vs q_lm_score's self-trained form. Unseen
+    bigrams/unigrams take the smoothed fallback, so out-of-domain
+    text scores low."""
+    from etl_deltalake_spark.operators.text import bigram_lm_transfer_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 != 0)
+    return (
+        bigram_lm_transfer_scores(train, score, "doc_id", "text")
+        .select(F.col("doc").alias("doc_id"), "n_bigrams", "lm_score")
+        .orderBy("doc_id")
+    )

@@ -255,6 +255,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q17",
     "q_tpch_q22",
     "q_ivf_recall_curve",
+    "q_lm_transfer",
 )
 
 

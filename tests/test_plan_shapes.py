@@ -42,6 +42,8 @@ _SCALAR_CROSS_OK = {
     # 1-row positive-balance (sum, count) threshold aggregate
     "q_ann_recall": 1,
     "q_tpch_q22": 1,
+    # lm transfer crossJoins the 1-row train-vocabulary size
+    "q_lm_transfer": 1,
 }
 
 
