@@ -11,10 +11,12 @@ still need native codecs and surface as per-row ``err`` values, never
 job failures.
 
 Scope (honest gates, not padding):
- - RIFF/WAVE with a PCM ``fmt `` chunk (audio_format=1), 8- or
-   16-bit samples, any channel count/sample rate. Float PCM,
-   a-law/mu-law, and extensible formats raise ``UnsupportedWavError``
-   with the reason.
+ - RIFF/WAVE integer PCM at 8/16/24/32 bits, any channel
+   count/sample rate, via plain (audio_format=1) OR
+   WAVE_FORMAT_EXTENSIBLE (0xFFFE with the PCM subformat GUID —
+   the standard container for >2 channels or >16-bit) headers.
+   Float PCM and a-law/mu-law companding raise
+   ``UnsupportedWavError`` with the reason.
  - Header arithmetic is cross-checked (byte_rate and block_align must
    agree with channels x rate x depth; the data chunk must be whole
    frames) so a corrupt header errors instead of yielding garbage
@@ -44,7 +46,7 @@ class WavError(ValueError):
 
 
 class UnsupportedWavError(WavError):
-    """Valid-but-unsupported WAV (float PCM, 24-bit, companded...)."""
+    """Valid-but-unsupported WAV (float PCM, a-law/mu-law...)."""
 
 
 class DecodedAudio(NamedTuple):
@@ -59,6 +61,11 @@ class DecodedAudio(NamedTuple):
     @property
     def duration_ms(self) -> int:
         return self.n_frames * 1000 // self.sample_rate
+
+
+# KSDATAFORMAT_SUBTYPE_PCM: the WAVE_FORMAT_EXTENSIBLE subformat
+# GUID that means plain integer PCM (Microsoft multimedia spec).
+_SUBTYPE_PCM = bytes.fromhex("0100000000001000800000aa00389b71")
 
 
 def _u16(b: bytes, off: int) -> int:
@@ -80,6 +87,7 @@ def decode_wav(data: bytes) -> DecodedAudio:
             f"RIFF size {riff_size} != payload size {len(data) - 8}"
         )
     fmt: tuple[int, int, int, int, int, int] | None = None
+    fmt_body = b""
     pcm: bytes | None = None
     off = 12
     while off + 8 <= len(data):
@@ -92,6 +100,7 @@ def decode_wav(data: bytes) -> DecodedAudio:
             if csize < 16:
                 raise WavError(f"fmt chunk too short ({csize} bytes)")
             fmt = struct.unpack_from("<HHIIHH", data, body_off)
+            fmt_body = data[body_off : body_off + csize]
         elif cid == b"data":
             pcm = data[body_off : body_off + csize]
         # unknown chunks (LIST, fact, ...) are skipped, per RIFF
@@ -101,12 +110,25 @@ def decode_wav(data: bytes) -> DecodedAudio:
     if pcm is None:
         raise WavError("missing data chunk")
     audio_format, channels, rate, byte_rate, block_align, bits = fmt
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (the standard container for >2
+        # channels / >16-bit): PCM iff the 16-byte subformat GUID
+        # says so — anything else (float, companded) stays gated
+        if len(fmt_body) < 40:
+            raise WavError(
+                f"extensible fmt chunk too short ({len(fmt_body)} bytes)"
+            )
+        if fmt_body[24:40] != _SUBTYPE_PCM:
+            raise UnsupportedWavError(
+                "extensible subformat is not integer PCM"
+            )
+        audio_format = 1
     if audio_format != 1:
         raise UnsupportedWavError(
             f"audio format {audio_format} (only PCM=1 supported)"
         )
-    if bits not in (8, 16):
-        raise UnsupportedWavError(f"bit depth {bits} (only 8/16)")
+    if bits not in (8, 16, 24, 32):
+        raise UnsupportedWavError(f"bit depth {bits} (only 8/16/24/32)")
     if channels < 1 or rate < 1:
         raise WavError(f"bad channels={channels} rate={rate}")
     expect_align = channels * bits // 8
@@ -127,6 +149,19 @@ def decode_wav(data: bytes) -> DecodedAudio:
         if sys.byteorder == "big":
             arr.byteswap()
         samples: Sequence[int] = arr
+    elif bits == 32:
+        arr32 = array("i")
+        arr32.frombytes(pcm)
+        if sys.byteorder == "big":
+            arr32.byteswap()
+        samples = arr32
+    elif bits == 24:
+        # no stdlib 3-byte array type — per-sample int.from_bytes
+        # (fixture-scale fine; a native kernel swap changes only this)
+        samples = [
+            int.from_bytes(pcm[i : i + 3], "little", signed=True)
+            for i in range(0, len(pcm), 3)
+        ]
     else:
         samples = pcm  # 8-bit WAV is unsigned bytes
     return DecodedAudio(
@@ -145,9 +180,11 @@ def encode_wav(
     bit_depth: int = 16,
 ) -> bytes:
     """Encode interleaved integer samples as a PCM WAV payload
-    (16-bit signed or 8-bit unsigned)."""
-    if bit_depth not in (8, 16):
-        raise ValueError(f"bit_depth must be 8 or 16, got {bit_depth}")
+    (signed at 16/24/32 bits, unsigned at 8)."""
+    if bit_depth not in (8, 16, 24, 32):
+        raise ValueError(
+            f"bit_depth must be 8/16/24/32, got {bit_depth}"
+        )
     if channels < 1:
         raise ValueError(f"channels must be >= 1, got {channels}")
     if len(samples) % channels != 0:
@@ -159,6 +196,15 @@ def encode_wav(
         if sys.byteorder == "big":
             arr.byteswap()
         pcm = arr.tobytes()
+    elif bit_depth == 32:
+        arr32 = array("i", samples)
+        if sys.byteorder == "big":
+            arr32.byteswap()
+        pcm = arr32.tobytes()
+    elif bit_depth == 24:
+        pcm = b"".join(
+            int(s).to_bytes(3, "little", signed=True) for s in samples
+        )
     else:
         pcm = bytes(samples)
     block_align = channels * bit_depth // 8

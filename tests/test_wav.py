@@ -154,3 +154,72 @@ def test_roundtrip_property_8bit_mono(samples):
     au = decode_wav(encode_wav(samples, 1, 8000, bit_depth=8))
     assert list(au.samples) == samples
     assert au.bit_depth == 8
+
+
+# ----------------------------------------- round 5: 24/32-bit + extensible
+
+
+def test_roundtrip_24_and_32_bit():
+    """Depths beyond 16-bit roundtrip with values outside the 16-bit
+    range (proving real width, not truncation)."""
+    s24 = [0, 1, -1, 8_000_000, -8_000_000, 123_456, -654_321, 42]
+    d = decode_wav(encode_wav(s24, channels=2, sample_rate=48000,
+                              bit_depth=24))
+    assert (d.channels, d.sample_rate, d.bit_depth, d.n_frames) == (
+        2, 48000, 24, 4,
+    )
+    assert list(d.samples) == s24
+
+    s32 = [0, 2_000_000_000, -2_000_000_000, 77, -1, 65536]
+    d32 = decode_wav(encode_wav(s32, channels=3, sample_rate=44100,
+                                bit_depth=32))
+    assert d32.bit_depth == 32 and d32.n_frames == 2
+    assert list(d32.samples) == s32
+
+
+def _extensible(payload: bytes, subformat: bytes) -> bytes:
+    """Rewrap a plain-PCM payload's fmt chunk as WAVE_FORMAT_EXTENSIBLE
+    by hand (cbSize=22, validBits, channelMask, 16-byte GUID)."""
+    fmt_off = payload.index(b"fmt ")
+    csize = struct.unpack_from("<I", payload, fmt_off + 4)[0]
+    body = payload[fmt_off + 8 : fmt_off + 8 + csize]
+    bits = struct.unpack_from("<H", body, 14)[0]
+    ext = (
+        struct.pack("<H", 0xFFFE)
+        + body[2:16]
+        + struct.pack("<HHI", 22, bits, 0)
+        + subformat
+    )
+    rebuilt = (
+        payload[:fmt_off]
+        + b"fmt "
+        + struct.pack("<I", len(ext))
+        + ext
+        + payload[fmt_off + 8 + csize :]
+    )
+    # fix the RIFF size for the grown fmt chunk
+    return (
+        rebuilt[:4]
+        + struct.pack("<I", len(rebuilt) - 8)
+        + rebuilt[8:]
+    )
+
+
+def test_extensible_pcm_decodes_like_plain():
+    from etl_deltalake_spark.operators.wav import _SUBTYPE_PCM
+
+    samples = [5, -5, 300, -300, 7, 9]
+    plain = encode_wav(samples, channels=2, sample_rate=16000)
+    ext = _extensible(plain, _SUBTYPE_PCM)
+    a, b = decode_wav(plain), decode_wav(ext)
+    assert list(a.samples) == list(b.samples) == samples
+    assert (a.channels, a.sample_rate, a.n_frames) == (
+        b.channels, b.sample_rate, b.n_frames,
+    )
+
+
+def test_extensible_non_pcm_subformat_gated():
+    plain = encode_wav([1, -1], channels=1, sample_rate=8000)
+    ieee_float_guid = bytes.fromhex("0300000000001000800000aa00389b71")
+    with pytest.raises(UnsupportedWavError, match="subformat"):
+        decode_wav(_extensible(plain, ieee_float_guid))
