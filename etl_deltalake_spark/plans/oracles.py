@@ -923,28 +923,42 @@ oracle("q_rollup_state")(
     """
 )
 
+# Four synthesis modes by doc_id % 4 (mirrors q_media_decode):
+# 0 gray8, 1 RGB8, 2 two-bit palette (entry channel-sums 60/300/383/
+# 765) written Adam7-interlaced, 3 gray16 (decoded pixels are the
+# big-endian byte pairs, so the mean is over high+low bytes).
 oracle("q_media_decode")(
     """
     WITH dims AS (
       SELECT doc_id,
              3 + doc_id % 5 AS width,
              2 + doc_id % 4 AS height,
-             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
+             doc_id % 4 AS mode
       FROM documents
     ),
     px AS (
-      SELECT doc_id, width, height, channels,
-             unnest(range(0, CAST(width * height * channels AS BIGINT))) AS k
+      SELECT doc_id, width, height, mode,
+             unnest(range(0, CAST(width * height *
+               (CASE WHEN mode = 1 THEN 3 ELSE 1 END) AS BIGINT))) AS k
       FROM dims
     )
     SELECT doc_id,
            CAST(width AS INT) AS width,
            CAST(height AS INT) AS height,
-           CAST(channels AS INT) AS channels,
-           ROUND(CAST(SUM((doc_id * 31 + k) % 256) AS DOUBLE) / COUNT(*), 6)
-             AS mean_pixel
+           CAST(CASE WHEN mode IN (1, 2) THEN 3 ELSE 1 END AS INT)
+             AS channels,
+           ROUND(CAST(SUM(CASE
+               WHEN mode IN (0, 1) THEN (doc_id * 31 + k) % 256
+               WHEN mode = 2 THEN list_value(60, 300, 383, 765)[
+                 1 + CAST((doc_id * 31 + k) % 4 AS INT)]
+               ELSE ((doc_id * 31 + k) % 65536) // 256
+                    + ((doc_id * 31 + k) % 65536) % 256
+             END) AS DOUBLE)
+             / (width * height * CASE WHEN mode IN (1, 2) THEN 3
+                                      WHEN mode = 3 THEN 2
+                                      ELSE 1 END), 6) AS mean_pixel
     FROM px
-    GROUP BY doc_id, width, height, channels
+    GROUP BY doc_id, width, height, mode
     ORDER BY doc_id
     """
 )

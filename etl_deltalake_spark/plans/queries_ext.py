@@ -980,17 +980,25 @@ def q_rollup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_result(state).orderBy(*group)
 
 
+_MEDIA_PALETTE = bytes(
+    [10, 20, 30, 200, 100, 0, 0, 255, 128, 255, 255, 255]
+)
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG pixel decode, cross-engine verified: synthesize one
-    deterministic PNG per document (grayscale for even doc_id, RGB
-    for odd; pixel byte k = (doc_id*31 + k) % 256; scanline filters
-    cycling 0-4 so every unfilter branch runs), decode it with the
-    pure-stdlib codec (operators/png.py via multimodal.decode_image),
-    and emit dimensions + exact pixel mean. The DuckDB oracle
-    recomputes the same statistics from the closed-form pixel formula
-    — a decoder that mis-parses the container or mis-inverts any
-    scanline filter hash-mismatches immediately. Both stages are
-    Arrow-batched mapInPandas, zero shuffles."""
+    deterministic PNG per document cycling ALL FOUR codec paths by
+    doc_id % 4 — 8-bit gray, 8-bit RGB, 2-bit-packed palette written
+    ADAM7-INTERLACED (PLTE expansion + sub-byte unpack + 7-pass
+    scatter all on the graded path), and 16-bit gray (big-endian
+    byte pairs). Pixel formula: sample k = (doc_id*31 + k) % 256
+    (% 4 palette indices, % 65536 16-bit values); scanline filters
+    cycle 0-4 so every unfilter branch runs. Decode via the
+    pure-stdlib codec (operators/png.py via multimodal.decode_image);
+    the DuckDB oracle recomputes dimensions + exact pixel-byte mean
+    from the closed form — a decoder that mis-parses any container
+    feature or mis-inverts any filter hash-mismatches immediately.
+    Both stages are Arrow-batched mapInPandas, zero shuffles."""
     import pandas as pd
 
     from etl_deltalake_spark.operators.multimodal import decode_image
@@ -1005,12 +1013,29 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 w = 3 + d % 5
                 h = 2 + d % 4
-                ctype = 0 if d % 2 == 0 else 2
-                ch = 1 if ctype == 0 else 3
-                px = bytes((d * 31 + k) % 256 for k in range(w * h * ch))
-                payloads.append(
-                    encode_png(px, w, h, color_type=ctype, filter_mode="cycle")
-                )
+                mode = d % 4
+                if mode == 0:
+                    px = bytes((d * 31 + k) % 256 for k in range(w * h))
+                    blob = encode_png(px, w, h, 0, "cycle")
+                elif mode == 1:
+                    px = bytes(
+                        (d * 31 + k) % 256 for k in range(w * h * 3)
+                    )
+                    blob = encode_png(px, w, h, 2, "cycle")
+                elif mode == 2:
+                    idx = bytes((d * 31 + k) % 4 for k in range(w * h))
+                    blob = encode_png(
+                        idx, w, h, 3, "cycle",
+                        bit_depth=2, palette=_MEDIA_PALETTE,
+                        interlace=True,
+                    )
+                else:
+                    px = b"".join(
+                        ((d * 31 + k) % 65536).to_bytes(2, "big")
+                        for k in range(w * h)
+                    )
+                    blob = encode_png(px, w, h, 0, "cycle", bit_depth=16)
+                payloads.append(blob)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
