@@ -10,7 +10,8 @@ is the engine-level generalization the driver's oracle exercises.
 Grouped by family:
  - text:       tokens, token_count, word_count, stopword_ratio,
                punct_ratio, quality_score, lang_id, normalize_text,
-               fingerprint_md5, script_counts, script_id
+               fingerprint_md5, script_counts, script_id,
+               nfc_text
  - dedup:      shingles (expression form; prefer the table-valued
                operators in operators.dedup for hot paths)
  - similarity: dot, norm, cosine, unit_vec, hyperplane_bits
@@ -33,6 +34,7 @@ from etl_deltalake_spark.operators.similarity import (
 from etl_deltalake_spark.operators.text import (
     fingerprint_md5,
     lang_id,
+    nfc_text,
     normalize_text,
     punct_ratio,
     quality_score,
@@ -53,6 +55,7 @@ __all__ = [
     "hyperplane_bits",
     "lang_id",
     "mask_email",
+    "nfc_text",
     "normalize_text",
     "norm",
     "punct_ratio",

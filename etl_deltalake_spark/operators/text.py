@@ -174,8 +174,38 @@ def script_id(col: str) -> Column:
     return expr
 
 
-def normalize_text(col: str) -> Column:
+def nfc_text(col) -> Column:
+    """Unicode NFC canonical composition — the normalization stage
+    BEFORE fingerprinting that makes composed ("café", U+00E9) and
+    decomposed ("café", e + U+0301) spellings of the same text
+    collide in dedup; without it every NFD-producing source (macOS
+    filenames, some OCR/keyboards) silently escapes exact dedup.
+
+    Spark has no built-in Unicode normalizer, so this is an
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` — both it
+    and DuckDB's ``nfc_normalize`` implement the Unicode standard
+    and agree byte-for-byte (verified over NFD Latin, stacked
+    Vietnamese marks, decomposed Hangul jamo, non-canonically
+    ordered marks; tests/test_multilingual.py). Scan-side, no
+    shuffle; compose as ``normalize_text(nfc_text("text"))``."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(texts):
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None
+            else None
+        )
+
+    f = pandas_udf(_nfc, "string")
+    return f(F.col(col) if isinstance(col, str) else col)
+
+
+def normalize_text(col) -> Column:
     """Canonical form: lowercase, strip punctuation, collapse spaces.
+    Accepts a column name or a Column (compose with ``nfc_text``).
 
     Unicode-aware: keeps any letter (\\p{L}), combining mark (\\p{M} —
     Devanagari matras, Vietnamese NFD accents) and digit (\\p{N}), so
@@ -185,7 +215,8 @@ def normalize_text(col: str) -> Column:
     fingerprint. Same classes in DuckDB RE2 (oracles._NORM); the one
     known engine divergence is Turkish İ, whose lower() folds
     differently in the JVM vs DuckDB (see TOKEN_PATTERN note)."""
-    cleaned = F.regexp_replace(F.lower(F.col(col)), r"[^\p{L}\p{M}\p{N}\s]", " ")
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^\p{L}\p{M}\p{N}\s]", " ")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 

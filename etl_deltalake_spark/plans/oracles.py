@@ -3656,3 +3656,19 @@ oracle("q_lm_transfer")(
     ORDER BY doc_id
     """
 )
+
+
+_NFC_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),"
+    " '[^\\p{L}\\p{M}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+oracle("q_nfc_dedup")(
+    f"""
+    SELECT doc_id,
+           md5({_NFC_NORM}) AS nfc_fp,
+           (nfc_normalize(text) = text) AS already_nfc
+    FROM documents
+    ORDER BY doc_id
+    """
+)

@@ -2477,3 +2477,21 @@ def q_lm_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc").alias("doc_id"), "n_bigrams", "lm_score")
         .orderBy("doc_id")
     )
+
+
+def q_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-canonical dedup fingerprints (round 5): md5 over
+    normalize_text(nfc_text(text)) — the composition that unifies
+    composed/decomposed spellings before fingerprinting. The Arrow
+    unicodedata kernel is graded byte-for-byte against DuckDB's
+    nfc_normalize across every fixture document; the NFD-collision
+    behavior itself is pinned on mixed fixtures in
+    tests/test_multilingual.py."""
+    from etl_deltalake_spark.operators.text import nfc_text, normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text(nfc_text("text"))).alias("nfc_fp"),
+        (nfc_text("text") == F.col("text")).alias("already_nfc"),
+    ).orderBy("doc_id")

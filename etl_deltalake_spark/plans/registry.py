@@ -256,6 +256,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q22",
     "q_ivf_recall_curve",
     "q_lm_transfer",
+    "q_nfc_dedup",
 )
 
 

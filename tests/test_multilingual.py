@@ -163,3 +163,47 @@ def test_shingles_nonempty_for_cjk(ml_spark):
     }
     assert set(counts) == {d for d, _ in ML_DOCS}
     assert all(n >= 1 for n in counts.values())
+
+
+def test_nfc_unifies_composed_and_decomposed(spark):
+    """NFC composition: café (NFC) and café (NFD) must share a dedup
+    fingerprint after nfc_text, and Spark's unicodedata kernel must
+    match DuckDB's nfc_normalize byte-for-byte."""
+    import duckdb
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.text import nfc_text, normalize_text
+
+    rows = [
+        (1, "café is nice"),                    # NFC
+        (2, "café is nice"),                   # NFD — same text
+        (3, "Tiếng Việt"),   # stacked marks
+        (4, "각 decomposed jamo"),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["nfc"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            nfc_text("text").alias("nfc"),
+            F.md5(normalize_text(nfc_text("text"))).alias("fp"),
+        ).collect()
+    }
+    # composed == decomposed after NFC
+    assert out[1][0] == out[2][0]
+    assert out[1][1] == out[2][1]
+    # without NFC they would differ
+    raw = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", F.md5(normalize_text("text")).alias("fp")
+        ).collect()
+    }
+    assert raw[1] != raw[2]
+    # byte-exact vs DuckDB
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = dict(con.execute("SELECT doc_id, nfc_normalize(text) FROM t").fetchall())
+    assert {k: v[0] for k, v in out.items()} == duck
+    con.close()
