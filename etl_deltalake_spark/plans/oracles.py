@@ -1798,21 +1798,16 @@ oracle("q_outer_join")(
 )
 
 
-def _pq_topk_sql(
+def _pq_chain(
     m: int = 4, ksub: int = 8, iterations: int = 2, dims: int = 64,
-    k: int = 10, nprobe: int | None = None, centroid_mod: int = 50,
-) -> str:
-    """Product-quantization oracle: per-subspace L2 Lloyd k-means
-    (same chained-CTE pattern as _kmeans_ivf_sql, with the argmin on
-    ROUND(squared L2, 6) ties-low), final-codebook encode, and ADC
-    scoring from the query\'s per-(subspace, centroid) distance
-    table. Every squared distance is the explicit left-associated
-    term chain, matching Spark\'s sequential fold bitwise.
-
-    With ``nprobe`` set, the scored set is first pruned to vectors
-    whose nearest subsampled-centroid assignment (rounded cosine,
-    ties-low — the q_ivf_topk mirror) lands in the query\'s nprobe
-    best clusters: the IVF+PQ composition (similarity.ivfpq_topk)."""
+) -> tuple[list, str, str]:
+    """The nprobe-INDEPENDENT core of the PQ oracle: per-subspace
+    Lloyd k-means training, encode, and the query's per-(subspace,
+    centroid) distance tables. Returns (ctes, joins, total_expr) so
+    _pq_topk_sql and _recall_curve_sql share ONE generator — the
+    recall curve runs this heavy chain once for all nprobe branches
+    (three inline copies OOMed DuckDB under full-suite memory
+    pressure)."""
     dsub = dims // m
 
     def dist(a: str, b: str) -> str:
@@ -1898,6 +1893,33 @@ def _pq_topk_sql(
       FROM {prev} CROSS JOIN qs{j}
     )"""
         )
+    joins = "enc0 e0 JOIN dt0 d0 ON e0.cluster_id = d0.cluster_id"
+    for j in range(1, m):
+        joins += (
+            f" JOIN enc{j} e{j} ON e{j}.vec_id = e0.vec_id"
+            f" JOIN dt{j} d{j} ON e{j}.cluster_id = d{j}.cluster_id"
+        )
+    total = " + ".join(f"d{j}.pd" for j in range(m))
+    return ctes, joins, total
+
+
+def _pq_topk_sql(
+    m: int = 4, ksub: int = 8, iterations: int = 2, dims: int = 64,
+    k: int = 10, nprobe: int | None = None, centroid_mod: int = 50,
+) -> str:
+    """Product-quantization oracle: per-subspace L2 Lloyd k-means
+    (same chained-CTE pattern as _kmeans_ivf_sql, with the argmin on
+    ROUND(squared L2, 6) ties-low), final-codebook encode, and ADC
+    scoring from the query's per-(subspace, centroid) distance
+    table. Every squared distance is the explicit left-associated
+    term chain, matching Spark's sequential fold bitwise.
+
+    With ``nprobe`` set, the scored set is first pruned to vectors
+    whose nearest subsampled-centroid assignment (rounded cosine,
+    ties-low — the q_ivf_topk mirror) lands in the query's nprobe
+    best clusters: the IVF+PQ composition (similarity.ivfpq_topk)."""
+    ctes, joins, total = _pq_chain(m, ksub, iterations, dims)
+    ctes = list(ctes)
     if nprobe is not None:
         ctes.append(
             f"ivfc AS (SELECT vec_id AS cid, v AS cv FROM vecs "
@@ -1925,15 +1947,7 @@ def _pq_topk_sql(
       ) WHERE rn = 1 AND cid IN (SELECT cid FROM qc)
     )"""
         )
-    joins = "enc0 e0 JOIN dt0 d0 ON e0.cluster_id = d0.cluster_id"
-    for j in range(1, m):
-        joins += (
-            f" JOIN enc{j} e{j} ON e{j}.vec_id = e0.vec_id"
-            f" JOIN dt{j} d{j} ON e{j}.cluster_id = d{j}.cluster_id"
-        )
-    if nprobe is not None:
         joins += " JOIN iassign ia ON ia.vec_id = e0.vec_id"
-    total = " + ".join(f"d{j}.pd" for j in range(m))
     final = f"""
     SELECT vec_id, pq_dist, rank FROM (
       SELECT e0.vec_id,
@@ -3585,23 +3599,71 @@ oracle("q_tpch_q22")(
 
 
 def _recall_curve_sql() -> str:
-    """Each nprobe branch's heavy PQ chain appears exactly ONCE, as a
-    MATERIALIZED CTE (DuckDB would otherwise inline-duplicate it per
-    reference and blow memory)."""
-    ctes = ["e AS MATERIALIZED (" + _cosine_topk_sql(10) + ")"]
+    """Recall@10 vs nprobe with the heavy PQ chain evaluated ONCE:
+    training/encode/ADC distances and the full-corpus IVF assignment
+    are shared MATERIALIZED CTEs; each nprobe branch is then just a
+    rank-prefix filter over the probed clusters (qc.rk <= np) — the
+    same survivors and ordering as _pq_topk_sql(nprobe=np), without
+    re-running the chain per branch (three inline copies OOMed
+    DuckDB under full-suite memory pressure)."""
+    ctes, joins, total = _pq_chain()
+    ctes = list(ctes)
+    ctes.append("e AS MATERIALIZED (" + _cosine_topk_sql(10) + ")")
+    ctes.append(
+        "ivfc AS (SELECT vec_id AS cid, v AS cv FROM vecs "
+        "WHERE vec_id % 50 = 0)"
+    )
+    ctes.append("qfull AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)")
+    ctes.append(
+        """qc AS (
+      SELECT cid, ROW_NUMBER() OVER (
+        ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, cid ASC
+      ) AS rk
+      FROM ivfc, qfull
+    )"""
+    )
+    ctes.append(
+        """iassign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vecs.vec_id, ivfc.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(vecs.v, ivfc.cv), 6)
+                            DESC,
+                          ivfc.cid ASC
+               ) AS rn
+        FROM vecs CROSS JOIN ivfc
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""adc AS MATERIALIZED (
+      SELECT e0.vec_id, ROUND(sqrt({total}), 6) AS pq_dist
+      FROM {joins}
+    )"""
+    )
     rows = []
     for np in (1, 2, 3):
         ctes.append(
-            f"a{np} AS MATERIALIZED (SELECT vec_id FROM "
-            f"({_pq_topk_sql(nprobe=np, k=10)}))"
+            f"""top{np} AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY a.pq_dist ASC, a.vec_id ASC
+               ) AS rk
+        FROM adc a
+        JOIN iassign ia USING (vec_id)
+        JOIN qc ON ia.cid = qc.cid AND qc.rk <= {np}
+      ) WHERE rk <= 10
+    )"""
         )
         rows.append(
             f"""
     SELECT CAST({np} AS BIGINT) AS nprobe,
            (SELECT CAST(COUNT(*) AS BIGINT)
-              FROM a{np} JOIN e USING (vec_id)) AS n_hits,
+              FROM top{np} JOIN e USING (vec_id)) AS n_hits,
            ROUND((SELECT COUNT(*)
-              FROM a{np} JOIN e USING (vec_id)) / 10.0, 6) AS recall_at_10
+              FROM top{np} JOIN e USING (vec_id)) / 10.0, 6) AS recall_at_10
     """
         )
     return (

@@ -33,6 +33,16 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # DuckDB's default 32 threads fragment the process heap into
+    # ~40k anonymous mmaps PER heavy PQ-chain oracle (glibc arena
+    # churn); several such oracles in one session approach
+    # vm.max_map_count (65530) and every later allocation fails as
+    # OutOfMemory "bad allocation". 8 threads keep the same queries
+    # ~5x under the map budget AND faster (32 threads oversubscribe
+    # against the Spark JVM sharing the box). Measured: recall-curve
+    # oracle 40074 maps/3.4s at 32 threads vs 7201 maps/1.0s at 8.
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
