@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame
 
 
 def plan_string(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # an EXECUTED AQE plan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — keep only what actually ran, or every
+    # counter double-counts
+    if "== Initial Plan ==" in s:
+        s = s.split("== Initial Plan ==")[0]
+    return s
 
 
 def plan_report(df: DataFrame) -> dict:
@@ -54,7 +60,12 @@ def plan_report(df: DataFrame) -> dict:
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "hash_joins": plan.count("BroadcastHashJoin")
         + plan.count("ShuffledHashJoin"),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # Spark's toString renders whole-stage-codegen regions as
+        # "*(N) Operator" prefixes (the formatted explain spells out
+        # "WholeStageCodegen (N)" instead) — count distinct stage ids
+        "codegen_spans": len(
+            set(re.findall(r"\*\((\d+)\)", plan))
+        ),
         "scans": len(re.findall(r"FileScan|Scan parquet", plan)),
         "pushed_filters": pushed,
     }
