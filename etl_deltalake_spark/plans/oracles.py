@@ -3734,3 +3734,14 @@ oracle("q_nfc_dedup")(
     ORDER BY doc_id
     """
 )
+
+
+oracle("q_stream_enrich")(
+    """
+    SELECT event_id, user_id, event_type, "value", c_name, c_mktsegment
+    FROM events
+    JOIN customer
+      ON (user_id % (SELECT COUNT(*) FROM customer)) + 1 = c_custkey
+    ORDER BY event_id
+    """
+)

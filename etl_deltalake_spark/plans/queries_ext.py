@@ -2495,3 +2495,32 @@ def q_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalize_text(nfc_text("text"))).alias("nfc_fp"),
         (nfc_text("text") == F.col("text")).alias("already_nfc"),
     ).orderBy("doc_id")
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment through the REAL readStream path
+    (round 5): events stream joined per-micro-batch with the customer
+    dimension (streaming/pipeline.stream_static_enrich — the
+    broadcast-dimension shape; no state store), availableNow-drained
+    to a memory sink. The oracle is the plain batch join, so stream
+    and batch must agree row-for-row."""
+    import tempfile
+    import uuid
+
+    from etl_deltalake_spark.streaming import pipeline as P
+
+    stream = P.read_events_stream(spark, sf_dir, sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgraft_q_enrich_")
+    name = f"t_{uuid.uuid4().hex[:12]}"
+    q = (
+        P.stream_static_enrich(stream, cust)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_id")

@@ -257,6 +257,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_ivf_recall_curve",
     "q_lm_transfer",
     "q_nfc_dedup",
+    "q_stream_enrich",
 )
 
 

@@ -580,3 +580,39 @@ def neardup_epoch(
     kept = verdicts.filter(F.col("kept")).select("doc")
     new_rows = minhash_store(batch_df, id_col, text_col, k, num_perm, bands)
     new_rows.join(kept, "doc").write.mode("append").parquet(store_dir)
+
+
+def stream_static_enrich(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-STATIC enrichment join (round 5): every events
+    micro-batch joins the customer dimension — the most common
+    production streaming shape (enrich the fact stream with slowly-
+    changing reference data) and the one join family the streaming
+    surface didn't yet cover (click_purchase_join is stream-stream).
+
+    Semantics: the static side is re-resolved PER MICRO-BATCH, so a
+    dimension refresh between batches is picked up automatically (no
+    restart) — the documented Spark behavior for stream-static joins.
+    Spark broadcasts the dimension when it fits; no state store is
+    involved (unlike stream-stream), so no watermark is REQUIRED for
+    the join itself — the watermark here only bounds any downstream
+    stateful operator.
+
+    user_id maps onto the dimension key modulo its size (the fixture
+    has more users than customers — the classic surrogate-key hash
+    route, mirrored exactly by the batch twin and oracle). Output:
+    event_id, user_id, event_type, value, c_name, c_mktsegment.
+    """
+    dim = customers.select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    n_cust = F.lit(customers.count())
+    keyed = events.withWatermark("ts", watermark).withColumn(
+        "_ck", (F.col("user_id") % n_cust) + 1
+    )
+    return keyed.join(
+        dim, keyed["_ck"] == dim["c_custkey"]
+    ).select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
