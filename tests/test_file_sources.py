@@ -1,0 +1,74 @@
+"""CSV / JSONL ingestion with corrupt-record quarantine
+(sources/files.py): the load must be TOTAL — every input line lands
+in exactly one of (clean, quarantine) — with clean values parsed
+exactly and raw offending lines preserved for audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_deltalake_spark.sources.files import (
+    read_csv,
+    read_jsonl,
+    split_corrupt,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def test_jsonl_split(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    lines = [
+        '{"id": 1, "name": "a", "score": 1.5}',
+        'this is not json at all',
+        '{"id": 2, "name": "b", "score": 2.25}',
+        '{"id": "NOT_A_NUMBER", "name": "c", "score": 3.0}',
+        '{"id": 4, "name": "d"}',  # missing field -> null, still clean
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, bad = split_corrupt(read_jsonl(spark, str(p), SCHEMA))
+    got = {r["id"]: (r["name"], r["score"]) for r in clean.collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", 2.25), 4: ("d", None)}
+    raw = sorted(r["raw_line"] for r in bad.collect())
+    assert raw == sorted([lines[1], lines[3]])
+    # total: every line in exactly one side
+    assert clean.count() + bad.count() == len(lines)
+
+
+def test_csv_split(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    rows = [
+        "id,name,score",
+        "1,a,1.5",
+        "2,b,not_a_double",
+        "3,c,3.75",
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    clean, bad = split_corrupt(
+        read_csv(spark, str(p), SCHEMA, header=True)
+    )
+    got = {r["id"]: (r["name"], r["score"]) for r in clean.collect()}
+    assert got == {1: ("a", 1.5), 3: ("c", 3.75)}
+    assert [r["raw_line"] for r in bad.collect()] == ["2,b,not_a_double"]
+
+
+def test_clean_branch_prunes_corrupt_column(spark, tmp_path):
+    p = tmp_path / "d2.jsonl"
+    p.write_text('{"id": 1, "name": "x", "score": 0.5}\n')
+    clean, _ = split_corrupt(read_jsonl(spark, str(p), SCHEMA))
+    assert "_corrupt_record" not in clean.columns
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
