@@ -71,6 +71,11 @@ HEADLINE = [
     # near-dup probe against the persisted signature store
     "q_ivfpq_pretrained",
     "q_incr_neardup",
+    # round-5 second wave: the Arrow NFC-normalization kernel
+    # (pandas-UDF path throughput) and the JL literal-expression
+    # projection (pure codegen path) — one row per UDF strategy
+    "q_nfc_dedup",
+    "q_random_proj",
 ]
 
 

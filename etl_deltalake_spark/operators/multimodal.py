@@ -482,3 +482,98 @@ def resize_image(
         F.col(payload_col).cast(BinaryType()).alias(payload_col),
     )
     return src.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Perceptual AVERAGE-HASH image fingerprints (round 5) — the
+    image counterpart of text dedup's md5-of-normalized-text: decode,
+    luminance-reduce, box-mean to 8×8 (``box_resize`` — the exact
+    integer pooling), threshold each cell at the 64-cell mean, pack
+    the 64 bits MSB-first into one BIGINT. Re-encodings of the SAME
+    pixels (different scanline filters, interlace, or 16-bit widening
+    by left-bit replication) hash identically, so exact groupBy on
+    ``ahash`` deduplicates an image corpus the way ``fingerprint_md5``
+    deduplicates text; Hamming distance between hashes ranks
+    NEAR-duplicates (aHash is the classical public technique).
+
+    Luminance: integer-rounded BT.601 (299R+587G+114B)/1000 per
+    pixel for 3/4-channel images; gray(+alpha) uses the gray channel;
+    16-bit uses high bytes. Threshold ties (cell == mean) set the
+    bit, and the mean uses exact integer floor division —
+    deterministic everywhere. Same mapInPandas posture as the other
+    kernels: per-row errors in ``err``, no shuffle.
+    """
+    from etl_deltalake_spark.operators.png import PngError, decode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc)
+                try:
+                    img = decode_png(bytes(payload))
+                    px = img.pixels
+                    if img.bit_depth == 16:
+                        px = px[::2]
+                    ch = img.channels
+                    if ch >= 3:  # RGB(A) -> BT.601 luma
+                        lum = bytes(
+                            (
+                                299 * px[i * ch]
+                                + 587 * px[i * ch + 1]
+                                + 114 * px[i * ch + 2]
+                            )
+                            // 1000
+                            for i in range(img.width * img.height)
+                        )
+                    elif ch == 2:  # gray+alpha -> gray channel
+                        lum = px[::2]
+                    else:
+                        lum = px
+                    cells = box_resize(
+                        lum, img.width, img.height, 1, 8, 8
+                    )
+                    mean = sum(cells) // 64
+                    h = 0
+                    for c in cells:
+                        h = (h << 1) | (1 if c >= mean else 0)
+                    # store as signed 64-bit
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    hashes.append(h)
+                    errs.append(None)
+                except (PngError, ValueError) as e:
+                    hashes.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="Int64"),
+                    "err": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return src.mapInPandas(kernel, schema=AHASH_SCHEMA)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes as a column
+    expression (bit_count of XOR) — ranks aHash near-duplicates."""
+    return F.bit_count(
+        (F.col(a) if isinstance(a, str) else a).bitwiseXOR(
+            F.col(b) if isinstance(b, str) else b
+        )
+    )

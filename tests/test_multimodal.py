@@ -173,3 +173,73 @@ def test_resize_image_end_to_end(spark):
         assert (dec.width, dec.height, dec.channels) == (2, 2, ch)
         assert dec.pixels == box_resize(px, w, h, ch, 2, 2)
         assert r["resized_md5"] == out2[d]["resized_md5"]
+
+
+# -------------------------------------------------- round 5: image aHash
+
+
+def test_ahash_invariant_to_reencoding(spark):
+    """The SAME pixels encoded five different ways (filter modes,
+    Adam7, 16-bit left-bit-replicated widening) must produce ONE
+    ahash; a visually different image must differ; corrupt payloads
+    land in err."""
+    from etl_deltalake_spark.operators.multimodal import image_ahash
+    from etl_deltalake_spark.operators.png import encode_png
+
+    w, h = 16, 12
+    px = bytes((x * 16 + y * 3) % 256 for y in range(h) for x in range(w))
+    px16 = b"".join(bytes([v, v]) for v in px)  # left-bit-replicate
+    variants = [
+        encode_png(px, w, h, 0, "none"),
+        encode_png(px, w, h, 0, "cycle"),
+        encode_png(px, w, h, 0, "cycle", interlace=True),
+        encode_png(px16, w, h, 0, "none", bit_depth=16),
+    ]
+    # same luminance as RGB (R=G=B=gray value)
+    rgb = b"".join(bytes([v, v, v]) for v in px)
+    variants.append(encode_png(rgb, w, h, 2, "cycle"))
+    other = bytes(255 - v for v in px)
+    rows = [(i, blob) for i, blob in enumerate(variants)]
+    rows.append((90, encode_png(other, w, h, 0, "none")))
+    rows.append((99, b"garbage"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: (r["ahash"], r["err"]) for r in
+           image_ahash(df, "doc_id", "payload").collect()}
+    base = out[0][0]
+    assert base is not None
+    for i in range(len(variants)):
+        assert out[i] == (base, None), f"variant {i} diverged"
+    assert out[90][0] is not None and out[90][0] != base
+    assert out[99][0] is None and out[99][1] is not None
+
+
+def test_ahash_hamming_near_dup(spark):
+    """A tiny perturbation moves few bits (small Hamming distance);
+    an inverted image moves most bits."""
+    from etl_deltalake_spark.operators.multimodal import hamming64, image_ahash
+    from etl_deltalake_spark.operators.png import encode_png
+
+    w, h = 16, 16
+    px = bytes((x * 13 + y * 7) % 256 for y in range(h) for x in range(w))
+    tweaked = bytearray(px)
+    tweaked[0] = (tweaked[0] + 40) % 256  # one pixel nudged
+    inverted = bytes(255 - v for v in px)
+    df = spark.createDataFrame(
+        [
+            (1, encode_png(px, w, h, 0, "none")),
+            (2, encode_png(bytes(tweaked), w, h, 0, "none")),
+            (3, encode_png(inverted, w, h, 0, "none")),
+        ],
+        "doc_id long, payload binary",
+    )
+    hs = image_ahash(df, "doc_id", "payload").select("doc_id", "ahash")
+    a = hs.filter(F.col("doc_id") == 1).select(F.col("ahash").alias("ha"))
+    pairs = (
+        hs.filter(F.col("doc_id") != 1)
+        .crossJoin(a)
+        .select("doc_id", hamming64("ahash", "ha").alias("dist"))
+        .collect()
+    )
+    d = {r["doc_id"]: r["dist"] for r in pairs}
+    assert d[2] <= 4, f"near-dup moved {d[2]} bits"
+    assert d[3] >= 32, f"inverted image only moved {d[3]} bits"
