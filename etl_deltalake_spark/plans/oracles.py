@@ -3745,3 +3745,50 @@ oracle("q_stream_enrich")(
     ORDER BY event_id
     """
 )
+
+
+# Numeric rederivation of the perceptual average-hash: the synthesized
+# luminance is closed-form, so the 8x8 box means, cell-mean threshold,
+# and MSB-first bit pack are all integer SQL (mirrors
+# multimodal.image_ahash + box_resize exactly, incl. round-half-up).
+oracle("q_image_dedup")(
+    """
+    WITH d2 AS (
+      SELECT doc_id,
+             doc_id - doc_id % 3 AS b,
+             8 + ((doc_id - doc_id % 3) // 3) % 5 AS w,
+             8 + ((doc_id - doc_id % 3) // 3) % 3 AS h
+      FROM documents
+    ),
+    cells AS (SELECT doc_id, b, w, h, unnest(range(0, 64)) AS c FROM d2),
+    boxes AS (
+      SELECT doc_id, b, w, h, c,
+        (c % 8) * w // 8 AS x0,
+        GREATEST((c % 8) * w // 8 + 1, ((c % 8) + 1) * w // 8) AS x1,
+        (c // 8) * h // 8 AS y0,
+        GREATEST((c // 8) * h // 8 + 1, ((c // 8) + 1) * h // 8) AS y1
+      FROM cells
+    ),
+    cellvals AS (
+      SELECT doc_id, c,
+        (2 * SUM((b * 31 + (y * w + x)) % 256) + COUNT(*))
+          // (2 * COUNT(*)) AS cv
+      FROM boxes, LATERAL (SELECT unnest(range(y0, y1)) AS y),
+                  LATERAL (SELECT unnest(range(x0, x1)) AS x)
+      GROUP BY doc_id, c
+    ),
+    m AS (SELECT doc_id, SUM(cv) // 64 AS mean FROM cellvals GROUP BY 1),
+    bits AS (
+      SELECT cv.doc_id,
+        SUM(CASE WHEN cv >= mean THEN CAST(1 AS HUGEINT) << (63 - c)
+                 ELSE 0 END) AS hsh
+      FROM cellvals cv JOIN m USING (doc_id) GROUP BY 1
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN hsh >= CAST(1 AS HUGEINT) << 63
+                THEN hsh - (CAST(1 AS HUGEINT) << 64)
+                ELSE hsh END AS BIGINT) AS ahash
+    FROM bits
+    ORDER BY doc_id
+    """
+)

@@ -2524,3 +2524,51 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("event_id")
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image-dedup fingerprints, cross-engine graded
+    (round 5): every triple of docs {3k, 3k+1, 3k+2} encodes the SAME
+    closed-form luminance image three different ways (gray
+    filter-cycled, gray Adam7-interlaced, RGB with r=g=b), and
+    image_ahash must assign the triple ONE 64-bit fingerprint — the
+    re-encoding invariance that makes groupBy(ahash) image dedup
+    work. The DuckDB oracle re-derives the perceptual hash NUMERICALLY
+    from the pixel formula (8×8 integer box means → threshold at the
+    cell mean → MSB-first bit pack), so a decoder, pooling, or
+    threshold defect anywhere in the chain hash-mismatches."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.multimodal import image_ahash
+    from etl_deltalake_spark.operators.png import encode_png
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_png(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                b = d - d % 3
+                w = 8 + (b // 3) % 5
+                h = 8 + (b // 3) % 3
+                px = bytes((b * 31 + k) % 256 for k in range(w * h))
+                mode = d % 3
+                if mode == 0:
+                    blob = encode_png(px, w, h, 0, "cycle")
+                elif mode == 1:
+                    blob = encode_png(px, w, h, 0, "cycle", interlace=True)
+                else:
+                    rgb = b"".join(bytes([v, v, v]) for v in px)
+                    blob = encode_png(rgb, w, h, 2, "cycle")
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_png, schema="doc_id long, payload binary")
+    return (
+        image_ahash(media, "doc_id", "payload")
+        .select("doc_id", "ahash")
+        .orderBy("doc_id")
+    )

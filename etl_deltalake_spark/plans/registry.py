@@ -258,6 +258,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_lm_transfer",
     "q_nfc_dedup",
     "q_stream_enrich",
+    "q_image_dedup",
 )
 
 
