@@ -247,3 +247,97 @@ def resample_interp(
         .alias("value_interp"),
         "is_gap",
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    half_window: int = 2,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key over an
+    hourly-bucketed series: value = trend + seasonal + residual —
+    the moving-average decomposition every monitoring/forecasting
+    pipeline runs before modelling (statsmodels' seasonal_decompose
+    shape, expressed relationally).
+
+      bucket    hourly sum of DECIMAL(18,2)-cast values (the
+                rolling-anomaly input convention);
+      trend     centered (2·half_window+1)-bucket moving average,
+                defined only where the window is FULL — from the
+                exact decimal window sum, so it is order-independent;
+      seasonal  per (key, phase = bucket_index mod period) mean of
+                the detrended series, computed from GROUP-level
+                decimal sums (Σv and Σwindow-sums — never a
+                float-accumulation over rows), centered by the
+                key-global detrended mean derived the same way;
+      residual  value − trend − seasonal.
+
+    Every reported float derives from exact decimal sums through a
+    fixed sequence of IEEE ops, so the DuckDB oracle matches bitwise
+    after ROUND(..,6). Shuffles: the bucket aggregation, one window
+    per key, the per-(key,phase) aggregate joined back (broadcast-
+    small: ≤ period rows per key), one per-key global aggregate.
+    Output: key, bucket, phase, v, trend, seasonal, resid.
+    """
+    w = 2 * half_window + 1
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    ).groupBy("key", "bucket").agg(F.sum("_v").alias("v_dec"))
+    b = b.withColumn(
+        "phase",
+        F.pmod((F.unix_timestamp("bucket") / 3600).cast("long"), period),
+    )
+    win = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(-half_window, half_window)
+    )
+    b = b.withColumn("_s1", F.sum("v_dec").over(win)).withColumn(
+        "_n_win", F.count(F.lit(1)).over(win)
+    )
+    b = b.withColumn(
+        "trend",
+        F.when(
+            F.col("_n_win") == w, F.col("_s1").cast("double") / F.lit(w)
+        ),
+    )
+    full = b.filter(F.col("trend").isNotNull())
+    by_phase = full.groupBy("key", "phase").agg(
+        F.sum("v_dec").alias("pv"),
+        F.sum("_s1").alias("pma"),
+        F.count(F.lit(1)).alias("pn"),
+    )
+    by_key = full.groupBy("key").agg(
+        F.sum("v_dec").alias("gv"),
+        F.sum("_s1").alias("gma"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    seasonal = (
+        F.col("pv").cast("double") / F.col("pn")
+        - F.col("pma").cast("double") / (F.col("pn") * w)
+    ) - (
+        F.col("gv").cast("double") / F.col("gn")
+        - F.col("gma").cast("double") / (F.col("gn") * w)
+    )
+    out = (
+        b.join(by_phase, ["key", "phase"], "left")
+        .join(by_key, "key", "left")
+        .withColumn("seasonal", seasonal)
+    )
+    v_dbl = F.col("v_dec").cast("double")
+    return out.select(
+        "key",
+        "bucket",
+        "phase",
+        F.round(v_dbl, 6).alias("v"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(v_dbl - F.col("trend") - F.col("seasonal"), 6).alias(
+            "resid"
+        ),
+    )

@@ -3792,3 +3792,50 @@ oracle("q_image_dedup")(
     ORDER BY doc_id
     """
 )
+
+
+oracle("q_seasonal")(
+    """
+    WITH b AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v_dec
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT key, bucket, v_dec,
+             (CAST(epoch(bucket) AS BIGINT) // 3600) % 24 AS phase,
+             SUM(v_dec) OVER w AS s1,
+             COUNT(*) OVER w AS n_win
+      FROM b
+      WINDOW w AS (PARTITION BY key ORDER BY bucket
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    ),
+    t AS (
+      SELECT *, CASE WHEN n_win = 5 THEN CAST(s1 AS DOUBLE) / 5 END AS trend
+      FROM p
+    ),
+    fp AS (
+      SELECT key, phase, SUM(v_dec) AS pv, SUM(s1) AS pma,
+             COUNT(*) AS pn
+      FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
+    ),
+    fk AS (
+      SELECT key, SUM(v_dec) AS gv, SUM(s1) AS gma, COUNT(*) AS gn
+      FROM t WHERE trend IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT t.key, t.bucket, t.phase, t.v_dec, t.trend,
+        (CAST(pv AS DOUBLE) / pn - CAST(pma AS DOUBLE) / (pn * 5))
+        - (CAST(gv AS DOUBLE) / gn - CAST(gma AS DOUBLE) / (gn * 5))
+          AS seasonal
+      FROM t LEFT JOIN fp USING (key, phase) LEFT JOIN fk USING (key)
+    )
+    SELECT key, bucket, phase,
+           ROUND(CAST(v_dec AS DOUBLE), 6) AS v,
+           ROUND(trend, 6) AS trend,
+           ROUND(seasonal, 6) AS seasonal,
+           ROUND(CAST(v_dec AS DOUBLE) - trend - seasonal, 6) AS resid
+    FROM s
+    ORDER BY key, bucket
+    """
+)

@@ -2572,3 +2572,17 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ahash")
         .orderBy("doc_id")
     )
+
+
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of per-user hourly value sums
+    (operators/timeseries.seasonal_decompose): centered moving-average
+    trend, phase-of-day seasonal means from exact decimal sums,
+    residuals — value = trend + seasonal + resid, bitwise
+    cross-engine."""
+    from etl_deltalake_spark.operators.timeseries import seasonal_decompose
+
+    ev = load_table(spark, "events", sf_dir)
+    return seasonal_decompose(
+        ev, "user_id", "ts", "value", period=24, half_window=2
+    ).orderBy("key", "bucket")

@@ -259,6 +259,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_nfc_dedup",
     "q_stream_enrich",
     "q_image_dedup",
+    "q_seasonal",
 )
 
 
