@@ -133,3 +133,50 @@ def pii_hits(col: str) -> dict[str, Column]:
         ).cast("bigint")
         cur = F.regexp_replace(cur, pattern, token)
     return out
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Per-row k-anonymity annotation (round 5) — the compliance
+    check behind every quasi-identifier release decision: a row is
+    k-anonymous iff at least ``k`` rows share its full
+    quasi-identifier combination (Sweeney 2002, public model). Rows
+    below the threshold get ``suppress = true`` — the caller's
+    release pipeline drops or generalizes exactly those.
+
+    One window count over the quasi-identifier key (a single shuffle;
+    at 100 TB prefer the groupBy-count + broadcast-join form when the
+    distinct-combination count is dimension-sized). Output: the input
+    columns + anon_set_size + suppress.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*quasi_cols)
+    return df.withColumn(
+        "anon_set_size", F.count(F.lit(1)).over(w)
+    ).withColumn("suppress", F.col("anon_set_size") < k)
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """One-row release-readiness summary: distinct quasi-identifier
+    combinations, how many fall below k, rows suppressed, the
+    minimum anonymity-set size, and the suppression fraction."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0)).alias(
+            "groups_below_k"
+        ),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)).alias(
+            "rows_suppressed"
+        ),
+        F.min("_n").alias("min_set_size"),
+        F.round(
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+            / F.sum("_n"),
+            6,
+        ).alias("suppressed_frac"),
+    )

@@ -107,3 +107,31 @@ def rollup_result(state: DataFrame, scale: int = 6) -> DataFrame:
         F.col("min_val").cast("double").alias("min_val"),
         F.col("max_val").cast("double").alias("max_val"),
     )
+
+
+def join_view_delta(
+    old_a: DataFrame,
+    delta_a: DataFrame,
+    old_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view under
+    append-only deltas (round 5) — the join counterpart of this
+    module's mergeable aggregate state: with V = A ⋈ B materialized,
+    an ingest of (ΔA, ΔB) only needs
+
+        ΔV = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    appended to V — the A ⋈ B term (the 100 TB × 100 TB join) is
+    NEVER recomputed; every term joins at least one delta side,
+    which is batch-sized and broadcastable. The classical delta rule
+    from incremental view maintenance (Gupta & Mumick 1995, public).
+    Correctness gate: V ∪ ΔV must equal (A∪ΔA) ⋈ (B∪ΔB) exactly
+    (tests + the q_join_view oracle, which recomputes the full
+    join)."""
+    return (
+        delta_a.join(old_b, on)
+        .unionByName(old_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )

@@ -3839,3 +3839,29 @@ oracle("q_seasonal")(
     ORDER BY key, bucket
     """
 )
+
+
+oracle("q_k_anonymity")(
+    """
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey)
+             AS anon_set_size,
+           COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey) < 5
+             AS suppress
+    FROM customer
+    ORDER BY c_custkey
+    """
+)
+
+
+oracle("q_join_view")(
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """
+)

@@ -2586,3 +2586,69 @@ def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(
         ev, "user_id", "ts", "value", period=24, half_window=2
     ).orderBy("key", "bucket")
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers
+    (operators/pii.k_anonymity / k_anonymity_report): per-row
+    anonymity-set sizes for (c_mktsegment, c_nationkey) at k=5,
+    summarized — the release-readiness check of the PII family."""
+    from etl_deltalake_spark.operators.pii import k_anonymity
+
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=5)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_nationkey",
+            "anon_set_size",
+            "suppress",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance, cross-engine graded
+    (operators/rollups.join_view_delta): orders split on key mod 4,
+    lineitem split INDEPENDENTLY on line number parity — so all
+    three delta-rule terms (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB) are non-empty; the
+    maintained view = materialized base join ∪ the delta terms,
+    aggregated to revenue per order priority. The oracle recomputes
+    the FULL join — any missed or duplicated delta term diverges.
+    The base ⋈ base term is the only one the maintenance never
+    re-executes."""
+    from etl_deltalake_spark.operators.rollups import join_view_delta
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    old_o = orders.filter(F.col("o_orderkey") % 4 != 0)
+    new_o = orders.filter(F.col("o_orderkey") % 4 == 0)
+    old_l = li.filter(F.col("l_linenumber") % 2 == 1)
+    new_l = li.filter(F.col("l_linenumber") % 2 == 0)
+    j_old = old_o.join(old_l, old_o.o_orderkey == old_l.l_orderkey)
+    delta = join_view_delta(
+        old_o.withColumnRenamed("o_orderkey", "k"),
+        new_o.withColumnRenamed("o_orderkey", "k"),
+        old_l.withColumnRenamed("l_orderkey", "k"),
+        new_l.withColumnRenamed("l_orderkey", "k"),
+        ["k"],
+    )
+    view = j_old.select(
+        "o_orderpriority", F.col("l_extendedprice").alias("price")
+    ).unionByName(
+        delta.select(
+            "o_orderpriority", F.col("l_extendedprice").alias("price")
+        )
+    )
+    return (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

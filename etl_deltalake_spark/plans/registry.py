@@ -260,6 +260,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_stream_enrich",
     "q_image_dedup",
     "q_seasonal",
+    "q_k_anonymity",
+    "q_join_view",
 )
 
 
