@@ -485,3 +485,40 @@ def corpus_divergence(
         .orderBy(F.desc("kl_contrib"), "word")
         .limit(top_k)
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col, n: int, scale: int = 9
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, public algorithm): each row gets
+    priority −ln(u)/w with u a uniform derived from md5(id) — the
+    n smallest priorities are exactly a weight-proportional sample
+    without replacement. Replacing the RNG with the hash-derived
+    uniform makes the draw reproducible across reruns, retries, and
+    ENGINES: u = (first 13 md5 hex digits as a 52-bit integer + 1)
+    / 2^52, identical in Spark (conv base-16) and DuckDB (hex-digit
+    fold — q_weighted_draw's oracle). The priority is ROUNDed to
+    ``scale`` so sub-rounding libm ln() ULP differences can never
+    flip an ordering; remaining ties break by id.
+
+    One scan + one top-n (TakeOrdered — no full sort at 100 TB);
+    weight column must be strictly positive.
+    Output: the sampled rows + their priority.
+    """
+    from pyspark.sql import Window
+
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u_int = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (u_int + 1.0) / F.lit(float(1 << 52))
+    pri = F.round(-F.log(u) / wcol.cast("double"), scale)
+    win = Window.orderBy(F.col("_pri").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+        .withColumnRenamed("_pri", "priority")
+    )

@@ -3865,3 +3865,27 @@ oracle("q_join_view")(
     ORDER BY 1
     """
 )
+
+
+_U52 = (
+    "CAST(list_sum(list_transform(range(1, 14), k -> "
+    "CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1 AS HUGEINT) "
+    "* (CAST(1 AS HUGEINT) << (4 * (13 - k))))) AS DOUBLE)"
+)
+
+oracle("q_weighted_draw")(
+    f"""
+    WITH pri AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             ROUND(-ln(({_U52} + 1.0) / 4503599627370496.0)
+                   / CAST(length(text) AS DOUBLE), 9) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM pri
+    ORDER BY priority, doc_id
+    LIMIT 200
+    """
+)

@@ -2652,3 +2652,22 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def q_weighted_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional document sampling without replacement
+    (operators/curation.weighted_sample — hash-deterministic
+    Efraimidis-Spirakis): 200 docs drawn with probability
+    proportional to length(text) — the quality/size-weighted
+    subsampling step of corpus curation, reproducible bit-for-bit
+    across engines."""
+    from etl_deltalake_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "n_chars", F.length("text").cast("double")
+    )
+    return (
+        weighted_sample(docs, "doc_id", "n_chars", n=200)
+        .select("doc_id", "n_chars", "priority")
+        .orderBy("priority", "doc_id")
+    )

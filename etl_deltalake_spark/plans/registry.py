@@ -262,6 +262,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_seasonal",
     "q_k_anonymity",
     "q_join_view",
+    "q_weighted_draw",
 )
 
 

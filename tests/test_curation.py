@@ -209,3 +209,27 @@ def test_negative_samples_contract(spark):
         negative_samples(
             df.filter(F.col("doc_id") % 2 == 0), "doc_id", k=3
         ).collect()
+
+
+def test_weighted_sample_favors_heavy_weights(spark, sf_dir):
+    """Weight-proportional draw: the sampled docs' mean length must
+    exceed the corpus mean (longer docs get proportionally higher
+    inclusion probability), the draw is exactly n without
+    replacement, and reruns reproduce it bit-for-bit."""
+    from etl_deltalake_spark.operators.curation import weighted_sample
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "n_chars", F.length("text").cast("double")
+    )
+    s1 = weighted_sample(docs, "doc_id", "n_chars", n=150)
+    rows = s1.select("doc_id", "n_chars").collect()
+    assert len(rows) == 150
+    assert len({r["doc_id"] for r in rows}) == 150  # no replacement
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+    rows2 = weighted_sample(docs, "doc_id", "n_chars", n=150).select(
+        "doc_id"
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in rows2}
