@@ -270,3 +270,38 @@ def test_neardup_stream_end_to_end(spark, sf_dir, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 60
     assert out.filter(F.col("kept")).count() >= 1
+
+
+def test_bucketed_store_probe_skips_store_shuffle(spark, sf_dir, tmp_path):
+    """With the store bucketed on band_hash, the incremental probe
+    shuffles only the batch side: the executed plan scans the store
+    with its bucket spec (SelectedBucketsCount) and no Exchange sits
+    above the store scan."""
+    from etl_deltalake_spark.operators.dedup import (
+        minhash_store,
+        write_minhash_store_bucketed,
+    )
+
+    docs = qx.load_table(spark, "documents", sf_dir)
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    rows = minhash_store(hist, "doc_id", "text")
+    tbl = "neardup_store_bucketed_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_minhash_store_bucketed(rows, tbl, str(tmp_path / "store_b"))
+    store = spark.table(tbl)
+
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    from etl_deltalake_spark.operators.dedup import incremental_neardup
+
+    out = incremental_neardup(batch, store, "doc_id", "text")
+    n = out.count()
+    assert n == batch.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, "store not read with bucket spec"
+    # verdicts equal the plain-parquet-store run
+    plain = spark.read.parquet(qx._neardup_store_path(spark, sf_dir))
+    ref = incremental_neardup(batch, plain, "doc_id", "text")
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in ref.collect())
+    assert a == b
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
