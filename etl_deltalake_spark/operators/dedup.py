@@ -837,3 +837,66 @@ def write_minhash_store_bucketed(
         .bucketBy(num_buckets, "band_hash")
         .saveAsTable(table_name)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs (round 5): |A∩B| / |A| —
+    the subset/boilerplate signal Jaccard misses. A short document
+    wholly embedded in a long one has low Jaccard (the union is
+    large) but containment ≈ 1 on the short side; real pipelines use
+    exactly this to catch quotes, mirrors-with-navigation, and
+    template wrapping that symmetric near-dup scoring waves through.
+
+    Same candidate machinery as ``jaccard_pairs`` (DF-capped shared-
+    shingle equi-join, exact verification on full distinct-shingle
+    sets); a pair survives when EITHER direction clears ``threshold``.
+    Output: doc_a, doc_b, cont_a_in_b, cont_b_in_a (rounded 6).
+    """
+    sh = shingle_rows(df, id_col, text_col, k).withColumnRenamed("gram", "s")
+    capped = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        capped = sh.join(rare, "s")
+    a = capped.select(F.col("doc").alias("doc_a"), "s")
+    b = capped.select(F.col("doc").alias("doc_b"), "s")
+    candidates = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = (
+        sh.groupBy("doc")
+        .agg(F.collect_list("s").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_ab = F.round(inter / F.size("sh_a"), 6)
+    c_ba = F.round(inter / F.size("sh_b"), 6)
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )

@@ -3889,3 +3889,30 @@ oracle("q_weighted_draw")(
     LIMIT 200
     """
 )
+
+
+oracle("q_containment")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 50),
+    capped AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+        ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(x.sh), 6) AS cont_a_in_b,
+        ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(y.sh), 6) AS cont_b_in_a
+      FROM cand c JOIN sh x ON c.doc_a = x.doc_id
+                  JOIN sh y ON c.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a
+    FROM scored
+    WHERE cont_a_in_b >= 0.8 OR cont_b_in_a >= 0.8
+    ORDER BY doc_a, doc_b
+    """
+)

@@ -2671,3 +2671,16 @@ def q_weighted_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "priority")
         .orderBy("priority", "doc_id")
     )
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs over documents
+    (operators/dedup.containment_pairs): |A∩B|/|A| per direction at
+    a 0.8 threshold — the subset/boilerplate detector symmetric
+    Jaccard misses."""
+    from etl_deltalake_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )

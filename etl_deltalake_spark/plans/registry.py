@@ -263,6 +263,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_k_anonymity",
     "q_join_view",
     "q_weighted_draw",
+    "q_containment",
 )
 
 
