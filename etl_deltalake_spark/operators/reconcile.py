@@ -251,3 +251,34 @@ def apply_cdc(
     survivors = base.join(touched, list(key_cols), "left_anti")
     upserts = ops.filter(F.col(op_col) != "D").select(*base.columns)
     return survivors.unionByName(upserts)
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-level drift report between two table snapshots
+    (round 5) — the structural companion of this module's row-level
+    ``table_diff``: one row per column naming its disposition
+    (added / removed / type_changed / unchanged) with both type
+    renders. Purely metadata-driven (reads the schemas, never the
+    data), so it is free to run before every incremental load as the
+    guard that decides mergeSchema vs fail vs quarantine.
+
+    Output: column, status, old_type, new_type — built with
+    createDataFrame from the driver-side schema objects (metadata,
+    not data), ordered by column name.
+    """
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+        else:
+            rows.append((c, "unchanged", o[c], n[c]))
+    return spark.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

@@ -97,3 +97,28 @@ def test_diff_null_keys_classified_by_side_not_key(spark):
     assert table_diff(empty, l_only, ["k"]).collect()[0]["diff"] == "added"
     both = table_diff(l_only, spark.createDataFrame([(None, "y")], schema), ["k"])
     assert both.collect()[0]["diff"] == "changed"
+
+
+def test_schema_drift(spark):
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.operators.reconcile import schema_drift
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, name string, score double"
+    )
+    new = (
+        old.drop("score")
+        .withColumn("id", F.col("id").cast("int"))
+        .withColumn("added_col", F.lit(True))
+    )
+    got = {
+        r["column"]: (r["status"], r["old_type"], r["new_type"])
+        for r in schema_drift(old, new).collect()
+    }
+    assert got == {
+        "added_col": ("added", None, "boolean"),
+        "id": ("type_changed", "bigint", "int"),
+        "name": ("unchanged", "string", "string"),
+        "score": ("removed", "double", None),
+    }
