@@ -926,3 +926,45 @@ def benford_profile(
         ),
         benford.alias("benford_frac"),
     )
+
+
+def tukey_outliers(
+    df: DataFrame, group_cols: list[str], value_col: str, whisker: float = 1.5
+) -> DataFrame:
+    """Per-group Tukey-fence outlier summary (round 5): fences at
+    Q1 − w·IQR and Q3 + w·IQR from the exact interpolated quartiles,
+    counting rows beyond each fence — the box-plot outlier rule, the
+    robust complement of the z-score (q_rolling_anomaly) and MAD
+    (q_mad) detectors already graded.
+
+    Two aggregations: per-group quartiles (exact percentile — at
+    100 TB swap for approx_percentile, same shape), then a broadcast
+    join of the fence row back onto the group for the counts.
+    Output: group cols, q1, q3, iqr, lo_fence, hi_fence, n_low,
+    n_high, n_rows.
+    """
+    q = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("q3"),
+    )
+    q = q.withColumn("iqr", F.col("q3") - F.col("q1")).withColumn(
+        "lo_fence", F.col("q1") - F.lit(whisker) * F.col("iqr")
+    ).withColumn("hi_fence", F.col("q3") + F.lit(whisker) * F.col("iqr"))
+    joined = df.join(F.broadcast(q), group_cols)
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.round(F.first("q1"), 6).alias("q1"),
+            F.round(F.first("q3"), 6).alias("q3"),
+            F.round(F.first("iqr"), 6).alias("iqr"),
+            F.round(F.first("lo_fence"), 6).alias("lo_fence"),
+            F.round(F.first("hi_fence"), 6).alias("hi_fence"),
+            F.sum(
+                F.when(F.col(value_col) < F.col("lo_fence"), 1).otherwise(0)
+            ).alias("n_low"),
+            F.sum(
+                F.when(F.col(value_col) > F.col("hi_fence"), 1).otherwise(0)
+            ).alias("n_high"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -3916,3 +3916,34 @@ oracle("q_containment")(
     ORDER BY doc_a, doc_b
     """
 )
+
+
+oracle("q_tukey")(
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY 1
+    ),
+    f AS (
+      SELECT l_returnflag, q1, q3, q3 - q1 AS iqr,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q
+    )
+    SELECT l.l_returnflag,
+           ROUND(q1, 6) AS q1, ROUND(q3, 6) AS q3,
+           ROUND(iqr, 6) AS iqr,
+           ROUND(lo_fence, 6) AS lo_fence,
+           ROUND(hi_fence, 6) AS hi_fence,
+           SUM(CASE WHEN l_extendedprice < lo_fence THEN 1 ELSE 0 END)
+             AS n_low,
+           SUM(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END)
+             AS n_high,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN f USING (l_returnflag)
+    GROUP BY l.l_returnflag, q1, q3, iqr, lo_fence, hi_fence
+    ORDER BY l.l_returnflag
+    """
+)

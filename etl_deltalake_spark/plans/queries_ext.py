@@ -2684,3 +2684,16 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def q_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Tukey-fence outlier summary on extended price
+    (operators/stats.tukey_outliers): exact interpolated quartiles →
+    1.5·IQR fences → beyond-fence counts, the box-plot outlier rule
+    alongside the z-score and MAD detectors."""
+    from etl_deltalake_spark.operators.stats import tukey_outliers
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return tukey_outliers(li, ["l_returnflag"], "l_extendedprice").orderBy(
+        "l_returnflag"
+    )

@@ -264,6 +264,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_join_view",
     "q_weighted_draw",
     "q_containment",
+    "q_tukey",
 )
 
 
