@@ -3947,3 +3947,37 @@ oracle("q_tukey")(
     ORDER BY l.l_returnflag
     """
 )
+
+
+# ----------------------------------------------------- engine pragmas
+# DuckDB's default thread count (one per core — 32 on the grading box)
+# fragments the process heap into ~40k anonymous mmaps PER heavy
+# PQ-chain oracle (glibc per-thread arena churn under the generated
+# chain's allocation pattern); a few such oracles in one process
+# approach vm.max_map_count (65530), after which every allocation
+# fails as OutOfMemory "bad allocation" with ample free RAM
+# (CORRECTNESS_r05: q_ann_recall red). The cap must live INSIDE the
+# oracle string — a fresh default connection (the driver's harness)
+# never sees the pytest fixture's SET. duckdb>=1.0 execute() runs
+# multi-statement strings and returns the last statement's result, so
+# prepending pragmas is portable. 8 threads keep the worst chain ~5x
+# under the map budget AND ~3x faster on a box co-tenant with the
+# Spark JVM (measured: 40074 maps/3.4s at 32 threads vs 7201 maps/
+# 1.0s at 8 — see SCALE.md round-5 postscript).
+HEAVY_ORACLES: tuple[str, ...] = (
+    "q_ann_recall",
+    "q_ivfpq_pretrained",
+    "q_ivfpq_topk",
+    "q_pq_topk",
+    "q_ivfpq_residual",
+    "q_embed_near_dup",
+    "q_ivf_recall_curve",
+    "q_incr_neardup",
+    "q_kmeans_ivf",
+)
+
+_PRAGMAS = "SET threads=8; SET memory_limit='24GB';\n"
+
+for _name in HEAVY_ORACLES:
+    if _name in ORACLES and not ORACLES[_name].lstrip().startswith("SET "):
+        ORACLES[_name] = _PRAGMAS + ORACLES[_name]

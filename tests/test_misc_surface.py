@@ -124,3 +124,19 @@ def test_bloom_prefilter_join_equals_plain_semi_join(spark, sf_dir):
         ).select("o_orderkey").collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_delta_session_config_strings_pinned():
+    """Pin the dormant delta-spark session configs to the exact
+    public-docs class names (delta.io quickstart). delta-spark is
+    absent in-container so the branch never executes here — round-5
+    verdict found a wrong catalog class that only a string pin can
+    catch before a real deployment does."""
+    from etl_deltalake_spark.session import DELTA_SESSION_CONFIGS
+
+    assert DELTA_SESSION_CONFIGS == {
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog": (
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        ),
+    }
