@@ -697,6 +697,14 @@ def minhash_store(
 
     Output: doc, sig array<string>, band_idx, band_hash.
     """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}): "
+            "LSH banding slices the signature into equal rows-per-band "
+            "groups; a remainder would silently drop trailing MinHash "
+            "components from every band hash while the stored full "
+            "signature still carries them"
+        )
     rows_per_band = num_perm // bands
     sig_tab = minhash_signature_table(df, id_col, text_col, k, num_perm)
     band_arr = F.array(
@@ -824,17 +832,26 @@ def write_minhash_store_bucketed(
     path: str,
     num_buckets: int = 16,
 ) -> None:
-    """Persist the near-dup store BUCKETED on band_hash (round 5):
-    at scale the store is the big side of every incremental probe —
-    pre-bucketing it means each probe shuffles ONLY the new batch's
-    band rows to matching buckets while the store reads co-located
-    (the probe plan shows no Exchange above the store scan; asserted
-    in tests). The standard bucketed-fact amortization: one shuffle
-    at store-write time paid once, saved on every future batch."""
+    """Persist the near-dup store BUCKETED on the probe's exact join
+    key ``(band_idx, band_hash)`` (round 5, key set corrected round
+    6): at scale the store is the big side of every incremental
+    probe — pre-bucketing it means each probe shuffles ONLY the new
+    batch's band rows to matching buckets while the store reads
+    co-located (the probe plan shows no Exchange above the store
+    scan; asserted as a TREE property in tests, not a substring).
+
+    The bucket keys must equal the join keys: Spark (3.3+,
+    ``spark.sql.requireAllClusterKeysForCoPartition`` default true)
+    does not treat a partial-key bucketing (band_hash alone) as
+    co-partitioned for a two-key join, so the round-5 single-key
+    spec still shuffled the store — the executed-plan tree walk in
+    tests/test_new_ops_r5.py caught it. The standard bucketed-fact
+    amortization: one shuffle at store-write time paid once, saved
+    on every future batch."""
     (
         store_rows.write.mode("overwrite")
         .option("path", path)
-        .bucketBy(num_buckets, "band_hash")
+        .bucketBy(num_buckets, "band_idx", "band_hash")
         .saveAsTable(table_name)
     )
 

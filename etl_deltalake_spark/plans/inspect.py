@@ -82,3 +82,67 @@ def assert_scale_safe(df: DataFrame) -> dict:
             f"cartesian={report['cartesian']}):\n{plan_string(df)}"
         )
     return report
+
+
+def _jvm_children(node):
+    """Children of a JVM SparkPlan node, descending through the
+    wrappers that hide subtrees from a naive ``children()`` walk:
+    AQE roots expose the final plan via ``executedPlan()``,
+    materialized query stages via ``plan()``, reused exchanges via
+    ``child()``."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return [node.executedPlan()]
+    if name.endswith("QueryStageExec"):
+        return [node.plan()]
+    if name == "ReusedExchangeExec":
+        return [node.child()]
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+_JOIN_NODES = frozenset(
+    (
+        "SortMergeJoinExec",
+        "BroadcastHashJoinExec",
+        "ShuffledHashJoinExec",
+        "BroadcastNestedLoopJoinExec",
+        "CartesianProductExec",
+    )
+)
+
+
+def bucketed_scan_exchange_audit(df: DataFrame) -> dict:
+    """Walk the EXECUTED plan tree and report, for every bucketed
+    file scan, whether an Exchange sits BETWEEN the scan and its
+    nearest enclosing join — i.e. whether the bucketed side actually
+    enters the join co-located or gets re-shuffled anyway.
+
+    This is the tree property a substring match
+    (``"SelectedBucketsCount" in plan``) cannot express: round 5
+    shipped a bucketing whose scan carried the bucket spec yet was
+    STILL shuffled (bucket keys ⊂ join keys → not co-partitioned
+    under requireAllClusterKeysForCoPartition). Exchanges ABOVE the
+    join are legitimate (post-join aggregations re-key) and are not
+    counted. Run an action on ``df`` first so AQE has finalized the
+    plan.
+
+    Returns {"bucketed_scans": n, "shuffled_bucketed_scans": n}.
+    """
+    found = {"bucketed_scans": 0, "shuffled_bucketed_scans": 0}
+
+    def walk(node, exchange_below_join: bool) -> None:
+        name = node.getClass().getSimpleName()
+        if name in _JOIN_NODES:
+            exchange_below_join = False  # reset at each join boundary
+        elif "Exchange" in name:
+            exchange_below_join = True
+        if name == "FileSourceScanExec" and "SelectedBucketsCount" in node.toString():
+            found["bucketed_scans"] += 1
+            if exchange_below_join:
+                found["shuffled_bucketed_scans"] += 1
+        for child in _jvm_children(node):
+            walk(child, exchange_below_join)
+
+    walk(df._jdf.queryExecution().executedPlan(), False)
+    return found

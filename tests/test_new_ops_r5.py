@@ -273,10 +273,13 @@ def test_neardup_stream_end_to_end(spark, sf_dir, tmp_path):
 
 
 def test_bucketed_store_probe_skips_store_shuffle(spark, sf_dir, tmp_path):
-    """With the store bucketed on band_hash, the incremental probe
-    shuffles only the batch side: the executed plan scans the store
-    with its bucket spec (SelectedBucketsCount) and no Exchange sits
-    above the store scan."""
+    """With the store bucketed on the probe's join key
+    (band_idx, band_hash), the incremental probe shuffles only the
+    batch side: the executed plan scans the store with its bucket
+    spec AND no Exchange sits above the store scan — asserted as a
+    tree property (ancestor walk), not a substring; the round-5
+    single-key bucketing passed the substring check while still
+    shuffling the store."""
     from etl_deltalake_spark.operators.dedup import (
         minhash_store,
         write_minhash_store_bucketed,
@@ -292,12 +295,27 @@ def test_bucketed_store_probe_skips_store_shuffle(spark, sf_dir, tmp_path):
 
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     from etl_deltalake_spark.operators.dedup import incremental_neardup
+    from etl_deltalake_spark.plans.inspect import (
+        bucketed_scan_exchange_audit,
+    )
 
-    out = incremental_neardup(batch, store, "doc_id", "text")
-    n = out.count()
-    assert n == batch.count()
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SelectedBucketsCount" in plan, "store not read with bucket spec"
+    # Force sort-merge so the probe exercises the bucket spec — at
+    # test scale the batch side broadcasts and bucketing is moot; at
+    # 100 TB neither side broadcasts and co-location is the claim.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_neardup(batch, store, "doc_id", "text")
+        n = out.count()
+        assert n == batch.count()
+        audit = bucketed_scan_exchange_audit(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert audit["bucketed_scans"] >= 1, "store not read with bucket spec"
+    assert audit["shuffled_bucketed_scans"] == 0, (
+        f"bucketed store scan feeds its join through an Exchange — "
+        f"the bucketing buys nothing: {audit}"
+    )
     # verdicts equal the plain-parquet-store run
     plain = spark.read.parquet(qx._neardup_store_path(spark, sf_dir))
     ref = incremental_neardup(batch, plain, "doc_id", "text")
@@ -305,3 +323,17 @@ def test_bucketed_store_probe_skips_store_shuffle(spark, sf_dir, tmp_path):
     b = sorted(tuple(r) for r in ref.collect())
     assert a == b
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_minhash_store_rejects_indivisible_bands(spark, sf_dir):
+    """num_perm % bands != 0 would silently drop trailing MinHash
+    components from every band hash while the stored signature still
+    carries them — the banding math assumes equal slices, so the
+    constructor must refuse."""
+    import pytest
+
+    from etl_deltalake_spark.operators.dedup import minhash_store
+
+    docs = qx.load_table(spark, "documents", sf_dir)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_store(docs, "doc_id", "text", num_perm=10, bands=4)
