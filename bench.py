@@ -82,6 +82,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Machine-state provenance: rounds 4-5 both saw uniform ~1.5x
+    # inflation on unchanged trivial plans from co-tenant load the
+    # JSON couldn't show (adjudicating it took a judge re-run on a
+    # quiet box). loadavg before/after + wall-clock timestamps make
+    # contention machine-readable in the artifact itself.
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+    run_started = time.strftime("%Y-%m-%dT%H:%M:%S%z")
 
     from etl_deltalake_spark.plans import queries as _q
     from etl_deltalake_spark.plans import queries_ext as _qx
@@ -145,6 +152,18 @@ def main() -> None:
                 # methodology) kept for cross-round comparability
                 "queries_first_run": first_run,
                 "sf": sf,
+                "run_started": run_started,
+                "run_finished": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                # 1/5/15-min loadavg at start/end; our own Spark
+                # work inflates the end numbers — the START triple
+                # is the co-tenancy signal (this box has 32 cores:
+                # a start loadavg ≥ ~2 with no run of ours active
+                # means totals are contended, trust per-query
+                # ratios over absolutes)
+                "loadavg_before": load_before,
+                "loadavg_after": tuple(
+                    round(x, 2) for x in os.getloadavg()
+                ),
             }
         )
     )

@@ -502,23 +502,20 @@ def weighted_sample(
     ``scale`` so sub-rounding libm ln() ULP differences can never
     flip an ordering; remaining ties break by id.
 
-    One scan + one top-n (TakeOrdered — no full sort at 100 TB);
-    weight column must be strictly positive.
+    One scan + one top-n: ``orderBy(...).limit(n)`` plans
+    TakeOrderedAndProject DIRECTLY (per-partition heap + driver
+    merge of n) — no full sort, no single-partition window, at any
+    scale. Weight column must be strictly positive.
     Output: the sampled rows + their priority.
     """
-    from pyspark.sql import Window
-
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u_int = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
     ).cast("double")
     u = (u_int + 1.0) / F.lit(float(1 << 52))
     pri = F.round(-F.log(u) / wcol.cast("double"), scale)
-    win = Window.orderBy(F.col("_pri").asc(), F.col(id_col).asc())
     return (
-        df.withColumn("_pri", pri)
-        .withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") <= n)
-        .drop("_rn")
-        .withColumnRenamed("_pri", "priority")
+        df.withColumn("priority", pri)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(n)
     )

@@ -19,10 +19,9 @@ from pyspark.sql import functions as F
 # Unicode classes (\p{L} letters, \p{M} combining marks, \p{N} digits)
 # so non-Latin scripts tokenize as words instead of dissolving into
 # per-char punctuation; identical semantics in Java regex and DuckDB
-# RE2 (verified over zh/ru/ar/el/hi/vi/ko fixtures). Known caveat:
-# Turkish İ diverges because the ENGINES' lower() differs (Java
-# full-folds İ→i+U+0307, DuckDB simple-folds İ→i) — a case-folding
-# property of lower(), not of these patterns.
+# RE2 (verified over zh/ru/ar/el/hi/vi/ko/tr fixtures — Turkish İ,
+# formerly the one divergence, is closed by folded_lower's İ→i
+# pre-pass, round 6).
 TOKEN_PATTERN = r"[\p{L}\p{M}\p{N}_]+|[^\p{L}\p{M}\p{N}_\s]"
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
@@ -38,18 +37,30 @@ LANG_MARKERS = {
 
 
 
+def folded_lower(c) -> Column:
+    """``lower()`` with the İ→i casefold pre-pass: U+0130 is the one
+    Unicode char whose default lowercase mapping is multi-char
+    (SpecialCasing.txt İ→i+U+0307) and the engines disagree on it
+    (JVM full-folds, DuckDB simple-folds). Every text-column
+    lowercase in this module routes through here, mirrored in the
+    oracles as ``lower(replace(text, 'İ', 'i'))`` — one definition so
+    the Spark/DuckDB pair can't drift, and Turkish İstanbul/istanbul
+    share a canonical form."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.lower(F.translate(col, "İ", "i"))
+
+
 def word_tokens(text_col) -> Column:
     """Lowercased whitespace-split word array — THE tokenization
     contract shared by q_heavy_hitters, bpe.word_freqs, and
     curation.corpus_divergence (and mirrored by their DuckDB oracles
-    as string_split_regex(lower(text), '\\s+')). One definition so
+    as string_split_regex of the folded lower). One definition so
     the three can't drift; callers filter the '' artifacts."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(F.lower(c), r"\s+")
+    return F.split(folded_lower(text_col), r"\s+")
 
 def tokens(col: str) -> Column:
-    """Tokenize: array of BPE-ish tokens (lowercased)."""
-    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_PATTERN), 0)
+    """Tokenize: array of BPE-ish tokens (casefolded lower)."""
+    return F.regexp_extract_all(folded_lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
 def token_count(col: str) -> Column:
@@ -64,7 +75,7 @@ def word_count(col: str) -> Column:
 
 def stopword_ratio(col: str) -> Column:
     """Fraction of whitespace words that are stopwords (round 6)."""
-    words = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    words = F.split(folded_lower(F.trim(F.col(col))), r"\s+")
     stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
     return F.round(stop / F.size(words), 6)
 
@@ -102,7 +113,7 @@ def _isin_filter(markers: tuple[str, ...]):
 
 def lang_scores(col: str) -> dict[str, Column]:
     """Per-language marker-word hit counts (the n-gram heuristic)."""
-    words = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    words = F.split(folded_lower(F.trim(F.col(col))), r"\s+")
     return {
         lang: F.size(F.filter(words, _isin_filter(markers))).cast("bigint")
         for lang, markers in LANG_MARKERS.items()
@@ -212,11 +223,18 @@ def normalize_text(col) -> Column:
     Chinese/Cyrillic/Arabic/accented-Latin documents keep distinct
     normal forms instead of collapsing to (near-)empty — the ASCII-only
     form silently collided every non-Latin document into one dedup
-    fingerprint. Same classes in DuckDB RE2 (oracles._NORM); the one
-    known engine divergence is Turkish İ, whose lower() folds
-    differently in the JVM vs DuckDB (see TOKEN_PATTERN note)."""
+    fingerprint. Same classes in DuckDB RE2 (oracles._NORM).
+
+    Turkish İ (U+0130) gets a casefold-normalizing pre-pass: it is
+    the ONE Unicode character whose default lowercase mapping is
+    multi-char (SpecialCasing.txt: İ → i + U+0307), and the engines
+    disagree on it (JVM full-folds, DuckDB simple-folds to plain i).
+    Mapping İ→i BEFORE lower() — mirrored in oracles._NORM — makes
+    the canonical form engine-stable, and is also what a Turkish
+    dedup wants: İstanbul and istanbul share a fingerprint."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(F.lower(c), r"[^\p{L}\p{M}\p{N}\s]", " ")
+    folded = F.translate(c, "İ", "i")
+    cleaned = F.regexp_replace(F.lower(folded), r"[^\p{L}\p{M}\p{N}\s]", " ")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 

@@ -385,8 +385,11 @@ oracle("q_datetime_funcs")(
 
 # Unicode classes mirror operators/text.py exactly (Java regex and
 # DuckDB RE2 agree on \p{L}\p{M}\p{N}; verified on zh/ru/ar/el/hi/vi/ko).
+# replace(İ→i) mirrors normalize_text's casefold pre-pass: U+0130 is
+# the one char whose lowercase mapping is multi-char and the engines'
+# lower() diverges on it (JVM full-fold vs DuckDB simple-fold).
 _NORM = (
-    "trim(regexp_replace(regexp_replace(lower(text),"
+    "trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i')),"
     " '[^\\p{L}\\p{M}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 _TOKEN_PAT = "'[\\p{L}\\p{M}\\p{N}_]+|[^\\p{L}\\p{M}\\p{N}_\\s]'"
@@ -406,11 +409,11 @@ oracle("q_text_stats")(
     FROM (
       SELECT
         doc_id,
-        CAST(len(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS BIGINT) AS n_tokens,
         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
-        ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        ROUND(len(list_filter(string_split_regex(lower(replace(trim(text), 'İ', 'i')), '\\s+'),
                               w -> w IN {_STOPS}))
-              / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stop_ratio,
+              / len(string_split_regex(lower(replace(trim(text), 'İ', 'i')), '\\s+')), 6) AS stop_ratio,
         ROUND((length(text) - length({_PUNCT_STRIP}))
               / length(text), 6) AS punct_ratio,
         CAST(length(text) AS DOUBLE) AS len_chars
@@ -427,7 +430,7 @@ _LANG_COUNT = {
     "zh": "('de', 'shi', 'bu')",
 }
 _lang_cols = ",\n        ".join(
-    f"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    f"CAST(len(list_filter(string_split_regex(lower(replace(trim(text), 'İ', 'i')), '\\s+'), "
     f"w -> w IN {m})) AS BIGINT) AS c_{lang}"
     for lang, m in _LANG_COUNT.items()
 )
@@ -459,7 +462,7 @@ oracle("q_tfidf")(
     f"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term
+             unnest(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -661,8 +664,8 @@ oracle("q_lm_score")(
     f"""
     WITH tok AS (
       SELECT doc_id,
-        unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term,
-        generate_subscripts(regexp_extract_all(lower(text), {_TOKEN_PAT}), 1)
+        unnest(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term,
+        generate_subscripts(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT}), 1)
           AS pos
       FROM documents
     ),
@@ -695,7 +698,7 @@ oracle("q_pack_sequences")(
     f"""
     WITH base AS (
       SELECT doc_id AS doc, doc_id % 4 AS shard,
-        CAST(len(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS BIGINT)
+        CAST(len(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS BIGINT)
           AS n_tokens
       FROM documents
     ),
@@ -767,9 +770,9 @@ oracle("q_corpus_prep")(
         END AS lang_pred
       FROM (
         SELECT doc_id, lang, text,
-          ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          ROUND(len(list_filter(string_split_regex(lower(replace(trim(text), 'İ', 'i')), '\\s+'),
                                 w -> w IN {_STOPS}))
-                / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
+                / len(string_split_regex(lower(replace(trim(text), 'İ', 'i')), '\\s+')), 6)
             AS stop_ratio,
           ROUND((length(text)
                  - length({_PUNCT_STRIP}))
@@ -830,7 +833,7 @@ oracle("q_simhash")(
              CAST('0x' || substr(md5(t), 1, 4) AS INT) AS h
       FROM (
         SELECT doc_id,
-               unnest(list_distinct(regexp_extract_all(lower(text), {_TOKEN_PAT}))) AS t
+               unnest(list_distinct(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT}))) AS t
         FROM documents
       )
     )
@@ -1530,7 +1533,7 @@ oracle("q_bm25")(
     f"""
     WITH lens AS (
       SELECT doc_id AS doc,
-             CAST(len(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS BIGINT) AS dl
+             CAST(len(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS BIGINT) AS dl
       FROM documents
     ),
     consts AS (
@@ -1541,7 +1544,7 @@ oracle("q_bm25")(
       SELECT doc, term, COUNT(*) AS tf
       FROM (
         SELECT doc_id AS doc,
-               unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term
+               unnest(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term
         FROM documents
       )
       WHERE term IN ('spark', 'window', 'merge')
@@ -2843,7 +2846,7 @@ oracle("q_time_travel")(
 oracle("q_heavy_hitters")(
     r"""
     WITH w AS (
-      SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+      SELECT unnest(string_split_regex(lower(replace(text, 'İ', 'i')), '\s+')) AS word
       FROM documents
     ),
     f AS (SELECT word FROM w WHERE word <> ''),
@@ -3193,7 +3196,7 @@ oracle("q_corpus_kl")(
     r"""
     WITH w AS (
       SELECT (substr(source, 4)::INT % 2 = 0) AS a,
-             unnest(string_split_regex(lower(text), '\s+')) AS word
+             unnest(string_split_regex(lower(replace(text, 'İ', 'i')), '\s+')) AS word
       FROM documents
     ),
     f AS (SELECT a, word FROM w WHERE word <> ''),
@@ -3680,8 +3683,8 @@ oracle("q_lm_transfer")(
     f"""
     WITH tokt AS (
       SELECT doc_id,
-        unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term,
-        generate_subscripts(regexp_extract_all(lower(text), {_TOKEN_PAT}), 1)
+        unnest(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term,
+        generate_subscripts(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT}), 1)
           AS pos
       FROM documents WHERE doc_id % 2 = 0
     ),
@@ -3694,8 +3697,8 @@ oracle("q_lm_transfer")(
     v AS (SELECT COUNT(DISTINCT term) AS v FROM tokt),
     toks AS (
       SELECT doc_id,
-        unnest(regexp_extract_all(lower(text), {_TOKEN_PAT})) AS term,
-        generate_subscripts(regexp_extract_all(lower(text), {_TOKEN_PAT}), 1)
+        unnest(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term,
+        generate_subscripts(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT}), 1)
           AS pos
       FROM documents WHERE doc_id % 2 <> 0
     ),
@@ -3721,7 +3724,7 @@ oracle("q_lm_transfer")(
 
 
 _NFC_NORM = (
-    "trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),"
+    "trim(regexp_replace(regexp_replace(lower(replace(nfc_normalize(text), 'İ', 'i')),"
     " '[^\\p{L}\\p{M}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 

@@ -594,6 +594,12 @@ def stream_static_enrich(
     Semantics: the static side is re-resolved PER MICRO-BATCH, so a
     dimension refresh between batches is picked up automatically (no
     restart) — the documented Spark behavior for stream-static joins.
+    That must hold for the KEY MAPPING too: the surrogate-key modulus
+    is a 1-row aggregate of the dimension cross-joined in (broadcast
+    of one row), NOT a ``count()`` frozen into the plan as a literal
+    at graph-construction time — an eager action there would both
+    block graph building and pin the modulus to the dimension's size
+    at t0 while the joined rows refresh (round-5 advisor finding).
     Spark broadcasts the dimension when it fits; no state store is
     involved (unlike stream-stream), so no watermark is REQUIRED for
     the join itself — the watermark here only bounds any downstream
@@ -607,9 +613,11 @@ def stream_static_enrich(
     dim = customers.select(
         "c_custkey", "c_name", "c_mktsegment"
     )
-    n_cust = F.lit(customers.count())
-    keyed = events.withWatermark("ts", watermark).withColumn(
-        "_ck", (F.col("user_id") % n_cust) + 1
+    n_cust = customers.agg(F.count(F.lit(1)).alias("_n_cust"))
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .crossJoin(F.broadcast(n_cust))
+        .withColumn("_ck", (F.col("user_id") % F.col("_n_cust")) + 1)
     )
     return keyed.join(
         dim, keyed["_ck"] == dim["c_custkey"]

@@ -233,3 +233,19 @@ def test_weighted_sample_favors_heavy_weights(spark, sf_dir):
         "doc_id"
     ).collect()
     assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in rows2}
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    """The draw must compile to TakeOrderedAndProject (per-partition
+    top-n heap + driver merge), not a global sort or single-partition
+    window — the shape that survives 100 TB."""
+    from etl_deltalake_spark.operators.curation import weighted_sample
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "n_chars", F.length("text").cast("double")
+    )
+    s = weighted_sample(docs, "doc_id", "n_chars", n=50)
+    s.count()
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

@@ -12,9 +12,11 @@ Unicode classes (plans/oracles._NORM / _TOKEN_PAT):
 3. Spark's normalized text / token arrays match DuckDB byte-for-byte;
 4. exact_dedup_stats output matches the oracle SQL on this corpus.
 
-Known engine caveat excluded from fixtures: Turkish İ (the engines'
-lower() itself diverges — JVM full-folds İ→i+U+0307, DuckDB RE2
-simple-folds İ→i; a case-folding property, not a regex one).
+Round 6: Turkish İ is no longer excluded — normalize_text folds
+İ→i BEFORE lower() (mirrored in oracles._NORM), closing the one
+engine divergence (JVM full-folds İ→i+U+0307, DuckDB simple-folds
+İ→i); tr fixtures now ride the byte-exact gate like every other
+script.
 """
 
 from __future__ import annotations
@@ -44,11 +46,16 @@ ML_DOCS = [
     # second distinct doc per heavy script — must NOT collide
     (11, "你好，世界。这是另一段不同的中文文本。"),
     (12, "Привет, мир — это ВТОРОЙ русский документ."),
+    # Turkish, with the İ/ı casefold hazards in play (round 6):
+    # İstanbul carries U+0130, ırmak the dotless ı (U+0131)
+    (13, "İstanbul'da büyük bir ırmak var; ĞÜŞİÖÇ harfleri test."),
+    (14, "İzmir ve İstanbul iki farklı şehirdir, değil mi?"),
     # exact duplicates (same content, new ids) — MUST collide
     (101, "Hello, WORLD! This is plain English text no. 123."),
     (103, "你好，世界。这是一段中文文本，用于测试！"),
     (102, "Привет, мир — это первый русский документ №42."),
     (105, "مرحبا بالعالم، هذه وثيقة عربية رقم 456."),
+    (113, "İstanbul'da büyük bir ırmak var; ĞÜŞİÖÇ harfleri test."),
 ]
 
 
@@ -100,11 +107,12 @@ def test_tokens_match_oracle(ml_spark, ml_duck):
 
 def test_exact_dedup_no_cross_script_collisions(ml_spark):
     out = exact_dedup_stats(ml_spark, "doc_id", "text").collect()
-    # 12 distinct contents (ids 1..12); 4 of them duplicated once
-    assert len(out) == 12
+    # 14 distinct contents (ids 1..14); 5 of them duplicated once
+    assert len(out) == 14
     by_canon = {r["canonical_id"]: r["n_copies"] for r in out}
-    assert {i for i, n in by_canon.items() if n == 2} == {1, 2, 3, 5}
-    assert all(n == 1 for i, n in by_canon.items() if i not in (1, 2, 3, 5))
+    dups = {1, 2, 3, 5, 13}
+    assert {i for i, n in by_canon.items() if n == 2} == dups
+    assert all(n == 1 for i, n in by_canon.items() if i not in dups)
 
 
 def test_exact_dedup_matches_oracle(ml_spark, ml_duck):
@@ -207,3 +215,46 @@ def test_nfc_unifies_composed_and_decomposed(spark):
     duck = dict(con.execute("SELECT doc_id, nfc_normalize(text) FROM t").fetchall())
     assert {k: v[0] for k, v in out.items()} == duck
     con.close()
+
+
+def test_turkish_casefold_stable_across_engines(spark):
+    """İ (U+0130) is the one Unicode char whose lowercase mapping is
+    multi-char; the JVM full-folds it (İ→i+U+0307) while DuckDB
+    simple-folds (İ→i). normalize_text's İ→i pre-pass must (a) agree
+    byte-for-byte with the mirrored oracle and (b) give İSTANBUL /
+    İstanbul / istanbul one shared fingerprint, while dotless ı
+    stays distinct from i."""
+    import duckdb
+
+    rows = [
+        (1, "İSTANBUL"),
+        (2, "İstanbul"),
+        (3, "istanbul"),
+        (4, "ıstanbul"),  # dotless ı — a DIFFERENT Turkish word shape
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = {
+        r["doc_id"]: (r["norm"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            normalize_text("text").alias("norm"),
+            F.md5(normalize_text("text")).alias("fp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        d = {
+            i: (n, fp)
+            for i, n, fp in con.execute(
+                f"SELECT doc_id, {_NORM}, md5({_NORM}) FROM documents"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert s == d
+    assert s[1] == s[2] == s[3] == ("istanbul", s[3][1])
+    assert s[4][0] == "ıstanbul" and s[4][1] != s[3][1]
