@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -173,8 +174,11 @@ AUDIO_DECODE_SCHEMA = StructType(
         StructField("bit_depth", IntegerType()),
         StructField("n_frames", LongType()),
         StructField("duration_ms", LongType()),
-        StructField("samp_sum", LongType()),
-        StructField("peak_abs", LongType()),
+        # doubles since round 6 (float PCM support): exact for every
+        # integer sum this kernel meets (|sum| << 2^53) and the
+        # float-sample sums are dyadic rationals, also exact
+        StructField("samp_sum", DoubleType()),
+        StructField("peak_abs", DoubleType()),
         StructField("err", StringType()),
     ]
 )
@@ -222,9 +226,9 @@ def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                     bds.append(au.bit_depth)
                     nfs.append(au.n_frames)
                     durs.append(au.duration_ms)
-                    sums.append(int(sum(au.samples)))
+                    sums.append(float(sum(au.samples)))
                     peaks.append(
-                        int(max((abs(s) for s in au.samples), default=0))
+                        float(max((abs(s) for s in au.samples), default=0))
                     )
                     errs.append(None)
             yield pd.DataFrame(
@@ -235,8 +239,8 @@ def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                     "bit_depth": pd.Series(bds, dtype="Int32"),
                     "n_frames": pd.Series(nfs, dtype="Int64"),
                     "duration_ms": pd.Series(durs, dtype="Int64"),
-                    "samp_sum": pd.Series(sums, dtype="Int64"),
-                    "peak_abs": pd.Series(peaks, dtype="Int64"),
+                    "samp_sum": pd.Series(sums, dtype="float64"),
+                    "peak_abs": pd.Series(peaks, dtype="float64"),
                     "err": pd.Series(errs, dtype="object"),
                 }
             )

@@ -12,12 +12,15 @@ Scope (honest gates, not padding):
    at 1/2/4/8/16 bits (packed depths unpack MSB-first and left-bit-
    replicate to 8-bit samples, spec §12.5), RGB/GA/RGBA at 8/16
    bits (16-bit keeps big-endian 2-byte samples), palette at
-   1/2/4/8-bit indices expanded through PLTE to RGB, and Adam7
+   1/2/4/8-bit indices expanded through PLTE to RGB, Adam7
    interlace (seven independently-filtered sub-images scattered
-   back, spec §8.2). The remaining gate — palette tRNS
-   transparency — raises ``UnsupportedPngError`` with the reason;
-   spec-ILLEGAL combinations (depth 3, 16-bit palette, …) raise
-   ``PngError``. A corrupt or unsupported payload must not kill a
+   back, spec §8.2), and tRNS transparency for all three non-alpha
+   color types (round 6): palette entries gain their table alpha
+   (→RGBA), gray/RGB transparency KEYS expand to GA/RGBA with
+   exact-match pixels transparent (spec §11.3.2). Unknown color
+   types raise ``UnsupportedPngError`` with the reason; spec-ILLEGAL
+   combinations (depth 3, 16-bit palette, tRNS on alpha types, …)
+   raise ``PngError``. A corrupt or unsupported payload must not kill a
    100 TB job, so the Spark kernel maps both to an ``err`` column
    instead of failing the task (see multimodal.decode_image).
  - The per-scanline unfilter (Sub/Up/Average/Paeth, PNG spec §9) is
@@ -55,7 +58,7 @@ class PngError(ValueError):
 
 
 class UnsupportedPngError(PngError):
-    """Valid-but-unsupported PNG (palette tRNS transparency)."""
+    """Valid-but-unsupported PNG (unknown color type)."""
 
 
 class DecodedImage(NamedTuple):
@@ -107,11 +110,13 @@ def decode_png(data: bytes) -> DecodedImage:
        big-endian 2-byte samples (row stride width*channels*2), no
        precision-losing downsample;
      - palette (type 3) at 1/2/4/8-bit indices → expanded through
-       PLTE to RGB (``channels`` 3, ``bit_depth`` 8);
+       PLTE to RGB (``channels`` 3, ``bit_depth`` 8), or RGBA when
+       a tRNS table is present (round 6);
+     - tRNS transparency keys for gray/RGB (types 0/2) → GA/RGBA,
+       exact-match pixels get alpha 0 (sub-byte keys replicate
+       through the same §12.5 scale as the samples);
      - interlace 0 or Adam7 (1): the seven passes unfilter
        independently and scatter into the output grid.
-    Still honestly gated: palette tRNS transparency raises
-    ``UnsupportedPngError``.
     """
     if len(data) < 8 or data[:8] != PNG_SIGNATURE:
         raise PngError("not a PNG: bad signature")
@@ -119,6 +124,7 @@ def decode_png(data: bytes) -> DecodedImage:
     ihdr: tuple[int, int, int, int] | None = None
     idat = bytearray()
     palette: bytes | None = None
+    trns: bytes | None = None
     seen_iend = False
     while pos < len(data):
         if pos + 8 > len(data):
@@ -170,10 +176,27 @@ def decode_png(data: bytes) -> DecodedImage:
                 raise PngError(f"bad PLTE length {length}")
             palette = bytes(body)
         elif ctype == b"tRNS":
-            if ihdr is not None and ihdr[3] == 3:
-                raise UnsupportedPngError(
-                    "palette transparency (tRNS) not supported"
+            if ihdr is None:
+                raise PngError("tRNS before IHDR")
+            ct, depth = ihdr[3], ihdr[2]
+            if ct in (4, 6):
+                # spec §11.3.2: forbidden when a full alpha channel exists
+                raise PngError(
+                    f"tRNS forbidden for alpha color type {ct}"
                 )
+            if ct == 0 and length != 2:
+                raise PngError(f"gray tRNS must be 2 bytes, got {length}")
+            if ct == 2 and length != 6:
+                raise PngError(f"RGB tRNS must be 6 bytes, got {length}")
+            if ct == 3:
+                if palette is None:
+                    raise PngError("palette tRNS before PLTE")
+                if length > len(palette) // 3:
+                    raise PngError(
+                        f"tRNS has {length} entries for "
+                        f"{len(palette) // 3}-entry palette"
+                    )
+            trns = bytes(body)
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise PngError("IDAT before IHDR")
@@ -223,8 +246,21 @@ def decode_png(data: bytes) -> DecodedImage:
             f"decompressed size {len(raw)} != expected {off}"
         )
     if color_type == 3:
-        # expand palette indices through PLTE to RGB samples
+        # expand palette indices through PLTE to RGB samples; with a
+        # tRNS chunk the per-entry alpha rides along → RGBA (entries
+        # past the tRNS table are opaque, spec §11.3.2)
         n_entries = len(palette) // 3
+        if trns is not None:
+            rgba = bytearray(width * height * 4)
+            for i, idx in enumerate(out):
+                if idx >= n_entries:
+                    raise PngError(
+                        f"palette index {idx} out of range "
+                        f"({n_entries} entries)"
+                    )
+                rgba[4 * i : 4 * i + 3] = palette[3 * idx : 3 * idx + 3]
+                rgba[4 * i + 3] = trns[idx] if idx < len(trns) else 255
+            return DecodedImage(width, height, color_type, 4, 8, bytes(rgba))
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
             if idx >= n_entries:
@@ -233,6 +269,48 @@ def decode_png(data: bytes) -> DecodedImage:
                 )
             rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
         return DecodedImage(width, height, color_type, 3, 8, bytes(rgb))
+    if trns is not None and color_type == 0:
+        # gray transparency key → GA; the key is stored at the
+        # ORIGINAL depth, so sub-byte keys replicate through the same
+        # §12.5 scale the samples did (out-of-range key = spec-legal
+        # "nothing transparent")
+        (key,) = struct.unpack(">H", trns)
+        if bit_depth == 16:
+            ga = bytearray(width * height * 4)
+            for i in range(width * height):
+                v = (out[2 * i] << 8) | out[2 * i + 1]
+                ga[4 * i : 4 * i + 2] = out[2 * i : 2 * i + 2]
+                a = b"\x00\x00" if v == key else b"\xff\xff"
+                ga[4 * i + 2 : 4 * i + 4] = a
+            return DecodedImage(width, height, color_type, 2, 16, bytes(ga))
+        scale = {1: 255, 2: 85, 4: 17, 8: 1}[bit_depth]
+        key8 = key * scale if key < (1 << bit_depth) else -1
+        ga = bytearray(width * height * 2)
+        for i, v in enumerate(out):
+            ga[2 * i] = v
+            ga[2 * i + 1] = 0 if v == key8 else 255
+        return DecodedImage(width, height, color_type, 2, 8, bytes(ga))
+    if trns is not None and color_type == 2:
+        # RGB transparency key → RGBA (exact-match pixels transparent)
+        kr, kg, kb = struct.unpack(">HHH", trns)
+        if bit_depth == 16:
+            rgba = bytearray(width * height * 8)
+            for i in range(width * height):
+                px = out[6 * i : 6 * i + 6]
+                r = (px[0] << 8) | px[1]
+                g = (px[2] << 8) | px[3]
+                b = (px[4] << 8) | px[5]
+                rgba[8 * i : 8 * i + 6] = px
+                a = b"\x00\x00" if (r, g, b) == (kr, kg, kb) else b"\xff\xff"
+                rgba[8 * i + 6 : 8 * i + 8] = a
+            return DecodedImage(width, height, color_type, 4, 16, bytes(rgba))
+        rgba = bytearray(width * height * 4)
+        for i in range(width * height):
+            px = out[3 * i : 3 * i + 3]
+            rgba[4 * i : 4 * i + 3] = px
+            match = tuple(px) == (kr, kg, kb)
+            rgba[4 * i + 3] = 0 if match else 255
+        return DecodedImage(width, height, color_type, 4, 8, bytes(rgba))
     # sub-byte gray was expanded to 8-bit samples in _unfilter_pass
     return DecodedImage(
         width, height, color_type, samples, max(bit_depth, 8), bytes(out)
@@ -336,6 +414,7 @@ def encode_png(
     bit_depth: int = 8,
     palette: bytes | None = None,
     interlace: bool = False,
+    trns: bytes | None = None,
 ) -> bytes:
     """Encode raw pixel bytes as a PNG.
 
@@ -413,6 +492,16 @@ def encode_png(
     chunks = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
     if color_type == 3:
         chunks += _chunk(b"PLTE", bytes(palette))
+    if trns is not None:
+        if color_type == 0 and len(trns) != 2:
+            raise PngError("gray tRNS must be 2 bytes")
+        if color_type == 2 and len(trns) != 6:
+            raise PngError("RGB tRNS must be 6 bytes")
+        if color_type == 3 and len(trns) > len(palette) // 3:
+            raise PngError("tRNS longer than palette")
+        if color_type in (4, 6):
+            raise PngError("tRNS forbidden for alpha color types")
+        chunks += _chunk(b"tRNS", bytes(trns))
     return (
         chunks
         + _chunk(b"IDAT", zlib.compress(bytes(raw), compress_level))

@@ -13,9 +13,16 @@ job failures.
 Scope (honest gates, not padding):
  - RIFF/WAVE integer PCM at 8/16/24/32 bits, any channel
    count/sample rate, via plain (audio_format=1) OR
-   WAVE_FORMAT_EXTENSIBLE (0xFFFE with the PCM subformat GUID —
-   the standard container for >2 channels or >16-bit) headers.
-   Float PCM and a-law/mu-law companding raise
+   WAVE_FORMAT_EXTENSIBLE (0xFFFE with the PCM or FLOAT subformat
+   GUID — the standard container for >2 channels or >16-bit)
+   headers.
+ - IEEE-float PCM (audio_format=3) at 32/64 bits (round 6):
+   samples decode to Python floats in nominal [-1, 1].
+ - G.711 a-law/mu-law companding (audio_formats 6/7, round 6):
+   8-bit companded bytes expand through the ITU G.711 segment
+   tables to 16-bit linear samples (the decoded ``bit_depth`` is
+   16 — the linear domain — while the container header says 8).
+   Compressed formats (ADPCM, MP3, ...) raise
    ``UnsupportedWavError`` with the reason.
  - Header arithmetic is cross-checked (byte_rate and block_align must
    agree with channels x rate x depth; the data chunk must be whole
@@ -46,7 +53,8 @@ class WavError(ValueError):
 
 
 class UnsupportedWavError(WavError):
-    """Valid-but-unsupported WAV (float PCM, a-law/mu-law...)."""
+    """Valid-but-unsupported WAV (ADPCM and other compressed
+    formats; integer/float PCM and G.711 companding decode)."""
 
 
 class DecodedAudio(NamedTuple):
@@ -54,18 +62,57 @@ class DecodedAudio(NamedTuple):
     sample_rate: int
     bit_depth: int
     n_frames: int
-    # Interleaved samples, one int per (frame, channel): signed for
-    # 16-bit, unsigned 0..255 for 8-bit (the WAV spec's conventions).
-    samples: Sequence[int]
+    # Interleaved samples, one per (frame, channel): ints for integer
+    # PCM (signed at 16/24/32 bits, unsigned 0..255 at 8) and for
+    # G.711 companded input (expanded to 16-bit linear); Python
+    # floats in nominal [-1, 1] for IEEE-float PCM.
+    samples: Sequence[int] | Sequence[float]
 
     @property
     def duration_ms(self) -> int:
         return self.n_frames * 1000 // self.sample_rate
 
 
-# KSDATAFORMAT_SUBTYPE_PCM: the WAVE_FORMAT_EXTENSIBLE subformat
-# GUID that means plain integer PCM (Microsoft multimedia spec).
+# KSDATAFORMAT_SUBTYPE_PCM / _IEEE_FLOAT: the WAVE_FORMAT_EXTENSIBLE
+# subformat GUIDs for integer and float PCM (Microsoft multimedia
+# spec) — the GUID is the format code in the first two LE bytes.
 _SUBTYPE_PCM = bytes.fromhex("0100000000001000800000aa00389b71")
+_SUBTYPE_FLOAT = bytes.fromhex("0300000000001000800000aa00389b71")
+
+
+def _ulaw_table() -> tuple[int, ...]:
+    """mu-law byte → 16-bit linear (ITU G.711): invert the byte, then
+    mantissa·8 + bias 0x84 shifted by the segment, bias removed,
+    sign applied. Max magnitude 32124."""
+    out = []
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out.append(0x84 - t if u & 0x80 else t - 0x84)
+    return tuple(out)
+
+
+def _alaw_table() -> tuple[int, ...]:
+    """a-law byte → 16-bit linear (ITU G.711): XOR 0x55, segment 0
+    adds 8, segment 1 adds 0x108, higher segments shift; the sign
+    bit SET means positive in a-law. Max magnitude 32256."""
+    out = []
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out.append(t if a & 0x80 else -t)
+    return tuple(out)
+
+
+ULAW_TABLE = _ulaw_table()
+ALAW_TABLE = _alaw_table()
 
 
 def _u16(b: bytes, off: int) -> int:
@@ -118,17 +165,28 @@ def decode_wav(data: bytes) -> DecodedAudio:
             raise WavError(
                 f"extensible fmt chunk too short ({len(fmt_body)} bytes)"
             )
-        if fmt_body[24:40] != _SUBTYPE_PCM:
+        sub = fmt_body[24:40]
+        if sub == _SUBTYPE_PCM:
+            audio_format = 1
+        elif sub == _SUBTYPE_FLOAT:
+            audio_format = 3
+        else:
             raise UnsupportedWavError(
-                "extensible subformat is not integer PCM"
+                "extensible subformat is neither integer nor float PCM"
             )
-        audio_format = 1
-    if audio_format != 1:
+    if audio_format not in (1, 3, 6, 7):
         raise UnsupportedWavError(
-            f"audio format {audio_format} (only PCM=1 supported)"
+            f"audio format {audio_format} (PCM=1, float=3, "
+            f"a-law=6, mu-law=7 supported)"
         )
-    if bits not in (8, 16, 24, 32):
+    if audio_format == 1 and bits not in (8, 16, 24, 32):
         raise UnsupportedWavError(f"bit depth {bits} (only 8/16/24/32)")
+    if audio_format == 3 and bits not in (32, 64):
+        raise WavError(f"float PCM must be 32/64-bit, got {bits}")
+    if audio_format in (6, 7) and bits != 8:
+        raise WavError(
+            f"G.711 companded samples are 8-bit, header says {bits}"
+        )
     if channels < 1 or rate < 1:
         raise WavError(f"bad channels={channels} rate={rate}")
     expect_align = channels * bits // 8
@@ -142,6 +200,27 @@ def decode_wav(data: bytes) -> DecodedAudio:
         raise WavError(
             f"data chunk ({len(pcm)} bytes) is not whole frames of "
             f"{block_align}"
+        )
+    if audio_format == 3:
+        arrf = array("f" if bits == 32 else "d")
+        arrf.frombytes(pcm)
+        if sys.byteorder == "big":
+            arrf.byteswap()
+        return DecodedAudio(
+            channels=channels,
+            sample_rate=rate,
+            bit_depth=bits,
+            n_frames=len(pcm) // block_align,
+            samples=arrf,
+        )
+    if audio_format in (6, 7):
+        table = ALAW_TABLE if audio_format == 6 else ULAW_TABLE
+        return DecodedAudio(
+            channels=channels,
+            sample_rate=rate,
+            bit_depth=16,  # the decoded linear domain (header said 8)
+            n_frames=len(pcm) // block_align,
+            samples=[table[b] for b in pcm],
         )
     if bits == 16:
         arr = array("h")
@@ -174,22 +253,52 @@ def decode_wav(data: bytes) -> DecodedAudio:
 
 
 def encode_wav(
-    samples: Sequence[int],
+    samples: Sequence[int] | Sequence[float],
     channels: int,
     sample_rate: int,
     bit_depth: int = 16,
+    sample_format: str = "int",
 ) -> bytes:
-    """Encode interleaved integer samples as a PCM WAV payload
-    (signed at 16/24/32 bits, unsigned at 8)."""
-    if bit_depth not in (8, 16, 24, 32):
-        raise ValueError(
-            f"bit_depth must be 8/16/24/32, got {bit_depth}"
-        )
+    """Encode interleaved samples as a WAV payload.
+
+    ``sample_format``: ``"int"`` (default) writes integer PCM
+    (signed at 16/24/32 bits, unsigned at 8); ``"float"`` writes
+    IEEE-float PCM (audio_format=3, ``bit_depth`` 32/64, samples
+    are Python floats); ``"alaw"``/``"ulaw"`` write G.711 companded
+    streams (audio_formats 6/7) — samples are the COMPANDED bytes
+    0..255 (companding linear audio is an encoder-side DSP choice;
+    this engine decodes, it does not compand).
+    """
     if channels < 1:
         raise ValueError(f"channels must be >= 1, got {channels}")
     if len(samples) % channels != 0:
         raise ValueError(
             f"{len(samples)} samples not divisible by {channels} channels"
+        )
+    if sample_format == "float":
+        if bit_depth not in (32, 64):
+            raise ValueError(
+                f"float bit_depth must be 32/64, got {bit_depth}"
+            )
+        arrf = array("f" if bit_depth == 32 else "d", samples)
+        if sys.byteorder == "big":
+            arrf.byteswap()
+        return _wrap_riff(arrf.tobytes(), 3, channels, sample_rate, bit_depth)
+    if sample_format in ("alaw", "ulaw"):
+        if bit_depth != 8:
+            raise ValueError(
+                f"companded bit_depth must be 8, got {bit_depth}"
+            )
+        code = 6 if sample_format == "alaw" else 7
+        return _wrap_riff(bytes(samples), code, channels, sample_rate, 8)
+    if sample_format != "int":
+        raise ValueError(
+            f"sample_format must be int/float/alaw/ulaw, got "
+            f"{sample_format!r}"
+        )
+    if bit_depth not in (8, 16, 24, 32):
+        raise ValueError(
+            f"bit_depth must be 8/16/24/32, got {bit_depth}"
         )
     if bit_depth == 16:
         arr = array("h", samples)
@@ -207,10 +316,20 @@ def encode_wav(
         )
     else:
         pcm = bytes(samples)
+    return _wrap_riff(pcm, 1, channels, sample_rate, bit_depth)
+
+
+def _wrap_riff(
+    pcm: bytes,
+    audio_format: int,
+    channels: int,
+    sample_rate: int,
+    bit_depth: int,
+) -> bytes:
     block_align = channels * bit_depth // 8
     fmt = struct.pack(
         "<HHIIHH",
-        1,
+        audio_format,
         channels,
         sample_rate,
         sample_rate * block_align,

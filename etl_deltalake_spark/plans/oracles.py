@@ -926,17 +926,19 @@ oracle("q_rollup_state")(
     """
 )
 
-# Four synthesis modes by doc_id % 4 (mirrors q_media_decode):
+# Five synthesis modes by doc_id % 5 (mirrors q_media_decode):
 # 0 gray8, 1 RGB8, 2 two-bit palette (entry channel-sums 60/300/383/
 # 765) written Adam7-interlaced, 3 gray16 (decoded pixels are the
-# big-endian byte pairs, so the mean is over high+low bytes).
+# big-endian byte pairs, so the mean is over high+low bytes), 4
+# two-bit palette + tRNS (0,255,128; entry 3 defaults opaque) →
+# RGBA, per-pixel contribution = entry channel-sum + its alpha.
 oracle("q_media_decode")(
     """
     WITH dims AS (
       SELECT doc_id,
              3 + doc_id % 5 AS width,
              2 + doc_id % 4 AS height,
-             doc_id % 4 AS mode
+             doc_id % 5 AS mode
       FROM documents
     ),
     px AS (
@@ -948,17 +950,23 @@ oracle("q_media_decode")(
     SELECT doc_id,
            CAST(width AS INT) AS width,
            CAST(height AS INT) AS height,
-           CAST(CASE WHEN mode IN (1, 2) THEN 3 ELSE 1 END AS INT)
+           CAST(CASE WHEN mode IN (1, 2) THEN 3
+                     WHEN mode = 4 THEN 4 ELSE 1 END AS INT)
              AS channels,
            ROUND(CAST(SUM(CASE
                WHEN mode IN (0, 1) THEN (doc_id * 31 + k) % 256
                WHEN mode = 2 THEN list_value(60, 300, 383, 765)[
+                 1 + CAST((doc_id * 31 + k) % 4 AS INT)]
+               WHEN mode = 4 THEN list_value(60, 300, 383, 765)[
+                 1 + CAST((doc_id * 31 + k) % 4 AS INT)]
+                 + list_value(0, 255, 128, 255)[
                  1 + CAST((doc_id * 31 + k) % 4 AS INT)]
                ELSE ((doc_id * 31 + k) % 65536) // 256
                     + ((doc_id * 31 + k) % 65536) % 256
              END) AS DOUBLE)
              / (width * height * CASE WHEN mode IN (1, 2) THEN 3
                                       WHEN mode = 3 THEN 2
+                                      WHEN mode = 4 THEN 4
                                       ELSE 1 END), 6) AS mean_pixel
     FROM px
     GROUP BY doc_id, width, height, mode
@@ -2269,19 +2277,23 @@ oracle("q_stream_dedup")(
 # PCM WAV decode (operators/wav.py via multimodal.decode_audio,
 # q_audio_decode): closed-form recompute of the synthesized clips'
 # amplitude statistics — sample k of doc d is
-# ((d*37 + k*101) % 65536) - 32768 over n_frames*channels samples.
+# s = ((d*37 + k*101) % 65536) - 32768 over n_frames*channels
+# samples; doc_id % 3 == 2 clips are float32 with sample s/32768
+# (dyadic → SUM is exact in double regardless of add order).
 oracle("q_audio_decode")(
     """
     WITH dims AS (
       SELECT doc_id,
              1 + doc_id % 2 AS channels,
-             40 + doc_id % 50 AS n_frames
+             40 + doc_id % 50 AS n_frames,
+             doc_id % 3 = 2 AS is_float
       FROM documents
     ),
     samp AS (
-      SELECT doc_id, channels, n_frames,
-             ((doc_id * 37 + unnest(range(0, CAST(n_frames * channels AS BIGINT))) * 101) % 65536) - 32768
-               AS s
+      SELECT doc_id, channels, n_frames, is_float,
+             CAST(((doc_id * 37 + unnest(range(0, CAST(n_frames * channels AS BIGINT))) * 101) % 65536) - 32768
+               AS DOUBLE)
+             / (CASE WHEN is_float THEN 32768 ELSE 1 END) AS s
       FROM dims
     )
     SELECT doc_id,
@@ -2289,12 +2301,12 @@ oracle("q_audio_decode")(
            CAST(8000 AS INT) AS sample_rate,
            CAST(n_frames AS BIGINT) AS n_frames,
            CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
-           CAST(SUM(s) AS BIGINT) AS samp_sum,
-           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(s) AS DOUBLE) AS samp_sum,
+           CAST(MAX(ABS(s)) AS DOUBLE) AS peak_abs,
            ROUND(CAST(SUM(s) AS DOUBLE) / (n_frames * channels), 6)
              AS mean_sample
     FROM samp
-    GROUP BY doc_id, channels, n_frames
+    GROUP BY doc_id, channels, n_frames, is_float
     ORDER BY doc_id
     """
 )

@@ -987,18 +987,20 @@ _MEDIA_PALETTE = bytes(
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG pixel decode, cross-engine verified: synthesize one
-    deterministic PNG per document cycling ALL FOUR codec paths by
-    doc_id % 4 — 8-bit gray, 8-bit RGB, 2-bit-packed palette written
+    deterministic PNG per document cycling ALL FIVE codec paths by
+    doc_id % 5 — 8-bit gray, 8-bit RGB, 2-bit-packed palette written
     ADAM7-INTERLACED (PLTE expansion + sub-byte unpack + 7-pass
-    scatter all on the graded path), and 16-bit gray (big-endian
-    byte pairs). Pixel formula: sample k = (doc_id*31 + k) % 256
-    (% 4 palette indices, % 65536 16-bit values); scanline filters
-    cycle 0-4 so every unfilter branch runs. Decode via the
-    pure-stdlib codec (operators/png.py via multimodal.decode_image);
-    the DuckDB oracle recomputes dimensions + exact pixel-byte mean
-    from the closed form — a decoder that mis-parses any container
-    feature or mis-inverts any filter hash-mismatches immediately.
-    Both stages are Arrow-batched mapInPandas, zero shuffles."""
+    scatter all on the graded path), 16-bit gray (big-endian byte
+    pairs), and (round 6) 2-bit palette WITH a tRNS table → RGBA
+    expansion, the per-entry alpha riding the graded pixel mean.
+    Pixel formula: sample k = (doc_id*31 + k) % 256 (% 4 palette
+    indices, % 65536 16-bit values); scanline filters cycle 0-4 so
+    every unfilter branch runs. Decode via the pure-stdlib codec
+    (operators/png.py via multimodal.decode_image); the DuckDB
+    oracle recomputes dimensions + exact pixel-byte mean from the
+    closed form — a decoder that mis-parses any container feature
+    or mis-inverts any filter hash-mismatches immediately. Both
+    stages are Arrow-batched mapInPandas, zero shuffles."""
     import pandas as pd
 
     from etl_deltalake_spark.operators.multimodal import decode_image
@@ -1013,7 +1015,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 w = 3 + d % 5
                 h = 2 + d % 4
-                mode = d % 4
+                mode = d % 5
                 if mode == 0:
                     px = bytes((d * 31 + k) % 256 for k in range(w * h))
                     blob = encode_png(px, w, h, 0, "cycle")
@@ -1029,12 +1031,19 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bit_depth=2, palette=_MEDIA_PALETTE,
                         interlace=True,
                     )
-                else:
+                elif mode == 3:
                     px = b"".join(
                         ((d * 31 + k) % 65536).to_bytes(2, "big")
                         for k in range(w * h)
                     )
                     blob = encode_png(px, w, h, 0, "cycle", bit_depth=16)
+                else:  # mode 4: palette + tRNS → RGBA expansion
+                    idx = bytes((d * 31 + k) % 4 for k in range(w * h))
+                    blob = encode_png(
+                        idx, w, h, 3, "cycle",
+                        bit_depth=2, palette=_MEDIA_PALETTE,
+                        trns=bytes([0, 255, 128]),
+                    )
                 payloads.append(blob)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
@@ -1129,14 +1138,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode, cross-engine verified: synthesize one
-    deterministic clip per document (mono for even doc_id, stereo for
-    odd; 16-bit sample k = ((doc_id*37 + k*101) % 65536) - 32768;
-    frame count varying per doc), decode it with the pure-stdlib
-    codec (operators/wav.py via multimodal.decode_audio), and emit
-    format fields + exact amplitude stats. The DuckDB oracle
-    recomputes the same statistics from the closed-form sample
-    formula — a decoder that mis-walks the RIFF chunks, mis-reads the
-    header, or mis-signs samples hash-mismatches immediately. Both
+    deterministic clip per document (mono for even doc_id, stereo
+    for odd; sample k of doc d derives from the integer formula
+    s = ((d*37 + k*101) % 65536) - 32768; frame count varying per
+    doc). doc_id % 3 == 2 clips are IEEE-FLOAT32 PCM (round 6) with
+    sample s/32768 — dyadic rationals float32 holds exactly, so
+    sums/peaks stay bitwise-comparable across engines; the rest are
+    integer 16-bit. Decode with the pure-stdlib codec
+    (operators/wav.py via multimodal.decode_audio) and emit format
+    fields + exact amplitude stats. The DuckDB oracle recomputes the
+    same statistics from the closed-form sample formula — a decoder
+    that mis-walks the RIFF chunks, mis-reads the header, mis-signs
+    samples, or mis-scales floats hash-mismatches immediately. Both
     stages are Arrow-batched mapInPandas, zero shuffles."""
     import pandas as pd
 
@@ -1152,11 +1165,19 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 channels = 1 + d % 2
                 n_frames = 40 + d % 50
-                samples = [
+                ints = [
                     ((d * 37 + k * 101) % 65536) - 32768
                     for k in range(n_frames * channels)
                 ]
-                payloads.append(encode_wav(samples, channels, 8000))
+                if d % 3 == 2:
+                    payloads.append(
+                        encode_wav(
+                            [s / 32768.0 for s in ints], channels, 8000,
+                            bit_depth=32, sample_format="float",
+                        )
+                    )
+                else:
+                    payloads.append(encode_wav(ints, channels, 8000))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

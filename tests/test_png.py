@@ -224,7 +224,8 @@ def test_palette_error_surface():
     )
     with pytest.raises(PngError, match="missing PLTE"):
         decode_png(no_plte)
-    # tRNS transparency stays an honest gate
+    # tRNS decodes now (round 6) — this 2x2 all-index-0 image with a
+    # half-transparent entry-0 expands to RGBA with alpha 0x80
     trns = (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -233,8 +234,20 @@ def test_palette_error_surface():
         + _chunk(b"IDAT", raw)
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(UnsupportedPngError, match="tRNS"):
-        decode_png(trns)
+    t = decode_png(trns)
+    assert (t.channels, t.bit_depth) == (4, 8)
+    assert t.pixels == bytes([1, 2, 3, 0x80]) * 4
+    # tRNS ordering/shape errors stay PngError
+    bad_order = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"tRNS", b"\x80")
+        + _chunk(b"PLTE", palette)
+        + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="tRNS before PLTE"):
+        decode_png(bad_order)
     # encoder guards
     with pytest.raises(PngError, match="palette"):
         encode_png(bytes(4), 2, 2, 3, "none")  # no palette given
@@ -361,3 +374,93 @@ def test_adam7_interlace_flag_in_container():
     il = encode_png(px, 8, 8, 0, "none", interlace=True)
     assert seq[28] == 0 and il[28] == 1  # IHDR interlace byte
     assert decode_png(il).pixels == decode_png(seq).pixels == px
+
+
+def test_trns_palette_partial_table_rest_opaque():
+    """Entries past the tRNS table default to alpha 255 (spec
+    §11.3.2) — the common case of one transparent background entry."""
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # 3 entries
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    img = decode_png(
+        encode_png(idx, 3, 2, 3, "cycle", palette=palette, trns=b"\x00")
+    )
+    assert (img.channels, img.bit_depth) == (4, 8)
+    alphas = [img.pixels[4 * i + 3] for i in range(6)]
+    assert alphas == [0, 255, 255, 255, 255, 0]
+    rgbs = [tuple(img.pixels[4 * i : 4 * i + 3]) for i in range(6)]
+    assert rgbs[0] == (255, 0, 0) and rgbs[1] == (0, 255, 0)
+
+
+def test_trns_gray_key_8bit_and_16bit():
+    # 8-bit: key 0x2A transparent, others opaque
+    px = bytes([0x2A, 0x10, 0x2A, 0xFF])
+    img = decode_png(
+        encode_png(px, 2, 2, 0, "cycle", trns=struct.pack(">H", 0x2A))
+    )
+    assert (img.channels, img.bit_depth) == (2, 8)
+    assert img.pixels == bytes([0x2A, 0, 0x10, 255, 0x2A, 0, 0xFF, 255])
+    # 16-bit: full-range key, 2-byte alpha samples
+    px16 = struct.pack(">4H", 0x1234, 0xABCD, 0x1234, 0x0001)
+    img16 = decode_png(
+        encode_png(
+            px16, 2, 2, 0, "none", bit_depth=16,
+            trns=struct.pack(">H", 0x1234),
+        )
+    )
+    assert (img16.channels, img16.bit_depth) == (2, 16)
+    want = struct.pack(
+        ">8H", 0x1234, 0, 0xABCD, 0xFFFF, 0x1234, 0, 0x0001, 0xFFFF
+    )
+    assert img16.pixels == want
+
+
+def test_trns_gray_subbyte_key_replicates():
+    """A 4-bit key compares against the SAME left-bit-replicated
+    8-bit samples the decoder emits: key 5 → sample 85."""
+    px = bytes([5 * 17, 3 * 17, 5 * 17, 15 * 17])  # replicated samples
+    img = decode_png(
+        encode_png(
+            px, 2, 2, 0, "none", bit_depth=4,
+            trns=struct.pack(">H", 5),
+        )
+    )
+    assert img.pixels == bytes(
+        [85, 0, 51, 255, 85, 0, 255, 255]
+    )
+
+
+def test_trns_rgb_key():
+    key = (10, 200, 30)
+    px = bytes([10, 200, 30, 11, 200, 30, 10, 200, 30, 0, 0, 0])
+    img = decode_png(
+        encode_png(px, 2, 2, 2, "cycle", trns=struct.pack(">3H", *key))
+    )
+    assert (img.channels, img.bit_depth) == (4, 8)
+    alphas = [img.pixels[4 * i + 3] for i in range(4)]
+    assert alphas == [0, 255, 0, 255]
+    # 16-bit RGB key
+    px16 = struct.pack(">6H", 1, 2, 3, 1, 2, 4)
+    img16 = decode_png(
+        encode_png(
+            px16, 2, 1, 2, "none", bit_depth=16,
+            trns=struct.pack(">3H", 1, 2, 3),
+        )
+    )
+    a16 = struct.unpack(">8H", img16.pixels)
+    assert (a16[3], a16[7]) == (0, 0xFFFF)
+
+
+def test_trns_forbidden_on_alpha_types():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 4, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x01\x02")
+    bad = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"tRNS", b"\x00\x00")
+        + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="forbidden"):
+        decode_png(bad)
+    with pytest.raises(PngError, match="forbidden"):
+        encode_png(bytes([1, 2]), 1, 1, 4, "none", trns=b"\x00\x00")

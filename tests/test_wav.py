@@ -71,9 +71,15 @@ def test_container_malformations_rejected(mutate, match):
 def test_non_pcm_and_bad_depth_unsupported():
     good = encode_wav([1, -1], channels=1, sample_rate=8000)
     fmt_off = good.index(b"fmt ") + 8
-    ieee = good[:fmt_off] + struct.pack("<H", 3) + good[fmt_off + 2 :]
-    with pytest.raises(UnsupportedWavError, match="format 3"):
-        decode_wav(ieee)
+    # ADPCM (format 2) stays an honest gate
+    adpcm = good[:fmt_off] + struct.pack("<H", 2) + good[fmt_off + 2 :]
+    with pytest.raises(UnsupportedWavError, match="format 2"):
+        decode_wav(adpcm)
+    # float (format 3) decodes since round 6, but only at 32/64-bit —
+    # a 16-bit float header is malformed, not gated
+    ieee16 = good[:fmt_off] + struct.pack("<H", 3) + good[fmt_off + 2 :]
+    with pytest.raises(WavError, match="float PCM must be 32/64"):
+        decode_wav(ieee16)
 
 
 def test_inconsistent_block_align_rejected():
@@ -218,8 +224,102 @@ def test_extensible_pcm_decodes_like_plain():
     )
 
 
-def test_extensible_non_pcm_subformat_gated():
+def test_extensible_unknown_subformat_gated():
     plain = encode_wav([1, -1], channels=1, sample_rate=8000)
-    ieee_float_guid = bytes.fromhex("0300000000001000800000aa00389b71")
+    bogus_guid = bytes.fromhex("aa00000000001000800000aa00389b71")
     with pytest.raises(UnsupportedWavError, match="subformat"):
-        decode_wav(_extensible(plain, ieee_float_guid))
+        decode_wav(_extensible(plain, bogus_guid))
+
+
+def test_extensible_float_subformat_decodes():
+    from etl_deltalake_spark.operators.wav import _SUBTYPE_FLOAT
+
+    samples = [0.5, -0.25, 0.125, -1.0]
+    plain = encode_wav(
+        samples, channels=2, sample_rate=8000,
+        bit_depth=32, sample_format="float",
+    )
+    ext = _extensible(plain, _SUBTYPE_FLOAT)
+    a, b = decode_wav(plain), decode_wav(ext)
+    assert list(a.samples) == list(b.samples) == samples
+    assert a.bit_depth == b.bit_depth == 32
+
+
+# --------------------------------------------- round 6: float + G.711
+
+
+def test_float32_roundtrip_exact():
+    """Dyadic-rational floats survive encode→decode bit-exactly in
+    float32 (no rounding in the container — samples ARE the bytes)."""
+    samples = [k / 32768.0 - 0.5 for k in range(0, 64, 7)]
+    out = decode_wav(
+        encode_wav(samples, 1, 44100, bit_depth=32, sample_format="float")
+    )
+    assert (out.channels, out.sample_rate, out.bit_depth) == (1, 44100, 32)
+    assert list(out.samples) == samples
+    assert out.n_frames == len(samples)
+
+
+def test_float64_roundtrip_exact():
+    import math
+
+    samples = [math.pi - 3, -math.e / 10, 0.0, 1.0, -1.0, 2.0]
+    out = decode_wav(
+        encode_wav(samples, 2, 8000, bit_depth=64, sample_format="float")
+    )
+    assert out.bit_depth == 64 and out.n_frames == 3
+    assert list(out.samples) == samples  # float64 holds them exactly
+
+
+def test_ulaw_known_vectors():
+    """ITU G.711 mu-law landmark bytes: 0xFF is +0, 0x7F is -0,
+    0x00/0x80 are the extremes ∓32124."""
+    from etl_deltalake_spark.operators.wav import ULAW_TABLE
+
+    assert ULAW_TABLE[0xFF] == 0
+    assert ULAW_TABLE[0x7F] == 0
+    assert ULAW_TABLE[0x00] == -32124
+    assert ULAW_TABLE[0x80] == 32124
+    # monotone within the positive half (0x80..0xFF decreasing code →
+    # increasing magnitude as the code decreases)
+    pos = [ULAW_TABLE[b] for b in range(0xFF, 0x7F, -1)]
+    assert pos == sorted(pos) and pos[0] == 0
+
+
+def test_alaw_known_vectors():
+    """ITU G.711 a-law landmarks: 0x55 → -8 (closest-to-zero
+    negative), 0xD5 → +8, 0x2A/0xAA the extremes ∓32256."""
+    from etl_deltalake_spark.operators.wav import ALAW_TABLE
+
+    assert ALAW_TABLE[0x55] == -8
+    assert ALAW_TABLE[0xD5] == 8
+    assert ALAW_TABLE[0x2A] == -32256
+    assert ALAW_TABLE[0xAA] == 32256
+    # the table is odd-symmetric: flipping the sign bit negates
+    assert all(
+        ALAW_TABLE[b] == -ALAW_TABLE[b ^ 0x80] for b in range(256)
+    )
+
+
+def test_companded_stream_decodes_through_table():
+    from etl_deltalake_spark.operators.wav import ALAW_TABLE, ULAW_TABLE
+
+    comp = bytes(range(0, 256, 5))
+    for fmtname, table in (("alaw", ALAW_TABLE), ("ulaw", ULAW_TABLE)):
+        out = decode_wav(
+            encode_wav(
+                list(comp), 1, 8000, bit_depth=8, sample_format=fmtname
+            )
+        )
+        assert out.bit_depth == 16  # decoded linear domain
+        assert out.n_frames == len(comp)
+        assert list(out.samples) == [table[b] for b in comp]
+
+
+def test_ulaw_symmetry():
+    from etl_deltalake_spark.operators.wav import ULAW_TABLE
+
+    # sign-bit flip negates everywhere except the two zero codes
+    assert all(
+        ULAW_TABLE[b] == -ULAW_TABLE[b ^ 0x80] for b in range(256)
+    )
