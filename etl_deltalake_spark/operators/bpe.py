@@ -195,13 +195,18 @@ def _pair_counts_with_bounds(syms: DataFrame) -> DataFrame:
 
 
 def bpe_train_batched(
-    words: DataFrame, num_merges: int, batch: int = 8
+    words: DataFrame, num_merges: int, batch: int = 16
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train BPE merges with up to ``batch`` merges per Spark round —
     the scalable form of ``bpe_train`` (VERDICT r4 Wrong #3): a
     production tokenizer is 30k–50k merges, and one driver round-trip
     per merge means 30k+ sequential jobs; batching cuts that to
-    O(num_merges / batch) rounds of 3 small jobs each.
+    O(num_merges / batch) rounds of 3 small jobs each. Measured
+    (SCALE.md round-6 profile, 5000-word zipf vocab, 500 merges):
+    3.7x fewer rounds and ~1.6x faster wall-clock even locally;
+    acceptance is conflict-limited at ~3.7 merges/round, so the
+    default batch 16 ≈ 2x the acceptance rate — larger batches add
+    driver traffic without adding rounds.
 
     EXACTNESS (gated batched == sequential in tests/test_bpe.py): per
     round the top-``batch`` pairs are collected WITH their new-pair

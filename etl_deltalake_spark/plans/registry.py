@@ -111,7 +111,6 @@ REGISTERED: tuple[str, ...] = (
     "q_bucketed_join_agg",
     "q_topk_per_group",
     "q_count_distinct",
-    "q_rollup",
     "q_cube",
     "q_grouping_sets",
     "q_set_ops",
@@ -144,7 +143,8 @@ REGISTERED: tuple[str, ...] = (
     "q_incr_neardup",
     "q_bm25",
     "q_ann_recall",
-    "q_ann_bucket",
+    "q_image_dedup",
+    "q_weighted_draw",
     "q_ivfpq_topk",
     "q_embed_near_dup",
     "q_media_decode",
@@ -177,6 +177,20 @@ RETIRED_R5: tuple[str, ...] = (
     "q_pq_topk",
     "q_tfidf",
     "q_cosine_topk",
+)
+
+# Round-6 rotation (VERDICT r5 Next #9): q_ann_bucket → q_image_dedup
+# (the hyperplane-LSH bucket chain EXECUTES verbatim inside
+# q_ann_recall's lsh tier — strictly covered — while the numerically
+# re-derived perceptual-hash oracle is the strongest multimodal gate
+# in the tree); q_rollup → q_weighted_draw (rollup/cube/grouping-sets
+# all compile to the same Expand physical node and kept THREE driver
+# rows; q_cube + q_grouping_sets keep two, and the weight-
+# proportional sampler — a new first-class curation capability with a
+# TakeOrderedAndProject plan gate — takes the slot).
+RETIRED_R6: tuple[str, ...] = (
+    "q_ann_bucket",
+    "q_rollup",
 )
 
 # Oracle-paired queries without a driver slot (pytest-gated).
@@ -258,11 +272,9 @@ SLOTLESS: tuple[str, ...] = (
     "q_lm_transfer",
     "q_nfc_dedup",
     "q_stream_enrich",
-    "q_image_dedup",
     "q_seasonal",
     "q_k_anonymity",
     "q_join_view",
-    "q_weighted_draw",
     "q_containment",
     "q_tukey",
 )
@@ -289,7 +301,10 @@ def retired_queries() -> dict[str, QueryFn]:
     """Queries kept out of the capped driver registry but still part
     of the engine surface (pytest-gated, see module docstring) —
     both the retired and the slotless sets."""
-    return {name: _lookup(name) for name in RETIRED + RETIRED_R4 + RETIRED_R5 + SLOTLESS}
+    return {
+        name: _lookup(name)
+        for name in RETIRED + RETIRED_R4 + RETIRED_R5 + RETIRED_R6 + SLOTLESS
+    }
 
 
 def all_oracles() -> dict[str, str]:
