@@ -280,6 +280,22 @@ SLOTLESS: tuple[str, ...] = (
 )
 
 
+# Canonical list of every retirement wave plus the never-slotted set.
+# retired_queries() AND tests/test_retired_queries.py both derive from
+# this tuple, so a future rotation only has to append its new
+# RETIRED_R{N} here — the pytest oracle gate follows mechanically and
+# cannot be silently dropped (the round-6 rotation missed the
+# hand-listed parametrize and left q_ann_bucket/q_rollup ungated for
+# one round; this tuple is the fix).
+RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
+    RETIRED,
+    RETIRED_R4,
+    RETIRED_R5,
+    RETIRED_R6,
+    SLOTLESS,
+)
+
+
 def _lookup(name: str) -> QueryFn:
     for mod in _MODULES:
         fn = getattr(mod, name, None)
@@ -303,7 +319,8 @@ def retired_queries() -> dict[str, QueryFn]:
     both the retired and the slotless sets."""
     return {
         name: _lookup(name)
-        for name in RETIRED + RETIRED_R4 + RETIRED_R5 + RETIRED_R6 + SLOTLESS
+        for group in RETIRED_GROUPS
+        for name in group
     }
 
 

@@ -140,3 +140,20 @@ def test_delta_session_config_strings_pinned():
             "org.apache.spark.sql.delta.catalog.DeltaCatalog"
         ),
     }
+
+
+def test_plans_md_covers_exactly_the_registered_queries():
+    """PLANS.md is machine-generated per round (tools/gen_plans_md.py)
+    — its row set must equal the driver registry, or the inventory has
+    gone stale after a slot rotation (round-6 shipped a stale file)."""
+    import re
+    from pathlib import Path
+
+    from etl_deltalake_spark.plans.registry import REGISTERED
+
+    text = Path(__file__).resolve().parent.parent.joinpath("PLANS.md").read_text()
+    rows = set(re.findall(r"^\| (q_\w+) \|", text, flags=re.M))
+    assert rows == set(REGISTERED), (
+        f"PLANS.md stale: missing={sorted(set(REGISTERED) - rows)} "
+        f"extra={sorted(rows - set(REGISTERED))} — rerun tools/gen_plans_md.py"
+    )
