@@ -22,7 +22,14 @@ Scope (honest gates, not padding):
    8-bit companded bytes expand through the ITU G.711 segment
    tables to 16-bit linear samples (the decoded ``bit_depth`` is
    16 — the linear domain — while the container header says 8).
-   Compressed formats (ADPCM, MP3, ...) raise
+ - IMA/DVI ADPCM (audio_format 17, round 7): 4-bit nibbles expand
+   through the canonical 89-entry step table + 8-entry index table
+   to 16-bit linear samples; mono/stereo block layouts (per-channel
+   4-byte block headers, stereo interleaved in 4-byte words), with
+   the ``fact`` chunk's frame count honoured for a partial final
+   block. Decoded ``bit_depth`` is 16 (the linear domain) while the
+   container header says 4. Genuinely entropy-coded formats
+   (MP3/AAC, Microsoft ADPCM's adaptive predictor, ...) raise
    ``UnsupportedWavError`` with the reason.
  - Header arithmetic is cross-checked (byte_rate and block_align must
    agree with channels x rate x depth; the data chunk must be whole
@@ -114,6 +121,55 @@ def _alaw_table() -> tuple[int, ...]:
 ULAW_TABLE = _ulaw_table()
 ALAW_TABLE = _alaw_table()
 
+# IMA/DVI ADPCM quantizer tables (IMA Digital Audio Compression
+# Standard; identical constants across every public implementation).
+IMA_STEP_TABLE: tuple[int, ...] = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+IMA_INDEX_TABLE: tuple[int, ...] = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """Advance the IMA decoder state machine by one 4-bit code:
+    returns (new predictor clamped to int16, new step index clamped
+    to [0, 88])."""
+    step = IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + IMA_INDEX_TABLE[nibble & 7]))
+    return pred, index
+
+
+def _ima_quantize(delta: int, step: int) -> int:
+    """Encoder side: pick the 4-bit code whose reconstruction best
+    approximates ``delta`` under the current ``step`` (canonical
+    successive-approximation loop; sign in bit 3)."""
+    nibble = 8 if delta < 0 else 0
+    delta = abs(delta)
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+    return nibble
+
 
 def _u16(b: bytes, off: int) -> int:
     return struct.unpack_from("<H", b, off)[0]
@@ -136,6 +192,7 @@ def decode_wav(data: bytes) -> DecodedAudio:
     fmt: tuple[int, int, int, int, int, int] | None = None
     fmt_body = b""
     pcm: bytes | None = None
+    fact_frames: int | None = None
     off = 12
     while off + 8 <= len(data):
         cid = data[off : off + 4]
@@ -150,7 +207,13 @@ def decode_wav(data: bytes) -> DecodedAudio:
             fmt_body = data[body_off : body_off + csize]
         elif cid == b"data":
             pcm = data[body_off : body_off + csize]
-        # unknown chunks (LIST, fact, ...) are skipped, per RIFF
+        elif cid == b"fact":
+            # per-channel frame count — authoritative for compressed
+            # formats whose last block may be partially filled
+            if csize < 4:
+                raise WavError(f"fact chunk too short ({csize} bytes)")
+            fact_frames = _u32(data, body_off)
+        # unknown chunks (LIST, ...) are skipped, per RIFF
         off = body_off + csize + (csize & 1)  # chunks pad to even
     if fmt is None:
         raise WavError("missing fmt chunk")
@@ -174,10 +237,12 @@ def decode_wav(data: bytes) -> DecodedAudio:
             raise UnsupportedWavError(
                 "extensible subformat is neither integer nor float PCM"
             )
+    if audio_format == 17:
+        return _decode_ima_adpcm(fmt, fmt_body, pcm, fact_frames)
     if audio_format not in (1, 3, 6, 7):
         raise UnsupportedWavError(
             f"audio format {audio_format} (PCM=1, float=3, "
-            f"a-law=6, mu-law=7 supported)"
+            f"a-law=6, mu-law=7, IMA-ADPCM=17 supported)"
         )
     if audio_format == 1 and bits not in (8, 16, 24, 32):
         raise UnsupportedWavError(f"bit depth {bits} (only 8/16/24/32)")
@@ -250,6 +315,194 @@ def decode_wav(data: bytes) -> DecodedAudio:
         n_frames=len(pcm) // block_align,
         samples=samples,
     )
+
+
+def _decode_ima_adpcm(
+    fmt: tuple[int, int, int, int, int, int],
+    fmt_body: bytes,
+    pcm: bytes,
+    fact_frames: int | None,
+) -> DecodedAudio:
+    """IMA/DVI ADPCM (audio_format 17): per-block state machine over
+    the canonical step/index tables. Block layout: one 4-byte header
+    per channel (int16 first sample, uint8 step index, reserved),
+    then 4-bit codes low-nibble-first — mono contiguous, stereo
+    interleaved in 4-byte (8-nibble) words per channel."""
+    _, channels, rate, byte_rate, block_align, bits = fmt
+    if bits != 4:
+        raise WavError(f"IMA ADPCM samples are 4-bit, header says {bits}")
+    if channels not in (1, 2):
+        raise UnsupportedWavError(
+            f"IMA ADPCM decode supports mono/stereo, got {channels} channels"
+        )
+    if channels < 1 or rate < 1:
+        raise WavError(f"bad channels={channels} rate={rate}")
+    data_bytes = block_align - 4 * channels
+    if data_bytes <= 0 or (channels == 2 and data_bytes % 8 != 0):
+        raise WavError(
+            f"IMA block_align={block_align} leaves no valid code body "
+            f"for {channels} channels"
+        )
+    spb = data_bytes * 2 // channels + 1  # samples per block per channel
+    if len(pcm) % block_align != 0:
+        raise WavError(
+            f"data chunk ({len(pcm)} bytes) is not whole IMA blocks of "
+            f"{block_align}"
+        )
+    n_blocks = len(pcm) // block_align
+    # byte_rate for block-coded formats is block-granular:
+    # rate frames/s packed spb-per-block → blocks/s * block_align,
+    # which encoders round either way; accept both roundings.
+    lo = rate * block_align // spb
+    hi = -(-rate * block_align // spb)
+    if not (lo <= byte_rate <= hi):
+        raise WavError(
+            f"inconsistent header: byte_rate={byte_rate} outside "
+            f"[{lo}, {hi}] for rate={rate} block_align={block_align} "
+            f"samples_per_block={spb}"
+        )
+    samples: list[int] = []
+    for b in range(n_blocks):
+        block = pcm[b * block_align : (b + 1) * block_align]
+        preds: list[int] = []
+        idxs: list[int] = []
+        for ch in range(channels):
+            p = struct.unpack_from("<h", block, 4 * ch)[0]
+            ix = block[4 * ch + 2]
+            if ix > 88:
+                raise WavError(f"IMA step index {ix} > 88")
+            preds.append(p)
+            idxs.append(ix)
+        samples.extend(preds)  # header carries frame 0 verbatim
+        body = block[4 * channels :]
+        if channels == 1:
+            pred, idx = preds[0], idxs[0]
+            for byte in body:
+                for nib in (byte & 0x0F, byte >> 4):
+                    pred, idx = _ima_step(pred, idx, nib)
+                    samples.append(pred)
+        else:
+            # decode each channel's 4-byte word group, then
+            # interleave the 8 frames it carries
+            frames_l: list[int] = []
+            frames_r: list[int] = []
+            for g in range(0, len(body), 8):
+                for ch, frames in ((0, frames_l), (1, frames_r)):
+                    pred, idx = preds[ch], idxs[ch]
+                    for byte in body[g + 4 * ch : g + 4 * ch + 4]:
+                        for nib in (byte & 0x0F, byte >> 4):
+                            pred, idx = _ima_step(pred, idx, nib)
+                            frames.append(pred)
+                    preds[ch], idxs[ch] = pred, idx
+            for fl, fr in zip(frames_l, frames_r):
+                samples.extend((fl, fr))
+    n_frames = n_blocks * spb
+    if fact_frames is not None:
+        if not (n_frames - spb < fact_frames <= n_frames):
+            raise WavError(
+                f"fact chunk claims {fact_frames} frames but "
+                f"{n_blocks} blocks hold {n_frames} (spb={spb})"
+            )
+        samples = samples[: fact_frames * channels]
+        n_frames = fact_frames
+    return DecodedAudio(
+        channels=channels,
+        sample_rate=rate,
+        bit_depth=16,  # the decoded linear domain (header said 4)
+        n_frames=n_frames,
+        samples=samples,
+    )
+
+
+def encode_ima_adpcm(
+    samples: Sequence[int],
+    channels: int,
+    sample_rate: int,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Encode int16 samples as an IMA/DVI ADPCM WAV payload
+    (audio_format 17). The encoder tracks the decoder's exact state,
+    so ``decode_wav(encode_ima_adpcm(x))`` reproduces the encoder's
+    reconstruction bit-for-bit (lossy vs x, deterministic vs itself).
+    Writes the ``fact`` chunk so a partial final block round-trips
+    the true frame count; the pad region repeats the last nibble 0
+    state silently."""
+    if channels not in (1, 2):
+        raise ValueError(f"IMA ADPCM encode supports 1/2 channels, got {channels}")
+    # mono packs nibble pairs per byte; stereo needs whole 8-nibble
+    # (4-byte) words per channel per interleave group
+    grain = 2 if channels == 1 else 8
+    if (samples_per_block - 1) % grain != 0 or samples_per_block < 2:
+        raise ValueError(
+            f"samples_per_block must be 1 + k*{grain} for "
+            f"{channels} channel(s), got {samples_per_block}"
+        )
+    if len(samples) % channels != 0:
+        raise ValueError(
+            f"{len(samples)} samples not divisible by {channels} channels"
+        )
+    n_frames = len(samples) // channels
+    if n_frames == 0:
+        raise ValueError("need at least one frame")
+    spb = samples_per_block
+    block_align = 4 * channels + (spb - 1) * channels // 2
+    chans = [samples[c::channels] for c in range(channels)]
+    idxs = [0] * channels
+    blocks: list[bytes] = []
+    for start in range(0, n_frames, spb):
+        head = bytearray()
+        nib_streams: list[list[int]] = []
+        for ch in range(channels):
+            seg = list(chans[ch][start : start + spb])
+            seg += [seg[-1]] * (spb - len(seg))  # pad partial block
+            pred = seg[0]
+            head += struct.pack("<hBB", pred, idxs[ch], 0)
+            nibs: list[int] = []
+            idx = idxs[ch]
+            for s in seg[1:]:
+                step = IMA_STEP_TABLE[idx]
+                nib = _ima_quantize(s - pred, step)
+                pred, idx = _ima_step(pred, idx, nib)
+                nibs.append(nib)
+            idxs[ch] = idx
+            nib_streams.append(nibs)
+        body = bytearray()
+        if channels == 1:
+            nibs = nib_streams[0]
+            for i in range(0, len(nibs), 2):
+                body.append(nibs[i] | (nibs[i + 1] << 4))
+        else:
+            for g in range(0, len(nib_streams[0]), 8):
+                for nibs in nib_streams:
+                    grp = nibs[g : g + 8]
+                    for i in range(0, 8, 2):
+                        body.append(grp[i] | (grp[i + 1] << 4))
+        blocks.append(bytes(head) + bytes(body))
+    pcm = b"".join(blocks)
+    byte_rate = -(-sample_rate * block_align // spb)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        17,
+        channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        4,
+        2,  # cbSize
+        spb,
+    )
+    body_chunks = (
+        b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, n_frames)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body_chunks)) + b"WAVE" + body_chunks
 
 
 def encode_wav(
