@@ -33,8 +33,14 @@ Scope (honest gates, not padding):
    ``UnsupportedWavError`` with the reason.
  - Header arithmetic is cross-checked (byte_rate and block_align must
    agree with channels x rate x depth; the data chunk must be whole
-   frames) so a corrupt header errors instead of yielding garbage
-   statistics.
+   frames; format 17's wSamplesPerBlock extension field must agree
+   with the block_align-derived samples-per-block) so a corrupt
+   header errors instead of yielding garbage statistics. This
+   strictness extends to the ``fact`` chunk for EVERY format
+   (intentional, round 7+): a fact chunk shorter than its 4-byte
+   frame count is malformed per RIFF regardless of whether the
+   format needs fact, so plain-PCM files with a truncated fact also
+   error rather than being silently skipped.
  - Sample decode is ``array``-based (one C-level pass), not
    per-sample Python — unlike PNG's inherently sequential unfilter,
    PCM decode is O(n) bulk work.
@@ -344,6 +350,17 @@ def _decode_ima_adpcm(
             f"for {channels} channels"
         )
     spb = data_bytes * 2 // channels + 1  # samples per block per channel
+    if len(fmt_body) >= 20:
+        # format-17 extension (cbSize>=2) carries wSamplesPerBlock —
+        # cross-check it against the block_align-derived value so an
+        # inconsistent header errors instead of decoding with a
+        # silently different block layout
+        declared_spb = _u16(fmt_body, 18)
+        if declared_spb != spb:
+            raise WavError(
+                f"inconsistent header: wSamplesPerBlock={declared_spb} "
+                f"but block_align={block_align} derives {spb}"
+            )
     if len(pcm) % block_align != 0:
         raise WavError(
             f"data chunk ({len(pcm)} bytes) is not whole IMA blocks of "

@@ -2278,14 +2278,28 @@ oracle("q_stream_dedup")(
 # q_audio_decode): closed-form recompute of the synthesized clips'
 # amplitude statistics — sample k of doc d is
 # s = ((d*37 + k*101) % 65536) - 32768 over n_frames*channels
-# samples; doc_id % 3 == 2 clips are float32 with sample s/32768
-# (dyadic → SUM is exact in double regardless of add order).
+# samples; doc_id % 3 = 2 clips are float32 with sample s/32768
+# (dyadic → SUM is exact in double regardless of add order); doc_id
+# % 7 = 3 clips (round 8) are IMA/DVI ADPCM at 9 samples/block, and
+# the oracle re-runs the ENTIRE lossy quantize→reconstruct state
+# machine as a recursive CTE: per (doc, channel), frame 0 and every
+# 9th frame carry the raw sample verbatim (block headers; the step
+# index carries across blocks), every other frame advances
+# (pred, idx) through the canonical public IMA step/index tables —
+# successive-approximation magnitude bits b4/b2/b1, reconstruction
+# diff step>>3 + b4*step + b2*(step>>1) + b1*(step>>2), sign from
+# s<pred, int16 clamp, index clamp [0,88]. Padded tail frames
+# (encoder repeats the channel's last real sample) advance the
+# state but are excluded by f < n_frames — exactly the decoder's
+# fact-chunk truncation. The decoded bit_depth is 16 (linear
+# domain), so stats are over reconstructed int16 values.
 oracle("q_audio_decode")(
     """
-    WITH dims AS (
+    WITH RECURSIVE dims AS (
       SELECT doc_id,
              1 + doc_id % 2 AS channels,
              40 + doc_id % 50 AS n_frames,
+             doc_id % 7 = 3 AS is_ima,
              doc_id % 3 = 2 AS is_float
       FROM documents
     ),
@@ -2294,19 +2308,104 @@ oracle("q_audio_decode")(
              CAST(((doc_id * 37 + unnest(range(0, CAST(n_frames * channels AS BIGINT))) * 101) % 65536) - 32768
                AS DOUBLE)
              / (CASE WHEN is_float THEN 32768 ELSE 1 END) AS s
-      FROM dims
+      FROM dims WHERE NOT is_ima
+    ),
+    plain AS (
+      SELECT doc_id,
+             CAST(channels AS INT) AS channels,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+             CAST(SUM(s) AS DOUBLE) AS samp_sum,
+             CAST(MAX(ABS(s)) AS DOUBLE) AS peak_abs,
+             ROUND(CAST(SUM(s) AS DOUBLE) / (n_frames * channels), 6)
+               AS mean_sample
+      FROM samp
+      GROUP BY doc_id, channels, n_frames, is_float
+    ),
+    ima_ch AS (
+      SELECT doc_id,
+             CAST(channels AS BIGINT) AS channels,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(((n_frames + 8) // 9) * 9 AS BIGINT) AS padded,
+             unnest(range(0, CAST(channels AS BIGINT))) AS ch
+      FROM dims WHERE is_ima
+    ),
+    walk(doc_id, channels, n_frames, padded, ch, f, pred, idx) AS (
+      SELECT doc_id, channels, n_frames, padded, ch, CAST(0 AS BIGINT),
+             ((doc_id * 37 + ch * 101) % 65536) - 32768,
+             CAST(0 AS BIGINT)
+      FROM ima_ch
+      UNION ALL
+      SELECT w.doc_id, w.channels, w.n_frames, w.padded, w.ch, w.f + 1,
+             CASE WHEN (w.f + 1) % 9 = 0 THEN q.s
+                  ELSE GREATEST(-32768, LEAST(32767,
+                         w.pred + CASE WHEN q.s < w.pred
+                                       THEN -q.diff ELSE q.diff END))
+             END,
+             CASE WHEN (w.f + 1) % 9 = 0 THEN w.idx
+                  ELSE GREATEST(0, LEAST(88,
+                         w.idx + [-1,-1,-1,-1,2,4,6,8][q.mag + 1]))
+             END
+      FROM walk w, LATERAL (
+        SELECT t3.s,
+               (t3.st >> 3)
+                 + CASE WHEN t3.b4 THEN t3.st ELSE 0 END
+                 + CASE WHEN t3.b2 THEN t3.st >> 1 ELSE 0 END
+                 + CASE WHEN t3.b1 THEN t3.st >> 2 ELSE 0 END AS diff,
+               4 * CAST(t3.b4 AS INT) + 2 * CAST(t3.b2 AS INT)
+                 + CAST(t3.b1 AS INT) AS mag
+        FROM (
+          SELECT t2.*,
+                 (t2.ad - CASE WHEN t2.b4 THEN t2.st ELSE 0 END
+                        - CASE WHEN t2.b2 THEN t2.st >> 1 ELSE 0 END)
+                   >= (t2.st >> 2) AS b1
+          FROM (
+            SELECT t1.*,
+                   (t1.ad - CASE WHEN t1.b4 THEN t1.st ELSE 0 END)
+                     >= (t1.st >> 1) AS b2
+            FROM (
+              SELECT t0.*, t0.ad >= t0.st AS b4
+              FROM (
+                SELECT
+                  ((w.doc_id * 37
+                    + (LEAST(w.f + 1, w.n_frames - 1) * w.channels + w.ch)
+                      * 101) % 65536) - 32768 AS s,
+                  [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+                   34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,
+                   143,157,173,190,209,230,253,279,307,337,371,408,449,
+                   494,544,598,658,724,796,876,963,1060,1166,1282,1411,
+                   1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+                   4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+                   11487,12635,13899,15289,16818,18500,20350,22385,24623,
+                   27086,29794,32767][w.idx + 1] AS st,
+                  ABS((((w.doc_id * 37
+                    + (LEAST(w.f + 1, w.n_frames - 1) * w.channels + w.ch)
+                      * 101) % 65536) - 32768) - w.pred) AS ad
+              ) t0
+            ) t1
+          ) t2
+        ) t3
+      ) q
+      WHERE w.f + 1 < w.padded
+    ),
+    ima AS (
+      SELECT doc_id,
+             CAST(channels AS INT) AS channels,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+             CAST(SUM(pred) AS DOUBLE) AS samp_sum,
+             CAST(MAX(ABS(pred)) AS DOUBLE) AS peak_abs,
+             ROUND(CAST(SUM(pred) AS DOUBLE) / (n_frames * channels), 6)
+               AS mean_sample
+      FROM walk
+      WHERE f < n_frames
+      GROUP BY doc_id, channels, n_frames
     )
-    SELECT doc_id,
-           CAST(channels AS INT) AS channels,
-           CAST(8000 AS INT) AS sample_rate,
-           CAST(n_frames AS BIGINT) AS n_frames,
-           CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
-           CAST(SUM(s) AS DOUBLE) AS samp_sum,
-           CAST(MAX(ABS(s)) AS DOUBLE) AS peak_abs,
-           ROUND(CAST(SUM(s) AS DOUBLE) / (n_frames * channels), 6)
-             AS mean_sample
-    FROM samp
-    GROUP BY doc_id, channels, n_frames, is_float
+    SELECT * FROM plain
+    UNION ALL
+    SELECT * FROM ima
     ORDER BY doc_id
     """
 )

@@ -323,3 +323,294 @@ def test_ulaw_symmetry():
     assert all(
         ULAW_TABLE[b] == -ULAW_TABLE[b ^ 0x80] for b in range(256)
     )
+
+
+# ------------------------------------------------- round 8: IMA ADPCM
+
+
+from etl_deltalake_spark.operators.wav import encode_ima_adpcm  # noqa: E402
+
+# Independent spec-table copies (IMA Digital Audio Compression
+# Standard, public constants) so the reference decoder below shares
+# no tables with the production module.
+_REF_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_REF_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ref_decode_ima(payload: bytes) -> tuple[int, int, list[int]]:
+    """Independent minimal format-17 decoder (own RIFF walk, own
+    tables, own nibble/interleave logic) — the cross-check for the
+    production round-trip."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    off, fmt, data, fact = 12, None, None, None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        n = int.from_bytes(payload[off + 4 : off + 8], "little")
+        body = payload[off + 8 : off + 8 + n]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact":
+            fact = int.from_bytes(body[:4], "little")
+        off += 8 + n + (n & 1)
+    tag, ch, rate, _br, ba, bits = struct.unpack_from("<HHIIHH", fmt)
+    assert tag == 17 and bits == 4
+    per_ch: list[list[int]] = [[] for _ in range(ch)]
+    for b0 in range(0, len(data), ba):
+        blk = data[b0 : b0 + ba]
+        body = blk[4 * ch :]
+        nibs: list[list[int]] = [[] for _ in range(ch)]
+        if ch == 1:
+            for byte in body:
+                nibs[0] += [byte & 15, byte >> 4]
+        else:
+            for g in range(0, len(body), 8):
+                for c in range(ch):
+                    for byte in body[g + 4 * c : g + 4 * c + 4]:
+                        nibs[c] += [byte & 15, byte >> 4]
+        for c in range(ch):
+            pred = int.from_bytes(blk[4 * c : 4 * c + 2], "little", signed=True)
+            idx = blk[4 * c + 2]
+            per_ch[c].append(pred)
+            for nib in nibs[c]:
+                step = _REF_STEPS[idx]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _REF_INDEX[nib & 7]))
+                per_ch[c].append(pred)
+    n_frames = len(per_ch[0]) if fact is None else fact
+    inter = [per_ch[c][f] for f in range(n_frames) for c in range(ch)]
+    return ch, rate, inter
+
+
+def _ima_clip(n: int, seed: int = 1) -> list[int]:
+    return [((seed * 37 + k * 101) % 65536) - 32768 for k in range(n)]
+
+
+@pytest.mark.parametrize(
+    "channels, n_frames, spb",
+    [
+        (1, 45, 9),     # whole blocks (45 = 5*9)
+        (1, 40, 9),     # partial final block (fact truncation)
+        (2, 36, 9),     # stereo, whole blocks
+        (2, 41, 9),     # stereo, partial final block
+        (1, 505, 505),  # default-sized single block
+        (2, 3, 9),      # shorter than one block
+        (1, 1, 9),      # single frame (header only carries it)
+    ],
+)
+def test_ima_roundtrip_matches_independent_decoder(channels, n_frames, spb):
+    """decode_wav(encode_ima_adpcm(x)) == an independent spec-table
+    decoder on the same payload — pins block layout, stereo 4-byte
+    word interleave, header frame 0, state carry across blocks, and
+    fact-chunk truncation of the padded tail."""
+    samples = _ima_clip(n_frames * channels, seed=7 + channels)
+    payload = encode_ima_adpcm(samples, channels, 8000, samples_per_block=spb)
+    au = decode_wav(payload)
+    ch, rate, ref = _ref_decode_ima(payload)
+    assert (au.channels, au.sample_rate, au.bit_depth) == (channels, 8000, 16)
+    assert au.n_frames == n_frames
+    assert len(au.samples) == n_frames * channels
+    assert (ch, rate) == (channels, 8000)
+    assert list(au.samples) == ref
+
+
+def test_ima_reconstruction_tracks_input():
+    """ADPCM is lossy but the reconstruction of a slowly-varying
+    signal stays close (step table adapts down); a gross layout or
+    sign bug would blow this out by orders of magnitude."""
+    import math
+
+    samples = [round(3000 * math.sin(k / 10)) for k in range(200)]
+    au = decode_wav(encode_ima_adpcm(samples, 1, 8000, samples_per_block=9))
+    err = max(abs(a - b) for a, b in zip(au.samples, samples))
+    assert err <= 1200  # well under the 3000 amplitude
+
+
+def _raw_ima_payload(
+    preds_idx: list[tuple[int, int]],
+    body: bytes,
+    channels: int = 1,
+    rate: int = 8000,
+    fact: int | None = None,
+    byte_rate: int | None = None,
+    spb_field: int | None = None,
+    bits: int = 4,
+) -> bytes:
+    """Hand-build a single-block format-17 payload byte-by-byte (no
+    encoder involvement) for landmark and malformed-header tests."""
+    head = b"".join(
+        struct.pack("<hBB", p, ix, 0) for p, ix in preds_idx
+    )
+    block_align = len(head) + len(body)
+    spb = len(body) * 2 // channels + 1
+    if byte_rate is None:
+        byte_rate = -(-rate * block_align // spb)
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, channels, rate, byte_rate, block_align, bits,
+        2, spb if spb_field is None else spb_field,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        chunks += b"fact" + struct.pack("<II", 4, fact)
+    pcm = head + body
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_ima_landmark_vector_from_index_zero():
+    """Hand-derived step-table walk from (pred=0, idx=0): nibbles
+    [1,3,8,15,0,2,9,4] packed low-first. Expected values computed by
+    hand from the spec tables, not by running either codec."""
+    payload = _raw_ima_payload([(0, 0)], bytes([0x31, 0xF8, 0x20, 0x49]))
+    au = decode_wav(payload)
+    assert list(au.samples) == [0, 1, 5, 5, -6, -4, 4, 0, 13]
+    assert (au.channels, au.bit_depth, au.n_frames) == (1, 16, 9)
+
+
+def test_ima_landmark_vector_clamps():
+    """Hand-derived walk from (pred=32760, idx=88) with nibbles
+    [7,15,0,8,4,12,2,10]: exercises the int16 clamp on both signs'
+    approach and the step-index ceiling at 88."""
+    payload = _raw_ima_payload([(32760, 88)], bytes([0xF7, 0x80, 0xC4, 0xA2]))
+    au = decode_wav(payload)
+    assert list(au.samples) == [
+        32760, 32767, -28669, -24574, -28298, 2173, -32768, -12290, -30911,
+    ]
+
+
+def test_ima_step_index_above_88_rejected():
+    payload = _raw_ima_payload([(0, 89)], bytes(4))
+    with pytest.raises(WavError, match="step index 89 > 88"):
+        decode_wav(payload)
+
+
+def test_ima_bits_not_4_rejected():
+    payload = _raw_ima_payload([(0, 0)], bytes(4), bits=8)
+    with pytest.raises(WavError, match="4-bit"):
+        decode_wav(payload)
+
+
+def test_ima_samples_per_block_field_mismatch_rejected():
+    payload = _raw_ima_payload([(0, 0)], bytes(4), spb_field=17)
+    with pytest.raises(WavError, match="wSamplesPerBlock=17"):
+        decode_wav(payload)
+
+
+def test_ima_byte_rate_outside_rounding_band_rejected():
+    payload = _raw_ima_payload([(0, 0)], bytes(4), byte_rate=999999)
+    with pytest.raises(WavError, match="byte_rate=999999 outside"):
+        decode_wav(payload)
+
+
+def test_ima_fact_outside_final_block_window_rejected():
+    # 2 blocks of spb=9 hold 18 frames; fact must be in (9, 18]
+    good = encode_ima_adpcm(_ima_clip(18), 1, 8000, samples_per_block=9)
+    fact_off = good.index(b"fact") + 8
+    for bad_fact, ok in ((9, False), (19, False), (10, True), (18, True)):
+        mutated = (
+            good[:fact_off]
+            + struct.pack("<I", bad_fact)
+            + good[fact_off + 4 :]
+        )
+        if ok:
+            assert decode_wav(mutated).n_frames == bad_fact
+        else:
+            with pytest.raises(WavError, match="fact chunk claims"):
+                decode_wav(mutated)
+
+
+def test_ima_non_whole_blocks_rejected():
+    good = encode_ima_adpcm(_ima_clip(18), 1, 8000, samples_per_block=9)
+    data_off = good.index(b"data")
+    n = struct.unpack_from("<I", good, data_off + 4)[0]
+    bad = (
+        good[: data_off + 4]
+        + struct.pack("<I", n - 1)
+        + good[data_off + 8 : data_off + 8 + n - 1]
+    )
+    bad = bad[:4] + struct.pack("<I", len(bad) - 8) + bad[8:]
+    with pytest.raises(WavError, match="whole IMA blocks"):
+        decode_wav(bad)
+
+
+def test_ima_three_channels_gated():
+    good = encode_ima_adpcm(_ima_clip(18), 1, 8000, samples_per_block=9)
+    fmt_off = good.index(b"fmt ") + 8
+    bad = good[: fmt_off + 2] + struct.pack("<H", 3) + good[fmt_off + 4 :]
+    with pytest.raises(UnsupportedWavError, match="mono/stereo"):
+        decode_wav(bad)
+
+
+def test_ima_block_align_without_code_body_rejected():
+    # block_align == header size leaves data_bytes == 0
+    good = encode_ima_adpcm(_ima_clip(18), 1, 8000, samples_per_block=9)
+    fmt_off = good.index(b"fmt ") + 8
+    bad = good[: fmt_off + 12] + struct.pack("<H", 4) + good[fmt_off + 14 :]
+    with pytest.raises(WavError, match="no valid code body"):
+        decode_wav(bad)
+
+
+def test_ima_encoder_argument_validation():
+    with pytest.raises(ValueError, match="1/2 channels"):
+        encode_ima_adpcm([0, 0, 0], 3, 8000)
+    with pytest.raises(ValueError, match="samples_per_block"):
+        encode_ima_adpcm([0, 0], 1, 8000, samples_per_block=8)  # even
+    with pytest.raises(ValueError, match="samples_per_block"):
+        encode_ima_adpcm([0, 0], 2, 8000, samples_per_block=11)  # 10 % 8
+    with pytest.raises(ValueError, match="not divisible"):
+        encode_ima_adpcm([0, 0, 0], 2, 8000, samples_per_block=9)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_ima_adpcm([], 1, 8000, samples_per_block=9)
+
+
+@settings(deadline=None, max_examples=60, print_blob=True)
+@given(
+    frames=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=40
+    ),
+    channels=st.integers(min_value=1, max_value=2),
+)
+def test_ima_roundtrip_property(frames, channels):
+    """Property form: for ANY int16 input the production decode of
+    the encoder's payload equals the independent decoder's, and the
+    frame count survives the fact truncation exactly."""
+    samples = frames * channels
+    payload = encode_ima_adpcm(samples, channels, 16000, samples_per_block=9)
+    au = decode_wav(payload)
+    assert au.n_frames == len(frames)
+    assert list(au.samples) == _ref_decode_ima(payload)[2]
+
+
+def test_decode_audio_kernel_handles_ima(spark):
+    """The Spark kernel decodes format-17 rows like any other —
+    linear 16-bit stats, no err."""
+    from etl_deltalake_spark.operators.multimodal import decode_audio
+
+    payload = encode_ima_adpcm(_ima_clip(20), 1, 8000, samples_per_block=9)
+    ch, rate, ref = _ref_decode_ima(payload)
+    df = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+    row = decode_audio(df, "doc_id", "payload").collect()[0]
+    assert row["err"] is None
+    assert (row["channels"], row["bit_depth"], row["n_frames"]) == (1, 16, 20)
+    assert row["samp_sum"] == float(sum(ref))
+    assert row["peak_abs"] == float(max(abs(s) for s in ref))
