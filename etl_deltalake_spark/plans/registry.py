@@ -108,7 +108,6 @@ REGISTERED: tuple[str, ...] = (
     # relational completeness (SURVEY §2.8)
     "q_group_agg",
     "q_join_agg",
-    "q_bucketed_join_agg",
     "q_topk_per_group",
     "q_count_distinct",
     "q_cube",
@@ -122,7 +121,7 @@ REGISTERED: tuple[str, ...] = (
     "q_interval_join",
     "q_stats_agg",
     "q_percentiles",
-    "q_time_rollup",
+    "q_seasonal",
     "q_fuzzy_pairs",
     "q_scalar_funcs",
     "q_sessionize",
@@ -138,6 +137,7 @@ REGISTERED: tuple[str, ...] = (
     "q_corpus_prep",
     "q_simhash",
     "q_substring_dup",
+    "q_containment",
     "q_text_stats",
     "q_heavy_hitters",
     "q_incr_neardup",
@@ -191,6 +191,25 @@ RETIRED_R5: tuple[str, ...] = (
 RETIRED_R6: tuple[str, ...] = (
     "q_ann_bucket",
     "q_rollup",
+)
+
+# Round-8 rotation (VERDICT r7 Next #2, carried from r6 #5): the two
+# strongest slotless members take driver rows.
+# q_bucketed_join_agg → q_containment: the bucketed join's entire value
+# is its EXECUTED PLAN (zero Exchanges), which the driver's DuckDB
+# value-compare cannot see — that property stays gated by
+# tests/test_plan_shapes.py and test_partitioning.py, and its oracle
+# answer duplicates q_join_agg's plain join+agg; asymmetric n-gram
+# containment is the boilerplate-subset near-dup signal symmetric
+# Jaccard misses, with no other driver row.
+# q_time_rollup → q_seasonal: the hour/day/month rollup's date_trunc +
+# groupBy + union surface rides q_stream_tumbling (REAL stream
+# windowed agg), q_set_ops, and q_seasonal's own hourly bucketing —
+# while seasonal decomposition (trend/phase/residual identity, exact
+# decimal sums) is a strictly richer time-series row.
+RETIRED_R8: tuple[str, ...] = (
+    "q_bucketed_join_agg",
+    "q_time_rollup",
 )
 
 # Oracle-paired queries without a driver slot (pytest-gated).
@@ -272,10 +291,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_lm_transfer",
     "q_nfc_dedup",
     "q_stream_enrich",
-    "q_seasonal",
     "q_k_anonymity",
     "q_join_view",
-    "q_containment",
     "q_tukey",
 )
 
@@ -292,6 +309,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R4,
     RETIRED_R5,
     RETIRED_R6,
+    RETIRED_R8,
     SLOTLESS,
 )
 
