@@ -831,6 +831,7 @@ def write_minhash_store_bucketed(
     table_name: str,
     path: str,
     num_buckets: int = 16,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the near-dup store BUCKETED on the probe's exact join
     key ``(band_idx, band_hash)`` (round 5, key set corrected round
@@ -847,9 +848,16 @@ def write_minhash_store_bucketed(
     spec still shuffled the store — the executed-plan tree walk in
     tests/test_new_ops_r5.py caught it. The standard bucketed-fact
     amortization: one shuffle at store-write time paid once, saved
-    on every future batch."""
+    on every future batch.
+
+    ``mode="append"`` (round 8) is the GROWTH path: each accepted
+    batch's band rows append new bucketed files into the existing
+    table (saveAsTable verifies the bucket spec matches, so an
+    append can't silently degrade the layout), and every later probe
+    still reads the grown store co-located — the amortization claim
+    is about repeated probes against a store that keeps growing."""
     (
-        store_rows.write.mode("overwrite")
+        store_rows.write.mode(mode)
         .option("path", path)
         .bucketBy(num_buckets, "band_idx", "band_hash")
         .saveAsTable(table_name)

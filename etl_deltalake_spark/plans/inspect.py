@@ -124,25 +124,30 @@ def bucketed_scan_exchange_audit(df: DataFrame) -> dict:
     STILL shuffled (bucket keys ⊂ join keys → not co-partitioned
     under requireAllClusterKeysForCoPartition). Exchanges ABOVE the
     join are legitimate (post-join aggregations re-key) and are not
-    counted. Run an action on ``df`` first so AQE has finalized the
-    plan.
+    counted; a bucketed scan with NO enclosing join at all is never
+    flagged either (round 8) — an Exchange over a join-less bucketed
+    scan (e.g. a groupBy re-keying on a non-bucket column) says
+    nothing about join co-location, which is the only claim this
+    audit grades. Run an action on ``df`` first so AQE has finalized
+    the plan.
 
     Returns {"bucketed_scans": n, "shuffled_bucketed_scans": n}.
     """
     found = {"bucketed_scans": 0, "shuffled_bucketed_scans": 0}
 
-    def walk(node, exchange_below_join: bool) -> None:
+    def walk(node, exchange_below_join: bool, in_join: bool) -> None:
         name = node.getClass().getSimpleName()
         if name in _JOIN_NODES:
             exchange_below_join = False  # reset at each join boundary
+            in_join = True
         elif "Exchange" in name:
             exchange_below_join = True
         if name == "FileSourceScanExec" and "SelectedBucketsCount" in node.toString():
             found["bucketed_scans"] += 1
-            if exchange_below_join:
+            if in_join and exchange_below_join:
                 found["shuffled_bucketed_scans"] += 1
         for child in _jvm_children(node):
-            walk(child, exchange_below_join)
+            walk(child, exchange_below_join, in_join)
 
-    walk(df._jdf.queryExecution().executedPlan(), False)
+    walk(df._jdf.queryExecution().executedPlan(), False, False)
     return found

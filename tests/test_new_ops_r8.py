@@ -1,0 +1,141 @@
+"""Round-8 gates: bucketed near-dup store GROWTH (append a second
+batch's bands, probe the grown store co-located), and the
+bucketed_scan_exchange_audit in_join fix — join-less bucketed scans
+under an Exchange must never be flagged, while a genuinely
+mis-bucketed join must still be detected."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.operators.dedup import (
+    incremental_neardup,
+    minhash_store,
+    write_minhash_store_bucketed,
+)
+from etl_deltalake_spark.plans import queries_ext as qx
+from etl_deltalake_spark.plans.inspect import bucketed_scan_exchange_audit
+
+
+def test_bucketed_store_growth_probe_stays_colocated(spark, sf_dir, tmp_path):
+    """The amortization claim is about repeated probes against a
+    GROWING store: write the initial store bucketed, APPEND a second
+    batch's band rows (saveAsTable append keeps the bucket spec),
+    then probe a third batch — the executed plan must still read the
+    grown store with its bucket spec and zero Exchanges between the
+    store scan and the probe join, and the verdicts must equal a
+    plain-parquet run over the unioned store."""
+    docs = qx.load_table(spark, "documents", sf_dir)
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    tbl = "neardup_store_growth_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    path = str(tmp_path / "store_g")
+    rows0 = minhash_store(hist, "doc_id", "text")
+    write_minhash_store_bucketed(rows0, tbl, path)
+    n0 = spark.table(tbl).count()
+
+    # growth: append batch1's bands into the SAME bucketed table
+    rows1 = minhash_store(batch1, "doc_id", "text")
+    write_minhash_store_bucketed(rows1, tbl, path, mode="append")
+    store = spark.table(tbl)
+    assert store.count() == n0 + rows1.count(), "append lost rows"
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_neardup(batch2, store, "doc_id", "text")
+        assert out.count() == batch2.count()
+        audit = bucketed_scan_exchange_audit(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert audit["bucketed_scans"] >= 1, "grown store not read with bucket spec"
+    assert audit["shuffled_bucketed_scans"] == 0, (
+        f"appended store scan feeds its join through an Exchange — "
+        f"growth broke co-location: {audit}"
+    )
+
+    # semantics: identical to probing the plain unioned store
+    ref_store = rows0.unionByName(rows1)
+    ref = incremental_neardup(batch2, ref_store, "doc_id", "text")
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in ref.collect()
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_joinless_bucketed_scan_not_flagged(spark, sf_dir, tmp_path):
+    """A bucketed scan with no enclosing join must never count as
+    shuffled, even when an Exchange sits above it (groupBy re-keying
+    on a non-bucket column) — the audit grades join co-location,
+    nothing else. Before the round-8 in_join fix this false-flagged."""
+    docs = qx.load_table(spark, "documents", sf_dir)
+    rows = minhash_store(docs.filter(F.col("doc_id") < 120), "doc_id", "text")
+    tbl = "neardup_store_joinless_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_minhash_store_bucketed(rows, tbl, str(tmp_path / "store_j"))
+
+    # aggregate on doc (NOT a bucket key) → Exchange above the scan.
+    # autoBucketedScan would drop the useless bucket spec from the
+    # plan entirely; pin it on so the scan carries the spec and the
+    # pre-fix audit would have flagged it.
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        # read BOTH bucket columns (else pruning drops the bucket
+        # spec: "bucket column(s) not read") but GROUP on a
+        # non-bucket key so an Exchange sits above the bucketed scan
+        agg = spark.table(tbl).groupBy("doc").agg(
+            F.countDistinct("band_idx", "band_hash").alias("n")
+        )
+        agg.count()
+        audit = bucketed_scan_exchange_audit(agg)
+    finally:
+        spark.conf.set(key, prev)
+    assert audit["bucketed_scans"] >= 1
+    assert audit["shuffled_bucketed_scans"] == 0, audit
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_mis_bucketed_join_still_detected(spark, sf_dir, tmp_path):
+    """The in_join fix must not blunt the audit's real purpose: a
+    store bucketed on band_hash ALONE (the round-5 defect — bucket
+    keys ⊂ join keys) joined on (band_idx, band_hash) is NOT
+    co-partitioned and must be reported as shuffled."""
+    docs = qx.load_table(spark, "documents", sf_dir)
+    rows = minhash_store(docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text")
+    tbl = "neardup_store_badspec_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        rows.write.mode("overwrite")
+        .option("path", str(tmp_path / "store_bad"))
+        .bucketBy(16, "band_hash")  # partial key: the round-5 defect
+        .saveAsTable(tbl)
+    )
+    store = spark.table(tbl)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+
+    # pin autoBucketedScan off: with a useless (partial-key) spec
+    # Spark would otherwise read the table as plain files and the
+    # scan would not carry the spec at all — the audit must see a
+    # bucketed scan that IS shuffled into its join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_abs = spark.conf.get(key)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(key, "false")
+    try:
+        out = incremental_neardup(batch, store, "doc_id", "text")
+        out.count()
+        audit = bucketed_scan_exchange_audit(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(key, prev_abs)
+    assert audit["bucketed_scans"] >= 1
+    assert audit["shuffled_bucketed_scans"] >= 1, (
+        f"partial-key bucketing should shuffle but audit saw none: {audit}"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
