@@ -78,6 +78,15 @@ HEADLINE = [
     "q_random_proj",
 ]
 
+# Rows whose cost is dominated by IN-QUERY TRAINING by design
+# (q_ivfpq_topk trains its PQ codebooks inside the timed query — the
+# one-time index-build cost, not the per-query serving cost).
+# ``headline_serving_total`` excludes them so round-over-round deltas
+# aren't swamped by a ~4 s training row and the pretrained serving
+# number (q_ivfpq_pretrained, ~0.3 s — the 100 TB steady-state shape)
+# is a first-class headline.
+TRAINING_ROWS = frozenset({"q_ivfpq_topk"})
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,6 +156,13 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(total, 4),
                 "unit": "sec",
+                # the same total minus in-query-training rows
+                # (TRAINING_ROWS): the steady-state serving number
+                "headline_serving_total": round(
+                    total
+                    - sum(timings[n] for n in TRAINING_ROWS if n in timings),
+                    4,
+                ),
                 "queries": timings,
                 # first-touch timings (the r1-r3 single-run
                 # methodology) kept for cross-round comparability
