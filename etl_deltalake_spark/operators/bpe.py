@@ -322,6 +322,15 @@ def bpe_encode(
     # differently between training and encoding.
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
+    def fold(t: str) -> str:
+        # pin the casefold to word_tokens' folded_lower (İ→i BEFORE
+        # lower): Python's bare str.lower() full-folds İ to
+        # i+U+0307, a symbol training (word_freqs → folded_lower)
+        # never emits — merges trained on İ-words could then never
+        # apply at encode time (round 8; same train/encode-drift
+        # class as the \\s pin above)
+        return t.replace("İ", "i").lower()
+
     # functional pandas_udf form: this module uses stringified
     # annotations (future import), which break hint-based eval-type
     # inference — the two-arg form defaults to a scalar Arrow UDF
@@ -355,7 +364,7 @@ def bpe_encode(
         return texts.map(
             lambda t: [
                 tok
-                for w in ws.split((t or "").lower())
+                for w in ws.split(fold(t or ""))
                 if w
                 for tok in enc_word(w)
             ]

@@ -25,6 +25,16 @@ def synth_email(name_col: str, email_col: str = "email") -> Column:
     ``<md5(name)[:8]>@<name-lowercased-no-spaces>.org`` — mirrors the
     reference's ``{local}@{row[name].lower()}.org`` (main.py:499)
     with a reproducible local part.
+
+    Casefold exemption (round-8 inventory,
+    tests/test_misc_surface.py): this is bare ``F.lower``, NOT
+    text.folded_lower — deliberate. The column is a fixture NAME
+    used as an email domain, the reference op being mirrored is a
+    plain ``.lower()``, and the q_mask_email oracle uses plain
+    ``LOWER`` — routing through the İ-fold would change the
+    reference-parity contract for a column that cannot carry İ.
+    folded_lower's one-definition rule governs TEXT-corpus columns
+    (tokenization/dedup canonical forms), not identifier mirroring.
     """
     local = F.substring(F.md5(F.col(name_col)), 1, 8)
     domain = F.lower(F.regexp_replace(F.col(name_col), r"\s+", ""))

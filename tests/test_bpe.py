@@ -159,7 +159,9 @@ def test_bpe_encode_matches_training_tokenization(spark, sf_dir):
     }
     for doc_id, text in texts.items():
         want = [
-            tok for w in text.lower().split() for tok in ref_syms[w]
+            tok
+            for w in text.replace("İ", "i").lower().split()
+            for tok in ref_syms[w]
         ]
         assert got[doc_id] == want, f"doc {doc_id} tokenization diverged"
 
@@ -171,3 +173,28 @@ def test_bpe_encode_matches_training_tokenization(spark, sf_dir):
         r["token"]: r["freq"] for r in bpe_vocab(final).collect()
     }
     assert dict(enc_counts) == vocab
+
+
+def test_bpe_encode_folds_turkish_capital_i_like_training(spark):
+    """İ (U+0130) is the one char where bare str.lower() (İ→i+U+0307)
+    diverges from word_tokens' folded_lower (İ→i): merges trained on
+    İstanbul-bearing text must APPLY when the same text is encoded —
+    pre-round-8, encode saw an i̇ symbol training never emitted and
+    produced a different tokenization."""
+    from etl_deltalake_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "İstanbul istanbul İstanbul"), (2, "istanbul")],
+        "doc_id long, text string",
+    )
+    wf = word_freqs(docs, "text")
+    # fold makes every word identical → one word, freq 4
+    rows = {r["word"]: r["freq"] for r in wf.collect()}
+    assert rows == {"istanbul": 4}
+    merges, final = bpe_train(wf, num_merges=8)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    got = {r["doc_id"]: r["tokens"] for r in enc.collect()}
+    # every occurrence — İ-spelled or not — tokenizes identically
+    assert got[2] * 3 == got[1]
+    # and the merges genuinely applied (fewer symbols than chars)
+    assert len(got[2]) < len("istanbul")

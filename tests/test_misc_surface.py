@@ -157,3 +157,67 @@ def test_plans_md_covers_exactly_the_registered_queries():
         f"PLANS.md stale: missing={sorted(set(REGISTERED) - rows)} "
         f"extra={sorted(rows - set(REGISTERED))} — rerun tools/gen_plans_md.py"
     )
+
+
+def test_casefold_inventory_outside_text_module():
+    """Grep-backed İ-casefold inventory (round 8, carried from r6
+    task #6): folded_lower (operators/text.py) is THE canonical
+    lowercase for text-corpus columns. Every other lower() in the
+    package must be on this documented allowlist with a reason —
+    a new bare lower() on a text column fails here until it's
+    either routed through folded_lower or explicitly exempted.
+
+    Allowlisted exemptions:
+     - operators/pii.py synth_email: reference-parity mirror of
+       main.py:499's plain .lower() on a NAME column; oracle uses
+       plain LOWER (see its docstring).
+     - operators/pii.py faker variant: nondeterministic fidelity
+       path, gated behind ImportError, not oracle-graded.
+     - sources/files.py: lowercases an OPTION STRING ("true"/
+       "false"), not data.
+     - plans/oracles.py: Python-side .lower() on SCRIPT-NAME
+       constants while building SQL text, not on data columns.
+    """
+    import re
+    import subprocess
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "etl_deltalake_spark"
+    out = subprocess.run(
+        ["grep", "-rn", r"F\.lower(\|\.lower()", str(pkg)],
+        capture_output=True,
+        text=True,
+    ).stdout
+    hits = []
+    for line in out.splitlines():
+        path, lineno, code = line.split(":", 2)
+        rel = str(Path(path).relative_to(pkg))
+        if rel == "operators/text.py":
+            continue  # the canonical module itself
+        if code.lstrip().startswith("#") or rel.endswith((".md", ".txt")):
+            continue
+        hits.append((rel, code.strip()))
+
+    allowed = {
+        # (file, substring that identifies the exempted site)
+        ("operators/pii.py", "F.lower(F.regexp_replace"),
+        ("operators/pii.py", "str(n).lower()"),
+        ("operators/pii.py", "row[name].lower()"),  # docstring citation
+        ("operators/pii.py", "plain ``.lower()``"),  # docstring text
+        # bpe_encode's fold(): İ→i BEFORE lower — this IS
+        # folded_lower's semantics, reimplemented Python-side for the
+        # Arrow kernel (see the fold() comment in bpe.py)
+        ("operators/bpe.py", 'replace("İ", "i").lower()'),
+        ("sources/files.py", "str(header).lower()"),
+        ("plans/oracles.py", "s.lower()"),
+    }
+    unexpected = [
+        (rel, code)
+        for rel, code in hits
+        if not any(rel == f and frag in code for f, frag in allowed)
+    ]
+    assert not unexpected, (
+        "bare lower() outside operators/text.py not on the casefold "
+        f"allowlist — route through folded_lower or exempt with a "
+        f"documented reason: {unexpected}"
+    )
