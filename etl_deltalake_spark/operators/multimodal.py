@@ -178,6 +178,13 @@ AUDIO_DECODE_SCHEMA = StructType(
         # integer sum this kernel meets (|sum| << 2^53) and the
         # float-sample sums are dyadic rationals, also exact
         StructField("samp_sum", DoubleType()),
+        # round 8: the EXACT integer sum for integer-domain rows
+        # (int PCM, G.711/ADPCM linear output), null for float rows.
+        # Python's int sum is arbitrary-precision, so this column is
+        # exact even where the double mirror would round — a
+        # 32-bit-PCM clip only needs >2^21 frames (~44 s @ 48 kHz)
+        # for |sum| to be able to cross 2^53
+        StructField("samp_sum_i64", LongType()),
         StructField("peak_abs", DoubleType()),
         StructField("err", StringType()),
     ]
@@ -192,6 +199,12 @@ def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     frame count, integer duration, and the exact sample sum / peak
     absolute amplitude (means and loudness stats derive from those in
     Spark SQL, keeping float handling engine-side and deterministic).
+    Integer-domain rows (int PCM, G.711/ADPCM linear output) also
+    carry ``samp_sum_i64`` — the arbitrary-precision Python sum kept
+    as an exact Int64 (round 8): the double mirror rounds once |sum|
+    crosses 2^53, which a long 24/32-bit clip genuinely reaches.
+    Float-PCM rows leave it null (their double sum is the exact one —
+    dyadic rationals).
 
     Same failure posture as ``decode_image``: corrupt / truncated /
     non-PCM payloads land in the ``err`` column with null features —
@@ -204,8 +217,8 @@ def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, chs, rates, bds, nfs, durs, sums, peaks, errs = (
-                [], [], [], [], [], [], [], [], [],
+            ids, chs, rates, bds, nfs, durs, sums, isums, peaks, errs = (
+                [], [], [], [], [], [], [], [], [], [],
             )
             for doc, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(doc)
@@ -218,6 +231,7 @@ def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                     nfs.append(None)
                     durs.append(None)
                     sums.append(None)
+                    isums.append(None)
                     peaks.append(None)
                     errs.append(str(e))
                 else:
@@ -226,9 +240,14 @@ def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                     bds.append(au.bit_depth)
                     nfs.append(au.n_frames)
                     durs.append(au.duration_ms)
-                    sums.append(float(sum(au.samples)))
+                    # arbitrary-precision Python sum; exact int kept
+                    # in samp_sum_i64 for integer-domain rows, the
+                    # double mirror for uniform downstream SQL
+                    s = sum(au.samples)
+                    sums.append(float(s))
+                    isums.append(s if isinstance(s, int) else None)
                     peaks.append(
-                        float(max((abs(s) for s in au.samples), default=0))
+                        float(max((abs(x) for x in au.samples), default=0))
                     )
                     errs.append(None)
             yield pd.DataFrame(
@@ -240,6 +259,7 @@ def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                     "n_frames": pd.Series(nfs, dtype="Int64"),
                     "duration_ms": pd.Series(durs, dtype="Int64"),
                     "samp_sum": pd.Series(sums, dtype="float64"),
+                    "samp_sum_i64": pd.Series(isums, dtype="Int64"),
                     "peak_abs": pd.Series(peaks, dtype="float64"),
                     "err": pd.Series(errs, dtype="object"),
                 }

@@ -172,12 +172,22 @@ def decode_png(data: bytes) -> DecodedImage:
         elif ctype == b"PLTE":
             if ihdr is None:
                 raise PngError("PLTE before IHDR")
+            if idat:
+                # spec §5.6 chunk ordering: PLTE precedes first IDAT
+                raise PngError("PLTE after IDAT")
+            if palette is not None:
+                raise PngError("duplicate PLTE chunk")
             if length == 0 or length % 3 != 0 or length > 256 * 3:
                 raise PngError(f"bad PLTE length {length}")
             palette = bytes(body)
         elif ctype == b"tRNS":
             if ihdr is None:
                 raise PngError("tRNS before IHDR")
+            if idat:
+                # spec §5.6 chunk ordering: tRNS precedes first IDAT
+                raise PngError("tRNS after IDAT")
+            if trns is not None:
+                raise PngError("duplicate tRNS chunk")
             ct, depth = ihdr[3], ihdr[2]
             if ct in (4, 6):
                 # spec §11.3.2: forbidden when a full alpha channel exists

@@ -936,7 +936,7 @@ oracle("q_media_decode")(
     """
     WITH dims AS (
       SELECT doc_id,
-             3 + doc_id % 5 AS width,
+             3 + doc_id % 7 AS width,
              2 + doc_id % 4 AS height,
              doc_id % 5 AS mode
       FROM documents
@@ -4090,7 +4090,33 @@ HEAVY_ORACLES: tuple[str, ...] = (
     "q_kmeans_ivf",
 )
 
-_PRAGMAS = "SET threads=8; SET memory_limit='24GB';\n"
+def _duck_pragmas() -> str:
+    """Derive the thread/memory caps from the actual box instead of
+    hard-coding the grading machine's (round 8, ADVICE r7): a
+    quarter of the cores capped at 8 (the measured map-budget sweet
+    spot above), ~20% of physical RAM capped at 24GB (the oracle is
+    co-tenant with a big Spark JVM). SPARK_GRAFT_DUCK_THREADS /
+    SPARK_GRAFT_DUCK_MEM override both for unusual boxes. On the
+    32-core/128GB grading box this resolves to the previously pinned
+    threads=8 / 24GB exactly."""
+    import os
+
+    threads = int(os.environ.get("SPARK_GRAFT_DUCK_THREADS", "0")) or max(
+        2, min(8, (os.cpu_count() or 8) // 4)
+    )
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "")
+    if not mem:
+        try:
+            total_gb = (
+                os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            ) / (1 << 30)
+            mem = f"{max(2, min(24, int(total_gb * 0.2)))}GB"
+        except (ValueError, OSError, AttributeError):
+            mem = "24GB"
+    return f"SET threads={threads}; SET memory_limit='{mem}';\n"
+
+
+_PRAGMAS = _duck_pragmas()
 
 for _name in HEAVY_ORACLES:
     if _name in ORACLES and not ORACLES[_name].lstrip().startswith("SET "):

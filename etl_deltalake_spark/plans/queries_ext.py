@@ -1013,7 +1013,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
-                w = 3 + d % 5
+                # width modulus 7 is COPRIME with the mode selector's
+                # 5 (round 8, ADVICE r7): every codec path sees all 7
+                # widths x 4 heights, not one fixed width each
+                w = 3 + d % 7
                 h = 2 + d % 4
                 mode = d % 5
                 if mode == 0:

@@ -221,3 +221,29 @@ def test_casefold_inventory_outside_text_module():
         f"allowlist — route through folded_lower or exempt with a "
         f"documented reason: {unexpected}"
     )
+
+
+def test_duck_pragmas_derived_with_env_override(monkeypatch):
+    """Heavy-oracle pragmas derive from the box (cores/RAM) with env
+    overrides, and every HEAVY_ORACLES entry actually carries them
+    (the driver's fresh default connection only sees in-string SETs)."""
+    from etl_deltalake_spark.plans import oracles as O
+
+    for name in O.HEAVY_ORACLES:
+        if name in O.ORACLES:
+            assert O.ORACLES[name].lstrip().startswith("SET threads="), name
+
+    monkeypatch.setenv("SPARK_GRAFT_DUCK_THREADS", "3")
+    monkeypatch.setenv("SPARK_GRAFT_DUCK_MEM", "5GB")
+    assert O._duck_pragmas() == "SET threads=3; SET memory_limit='5GB';\n"
+
+    monkeypatch.delenv("SPARK_GRAFT_DUCK_THREADS")
+    monkeypatch.delenv("SPARK_GRAFT_DUCK_MEM")
+    import os
+    derived = O._duck_pragmas()
+    want_threads = max(2, min(8, (os.cpu_count() or 8) // 4))
+    assert f"SET threads={want_threads};" in derived
+    # memory stays within the co-tenancy band
+    import re
+    gb = int(re.search(r"memory_limit='(\d+)GB'", derived).group(1))
+    assert 2 <= gb <= 24

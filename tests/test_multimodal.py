@@ -243,3 +243,39 @@ def test_ahash_hamming_near_dup(spark):
     d = {r["doc_id"]: r["dist"] for r in pairs}
     assert d[2] <= 4, f"near-dup moved {d[2]} bits"
     assert d[3] >= 32, f"inverted image only moved {d[3]} bits"
+
+
+def test_decode_audio_exact_int64_sum_past_double_precision(spark):
+    """samp_sum_i64 must stay exact where the double mirror rounds:
+    a 32-bit-PCM clip of (2^22 + 3) max-amplitude samples has an ODD
+    sum above 2^53, where doubles have spacing 2 — the double column
+    visibly rounds, the Int64 column must not (round 8, ADVICE r7)."""
+    from etl_deltalake_spark.operators.multimodal import decode_audio
+    from etl_deltalake_spark.operators.wav import encode_wav
+
+    n = 2**22 + 3
+    v = 2**31 - 1
+    payload = encode_wav([v] * n, 1, 48000, bit_depth=32)
+    df = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+    row = decode_audio(df, "doc_id", "payload").collect()[0]
+    exact = v * n
+    assert exact > 2**53 and exact % 2 == 1
+    assert row["err"] is None
+    assert row["samp_sum_i64"] == exact
+    assert row["samp_sum"] == float(exact)  # the rounded double mirror
+    assert int(row["samp_sum"]) != exact  # ...which provably rounded
+
+
+def test_decode_audio_i64_null_for_float_and_equal_for_small_int(spark):
+    """Float-PCM rows leave samp_sum_i64 null (their double sum IS
+    exact); small integer rows carry both columns in agreement."""
+    from etl_deltalake_spark.operators.multimodal import decode_audio
+    from etl_deltalake_spark.operators.wav import encode_wav
+
+    fl = encode_wav([0.5, -0.25], 1, 8000, bit_depth=32, sample_format="float")
+    it = encode_wav([10, -3, 7, 0], 2, 8000)
+    df = spark.createDataFrame([(1, fl), (2, it)], ["doc_id", "payload"])
+    rows = {r["doc_id"]: r for r in decode_audio(df, "doc_id", "payload").collect()}
+    assert rows[1]["err"] is None and rows[1]["samp_sum_i64"] is None
+    assert rows[1]["samp_sum"] == 0.25
+    assert rows[2]["samp_sum_i64"] == 14 and rows[2]["samp_sum"] == 14.0

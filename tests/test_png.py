@@ -464,3 +464,62 @@ def test_trns_forbidden_on_alpha_types():
         decode_png(bad)
     with pytest.raises(PngError, match="forbidden"):
         encode_png(bytes([1, 2]), 1, 1, 4, "none", trns=b"\x00\x00")
+
+
+def test_chunk_ordering_trns_and_plte(  # round 8 (ADVICE r7)
+):
+    """Spec §5.6 ordering: tRNS and PLTE must precede the first IDAT,
+    and neither may repeat — a late or duplicate ancillary chunk
+    silently changing decoded pixels is exactly the corrupt-header
+    class this codec errors on."""
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    good = encode_png(
+        bytes([0, 1, 2, 2]), 2, 2, 3, "cycle", palette=palette, trns=b"\x00"
+    )
+
+    def split(payload):
+        sig, off, chunks = payload[:8], 8, []
+        while off < len(payload):
+            n = struct.unpack_from(">I", payload, off)[0]
+            chunks.append(payload[off : off + 12 + n])
+            off += 12 + n
+        return sig, chunks
+
+    sig, chunks = split(good)
+    by_type = {c[4:8]: c for c in chunks}
+
+    def rebuild(order):
+        return sig + b"".join(order)
+
+    # move tRNS after the first IDAT
+    reordered = [
+        c for c in chunks if c[4:8] != b"tRNS"
+    ]
+    idat_at = next(i for i, c in enumerate(reordered) if c[4:8] == b"IDAT")
+    reordered.insert(idat_at + 1, by_type[b"tRNS"])
+    with pytest.raises(PngError, match="tRNS after IDAT"):
+        decode_png(rebuild(reordered))
+
+    # duplicate tRNS (both before IDAT)
+    dup = list(chunks)
+    trns_at = next(i for i, c in enumerate(dup) if c[4:8] == b"tRNS")
+    dup.insert(trns_at, by_type[b"tRNS"])
+    with pytest.raises(PngError, match="duplicate tRNS"):
+        decode_png(rebuild(dup))
+
+    # move PLTE after the first IDAT
+    reordered = [c for c in chunks if c[4:8] != b"PLTE"]
+    idat_at = next(i for i, c in enumerate(reordered) if c[4:8] == b"IDAT")
+    reordered.insert(idat_at + 1, by_type[b"PLTE"])
+    with pytest.raises(PngError, match="PLTE after IDAT|palette tRNS before PLTE"):
+        decode_png(rebuild(reordered))
+
+    # duplicate PLTE
+    dup = list(chunks)
+    plte_at = next(i for i, c in enumerate(dup) if c[4:8] == b"PLTE")
+    dup.insert(plte_at, by_type[b"PLTE"])
+    with pytest.raises(PngError, match="duplicate PLTE"):
+        decode_png(rebuild(dup))
+
+    # the untouched payload still decodes
+    assert decode_png(good).channels == 4
