@@ -28,9 +28,16 @@ Scope (honest gates, not padding):
    4-byte block headers, stereo interleaved in 4-byte words), with
    the ``fact`` chunk's frame count honoured for a partial final
    block. Decoded ``bit_depth`` is 16 (the linear domain) while the
-   container header says 4. Genuinely entropy-coded formats
-   (MP3/AAC, Microsoft ADPCM's adaptive predictor, ...) raise
-   ``UnsupportedWavError`` with the reason.
+   container header says 4.
+ - Microsoft ADPCM (audio_format 2, round 8): per-block two-tap
+   linear predictor (7 canonical coefficient pairs, or the header's
+   own table) + 16-entry delta-adaptation table; block headers carry
+   the predictor choice, initial delta, and the first TWO samples
+   per channel verbatim; stereo nibbles alternate channels within
+   each byte (high=left). Same fact-chunk partial-final-block
+   handling; decoded ``bit_depth`` is 16. Genuinely entropy-coded
+   formats (MP3/AAC, ...) raise ``UnsupportedWavError`` with the
+   reason.
  - Header arithmetic is cross-checked (byte_rate and block_align must
    agree with channels x rate x depth; the data chunk must be whole
    frames; format 17's wSamplesPerBlock extension field must agree
@@ -141,6 +148,20 @@ IMA_STEP_TABLE: tuple[int, ...] = (
 )
 IMA_INDEX_TABLE: tuple[int, ...] = (-1, -1, -1, -1, 2, 4, 6, 8)
 
+# Microsoft ADPCM quantizer tables (Microsoft multimedia spec /
+# RIFF WAVE format 2; identical constants in every public
+# implementation). The coefficient pairs are x256 fixed-point taps
+# of the two-sample linear predictor; the adaptation table scales
+# iDelta by table[code]/256 after each code, floored at 16.
+MS_ADAPT_TABLE: tuple[int, ...] = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+MS_COEF_PAIRS: tuple[tuple[int, int], ...] = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
 
 def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
     """Advance the IMA decoder state machine by one 4-bit code:
@@ -245,9 +266,11 @@ def decode_wav(data: bytes) -> DecodedAudio:
             )
     if audio_format == 17:
         return _decode_ima_adpcm(fmt, fmt_body, pcm, fact_frames)
+    if audio_format == 2:
+        return _decode_ms_adpcm(fmt, fmt_body, pcm, fact_frames)
     if audio_format not in (1, 3, 6, 7):
         raise UnsupportedWavError(
-            f"audio format {audio_format} (PCM=1, float=3, "
+            f"audio format {audio_format} (PCM=1, MS-ADPCM=2, float=3, "
             f"a-law=6, mu-law=7, IMA-ADPCM=17 supported)"
         )
     if audio_format == 1 and bits not in (8, 16, 24, 32):
@@ -429,6 +452,274 @@ def _decode_ima_adpcm(
         n_frames=n_frames,
         samples=samples,
     )
+
+
+def _decode_ms_adpcm(
+    fmt: tuple[int, int, int, int, int, int],
+    fmt_body: bytes,
+    pcm: bytes,
+    fact_frames: int | None,
+) -> DecodedAudio:
+    """Microsoft ADPCM (audio_format 2): per-block two-tap linear
+    prediction over the canonical (or header-declared) coefficient
+    pairs with multiplicative delta adaptation. Block layout per
+    channel: predictor index (1 byte each, first), then int16
+    iDelta, iSamp1, iSamp2 (channel-interleaved); the first TWO
+    output frames per channel are iSamp2 then iSamp1 verbatim, then
+    4-bit signed codes high-nibble-first — stereo alternates
+    channels every nibble (high=left)."""
+    _, channels, rate, byte_rate, block_align, bits = fmt
+    if bits != 4:
+        raise WavError(f"MS ADPCM samples are 4-bit, header says {bits}")
+    if channels not in (1, 2):
+        raise UnsupportedWavError(
+            f"MS ADPCM decode supports mono/stereo, got {channels} channels"
+        )
+    if channels < 1 or rate < 1:
+        raise WavError(f"bad channels={channels} rate={rate}")
+    data_bytes = block_align - 7 * channels
+    if data_bytes <= 0:
+        raise WavError(
+            f"MS ADPCM block_align={block_align} leaves no code body "
+            f"for {channels} channels"
+        )
+    spb = data_bytes * 2 // channels + 2  # samples per block per channel
+    coefs = MS_COEF_PAIRS
+    if len(fmt_body) >= 22:
+        declared_spb = _u16(fmt_body, 18)
+        if declared_spb != spb:
+            raise WavError(
+                f"inconsistent header: wSamplesPerBlock={declared_spb} "
+                f"but block_align={block_align} derives {spb}"
+            )
+        num_coef = _u16(fmt_body, 20)
+        if num_coef < 7:
+            raise WavError(f"MS ADPCM wNumCoef={num_coef} < 7")
+        if len(fmt_body) < 22 + 4 * num_coef:
+            raise WavError("MS ADPCM coefficient table truncated")
+        coefs = tuple(
+            (
+                struct.unpack_from("<h", fmt_body, 22 + 4 * i)[0],
+                struct.unpack_from("<h", fmt_body, 24 + 4 * i)[0],
+            )
+            for i in range(num_coef)
+        )
+        if coefs[:7] != MS_COEF_PAIRS:
+            # the spec fixes the first 7 pairs; a header that
+            # redefines them is corrupt, not creative
+            raise WavError(
+                "MS ADPCM header redefines the 7 standard coefficient pairs"
+            )
+    if len(pcm) % block_align != 0:
+        raise WavError(
+            f"data chunk ({len(pcm)} bytes) is not whole MS-ADPCM blocks "
+            f"of {block_align}"
+        )
+    n_blocks = len(pcm) // block_align
+    lo = rate * block_align // spb
+    hi = -(-rate * block_align // spb)
+    if not (lo <= byte_rate <= hi):
+        raise WavError(
+            f"inconsistent header: byte_rate={byte_rate} outside "
+            f"[{lo}, {hi}] for rate={rate} block_align={block_align} "
+            f"samples_per_block={spb}"
+        )
+    samples: list[int] = []
+    for b in range(n_blocks):
+        block = pcm[b * block_align : (b + 1) * block_align]
+        c1: list[int] = []
+        c2: list[int] = []
+        for ch in range(channels):
+            p = block[ch]
+            if p >= len(coefs):
+                raise WavError(
+                    f"MS ADPCM predictor index {p} >= "
+                    f"{len(coefs)} coefficient pairs"
+                )
+            c1.append(coefs[p][0])
+            c2.append(coefs[p][1])
+        deltas = [
+            struct.unpack_from("<h", block, channels + 2 * ch)[0]
+            for ch in range(channels)
+        ]
+        s1 = [
+            struct.unpack_from("<h", block, 3 * channels + 2 * ch)[0]
+            for ch in range(channels)
+        ]
+        s2 = [
+            struct.unpack_from("<h", block, 5 * channels + 2 * ch)[0]
+            for ch in range(channels)
+        ]
+        if any(d <= 0 for d in deltas):
+            raise WavError(f"MS ADPCM iDelta must be positive, got {deltas}")
+        samples.extend(s2)  # frame 0 per channel: iSamp2 verbatim
+        samples.extend(s1)  # frame 1 per channel: iSamp1 verbatim
+        nib_i = 0
+        for byte in block[7 * channels :]:
+            for nib in (byte >> 4, byte & 0x0F):
+                ch = nib_i % channels
+                nib_i += 1
+                pred = (s1[ch] * c1[ch] + s2[ch] * c2[ch]) >> 8
+                signed = nib - 16 if nib >= 8 else nib
+                v = max(-32768, min(32767, pred + signed * deltas[ch]))
+                s2[ch], s1[ch] = s1[ch], v
+                deltas[ch] = max(16, (MS_ADAPT_TABLE[nib] * deltas[ch]) >> 8)
+                samples.append(v)
+    n_frames = n_blocks * spb
+    if fact_frames is not None:
+        if not (n_frames - spb < fact_frames <= n_frames):
+            raise WavError(
+                f"fact chunk claims {fact_frames} frames but "
+                f"{n_blocks} blocks hold {n_frames} (spb={spb})"
+            )
+        samples = samples[: fact_frames * channels]
+        n_frames = fact_frames
+    return DecodedAudio(
+        channels=channels,
+        sample_rate=rate,
+        bit_depth=16,  # the decoded linear domain (header said 4)
+        n_frames=n_frames,
+        samples=samples,
+    )
+
+
+def _ms_trunc_div(e: int, delta: int) -> int:
+    """C-style integer division (truncate toward zero) — the
+    canonical MS ADPCM encoder quantizes PredErr/iDelta this way."""
+    return -((-e) // delta) if e < 0 else e // delta
+
+
+def encode_ms_adpcm(
+    samples: Sequence[int],
+    channels: int,
+    sample_rate: int,
+    samples_per_block: int = 500,
+    predictor=None,
+) -> bytes:
+    """Encode int16 samples as a Microsoft ADPCM WAV payload
+    (audio_format 2). Deterministic: the encoder tracks the
+    decoder's exact state, so ``decode_wav(encode_ms_adpcm(x))``
+    reproduces the encoder's reconstruction bit-for-bit.
+
+    ``predictor`` selects the per-block coefficient pair: ``None``
+    (default) tries all 7 canonical pairs and keeps the one with the
+    lowest reconstruction SSE (ties → lowest index — fully
+    deterministic); an ``int`` pins one pair; a callable
+    ``(block_idx, ch) -> int`` chooses per block (used by
+    oracle-paired fixtures to exercise every pair on a closed-form
+    schedule). The initial per-block iDelta is
+    ``max(16, |iSamp1 - iSamp2|)`` — an encoder-side choice the
+    decoder reads from the header, chosen for closed-form
+    mirrorability. Writes the ``fact`` chunk so a partial final
+    block (padded by repeating the last sample) round-trips the true
+    frame count."""
+    if channels not in (1, 2):
+        raise ValueError(f"MS ADPCM encode supports 1/2 channels, got {channels}")
+    spb = samples_per_block
+    # mono packs 2 nibbles/byte over spb-2 coded samples; stereo's
+    # alternating nibbles fill whole bytes at any spb; > 2 so every
+    # block carries a code body (spb=2 would be header-only blocks)
+    if spb < 3 or (channels == 1 and (spb - 2) % 2 != 0):
+        raise ValueError(
+            f"samples_per_block must be > 2"
+            + (" and even for mono" if channels == 1 else "")
+            + f", got {spb}"
+        )
+    if len(samples) % channels != 0:
+        raise ValueError(
+            f"{len(samples)} samples not divisible by {channels} channels"
+        )
+    n_frames = len(samples) // channels
+    if n_frames == 0:
+        raise ValueError("need at least one frame")
+    block_align = 7 * channels + (spb - 2) * channels // 2
+    chans = [samples[c::channels] for c in range(channels)]
+
+    def encode_channel_block(
+        seg: list[int], p: int
+    ) -> tuple[list[int], int, list[int]]:
+        """Encode one channel's block with coefficient pair ``p``;
+        returns (nibbles, sse, reconstruction)."""
+        c1, c2 = MS_COEF_PAIRS[p]
+        s2, s1 = seg[0], seg[1]
+        delta = min(32767, max(16, abs(s1 - s2)))  # header iDelta is int16
+        nibs: list[int] = []
+        recon = [s2, s1]
+        sse = 0
+        for s in seg[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            q = max(-8, min(7, _ms_trunc_div(s - pred, delta)))
+            nib = q & 0x0F
+            v = max(-32768, min(32767, pred + q * delta))
+            sse += (v - s) * (v - s)
+            s2, s1 = s1, v
+            delta = max(16, (MS_ADAPT_TABLE[nib] * delta) >> 8)
+            nibs.append(nib)
+            recon.append(v)
+        return nibs, sse, recon
+
+    blocks: list[bytes] = []
+    for bidx, start in enumerate(range(0, n_frames, spb)):
+        chosen: list[tuple[int, list[int], int, int]] = []  # (p, nibs, s1, s2)
+        for ch in range(channels):
+            seg = list(chans[ch][start : start + spb])
+            seg += [seg[-1]] * (spb - len(seg))  # pad partial block
+            if predictor is None:
+                best = min(
+                    (encode_channel_block(seg, p)[1], p) for p in range(7)
+                )[1]
+            elif callable(predictor):
+                best = int(predictor(bidx, ch))
+            else:
+                best = int(predictor)
+            if not (0 <= best < 7):
+                raise ValueError(f"predictor index {best} outside 0..6")
+            nibs, _, _ = encode_channel_block(seg, best)
+            chosen.append((best, nibs, seg[1], seg[0]))
+        head = bytearray(bytes(c[0] for c in chosen))
+        for field in (  # iDelta, iSamp1, iSamp2 — channel-interleaved
+            [min(32767, max(16, abs(c[2] - c[3]))) for c in chosen],
+            [c[2] for c in chosen],
+            [c[3] for c in chosen],
+        ):
+            for v in field:
+                head += struct.pack("<h", v)
+        body = bytearray()
+        if channels == 1:
+            nibs = chosen[0][1]
+            for i in range(0, len(nibs), 2):
+                body.append((nibs[i] << 4) | nibs[i + 1])
+        else:
+            nl, nr = chosen[0][1], chosen[1][1]
+            for a, b in zip(nl, nr):
+                body.append((a << 4) | b)
+        blocks.append(bytes(head) + bytes(body))
+    pcm = b"".join(blocks)
+    byte_rate = -(-sample_rate * block_align // spb)
+    fmt = struct.pack(
+        "<HHIIHHHHH",
+        2,
+        channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        4,
+        4 + 4 * 7,  # cbSize: wSamplesPerBlock + wNumCoef + 7 pairs
+        spb,
+        7,
+    ) + b"".join(struct.pack("<hh", a, b) for a, b in MS_COEF_PAIRS)
+    body_chunks = (
+        b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, n_frames)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body_chunks)) + b"WAVE" + body_chunks
 
 
 def encode_ima_adpcm(

@@ -2293,13 +2293,28 @@ oracle("q_stream_dedup")(
 # state but are excluded by f < n_frames — exactly the decoder's
 # fact-chunk truncation. The decoded bit_depth is 16 (linear
 # domain), so stats are over reconstructed int16 values.
+#
+# doc_id % 11 = 5 clips (round 8, priority over the IMA selector)
+# are MICROSOFT ADPCM (format 2) at 12 samples/block: a second
+# recursive CTE runs the two-tap predictor state machine with the
+# invariant (p1, p2) = (out(f), out(f-1)) — frames ≡ 0,1 (mod 12)
+# are the block header's iSamp2/iSamp1 verbatim, iDelta resets to
+# clamp16..32767 |iSamp1 - iSamp2| at each frame ≡ 1, coded frames
+# quantize q = trunc((s - pred)/delta) clamped [-8, 7] (DuckDB //
+# truncates toward zero, = the C encoder), reconstruct
+# clamp(pred + q*delta), and adapt delta via the 16-entry table
+# (>> 8 is arithmetic = floor, matching the codec's Python >>).
+# The per-block coefficient pair follows the closed-form schedule
+# (doc + block + channel) % 7, so all seven canonical predictors
+# are graded.
 oracle("q_audio_decode")(
     """
     WITH RECURSIVE dims AS (
       SELECT doc_id,
              1 + doc_id % 2 AS channels,
              40 + doc_id % 50 AS n_frames,
-             doc_id % 7 = 3 AS is_ima,
+             doc_id % 11 = 5 AS is_ms,
+             doc_id % 11 != 5 AND doc_id % 7 = 3 AS is_ima,
              doc_id % 3 = 2 AS is_float
       FROM documents
     ),
@@ -2308,7 +2323,7 @@ oracle("q_audio_decode")(
              CAST(((doc_id * 37 + unnest(range(0, CAST(n_frames * channels AS BIGINT))) * 101) % 65536) - 32768
                AS DOUBLE)
              / (CASE WHEN is_float THEN 32768 ELSE 1 END) AS s
-      FROM dims WHERE NOT is_ima
+      FROM dims WHERE NOT is_ima AND NOT is_ms
     ),
     plain AS (
       SELECT doc_id,
@@ -2402,10 +2417,77 @@ oracle("q_audio_decode")(
       FROM walk
       WHERE f < n_frames
       GROUP BY doc_id, channels, n_frames
+    ),
+    ms_ch AS (
+      SELECT doc_id,
+             CAST(channels AS BIGINT) AS channels,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(((n_frames + 11) // 12) * 12 AS BIGINT) AS padded,
+             unnest(range(0, CAST(channels AS BIGINT))) AS ch
+      FROM dims WHERE is_ms
+    ),
+    mswalk(doc_id, channels, n_frames, padded, ch, f, p1, p2, delta) AS (
+      SELECT doc_id, channels, n_frames, padded, ch, CAST(0 AS BIGINT),
+             ((doc_id * 37 + ch * 101) % 65536) - 32768,
+             CAST(0 AS BIGINT),
+             CAST(16 AS BIGINT)
+      FROM ms_ch
+      UNION ALL
+      SELECT w.doc_id, w.channels, w.n_frames, w.padded, w.ch, w.f + 1,
+             q.out_v, w.p1, q.new_delta
+      FROM mswalk w, LATERAL (
+        SELECT
+          CASE
+            WHEN (w.f + 1) % 12 IN (0, 1) THEN t1.s
+            ELSE GREATEST(-32768, LEAST(32767, t1.pred + t1.q * w.delta))
+          END AS out_v,
+          CASE
+            WHEN (w.f + 1) % 12 = 0 THEN CAST(16 AS BIGINT)
+            WHEN (w.f + 1) % 12 = 1
+              THEN LEAST(32767, GREATEST(16, ABS(t1.s - w.p1)))
+            ELSE GREATEST(16,
+                   ([230,230,230,230,307,409,512,614,
+                     768,614,512,409,307,230,230,230]
+                    [CAST((t1.q % 16 + 16) % 16 AS INT) + 1]
+                    * w.delta) >> 8)
+          END AS new_delta
+        FROM (
+          SELECT t0.s, t0.pred,
+                 GREATEST(-8, LEAST(7, (t0.s - t0.pred) // w.delta)) AS q
+          FROM (
+            SELECT
+              ((w.doc_id * 37
+                + (LEAST(w.f + 1, w.n_frames - 1) * w.channels + w.ch)
+                  * 101) % 65536) - 32768 AS s,
+              (w.p1 * [256,512,0,192,240,460,392]
+                 [CAST((w.doc_id + (w.f + 1) // 12 + w.ch) % 7 AS INT) + 1]
+               + w.p2 * [0,-256,0,64,0,-208,-232]
+                 [CAST((w.doc_id + (w.f + 1) // 12 + w.ch) % 7 AS INT) + 1]
+              ) >> 8 AS pred
+          ) t0
+        ) t1
+      ) q
+      WHERE w.f + 1 < w.padded
+    ),
+    ms AS (
+      SELECT doc_id,
+             CAST(channels AS INT) AS channels,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+             CAST(SUM(p1) AS DOUBLE) AS samp_sum,
+             CAST(MAX(ABS(p1)) AS DOUBLE) AS peak_abs,
+             ROUND(CAST(SUM(p1) AS DOUBLE) / (n_frames * channels), 6)
+               AS mean_sample
+      FROM mswalk
+      WHERE f < n_frames
+      GROUP BY doc_id, channels, n_frames
     )
     SELECT * FROM plain
     UNION ALL
     SELECT * FROM ima
+    UNION ALL
+    SELECT * FROM ms
     ORDER BY doc_id
     """
 )

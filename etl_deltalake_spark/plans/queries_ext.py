@@ -1144,26 +1144,34 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic clip per document (mono for even doc_id, stereo
     for odd; sample k of doc d derives from the integer formula
     s = ((d*37 + k*101) % 65536) - 32768; frame count varying per
-    doc). doc_id % 7 == 3 clips are IMA/DVI ADPCM (audio_format 17,
-    round 8) encoded at 9 samples per block so nearly every clip
-    ends in a partial final block (fact-chunk truncation live);
-    doc_id % 3 == 2 clips are IEEE-FLOAT32 PCM (round 6) with
-    sample s/32768 — dyadic rationals float32 holds exactly, so
-    sums/peaks stay bitwise-comparable across engines; the rest are
-    integer 16-bit. Decode with the pure-stdlib codec
+    doc). Codec-path schedule, first match wins: doc_id % 11 == 5
+    clips are MICROSOFT ADPCM (audio_format 2, round 8) at 12
+    samples per block with the per-block coefficient pair on the
+    closed-form schedule (d + block + channel) % 7 — all seven
+    canonical predictors exercised; doc_id % 7 == 3 clips are
+    IMA/DVI ADPCM (audio_format 17, round 8) at 9 samples per block
+    so nearly every clip ends in a partial final block (fact-chunk
+    truncation live); doc_id % 3 == 2 clips are IEEE-FLOAT32 PCM
+    (round 6) with sample s/32768 — dyadic rationals float32 holds
+    exactly, so sums/peaks stay bitwise-comparable across engines;
+    the rest are integer 16-bit. Decode with the pure-stdlib codec
     (operators/wav.py via multimodal.decode_audio) and emit format
     fields + exact amplitude stats. The DuckDB oracle recomputes the
-    same statistics from the closed-form sample formula — for the
-    ADPCM clips it runs the ENTIRE encoder+decoder quantize/step
-    state machine as a recursive CTE over the public IMA tables, so
-    a codec that mis-walks blocks, mis-interleaves stereo words,
-    mis-clamps the predictor, or mis-truncates the padded tail
-    hash-mismatches immediately. Both stages are Arrow-batched
+    same statistics from the closed-form sample formula — for both
+    ADPCM families it runs the ENTIRE encoder+decoder quantize/step
+    state machine as recursive CTEs over the public IMA/MS tables,
+    so a codec that mis-walks blocks, mis-interleaves stereo,
+    mis-clamps the predictor or delta, or mis-truncates the padded
+    tail hash-mismatches immediately. Both stages are Arrow-batched
     mapInPandas, zero shuffles."""
     import pandas as pd
 
     from etl_deltalake_spark.operators.multimodal import decode_audio
-    from etl_deltalake_spark.operators.wav import encode_ima_adpcm, encode_wav
+    from etl_deltalake_spark.operators.wav import (
+        encode_ima_adpcm,
+        encode_ms_adpcm,
+        encode_wav,
+    )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
 
@@ -1178,7 +1186,14 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((d * 37 + k * 101) % 65536) - 32768
                     for k in range(n_frames * channels)
                 ]
-                if d % 7 == 3:
+                if d % 11 == 5:
+                    payloads.append(
+                        encode_ms_adpcm(
+                            ints, channels, 8000, samples_per_block=12,
+                            predictor=lambda b, ch, d=d: (d + b + ch) % 7,
+                        )
+                    )
+                elif d % 7 == 3:
                     payloads.append(
                         encode_ima_adpcm(
                             ints, channels, 8000, samples_per_block=9

@@ -71,9 +71,14 @@ def test_container_malformations_rejected(mutate, match):
 def test_non_pcm_and_bad_depth_unsupported():
     good = encode_wav([1, -1], channels=1, sample_rate=8000)
     fmt_off = good.index(b"fmt ") + 8
-    # ADPCM (format 2) stays an honest gate
+    # genuinely entropy-coded formats (MP3 = 85) stay an honest gate
+    # (MS ADPCM format 2 decodes since round 8 — see the r8 tests)
+    mp3 = good[:fmt_off] + struct.pack("<H", 85) + good[fmt_off + 2 :]
+    with pytest.raises(UnsupportedWavError, match="format 85"):
+        decode_wav(mp3)
+    # a format-2 header on 16-bit PCM data is malformed, not gated
     adpcm = good[:fmt_off] + struct.pack("<H", 2) + good[fmt_off + 2 :]
-    with pytest.raises(UnsupportedWavError, match="format 2"):
+    with pytest.raises(WavError, match="4-bit"):
         decode_wav(adpcm)
     # float (format 3) decodes since round 6, but only at 32/64-bit —
     # a 16-bit float header is malformed, not gated
@@ -613,4 +618,279 @@ def test_decode_audio_kernel_handles_ima(spark):
     assert row["err"] is None
     assert (row["channels"], row["bit_depth"], row["n_frames"]) == (1, 16, 20)
     assert row["samp_sum"] == float(sum(ref))
+    assert row["peak_abs"] == float(max(abs(s) for s in ref))
+
+
+# -------------------------------------------- round 8: Microsoft ADPCM
+
+
+from etl_deltalake_spark.operators.wav import encode_ms_adpcm  # noqa: E402
+
+# Independent spec-table copies (Microsoft multimedia spec, public
+# constants) — the reference decoder shares nothing with wav.py.
+_REF_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_REF_MS_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
+
+def _ref_decode_ms(payload: bytes) -> tuple[int, int, list[int]]:
+    """Independent minimal format-2 decoder (own RIFF walk, own
+    tables, own nibble logic)."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    off, fmt, data, fact = 12, None, None, None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        n = int.from_bytes(payload[off + 4 : off + 8], "little")
+        body = payload[off + 8 : off + 8 + n]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact":
+            fact = int.from_bytes(body[:4], "little")
+        off += 8 + n + (n & 1)
+    tag, ch, rate, _br, ba, bits = struct.unpack_from("<HHIIHH", fmt)
+    assert tag == 2 and bits == 4
+    out: list[int] = []
+    for b0 in range(0, len(data), ba):
+        blk = data[b0 : b0 + ba]
+        preds = [blk[c] for c in range(ch)]
+        dl = [struct.unpack_from("<h", blk, ch + 2 * c)[0] for c in range(ch)]
+        s1 = [
+            struct.unpack_from("<h", blk, 3 * ch + 2 * c)[0] for c in range(ch)
+        ]
+        s2 = [
+            struct.unpack_from("<h", blk, 5 * ch + 2 * c)[0] for c in range(ch)
+        ]
+        out.extend(s2)
+        out.extend(s1)
+        i = 0
+        for byte in blk[7 * ch :]:
+            for nib in (byte >> 4, byte & 15):
+                c = i % ch
+                i += 1
+                c1, c2 = _REF_MS_COEFS[preds[c]]
+                pr = (s1[c] * c1 + s2[c] * c2) >> 8
+                sg = nib - 16 if nib >= 8 else nib
+                v = max(-32768, min(32767, pr + sg * dl[c]))
+                s2[c], s1[c] = s1[c], v
+                dl[c] = max(16, (_REF_MS_ADAPT[nib] * dl[c]) >> 8)
+                out.append(v)
+    if fact is not None:
+        out = out[: fact * ch]
+    return ch, rate, out
+
+
+@pytest.mark.parametrize(
+    "channels, n_frames, spb, predictor",
+    [
+        (1, 48, 12, None),          # whole blocks, best-SSE choice
+        (1, 43, 12, None),          # partial final block
+        (2, 41, 12, 3),             # stereo, pinned pair, partial
+        (2, 36, 9, None),           # stereo, odd spb
+        (1, 500, 500, None),        # default-sized single block
+        (2, 2, 5, 0),               # shorter than one block
+        (1, 1, 4, None),            # single frame (header carries it)
+        (2, 100, 12, lambda b, ch: (b + ch) % 7),  # every coef pair
+    ],
+)
+def test_ms_roundtrip_matches_independent_decoder(
+    channels, n_frames, spb, predictor
+):
+    """decode_wav(encode_ms_adpcm(x)) == an independent spec-table
+    decoder on the same payload — pins the two-tap predictor, header
+    sample order (iSamp2 then iSamp1), stereo nibble alternation
+    (high=left), delta adaptation/floor, and fact truncation."""
+    samples = _ima_clip(n_frames * channels, seed=11 + channels)
+    payload = encode_ms_adpcm(
+        samples, channels, 8000, samples_per_block=spb, predictor=predictor
+    )
+    au = decode_wav(payload)
+    ch, rate, ref = _ref_decode_ms(payload)
+    assert (au.channels, au.sample_rate, au.bit_depth) == (channels, 8000, 16)
+    assert au.n_frames == n_frames
+    assert (ch, rate) == (channels, 8000)
+    assert list(au.samples) == ref
+
+
+def test_ms_reconstruction_tracks_input():
+    """Lossy, but the best-SSE predictor choice tracks a smooth
+    signal closely — a layout/sign/adaptation bug blows this out."""
+    import math
+
+    samples = [round(8000 * math.sin(k / 20)) for k in range(400)]
+    au = decode_wav(encode_ms_adpcm(samples, 1, 8000, samples_per_block=100))
+    err = max(abs(a - b) for a, b in zip(au.samples, samples))
+    assert err <= 800  # ~2.4% of the 8000 amplitude in practice
+
+
+def _raw_ms_payload(
+    header: bytes,
+    body: bytes,
+    channels: int = 1,
+    rate: int = 8000,
+    byte_rate: int | None = None,
+    bits: int = 4,
+) -> bytes:
+    """Hand-build a single-block format-2 payload (extension-free
+    16-byte fmt, so the canonical coefficient table applies)."""
+    block_align = len(header) + len(body)
+    spb = len(body) * 2 // channels + 2
+    if byte_rate is None:
+        byte_rate = -(-rate * block_align // spb)
+    fmt = struct.pack("<HHIIHH", 2, channels, rate, byte_rate, block_align, bits)
+    pcm = header + body
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_ms_landmark_vector_hand_derived():
+    """Hand-derived walk: predictor pair 1 = (512, -256), iDelta=64,
+    iSamp1=100, iSamp2=50, nibbles [1, 2, 15, 8] high-first. Expected
+    values computed by hand from the spec, not by running either
+    codec: pred=(s1*512 + s2*(-256))>>8, v=pred+q*delta, delta
+    adapts by table[nib]/256 floored at 16."""
+    header = struct.pack("<Bhhh", 1, 64, 100, 50)
+    payload = _raw_ms_payload(header, bytes([0x12, 0xF8]))
+    au = decode_wav(payload)
+    assert list(au.samples) == [50, 100, 214, 442, 619, 436]
+    assert (au.channels, au.bit_depth, au.n_frames) == (1, 16, 6)
+
+
+def test_ms_predictor_index_out_of_range_rejected():
+    header = struct.pack("<Bhhh", 7, 64, 0, 0)  # only 0..6 exist
+    with pytest.raises(WavError, match="predictor index 7"):
+        decode_wav(_raw_ms_payload(header, bytes(2)))
+
+
+def test_ms_nonpositive_delta_rejected():
+    header = struct.pack("<Bhhh", 0, 0, 0, 0)
+    with pytest.raises(WavError, match="iDelta must be positive"):
+        decode_wav(_raw_ms_payload(header, bytes(2)))
+
+
+def test_ms_bits_not_4_rejected():
+    header = struct.pack("<Bhhh", 0, 16, 0, 0)
+    with pytest.raises(WavError, match="4-bit"):
+        decode_wav(_raw_ms_payload(header, bytes(2), bits=8))
+
+
+def test_ms_byte_rate_outside_band_rejected():
+    header = struct.pack("<Bhhh", 0, 16, 0, 0)
+    with pytest.raises(WavError, match="byte_rate=1 outside"):
+        decode_wav(_raw_ms_payload(header, bytes(2), byte_rate=1))
+
+
+def test_ms_header_extension_cross_checks():
+    """The encoder writes the full format-2 extension; corrupting
+    wSamplesPerBlock, wNumCoef, or the standard pairs must error."""
+    good = encode_ms_adpcm(
+        _ima_clip(24), 1, 8000, samples_per_block=12, predictor=0
+    )
+    fmt_off = good.index(b"fmt ") + 8
+
+    spb_bad = good[: fmt_off + 18] + struct.pack("<H", 99) + good[fmt_off + 20 :]
+    with pytest.raises(WavError, match="wSamplesPerBlock=99"):
+        decode_wav(spb_bad)
+
+    ncoef_bad = good[: fmt_off + 20] + struct.pack("<H", 3) + good[fmt_off + 22 :]
+    with pytest.raises(WavError, match="wNumCoef=3"):
+        decode_wav(ncoef_bad)
+
+    coef_bad = good[: fmt_off + 22] + struct.pack("<h", 999) + good[fmt_off + 24 :]
+    with pytest.raises(WavError, match="redefines"):
+        decode_wav(coef_bad)
+
+
+def test_ms_non_whole_blocks_rejected():
+    good = encode_ms_adpcm(_ima_clip(24), 1, 8000, samples_per_block=12)
+    data_off = good.index(b"data")
+    n = struct.unpack_from("<I", good, data_off + 4)[0]
+    bad = (
+        good[: data_off + 4]
+        + struct.pack("<I", n - 1)
+        + good[data_off + 8 : data_off + 8 + n - 1]
+    )
+    bad = bad[:4] + struct.pack("<I", len(bad) - 8) + bad[8:]
+    with pytest.raises(WavError, match="whole MS-ADPCM blocks"):
+        decode_wav(bad)
+
+
+def test_ms_fact_outside_final_block_window_rejected():
+    # 2 blocks of spb=12 hold 24 frames; fact must be in (12, 24]
+    good = encode_ms_adpcm(_ima_clip(24), 1, 8000, samples_per_block=12)
+    fact_off = good.index(b"fact") + 8
+    for bad_fact, ok in ((12, False), (25, False), (13, True), (24, True)):
+        mutated = (
+            good[:fact_off]
+            + struct.pack("<I", bad_fact)
+            + good[fact_off + 4 :]
+        )
+        if ok:
+            assert decode_wav(mutated).n_frames == bad_fact
+        else:
+            with pytest.raises(WavError, match="fact chunk claims"):
+                decode_wav(mutated)
+
+
+def test_ms_three_channels_gated():
+    good = encode_ms_adpcm(_ima_clip(24), 1, 8000, samples_per_block=12)
+    fmt_off = good.index(b"fmt ") + 8
+    bad = good[: fmt_off + 2] + struct.pack("<H", 3) + good[fmt_off + 4 :]
+    with pytest.raises(UnsupportedWavError, match="mono/stereo"):
+        decode_wav(bad)
+
+
+def test_ms_encoder_argument_validation():
+    with pytest.raises(ValueError, match="1/2 channels"):
+        encode_ms_adpcm([0, 0, 0], 3, 8000)
+    with pytest.raises(ValueError, match="samples_per_block"):
+        encode_ms_adpcm([0, 0], 1, 8000, samples_per_block=5)  # odd mono
+    with pytest.raises(ValueError, match="samples_per_block"):
+        encode_ms_adpcm([0, 0], 2, 8000, samples_per_block=2)  # header-only
+    with pytest.raises(ValueError, match="not divisible"):
+        encode_ms_adpcm([0, 0, 0], 2, 8000)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_ms_adpcm([], 1, 8000)
+    with pytest.raises(ValueError, match="predictor index 9"):
+        encode_ms_adpcm([0, 0, 0, 0], 1, 8000, samples_per_block=4, predictor=9)
+
+
+@settings(deadline=None, max_examples=60, print_blob=True)
+@given(
+    frames=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=40
+    ),
+    channels=st.integers(min_value=1, max_value=2),
+)
+def test_ms_roundtrip_property(frames, channels):
+    """Property form: for ANY int16 input (best-SSE predictor
+    selection live) the production decode equals the independent
+    decoder and the frame count survives fact truncation."""
+    samples = frames * channels
+    payload = encode_ms_adpcm(samples, channels, 16000, samples_per_block=12)
+    au = decode_wav(payload)
+    assert au.n_frames == len(frames)
+    assert list(au.samples) == _ref_decode_ms(payload)[2]
+
+
+def test_decode_audio_kernel_handles_ms(spark):
+    from etl_deltalake_spark.operators.multimodal import decode_audio
+
+    payload = encode_ms_adpcm(_ima_clip(20), 1, 8000, samples_per_block=12)
+    _, _, ref = _ref_decode_ms(payload)
+    df = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+    row = decode_audio(df, "doc_id", "payload").collect()[0]
+    assert row["err"] is None
+    assert (row["channels"], row["bit_depth"], row["n_frames"]) == (1, 16, 20)
+    assert row["samp_sum_i64"] == sum(ref)
     assert row["peak_abs"] == float(max(abs(s) for s in ref))
