@@ -517,6 +517,32 @@ AHASH_SCHEMA = StructType(
 )
 
 
+def _luma_cells(payload: bytes, tw: int, th: int) -> bytes:
+    """Shared perceptual-hash front half: decode PNG → 8-bit
+    luminance plane (BT.601 integer luma for RGB(A), gray channel
+    for GA, high bytes for 16-bit) → exact integer box-mean pooling
+    to ``tw × th`` cells. Raises PngError/ValueError on bad
+    payloads (callers map to the err column)."""
+    from etl_deltalake_spark.operators.png import decode_png
+
+    img = decode_png(bytes(payload))
+    px = img.pixels
+    if img.bit_depth == 16:
+        px = px[::2]
+    ch = img.channels
+    if ch >= 3:  # RGB(A) -> BT.601 luma
+        lum = bytes(
+            (299 * px[i * ch] + 587 * px[i * ch + 1] + 114 * px[i * ch + 2])
+            // 1000
+            for i in range(img.width * img.height)
+        )
+    elif ch == 2:  # gray+alpha -> gray channel
+        lum = px[::2]
+    else:
+        lum = px
+    return box_resize(lum, img.width, img.height, 1, tw, th)
+
+
 def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Perceptual AVERAGE-HASH image fingerprints (round 5) — the
     image counterpart of text dedup's md5-of-normalized-text: decode,
@@ -536,7 +562,7 @@ def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     deterministic everywhere. Same mapInPandas posture as the other
     kernels: per-row errors in ``err``, no shuffle.
     """
-    from etl_deltalake_spark.operators.png import PngError, decode_png
+    from etl_deltalake_spark.operators.png import PngError
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -544,28 +570,7 @@ def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             for doc, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(doc)
                 try:
-                    img = decode_png(bytes(payload))
-                    px = img.pixels
-                    if img.bit_depth == 16:
-                        px = px[::2]
-                    ch = img.channels
-                    if ch >= 3:  # RGB(A) -> BT.601 luma
-                        lum = bytes(
-                            (
-                                299 * px[i * ch]
-                                + 587 * px[i * ch + 1]
-                                + 114 * px[i * ch + 2]
-                            )
-                            // 1000
-                            for i in range(img.width * img.height)
-                        )
-                    elif ch == 2:  # gray+alpha -> gray channel
-                        lum = px[::2]
-                    else:
-                        lum = px
-                    cells = box_resize(
-                        lum, img.width, img.height, 1, 8, 8
-                    )
+                    cells = _luma_cells(payload, 8, 8)
                     mean = sum(cells) // 64
                     h = 0
                     for c in cells:
@@ -591,6 +596,65 @@ def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         F.col(payload_col).cast(BinaryType()).alias(payload_col),
     )
     return src.mapInPandas(kernel, schema=AHASH_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Perceptual DIFFERENCE-HASH image fingerprints (round 8): the
+    gradient-based complement to ``image_ahash``. Decode → luminance
+    → box-mean pool to 9×8 cells (one EXTRA column), then bit
+    (x, y) = 1 iff cell(x+1, y) > cell(x, y) — 8 horizontal
+    gradients per row × 8 rows packed MSB-first row-major into one
+    signed BIGINT. dHash captures edge structure rather than global
+    brightness, so brightness-shifted near-dups that fool aHash's
+    mean threshold still collide here, while the two hashes together
+    (both integer-exact, both re-encoding-invariant) give the
+    image-dedup tier two independent 64-bit signals for Hamming
+    ranking (``hamming64``). Same mapInPandas posture: per-row
+    errors in ``err``, zero shuffle. Classical public technique
+    (difference hash, widely documented alongside aHash/pHash)."""
+    from etl_deltalake_spark.operators.png import PngError
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc)
+                try:
+                    cells = _luma_cells(payload, 9, 8)
+                    h = 0
+                    for y in range(8):
+                        row = cells[y * 9 : y * 9 + 9]
+                        for x in range(8):
+                            h = (h << 1) | (1 if row[x + 1] > row[x] else 0)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    hashes.append(h)
+                    errs.append(None)
+                except (PngError, ValueError) as e:
+                    hashes.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="Int64"),
+                    "err": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return src.mapInPandas(kernel, schema=DHASH_SCHEMA)
 
 
 def hamming64(a: Column, b: Column) -> Column:

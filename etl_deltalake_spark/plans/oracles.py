@@ -3990,6 +3990,58 @@ oracle("q_image_dedup")(
 )
 
 
+# Numeric rederivation of the difference-hash (q_image_dhash, round
+# 8): same closed-form luminance as q_image_dedup, pooled into a 9×8
+# grid (one extra column), bit (x, y) = cell(x+1, y) > cell(x, y)
+# strict, MSB-first row-major — integer SQL end to end, mirroring
+# multimodal.image_dhash + box_resize exactly (round-half-up means).
+oracle("q_image_dhash")(
+    """
+    WITH d2 AS (
+      SELECT doc_id,
+             doc_id - doc_id % 3 AS b,
+             8 + ((doc_id - doc_id % 3) // 3) % 5 AS w,
+             8 + ((doc_id - doc_id % 3) // 3) % 3 AS h
+      FROM documents
+    ),
+    cells AS (SELECT doc_id, b, w, h, unnest(range(0, 72)) AS c FROM d2),
+    boxes AS (
+      SELECT doc_id, b, w, h, c,
+        (c % 9) * w // 9 AS x0,
+        GREATEST((c % 9) * w // 9 + 1, ((c % 9) + 1) * w // 9) AS x1,
+        (c // 9) * h // 8 AS y0,
+        GREATEST((c // 9) * h // 8 + 1, ((c // 9) + 1) * h // 8) AS y1
+      FROM cells
+    ),
+    cellvals AS (
+      SELECT doc_id, c % 9 AS cx, c // 9 AS cy,
+        (2 * SUM((b * 31 + (y * w + x)) % 256) + COUNT(*))
+          // (2 * COUNT(*)) AS cv
+      FROM boxes, LATERAL (SELECT unnest(range(y0, y1)) AS y),
+                  LATERAL (SELECT unnest(range(x0, x1)) AS x)
+      GROUP BY doc_id, c, w, h
+    ),
+    bits AS (
+      SELECT l.doc_id,
+        SUM(CASE WHEN r.cv > l.cv
+                 THEN CAST(1 AS HUGEINT) << (63 - (l.cy * 8 + l.cx))
+                 ELSE 0 END) AS hsh
+      FROM cellvals l
+      JOIN cellvals r
+        ON l.doc_id = r.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+      WHERE l.cx < 8
+      GROUP BY l.doc_id
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN hsh >= CAST(1 AS HUGEINT) << 63
+                THEN hsh - (CAST(1 AS HUGEINT) << 64)
+                ELSE hsh END AS BIGINT) AS dhash
+    FROM bits
+    ORDER BY doc_id
+    """
+)
+
+
 oracle("q_seasonal")(
     """
     WITH b AS (

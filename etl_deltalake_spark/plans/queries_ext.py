@@ -2625,6 +2625,52 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash fingerprints (round 8), cross-engine
+    graded over the SAME triple re-encoded synthesis as q_image_dedup
+    (gray filter-cycled / gray Adam7-interlaced / RGB r=g=b): the
+    9×8-cell horizontal-gradient hash must be identical across the
+    triple AND numerically equal to the DuckDB oracle's re-derivation
+    (integer box means over 9-wide cells → strict adjacent-compare →
+    MSB-first row-major pack). With q_image_dedup this grades BOTH
+    64-bit perceptual signals the image-dedup tier ships."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.multimodal import image_dhash
+    from etl_deltalake_spark.operators.png import encode_png
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_png(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                b = d - d % 3
+                w = 8 + (b // 3) % 5
+                h = 8 + (b // 3) % 3
+                px = bytes((b * 31 + k) % 256 for k in range(w * h))
+                mode = d % 3
+                if mode == 0:
+                    blob = encode_png(px, w, h, 0, "cycle")
+                elif mode == 1:
+                    blob = encode_png(px, w, h, 0, "cycle", interlace=True)
+                else:
+                    rgb = b"".join(bytes([v, v, v]) for v in px)
+                    blob = encode_png(rgb, w, h, 2, "cycle")
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_png, schema="doc_id long, payload binary")
+    return (
+        image_dhash(media, "doc_id", "payload")
+        .select("doc_id", "dhash")
+        .orderBy("doc_id")
+    )
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

@@ -294,6 +294,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_k_anonymity",
     "q_join_view",
     "q_tukey",
+    # round 8
+    "q_image_dhash",
 )
 
 

@@ -279,3 +279,47 @@ def test_decode_audio_i64_null_for_float_and_equal_for_small_int(spark):
     assert rows[1]["err"] is None and rows[1]["samp_sum_i64"] is None
     assert rows[1]["samp_sum"] == 0.25
     assert rows[2]["samp_sum_i64"] == 14 and rows[2]["samp_sum"] == 14.0
+
+
+def test_image_dhash_gradient_semantics(spark):
+    """On a 9x8 image (cells == pixels, pooling is identity) the
+    difference hash is exactly the horizontal strict-gradient bits:
+    increasing rows give 0xFF, decreasing/constant rows 0x00 —
+    expected value hand-derived, not computed by either codec."""
+    from etl_deltalake_spark.operators.multimodal import image_dhash
+    from etl_deltalake_spark.operators.png import encode_png
+
+    rows = []
+    for y in range(8):
+        if y % 2 == 0:
+            rows += [10 + 3 * x for x in range(9)]   # increasing
+        else:
+            rows += [200 - 5 * x for x in range(9)]  # decreasing
+    payload = encode_png(bytes(rows), 9, 8, 0, "cycle")
+    df = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+    row = image_dhash(df, "doc_id", "payload").collect()[0]
+    assert row["err"] is None
+    want = 0
+    for y in range(8):
+        want = (want << 8) | (0xFF if y % 2 == 0 else 0x00)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert row["dhash"] == want
+
+
+def test_image_dhash_reencoding_invariant_and_err(spark):
+    """Adam7 re-encoding of the same pixels hashes identically;
+    corrupt payloads land in err, never raise."""
+    from etl_deltalake_spark.operators.multimodal import image_dhash
+    from etl_deltalake_spark.operators.png import encode_png
+
+    px = bytes((k * 7) % 256 for k in range(12 * 10))
+    plain = encode_png(px, 12, 10, 0, "cycle")
+    inter = encode_png(px, 12, 10, 0, "cycle", interlace=True)
+    df = spark.createDataFrame(
+        [(1, plain), (2, inter), (3, b"not a png")], ["doc_id", "payload"]
+    )
+    out = {r["doc_id"]: r for r in image_dhash(df, "doc_id", "payload").collect()}
+    assert out[1]["err"] is None and out[2]["err"] is None
+    assert out[1]["dhash"] == out[2]["dhash"]
+    assert out[3]["err"] is not None and out[3]["dhash"] is None
