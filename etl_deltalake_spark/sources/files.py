@@ -86,3 +86,56 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return clean, bad
+
+
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "orc",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Columnar sink (round 8): ORC or Parquet, optional hive-style
+    ``partitionBy`` layout so downstream predicate filters prune
+    whole directories. Spark supports both natively — no extra
+    packages — and both are splittable, compressed, and carry column
+    statistics, so scans push filters and prune columns for free."""
+    if fmt not in ("orc", "parquet"):
+        raise ValueError(f"fmt must be orc/parquet, got {fmt!r}")
+    w = df.write.mode(mode).format(fmt)
+    if compression is not None:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_columnar(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "orc",
+    schema: StructType | None = None,
+    ignore_corrupt_files: bool = False,
+) -> DataFrame:
+    """Columnar source (round 8). Binary columnar formats have no
+    row-level corrupt-record column — a torn file fails at the
+    stripe/footer level — so the quarantine analogue is FILE-level:
+    ``ignore_corrupt_files=True`` sets the per-read
+    ``ignoreCorruptFiles`` option (scoped to this scan, not the
+    session) and the SCAN skips unreadable files instead of killing
+    the 100 TB job; the audit path is a directory listing diff, not
+    a _corrupt_record column. Schemas normally come from the file
+    footers (self-describing formats, no inference pass over data) —
+    but footer-based schema RESOLUTION happens before the scan and
+    does not honor the per-read option, so when corrupt files may be
+    present pass ``schema`` explicitly (the 100 TB posture anyway:
+    production tables have declared schemas)."""
+    if fmt not in ("orc", "parquet"):
+        raise ValueError(f"fmt must be orc/parquet, got {fmt!r}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if ignore_corrupt_files:
+        r = r.option("ignoreCorruptFiles", "true")
+    return r.load(path)

@@ -14,6 +14,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from etl_deltalake_spark.sources.catalog import load_table
 from etl_deltalake_spark.sources.files import (
     read_csv,
     read_jsonl,
@@ -72,3 +73,64 @@ def test_clean_branch_prunes_corrupt_column(spark, tmp_path):
     assert "_corrupt_record" not in clean.columns
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan
+
+
+def test_columnar_roundtrip_both_formats(spark, sf_dir, tmp_path):
+    """ORC and Parquet round-trip byte-identical row sets (native
+    Spark support, no packages)."""
+    from etl_deltalake_spark.sources.files import (
+        read_columnar,
+        write_columnar,
+    )
+
+    src = load_table(spark, "nation", sf_dir)
+    want = sorted(tuple(r) for r in src.collect())
+    for fmt in ("orc", "parquet"):
+        path = str(tmp_path / f"col_{fmt}")
+        write_columnar(src, path, fmt=fmt)
+        got = sorted(tuple(r) for r in read_columnar(spark, path, fmt=fmt).collect())
+        assert got == want
+
+
+def test_columnar_partition_layout_prunes(spark, sf_dir, tmp_path):
+    """partitionBy writes hive-style directories and an equality
+    filter touches ONLY the matching partition's files."""
+    from etl_deltalake_spark.operators.partitioning import files_touched
+    from etl_deltalake_spark.sources.files import (
+        read_columnar,
+        write_columnar,
+    )
+
+    src = load_table(spark, "nation", sf_dir)
+    path = str(tmp_path / "part_orc")
+    write_columnar(src, path, fmt="orc", partition_by=["n_regionkey"])
+    full = read_columnar(spark, path, fmt="orc")
+    pruned = full.filter(F.col("n_regionkey") == 0)
+    assert pruned.count() == src.filter(F.col("n_regionkey") == 0).count()
+    assert files_touched(pruned) < files_touched(full)
+
+
+def test_columnar_corrupt_file_quarantine(spark, sf_dir, tmp_path):
+    """The file-level quarantine posture: a garbage file in the scan
+    directory kills the strict read but is skipped (rows intact from
+    good files) with ignore_corrupt_files=True."""
+    import pytest
+
+    from etl_deltalake_spark.sources.files import (
+        read_columnar,
+        write_columnar,
+    )
+
+    src = load_table(spark, "region", sf_dir)
+    path = str(tmp_path / "quar_orc")
+    write_columnar(src, path, fmt="orc")
+    n = src.count()
+    # splice a torn file into the directory
+    (tmp_path / "quar_orc" / "part-junk.orc").write_bytes(b"ORC\x00garbage")
+
+    with pytest.raises(Exception, match="(?i)orc|corrupt|malformed"):
+        read_columnar(spark, path, fmt="orc", schema=src.schema).count()
+    got = read_columnar(
+        spark, path, fmt="orc", schema=src.schema, ignore_corrupt_files=True
+    )
+    assert got.count() == n
