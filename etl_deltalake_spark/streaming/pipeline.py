@@ -497,6 +497,7 @@ def neardup_maintenance_stream(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    store_table: str | None = None,
 ) -> None:
     """Streaming NEAR-dup dedup (round 5): each micro-batch probes
     the persisted MinHash signature/band store
@@ -520,12 +521,22 @@ def neardup_maintenance_stream(
     safety rides the checkpoint — an epoch replay re-appends the same
     verdicts (dedup downstream on (doc, epoch)); Delta MERGE makes
     step 4 idempotent where available (sources/table_format.py).
+
+    ``store_table`` (round 8) switches the store from a plain parquet
+    directory to the BUCKETED table
+    (operators/dedup.write_minhash_store_bucketed): the first epoch
+    creates it, later epochs append — saveAsTable verifies the bucket
+    spec on append — so every probe reads the growing store
+    co-located on (band_idx, band_hash) with zero store-side
+    Exchanges. This is the streaming end of the same growth path the
+    batch tier uses; without it each probe re-shuffles the entire
+    store, which at corpus scale dwarfs the batch's own cost.
     """
     q = (
         stream_df.writeStream.foreachBatch(
             lambda batch_df, epoch_id: neardup_epoch(
                 batch_df, epoch_id, id_col, text_col, store_dir, out_dir,
-                k, num_perm, bands, threshold,
+                k, num_perm, bands, threshold, store_table,
             )
         )
         .outputMode("update")
@@ -547,6 +558,7 @@ def neardup_epoch(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    store_table: str | None = None,
 ) -> None:
     """One micro-batch of ``neardup_maintenance_stream`` (exposed so
     tests can drive epochs deterministically)."""
@@ -557,12 +569,21 @@ def neardup_epoch(
     from etl_deltalake_spark.operators.dedup import (
         incremental_neardup,
         minhash_store,
+        write_minhash_store_bucketed,
     )
 
     spark = batch_df.sparkSession
-    if os.path.exists(os.path.join(store_dir, "_SUCCESS")) or any(
-        f.endswith(".parquet")
-        for f in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+    table_exists = store_table is not None and spark.catalog.tableExists(
+        store_table
+    )
+    if table_exists:
+        store = spark.table(store_table)
+    elif store_table is None and (
+        os.path.exists(os.path.join(store_dir, "_SUCCESS"))
+        or any(
+            f.endswith(".parquet")
+            for f in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+        )
     ):
         store = spark.read.schema(
             "doc long, sig array<string>, band_idx long, band_hash string"
@@ -579,7 +600,16 @@ def neardup_epoch(
     ).parquet(out_dir)
     kept = verdicts.filter(F.col("kept")).select("doc")
     new_rows = minhash_store(batch_df, id_col, text_col, k, num_perm, bands)
-    new_rows.join(kept, "doc").write.mode("append").parquet(store_dir)
+    kept_rows = new_rows.join(kept, "doc")
+    if store_table is not None:
+        write_minhash_store_bucketed(
+            kept_rows,
+            store_table,
+            store_dir,
+            mode="append" if table_exists else "overwrite",
+        )
+    else:
+        kept_rows.write.mode("append").parquet(store_dir)
 
 
 def stream_static_enrich(

@@ -139,3 +139,71 @@ def test_mis_bucketed_join_still_detected(spark, sf_dir, tmp_path):
         f"partial-key bucketing should shuffle but audit saw none: {audit}"
     )
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_neardup_bucketed_store_growth(spark, sf_dir, tmp_path):
+    """The streaming maintenance path with store_table: two epochs
+    (maxFilesPerTrigger=1 over two source files) create-then-append
+    the BUCKETED store; verdicts equal the plain parquet-store run
+    epoch for epoch, and a post-stream probe of the grown table still
+    enters its join with zero store-side Exchanges."""
+    from etl_deltalake_spark.streaming.pipeline import (
+        neardup_maintenance_stream,
+    )
+
+    docs = qx.load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).limit(40).write.parquet(
+        src + "/a.parquet"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).limit(40).write.parquet(
+        src + "/b.parquet"
+    )
+
+    tbl = "neardup_stream_bucketed_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    def run(out_name, ckpt_name, store_name, store_table):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        neardup_maintenance_stream(
+            stream,
+            "doc_id",
+            "text",
+            str(tmp_path / store_name),
+            str(tmp_path / out_name),
+            str(tmp_path / ckpt_name),
+            store_table=store_table,
+        )
+        return spark.read.parquet(str(tmp_path / out_name))
+
+    out_b = run("out_b", "ck_b", "store_b", tbl)
+    out_p = run("out_p", "ck_p", "store_p", None)
+
+    # more than one epoch actually ran, and verdicts agree exactly
+    assert out_b.select("epoch").distinct().count() >= 2
+    key = lambda df: sorted(
+        (r["doc"], r["kept"], r["hist_dup"]) for r in df.collect()
+    )
+    assert key(out_b) == key(out_p)
+
+    # the grown bucketed table serves a co-located probe
+    store = spark.table(tbl)
+    assert store.count() > 0
+    probe = qx.load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") >= 900
+    ).limit(30)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_neardup(probe, store, "doc_id", "text")
+        out.count()
+        audit = bucketed_scan_exchange_audit(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert audit["bucketed_scans"] >= 1
+    assert audit["shuffled_bucketed_scans"] == 0, audit
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
