@@ -665,3 +665,89 @@ def hamming64(a: Column, b: Column) -> Column:
             F.col(b) if isinstance(b, str) else b
         )
     )
+
+
+VIDEO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("delay_ms", LongType()),
+        StructField("pix_sum", LongType()),
+        StructField("n_pix", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def decode_video(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL frame-sequenced video decode (round 8): parse each binary
+    payload as APNG (operators/apng.py — the one video-like container
+    the stdlib can genuinely demux; the pixel layer is the png.py
+    codec reused whole) and emit ONE ROW PER FRAME with typed frame
+    features: index, dimensions, per-frame delay, exact pixel-byte
+    sum/count. A plain PNG payload yields a single frame with delay
+    0, so stills and animations flow through one kernel. Real
+    containers (MP4/WebM) need native demuxers — their byte-slice
+    stand-in stays ``frame_offsets`` — but everything Spark-side
+    (row-per-frame fan-out inside mapInPandas, per-frame stats,
+    temporal dedup via hashes over these rows) is identical with a
+    native codec swapped in.
+
+    Same failure posture as the other kernels: corrupt payloads give
+    one row with null features and ``err`` set — a bad file never
+    kills a 100 TB job. Arrow-batched mapInPandas; the per-frame
+    fan-out happens inside the kernel, so no explode/shuffle."""
+    from etl_deltalake_spark.operators.apng import decode_apng
+    from etl_deltalake_spark.operators.png import PngError
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    an = decode_apng(bytes(payload))
+                except (PngError, ValueError) as e:
+                    rows.append(
+                        (int(doc), None, None, None, None, None, None,
+                         None, None, str(e))
+                    )
+                else:
+                    for i, (img, delay) in enumerate(
+                        zip(an.frames, an.delays_ms)
+                    ):
+                        rows.append(
+                            (
+                                int(doc), i, img.width, img.height,
+                                img.channels, an.num_frames, delay,
+                                sum(img.pixels), len(img.pixels), None,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height", "channels",
+                    "n_frames", "delay_ms", "pix_sum", "n_pix", "err",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "channels": "Int32",
+                    "n_frames": "Int32",
+                    "delay_ms": "Int64",
+                    "pix_sum": "Int64",
+                    "n_pix": "Int64",
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return src.mapInPandas(kernel, schema=VIDEO_DECODE_SCHEMA)

@@ -4042,6 +4042,43 @@ oracle("q_image_dhash")(
 )
 
 
+# Per-frame rederivation of the APNG demux (q_video_frames, round
+# 8): dims/frame-count/delay from the doc_id moduli, per-frame mean
+# from the closed-form pixel formula.
+oracle("q_video_frames")(
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, nf,
+             unnest(range(0, CAST(nf AS BIGINT))) AS f
+      FROM dims
+    ),
+    px AS (
+      SELECT doc_id, w, h, nf, f,
+             unnest(range(0, CAST(w * h AS BIGINT))) AS k
+      FROM fr
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST((1 + f) * 1000 // 10 AS BIGINT) AS delay_ms,
+           ROUND(CAST(SUM((doc_id * 31 + f * 17 + k) % 256) AS DOUBLE)
+                 / (w * h), 6) AS mean_pixel
+    FROM px
+    GROUP BY doc_id, w, h, nf, f
+    ORDER BY doc_id, frame_idx
+    """
+)
+
+
 oracle("q_seasonal")(
     """
     WITH b AS (

@@ -2671,6 +2671,63 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-sequenced video decode, cross-engine verified
+    (round 8): synthesize one deterministic APNG per document —
+    2 + d%3 gray frames of w=4+d%5 × h=3+d%4, frame f's pixel k =
+    (d*31 + f*17 + k) % 256, per-frame delay (1+f, 10) → 100·(1+f)
+    ms — demux + decode with the pure-stdlib APNG container codec
+    (operators/apng.py over png.py via multimodal.decode_video) and
+    emit one graded row PER FRAME: index, dims, frame count, delay,
+    exact mean. The DuckDB oracle recomputes every per-frame value
+    from the closed form — a demuxer that drops a frame, misorders
+    sequence numbers, or misattributes delays hash-mismatches. Both
+    stages are Arrow-batched mapInPandas, zero shuffles; the
+    row-per-frame fan-out happens inside the kernel."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.apng import encode_apng
+    from etl_deltalake_spark.operators.multimodal import decode_video
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_apng(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                w = 4 + d % 5
+                h = 3 + d % 4
+                nf = 2 + d % 3
+                frames = [
+                    bytes((d * 31 + f * 17 + k) % 256 for k in range(w * h))
+                    for f in range(nf)
+                ]
+                payloads.append(
+                    encode_apng(
+                        frames, w, h,
+                        delays=[(1 + f, 10) for f in range(nf)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_apng, schema="doc_id long, payload binary")
+    dec = decode_video(media, "doc_id", "payload")
+    return dec.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "n_frames",
+        "delay_ms",
+        F.round(
+            F.col("pix_sum").cast("double") / F.col("n_pix"), 6
+        ).alias("mean_pixel"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

@@ -296,6 +296,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tukey",
     # round 8
     "q_image_dhash",
+    "q_video_frames",
 )
 
 
