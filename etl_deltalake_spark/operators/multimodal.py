@@ -517,15 +517,12 @@ AHASH_SCHEMA = StructType(
 )
 
 
-def _luma_cells(payload: bytes, tw: int, th: int) -> bytes:
-    """Shared perceptual-hash front half: decode PNG → 8-bit
-    luminance plane (BT.601 integer luma for RGB(A), gray channel
-    for GA, high bytes for 16-bit) → exact integer box-mean pooling
-    to ``tw × th`` cells. Raises PngError/ValueError on bad
-    payloads (callers map to the err column)."""
-    from etl_deltalake_spark.operators.png import decode_png
-
-    img = decode_png(bytes(payload))
+def _luma_cells_img(img, tw: int, th: int) -> bytes:
+    """Image-level perceptual-hash front half: 8-bit luminance plane
+    (BT.601 integer luma for RGB(A), gray channel for GA, high bytes
+    for 16-bit) → exact integer box-mean pooling to ``tw × th``
+    cells. Takes an already-decoded ``DecodedImage`` so still-image
+    AND per-video-frame hashing share one definition."""
     px = img.pixels
     if img.bit_depth == 16:
         px = px[::2]
@@ -541,6 +538,27 @@ def _luma_cells(payload: bytes, tw: int, th: int) -> bytes:
     else:
         lum = px
     return box_resize(lum, img.width, img.height, 1, tw, th)
+
+
+def _luma_cells(payload: bytes, tw: int, th: int) -> bytes:
+    """Payload-level front half: decode PNG, then ``_luma_cells_img``.
+    Raises PngError/ValueError on bad payloads (callers map to the
+    err column)."""
+    from etl_deltalake_spark.operators.png import decode_png
+
+    return _luma_cells_img(decode_png(bytes(payload)), tw, th)
+
+
+def _ahash64(cells: bytes) -> int:
+    """64 cells → signed aHash BIGINT (threshold at the integer
+    floor-mean, ties set the bit, MSB-first)."""
+    mean = sum(cells) // 64
+    h = 0
+    for c in cells:
+        h = (h << 1) | (1 if c >= mean else 0)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
 
 
 def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -570,15 +588,7 @@ def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             for doc, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(doc)
                 try:
-                    cells = _luma_cells(payload, 8, 8)
-                    mean = sum(cells) // 64
-                    h = 0
-                    for c in cells:
-                        h = (h << 1) | (1 if c >= mean else 0)
-                    # store as signed 64-bit
-                    if h >= 1 << 63:
-                        h -= 1 << 64
-                    hashes.append(h)
+                    hashes.append(_ahash64(_luma_cells(payload, 8, 8)))
                     errs.append(None)
                 except (PngError, ValueError) as e:
                     hashes.append(None)
@@ -751,3 +761,66 @@ def decode_video(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         F.col(payload_col).cast(BinaryType()).alias(payload_col),
     )
     return src.mapInPandas(kernel, schema=VIDEO_DECODE_SCHEMA)
+
+
+FRAME_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_ahash", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def video_frame_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Temporal perceptual fingerprints (round 8): demux each APNG
+    payload and emit one (doc, frame_idx, frame_ahash) row per frame
+    — the SAME 8×8 aHash definition as still images
+    (``_luma_cells_img`` + ``_ahash64``), so a video frame and the
+    identical still collide by construction. Downstream this is the
+    video-dedup tier: exact video dupes groupBy the ordered
+    frame-hash sequence (e.g. md5 of the concatenated hashes),
+    near-dup videos rank by frame-set overlap or per-frame
+    ``hamming64`` — all plain relational ops over these rows.
+    Arrow-batched mapInPandas, fan-out inside the kernel, zero
+    shuffles; per-payload errors in ``err``."""
+    from etl_deltalake_spark.operators.apng import decode_apng
+    from etl_deltalake_spark.operators.png import PngError
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    an = decode_apng(bytes(payload))
+                except (PngError, ValueError) as e:
+                    rows.append((int(doc), None, None, None, str(e)))
+                else:
+                    for i, img in enumerate(an.frames):
+                        rows.append(
+                            (
+                                int(doc), i, an.num_frames,
+                                _ahash64(_luma_cells_img(img, 8, 8)), None,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "frame_ahash", "err",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "Int32",
+                    "n_frames": "Int32",
+                    "frame_ahash": "Int64",
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return src.mapInPandas(kernel, schema=FRAME_AHASH_SCHEMA)

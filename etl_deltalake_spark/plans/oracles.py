@@ -4042,6 +4042,69 @@ oracle("q_image_dhash")(
 )
 
 
+# Numeric rederivation of per-FRAME perceptual hashes over the APNG
+# demux (q_video_dedup, round 8): the q_image_dedup aHash SQL with a
+# frame dimension — triples share base b = doc_id - doc_id%3, frame
+# f's luminance is (b*31 + f*53 + pos) % 256 (RGB member has r=g=b →
+# BT.601 luma collapses to the same value), so one derivation grades
+# all three encodings of every frame.
+oracle("q_video_dedup")(
+    """
+    WITH d2 AS (
+      SELECT doc_id,
+             doc_id - doc_id % 3 AS b,
+             8 + ((doc_id - doc_id % 3) // 3) % 5 AS w,
+             8 + ((doc_id - doc_id % 3) // 3) % 3 AS h,
+             2 + ((doc_id - doc_id % 3) // 3) % 3 AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, b, w, h, nf,
+             unnest(range(0, CAST(nf AS BIGINT))) AS f
+      FROM d2
+    ),
+    cells AS (
+      SELECT doc_id, b, w, h, nf, f, unnest(range(0, 64)) AS c FROM fr
+    ),
+    boxes AS (
+      SELECT doc_id, b, w, h, nf, f, c,
+        (c % 8) * w // 8 AS x0,
+        GREATEST((c % 8) * w // 8 + 1, ((c % 8) + 1) * w // 8) AS x1,
+        (c // 8) * h // 8 AS y0,
+        GREATEST((c // 8) * h // 8 + 1, ((c // 8) + 1) * h // 8) AS y1
+      FROM cells
+    ),
+    cellvals AS (
+      SELECT doc_id, nf, f, c,
+        (2 * SUM((b * 31 + f * 53 + (y * w + x)) % 256) + COUNT(*))
+          // (2 * COUNT(*)) AS cv
+      FROM boxes, LATERAL (SELECT unnest(range(y0, y1)) AS y),
+                  LATERAL (SELECT unnest(range(x0, x1)) AS x)
+      GROUP BY doc_id, nf, f, c
+    ),
+    m AS (
+      SELECT doc_id, f, SUM(cv) // 64 AS mean
+      FROM cellvals GROUP BY doc_id, f
+    ),
+    bits AS (
+      SELECT cv.doc_id, cv.nf, cv.f,
+        SUM(CASE WHEN cv >= mean THEN CAST(1 AS HUGEINT) << (63 - c)
+                 ELSE 0 END) AS hsh
+      FROM cellvals cv JOIN m USING (doc_id, f)
+      GROUP BY cv.doc_id, cv.nf, cv.f
+    )
+    SELECT doc_id,
+      CAST(f AS INT) AS frame_idx,
+      CAST(nf AS INT) AS n_frames,
+      CAST(CASE WHEN hsh >= CAST(1 AS HUGEINT) << 63
+                THEN hsh - (CAST(1 AS HUGEINT) << 64)
+                ELSE hsh END AS BIGINT) AS frame_ahash
+    FROM bits
+    ORDER BY doc_id, frame_idx
+    """
+)
+
+
 # Per-frame rederivation of the APNG demux (q_video_frames, round
 # 8): dims/frame-count/delay from the doc_id moduli, per-frame mean
 # from the closed-form pixel formula.

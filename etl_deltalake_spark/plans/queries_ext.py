@@ -2728,6 +2728,62 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal perceptual dedup (round 8), cross-engine graded:
+    every triple of docs {3k, 3k+1, 3k+2} encodes the SAME frame
+    sequence three ways (gray filter-cycled, gray filter-none, RGB
+    r=g=b) and video_frame_ahash must emit identical per-frame
+    hashes for the triple — frame f of doc d derives from base
+    b = d - d%3 with pixel k = (b*31 + f*53 + k) % 256 over
+    w=8+(b//3)%5 × h=8+(b//3)%3, nf = 2+(b//3)%3 frames. The DuckDB
+    oracle re-derives every frame's aHash NUMERICALLY (8×8 integer
+    box means → cell-mean threshold → MSB-first pack) — a demuxer or
+    hash defect on any frame of any encoding mismatches. groupBy
+    over these rows is video dedup; this row grades its signal."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.apng import encode_apng
+    from etl_deltalake_spark.operators.multimodal import video_frame_ahash
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_apng(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                b = d - d % 3
+                w = 8 + (b // 3) % 5
+                h = 8 + (b // 3) % 3
+                nf = 2 + (b // 3) % 3
+                frames = [
+                    bytes((b * 31 + f * 53 + k) % 256 for k in range(w * h))
+                    for f in range(nf)
+                ]
+                mode = d % 3
+                if mode == 0:
+                    blob = encode_apng(frames, w, h, filter_mode="cycle")
+                elif mode == 1:
+                    blob = encode_apng(frames, w, h, filter_mode="none")
+                else:
+                    rgb = [
+                        b"".join(bytes([v, v, v]) for v in fr)
+                        for fr in frames
+                    ]
+                    blob = encode_apng(rgb, w, h, color_type=2)
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_apng, schema="doc_id long, payload binary")
+    return (
+        video_frame_ahash(media, "doc_id", "payload")
+        .select("doc_id", "frame_idx", "n_frames", "frame_ahash")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

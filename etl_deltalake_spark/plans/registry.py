@@ -297,6 +297,7 @@ SLOTLESS: tuple[str, ...] = (
     # round 8
     "q_image_dhash",
     "q_video_frames",
+    "q_video_dedup",
 )
 
 

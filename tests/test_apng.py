@@ -183,3 +183,33 @@ def test_decode_video_kernel_rows_and_err(spark):
     assert by_doc[2][0]["pix_sum"] == sum(range(20))
     assert len(by_doc[3]) == 1
     assert by_doc[3][0]["err"] is not None and by_doc[3][0]["width"] is None
+
+
+def test_video_frame_ahash_matches_still_ahash(spark):
+    """A video frame and the identical still image carry the SAME
+    64-bit perceptual hash — the property that lets one Hamming /
+    groupBy dedup tier span stills and video frames."""
+    from etl_deltalake_spark.operators.multimodal import (
+        image_ahash,
+        video_frame_ahash,
+    )
+
+    w, h = 12, 10
+    frames = _frames(w, h, 3, seed=41)
+    anim = encode_apng(frames, w, h)
+    stills = [encode_png(fr, w, h, 0, "cycle") for fr in frames]
+
+    vdf = spark.createDataFrame([(1, anim)], ["doc_id", "payload"])
+    vrows = sorted(
+        video_frame_ahash(vdf, "doc_id", "payload").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    sdf = spark.createDataFrame(
+        list(enumerate(stills)), ["doc_id", "payload"]
+    )
+    srows = {
+        r["doc_id"]: r["ahash"]
+        for r in image_ahash(sdf, "doc_id", "payload").collect()
+    }
+    assert [r["frame_ahash"] for r in vrows] == [srows[i] for i in range(3)]
+    assert all(r["err"] is None and r["n_frames"] == 3 for r in vrows)
