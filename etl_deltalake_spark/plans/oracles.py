@@ -4042,6 +4042,47 @@ oracle("q_image_dhash")(
 )
 
 
+# Closed-form rebuild of the HTML extraction's expected text
+# (q_html_extract, round 8): the synthesis wraps formula-derived
+# segments in markup, so the oracle reconstructs the token join
+# directly — title, h1, p segment, '&', chr(233), then the div
+# segments — and grades md5 + char/token counts without parsing.
+oracle("q_html_extract")(
+    """
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 4 AS n_seg FROM documents
+    ),
+    t AS (
+      SELECT doc_id, unnest(range(3, CAST(n_seg AS BIGINT))) AS i
+      FROM d
+    ),
+    rest AS (
+      SELECT doc_id,
+             string_agg(
+               'w' || CAST((doc_id * 7 + i * 13) % 1000 AS VARCHAR),
+               ' ' ORDER BY i
+             ) AS r
+      FROM t GROUP BY doc_id
+    ),
+    txt AS (
+      SELECT d.doc_id, d.n_seg,
+             'w' || CAST((d.doc_id * 7) % 1000 AS VARCHAR) || ' ' ||
+             'w' || CAST((d.doc_id * 7 + 13) % 1000 AS VARCHAR) || ' ' ||
+             'w' || CAST((d.doc_id * 7 + 26) % 1000 AS VARCHAR) ||
+             ' & ' || chr(233) ||
+             COALESCE(' ' || rest.r, '') AS text
+      FROM d LEFT JOIN rest USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(2 + n_seg AS BIGINT) AS n_words,
+           md5(text) AS text_md5
+    FROM txt
+    ORDER BY doc_id
+    """
+)
+
+
 # Numeric rederivation of per-FRAME perceptual hashes over the APNG
 # demux (q_video_dedup, round 8): the q_image_dedup aHash SQL with a
 # frame dimension — triples share base b = doc_id - doc_id%3, frame

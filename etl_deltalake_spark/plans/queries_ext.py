@@ -2784,6 +2784,58 @@ def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction, cross-engine graded (round 8): per
+    document synthesize an HTML page whose prose segments derive
+    from a closed form (segment i = 'w' + (d*7 + i*13) % 1000;
+    3 + d%4 segments) wrapped in real markup — title, attributes,
+    nested tags, a script whose string contains markup (CDATA
+    handling), a style block, a comment, and the &amp;/&#233;
+    character references. extract_html_text must produce exactly the
+    whitespace-normalized token join of (title, h1, p-segments, '&',
+    'é', div segments); the DuckDB oracle REBUILDS that expected
+    text from the same closed form (no parsing) and compares md5 +
+    char/token counts — a parser that leaks script text, drops a
+    text node, mishandles entities, or collapses whitespace
+    differently mismatches immediately."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.html_text import extract_html_text
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_html(batches):
+        for pdf in batches:
+            pages = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                n_seg = 3 + d % 4
+                seg = [f"w{(d * 7 + i * 13) % 1000}" for i in range(n_seg)]
+                rest = " ".join(seg[3:])
+                pages.append(
+                    f'<html><head><title>{seg[0]}</title>'
+                    f'<script type="text/javascript">'
+                    f'var x = "<b>IGNORED {d}</b>";</script>'
+                    "<style>p { color: red; }</style></head>"
+                    f'<body>\n<h1 class="t">{seg[1]}</h1>'
+                    f"<p>{seg[2]} &amp; &#233;</p>"
+                    f"<!-- IGNORED {d} -->"
+                    f'<div id="z">{rest}</div></body></html>'
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "page": pages}
+            )
+
+    pages = docs.mapInPandas(make_html, schema="doc_id long, page string")
+    out = extract_html_text(pages, "doc_id", "page")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

@@ -298,6 +298,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_image_dhash",
     "q_video_frames",
     "q_video_dedup",
+    "q_html_extract",
 )
 
 
