@@ -4042,6 +4042,37 @@ oracle("q_image_dhash")(
 )
 
 
+# Closed-form rebuild of URL canonicalization (q_url_normalize,
+# round 8): the canonical string depends only on the quintuple base,
+# so the oracle concatenates it directly; the per-variant JVM
+# parse_url features (host keeps mode 4's trailing dot, depth counts
+# mode 2's dot-segments) derive from the mode.
+oracle("q_url_normalize")(
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id - doc_id % 5) // 5 AS g,
+             doc_id % 5 AS mode
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, mode,
+             'site' || CAST(g % 40 AS VARCHAR) || '.example' AS host,
+             '/a' || CAST(g % 7 AS VARCHAR) || '/c' AS path,
+             'k1=' || CAST(g % 9 AS VARCHAR)
+               || '&k2=' || CAST(g % 11 AS VARCHAR) AS q
+      FROM d
+    )
+    SELECT doc_id,
+           'http://' || host || path || '?' || q AS canon,
+           CASE WHEN mode = 4 THEN host || '.' ELSE host END AS url_host,
+           CAST(CASE WHEN mode = 2 THEN 5 ELSE 2 END AS INT) AS url_depth
+    FROM c
+    ORDER BY doc_id
+    """
+)
+
+
 # Closed-form rebuild of the HTML extraction's expected text
 # (q_html_extract, round 8): the synthesis wraps formula-derived
 # segments in markup, so the oracle reconstructs the token join

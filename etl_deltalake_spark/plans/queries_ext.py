@@ -2836,6 +2836,58 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization, cross-engine graded (round 8): every
+    quintuple of docs {5k..5k+4} carries a different syntactic
+    variant of the SAME resource (verbatim; uppercase+default-port;
+    dot-segments; param-order+fragment; trailing-dot host + port +
+    param order) built from closed-form components of base
+    b = d - d%5. canonical_url must collapse all five to one string
+    — rebuilt directly by the DuckDB oracle — while the JVM-side
+    parse_url features (host, path depth) grade per-variant. This
+    row is the crawl-frontier dedup signal: groupBy(canon) IS the
+    dedup, and the oracle proves the key is right."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.urls import canonical_url, url_features
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_url(batches):
+        for pdf in batches:
+            urls = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                g = (d - d % 5) // 5
+                m, p, x, y = g % 40, g % 7, g % 9, g % 11
+                mode = d % 5
+                if mode == 0:
+                    u = f"http://site{m}.example/a{p}/c?k1={x}&k2={y}"
+                elif mode == 1:
+                    u = f"HTTP://SITE{m}.EXAMPLE:80/a{p}/c?k1={x}&k2={y}"
+                elif mode == 2:
+                    u = (
+                        f"http://site{m}.example/a{p}/./zz/../c"
+                        f"?k1={x}&k2={y}"
+                    )
+                elif mode == 3:
+                    u = f"http://site{m}.example/a{p}/c?k2={y}&k1={x}#frag"
+                else:
+                    u = f"http://site{m}.example.:80/a{p}/c?k2={y}&k1={x}"
+                urls.append(u)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "url": urls}
+            )
+
+    urls = docs.mapInPandas(make_url, schema="doc_id long, url string")
+    out = url_features(urls, "url").withColumn(
+        "canon", canonical_url("url")
+    )
+    return out.select("doc_id", "canon", "url_host", "url_depth").orderBy(
+        "doc_id"
+    )
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

@@ -299,6 +299,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_video_frames",
     "q_video_dedup",
     "q_html_extract",
+    "q_url_normalize",
 )
 
 
