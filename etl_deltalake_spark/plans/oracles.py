@@ -4042,6 +4042,57 @@ oracle("q_image_dhash")(
 )
 
 
+# Closed-form rebuild of the composed crawl front door
+# (q_warc_extract, round 8): per (doc d, response r) the expected
+# canonical URL, HTTP status, and extracted text all derive from the
+# synthesis formulas — the oracle grades the WARC walk, HTTP split,
+# URL canonicalization, and HTML contract composed, without parsing
+# anything.
+oracle("q_warc_extract")(
+    """
+    WITH d AS (
+      SELECT doc_id, unnest(range(0, CAST(2 + doc_id % 3 AS BIGINT))) AS r
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, r, 3 + (doc_id + r) % 4 AS n_seg FROM d
+    ),
+    t AS (
+      SELECT doc_id, r,
+             unnest(range(3, CAST(n_seg AS BIGINT))) AS i
+      FROM seg
+    ),
+    rest AS (
+      SELECT doc_id, r,
+             string_agg(
+               'w' || CAST((doc_id * 7 + r * 29 + i * 13) % 1000 AS VARCHAR),
+               ' ' ORDER BY i
+             ) AS tail
+      FROM t GROUP BY doc_id, r
+    ),
+    txt AS (
+      SELECT s.doc_id, s.r, s.n_seg,
+             'w' || CAST((s.doc_id * 7 + s.r * 29) % 1000 AS VARCHAR) || ' ' ||
+             'w' || CAST((s.doc_id * 7 + s.r * 29 + 13) % 1000 AS VARCHAR)
+               || ' ' ||
+             'w' || CAST((s.doc_id * 7 + s.r * 29 + 26) % 1000 AS VARCHAR) ||
+             ' & ' || chr(233) ||
+             COALESCE(' ' || rest.tail, '') AS text
+      FROM seg s LEFT JOIN rest ON s.doc_id = rest.doc_id AND s.r = rest.r
+    )
+    SELECT doc_id,
+           CAST(r AS INT) AS resp_idx,
+           CAST(200 AS INT) AS http_status,
+           'http://site' || CAST((doc_id + r) % 40 AS VARCHAR)
+             || '.example/p' || CAST(r AS VARCHAR) AS canon,
+           CAST(2 + n_seg AS BIGINT) AS n_words,
+           md5(text) AS text_md5
+    FROM txt
+    ORDER BY doc_id, resp_idx
+    """
+)
+
+
 # Closed-form rebuild of URL canonicalization (q_url_normalize,
 # round 8): the canonical string depends only on the quintuple base,
 # so the oracle concatenates it directly; the per-variant JVM

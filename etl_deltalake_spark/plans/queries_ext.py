@@ -2888,6 +2888,90 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl front door in ONE graded row (round 8): per
+    document synthesize a WARC archive (1 warcinfo + 2 + d%3 HTTP
+    response records, each wrapping a closed-form HTML page with a
+    messy closed-form URL), then run the real pipeline —
+    warc_records (container + HTTP parse) → canonical_url (frontier
+    key) → extract_html_text (prose) — and emit one row per response
+    with the canonical URL, status, and extracted-text md5/counts.
+    The DuckDB oracle rebuilds every value from the closed forms
+    (record r of doc d: segments 'w'+(d*7+r*29+i*13)%1000 over
+    3+(d+r)%4 segments; URL HTTP://SITE{(d+r)%40}.EXAMPLE:80/p{r} →
+    canonical http://site{...}.example/p{r}) — a defect in the WARC
+    walk, the HTTP split, the URL rules, or the HTML contract
+    mismatches. Three round-8 operators composed and cross-engine
+    verified together."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.html_text import html_to_text
+    from etl_deltalake_spark.operators.urls import canonical_url
+    from etl_deltalake_spark.operators.warc import encode_warc, warc_records
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def page(d: int, r: int) -> str:
+        n_seg = 3 + (d + r) % 4
+        seg = [f"w{(d * 7 + r * 29 + i * 13) % 1000}" for i in range(n_seg)]
+        rest = " ".join(seg[3:])
+        return (
+            f"<html><head><title>{seg[0]}</title>"
+            f'<script>var x = "<b>IGNORED {d}.{r}</b>";</script>'
+            "<style>p { color: red; }</style></head>"
+            f"<body><h1>{seg[1]}</h1>"
+            f"<p>{seg[2]} &amp; &#233;</p>"
+            f"<!-- IGNORED -->"
+            f'<div id="z">{rest}</div></body></html>'
+        )
+
+    def make_warc(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                recs = [{"warc_type": "warcinfo", "body": b"robots: all\r\n"}]
+                for r in range(2 + d % 3):
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "url": (
+                                f"HTTP://SITE{(d + r) % 40}.EXAMPLE:80"
+                                f"/p{r}"
+                            ),
+                            "html": page(d, r),
+                        }
+                    )
+                payloads.append(encode_warc(recs))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    archives = docs.mapInPandas(
+        make_warc, schema="doc_id long, payload binary"
+    )
+    recs = warc_records(archives, "doc_id", "payload").filter(
+        F.col("warc_type") == "response"
+    )
+    pages = recs.select(
+        "doc_id",
+        (F.col("rec_idx") - 1).alias("resp_idx"),  # warcinfo is rec 0
+        "http_status",
+        canonical_url("url").alias("canon"),
+        html_to_text(F.col("body").cast("string")).alias("text"),
+    )
+    return pages.select(
+        "doc_id",
+        "resp_idx",
+        "http_status",
+        "canon",
+        F.when(F.length("text") == 0, F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(F.col("text"), " ")).cast("long"))
+        .alias("n_words"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    ).orderBy("doc_id", "resp_idx")
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

@@ -300,6 +300,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_video_dedup",
     "q_html_extract",
     "q_url_normalize",
+    "q_warc_extract",
 )
 
 
