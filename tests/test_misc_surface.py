@@ -210,6 +210,16 @@ def test_casefold_inventory_outside_text_module():
         ("operators/bpe.py", 'replace("İ", "i").lower()'),
         ("sources/files.py", "str(header).lower()"),
         ("plans/oracles.py", "s.lower()"),
+        # round-8 protocol-level case-insensitivity, NOT text-corpus
+        # folding: URI schemes and hostnames are case-insensitive per
+        # RFC 3986 (schemes are ASCII by grammar; non-ASCII hosts
+        # arrive punycoded), and WARC/HTTP header NAMES are
+        # case-insensitive per their specs — İ cannot legally occur
+        # in any of these positions.
+        ("operators/urls.py", "parts.scheme.lower()"),
+        ("operators/urls.py", 'parts.hostname or "").lower()'),
+        ("operators/urls.py", 'F.lower(F.parse_url(c, F.lit("HOST")))'),
+        ("operators/warc.py", "name.strip().lower()"),
     }
     unexpected = [
         (rel, code)
