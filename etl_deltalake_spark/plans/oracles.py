@@ -4042,6 +4042,21 @@ oracle("q_image_dhash")(
 )
 
 
+# Closed-form robots verdicts (q_robots, round 8): host m < 9
+# disallows prefix /p{m%5} for the crawl agent; host 9 has no
+# robots.txt → fetchable.
+oracle("q_robots")(
+    """
+    SELECT doc_id AS url_id,
+           'site' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS host,
+           (doc_id % 10 = 9 OR doc_id % 7 != (doc_id % 10) % 5)
+             AS fetchable
+    FROM documents
+    ORDER BY url_id
+    """
+)
+
+
 # Closed-form rebuild of the composed crawl front door
 # (q_warc_extract, round 8): per (doc d, response r) the expected
 # canonical URL, HTTP status, and extracted text all derive from the

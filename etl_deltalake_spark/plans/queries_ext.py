@@ -2972,6 +2972,53 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "resp_idx")
 
 
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness, cross-engine graded (round 8): a frontier
+    of closed-form URLs (doc d → host site{d%10}.example, path
+    /p{d%7}/x) joins broadcast per-host robots.txt payloads — host m
+    (m < 9) disallows prefix /p{m%5} for agent trainbot and
+    EVERYTHING for other agents (so an agent-section matching bug
+    blocks all rows and cannot hide); host 9 has no robots row →
+    fetchable by crawler convention. robots_filter must reproduce
+    the closed-form verdict fetchable ⇔ host has no robots OR
+    d%7 ≠ (d%10)%5, which the DuckDB oracle computes directly. The
+    robots side is per-host (tiny, broadcast); the frontier never
+    shuffles."""
+    from etl_deltalake_spark.operators.crawl import robots_filter
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(
+            F.lit("http://site"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example/p"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/x"),
+        ).alias("url"),
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"site{m}.example",
+                (
+                    f"User-agent: trainbot\nDisallow: /p{m % 5}\n\n"
+                    "User-agent: *\nDisallow: /\n"
+                ),
+            )
+            for m in range(9)  # host 9 publishes no robots.txt
+        ],
+        "host string, robots_txt string",
+    )
+    out = robots_filter(urls, robots, agent="trainbot")
+    return out.select("url_id", "host", "fetchable").orderBy("url_id")
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

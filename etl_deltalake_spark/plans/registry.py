@@ -301,6 +301,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_html_extract",
     "q_url_normalize",
     "q_warc_extract",
+    "q_robots",
 )
 
 
