@@ -17,13 +17,18 @@ Grouped by family:
  - similarity: dot, norm, cosine, unit_vec, hyperplane_bits
  - pii:        synth_email, mask_email
  - cleaning:   format_decimal_str
- - multimodal: frame_offsets
+ - multimodal: frame_offsets, hamming64
+ - crawl:      html_to_text, canonical_url, zlib_ratio (round 8 —
+               the crawl→corpus column surface)
 """
 
 from etl_deltalake_spark.operators.cleaning import format_decimal_str
+from etl_deltalake_spark.operators.crawl import zlib_ratio
 from etl_deltalake_spark.operators.dedup import shingles
-from etl_deltalake_spark.operators.multimodal import frame_offsets
+from etl_deltalake_spark.operators.html_text import html_to_text
+from etl_deltalake_spark.operators.multimodal import frame_offsets, hamming64
 from etl_deltalake_spark.operators.pii import mask_email, synth_email
+from etl_deltalake_spark.operators.urls import canonical_url
 from etl_deltalake_spark.operators.similarity import (
     cosine,
     dot,
@@ -47,11 +52,14 @@ from etl_deltalake_spark.operators.text import (
 )
 
 __all__ = [
+    "canonical_url",
     "cosine",
     "dot",
     "fingerprint_md5",
     "format_decimal_str",
     "frame_offsets",
+    "hamming64",
+    "html_to_text",
     "hyperplane_bits",
     "lang_id",
     "mask_email",
@@ -69,4 +77,5 @@ __all__ = [
     "tokens",
     "unit_vec",
     "word_count",
+    "zlib_ratio",
 ]

@@ -257,3 +257,25 @@ def test_duck_pragmas_derived_with_env_override(monkeypatch):
     import re
     gb = int(re.search(r"memory_limit='(\d+)GB'", derived).group(1))
     assert 2 <= gb <= 24
+
+
+def test_functions_module_round8_surface(spark):
+    """The round-8 crawl/multimodal column functions compose from
+    the public functions import like every other family."""
+    from etl_deltalake_spark import functions as EF
+
+    df = spark.createDataFrame(
+        [(1, "<p>fish &amp; chips</p>", "HTTP://A.Example:80/x?b=2&a=1#f",
+          "abc " * 50, 7, 5)],
+        ["id", "page", "url", "text", "h1", "h2"],
+    )
+    row = df.select(
+        EF.html_to_text("page").alias("txt"),
+        EF.canonical_url("url").alias("canon"),
+        EF.zlib_ratio("text").alias("zr"),
+        EF.hamming64("h1", "h2").alias("hd"),
+    ).head()
+    assert row.txt == "fish & chips"
+    assert row.canon == "http://a.example/x?a=1&b=2"
+    assert 0.0 < row.zr < 0.3
+    assert row.hd == 1  # 7 ^ 5 = 2 -> one bit
