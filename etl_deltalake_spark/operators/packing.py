@@ -38,6 +38,13 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def pack_sequences(
@@ -233,3 +240,96 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+SENTENCE_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("n_sentences", IntegerType()),
+        StructField("n_tokens", LongType()),
+        StructField("chunk_text", StringType()),
+    ]
+)
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int = 128,
+) -> DataFrame:
+    """SENTENCE-AWARE chunking (round 8): split each document on the
+    shared sentence definition (operators/udfs.sentence_spans_py —
+    one rule for span extraction AND chunking) and greedily pack
+    consecutive sentences into chunks of at most ``budget_tokens``
+    whitespace tokens. A sentence is never split mid-way: one longer
+    than the budget occupies a chunk alone (the RAG/pretraining
+    convention — semantic boundaries beat exact budget fit, and the
+    fixed-window ``chunk_documents`` remains the budget-exact
+    alternative).
+
+    Greedy rule (deterministic, the property the oracle replays as a
+    recursive running-sum-with-reset): append the next sentence to
+    the current chunk iff the chunk's token count plus the
+    sentence's stays within budget, else start a new chunk with it.
+
+    Output: one row per (doc, chunk_idx) with the sentence count,
+    token count, and the space-joined chunk text. Arrow-batched
+    mapInPandas, fan-out inside the kernel, zero shuffles."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.text import sentence_spans_py
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                sents = [seg for _, _, seg in sentence_spans_py(str(text))]
+                chunk: list[str] = []
+                acc = 0
+                idx = 0
+
+                def flush():
+                    nonlocal chunk, acc, idx
+                    if chunk:
+                        rows.append(
+                            (
+                                int(doc), idx, len(chunk), acc,
+                                " ".join(chunk),
+                            )
+                        )
+                        idx += 1
+                        chunk, acc = [], 0
+
+                for seg in sents:
+                    w = len(seg.split())
+                    if chunk and acc + w > budget_tokens:
+                        flush()
+                    chunk.append(seg)
+                    acc += w
+                flush()
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc", "chunk_idx", "n_sentences", "n_tokens",
+                    "chunk_text",
+                ],
+            ).astype(
+                {
+                    "doc": "int64",
+                    "chunk_idx": "int32",
+                    "n_sentences": "int32",
+                    "n_tokens": "int64",
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    )
+    return src.mapInPandas(kernel, schema=SENTENCE_CHUNK_SCHEMA)

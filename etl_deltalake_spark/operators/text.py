@@ -185,6 +185,30 @@ def script_id(col: str) -> Column:
     return expr
 
 
+def sentence_spans_py(text: str) -> list[tuple[int, int, str]]:
+    """THE sentence-split definition (round 8: shared by the
+    sentence_spans UDTF and packing.sentence_chunks so span
+    extraction and chunking can't drift): simple deterministic
+    ., !, ? terminators; returns (start, end, stripped_sentence)
+    triples, empty segments dropped, an unterminated tail kept.
+    Lives here (not udfs.py) because executors import this module
+    inside Arrow kernels — udfs.py carries module-level pandas_udf
+    decorators that need an active session."""
+    out: list[tuple[int, int, str]] = []
+    start = 0
+    n = len(text)
+    for i, ch in enumerate(text):
+        if ch in ".!?":
+            seg = text[start : i + 1].strip()
+            if seg:
+                out.append((start, i + 1, seg))
+            start = i + 1
+    tail = text[start:].strip()
+    if tail:
+        out.append((start, n, tail))
+    return out
+
+
 def nfc_text(col) -> Column:
     """Unicode NFC canonical composition — the normalization stage
     BEFORE fingerprinting that makes composed ("café", U+00E9) and

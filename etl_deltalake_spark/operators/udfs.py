@@ -27,6 +27,11 @@ def n_spaces(s: pd.Series) -> pd.Series:
     return s.str.count(" ").astype("int64")
 
 
+from etl_deltalake_spark.operators.text import (  # noqa: E402
+    sentence_spans_py,  # re-export: the shared split lives in text.py
+)
+
+
 def sentence_spans_udtf():
     """Python UDTF (Spark 4 table-function surface): split a
     document into sentence spans with character offsets — one output
@@ -49,17 +54,7 @@ def sentence_spans_udtf():
         def eval(self, text: str):
             if text is None:
                 return
-            start, idx = 0, 0
-            n = len(text)
-            for i, ch in enumerate(text):
-                if ch in ".!?":
-                    seg = text[start : i + 1].strip()
-                    if seg:
-                        yield idx, start, i + 1, seg
-                        idx += 1
-                    start = i + 1
-            tail = text[start:].strip()
-            if tail:
-                yield idx, start, n, tail
+            for idx, (start, end, seg) in enumerate(sentence_spans_py(text)):
+                yield idx, start, end, seg
 
     return SentenceSpans

@@ -4042,6 +4042,57 @@ oracle("q_image_dhash")(
 )
 
 
+# Greedy sentence-packing replay (q_sentence_chunks, round 8): the
+# chunk assignment is a recursive running-sum-with-reset over the
+# closed-form sentence token counts w_j = 1 + (d + 3j) % 5 at
+# budget 7 — new chunk iff acc + w > 7 (an over-budget sentence
+# alone in a chunk falls out of the same recursion); chunk text
+# rebuilds via repeat() + string_agg in sentence order.
+oracle("q_sentence_chunks")(
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS n_sent
+      FROM documents
+    ),
+    walk(doc_id, n_sent, j, chunk, acc) AS (
+      SELECT doc_id, n_sent, CAST(0 AS BIGINT), CAST(0 AS INT),
+             CAST(1 + doc_id % 5 AS BIGINT)
+      FROM d
+      UNION ALL
+      SELECT w.doc_id, w.n_sent, w.j + 1,
+             CASE WHEN w.acc + (1 + (w.doc_id + 3 * (w.j + 1)) % 5) <= 7
+                  THEN w.chunk ELSE w.chunk + 1 END,
+             CASE WHEN w.acc + (1 + (w.doc_id + 3 * (w.j + 1)) % 5) <= 7
+                  THEN w.acc + (1 + (w.doc_id + 3 * (w.j + 1)) % 5)
+                  ELSE (1 + (w.doc_id + 3 * (w.j + 1)) % 5) END
+      FROM walk w
+      WHERE w.j + 1 < w.n_sent
+    ),
+    sent AS (
+      SELECT doc_id, j, chunk,
+             1 + (doc_id + 3 * j) % 5 AS w,
+             's' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+               AS word
+      FROM walk
+    ),
+    sent_str AS (
+      SELECT doc_id, j, chunk, w,
+             CASE WHEN w > 1 THEN repeat(word || ' ', w - 1) ELSE '' END
+               || word || '.' AS s
+      FROM sent
+    )
+    SELECT doc_id AS doc,
+           CAST(chunk AS INT) AS chunk_idx,
+           CAST(COUNT(*) AS INT) AS n_sentences,
+           CAST(SUM(w) AS BIGINT) AS n_tokens,
+           md5(string_agg(s, ' ' ORDER BY j)) AS chunk_md5
+    FROM sent_str
+    GROUP BY doc_id, chunk
+    ORDER BY doc, chunk_idx
+    """
+)
+
+
 # Closed-form robots verdicts (q_robots, round 8): host m < 9
 # disallows prefix /p{m%5} for the crawl agent; host 9 has no
 # robots.txt → fetchable.

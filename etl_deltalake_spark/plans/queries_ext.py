@@ -3019,6 +3019,52 @@ def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url_id", "host", "fetchable").orderBy("url_id")
 
 
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware chunking, cross-engine graded (round 8): per
+    doc synthesize 4 + d%5 sentences where sentence j is
+    1 + (d + 3j) % 5 copies of the word s{d}_{j} ending in '.', then
+    greedily pack whole sentences into 7-token chunks
+    (packing.sentence_chunks over the shared sentence splitter). The
+    DuckDB oracle replays the greedy rule as a recursive
+    running-sum-with-reset over the closed-form sentence lengths and
+    rebuilds every chunk's exact text — a chunker that splits a
+    sentence, misorders, off-by-ones the budget, or drops the
+    over-budget-singleton case mismatches."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.packing import sentence_chunks
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_text(batches):
+        for pdf in batches:
+            texts = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                sents = []
+                for j in range(4 + d % 5):
+                    w = 1 + (d + 3 * j) % 5
+                    word = f"s{d}_{j}"
+                    sents.append(" ".join([word] * w) + ".")
+                texts.append(" ".join(sents))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "text": texts}
+            )
+
+    txt = docs.mapInPandas(make_text, schema="doc_id long, text string")
+    return (
+        sentence_chunks(txt, "doc_id", "text", budget_tokens=7)
+        .select(
+            "doc",
+            "chunk_idx",
+            "n_sentences",
+            "n_tokens",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc", "chunk_idx")
+    )
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

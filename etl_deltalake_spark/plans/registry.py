@@ -302,6 +302,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_url_normalize",
     "q_warc_extract",
     "q_robots",
+    "q_sentence_chunks",
 )
 
 

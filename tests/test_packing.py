@@ -186,3 +186,42 @@ def test_chunk_documents_plan_is_scan_side(spark, sf_dir):
     assert report["exchanges"] == 0
     assert report["bnlj"] == 0 and report["cartesian"] == 0
     assert report["sort_merge_joins"] + report["hash_joins"] == 0
+
+
+def test_sentence_chunks_greedy_rule(spark):
+    """Greedy packing at budget 5: sentences of 3/3/2 tokens chunk as
+    [s0] (3), [s1, s2] (3+2=5); an 8-token sentence occupies a chunk
+    alone; nulls drop; the splitter is the UDTF's (shared
+    definition)."""
+    from etl_deltalake_spark.operators.packing import sentence_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c. d e f! g h?"),
+            (2, "w w w w w w w w. tail x"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc"], r["chunk_idx"], r["n_sentences"], r["n_tokens"],
+         r["chunk_text"])
+        for r in sentence_chunks(df, "doc_id", "text", budget_tokens=5)
+        .collect()
+    )
+    assert rows == [
+        (1, 0, 1, 3, "a b c."),
+        (1, 1, 2, 5, "d e f! g h?"),
+        (2, 0, 1, 8, "w w w w w w w w."),  # over budget, alone
+        (2, 1, 1, 2, "tail x"),  # unterminated tail is a sentence
+    ]
+
+
+def test_sentence_chunks_validation(spark):
+    import pytest
+
+    from etl_deltalake_spark.operators.packing import sentence_chunks
+
+    df = spark.createDataFrame([(1, "a.")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="budget_tokens"):
+        sentence_chunks(df, "doc_id", "text", budget_tokens=0)
