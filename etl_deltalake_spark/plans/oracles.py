@@ -4042,6 +4042,58 @@ oracle("q_image_dhash")(
 )
 
 
+# Brute-force Hamming truth (q_hamming_pairs, round 8): rebuild the
+# closed-form 64-bit fingerprints (LCG base per quadruple, disjoint
+# per-member bit flips) in unsigned HUGEINT arithmetic, sign-convert
+# to BIGINT, and emit ALL pairs with bit_count(xor) <= 4 — the exact
+# ground truth the banded Spark mining must reproduce.
+oracle("q_hamming_pairs")(
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(
+               CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                    THEN hu - (CAST(1 AS HUGEINT) << 64)
+                    ELSE hu END
+               AS BIGINT) AS fp
+      FROM (
+        SELECT doc_id,
+               xor(
+                 (CAST(doc_id // 4 AS HUGEINT) * 2862933555777941757
+                  + 3037000493) % (CAST(1 AS HUGEINT) << 64),
+                 CASE doc_id % 4
+                   WHEN 0 THEN CAST(0 AS HUGEINT)
+                   WHEN 1 THEN CAST(1 AS HUGEINT)
+                               << CAST((doc_id // 4) % 64 AS INT)
+                   WHEN 2 THEN
+                     (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 7) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 13) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 29) % 64 AS INT))
+                   ELSE
+                     (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 1) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 2) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 3) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 4) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 5) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 6) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 8) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 9) % 64 AS INT))
+                     | (CAST(1 AS HUGEINT) << CAST((doc_id // 4 + 10) % 64 AS INT))
+                 END
+               ) AS hu
+        FROM documents
+      )
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS dist
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 4
+    ORDER BY doc_a, doc_b
+    """
+)
+
+
 # Greedy sentence-packing replay (q_sentence_chunks, round 8): the
 # chunk assignment is a recursive running-sum-with-reset over the
 # closed-form sentence token counts w_j = 1 + (d + 3j) % 5 at

@@ -3065,6 +3065,52 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming-ball pair mining, cross-engine graded (round
+    8): doc quadruples share a closed-form 64-bit base fingerprint
+    (LCG of g = d//4); members flip 0 / 1 / 3 / 9 disjoint bits, so
+    each group contributes exactly the pairs at distance 1, 3, 4 and
+    the 9-bit member joins nothing at max_dist=4.
+    dedup.hamming_near_pairs mines pairs via pigeonhole banding (5
+    bands, equi-join candidates, exact bit_count verify); the DuckDB
+    oracle brute-forces ALL pairs over the same closed-form hashes —
+    banding that loses a candidate (breaking the pigeonhole
+    guarantee) or a popcount/slice defect mismatches. The generic
+    scale form behind aHash/dHash/SimHash near-dup."""
+    import pandas as pd
+
+    from etl_deltalake_spark.operators.dedup import hamming_near_pairs
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def make_hash(batches):
+        for pdf in batches:
+            hashes = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                g, m = d // 4, d % 4
+                h = (g * 2862933555777941757 + 3037000493) % (1 << 64)
+                offsets = {
+                    0: (),
+                    1: (0,),
+                    2: (7, 13, 29),
+                    3: (1, 2, 3, 4, 5, 6, 8, 9, 10),
+                }[m]
+                for off in offsets:
+                    h ^= 1 << ((g + off) % 64)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "fp": hashes}
+            )
+
+    fps = docs.mapInPandas(make_hash, schema="doc_id long, fp long")
+    return hamming_near_pairs(fps, "doc_id", "fp", max_dist=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of per-user hourly value sums
     (operators/timeseries.seasonal_decompose): centered moving-average

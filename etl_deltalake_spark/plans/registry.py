@@ -303,6 +303,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_warc_extract",
     "q_robots",
     "q_sentence_chunks",
+    "q_hamming_pairs",
 )
 
 

@@ -207,3 +207,84 @@ def test_streaming_neardup_bucketed_store_growth(spark, sf_dir, tmp_path):
     assert audit["bucketed_scans"] >= 1
     assert audit["shuffled_bucketed_scans"] == 0, audit
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_hamming_near_pairs_equals_brute_force(spark):
+    """Banded mining must equal brute force exactly (pigeonhole is a
+    theorem): random 64-bit hashes plus planted near-pairs, checked
+    at several distances and band counts."""
+    import random
+
+    from etl_deltalake_spark.operators.dedup import hamming_near_pairs
+
+    rng = random.Random(13)
+
+    def sgn(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    hashes = {i: rng.getrandbits(64) for i in range(40)}
+    # plant near-pairs at known distances
+    hashes[100] = hashes[0] ^ 0b1
+    hashes[101] = hashes[0] ^ (0b111 << 20)
+    hashes[102] = hashes[1] ^ ((1 << 63) | 1)  # touches the sign bit
+    rows = [(i, sgn(h)) for i, h in hashes.items()]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+
+    def brute(max_dist):
+        out = set()
+        ids = sorted(hashes)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                d = bin(hashes[a] ^ hashes[b]).count("1")
+                if d <= max_dist:
+                    out.add((a, b, d))
+        return out
+
+    for max_dist, bands in ((1, None), (3, None), (4, 8), (10, 16)):
+        got = {
+            (r["doc_a"], r["doc_b"], r["dist"])
+            for r in hamming_near_pairs(
+                df, "doc_id", "fp", max_dist=max_dist, bands=bands
+            ).collect()
+        }
+        assert got == brute(max_dist), (max_dist, bands)
+
+
+def test_hamming_near_pairs_validation(spark):
+    import pytest
+
+    from etl_deltalake_spark.operators.dedup import hamming_near_pairs
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, fp long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_pairs(df, "doc_id", "fp", max_dist=4, bands=3)
+    with pytest.raises(ValueError, match="max_dist"):
+        hamming_near_pairs(df, "doc_id", "fp", max_dist=64)
+
+
+def test_hamming_near_pairs_composes_with_image_hashes(spark):
+    """The miner consumes image_ahash output directly: two images
+    differing in one 8x8 cell's side of the mean are a distance-1
+    pair; an unrelated image joins nothing."""
+    from etl_deltalake_spark.operators.dedup import hamming_near_pairs
+    from etl_deltalake_spark.operators.multimodal import image_ahash
+    from etl_deltalake_spark.operators.png import encode_png
+
+    # 8x8 gray: half dark, half bright -> crisp bits; flip ONE cell
+    base = bytes([40] * 32 + [200] * 32)
+    flipped = bytes([40] * 31 + [200] + [200] * 32)  # cell 31 crosses
+    other = bytes((k * 37) % 256 for k in range(64))
+    df = spark.createDataFrame(
+        [
+            (1, encode_png(base, 8, 8, 0, "cycle")),
+            (2, encode_png(flipped, 8, 8, 0, "cycle")),
+            (3, encode_png(other, 8, 8, 0, "cycle")),
+        ],
+        ["doc_id", "payload"],
+    )
+    hashes = image_ahash(df, "doc_id", "payload").select(
+        "doc_id", "ahash"
+    )
+    pairs = hamming_near_pairs(hashes, "doc_id", "ahash", max_dist=2)
+    got = [(r["doc_a"], r["doc_b"], r["dist"]) for r in pairs.collect()]
+    assert got == [(1, 2, 1)]
