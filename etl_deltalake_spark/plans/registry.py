@@ -135,7 +135,7 @@ REGISTERED: tuple[str, ...] = (
     "q_minhash_lsh",
     "q_ivfpq_pretrained",
     "q_corpus_prep",
-    "q_simhash",
+    "q_hamming_pairs",
     "q_substring_dup",
     "q_containment",
     "q_text_stats",
@@ -146,7 +146,7 @@ REGISTERED: tuple[str, ...] = (
     "q_image_dedup",
     "q_weighted_draw",
     "q_ivfpq_topk",
-    "q_embed_near_dup",
+    "q_warc_extract",
     "q_media_decode",
     "q_audio_decode",
 )
@@ -210,6 +210,22 @@ RETIRED_R6: tuple[str, ...] = (
 RETIRED_R8: tuple[str, ...] = (
     "q_bucketed_join_agg",
     "q_time_rollup",
+)
+
+# Round-8 second rotation (new r8 capability takes the slots, the r6
+# two-wave precedent): q_simhash → q_hamming_pairs (the 16-bit
+# SimHash equality-groupBy row cedes to its strict generalization —
+# exact Hamming-ball mining over 64-bit fingerprints with pigeonhole
+# banding, the scale form behind aHash/dHash/SimHash near-dup alike;
+# simhash_table's bit construction stays pytest-oracle-gated);
+# q_embed_near_dup → q_warc_extract (the hyperplane-bucket chain
+# executes verbatim inside q_ann_recall's lsh tier — the exact
+# q_ann_bucket precedent from round 6 — while the crawl front door
+# composes THREE new operators, WARC walk → canonical_url →
+# html_to_text, in one driver-graded row).
+RETIRED_R8B: tuple[str, ...] = (
+    "q_simhash",
+    "q_embed_near_dup",
 )
 
 # Oracle-paired queries without a driver slot (pytest-gated).
@@ -300,10 +316,8 @@ SLOTLESS: tuple[str, ...] = (
     "q_video_dedup",
     "q_html_extract",
     "q_url_normalize",
-    "q_warc_extract",
     "q_robots",
     "q_sentence_chunks",
-    "q_hamming_pairs",
 )
 
 
@@ -320,6 +334,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R5,
     RETIRED_R6,
     RETIRED_R8,
+    RETIRED_R8B,
     SLOTLESS,
 )
 
