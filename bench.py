@@ -76,6 +76,12 @@ HEADLINE = [
     # projection (pure codegen path) — one row per UDF strategy
     "q_nfc_dedup",
     "q_random_proj",
+    # round-8 additions: the banded exact-Hamming miner (the
+    # dedup-family scale pattern) and the composed crawl front door
+    # (WARC walk → canonical_url → html_to_text, three Arrow
+    # kernels end-to-end) — both driver rows since the r8 rotation
+    "q_hamming_pairs",
+    "q_warc_extract",
 ]
 
 # Rows whose cost is dominated by IN-QUERY TRAINING by design
