@@ -519,3 +519,90 @@ def weighted_sample(
         .orderBy(F.col("priority").asc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def shard_assign(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Assign every row a training shard and a deterministic
+    shuffle key — the export layout step of a training-data
+    pipeline (dataloaders read N equal-ish shards in a
+    pseudo-random document order).
+
+    Adds ``shard`` (long in [0, n_shards)) and ``shuffle_key`` (the
+    full md5 hex digest). The key is md5("{seed}:{id}") so a new
+    seed is a brand-new global permutation while one seed is stable
+    under re-partitioning, retries, and incremental growth; the
+    shard is the first 8 hex digits as an integer mod ``n_shards``
+    (md5 uniformity ⇒ shard sizes concentrate within O(sqrt) of
+    n/n_shards — balance is graded, not assumed). Scan-side
+    expressions only — the shuffle happens once, in
+    ``write_shards``, keyed on the 8-hex prefix int, and any engine
+    with md5 reproduces the exact assignment (q_train_shards'
+    DuckDB oracle re-derives both columns).
+
+    No counterpart in the reference (eager single-process pandas,
+    main.py:1-638); north-star extension per SURVEY §2.9.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.when(
+        F.col(id_col).isNotNull(),
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+    ).otherwise(
+        F.raise_error(F.lit(f"shard_assign: NULL {id_col} cannot be sharded"))
+    )
+    return df.withColumn("shuffle_key", h).withColumn(
+        "shard",
+        F.conv(F.substring(F.col("shuffle_key"), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards,
+    )
+
+
+def shard_manifest(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Per-row shard + position: where each document lands in the
+    exported training order. ``pos`` is the row's 1-based rank
+    within its shard under the shuffle-key order (ties — 2^-64
+    md5-prefix collisions — break by id, so the order is total and
+    engine-reproducible).
+
+    One hash-partitioned window (shuffle on ``shard``, the same
+    partitioning ``write_shards`` uses — at 100 TB the manifest and
+    the export share one exchange); no global sort anywhere.
+    """
+    w = Window.partitionBy("shard").orderBy("shuffle_key", F.col(id_col))
+    return (
+        shard_assign(df, id_col, n_shards, seed)
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def write_shards(
+    df,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> None:
+    """Export the corpus as ``n_shards`` deterministically shuffled
+    parquet shards: directory-partitioned by ``shard``, rows inside
+    each shard sorted by the shuffle key. ONE shuffle (repartition
+    on shard) + in-partition sort — a global pseudo-random training
+    order with no global sort; rereading shard files in filename
+    order replays the exact ``shard_manifest`` order.
+    """
+    (
+        shard_assign(df, id_col, n_shards, seed)
+        .repartition(n_shards, "shard")
+        # shard leads the sort so the partitioned writer's required
+        # ordering (partition columns first) is ALREADY satisfied —
+        # otherwise FileFormatWriter inserts its own non-stable sort
+        # on shard and scrambles the shuffle-key order
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -4596,3 +4596,29 @@ _PRAGMAS = _duck_pragmas()
 for _name in HEAVY_ORACLES:
     if _name in ORACLES and not ORACLES[_name].lstrip().startswith("SET "):
         ORACLES[_name] = _PRAGMAS + ORACLES[_name]
+
+
+# Training-shard manifest truth (q_train_shards, round 8): recompute
+# the seeded md5 shuffle key, the 8-hex-prefix shard assignment, and
+# the within-shard rank with ties broken by doc_id — byte-for-byte
+# the layout write_shards exports.
+oracle("q_train_shards")(
+    """
+    WITH k AS (
+      SELECT doc_id,
+             md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, shuffle_key,
+             ('0x' || substr(shuffle_key, 1, 8))::BIGINT % 8 AS shard
+      FROM k
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY shuffle_key, doc_id
+           ) AS pos
+    FROM s
+    ORDER BY shard, pos
+    """
+)

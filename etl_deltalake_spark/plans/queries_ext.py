@@ -3234,3 +3234,24 @@ def q_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tukey_outliers(li, ["l_returnflag"], "l_extendedprice").orderBy(
         "l_returnflag"
     )
+
+
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export manifest (round 8,
+    operators/curation.shard_manifest): every document gets a shard
+    (first 8 md5 hex digits of "7:{doc_id}" as an int mod 8) and a
+    1-based position within its shard under full-digest order — the
+    global pseudo-random training order a dataloader replays. The
+    DuckDB oracle re-derives digest, shard, and rank; a prefix-parse
+    or mod-sign defect, an unstable tiebreak, or a nondeterministic
+    shuffle all mismatch. One hash-partitioned window, no global
+    sort — the manifest shares write_shards' single exchange at
+    100 TB."""
+    from etl_deltalake_spark.operators.curation import shard_manifest
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return (
+        shard_manifest(docs, "doc_id", n_shards=8, seed=7)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

@@ -318,6 +318,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_url_normalize",
     "q_robots",
     "q_sentence_chunks",
+    "q_train_shards",
 )
 
 
