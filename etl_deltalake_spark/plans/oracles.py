@@ -4622,3 +4622,38 @@ oracle("q_train_shards")(
     ORDER BY shard, pos
     """
 )
+
+
+# Scalar-quantization truth (q_scalar_quant, round 8): per-dim
+# extrema over the exploded embeddings, then the identical affine
+# floor(x+0.5) code rule and dequantization, clamp and degenerate
+# mx=mn case mirrored verbatim.
+oracle("q_scalar_quant")(
+    """
+    WITH ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, min(val) AS mn, max(val) AS mx FROM ex GROUP BY dim
+    )
+    SELECT ex.vec_id, ex.dim,
+           CASE WHEN s.mx = s.mn THEN 0
+                ELSE least(255, greatest(0,
+                  CAST(floor((ex.val - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                       AS INT)))
+           END AS code,
+           round(
+             s.mn
+             + CAST(CASE WHEN s.mx = s.mn THEN 0
+                    ELSE least(255, greatest(0,
+                      CAST(floor((ex.val - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                           AS INT)))
+               END AS DOUBLE) / 255.0 * (s.mx - s.mn),
+             9) AS recon
+    FROM ex JOIN stats s USING (dim)
+    ORDER BY vec_id, dim
+    """
+)

@@ -3255,3 +3255,27 @@ def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+def q_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization of the embeddings table (round
+    8, operators/similarity.sq_calibrate + sq_quantize_long):
+    per-dimension [min, max] calibration in one partial-aggregated
+    pass, then an affine 256-code quantize + dequantize per (vector,
+    dim) via a BROADCAST join on the dim-count stats table. The
+    DuckDB oracle re-derives extrema, codes, and reconstructions
+    with the identical expression chain — an off-by-half rounding,
+    a flipped clamp, or min/max drift all mismatch. The compact
+    array layout (sq_quantize) is unit-gated elementwise-equal to
+    this long form."""
+    from etl_deltalake_spark.operators.similarity import (
+        sq_calibrate,
+        sq_quantize_long,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    stats = sq_calibrate(emb, "embedding")
+    return (
+        sq_quantize_long(emb, "vec_id", "embedding", stats)
+        .orderBy("vec_id", "dim")
+    )

@@ -319,6 +319,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_robots",
     "q_sentence_chunks",
     "q_train_shards",
+    "q_scalar_quant",
 )
 
 

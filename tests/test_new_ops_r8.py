@@ -288,3 +288,76 @@ def test_hamming_near_pairs_composes_with_image_hashes(spark):
     pairs = hamming_near_pairs(hashes, "doc_id", "ahash", max_dist=2)
     got = [(r["doc_a"], r["doc_b"], r["dist"]) for r in pairs.collect()]
     assert got == [(1, 2, 1)]
+
+
+# ---- scalar quantization (round 8, fourth wave) ----
+
+
+def test_sq_array_layout_matches_long_layout(spark, sf_dir):
+    """The compact codes-array form must agree elementwise with the
+    oracle-graded long form — same rule, two layouts."""
+    from etl_deltalake_spark.operators.similarity import (
+        sq_calibrate,
+        sq_quantize,
+        sq_quantize_long,
+    )
+
+    emb = qx.load_table(spark, "embeddings", sf_dir).limit(100)
+    stats = sq_calibrate(emb, "embedding")
+    long_rows = {
+        (r["vec_id"], r["dim"]): r["code"]
+        for r in sq_quantize_long(emb, "vec_id", "embedding", stats).collect()
+    }
+    stats_rows = [
+        (r["dim"], r["mn"], r["mx"]) for r in stats.collect()
+    ]
+    for r in sq_quantize(emb, "vec_id", "embedding", stats_rows).collect():
+        for d, c in enumerate(r["codes"]):
+            assert long_rows[(r["vec_id"], d)] == c
+
+
+def test_sq_error_bound_and_degenerate_dim(spark):
+    """Dequantization error is bounded by half a grid step; a
+    constant dimension quantizes to code 0 with exact recon."""
+    from etl_deltalake_spark.operators.similarity import (
+        sq_calibrate,
+        sq_quantize_long,
+    )
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i) / 7.0, 42.0, -1.0 + 2.0 * i / 9.0])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    stats = sq_calibrate(df, "embedding")
+    out = sq_quantize_long(df, "vec_id", "embedding", stats).collect()
+    vals = {
+        (r["vec_id"], d): v
+        for r in rows
+        for d, v in enumerate(r.embedding)
+    }
+    spans = {r["dim"]: r["mx"] - r["mn"] for r in stats.collect()}
+    for r in out:
+        v = vals[(r["vec_id"], r["dim"])]
+        if r["dim"] == 1:  # constant dimension
+            assert r["code"] == 0 and r["recon"] == 42.0
+        else:
+            assert 0 <= r["code"] <= 255
+            assert abs(r["recon"] - v) <= spans[r["dim"]] / 255.0 / 2.0 + 1e-9
+
+
+def test_sq_long_plans_broadcast_join(spark, sf_dir):
+    """The dim-stats join must broadcast (dim-count rows) — a
+    shuffled sort-merge join here would shuffle the whole exploded
+    corpus at 100 TB."""
+    from etl_deltalake_spark.operators.similarity import (
+        sq_calibrate,
+        sq_quantize_long,
+    )
+
+    emb = qx.load_table(spark, "embeddings", sf_dir)
+    plan = sq_quantize_long(
+        emb, "vec_id", "embedding", sq_calibrate(emb, "embedding")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
