@@ -4657,3 +4657,43 @@ oracle("q_scalar_quant")(
     ORDER BY vec_id, dim
     """
 )
+
+
+# Z-order skipping truth (q_zorder, round 8): the 20-term Morton
+# interleave re-derived bit lane by bit lane (x at even bits, y at
+# odd — z_value's i*n+j rule for cols=[x, y]), then both bucketings
+# (top 5 bits of z / of x), zone-map min-max per bucket, and the
+# band-intersection touch flags, all mirrored exactly.
+_Z_INTERLEAVE = " + ".join(
+    f"((((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1}))"
+    for i in range(10)
+)
+
+oracle("q_zorder")(
+    f"""
+    WITH base AS (
+      SELECT CAST((event_id * 53) % 1024 AS INT) AS x,
+             CAST((event_id * 193 + 7) % 1024 AS INT) AS y
+      FROM events
+    ),
+    zb AS (
+      SELECT 'zorder' AS layout,
+             CAST(({_Z_INTERLEAVE}) >> 15 AS INT) AS bucket, x, y
+      FROM base
+      UNION ALL
+      SELECT 'linear' AS layout, CAST(x >> 5 AS INT) AS bucket, x, y
+      FROM base
+    ),
+    st AS (
+      SELECT layout, bucket, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM zb GROUP BY layout, bucket
+    )
+    SELECT layout, bucket, n, min_x, max_x, min_y, max_y,
+           CAST(min_x <= 415 AND max_x >= 384 AS INT) AS touch_x,
+           CAST(min_y <= 415 AND max_y >= 384 AS INT) AS touch_y
+    FROM st
+    ORDER BY layout, bucket
+    """
+)

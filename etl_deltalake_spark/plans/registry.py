@@ -320,6 +320,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_sentence_chunks",
     "q_train_shards",
     "q_scalar_quant",
+    "q_zorder",
 )
 
 
