@@ -1032,6 +1032,39 @@ def build_ivfpq_index(
     codes.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
 
+def append_to_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    codebooks: Sequence[Sequence[tuple[int, Sequence[float]]]],
+    path: str,
+    scale: int = 6,
+) -> None:
+    """Incremental maintenance of a ``build_ivfpq_index`` layout:
+    assign + PQ-encode ONLY the new batch against the FROZEN
+    centroids/codebooks and append its rows under the existing
+    ``cluster_id=`` partition directories. The existing index is
+    never read or rewritten — cost is linear in the batch, not the
+    corpus — and ``ivfpq_pretrained_topk`` serving is unchanged
+    because partition pruning is directory-level and new files land
+    inside the pruned-or-probed directories. This is how a 100 TB
+    serving index absorbs a daily ingest without a rebuild; codebook
+    refresh (when drift accumulates) stays a separate, rarer
+    operation. Equivalence to a from-scratch build over the grown
+    corpus is pinned by tests (same frozen codebooks ⇒ bit-identical
+    codes for old AND new rows).
+
+    No counterpart in the reference (main.py:1-638); incremental-ANN
+    extension per SURVEY §2.9.
+    """
+    assigned = ivf_assign_df(df, id_col, vec_col, centroids, scale)
+    codes = pq_encode(
+        assigned, id_col, vec_col, codebooks, scale, keep_cols=("cluster_id",)
+    )
+    codes.write.mode("append").partitionBy("cluster_id").parquet(path)
+
+
 def ivfpq_pretrained_topk(
     spark: SparkSession,
     index_path: str,

@@ -389,3 +389,93 @@ def test_zorder_prunes_nonleading_dim_linear_does_not(spark, sf_dir):
     lin_touch_x = sum(r["touch_x"] for r in by["linear"])
     assert lin_touch_x <= z_touch_x  # linear is tightest on leading col
     assert z_touch_x < len(by["zorder"])  # but z-order still prunes x
+
+
+# ---- incremental IVF+PQ index append (round 8, fourth wave) ----
+
+
+def _append_fixture(spark, sf_dir, tmp_path_factory=None):
+    """Build an index from the vec_id%3!=0 split, then append the
+    %3==0 batch with frozen centroids/codebooks. Returns (path,
+    centroids, codebooks, files_before_append)."""
+    import glob
+    import shutil
+
+    from etl_deltalake_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+    from pyspark.sql import functions as F
+
+    cents = qx._ivf_centroids(spark, sf_dir)
+    books = qx._pq_books(spark, sf_dir)
+    emb = qx.load_table(spark, "embeddings", sf_dir)
+    path = "/tmp/spark_graft_ann_append_test/ivfpq"
+    shutil.rmtree("/tmp/spark_graft_ann_append_test", ignore_errors=True)
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 3 != 0), "vec_id", "embedding",
+        cents, books, path,
+    )
+    before = set(glob.glob(f"{path}/cluster_id=*/*.parquet"))
+    append_to_ivfpq_index(
+        emb.filter(F.col("vec_id") % 3 == 0), "vec_id", "embedding",
+        cents, books, path,
+    )
+    return path, cents, books, before
+
+
+def test_ivfpq_append_grows_without_rewriting(spark, sf_dir):
+    """Append must be strictly additive: every pre-append data file
+    survives byte-identical in place (no index rewrite — cost linear
+    in the batch), and the grown index holds exactly corpus-many
+    rows with no id overlap between builds."""
+    import glob
+
+    path, _, _, before = _append_fixture(spark, sf_dir)
+    after = set(glob.glob(f"{path}/cluster_id=*/*.parquet"))
+    assert before < after, "append added no files or rewrote the layout"
+    idx = spark.read.parquet(path)
+    total = qx.load_table(spark, "embeddings", sf_dir).count()
+    assert idx.count() == total
+    assert idx.select("vec_id").distinct().count() == total
+
+
+def test_ivfpq_append_serving_equals_full_rebuild(spark, sf_dir):
+    """Queries over the appended index must be bit-identical to a
+    from-scratch ivfpq_topk over the full corpus with the same frozen
+    codebooks — the whole point of freezing them."""
+    from etl_deltalake_spark.operators.similarity import (
+        ivfpq_pretrained_topk,
+        ivfpq_topk,
+    )
+
+    path, cents, books, _ = _append_fixture(spark, sf_dir)
+    qv = qx._query_vec(spark, sf_dir)
+    grown = ivfpq_pretrained_topk(
+        spark, path, "vec_id", qv, cents, books, k=10, nprobe=3
+    )
+    emb = qx.load_table(spark, "embeddings", sf_dir)
+    fresh = ivfpq_topk(
+        emb, "vec_id", "embedding", qv, cents, books, k=10, nprobe=3
+    )
+    assert sorted(tuple(r) for r in grown.collect()) == sorted(
+        tuple(r) for r in fresh.collect()
+    )
+
+
+def test_ivfpq_append_preserves_partition_pruning(spark, sf_dir):
+    """Directory-level pruning must survive the append: the pruned
+    serving scan touches fewer files than the full index and carries
+    cluster_id PartitionFilters."""
+    from etl_deltalake_spark.operators.partitioning import files_touched
+    from etl_deltalake_spark.operators.similarity import _cos_py
+    from pyspark.sql import functions as F
+
+    path, cents, _, _ = _append_fixture(spark, sf_dir)
+    full = spark.read.parquet(path)
+    qv = qx._query_vec(spark, sf_dir)
+    probed = sorted(cents, key=lambda c: (-_cos_py(qv, c[1]), c[0]))[:3]
+    pruned = full.filter(F.col("cluster_id").isin([int(c) for c, _ in probed]))
+    assert files_touched(pruned) < files_touched(full)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
