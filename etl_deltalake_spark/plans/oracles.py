@@ -4697,3 +4697,34 @@ oracle("q_zorder")(
     ORDER BY layout, bucket
     """
 )
+
+
+# VARIANT truth (q_variant, round 8): the same nested JSON built from
+# event columns, every typed path probe re-derived with DuckDB's JSON
+# functions (0-based array index, null for the missing path), and the
+# malformed-row gate via json_valid.
+oracle("q_variant")(
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"u":' || user_id
+               || ',"tags":["t' || (user_id % 5)
+               || '","t' || (event_id % 7)
+               || '"],"m":{"v":' || CAST(floor(value) AS BIGINT)
+               || ',"t":"' || event_type || '"}}' AS js
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract(js, '$.u') AS BIGINT) AS u,
+           json_extract_string(js, '$.tags[1]') AS tag1,
+           CAST(json_extract(js, '$.m.v') AS BIGINT) AS mv,
+           json_extract_string(js, '$.m.t') AS typ,
+           json_extract_string(js, '$.missing') AS absent,
+           CASE WHEN event_id % 10 = 0
+                THEN CASE WHEN json_valid('{"u":') THEN 1 ELSE 0 END
+                ELSE CASE WHEN json_valid(js) THEN 1 ELSE 0 END
+           END AS parse_ok
+    FROM j
+    ORDER BY event_id
+    """
+)

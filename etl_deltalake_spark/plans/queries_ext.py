@@ -3306,3 +3306,52 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") * 53) % 1024,
         (F.col("event_id") * 193 + 7) % 1024,
     ).orderBy("layout", "bucket")
+
+
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured path (round 8): build a nested JSON
+    doc per event, parse ONCE to Spark's binary VARIANT type, then
+    probe typed paths with variant_get — object fields, a 0-based
+    array index, a missing path (null-safe), plus a try_parse_json
+    gate over a deterministically-malformed sibling column. This is
+    the modern lakehouse semi-structured story q_json_funcs'
+    string-side get_json_object cannot tell: at 100 TB you parse text
+    once at ingest, store the binary variant (shredding-ready), and
+    every later path probe is a binary traversal, not a re-parse.
+    The DuckDB oracle re-derives every extraction with its JSON
+    functions — a 1-based index, a lost null, or a malformed row
+    slipping through all mismatch.
+
+    No counterpart in the reference (flat JSON normalize only,
+    main.py:64-77); SURVEY §2.8 scalar-function family extension."""
+    ev = load_table(spark, "events", sf_dir)
+    js = F.concat(
+        F.lit('{"u":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"tags":["t'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('","t'),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit('"],"m":{"v":'),
+        F.floor(F.col("value")).cast("long").cast("string"),
+        F.lit(',"t":"'),
+        F.col("event_type"),
+        F.lit('"}}'),
+    )
+    # every 10th event gets an unclosed object — must parse to NULL,
+    # not error, under try_parse_json
+    js_bad = F.when(
+        F.col("event_id") % 10 == 0, F.lit('{"u":')
+    ).otherwise(js)
+    v = F.parse_json(js)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.u", "bigint").alias("u"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag1"),
+        F.variant_get(v, "$.m.v", "bigint").alias("mv"),
+        F.variant_get(v, "$.m.t", "string").alias("typ"),
+        F.variant_get(v, "$.missing", "string").alias("absent"),
+        F.when(F.try_parse_json(js_bad).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("parse_ok"),
+    ).orderBy("event_id")

@@ -321,6 +321,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_train_shards",
     "q_scalar_quant",
     "q_zorder",
+    "q_variant",
 )
 
 

@@ -479,3 +479,22 @@ def test_ivfpq_append_preserves_partition_pruning(spark, sf_dir):
     assert files_touched(pruned) < files_touched(full)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+# ---- VARIANT semi-structured path (round 8, fourth wave) ----
+
+
+def test_variant_is_binary_variant_not_string(spark):
+    """q_variant's claim is the parse-once BINARY variant path: the
+    intermediate must be VariantType (not a string re-parse), and
+    try_parse_json must absorb malformed input as NULL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import VariantType
+
+    df = spark.range(1).select(
+        F.parse_json(F.lit('{"a":1}')).alias("v"),
+        F.try_parse_json(F.lit('{"a":')).alias("bad"),
+    )
+    assert isinstance(df.schema["v"].dataType, VariantType)
+    row = df.collect()[0]
+    assert row["bad"] is None
