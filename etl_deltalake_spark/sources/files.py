@@ -68,6 +68,34 @@ def read_csv(
     )
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType,
+) -> DataFrame:
+    """XML reader (round 8): Spark 4 ships the XML source natively
+    (the former spark-xml package, merged upstream) — one record per
+    ``rowTag`` element, explicit schema, PERMISSIVE corrupt capture
+    like the CSV/JSONL legs: a malformed element yields nulls with
+    the raw element text in ``_corrupt_record``, so ``split_corrupt``
+    quarantines it instead of killing or silently dropping.
+
+    Scale note: unlike line-delimited text, an XML FILE is not
+    splittable on arbitrary byte boundaries — parallelism is
+    per-file. Vendors shipping XML at bulk ship many files; the scan
+    distributes across them. Schemas are explicit (no inference pass).
+    """
+    return (
+        spark.read.format("xml")
+        .schema(_with_corrupt(schema))
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .load(path)
+    )
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean rows with the corrupt column pruned,
     quarantine rows carrying the raw offending line for audit. Every

@@ -134,3 +134,52 @@ def test_columnar_corrupt_file_quarantine(spark, sf_dir, tmp_path):
         spark, path, fmt="orc", schema=src.schema, ignore_corrupt_files=True
     )
     assert got.count() == n
+
+
+def test_xml_split(spark, tmp_path):
+    """XML leg (round 8, Spark 4 native XML source): one record per
+    rowTag element, typed fields from child elements, type-corrupt
+    elements quarantined with their raw text — the same total-load
+    contract as the CSV/JSONL legs."""
+    from etl_deltalake_spark.sources.files import read_xml
+
+    p = tmp_path / "data.xml"
+    p.write_text(
+        "<rows>"
+        "<row><id>1</id><name>a</name><score>1.5</score></row>"
+        "<row><id>oops</id><name>b</name><score>2.0</score></row>"
+        "<row><id>3</id><name>c</name><score>3.75</score></row>"
+        "<row><id>4</id><name>d</name></row>"
+        "</rows>"
+    )
+    clean, bad = split_corrupt(read_xml(spark, str(p), "row", SCHEMA))
+    got = {r["id"]: (r["name"], r["score"]) for r in clean.collect()}
+    assert got == {1: ("a", 1.5), 3: ("c", 3.75), 4: ("d", None)}
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert len(raws) == 1 and "oops" in raws[0]
+    assert clean.count() + bad.count() == 4
+
+
+def test_xml_nested_attributes(spark, tmp_path):
+    """Attributes (_attr convention) and nested structs parse typed —
+    the shapes real vendor XML actually uses."""
+    from pyspark.sql.types import StructType as ST, StructField as SF
+    from etl_deltalake_spark.sources.files import read_xml
+
+    p = tmp_path / "nested.xml"
+    p.write_text(
+        "<feed>"
+        '<item kind="x"><meta><n>7</n></meta></item>'
+        '<item kind="y"><meta><n>9</n></meta></item>'
+        "</feed>"
+    )
+    schema = ST(
+        [
+            SF("_kind", StringType()),
+            SF("meta", ST([SF("n", LongType())])),
+        ]
+    )
+    clean, bad = split_corrupt(read_xml(spark, str(p), "item", schema))
+    rows = sorted((r["_kind"], r["meta"]["n"]) for r in clean.collect())
+    assert rows == [("x", 7), ("y", 9)]
+    assert bad.count() == 0
