@@ -968,3 +968,92 @@ def tukey_outliers(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+_KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_hash(item: Column) -> Column:
+    """60-bit uniform hash shared with the DuckDB oracle: first 15
+    hex digits of md5 (same function, same UTF-8 bytes in both
+    engines — the repo's standard cross-engine hash trick)."""
+    return F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch_est(
+    df: DataFrame,
+    group_col: Column,
+    item: Column,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group, plus a
+    merged all-groups union row — the MERGEABLE tier above
+    ``approx_distinct_check``'s HLL: a KMV sketch is just the k
+    smallest distinct hash values, so sketches union by "merge the
+    arrays, keep the k smallest" with no sketch-format machinery, and
+    the union estimate is computed from sketch CONTENTS alone (never
+    re-touching the data — how 100 TB per-partition sketches roll up
+    to a global count). Estimator: exact when a group holds fewer
+    than k distinct hashes (the sketch IS the set), else
+    ``(k-1) * 2^60 / h_k`` with ``h_k`` the k-th smallest.
+
+    Everything is deterministic (md5 hashing, no sampling), so the
+    DuckDB oracle re-derives sketch and estimate exactly — unlike
+    HLL, whose register layout is engine-private. Output:
+    ``(grp, n_sketch, h_k, est)`` per group and one ``__union__``
+    row; ``h_k`` is null on the exact branch.
+
+    Shuffle posture: one distinct (partial-aggregated) + a per-group
+    top-k window over hashes (k rows of state per group); the union
+    row re-ranks the ≤ groups*k retained hashes — sketch-sized, not
+    data-sized.
+
+    No counterpart in the reference (main.py:1-638); SURVEY §2.8
+    reduction-family extension.
+    """
+    pairs = (
+        df.select(group_col.alias("grp"), _kmv_hash(item).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+    def estimate(sketch: DataFrame) -> DataFrame:
+        # n_sketch == sketch size; h_k only exists when the sketch is
+        # full (rank k present) — which is exactly the estimator branch
+        agg = sketch.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.max(F.when(F.col("rk") == k, F.col("h"))).alias("h_k"),
+        )
+        return agg.select(
+            "grp",
+            "n_sketch",
+            "h_k",
+            F.round(
+                F.when(
+                    F.col("h_k").isNull(), F.col("n_sketch").cast("double")
+                ).otherwise(
+                    F.lit(float(k - 1))
+                    * F.lit(_KMV_DOMAIN)
+                    / F.col("h_k").cast("double")
+                ),
+                6,
+            ).alias("est"),
+        )
+
+    per_group = estimate(ranked)
+    merged = (
+        ranked.select("h")
+        .distinct()
+        .withColumn("grp", F.lit("__union__"))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+        )
+        .filter(F.col("rk") <= k)
+    )
+    union_row = estimate(merged)
+    return per_group.unionByName(union_row)

@@ -4728,3 +4728,48 @@ oracle("q_variant")(
     ORDER BY event_id
     """
 )
+
+
+# KMV sketch truth (q_kmv, round 8): same md5-60bit hash, per-group
+# top-8 by row_number, kth-minimum estimator with the exact branch
+# when the sketch is not full, and the union row merged from sketch
+# contents only.
+oracle("q_kmv")(
+    """
+    WITH pairs AS (
+      SELECT DISTINCT event_type AS grp,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+      FROM pairs
+    ),
+    sk AS (SELECT * FROM ranked WHERE rk <= 8),
+    per_grp AS (
+      SELECT grp, count(*) AS n_sketch,
+             max(CASE WHEN rk = 8 THEN h END) AS h_k
+      FROM sk GROUP BY grp
+    ),
+    merged AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rk
+      FROM (SELECT DISTINCT h FROM sk)
+    ),
+    uni AS (
+      SELECT '__union__' AS grp, count(*) AS n_sketch,
+             max(CASE WHEN rk = 8 THEN h END) AS h_k
+      FROM merged WHERE rk <= 8
+    ),
+    allrows AS (
+      SELECT * FROM per_grp UNION ALL SELECT * FROM uni
+    )
+    SELECT grp, n_sketch, h_k,
+           round(CASE WHEN h_k IS NULL THEN CAST(n_sketch AS DOUBLE)
+                 ELSE 7.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+                 END, 6) AS est
+    FROM allrows
+    ORDER BY grp
+    """
+)

@@ -3355,3 +3355,20 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .alias("parse_ok"),
     ).orderBy("event_id")
+
+
+def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeable distinct sketch (round 8, operators/stats.
+    kmv_sketch_est): per-event-type distinct-user estimates from the
+    k=8 smallest md5-60bit hashes, plus a __union__ row merged from
+    sketch contents alone. Unlike HLL (engine-private registers) the
+    whole sketch is re-derivable: the DuckDB oracle recomputes the
+    hashes, the per-group top-8, the kth minimum, and the
+    (k-1)*2^60/h_k estimator exactly — a wrong rank bound, a lost
+    exact branch, or a union that re-touches the data all mismatch."""
+    from etl_deltalake_spark.operators.stats import kmv_sketch_est
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_sketch_est(
+        ev, F.col("event_type"), F.col("user_id"), k=8
+    ).orderBy("grp")

@@ -322,6 +322,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_scalar_quant",
     "q_zorder",
     "q_variant",
+    "q_kmv",
 )
 
 

@@ -498,3 +498,41 @@ def test_variant_is_binary_variant_not_string(spark):
     assert isinstance(df.schema["v"].dataType, VariantType)
     row = df.collect()[0]
     assert row["bad"] is None
+
+
+# ---- KMV mergeable distinct sketch (round 8, fourth wave) ----
+
+
+def test_kmv_exact_branch_and_union_theorem(spark):
+    """Groups with fewer than k distinct items take the exact branch
+    (h_k null, est == distinct count); the union row — computed from
+    sketch contents only — must equal the sketch computed over the
+    pooled data directly, because the k smallest of the per-group
+    k-smallest ARE the global k smallest (the KMV merge theorem)."""
+    from etl_deltalake_spark.operators.stats import kmv_sketch_est
+    from pyspark.sql import functions as F, Row
+
+    rows = [
+        Row(g="small", item=i) for i in range(3)
+    ] + [
+        Row(g="big_a", item=100 + i) for i in range(20)
+    ] + [
+        Row(g="big_b", item=200 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["grp"]: r
+        for r in kmv_sketch_est(df, F.col("g"), F.col("item"), k=8).collect()
+    }
+    small = out["small"]
+    assert small["h_k"] is None and small["est"] == 3.0
+    for g in ("big_a", "big_b"):
+        assert out[g]["h_k"] is not None and out[g]["n_sketch"] == 8
+        # 60-bit-uniform estimator: sanity band around truth (20)
+        assert 5 < out[g]["est"] < 80
+    pooled = kmv_sketch_est(
+        df, F.lit("__union__"), F.col("item"), k=8
+    ).collect()
+    direct = next(r for r in pooled if r["grp"] == "__union__")
+    assert out["__union__"]["h_k"] == direct["h_k"]
+    assert out["__union__"]["est"] == direct["est"]
