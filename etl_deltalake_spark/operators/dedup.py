@@ -320,12 +320,17 @@ def label_propagation_clusters(
     pairs: DataFrame,
     left_col: str = "doc_a",
     right_col: str = "doc_b",
-    iterations: int = 4,
+    iterations: int | None = 4,
 ) -> DataFrame:
     """Near-dup clustering: connected components over a pair graph
     via min-label propagation, bounded to ``iterations`` hops — the
     iterative-algorithm building block a dedup pipeline needs to turn
     pairwise matches into groups (keep one doc per cluster).
+    ``iterations=None`` runs UNTIL FIXPOINT — exact connected
+    components at any diameter (min-label propagation converges in
+    O(diameter) rounds; the early-exit check below doubles as the
+    termination test, so the unbounded mode costs exactly
+    diameter+1 rounds).
 
     label_{i+1}(v) = min(label_i(v), min over neighbors label_i(u));
     after K rounds every node holds the min doc id within K hops —
@@ -358,7 +363,10 @@ def label_propagation_clusters(
     labels = edges.select(F.col("src").alias("doc")).distinct().withColumn(
         "label", F.col("doc")
     )
-    for _ in range(iterations):
+    import itertools
+
+    rounds = itertools.count() if iterations is None else range(iterations)
+    for _ in rounds:
         nbr = (
             edges.join(
                 labels.select(

@@ -536,3 +536,27 @@ def test_kmv_exact_branch_and_union_theorem(spark):
     direct = next(r for r in pooled if r["grp"] == "__union__")
     assert out["__union__"]["h_k"] == direct["h_k"]
     assert out["__union__"]["est"] == direct["est"]
+
+
+# ---- until-fixpoint connected components (round 8, fourth wave) ----
+
+
+def test_label_propagation_fixpoint_on_deep_chain(spark):
+    """A 40-edge path graph has diameter 40 — beyond the K=4 default
+    bound. iterations=None must converge to ONE component; the
+    bounded default must demonstrably under-converge on it (that is
+    what the bound means), pinning that the unbounded mode is the one
+    to use when cluster diameter is unknown."""
+    from etl_deltalake_spark.operators.dedup import (
+        label_propagation_clusters,
+    )
+    from pyspark.sql import Row
+
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(40)]
+    )
+    full = label_propagation_clusters(chain, iterations=None).collect()
+    assert {r["cluster"] for r in full} == {0}
+    assert len(full) == 41
+    bounded = label_propagation_clusters(chain, iterations=4).collect()
+    assert len({r["cluster"] for r in bounded}) > 1
