@@ -4773,3 +4773,61 @@ oracle("q_kmv")(
     ORDER BY grp
     """
 )
+
+
+# Entity-resolution truth (q_entity_match, round 8): the dirty-feed
+# synthesis, digit-key blocking, Levenshtein verify, four
+# min-label-propagation rounds (the shared _lp_rounds body), singleton
+# preservation, and arg_max survivorship, all replayed exactly.
+oracle("q_entity_match")(
+    f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name, c_acctbal,
+             '555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               AS phone
+      FROM customer
+    ),
+    recs AS (
+      SELECT k * 2 AS rec_id, c_name AS name, phone, c_acctbal AS bal,
+             1 AS seq
+      FROM c
+      UNION ALL
+      SELECT k * 2 + 1,
+             CASE WHEN k % 5 = 0
+                  THEN 'Anon#' || regexp_extract(c_name, '([0-9]+)', 1)
+                  ELSE c_name || '.' END,
+             CASE WHEN k % 4 = 0 THEN NULL ELSE phone END,
+             NULL, 2
+      FROM c
+    ),
+    keyed AS (
+      SELECT rec_id, name, regexp_extract(name, '([0-9]+)', 1) AS bk
+      FROM recs
+    ),
+    pairs AS (
+      SELECT a.rec_id AS src, b.rec_id AS dst
+      FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS doc, src AS label FROM edges){_lp_rounds},
+    lab AS (
+      SELECT r.rec_id, COALESCE(l.label, r.rec_id) AS cluster
+      FROM recs r LEFT JOIN l4 l ON l.doc = r.rec_id
+    ),
+    j AS (
+      SELECT lab.cluster, r.name, r.phone, r.bal, r.seq
+      FROM recs r JOIN lab ON lab.rec_id = r.rec_id
+    )
+    SELECT cluster,
+           arg_max(name, CASE WHEN name IS NOT NULL THEN seq END) AS name,
+           arg_max(phone, CASE WHEN phone IS NOT NULL THEN seq END) AS phone,
+           arg_max(bal, CASE WHEN bal IS NOT NULL THEN seq END) AS bal,
+           MAX(seq) AS last_seen,
+           COUNT(*) AS n_recs
+    FROM j GROUP BY cluster
+    ORDER BY cluster
+    """
+)

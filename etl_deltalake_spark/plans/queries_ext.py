@@ -3372,3 +3372,56 @@ def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sketch_est(
         ev, F.col("event_type"), F.col("user_id"), k=8
     ).orderBy("grp")
+
+
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (round 8, operators/reconcile.
+    resolve_entities): synthesize a dirty two-records-per-customer
+    feed — the variant record appends a typo to the name (edit
+    distance 1), nulls its balance, nulls its phone on %4 keys, and
+    on %5 keys takes an entirely different 'Anon#' name (a same-block
+    IMPOSTOR the fuzzy gate must reject) — then block on the digit
+    key extracted from the name, verify with Levenshtein <= 2,
+    cluster by min-label propagation (singletons preserved), and
+    survive each attribute from its latest non-null carrier. The
+    DuckDB oracle replays blocking, the edit-distance gate, four
+    propagation rounds, and arg_max survivorship — a merged impostor,
+    a lost singleton, or a null phone erasing the known one all
+    mismatch."""
+    from etl_deltalake_spark.operators.reconcile import resolve_entities
+
+    cust = load_table(spark, "customer", sf_dir)
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    digits = F.regexp_extract(F.col("c_name"), "([0-9]+)", 1)
+    rec_a = cust.select(
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        F.col("c_name").alias("name"),
+        phone.alias("phone"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("seq"),
+    )
+    rec_b = cust.select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.concat(F.lit("Anon#"), digits)
+        )
+        .otherwise(F.concat(F.col("c_name"), F.lit(".")))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None)).otherwise(phone)
+        .alias("phone"),
+        F.lit(None).cast("double").alias("bal"),
+        F.lit(2).alias("seq"),
+    )
+    recs = rec_a.unionByName(rec_b)
+    return resolve_entities(
+        recs,
+        "rec_id",
+        "name",
+        F.regexp_extract(F.col("name"), "([0-9]+)", 1),
+        "seq",
+        ["name", "phone", "bal"],
+        max_dist=2,
+    ).orderBy("cluster")

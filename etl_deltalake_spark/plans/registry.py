@@ -323,6 +323,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_zorder",
     "q_variant",
     "q_kmv",
+    "q_entity_match",
 )
 
 

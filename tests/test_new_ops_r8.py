@@ -560,3 +560,34 @@ def test_label_propagation_fixpoint_on_deep_chain(spark):
     assert len(full) == 41
     bounded = label_propagation_clusters(chain, iterations=4).collect()
     assert len({r["cluster"] for r in bounded}) > 1
+
+
+# ---- entity resolution end-to-end (round 8, fourth wave) ----
+
+
+def test_entity_match_semantics(spark, sf_dir):
+    """The composition's load-bearing behaviors: (a) the %5 'Anon#'
+    impostor shares a block but must NOT merge — both records stay
+    singletons; (b) a variant's null phone must not erase the
+    original's known phone (survivorship, not keep-latest); (c)
+    merged clusters carry n_recs=2 and the variant's non-null fields
+    win by recency."""
+    from etl_deltalake_spark.plans.queries_ext import q_entity_match
+
+    rows = {r["cluster"]: r for r in q_entity_match(spark, sf_dir).collect()}
+    n_cust = qx.load_table(spark, "customer", sf_dir).count()
+    singles = [r for r in rows.values() if r["n_recs"] == 1]
+    merged = [r for r in rows.values() if r["n_recs"] == 2]
+    n_impostor_keys = sum(
+        1 for k in range(n_cust) if k % 5 == 0
+    )
+    assert len(singles) == 2 * n_impostor_keys
+    assert len(merged) == n_cust - n_impostor_keys
+    for r in merged:
+        k = r["cluster"] // 2
+        assert r["cluster"] == 2 * k  # min label = original's rec_id
+        assert r["name"].endswith(".")  # latest non-null name (variant)
+        assert r["last_seen"] == 2
+        # survivorship: phone survives from A when B nulled it
+        assert r["phone"] == f"555-{k % 10000:04d}"
+        assert r["bal"] is not None  # B's null bal must not erase A's
