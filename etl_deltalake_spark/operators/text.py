@@ -462,3 +462,30 @@ from etl_deltalake_spark.operators.pii import (  # noqa: E402,F401
     pii_hits,
     redact_pii,
 )
+
+
+# Unicode confusables fold (round 8): a curated subset of the common
+# Cyrillic/Greek → Latin lookalike pairs (the high-traffic rows of
+# Unicode TR39's confusables data — the full table is out of scope;
+# this subset covers the script-mixing substitutions that actually
+# defeat exact-hash dedup). Each source char appears once; Greek and
+# Cyrillic capitals are distinct codepoints even when both map to the
+# same Latin letter. The oracle pins these exact strings.
+CONFUSABLES_FROM = (
+    "аеорсхуіѕј"  # Cyrillic lowercase lookalikes
+    "АВЕКМНОРСТХУ"  # Cyrillic uppercase
+    "ονΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"  # Greek
+)
+CONFUSABLES_TO = "aeopcxyisj" "ABEKMHOPCTXY" "ovABEZHIKMNOPTYX"
+
+
+def fold_confusables(col: Column) -> Column:
+    """Map lookalike Cyrillic/Greek codepoints onto their Latin
+    targets — one JVM-side codepoint-wise ``translate``, zero Python.
+    Adversarial-dedup tier: a duplicate that swaps Latin 'aeo' for
+    Cyrillic 'аео' hashes differently under exact dedup and usually
+    survives MinHash too (every shingle containing a swapped char
+    changes); folding first restores the match. Compose BEFORE
+    ``normalize_text`` (the fold is case-sensitive by design — capital
+    lookalikes map to capitals)."""
+    return F.translate(col, CONFUSABLES_FROM, CONFUSABLES_TO)

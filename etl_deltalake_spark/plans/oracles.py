@@ -4831,3 +4831,31 @@ oracle("q_entity_match")(
     ORDER BY cluster
     """
 )
+
+
+# Confusables-fold dedup truth (q_homoglyph_dedup, round 8): the
+# same shadow synthesis and the SAME fold table — these two literals
+# are string-pinned to operators/text.CONFUSABLES_FROM/TO by
+# tests/test_new_ops_r8.py, so the fold definition cannot drift
+# between engines.
+_CONF_FROM = "аеорсхуіѕјАВЕКМНОРСТХУονΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+_CONF_TO = "aeopcxyisjABEKMHOPCTXYovABEZHIKMNOPTYX"
+
+oracle("q_homoglyph_dedup")(
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, translate(text, 'aeo', 'аео')
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(doc_id >= 1000000 AS INT) AS is_shadow,
+           count(*) OVER (PARTITION BY md5(text)) AS n_naive,
+           count(*) OVER (
+             PARTITION BY md5(translate(text, '{_CONF_FROM}', '{_CONF_TO}'))
+           ) AS n_folded
+    FROM corpus
+    ORDER BY doc_id
+    """
+)

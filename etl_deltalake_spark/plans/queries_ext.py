@@ -3425,3 +3425,33 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["name", "phone", "bal"],
         max_dist=2,
     ).orderBy("cluster")
+
+
+def q_homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial dedup via confusables folding (round 8,
+    operators/text.fold_confusables): synthesize evasive duplicates —
+    for %7 docs a shadow copy whose Latin 'aeo' are swapped for
+    Cyrillic 'аео' (the classic exact-hash-dedup evasion; every
+    affected shingle changes, so MinHash mostly misses it too) — then
+    fingerprint the corpus twice: naive md5(text) vs md5 of the
+    confusables-folded text. Output per doc: both duplicate-group
+    sizes. The graded story is IN the rows: shadows merge with their
+    originals only under the folded fingerprint. The DuckDB oracle
+    replays the shadow synthesis, the exact fold table (string-pinned
+    to text.CONFUSABLES_FROM/TO), and both group counts."""
+    from etl_deltalake_spark.operators.text import fold_confusables
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    shadow = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.translate(F.col("text"), "aeo", "аео").alias("text"),
+    )
+    corpus = docs.unionByName(shadow)
+    w_naive = Window.partitionBy(F.md5(F.col("text")))
+    w_fold = Window.partitionBy(F.md5(fold_confusables(F.col("text"))))
+    return corpus.select(
+        "doc_id",
+        (F.col("doc_id") >= 1000000).cast("int").alias("is_shadow"),
+        F.count(F.lit(1)).over(w_naive).alias("n_naive"),
+        F.count(F.lit(1)).over(w_fold).alias("n_folded"),
+    ).orderBy("doc_id")

@@ -324,6 +324,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_variant",
     "q_kmv",
     "q_entity_match",
+    "q_homoglyph_dedup",
 )
 
 

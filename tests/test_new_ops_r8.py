@@ -591,3 +591,45 @@ def test_entity_match_semantics(spark, sf_dir):
         # survivorship: phone survives from A when B nulled it
         assert r["phone"] == f"555-{k % 10000:04d}"
         assert r["bal"] is not None  # B's null bal must not erase A's
+
+
+# ---- confusables folding / adversarial dedup (round 8) ----
+
+
+def test_confusables_strings_pinned_to_oracle(spark):
+    """The fold table must be identical in both engines — the oracle
+    carries its own literal copy; pin them char-for-char."""
+    from etl_deltalake_spark.operators.text import (
+        CONFUSABLES_FROM,
+        CONFUSABLES_TO,
+    )
+    from etl_deltalake_spark.plans.oracles import _CONF_FROM, _CONF_TO
+
+    assert CONFUSABLES_FROM == _CONF_FROM
+    assert CONFUSABLES_TO == _CONF_TO
+    assert len(CONFUSABLES_FROM) == len(CONFUSABLES_TO)
+    assert len(set(CONFUSABLES_FROM)) == len(CONFUSABLES_FROM)
+
+
+def test_homoglyph_shadows_merge_only_after_folding(spark, sf_dir):
+    """Every shadow must share a folded fingerprint with its original
+    (n_folded >= 2) while pure-ASCII originals' naive and folded
+    group sizes agree (folding is identity on unevasive text)."""
+    from etl_deltalake_spark.plans.queries_ext import q_homoglyph_dedup
+
+    rows = q_homoglyph_dedup(spark, sf_dir).collect()
+    shadows = [r for r in rows if r["is_shadow"] == 1]
+    assert shadows, "fixture must produce shadows"
+    for r in shadows:
+        assert r["n_folded"] >= 2  # merges with its original
+    originals = {r["doc_id"]: r for r in rows if r["is_shadow"] == 0}
+    for r in shadows:
+        orig = originals[r["doc_id"] - 1000000]
+        assert orig["n_folded"] >= 2
+        # the evasion works against the naive fingerprint: the shadow
+        # never lands in its original's naive group
+        assert orig["n_naive"] < orig["n_folded"] or (
+            # unless the original's text contains no a/e/o at all —
+            # then shadow == original byte-for-byte
+            r["n_naive"] == orig["n_naive"]
+        )
