@@ -1057,3 +1057,77 @@ def kmv_sketch_est(
     )
     union_row = estimate(merged)
     return per_group.unionByName(union_row)
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    group_col: Column,
+    item: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between groups estimated from KMV
+    sketch CONTENTS alone — the set-algebra half of the sketch tier
+    (``kmv_sketch_est`` covers cardinality + union): for each
+    candidate pair, pool the two k-minima sketches, keep the k
+    smallest of the pool, and estimate J = |both| / |pool top-k|
+    (the classic bottom-k estimator: the merged minima are a uniform
+    sample of the union, so the fraction present in both sides is an
+    unbiased Jaccard estimate).
+
+    Candidate pairs are derived by EQUI-JOINING sketches on the hash
+    value — only pairs sharing at least one sketch minimum surface.
+    That is the 100 TB shape: with millions of groups, enumerating
+    all group pairs is quadratic death; evidence-driven candidates
+    (the LSH move) surface exactly the pairs with non-trivial
+    overlap, and an absent pair reads as J ~ 0. Everything after the
+    per-group sketch is sketch-sized: joins on h and on group id,
+    one per-pair top-k window.
+
+    Output: ``(grp_a, grp_b, k_used, n_both, jacc)`` for grp_a <
+    grp_b. Deterministic (md5 hashing), so the DuckDB oracle replays
+    candidates, pooling, and the estimator exactly.
+    """
+    pairs = (
+        df.select(group_col.alias("grp"), _kmv_hash(item).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("grp", "h")
+    )
+    cand = (
+        sk.select(F.col("grp").alias("ga"), "h")
+        .join(sk.select(F.col("grp").alias("gb"), "h"), "h")
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb")
+        .distinct()
+    )
+    side_a = cand.join(sk.withColumnRenamed("grp", "ga"), "ga").select(
+        "ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = cand.join(sk.withColumnRenamed("grp", "gb"), "gb").select(
+        "ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    pooled = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy("h")
+    merged = pooled.withColumn("rk", F.row_number().over(wp)).filter(
+        F.col("rk") <= k
+    )
+    both = F.sum(
+        F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+    )
+    return merged.groupBy(
+        F.col("ga").alias("grp_a"), F.col("gb").alias("grp_b")
+    ).agg(
+        F.count(F.lit(1)).alias("k_used"),
+        both.alias("n_both"),
+        F.round(
+            both.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("jacc"),
+    )

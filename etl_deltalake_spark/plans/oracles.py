@@ -4859,3 +4859,56 @@ oracle("q_homoglyph_dedup")(
     ORDER BY doc_id
     """
 )
+
+
+# KMV Jaccard truth (q_kmv_jaccard, round 8): same tokenizer, same
+# md5-60bit hash, per-source top-64 sketches, evidence-pair surfacing
+# via the hash equi-join, pooled top-64 bottom-k estimator.
+oracle("q_kmv_jaccard")(
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT source AS grp,
+             CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT source,
+               unnest(regexp_extract_all(
+                 lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term
+        FROM documents
+      )
+    ),
+    ranked AS (
+      SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+      FROM tok
+    ),
+    sk AS (SELECT grp, h FROM ranked WHERE rk <= 64),
+    cand AS (
+      SELECT DISTINCT a.grp AS ga, b.grp AS gb
+      FROM sk a JOIN sk b ON a.h = b.h AND a.grp < b.grp
+    ),
+    pooled0 AS (
+      SELECT c.ga, c.gb, s.h, 1 AS in_a, 0 AS in_b
+      FROM cand c JOIN sk s ON s.grp = c.ga
+      UNION ALL
+      SELECT c.ga, c.gb, s.h, 0, 1
+      FROM cand c JOIN sk s ON s.grp = c.gb
+    ),
+    pooled AS (
+      SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+      FROM pooled0 GROUP BY ga, gb, h
+    ),
+    merged AS (
+      SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+      FROM pooled
+    )
+    SELECT ga AS grp_a, gb AS grp_b,
+           count(*) AS k_used,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           round(CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS jacc
+    FROM merged WHERE rk <= 64
+    GROUP BY ga, gb
+    ORDER BY grp_a, grp_b
+    """
+)

@@ -3455,3 +3455,25 @@ def q_homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_naive).alias("n_naive"),
         F.count(F.lit(1)).over(w_fold).alias("n_folded"),
     ).orderBy("doc_id")
+
+
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between document sources from KMV sketches
+    (round 8, operators/stats.kmv_jaccard): tokenize each source's
+    documents under THE shared token definition, sketch each source's
+    vocabulary as its 64 smallest md5-60bit term hashes, surface
+    candidate pairs by equi-joining sketches on the hash (the
+    evidence-driven move that avoids enumerating all group pairs at
+    scale), then estimate J as the both-sides fraction of the pooled
+    top-64 minima. The DuckDB oracle replays tokenization, sketches,
+    candidate surfacing, pooling, and the estimator exactly."""
+    from etl_deltalake_spark.operators.stats import kmv_jaccard
+    from etl_deltalake_spark.operators.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    return kmv_jaccard(
+        toks, F.col("source"), F.col("term"), k=64
+    ).orderBy("grp_a", "grp_b")

@@ -325,6 +325,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_kmv",
     "q_entity_match",
     "q_homoglyph_dedup",
+    "q_kmv_jaccard",
 )
 
 

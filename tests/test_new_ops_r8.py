@@ -633,3 +633,36 @@ def test_homoglyph_shadows_merge_only_after_folding(spark, sf_dir):
             # then shadow == original byte-for-byte
             r["n_naive"] == orig["n_naive"]
         )
+
+
+# ---- KMV pairwise Jaccard (round 8, fourth wave) ----
+
+
+def test_kmv_jaccard_exact_when_sketches_complete(spark):
+    """When every group's distinct-item count is <= k the sketches
+    hold the full sets, the pooled top-k is the full union, and the
+    estimate IS the exact Jaccard — pin that degenerate-exact case,
+    plus the estimator band on sets larger than k."""
+    from etl_deltalake_spark.operators.stats import kmv_jaccard
+    from pyspark.sql import functions as F, Row
+
+    # |A|=20, |B|=20, |A∩B|=10 → J = 10/30
+    rows = [Row(g="A", item=i) for i in range(20)] + [
+        Row(g="B", item=i) for i in range(10, 30)
+    ]
+    small = spark.createDataFrame(rows)
+    out = kmv_jaccard(small, F.col("g"), F.col("item"), k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["grp_a"], r["grp_b"]) == ("A", "B")
+    assert r["k_used"] == 30 and r["n_both"] == 10
+    assert r["jacc"] == round(10 / 30, 6)
+
+    # |A|=400, |B|=400, overlap 200 → J = 1/3; k=64 sketches estimate
+    big_rows = [Row(g="A", item=i) for i in range(400)] + [
+        Row(g="B", item=i) for i in range(200, 600)
+    ]
+    big = spark.createDataFrame(big_rows)
+    est = kmv_jaccard(big, F.col("g"), F.col("item"), k=64).collect()[0]
+    assert est["k_used"] == 64
+    assert abs(est["jacc"] - 1 / 3) < 0.18  # bottom-64 sampling band
