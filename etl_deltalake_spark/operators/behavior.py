@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -197,4 +197,68 @@ def cohort_retention(
     )
     return activity.groupBy("cohort", "offset").agg(
         F.countDistinct("user").alias("n_active")
+    )
+
+
+def attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    lookback_days: int = 3,
+) -> DataFrame:
+    """First-touch AND last-touch attribution (round 8): for every
+    conversion event, find the earliest and the latest touch event of
+    the same user inside the ``(conv_ts - lookback, conv_ts]``
+    window, under a TOTAL (ts, event id) order so ties are
+    deterministic; conversions with no in-window touch attribute to
+    null (kept — unattributed volume is the number marketing actually
+    argues about).
+
+    Shape: conversions ⋈ touches is an EQUI-join on the user key with
+    the window bounds as post-join filters (no all-pairs; per-user
+    touch × conversion pairs only), then one window per conversion id
+    picks both endpoints in a single pass (first_value/last_value
+    over the same ordered frame), then a left join re-attaches
+    unattributed conversions. At 100 TB the user-key shuffle is the
+    cost; AQE handles hot users, and the lookback filter bounds the
+    per-user pair fan-out.
+
+    Output: one row per conversion — ``(conv_id, user, first_touch,
+    last_touch)`` with null touches when unattributed.
+    """
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(id_col).alias("conv_id"),
+    )
+    touch = df.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+    )
+    paired = conv.join(touch, "user").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            > F.col("conv_ts") - F.expr(f"INTERVAL {lookback_days} DAYS")
+        )
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("touch_ts", "touch_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    attributed = (
+        paired.withColumn("first_touch", F.first("touch_type").over(w))
+        .withColumn("last_touch", F.last("touch_type").over(w))
+        .select("conv_id", "user", "first_touch", "last_touch")
+        .distinct()
+    )
+    return conv.select("conv_id", "user").join(
+        attributed, ["conv_id", "user"], "left"
     )

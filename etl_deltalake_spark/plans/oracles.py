@@ -4912,3 +4912,51 @@ oracle("q_kmv_jaccard")(
     ORDER BY grp_a, grp_b
     """
 )
+
+
+# Attribution truth (q_attribution, round 8): equi-join on user with
+# the (conv_ts - 3 days, conv_ts] window, endpoints under the total
+# (touch_ts, touch_id) order, unattributed conversions preserved via
+# the left join.
+oracle("q_attribution")(
+    """
+    WITH conv AS (
+      SELECT user_id AS u, ts AS conv_ts, event_id AS conv_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, ts AS touch_ts, event_id AS touch_id,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    paired AS (
+      SELECT c.conv_id, c.u, t.touch_type, t.touch_ts, t.touch_id
+      FROM conv c JOIN touch t ON c.u = t.u
+      WHERE t.touch_ts <= c.conv_ts
+        AND t.touch_ts > c.conv_ts - INTERVAL 3 DAY
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY conv_id ORDER BY touch_ts, touch_id
+             ) AS rn_f,
+             row_number() OVER (
+               PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC
+             ) AS rn_l
+      FROM paired
+    ),
+    ends AS (
+      SELECT conv_id, u,
+             max(CASE WHEN rn_f = 1 THEN touch_type END) AS first_touch,
+             max(CASE WHEN rn_l = 1 THEN touch_type END) AS last_touch
+      FROM ranked GROUP BY conv_id, u
+    ),
+    per_conv AS (
+      SELECT c.conv_id, e.first_touch, e.last_touch
+      FROM conv c LEFT JOIN ends e ON e.conv_id = c.conv_id AND e.u = c.u
+    )
+    SELECT first_touch, last_touch, count(*) AS n_conversions
+    FROM per_conv GROUP BY first_touch, last_touch
+    ORDER BY first_touch, last_touch
+    """
+)

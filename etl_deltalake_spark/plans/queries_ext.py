@@ -3477,3 +3477,32 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_jaccard(
         toks, F.col("source"), F.col("term"), k=64
     ).orderBy("grp_a", "grp_b")
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution report (round 8, operators/behavior.attribution):
+    per purchase event, the first and last click/view touch of the
+    same user within a 3-day lookback under a total (ts, event_id)
+    order, aggregated into (first_touch, last_touch, n_conversions)
+    cells with unattributed purchases kept as null/null. The DuckDB
+    oracle replays the windowed join and both endpoints exactly —
+    an off-by-one window bound, a lost tiebreak, or dropped
+    unattributed rows all mismatch."""
+    from etl_deltalake_spark.operators.behavior import attribution
+
+    ev = load_table(spark, "events", sf_dir)
+    per_conv = attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_days=3,
+    )
+    return (
+        per_conv.groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy("first_touch", "last_touch")
+    )

@@ -326,6 +326,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_entity_match",
     "q_homoglyph_dedup",
     "q_kmv_jaccard",
+    "q_attribution",
 )
 
 

@@ -666,3 +666,50 @@ def test_kmv_jaccard_exact_when_sketches_complete(spark):
     est = kmv_jaccard(big, F.col("g"), F.col("item"), k=64).collect()[0]
     assert est["k_used"] == 64
     assert abs(est["jacc"] - 1 / 3) < 0.18  # bottom-64 sampling band
+
+
+# ---- first/last-touch attribution (round 8, fourth wave) ----
+
+
+def test_attribution_window_and_unattributed(spark):
+    """Pin the window semantics on a constructed timeline: touches
+    outside the lookback or after the conversion never attribute; a
+    conversion with no in-window touch survives with nulls; first and
+    last endpoints respect the (ts, id) tiebreak."""
+    import datetime as dt
+
+    from etl_deltalake_spark.operators.behavior import attribution
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ev(eid, days_off, typ, user=1):
+        return Row(
+            user_id=user,
+            ts=t0 + dt.timedelta(days=days_off),
+            event_id=eid,
+            event_type=typ,
+        )
+
+    rows = [
+        ev(1, -5.0, "click"),      # outside 3-day lookback
+        ev(2, -2.0, "view"),       # first in-window touch
+        ev(3, -1.0, "click"),      # middle
+        ev(4, 0.0, "click"),       # same instant as conversion: included
+        ev(5, 0.0, "purchase"),    # conversion (ts tie with 4)
+        ev(6, 1.0, "view"),        # after conversion: excluded
+        ev(7, 0.0, "purchase", user=2),  # user 2: no touches at all
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in attribution(
+            spark.createDataFrame(rows),
+            "user_id", "ts", "event_id", "event_type",
+            conversion_type="purchase",
+            touch_types=["click", "view"],
+            lookback_days=3,
+        ).collect()
+    }
+    assert out[5]["first_touch"] == "view"   # event 2, not the stale 1
+    assert out[5]["last_touch"] == "click"   # event 4 (ts tie, higher id)
+    assert out[7]["first_touch"] is None and out[7]["last_touch"] is None
