@@ -22,6 +22,11 @@ functions):
                                    dim[dim_col] (NULL FKs are not
                                    violations — add not_null(col)
                                    for that)
+  functional_dependency(lhs, rhs)  declared FD lhs -> rhs: every lhs
+                                   tuple maps to one rhs value (a
+                                   null-and-value mix violates);
+                                   failing_rows counts rows in
+                                   violating groups
 
 Scale shape: every per-row rule compiles to a conditional COUNT in a
 single global aggregation — ONE scan, no shuffle beyond the final
@@ -78,6 +83,16 @@ def unique(*cols: str) -> Rule:
     return ("unique_" + "_".join(cols), "unique", {"cols": list(cols)})
 
 
+def functional_dependency(lhs: Sequence[str], rhs: str) -> Rule:
+    """Declared FD ``lhs -> rhs``: every lhs tuple must map to ONE
+    rhs value (nulls count as a value — a null-and-value mix is a
+    violation too, the usual denormalization-drift symptom).
+    failing_rows = number of rows living in violating lhs groups —
+    the audit-sized answer to "how much of the table disagrees"."""
+    name = "fd_" + "_".join(lhs) + "__" + rhs
+    return (name, "fd", {"lhs": list(lhs), "rhs": rhs})
+
+
 def row_count_between(lo: int, hi: int) -> Rule:
     return (f"row_count_between_{lo}_{hi}", "row_count", {"lo": lo, "hi": hi})
 
@@ -118,7 +133,7 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
                     F.lit(0).cast("bigint"),
                 ).alias(name)
             )
-        elif kind not in ("unique", "fk"):
+        elif kind not in ("unique", "fk", "fd"):
             raise ValueError(f"unknown rule kind {kind!r}")
 
     scalar_kinds = ("count_if", "row_count")
@@ -152,6 +167,29 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
                 .select(F.lit(name).alias("rule"), "failing_rows")
             )
             parts.append(dup)
+        elif kind == "fd":
+            viol = (
+                df.groupBy(*[F.col(c) for c in p["lhs"]])
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    # count nulls as a distinct rhs value: countDistinct
+                    # ignores nulls, so add a has-null indicator
+                    (
+                        F.countDistinct(F.col(p["rhs"]))
+                        + F.max(
+                            F.when(F.col(p["rhs"]).isNull(), 1).otherwise(0)
+                        )
+                    ).alias("_nv"),
+                )
+                .filter(F.col("_nv") > 1)
+                .agg(
+                    F.coalesce(F.sum("_n"), F.lit(0))
+                    .cast("bigint")
+                    .alias("failing_rows")
+                )
+                .select(F.lit(name).alias("rule"), "failing_rows")
+            )
+            parts.append(viol)
         elif kind == "fk":
             orphans = (
                 df.select(F.col(p["col"]).alias("_fk"))

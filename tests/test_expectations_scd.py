@@ -192,3 +192,36 @@ def test_scd2_null_keyed_rows_not_dropped(spark):
         (None, "orphan", True),       # NULL-keyed open row kept
         (1, "a", True),
     ]
+
+
+def test_functional_dependency_rule(spark):
+    """FD audit (round 8): a clean lhs->rhs table passes; injected
+    drift fails with failing_rows counting every row in violating
+    groups; a null mixed with a value in one group violates, while an
+    all-null group maps to one 'value' and passes."""
+    from etl_deltalake_spark.operators.expectations import (
+        check,
+        functional_dependency,
+    )
+    from pyspark.sql import Row
+
+    clean = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v=None),
+         Row(k=3, v=None)]
+    )
+    rep = {r["rule"]: r for r in check(
+        clean, [functional_dependency(["k"], "v")]
+    ).collect()}
+    r = rep["fd_k__v"]
+    assert r["passed"] and r["failing_rows"] == 0
+
+    dirty = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=1, v="B"), Row(k=1, v="a"),  # 3 rows violate
+         Row(k=2, v="b"),
+         Row(k=4, v="x"), Row(k=4, v=None)]                  # null+value: 2
+    )
+    rep = {r["rule"]: r for r in check(
+        dirty, [functional_dependency(["k"], "v")]
+    ).collect()}
+    r = rep["fd_k__v"]
+    assert not r["passed"] and r["failing_rows"] == 5
