@@ -606,3 +606,56 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def blocklist_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: DataFrame,
+    term_col: str = "term",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Multi-term blocklist audit (round 8) — the safety-filter tier
+    of the curation funnel (decontamination guards eval overlap; this
+    guards curated TERM lists: slurs, PII markers, spam vocabulary):
+    tokenize each document under THE shared token definition, count
+    occurrences of blocklisted terms, and keep a document iff its
+    total hits stay within ``max_hits``.
+
+    Shape: explode tokens → equi-join against the BROADCAST term
+    table (blocklists are curated and small — thousands of rows;
+    the corpus-side stream never shuffles for the join) → one
+    per-doc aggregate → left join back so zero-hit documents are
+    KEPT, not dropped by the inner join. Occurrence counts (not
+    just distinct terms) so one slur repeated 50 times scores 50.
+
+    Output: (id, n_hits, n_terms, kept) — one row per input doc.
+    """
+    from etl_deltalake_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    )
+    hits = (
+        toks.join(
+            F.broadcast(terms.select(F.col(term_col).alias("_tok"))),
+            "_tok",
+        )
+        .groupBy("_bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("_tok").alias("n_terms"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_bid"))
+        .join(hits, "_bid", "left")
+        .select(
+            F.col("_bid").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce(F.col("n_terms"), F.lit(0)).cast("bigint").alias("n_terms"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) <= max_hits).alias("kept"),
+        )
+    )

@@ -4960,3 +4960,28 @@ oracle("q_attribution")(
     ORDER BY first_touch, last_touch
     """
 )
+
+
+# Blocklist truth (q_blocklist, round 8): same tokenizer, occurrence
+# counts against the same three-term list, zero-hit docs preserved.
+oracle("q_blocklist")(
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits, count(DISTINCT term) AS n_terms
+      FROM tok WHERE term IN ('merge', 'window', 'dup')
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_terms, 0) AS n_terms,
+           COALESCE(h.n_hits, 0) <= 4 AS kept
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    ORDER BY d.doc_id
+    """
+)

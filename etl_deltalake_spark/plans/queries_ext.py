@@ -3506,3 +3506,23 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_conversions"))
         .orderBy("first_touch", "last_touch")
     )
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist safety audit (round 8, operators/curation.
+    blocklist_report): count occurrences of a three-term blocklist
+    per document under the shared tokenizer (broadcast term join —
+    the corpus never shuffles) and keep docs within a 4-hit budget;
+    zero-hit docs must survive the left join. The DuckDB oracle
+    re-tokenizes and recounts exactly — an inner-join drop of clean
+    docs, distinct-vs-occurrence confusion, or an off-by-one on the
+    budget all mismatch."""
+    from etl_deltalake_spark.operators.curation import blocklist_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    terms = spark.createDataFrame(
+        [("merge",), ("window",), ("dup",)], "term string"
+    )
+    return blocklist_report(
+        docs, "doc_id", "text", terms, max_hits=4
+    ).orderBy("doc_id")

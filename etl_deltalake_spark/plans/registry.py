@@ -327,6 +327,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_homoglyph_dedup",
     "q_kmv_jaccard",
     "q_attribution",
+    "q_blocklist",
 )
 
 

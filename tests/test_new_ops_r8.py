@@ -713,3 +713,33 @@ def test_attribution_window_and_unattributed(spark):
     assert out[5]["first_touch"] == "view"   # event 2, not the stale 1
     assert out[5]["last_touch"] == "click"   # event 4 (ts tie, higher id)
     assert out[7]["first_touch"] is None and out[7]["last_touch"] is None
+
+
+# ---- blocklist safety filter (round 8, fourth wave) ----
+
+
+def test_blocklist_counts_occurrences_and_broadcasts(spark):
+    """Occurrences (not distinct terms) drive the verdict; zero-hit
+    docs survive; and the term join must BROADCAST — a shuffled join
+    against a thousand-row blocklist would shuffle the whole token
+    stream at 100 TB."""
+    from etl_deltalake_spark.operators.curation import blocklist_report
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="bad bad bad good"),
+            Row(doc_id=2, text="all clean words here"),
+            Row(doc_id=3, text="bad evil"),
+        ]
+    )
+    terms = spark.createDataFrame([("bad",), ("evil",)], "term string")
+    out = blocklist_report(docs, "doc_id", "text", terms, max_hits=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_hits"] == 3 and rows[1]["n_terms"] == 1
+    assert not rows[1]["kept"]  # 3 occurrences > 2, one distinct term
+    assert rows[2]["n_hits"] == 0 and rows[2]["kept"]
+    assert rows[3]["n_hits"] == 2 and rows[3]["n_terms"] == 2
+    assert rows[3]["kept"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
