@@ -20,6 +20,8 @@ Grouped by family:
  - multimodal: frame_offsets, hamming64
  - crawl:      html_to_text, canonical_url, zlib_ratio (round 8 —
                the crawl→corpus column surface)
+ - adversarial: fold_confusables (round 8 — lookalike-codepoint
+               folding for evasion-resistant dedup)
 """
 
 from etl_deltalake_spark.operators.cleaning import format_decimal_str
@@ -38,6 +40,7 @@ from etl_deltalake_spark.operators.similarity import (
 )
 from etl_deltalake_spark.operators.text import (
     fingerprint_md5,
+    fold_confusables,
     lang_id,
     nfc_text,
     normalize_text,
@@ -56,6 +59,7 @@ __all__ = [
     "cosine",
     "dot",
     "fingerprint_md5",
+    "fold_confusables",
     "format_decimal_str",
     "frame_offsets",
     "hamming64",
