@@ -4985,3 +4985,39 @@ oracle("q_blocklist")(
     ORDER BY d.doc_id
     """
 )
+
+
+# Point-in-time feature truth (q_feature_matrix, round 8): the same
+# epoch-second range frame ending 1 s before the row, the same total
+# (epoch, event_id) lag order, exact decimal sums, left dimension
+# join.
+oracle("q_feature_matrix")(
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+             -- floor, not round: Spark unix_timestamp truncates the
+             -- fractional seconds
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+             CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    ),
+    feat AS (
+      SELECT event_id, user_id,
+             count(*) OVER w3 AS n_prior_3d,
+             CAST(COALESCE(sum(val) OVER w3, 0) AS DECIMAL(28,2))
+               AS sum_prior_3d,
+             epoch - lag(epoch) OVER (
+               PARTITION BY user_id ORDER BY epoch, event_id
+             ) AS gap_s
+      FROM base
+      WINDOW w3 AS (
+        PARTITION BY user_id ORDER BY epoch
+        RANGE BETWEEN 259200 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT f.event_id, f.n_prior_3d, f.sum_prior_3d, f.gap_s,
+           c.c_mktsegment AS segment
+    FROM feat f LEFT JOIN customer c ON c.c_custkey = f.user_id
+    ORDER BY f.event_id
+    """
+)

@@ -3526,3 +3526,46 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_report(
         docs, "doc_id", "text", terms, max_hits=4
     ).orderBy("doc_id")
+
+
+def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free point-in-time feature matrix (round 8): per
+    event, trailing-3-day behavioral features computed over a RANGE
+    window frame that ends ONE SECOND BEFORE the event — the
+    training-serving-skew rule that only the past may enter a
+    feature — plus recency (gap to the user's previous event under a
+    total order) and a broadcast dimension attribute. Exact decimal
+    sums keep the frame aggregate order-free so both engines agree
+    bitwise. The DuckDB oracle replays the epoch-second range frame,
+    the lag, and the join — an off-by-one frame bound (current row
+    leaking into its own features) mismatches immediately."""
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    w3d = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3 * 86400, -1)
+    )
+    wlag = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    feat = base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w3d).alias("n_prior_3d"),
+        F.coalesce(
+            F.sum("val").over(w3d), F.lit(0).cast("decimal(18,2)")
+        ).cast("decimal(28,2)").alias("sum_prior_3d"),
+        (F.col("epoch") - F.lag("epoch").over(wlag)).alias("gap_s"),
+    )
+    dim = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return feat.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "n_prior_3d", "sum_prior_3d", "gap_s", "segment"
+    ).orderBy("event_id")

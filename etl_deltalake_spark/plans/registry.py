@@ -328,6 +328,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_kmv_jaccard",
     "q_attribution",
     "q_blocklist",
+    "q_feature_matrix",
 )
 
 

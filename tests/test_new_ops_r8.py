@@ -743,3 +743,42 @@ def test_blocklist_counts_occurrences_and_broadcasts(spark):
     assert rows[3]["kept"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---- point-in-time feature matrix (round 8, fourth wave) ----
+
+
+def test_feature_matrix_no_leakage(spark, sf_dir):
+    """The anti-leakage contract: a user's FIRST event must have
+    n_prior_3d = 0 and null gap (nothing before it), and no event's
+    own value may enter its features — verified by recomputing one
+    user's features driver-side from raw events."""
+    from decimal import Decimal
+
+    from etl_deltalake_spark.plans.queries_ext import q_feature_matrix
+
+    ev = qx.load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch"), "value"
+    )
+    uid = ev.first()["user_id"]
+    raw = sorted(
+        (r["epoch"], r["event_id"], r["value"])
+        for r in ev.filter(F.col("user_id") == uid).collect()
+    )
+    got = {
+        r["event_id"]: r for r in q_feature_matrix(spark, sf_dir).collect()
+    }
+    first_eid = raw[0][1]
+    assert got[first_eid]["n_prior_3d"] == 0
+    assert got[first_eid]["gap_s"] is None
+    # recompute for every event of this user: strictly-prior window
+    for ep, eid, _ in raw:
+        prior = [
+            (e, v) for (e, i, v) in raw if ep - 259200 <= e <= ep - 1
+        ]
+        r = got[eid]
+        assert r["n_prior_3d"] == len(prior)
+        expect = sum(
+            Decimal(str(round(v, 2))) for _, v in prior
+        ).quantize(Decimal("0.01")) if prior else Decimal("0.00")
+        assert r["sum_prior_3d"] == expect, (eid, r["sum_prior_3d"], expect)
