@@ -5021,3 +5021,39 @@ oracle("q_feature_matrix")(
     ORDER BY f.event_id
     """
 )
+
+
+# PSI drift truth (q_psi_drift, round 8): fixed-width bins, fixed
+# time split, Laplace smoothing, per-bin terms rounded then summed
+# as exact decimals.
+oracle("q_psi_drift")(
+    """
+    WITH b AS (
+      SELECT least(9, CAST(floor(value / 35) AS INT)) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS is_ref
+      FROM events
+    ),
+    counts AS (
+      SELECT bin, SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+    terms AS (
+      SELECT bin,
+             CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur,
+             round(
+               (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE)
+                - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))
+               * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))
+                    / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))),
+               6) AS term
+      FROM counts, tot
+    )
+    SELECT bin, n_ref, n_cur, term,
+           SUM(CAST(term AS DECIMAL(18,6))) OVER () AS psi
+    FROM terms
+    ORDER BY bin
+    """
+)

@@ -3569,3 +3569,55 @@ def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.join(F.broadcast(dim), "user_id", "left").select(
         "event_id", "n_prior_3d", "sum_prior_3d", "gap_s", "segment"
     ).orderBy("event_id")
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor (round 8) — the serving-side companion of
+    q_feature_matrix: split events into a reference and a current
+    population at a fixed time boundary, bin the value feature into
+    10 fixed-width bins, Laplace-smooth the two distributions, and
+    emit the per-bin PSI terms plus the total. The per-bin term is
+    rounded then summed as an exact decimal so the total is
+    order-free across engines. The DuckDB oracle replays binning,
+    smoothing, and both aggregates exactly. PSI is the standard
+    drift gate (>0.2 = retrain); KL over word distributions
+    (q_corpus_kl) covers the text side, this covers numeric
+    features."""
+    ev = load_table(spark, "events", sf_dir)
+    binned = ev.select(
+        F.least(F.lit(9), F.floor(F.col("value") / 35).cast("int")).alias(
+            "bin"
+        ),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.join(F.broadcast(tot))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 10).cast(
+        "double"
+    )
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 10).cast(
+        "double"
+    )
+    term = F.round((p - q) * F.log(p / q), 6)
+    w = Window.partitionBy()
+    return (
+        j.select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            term.alias("term"),
+        )
+        .withColumn(
+            "psi",
+            F.sum(F.col("term").cast("decimal(18,6)")).over(w),
+        )
+        .orderBy("bin")
+    )

@@ -329,6 +329,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_attribution",
     "q_blocklist",
     "q_feature_matrix",
+    "q_psi_drift",
 )
 
 
