@@ -5057,3 +5057,27 @@ oracle("q_psi_drift")(
     ORDER BY bin
     """
 )
+
+
+# Label-generation truth (q_labels, round 8): the strictly-future
+# 7-day range frame and the total-order next-event gap, epochs
+# floored like unix_timestamp.
+oracle("q_labels")(
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+      FROM events
+    )
+    SELECT event_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch
+             RANGE BETWEEN 1 FOLLOWING AND 604800 FOLLOWING
+           ) > 0 AS INT) AS label_7d,
+           lead(epoch) OVER (
+             PARTITION BY user_id ORDER BY epoch, event_id
+           ) - epoch AS next_gap_s
+    FROM base
+    ORDER BY event_id
+    """
+)

@@ -3621,3 +3621,31 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def q_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking label generation (round 8) — the other half of
+    the training-set factory: q_feature_matrix takes features from
+    the strictly-past window, this takes LABELS from the strictly-
+    future one. Per event: did the user act again within 7 days
+    (label_7d, the return/churn target), over a RANGE frame starting
+    one second after the row, plus the exact gap to the next event
+    under a total (epoch, event_id) order. Past and future frames
+    cannot overlap, so a training set joining the two on event_id is
+    leakage-free by construction. The DuckDB oracle replays both
+    frames exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(1, 7 * 86400)
+    )
+    wnext = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    return base.select(
+        "event_id",
+        (F.count(F.lit(1)).over(w7) > 0).cast("int").alias("label_7d"),
+        (F.lead("epoch").over(wnext) - F.col("epoch")).alias("next_gap_s"),
+    ).orderBy("event_id")

@@ -330,6 +330,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_blocklist",
     "q_feature_matrix",
     "q_psi_drift",
+    "q_labels",
 )
 
 

@@ -782,3 +782,26 @@ def test_feature_matrix_no_leakage(spark, sf_dir):
             Decimal(str(round(v, 2))) for _, v in prior
         ).quantize(Decimal("0.01")) if prior else Decimal("0.00")
         assert r["sum_prior_3d"] == expect, (eid, r["sum_prior_3d"], expect)
+
+
+def test_labels_strictly_future_no_overlap_with_features(spark, sf_dir):
+    """A user's LAST event must have label_7d = 0 and null gap; and
+    for every event the label frame starts strictly after the row —
+    an event never labels itself (the self-return bug)."""
+    from etl_deltalake_spark.plans.queries_ext import q_labels
+
+    ev = qx.load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    uid = ev.first()["user_id"]
+    raw = sorted(
+        (r["epoch"], r["event_id"])
+        for r in ev.filter(F.col("user_id") == uid).collect()
+    )
+    got = {r["event_id"]: r for r in q_labels(spark, sf_dir).collect()}
+    last_eid = raw[-1][1]
+    assert got[last_eid]["label_7d"] == 0
+    assert got[last_eid]["next_gap_s"] is None
+    for ep, eid in raw:
+        future = [e for (e, i) in raw if ep + 1 <= e <= ep + 604800]
+        assert got[eid]["label_7d"] == (1 if future else 0), eid
