@@ -183,3 +183,67 @@ def test_xml_nested_attributes(spark, tmp_path):
     rows = sorted((r["_kind"], r["meta"]["n"]) for r in clean.collect())
     assert rows == [("x", 7), ("y", 9)]
     assert bad.count() == 0
+
+
+def test_httpjson_datasource_parallel_pages(spark, tmp_path):
+    """Spark 4 Python DataSource leg (round 8, sources/http_source):
+    one InputPartition per page URL (executor-side parallel fetch —
+    the 100 TB form of the reference's driver loop), stringly fields
+    + _src provenance, envelope unwrap, and lenient page quarantine
+    (a broken page yields one all-null row, not a dead job)."""
+    import json
+
+    from etl_deltalake_spark.sources.http_source import HttpJsonDataSource
+
+    spark.dataSource.register(HttpJsonDataSource)
+    p1 = tmp_path / "page1.json"
+    p1.write_text(json.dumps({"data": [
+        {"id": 1, "name": "btc", "price_usd": "97000.1"},
+        {"id": 2, "name": "eth", "price_usd": None},
+    ]}))
+    p2 = tmp_path / "page2.json"
+    p2.write_text(json.dumps({"data": [{"id": 3, "name": "sol"}]}))
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    urls = ";".join(f"file://{p}" for p in (p1, p2, bad))
+    df = (
+        spark.read.format("httpjson")
+        .option("urls", urls)
+        .option("fields", "id,name,price_usd")
+        .option("data_key", "data")
+        .option("lenient", "true")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per page
+    rows = df.collect()
+    got = sorted(
+        ((r["id"], r["name"], r["price_usd"]) for r in rows), key=str
+    )
+    assert ("1", "btc", "97000.1") in got
+    assert ("2", "eth", None) in got          # null field survives
+    assert ("3", "sol", None) in got          # missing field -> null
+    quarantined = [r for r in rows if r["id"] is None]
+    assert len(quarantined) == 1
+    assert quarantined[0]["_src"].endswith("bad.json")
+    assert len(rows) == 4
+
+
+def test_httpjson_datasource_strict_mode_raises(spark, tmp_path):
+    """Without lenient=true a broken page must fail the read loudly
+    (silent drop is the one forbidden outcome)."""
+    import pytest as _pytest
+
+    from etl_deltalake_spark.sources.http_source import HttpJsonDataSource
+
+    spark.dataSource.register(HttpJsonDataSource)
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    df = (
+        spark.read.format("httpjson")
+        .option("urls", f"file://{bad}")
+        .option("fields", "id")
+        .load()
+    )
+    # PySpark 4 rethrows the Python worker's exception natively
+    with _pytest.raises(Exception, match="Expecting property name"):
+        df.collect()
