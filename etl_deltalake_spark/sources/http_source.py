@@ -34,7 +34,12 @@ from __future__ import annotations
 import json
 import urllib.request
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class PagePartition(InputPartition):
@@ -109,3 +114,68 @@ class HttpJsonDataSource(DataSource):
 
     def reader(self, schema) -> HttpJsonReader:
         return HttpJsonReader(self.options)
+
+    def streamReader(self, schema) -> "HttpJsonStreamReader":
+        return HttpJsonStreamReader(self.options)
+
+
+class HttpJsonStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over a growing page sequence — the
+    reference's incremental polling (S2: re-poll, consume from the
+    watermark, main.py:131-159) as a REAL Structured Streaming source
+    with engine-managed offsets: the offset is the next unread page
+    number, ``latestOffset`` probes forward for newly published
+    pages, each batch's pages become InputPartitions (parallel fetch,
+    per-task retry), and the checkpoint makes consumption
+    exactly-once across restarts — the two-phase watermark store
+    (sources/watermark.py) generalized to engine machinery.
+
+    Options: ``url_template`` containing ``{page}``; plus the batch
+    reader's ``fields`` / ``data_key`` / ``lenient``.
+    """
+
+    MAX_PROBE = 100_000  # runaway-discovery backstop
+
+    def __init__(self, options):
+        tmpl = options.get("url_template", "")
+        if "{page}" not in tmpl:
+            raise ValueError(
+                "httpjson streaming requires a url_template with {page}"
+            )
+        self.tmpl = tmpl
+        self.batch = HttpJsonReader(
+            {**{k: options.get(k) for k in ("data_key",)},
+             "urls": "_placeholder_",
+             "fields": options.get("fields", ""),
+             "lenient": options.get("lenient", "false")}
+        )
+
+    def _exists(self, page: int) -> bool:
+        try:
+            with urllib.request.urlopen(
+                self.tmpl.format(page=page), timeout=10
+            ):
+                return True
+        except Exception:
+            return False
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def latestOffset(self):
+        n = 0
+        while n < self.MAX_PROBE and self._exists(n):
+            n += 1
+        return {"page": n}
+
+    def partitions(self, start, end):
+        return [
+            PagePartition(self.tmpl.format(page=p))
+            for p in range(start["page"], end["page"])
+        ]
+
+    def read(self, partition):
+        return self.batch.read(partition)
+
+    def commit(self, end):
+        pass

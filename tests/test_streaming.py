@@ -242,3 +242,59 @@ def test_rollup_maintenance_stream_multi_epoch(spark, sf_dir):
         ).collect()
     )
     assert maintained == oneshot
+
+
+def test_httpjson_stream_source_incremental_pages(spark, tmp_path):
+    """The custom Python DataSource's STREAM leg (round 8,
+    sources/http_source.HttpJsonStreamReader): page-number offsets —
+    batch 1 consumes the pages that exist, newly published pages
+    arrive in the next trigger exactly once, already-read pages are
+    never re-fetched into the sink."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.sources.http_source import HttpJsonDataSource
+
+    spark.dataSource.register(HttpJsonDataSource)
+
+    def publish(page, ids):
+        (tmp_path / f"page_{page}.json").write_text(
+            _json.dumps({"data": [{"id": i} for i in ids]})
+        )
+
+    publish(0, [10, 11])
+    publish(1, [20])
+    tmpl = f"file://{tmp_path}/page_{{page}}.json"
+    stream = (
+        spark.readStream.format("httpjson")
+        .option("url_template", tmpl)
+        .option("fields", "id")
+        .option("data_key", "data")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("httpjson_sink")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["id"]
+            for r in spark.sql("SELECT id FROM httpjson_sink").collect()
+        }
+        assert got == {"10", "11", "20"}
+        publish(2, [30, 31])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT id, _src FROM httpjson_sink").collect()
+        assert {r["id"] for r in rows} == {"10", "11", "20", "30", "31"}
+        # exactly-once: no page re-fetched into the sink
+        assert len(rows) == 5
+        srcs = {r["_src"] for r in rows}
+        assert any(s.endswith("page_2.json") for s in srcs)
+    finally:
+        q.stop()
