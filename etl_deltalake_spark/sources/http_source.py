@@ -33,12 +33,15 @@ from __future__ import annotations
 
 import json
 import urllib.request
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -118,6 +121,9 @@ class HttpJsonDataSource(DataSource):
     def streamReader(self, schema) -> "HttpJsonStreamReader":
         return HttpJsonStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "JsonlManifestWriter":
+        return JsonlManifestWriter(self.options)
+
 
 class HttpJsonStreamReader(DataSourceStreamReader):
     """Micro-batch stream over a growing page sequence — the
@@ -179,3 +185,80 @@ class HttpJsonStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink: each task writes its partition to
+    a UUID-named temp file and returns a commit message; only the
+    driver's ``commit`` publishes the atomic ``_MANIFEST.json``
+    naming exactly the committed files (plus row counts). Readers go
+    through the manifest, so files from failed/retried/aborted tasks
+    are INVISIBLE — never half-read — without any rename dance. This
+    is the exactly-once sink contract Delta implements with a
+    transaction log, reduced to its minimal observable form (and the
+    write-side twin of the two-phase watermark commit,
+    sources/watermark.py).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("jsonlmanifest requires the 'path' option")
+
+    def write(self, iterator) -> _FileCommit:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, fname)
+        n = 0
+        with open(full, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(path=fname, rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        files = [
+            {"path": m.path, "rows": m.rows}
+            for m in messages
+            if m is not None
+        ]
+        manifest = {
+            "files": sorted(files, key=lambda e: e["path"]),
+            "total_rows": sum(e["rows"] for e in files),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.path))
+                except OSError:
+                    pass
+
+
+def read_jsonl_manifest(spark, path: str):
+    """Read ONLY the files the manifest committed (stray temp files
+    from dead tasks are invisible); returns (df, total_rows)."""
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, e["path"]) for e in manifest["files"]]
+    return spark.read.json(files), manifest["total_rows"]

@@ -247,3 +247,35 @@ def test_httpjson_datasource_strict_mode_raises(spark, tmp_path):
     # PySpark 4 rethrows the Python worker's exception natively
     with _pytest.raises(Exception, match="Expecting property name"):
         df.collect()
+
+
+def test_jsonl_manifest_sink_two_phase_commit(spark, tmp_path):
+    """The writer leg of the DataSource (round 8): tasks write
+    UUID-named files, the driver's commit publishes an atomic
+    manifest naming exactly the committed files — so a stray file
+    from a dead/retried task is INVISIBLE to manifest readers. Round
+    trip must preserve all rows; the planted orphan file must not
+    leak into the read."""
+    from etl_deltalake_spark.sources.http_source import (
+        HttpJsonDataSource,
+        read_jsonl_manifest,
+    )
+
+    spark.dataSource.register(HttpJsonDataSource)
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS bucket"
+    ).repartition(4)
+    out = str(tmp_path / "sink")
+    df.write.format("httpjson").option("path", out).mode("append").save()
+
+    # simulate a dead task's leftover: a data-shaped file the commit
+    # never published
+    (tmp_path / "sink" / "part-deadtask.jsonl").write_text(
+        '{"id": 99999, "bucket": "x"}\n'
+    )
+    got, total = read_jsonl_manifest(spark, out)
+    assert total == 100
+    assert got.count() == 100
+    ids = {r["id"] for r in got.collect()}
+    assert ids == set(range(100))
+    assert 99999 not in ids  # orphan invisible
