@@ -5081,3 +5081,28 @@ oracle("q_labels")(
     ORDER BY event_id
     """
 )
+
+
+# Null-aware anti-join truth (q_null_anti, round 8): the identical
+# NOT IN pair — with_null must count 0 under three-valued logic.
+oracle("q_null_anti")(
+    """
+    WITH probe AS (
+      SELECT user_id AS u FROM events
+      WHERE event_type = 'error' AND user_id % 4 = 0
+    ),
+    with_null AS (
+      SELECT u FROM probe UNION ALL SELECT CAST(NULL AS BIGINT)
+    ),
+    v1 AS (
+      SELECT 'not_in_with_null' AS variant, count(*) AS n
+      FROM events WHERE user_id NOT IN (SELECT u FROM with_null)
+    ),
+    v2 AS (
+      SELECT 'not_in_null_filtered' AS variant, count(*) AS n
+      FROM events
+      WHERE user_id NOT IN (SELECT u FROM with_null WHERE u IS NOT NULL)
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY variant
+    """
+)

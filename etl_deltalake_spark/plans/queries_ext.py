@@ -3649,3 +3649,43 @@ def q_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).over(w7) > 0).cast("int").alias("label_7d"),
         (F.lead("epoch").over(wnext) - F.col("epoch")).alias("next_gap_s"),
     ).orderBy("event_id")
+
+
+def q_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti-join semantics (round 8) — the classic
+    three-valued-logic trap: ``key NOT IN (subquery)`` must return
+    ZERO rows when the subquery contains a single NULL (every
+    comparison is UNKNOWN), while the look-alike anti-join / NOT IN
+    over the null-filtered subquery returns the real complement.
+    Both variants run as SQL NOT IN so Spark plans its null-aware
+    anti join, and the oracle replays the identical SQL — an engine
+    that 'helpfully' filters the null (or an anti-join rewrite that
+    ignores it) mismatches. Output: one row per variant with its
+    count."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("na_events")
+    # probe set: user ids seen on 'error' events, plus an injected
+    # NULL in the with_null variant
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT user_id AS u FROM na_events
+          WHERE event_type = 'error' AND user_id % 4 = 0
+        ),
+        with_null AS (
+          SELECT u FROM probe UNION ALL SELECT CAST(NULL AS BIGINT)
+        ),
+        v1 AS (
+          SELECT 'not_in_with_null' AS variant, count(*) AS n
+          FROM na_events WHERE user_id NOT IN (SELECT u FROM with_null)
+        ),
+        v2 AS (
+          SELECT 'not_in_null_filtered' AS variant, count(*) AS n
+          FROM na_events
+          WHERE user_id NOT IN (
+            SELECT u FROM with_null WHERE u IS NOT NULL
+          )
+        )
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY variant
+        """
+    )

@@ -331,6 +331,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_feature_matrix",
     "q_psi_drift",
     "q_labels",
+    "q_null_anti",
 )
 
 

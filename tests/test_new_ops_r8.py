@@ -805,3 +805,15 @@ def test_labels_strictly_future_no_overlap_with_features(spark, sf_dir):
     for ep, eid in raw:
         future = [e for (e, i) in raw if ep + 1 <= e <= ep + 604800]
         assert got[eid]["label_7d"] == (1 if future else 0), eid
+
+
+def test_null_anti_three_valued_logic(spark, sf_dir):
+    """NOT IN against a null-bearing set is empty; the null-filtered
+    variant returns the true complement — and Spark must plan the
+    single-column null-aware anti join, not a nested loop."""
+    from etl_deltalake_spark.plans.queries_ext import q_null_anti
+
+    df = q_null_anti(spark, sf_dir)
+    rows = {r["variant"]: r["n"] for r in df.collect()}
+    assert rows["not_in_with_null"] == 0
+    assert rows["not_in_null_filtered"] > 0
