@@ -5106,3 +5106,25 @@ oracle("q_null_anti")(
     SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY variant
     """
 )
+
+
+# Collation-fold truth (q_collation, round 8): the same case-variant
+# synthesis, folded with lower(), binary variant count per fold.
+oracle("q_collation")(
+    """
+    WITH v AS (
+      SELECT CASE
+        WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+        WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+        ELSE upper(substr(lower(c_mktsegment), 1, 1))
+             || substr(lower(c_mktsegment), 2)
+      END AS seg_raw
+      FROM customer
+    )
+    SELECT lower(seg_raw) AS seg,
+           count(*) AS n_rows,
+           count(DISTINCT seg_raw) AS n_variants
+    FROM v GROUP BY lower(seg_raw)
+    ORDER BY seg
+    """
+)

@@ -3689,3 +3689,35 @@ def q_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY variant
         """
     )
+
+
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (round 8, Spark 4 collations):
+    synthesize case-variant segment names (upper/lower/initcap by key
+    mod), group under the UTF8_LCASE collation — case variants merge
+    in ONE shuffle with no expression rewriting — and report per
+    folded segment the row count and how many distinct BINARY
+    variants folded into it. The group key is re-lowered on output
+    because a collated group's representative value is
+    first-seen (nondeterministic); the DuckDB oracle replays the
+    fold with lower()."""
+    cust = load_table(spark, "customer", sf_dir)
+    name = (
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.initcap(F.lower("c_mktsegment")))
+    )
+    return (
+        cust.select(name.alias("seg_raw"))
+        .groupBy(F.collate("seg_raw", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.collate("seg_raw", "UTF8_BINARY")).alias(
+                "n_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("k")).alias("seg"), "n_rows", "n_variants"
+        )
+        .orderBy("seg")
+    )

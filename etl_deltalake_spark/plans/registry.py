@@ -332,6 +332,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_psi_drift",
     "q_labels",
     "q_null_anti",
+    "q_collation",
 )
 
 

@@ -817,3 +817,16 @@ def test_null_anti_three_valued_logic(spark, sf_dir):
     rows = {r["variant"]: r["n"] for r in df.collect()}
     assert rows["not_in_with_null"] == 0
     assert rows["not_in_null_filtered"] > 0
+
+
+def test_collation_merges_case_variants_in_one_groupby(spark, sf_dir):
+    """Every folded segment must have absorbed all three case
+    variants (upper/lower/initcap) — proof the UTF8_LCASE groupBy
+    merged them without a lower() rewrite."""
+    from etl_deltalake_spark.plans.queries_ext import q_collation
+
+    rows = q_collation(spark, sf_dir).collect()
+    assert rows, "need segments"
+    for r in rows:
+        assert r["seg"] == r["seg"].lower()
+        assert r["n_variants"] == 3, r
