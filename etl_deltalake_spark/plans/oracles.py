@@ -5128,3 +5128,22 @@ oracle("q_collation")(
     ORDER BY seg
     """
 )
+
+
+# Recursive-CTE truth (q_recursive, round 8): DuckDB's own recursive
+# walk over the same synthetic tree (parent = key // 10).
+oracle("q_recursive")(
+    """
+    WITH RECURSIVE walk(node, depth) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT b.k, w.depth + 1
+      FROM (
+        SELECT c_custkey AS k, c_custkey // 10 AS parent
+        FROM customer WHERE c_custkey <> 0
+      ) b
+      JOIN walk w ON b.parent = w.node
+    )
+    SELECT node, depth FROM walk ORDER BY node
+    """
+)

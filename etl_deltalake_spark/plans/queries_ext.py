@@ -3721,3 +3721,32 @@ def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+def q_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (round 8, Spark 4.1 WITH RECURSIVE): walk a
+    synthetic reporting tree (parent = key div 10, root 0) from the
+    root down, computing each node's depth — transitive closure in
+    PURE SQL, where operators/graph.py's iterative DataFrame loop was
+    previously the only path. Spark executes the recursion as
+    iterative union steps under the hood (same plan family as the
+    loop, now engine-managed). The DuckDB oracle runs its own
+    recursive CTE — a missed level, a duplicated frontier, or an
+    off-by-one depth all mismatch."""
+    ev = load_table(spark, "customer", sf_dir)
+    ev.createOrReplaceTempView("rec_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, depth) AS (
+          SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+          UNION ALL
+          SELECT b.k, w.depth + 1
+          FROM (
+            SELECT c_custkey AS k, c_custkey DIV 10 AS parent
+            FROM rec_customer WHERE c_custkey <> 0
+          ) b
+          JOIN walk w ON b.parent = w.node
+        )
+        SELECT node, depth FROM walk ORDER BY node
+        """
+    )

@@ -333,6 +333,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_labels",
     "q_null_anti",
     "q_collation",
+    "q_recursive",
 )
 
 

@@ -830,3 +830,18 @@ def test_collation_merges_case_variants_in_one_groupby(spark, sf_dir):
     for r in rows:
         assert r["seg"] == r["seg"].lower()
         assert r["n_variants"] == 3, r
+
+
+def test_recursive_cte_depth_is_digit_count(spark, sf_dir):
+    """In the parent = key div 10 tree, a node's depth equals its
+    decimal digit count (1 -> 1, 57 -> 2, 149 -> 3) — a closed form
+    the engine's recursion must reproduce for every node, with every
+    customer reached exactly once."""
+    from etl_deltalake_spark.plans.queries_ext import q_recursive
+
+    rows = q_recursive(spark, sf_dir).collect()
+    n_cust = qx.load_table(spark, "customer", sf_dir).count()
+    assert len(rows) == n_cust  # every node reached exactly once
+    for r in rows:
+        want = 0 if r["node"] == 0 else len(str(r["node"]))
+        assert r["depth"] == want, (r["node"], r["depth"])
