@@ -5147,3 +5147,19 @@ oracle("q_recursive")(
     SELECT node, depth FROM walk ORDER BY node
     """
 )
+
+
+# SQL-surface truth (q_sql_surface, round 8): the pipe-syntax + SQL
+# UDF query re-expressed as classic SQL — identical decimals.
+oracle("q_sql_surface")(
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+)

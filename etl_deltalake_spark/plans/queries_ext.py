@@ -3750,3 +3750,34 @@ def q_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, depth FROM walk ORDER BY node
         """
     )
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-surface pair (round 8): a declarative SQL UDF
+    (CREATE FUNCTION ... RETURN expr — catalog-resident, codegen'd,
+    no Python worker) used inside a PIPE-SYNTAX query (|> EXTEND /
+    AGGREGATE / ORDER BY). Revenue sums go through exact decimals
+    (the repo-wide cross-engine float rule). The DuckDB oracle
+    computes the same aggregation in classic SQL — proving the sugar
+    changes nothing semantically."""
+    li = load_table(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("sqlsurf_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(
+          p DECIMAL(18,2), d DECIMAL(18,2))
+        RETURNS DECIMAL(37,4) RETURN p * (1 - d)
+        """
+    )
+    return spark.sql(
+        """
+        FROM sqlsurf_lineitem
+        |> EXTEND disc_rev(CAST(l_extendedprice AS DECIMAL(18,2)),
+                           CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |> AGGREGATE
+             CAST(SUM(rev) AS DECIMAL(38,4)) AS revenue,
+             count(*) AS n
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )

@@ -334,6 +334,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_null_anti",
     "q_collation",
     "q_recursive",
+    "q_sql_surface",
 )
 
 
