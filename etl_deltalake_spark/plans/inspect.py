@@ -151,3 +151,52 @@ def bucketed_scan_exchange_audit(df: DataFrame) -> dict:
 
     walk(df._jdf.queryExecution().executedPlan(), False, False)
     return found
+
+
+def executed_metrics(df: DataFrame) -> dict:
+    """Runtime SQLMetrics harvest (round 8) — the dynamic complement
+    of the static plan audits above: AFTER an action has run, walk
+    the executed plan (through the AQE/query-stage wrappers) and
+    collect every node's metric values, plus the totals an operator
+    review actually asks about:
+
+      scan_rows / scan_files   what the scans really read (pushdown
+                               and pruning measured, not inferred)
+      shuffle_records_written  what really crossed the wire
+      spill_bytes              whether anything fell out of memory
+
+    Call on the SAME DataFrame after .collect()/.count() — a fresh
+    DataFrame has empty metrics. This is "measure, don't guess" as a
+    library call: plan_report proves a shuffle EXISTS, this weighs
+    it.
+    """
+    nodes: list[tuple[str, dict]] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        vals: dict = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        if vals:
+            nodes.append((name, vals))
+        for c in _jvm_children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().executedPlan())
+
+    def total(key: str, node_suffix: str | None = None) -> int:
+        return sum(
+            v.get(key, 0)
+            for n, v in nodes
+            if node_suffix is None or n.endswith(node_suffix)
+        )
+
+    return {
+        "nodes": nodes,
+        "scan_rows": total("numOutputRows", "ScanExec"),
+        "scan_files": total("numFiles"),
+        "shuffle_records_written": total("shuffleRecordsWritten"),
+        "spill_bytes": total("spillSize"),
+    }

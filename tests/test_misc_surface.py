@@ -220,6 +220,17 @@ def test_casefold_inventory_outside_text_module():
         ("operators/urls.py", 'parts.hostname or "").lower()'),
         ("operators/urls.py", 'F.lower(F.parse_url(c, F.lit("HOST")))'),
         ("operators/warc.py", "name.strip().lower()"),
+        # round-8 fourth wave:
+        # q_collation deliberately SYNTHESIZES ASCII case variants of
+        # c_mktsegment (upper/lower/initcap) and re-lowers the folded
+        # group key — the case play IS the query's subject, mirrored
+        # verbatim in its DuckDB oracle; these are not corpus-text
+        # folds (c_mktsegment is ASCII by fixture construction).
+        ("plans/queries_ext.py", 'F.lower("c_mktsegment")'),
+        ("plans/queries_ext.py", 'F.lower(F.col("k")).alias("seg")'),
+        # option-string normalization ("true"/"false"), the
+        # sources/files.py precedent
+        ("sources/http_source.py", '"false")).lower()'),
     }
     unexpected = [
         (rel, code)

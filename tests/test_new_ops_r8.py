@@ -845,3 +845,29 @@ def test_recursive_cte_depth_is_digit_count(spark, sf_dir):
     for r in rows:
         want = 0 if r["node"] == 0 else len(str(r["node"]))
         assert r["depth"] == want, (r["node"], r["depth"])
+
+
+# ---- runtime metrics harvest (round 8) ----
+
+
+def test_executed_metrics_measures_pruning_and_shuffle(spark, sf_dir):
+    """The harvest must report real numbers: a filtered+aggregated
+    scan shows the scan row count, a shuffle with records written,
+    and zero spill at this scale; and a projection-only query scans
+    rows but shuffles nothing."""
+    from etl_deltalake_spark.plans.inspect import executed_metrics
+
+    ev = qx.load_table(spark, "events", sf_dir)
+    agg = ev.groupBy("event_type").count()
+    agg.collect()
+    m = executed_metrics(agg)
+    assert m["scan_rows"] == ev.count()
+    assert m["shuffle_records_written"] > 0
+    assert m["spill_bytes"] == 0
+    assert m["scan_files"] >= 1
+
+    proj = ev.select("event_id")
+    proj.collect()
+    m2 = executed_metrics(proj)
+    assert m2["scan_rows"] > 0
+    assert m2["shuffle_records_written"] == 0  # no exchange at all
