@@ -5163,3 +5163,33 @@ oracle("q_sql_surface")(
     ORDER BY l_returnflag
     """
 )
+
+
+# RFM truth (q_rfm, round 8): the same user aggregates (epochs
+# floored like unix_timestamp, exact decimal monetary), the same
+# (metric, user_id) total-order quintiles, the same grid.
+oracle("q_rfm")(
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch,
+             count(*) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             6 - ntile(5) OVER (
+               ORDER BY (SELECT max(last_epoch) FROM per_user) - last_epoch,
+                        user_id
+             ) AS r_score,
+             ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score, count(*) AS n_users
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """
+)

@@ -3781,3 +3781,46 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (round 8) — the classic customer-value grid:
+    per user, recency (seconds from their last event to the corpus
+    max), frequency (event count), monetary (exact decimal value
+    sum), each scored 1-5 by ntile quintile under a TOTAL order
+    (metric, then user_id — ties are deterministic), then the
+    segment grid aggregated. The ntile windows run over the USER
+    AGGREGATE table (users << events; the events-side work is one
+    groupBy), which is the documented scale shape. The DuckDB oracle
+    replays aggregates, tiebreaks, and quintiles exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("last_epoch"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("monetary"),
+    )
+    corpus_max = per_user.agg(
+        F.max("last_epoch").alias("corpus_max")
+    )
+    j = per_user.join(F.broadcast(corpus_max))
+    rec = (F.col("corpus_max") - F.col("last_epoch")).alias("recency_s")
+    scored = j.select("user_id", rec, "freq", "monetary").select(
+        "user_id",
+        # recency: LOWER is better, so rank ascending and invert
+        (6 - F.ntile(5).over(
+            Window.orderBy(F.col("recency_s"), F.col("user_id"))
+        )).alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("freq"), F.col("user_id"))
+        ).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("monetary"), F.col("user_id"))
+        ).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

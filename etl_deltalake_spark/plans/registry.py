@@ -335,6 +335,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_collation",
     "q_recursive",
     "q_sql_surface",
+    "q_rfm",
 )
 
 
