@@ -46,6 +46,8 @@ _SCALAR_CROSS_OK = {
     "q_lm_transfer": 1,
     # psi drift crossJoins the 1-row (t_ref, t_cur) totals aggregate
     "q_psi_drift": 1,
+    # rfm crossJoins the 1-row corpus-max-epoch aggregate
+    "q_rfm": 1,
     # one 1-row query-vector/ground-truth broadcast per branch:
     # cosine exact + the shared structure across the nprobe sweep
     "q_ivf_recall_curve": 3,
