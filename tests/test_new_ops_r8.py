@@ -904,3 +904,34 @@ def test_variant_roundtrips_through_parquet(spark, tmp_path):
         ).collect()
     }
     assert rows == {i: (i, f"t{i % 2}") for i in range(5)}
+
+
+def test_round8_edge_gates(spark):
+    """Small sharp edges of the round-8 wave pinned in one sweep:
+    (a) kmv_jaccard on hash-disjoint groups yields NO pair rows
+    (absent pair == J~0, the documented contract); (b) sq_quantize
+    refuses a calibration table with gappy dims; (c) an empty
+    blocklist keeps every document with zero hits."""
+    import pytest as _pytest
+
+    from etl_deltalake_spark.operators.curation import blocklist_report
+    from etl_deltalake_spark.operators.similarity import sq_quantize
+    from etl_deltalake_spark.operators.stats import kmv_jaccard
+    from pyspark.sql import Row
+
+    disjoint = spark.createDataFrame(
+        [Row(g="A", item=i) for i in range(10)]
+        + [Row(g="B", item=1000 + i) for i in range(10)]
+    )
+    assert (
+        kmv_jaccard(disjoint, F.col("g"), F.col("item"), k=8).count() == 0
+    )
+
+    emb = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
+    with _pytest.raises(ValueError, match="dims 0..D-1"):
+        sq_quantize(emb, "vec_id", "embedding", [(0, 0.0, 1.0), (2, 0.0, 1.0)])
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="anything at all")])
+    empty_terms = spark.createDataFrame([], "term string")
+    rows = blocklist_report(docs, "doc_id", "text", empty_terms).collect()
+    assert rows[0]["n_hits"] == 0 and rows[0]["kept"]
