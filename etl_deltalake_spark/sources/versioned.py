@@ -55,6 +55,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_deltalake_spark.sources.table_format import _delta_available
 
@@ -398,6 +399,29 @@ class VersionedTable:
         ]
 
     # ---- maintenance --------------------------------------------------
+
+    def delete_where(
+        self, condition, timestamp: str = "1970-01-01T00:00:00"
+    ) -> int:
+        """DELETE ... WHERE as a copy-on-write commit (round 8) — the
+        Delta DML leg the fallback engine was missing: rewrite the
+        current snapshot MINUS the matching rows as a new overwrite
+        version; returns the deleted row count. SQL DELETE semantics:
+        a NULL condition does not delete (only condition = TRUE
+        removes a row).
+
+        Right-to-be-forgotten note: like Delta, the delete is
+        LOGICAL until old versions are vacuumed — prior snapshots
+        stay time-travelable and still contain the rows. A compliance
+        purge is ``delete_where(...)`` followed by
+        ``vacuum(retain_versions=1)``, which physically drops every
+        superseded data file (pinned by the test).
+        """
+        cur = self.read()
+        keep = cur.filter(~F.coalesce(condition, F.lit(False)))
+        n_deleted = cur.count() - keep.count()
+        self.write(keep, mode="overwrite", timestamp=timestamp)
+        return n_deleted
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
                 timestamp: str = "1970-01-01T00:00:00") -> int:

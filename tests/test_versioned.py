@@ -218,3 +218,35 @@ def test_read_distributes_no_driver_rows(spark, vt):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "LessThan" in plan
     assert df.count() == 10
+
+
+def test_delete_where_copy_on_write_and_purge(spark, tmp_path):
+    """DELETE DML (round 8): matching rows vanish from the new
+    snapshot, NULL conditions don't delete, the PRIOR version still
+    time-travels to the full data (delete is logical), and a
+    compliance vacuum physically drops the superseded files so the
+    forgotten rows are no longer reachable at all."""
+    from pyspark.sql import functions as F, Row
+
+    from etl_deltalake_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_del"))
+    rows = [Row(k=i, v=None if i == 3 else float(i)) for i in range(6)]
+    v1 = vt.write(
+        spark.createDataFrame(rows), mode="overwrite",
+        timestamp="2024-01-01T00:00:00",
+    )
+    # v > 2.0 is NULL for k=3 -> k=3 must survive (SQL DELETE rule)
+    n = vt.delete_where(F.col("v") > 2.0, timestamp="2024-01-02T00:00:00")
+    assert n == 2  # k=4, k=5 (v=3.0 is... k=3 has NULL, k=4,k=5 > 2)
+    kept = sorted(r["k"] for r in vt.read().collect())
+    assert kept == [0, 1, 2, 3]
+    # time travel still sees everything (logical delete)
+    assert vt.read(version=v1).count() == 6
+    # compliance purge: vacuum drops the superseded files
+    vt.vacuum(retain_versions=1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        vt.read(version=v1).count()
+    assert sorted(r["k"] for r in vt.read().collect()) == [0, 1, 2, 3]
