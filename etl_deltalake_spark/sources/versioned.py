@@ -423,6 +423,37 @@ class VersionedTable:
         self.write(keep, mode="overwrite", timestamp=timestamp)
         return n_deleted
 
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        timestamp: str = "1970-01-01T00:00:00",
+    ) -> int:
+        """UPDATE ... SET ... WHERE as a copy-on-write commit —
+        completes the DML triad with ``upsert`` (MERGE) and
+        ``delete_where``. ``assignments`` maps column name →
+        replacement Column/expression, applied only on rows where the
+        condition is TRUE (NULL condition leaves the row untouched,
+        the SQL rule); returns the updated row count. Unknown
+        assignment columns are refused — UPDATE never widens the
+        schema (that is an overwrite's job)."""
+        cur = self.read()
+        missing = set(assignments) - set(cur.columns)
+        if missing:
+            raise ValueError(f"UPDATE of unknown columns: {sorted(missing)}")
+        hit = F.coalesce(condition, F.lit(False))
+        n_updated = cur.filter(hit).count()
+        updated = cur.select(
+            *[
+                F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        self.write(updated, mode="overwrite", timestamp=timestamp)
+        return n_updated
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
                 timestamp: str = "1970-01-01T00:00:00") -> int:
         """OPTIMIZE as a commit: rewrite the live snapshot into

@@ -250,3 +250,33 @@ def test_delete_where_copy_on_write_and_purge(spark, tmp_path):
     with _pytest.raises(Exception):
         vt.read(version=v1).count()
     assert sorted(r["k"] for r in vt.read().collect()) == [0, 1, 2, 3]
+
+
+def test_update_where_dml(spark, tmp_path):
+    """UPDATE DML: assignments land only on condition-TRUE rows (NULL
+    rows untouched), other columns and rows pass through byte-equal,
+    unknown columns are refused, and the prior version still
+    time-travels to the pre-update data."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F, Row
+
+    from etl_deltalake_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_upd"))
+    rows = [Row(k=i, v=None if i == 2 else float(i), tag="t") for i in range(5)]
+    v1 = vt.write(
+        spark.createDataFrame(rows), mode="overwrite",
+        timestamp="2024-01-01T00:00:00",
+    )
+    n = vt.update_where(
+        F.col("v") >= 3.0,
+        {"tag": F.lit("big"), "v": F.col("v") * 10},
+        timestamp="2024-01-02T00:00:00",
+    )
+    assert n == 2  # k=3, k=4; k=2 has NULL v -> untouched
+    got = {r["k"]: (r["v"], r["tag"]) for r in vt.read().collect()}
+    assert got[3] == (30.0, "big") and got[4] == (40.0, "big")
+    assert got[2] == (None, "t") and got[0] == (0.0, "t")
+    assert vt.read(version=v1).filter(F.col("tag") == "big").count() == 0
+    with _pytest.raises(ValueError, match="unknown columns"):
+        vt.update_where(F.lit(True), {"nope": F.lit(1)})
