@@ -33,10 +33,14 @@ Scale notes (the 100 TB story):
    ``df.write.parquet``); the driver touches only commit metadata
    (file names + sizes), never rows — identical to Delta's log
    protocol.
- - Log replay is O(#commits) tiny JSON reads on the driver. Delta
-   adds parquet checkpoints of the log every N commits; at this
-   repo's scale the plain replay is fine and the checkpoint is a
-   documented extension point, not a semantic gap.
+ - Log replay is O(#commits) tiny JSON reads on the driver — and
+   every CHECKPOINT_INTERVAL-th commit also writes a log CHECKPOINT
+   (the full live-file set + schema), so current-snapshot resolution
+   reads one checkpoint + only the commits after it: O(interval)
+   metadata reads however many thousands of versions the table has
+   (Delta's parquet-checkpoint idea, JSON here). Time travel,
+   history, and CDF keep the full replay — they need the per-version
+   records.
  - On S3, ``rename`` is not atomic (it is on HDFS/ABFS/local); Delta
    solves put-if-absent there with an external log store
    (DynamoDB). Same applies here and is the deployment's choice —
@@ -124,7 +128,11 @@ class VersionedTable:
     def _log_path(self, version: int) -> str:
         return f"{self.path}/{_LOG_DIR}/{version:0{_VERSION_DIGITS}d}.json"
 
-    def _commits(self) -> list[Commit]:
+    def _commits(self, min_version: int = 0) -> list[Commit]:
+        """Replay commit logs; ``min_version`` skips reading files
+        below it (the version is in the FILENAME, so the skip costs
+        zero metadata reads — what makes checkpoint-based resolution
+        O(commits since checkpoint) instead of O(all commits))."""
         jvm, fs, _ = _fs(self.spark, self.path)
         log_dir = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{_LOG_DIR}")
         if not fs.exists(log_dir):
@@ -132,8 +140,15 @@ class VersionedTable:
         out = []
         for status in fs.listStatus(log_dir):
             name = status.getPath().getName()
-            if not name.endswith(".json") or name.startswith("_tmp_"):
+            if not name.endswith(".json") or name.startswith(
+                ("_tmp_", "_checkpoint")
+            ):
                 continue
+            try:
+                if int(name[:-5]) < min_version:
+                    continue
+            except ValueError:
+                continue  # not a commit file
             doc = json.loads(_read_small_file(self.spark, str(status.getPath())))
             out.append(
                 Commit(
@@ -150,6 +165,54 @@ class VersionedTable:
             )
         return sorted(out, key=lambda c: c.version)
 
+    CHECKPOINT_INTERVAL = 10
+
+    def _checkpoint_path(self, version: int) -> str:
+        return (
+            f"{self.path}/{_LOG_DIR}/_checkpoint_"
+            f"{version:0{_VERSION_DIGITS}d}.json"
+        )
+
+    def _maybe_checkpoint(
+        self, version: int, live: list[str], dtypes, timestamp: str
+    ) -> None:
+        """Every CHECKPOINT_INTERVAL-th commit also writes a log
+        checkpoint — the Delta-protocol idea that keeps metadata
+        resolution O(commits since checkpoint) as a table ages into
+        thousands of versions: the full live-file set + typed schema
+        at this version, atomically published next to the logs.
+        Losing the race (or crashing mid-write) is harmless: readers
+        fall back to an older checkpoint or the full replay."""
+        if version % self.CHECKPOINT_INTERVAL != 0:
+            return
+        payload = json.dumps(
+            {
+                "version": version,
+                "live": list(live),
+                "schema": [[n, t] for n, t in dtypes],
+                "timestamp": timestamp,
+            },
+            sort_keys=True,
+        ).encode("utf-8")
+        _write_file_atomic(self.spark, self._checkpoint_path(version), payload)
+
+    def _latest_checkpoint(self) -> dict | None:
+        jvm, fs, _ = _fs(self.spark, self.path)
+        log_dir = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{_LOG_DIR}")
+        if not fs.exists(log_dir):
+            return None
+        # lexicographically-largest name wins — zero-padded versions
+        # make that the newest checkpoint
+        names = [
+            st for st in fs.listStatus(log_dir)
+            if st.getPath().getName().startswith("_checkpoint_")
+            and st.getPath().getName().endswith(".json")
+        ]
+        if not names:
+            return None
+        newest = max(names, key=lambda st: st.getPath().getName())
+        return json.loads(_read_small_file(self.spark, str(newest.getPath())))
+
     def latest_version(self, commits: list[Commit] | None = None) -> int:
         if commits is None:
             commits = self._commits()
@@ -165,6 +228,30 @@ class VersionedTable:
         caller that already replayed the log reuse it — each replay is
         O(#commits) driver-side metadata reads, which matters on object
         stores where every small read is ~100 ms."""
+        if commits is None and version is None and timestamp is None:
+            # current-snapshot fast path: start from the latest
+            # checkpoint's live set and replay only newer commits
+            ck = self._latest_checkpoint()
+            if ck is not None:
+                tail = self._commits(min_version=ck["version"] + 1)
+                live = list(ck["live"])
+                for c in tail:
+                    removed = set(c.remove)
+                    live = [f for f in live if f not in removed]
+                    live.extend(c.add)
+                latest = (
+                    tail[-1]
+                    if tail
+                    else Commit(
+                        version=ck["version"],
+                        operation="checkpoint",
+                        add=(),
+                        remove=(),
+                        schema=tuple((n, t) for n, t in ck["schema"]),
+                        timestamp=ck["timestamp"],
+                    )
+                )
+                return [f"{self.path}/{f}" for f in live], latest
         if commits is None:
             commits = self._commits()
         if timestamp is not None:
@@ -280,6 +367,16 @@ class VersionedTable:
             if self._try_commit(
                 version, mode, add, remove, df.dtypes, timestamp
             ):
+                if mode == "overwrite":
+                    live_after = list(add)
+                else:
+                    prev, _ = self._snapshot_files(commits=commits)
+                    live_after = [
+                        f[len(self.path) + 1 :] for f in prev
+                    ] + list(add)
+                self._maybe_checkpoint(
+                    version, live_after, df.dtypes, timestamp
+                )
                 return version
             # Lost the race: orphan the just-written files (vacuum
             # collects them), re-replay the log, retry against the tip.

@@ -280,3 +280,40 @@ def test_update_where_dml(spark, tmp_path):
     assert vt.read(version=v1).filter(F.col("tag") == "big").count() == 0
     with _pytest.raises(ValueError, match="unknown columns"):
         vt.update_where(F.lit(True), {"nope": F.lit(1)})
+
+
+def test_log_checkpoint_bounds_metadata_reads(spark, tmp_path, monkeypatch):
+    """After 25 commits (checkpoints at 10 and 20), a current-snapshot
+    read must resolve from the newest checkpoint + the 5 newer logs —
+    NOT re-read all 25 commit files — and produce exactly the same
+    rows and latest-version answer as the full replay."""
+    from pyspark.sql import Row
+
+    from etl_deltalake_spark.sources import versioned as V
+
+    vt = V.VersionedTable(spark, str(tmp_path / "vt_ck"))
+    for i in range(25):
+        vt.write(
+            spark.createDataFrame([Row(k=i, v=float(i))]),
+            mode="append",
+            timestamp=f"2024-01-01T00:00:{i:02d}",
+        )
+    ckpts = [p for p in (tmp_path / "vt_ck" / "_log").iterdir()
+             if p.name.startswith("_checkpoint_")]
+    assert len(ckpts) == 2  # versions 10 and 20
+
+    full_files, full_latest = vt._snapshot_files(version=25)
+    reads = {"n": 0}
+    real = V._read_small_file
+
+    def counting(spark_, path):
+        reads["n"] += 1
+        return real(spark_, path)
+
+    monkeypatch.setattr(V, "_read_small_file", counting)
+    fast_files, fast_latest = vt._snapshot_files()
+    # 1 checkpoint + 5 post-checkpoint commits (21..25)
+    assert reads["n"] <= 6, reads["n"]
+    assert sorted(fast_files) == sorted(full_files)
+    assert fast_latest.version == full_latest.version == 25
+    assert vt.read().count() == 25
