@@ -213,6 +213,86 @@ class VersionedTable:
         newest = max(names, key=lambda st: st.getPath().getName())
         return json.loads(_read_small_file(self.spark, str(newest.getPath())))
 
+    # ---- CHECK constraints (Delta ADD CONSTRAINT parity) -------------
+
+    def _constraints_glob(self):
+        jvm, fs, _ = _fs(self.spark, self.path)
+        log_dir = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{_LOG_DIR}")
+        if not fs.exists(log_dir):
+            return []
+        return [
+            st for st in fs.listStatus(log_dir)
+            if st.getPath().getName().startswith("_constraints_")
+            and st.getPath().getName().endswith(".json")
+        ]
+
+    def constraints(self) -> dict[str, str]:
+        """The table's live CHECK constraints (name -> SQL boolean
+        expression), newest constraints file wins (same zero-padded
+        newest-max-name rule as checkpoints)."""
+        files = self._constraints_glob()
+        if not files:
+            return {}
+        newest = max(files, key=lambda st: st.getPath().getName())
+        doc = json.loads(_read_small_file(self.spark, str(newest.getPath())))
+        return dict(doc["constraints"])
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        files = self._constraints_glob()
+        nxt = (
+            max(
+                int(st.getPath().getName()[len("_constraints_"):-5])
+                for st in files
+            )
+            + 1
+            if files
+            else 1
+        )
+        payload = json.dumps({"constraints": cons}, sort_keys=True).encode()
+        for k in range(nxt, nxt + 5):
+            path = (
+                f"{self.path}/{_LOG_DIR}/_constraints_"
+                f"{k:0{_VERSION_DIGITS}d}.json"
+            )
+            if _write_file_atomic(self.spark, path, payload):
+                return
+        raise RuntimeError("could not publish constraints (contended)")
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Standard-SQL CHECK semantics: a row violates only when the
+        expression evaluates FALSE (NULL/unknown passes, like SQL
+        CHECK and Delta). One limit(1) probe per constraint."""
+        for name, cond in sorted(self.constraints().items()):
+            bad = df.filter(F.expr(cond) == F.lit(False)).limit(1)
+            if bad.count() > 0:
+                raise ValueError(
+                    f"CHECK constraint {name!r} violated: {cond}"
+                )
+
+    def add_constraint(self, name: str, sql_condition: str) -> None:
+        """Delta ``ALTER TABLE ADD CONSTRAINT`` parity: persist a
+        CHECK constraint enforced on every later write (all DML
+        routes through ``write``, so MERGE/DELETE/UPDATE inherit it).
+        Refused — like Delta — when EXISTING data already violates
+        it; nothing is published in that case."""
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        probe = self.read().filter(F.expr(sql_condition) == F.lit(False))
+        if probe.limit(1).count() > 0:
+            raise ValueError(
+                f"existing rows violate {name!r}: {sql_condition}"
+            )
+        cons[name] = sql_condition
+        self._write_constraints(cons)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(f"no such constraint {name!r}")
+        del cons[name]
+        self._write_constraints(cons)
+
     def latest_version(self, commits: list[Commit] | None = None) -> int:
         if commits is None:
             commits = self._commits()
@@ -357,6 +437,7 @@ class VersionedTable:
         commits = self._commits()
         if mode == "append":
             self._check_schema(df, "append", commits)
+        self._enforce_constraints(df)
         for _ in range(max_retries):
             version = self.latest_version(commits) + 1
             remove: Sequence[str] = ()

@@ -317,3 +317,54 @@ def test_log_checkpoint_bounds_metadata_reads(spark, tmp_path, monkeypatch):
     assert sorted(fast_files) == sorted(full_files)
     assert fast_latest.version == full_latest.version == 25
     assert vt.read().count() == 25
+
+
+def test_check_constraints(spark, tmp_path):
+    """Delta ADD CONSTRAINT parity: a violating write fails loudly
+    naming the constraint; NULL evaluations PASS (standard SQL CHECK);
+    adding a constraint existing data violates is refused and nothing
+    publishes; constraints persist across handles; DML inherits
+    enforcement; drop restores the write."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from etl_deltalake_spark.sources.versioned import VersionedTable
+
+    path = str(tmp_path / "vt_cons")
+    vt = VersionedTable(spark, path)
+    vt.write(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None)], "k bigint, v double"
+        ),
+        mode="overwrite", timestamp="2024-01-01T00:00:00",
+    )
+    # NULL v passes the check (SQL CHECK rule) so this is addable
+    vt.add_constraint("v_positive", "v > 0")
+    # a fresh handle sees the constraint (persisted, not in-memory)
+    vt2 = VersionedTable(spark, path)
+    assert vt2.constraints() == {"v_positive": "v > 0"}
+    with _pytest.raises(ValueError, match="v_positive"):
+        vt2.write(
+            spark.createDataFrame([(3, -1.0)], "k bigint, v double"),
+            mode="append", timestamp="2024-01-02T00:00:00",
+        )
+    # NULL still passes on write
+    vt2.write(
+        spark.createDataFrame([(4, None)], "k bigint, v double"),
+        mode="append", timestamp="2024-01-03T00:00:00",
+    )
+    # UPDATE routes through write -> inherits enforcement
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="v_positive"):
+        vt2.update_where(F.col("k") == 1, {"v": F.lit(-9.0)})
+    # refused when existing data violates; nothing published
+    with _pytest.raises(ValueError, match="existing rows violate"):
+        vt2.add_constraint("k_small", "k < 2")
+    assert vt2.constraints() == {"v_positive": "v > 0"}
+    vt2.drop_constraint("v_positive")
+    vt2.write(
+        spark.createDataFrame([(5, -2.0)], "k bigint, v double"),
+        mode="append", timestamp="2024-01-04T00:00:00",
+    )
+    assert vt2.read().count() == 4
