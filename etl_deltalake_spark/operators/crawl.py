@@ -87,7 +87,12 @@ def robots_filter(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from urllib.robotparser import RobotFileParser
 
-        cache: dict[str, RobotFileParser | None] = {}
+        # Cache key includes the payload hash, not just the host
+        # (ADVICE r8): if the robots join upstream ever yields more
+        # than one robots_txt per host, each distinct payload parses
+        # once and every URL row evaluates against ITS OWN payload —
+        # never silently against whichever arrived first.
+        cache: dict[tuple[str, int], RobotFileParser] = {}
         for pdf in batches:
             out = []
             for uid, url, host, txt in zip(
@@ -96,11 +101,13 @@ def robots_filter(
                 if txt is None or pd.isna(txt):
                     out.append(True)
                     continue
-                rp = cache.get(host)
+                txt = str(txt)
+                key = (str(host), hash(txt))
+                rp = cache.get(key)
                 if rp is None:
                     rp = RobotFileParser()
-                    rp.parse(str(txt).splitlines())
-                    cache[host] = rp
+                    rp.parse(txt.splitlines())
+                    cache[key] = rp
                 out.append(bool(rp.can_fetch(agent, str(url))))
             yield pd.DataFrame(
                 {

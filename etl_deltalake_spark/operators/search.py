@@ -120,13 +120,15 @@ def bm25_topk(
     b: float = 0.75,
 ) -> DataFrame:
     """Top-k BM25 hits with a deterministic (score desc, doc asc)
-    rank. Window over a constant partition is fine here: only the
-    per-doc aggregated scores reach it, and the TakeOrdered path
-    keeps the driver's share at k rows."""
+    rank. Round 9: the distributed top-k (TakeOrderedAndProject —
+    per-partition heaps merged at k rows) runs FIRST, so the
+    partition-less rank Window only ever sees ≤k rows, never the
+    corpus-sized score table."""
     scores = bm25_scores(df, id_col, text_col, query_terms, k1=k1, b=b)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    order = (F.col("score").desc(), F.col("doc").asc())
+    top = scores.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
-        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select(F.col("doc").alias(id_col), "score", "rank")
     )

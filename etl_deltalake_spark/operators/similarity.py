@@ -773,10 +773,14 @@ def ivfpq_residual_topk(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    w = Window.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+    # Distributed top-k first (TakeOrderedAndProject), then rank the
+    # ≤k survivors — the partition-less Window input is bounded by k
+    # (round 9; candidates were already nprobe-bucket-bounded).
+    order = (F.col("pq_dist").asc(), F.col(id_col).asc())
+    top = out.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select(id_col, "pq_dist", "rank")
     )
 
@@ -1136,10 +1140,13 @@ def pq_adc_topk(
     scored = codes_df.select(
         F.col(id_col), F.round(F.sqrt(total), scale).alias("pq_dist")
     )
-    w = Window.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+    # Distributed top-k first, then rank the ≤k survivors (round 9 —
+    # see ivfpq_topk's note; same bounded-Window contract).
+    order = (F.col("pq_dist").asc(), F.col(id_col).asc())
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select(id_col, "pq_dist", "rank")
     )
 

@@ -3141,6 +3141,110 @@ oracle("q_tpch_q18")(
     """
 )
 
+oracle("q_tpch_q1")(
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4)) *
+                    (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+)
+
+oracle("q_tpch_q4")(
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+)
+
+oracle("q_tpch_q12")(
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+)
+
+oracle("q_tpch_q19")(
+    f"""
+    SELECT {_TPCH_REV} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30)
+    """
+)
+
+# The oracle deliberately keeps the CANONICAL multi-correlated
+# EXISTS / NOT-EXISTS formulation so the Spark plan's per-order
+# aggregate decorrelation is cross-checked against an independent
+# evaluation strategy, not replayed.
+oracle("q_tpch_q21")(
+    """
+    SELECT s_name, COUNT(*)::BIGINT AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND r_name = 'EUROPE'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """
+)
+
 oracle("q_winsorize")(
     """
     WITH b AS (
@@ -5165,28 +5269,43 @@ oracle("q_sql_surface")(
 )
 
 
-# RFM truth (q_rfm, round 8): the same user aggregates (epochs
-# floored like unix_timestamp, exact decimal monetary), the same
-# (metric, user_id) total-order quintiles, the same grid.
+# RFM truth (q_rfm, round 8; boundary-scored round 9): the same
+# user aggregates (epochs floored like unix_timestamp, exact decimal
+# monetary floored to whole units), exact type-7 quintile boundaries
+# (quantile_cont ≡ Spark's percentile on integer domains), the same
+# CASE bucketing (recency scored on last_epoch directly — ascending
+# epoch bucket = r_score), the same grid. DuckDB lists are 1-indexed.
 oracle("q_rfm")(
     """
-    WITH per_user AS (
+    WITH metrics AS (
       SELECT user_id,
              max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch,
              count(*) AS freq,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-               AS monetary
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                             AS DECIMAL(28,2))) AS BIGINT) AS mon_u
       FROM events GROUP BY user_id
+    ),
+    bounds AS (
+      SELECT quantile_cont(last_epoch, [0.2, 0.4, 0.6, 0.8]) AS rb,
+             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+             quantile_cont(mon_u, [0.2, 0.4, 0.6, 0.8]) AS mb
+      FROM metrics
     ),
     scored AS (
       SELECT user_id,
-             6 - ntile(5) OVER (
-               ORDER BY (SELECT max(last_epoch) FROM per_user) - last_epoch,
-                        user_id
-             ) AS r_score,
-             ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
-             ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
-      FROM per_user
+             1 + CASE WHEN last_epoch > rb[1] THEN 1 ELSE 0 END
+               + CASE WHEN last_epoch > rb[2] THEN 1 ELSE 0 END
+               + CASE WHEN last_epoch > rb[3] THEN 1 ELSE 0 END
+               + CASE WHEN last_epoch > rb[4] THEN 1 ELSE 0 END AS r_score,
+             1 + CASE WHEN freq > fb[1] THEN 1 ELSE 0 END
+               + CASE WHEN freq > fb[2] THEN 1 ELSE 0 END
+               + CASE WHEN freq > fb[3] THEN 1 ELSE 0 END
+               + CASE WHEN freq > fb[4] THEN 1 ELSE 0 END AS f_score,
+             1 + CASE WHEN mon_u > mb[1] THEN 1 ELSE 0 END
+               + CASE WHEN mon_u > mb[2] THEN 1 ELSE 0 END
+               + CASE WHEN mon_u > mb[3] THEN 1 ELSE 0 END
+               + CASE WHEN mon_u > mb[4] THEN 1 ELSE 0 END AS m_score
+      FROM metrics, bounds
     )
     SELECT r_score, f_score, m_score, count(*) AS n_users
     FROM scored GROUP BY r_score, f_score, m_score

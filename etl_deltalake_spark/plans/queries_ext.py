@@ -897,12 +897,17 @@ def q_copair(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cooccurrence_pairs(
         li, "l_orderkey", "l_partkey", min_count=2, max_basket_size=100
     )
+    # Distributed top-50 first (TakeOrderedAndProject — per-partition
+    # heaps, never a global sort), THEN rank over the ≤50 survivors:
+    # the partition-less Window touches a bounded table (round 9).
+    top = pairs.orderBy(
+        F.col("n_baskets").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(50)
     w = Window.orderBy(
         F.col("n_baskets").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .orderBy("rank")
     )
 
@@ -1710,9 +1715,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
-    the max-revenue supplier(s) via a rank over the supplier-sized
-    revenue table (no scalar subquery round-trip; ties all surface,
-    as the spec requires)."""
+    the max-revenue supplier(s) via a 1-row max aggregate broadcast
+    back over the revenue table (round 9 — replaces a rank over a
+    partition-less Window, which funneled the supplier-sized table
+    through one task; the max+filter form is all map-side and
+    mirrors the oracle's scalar subquery). Ties all surface, as the
+    spec requires."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
@@ -1721,9 +1729,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         _revenue().alias("total_revenue")
     )
     supp = load_table(spark, "supplier", sf_dir)
-    w = Window.orderBy(F.desc("total_revenue"))
-    top = rev.withColumn("_rk", F.rank().over(w)).filter(
-        F.col("_rk") == 1
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
     )
     return (
         supp.join(top, supp.s_suppkey == top.supplier_no)
@@ -2478,6 +2488,184 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the most-executed
+    aggregate shape in analytics: one lineitem scan, a shipdate
+    cutoff that pushes into the parquet scan, and a 6-wide grouped
+    aggregate over the tiny (returnflag, linestatus) domain so the
+    shuffle carries 6 partial rows per task. All money math is
+    decimal-exact; the three-factor charge product is re-scaled to
+    DECIMAL(18,4) between factors so neither engine hits the
+    38-digit precision ceiling (both sums stay exact)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = (_dec("l_extendedprice") * (one - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = disc_price * (one + _dec("l_tax"))
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / cnt, 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / cnt, 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / cnt, 6
+            ).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to the fixture
+    schema (no l_commitdate/l_receiptdate — "late" becomes
+    l_shipdate > o_orderdate + 60 days): one quarter of orders,
+    counted per priority, where EXISTS a late lineitem. The
+    correlated-EXISTS shape compiles to a LEFT SEMI join whose
+    condition spans both tables (key equality + the date
+    inequality), so only the quarter's orders shuffle and each
+    order emits at most once regardless of lineitem fan-out."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority split), adapted to the
+    fixture schema (no l_shipmode/l_receiptdate — l_returnflag
+    stands in as the mode axis and "late receipt" becomes
+    l_shipdate > o_orderdate + 30 days): for one shipdate year,
+    per flag, how many late lineitems belonged to critical-priority
+    orders vs not. The two-way conditional count is a single
+    grouped aggregate (no pivot); the year predicate pushes into
+    the lineitem scan before the join."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted to the fixture schema
+    (no p_container/l_shipmode/l_shipinstruct — each disjunct keeps
+    the brand equality plus size/quantity bands): revenue over an
+    OR-of-ANDs predicate that references BOTH join sides, the
+    canonical pushdown stressor — per-branch part conjuncts cannot
+    be split out of the disjunction, so the plan must evaluate the
+    whole predicate post-join while still broadcasting the dim. One
+    output row (exact decimal sum)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    pred = (
+        ((brand == "Brand#1") & size.between(1, 10) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 20) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 30) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    fixture schema (no l_receiptdate/l_commitdate — "late" becomes
+    l_returnflag = 'R'; the single-nation filter widens to one
+    region so the query is non-empty at every scale factor): for
+    finalized orders, suppliers in EUROPE whose lineitem was late
+    while EVERY other supplier on the order delivered clean — the
+    multi-correlated EXISTS / NOT-EXISTS shape.
+
+    Spark-first decorrelation: both correlated subqueries collapse
+    into ONE per-order aggregate — n_supp = countDistinct(suppkey)
+    (EXISTS another supplier ⟺ n_supp ≥ 2) and n_late_supp =
+    countDistinct(suppkey when late) (NOT EXISTS another late
+    supplier, given l1 is late ⟺ n_late_supp = 1). One extra
+    groupBy on the already-shuffled join key instead of two
+    lineitem self-joins; the DuckDB oracle runs the canonical
+    EXISTS/NOT-EXISTS formulation so the rewrite is cross-checked,
+    not assumed."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    late = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    orders_f = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.filter(late)
+        .join(orders_f, F.col("l_orderkey") == orders_f.o_orderkey)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == euro_supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
 
 
@@ -3784,15 +3972,30 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation (round 8) — the classic customer-value grid:
-    per user, recency (seconds from their last event to the corpus
-    max), frequency (event count), monetary (exact decimal value
-    sum), each scored 1-5 by ntile quintile under a TOTAL order
-    (metric, then user_id — ties are deterministic), then the
-    segment grid aggregated. The ntile windows run over the USER
-    AGGREGATE table (users << events; the events-side work is one
-    groupBy), which is the documented scale shape. The DuckDB oracle
-    replays aggregates, tiebreaks, and quintiles exactly."""
+    """RFM segmentation (round 8; made scale-safe in round 9) — the
+    classic customer-value grid: per user, recency (whole days from
+    their last event to the corpus max), frequency (event count),
+    monetary (exact decimal value sum floored to whole units), each
+    scored 1-5 against exact quintile BOUNDARIES, then the segment
+    grid aggregated.
+
+    Scale shape (replaces round 8's three partition-less
+    ``ntile(5).over(Window.orderBy(...))`` — a single-task global
+    sort per metric at 10⁸-10⁹ users): ONE events scan → one
+    user-keyed aggregate, then ONE exact ``percentile`` aggregate
+    produces all twelve quintile boundaries in a single row —
+    recency is scored on last-event time DIRECTLY (same ordering as
+    days-since-last, no corpus-max join needed), so the plan has
+    exactly one 1-row broadcast and zero Window nodes (both pinned
+    by tests/test_plan_shapes.py). ``percentile``'s state is a
+    value→count map per metric: last_epoch's domain is bounded by
+    the corpus time window in seconds (independent of user count),
+    freq is a small-domain count, monetary is floored to whole
+    units. Scoring is tie-STABLE — equal metric values always land
+    in the same quintile (boundary comparison), where ntile split
+    ties by an arbitrary user_id tiebreak. Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the type-7 (N-1)·q linear
+    interpolation, so the oracle replays the boundaries bitwise."""
     ev = load_table(spark, "events", sf_dir)
     per_user = ev.groupBy("user_id").agg(
         F.max(F.unix_timestamp("ts")).alias("last_epoch"),
@@ -3801,23 +4004,36 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,2)")
         .alias("monetary"),
     )
-    corpus_max = per_user.agg(
-        F.max("last_epoch").alias("corpus_max")
-    )
-    j = per_user.join(F.broadcast(corpus_max))
-    rec = (F.col("corpus_max") - F.col("last_epoch")).alias("recency_s")
-    scored = j.select("user_id", rec, "freq", "monetary").select(
+    metrics = per_user.select(
         "user_id",
-        # recency: LOWER is better, so rank ascending and invert
-        (6 - F.ntile(5).over(
-            Window.orderBy(F.col("recency_s"), F.col("user_id"))
-        )).alias("r_score"),
-        F.ntile(5).over(
-            Window.orderBy(F.col("freq"), F.col("user_id"))
-        ).alias("f_score"),
-        F.ntile(5).over(
-            Window.orderBy(F.col("monetary"), F.col("user_id"))
-        ).alias("m_score"),
+        "last_epoch",
+        "freq",
+        F.floor(F.col("monetary")).cast("bigint").alias("mon_u"),
+    )
+    qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    bounds = metrics.agg(
+        F.expr(f"percentile(last_epoch, {qs})").alias("rb"),
+        F.expr(f"percentile(freq, {qs})").alias("fb"),
+        F.expr(f"percentile(mon_u, {qs})").alias("mb"),
+    )
+
+    def _bucket(col: str, b: str):
+        v = F.col(col).cast("double")
+        return (
+            F.lit(1)
+            + F.when(v > F.col(b)[0], 1).otherwise(0)
+            + F.when(v > F.col(b)[1], 1).otherwise(0)
+            + F.when(v > F.col(b)[2], 1).otherwise(0)
+            + F.when(v > F.col(b)[3], 1).otherwise(0)
+        )
+
+    scored = metrics.join(F.broadcast(bounds)).select(
+        "user_id",
+        # recency: later last_epoch = more recent = better, so the
+        # ascending epoch bucket IS the r_score (5 = most recent)
+        _bucket("last_epoch", "rb").alias("r_score"),
+        _bucket("freq", "fb").alias("f_score"),
+        _bucket("mon_u", "mb").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

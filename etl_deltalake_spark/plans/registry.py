@@ -109,15 +109,15 @@ REGISTERED: tuple[str, ...] = (
     "q_group_agg",
     "q_join_agg",
     "q_topk_per_group",
-    "q_count_distinct",
-    "q_cube",
+    "q_tpch_q21",
+    "q_recursive",
     "q_grouping_sets",
     "q_set_ops",
     "q_semi_anti",
-    "q_sort_limit",
+    "q_feature_matrix",
     "q_window_funcs",
     "q_asof_join",
-    "q_range_join",
+    "q_entity_match",
     "q_interval_join",
     "q_stats_agg",
     "q_percentiles",
@@ -125,7 +125,7 @@ REGISTERED: tuple[str, ...] = (
     "q_fuzzy_pairs",
     "q_scalar_funcs",
     "q_sessionize",
-    "q_json_funcs",
+    "q_variant",
     # streaming (SURVEY §2.8)
     "q_stream_tumbling",
     "q_stream_dedup",
@@ -228,6 +228,40 @@ RETIRED_R8B: tuple[str, ...] = (
     "q_embed_near_dup",
 )
 
+# Round-9 rotation (VERDICT r8 Next #1 + #6): q_tpch_q21 plus the
+# four strongest slotless r8 members take driver rows.
+# q_count_distinct → q_tpch_q21: TWO countDistinct aggregates
+# execute inside Q21's per-order decorrelation (the same argument
+# that retired q_distinct in round 2), and Q21 adds the
+# multi-correlated EXISTS/NOT-EXISTS shape nothing else covers —
+# its oracle is the canonical correlated form, so the rewrite is
+# cross-engine-checked rather than replayed.
+# q_cube → q_recursive: cube is sugar for grouping-sets and both
+# compile to the same Expand physical node (the exact q_rollup
+# precedent from round 6 — q_grouping_sets keeps the family's
+# driver row); real Spark 4.1 WITH RECURSIVE iteration had no
+# driver row at all.
+# q_json_funcs → q_variant: VARIANT path access is the strictly
+# richer Spark-4 semi-structured surface (same extraction paths
+# plus open typing); get_json_object/json_tuple stay
+# pytest-oracle-gated.
+# q_range_join → q_entity_match: the band-bucketed inequality-join
+# surface keeps two driver rows (q_asof_join, q_interval_join);
+# blocked entity resolution (block → Levenshtein verify → cluster →
+# survivorship) had none.
+# q_sort_limit → q_feature_matrix: global ORDER BY + LIMIT executes
+# as TakeOrderedAndProject inside q_tpch_q18 (driver row, LIMIT 100)
+# and q_weighted_draw carries the family's plan-shape gate; the
+# leakage-free strictly-past RANGE-frame feature matrix had no
+# driver row.
+RETIRED_R9: tuple[str, ...] = (
+    "q_count_distinct",
+    "q_cube",
+    "q_json_funcs",
+    "q_range_join",
+    "q_sort_limit",
+)
+
 # Oracle-paired queries without a driver slot (pytest-gated).
 SLOTLESS: tuple[str, ...] = (
     "q_pack_sequences",
@@ -321,21 +355,22 @@ SLOTLESS: tuple[str, ...] = (
     "q_train_shards",
     "q_scalar_quant",
     "q_zorder",
-    "q_variant",
     "q_kmv",
-    "q_entity_match",
     "q_homoglyph_dedup",
     "q_kmv_jaccard",
     "q_attribution",
     "q_blocklist",
-    "q_feature_matrix",
     "q_psi_drift",
     "q_labels",
     "q_null_anti",
     "q_collation",
-    "q_recursive",
     "q_sql_surface",
     "q_rfm",
+    # round 9
+    "q_tpch_q1",
+    "q_tpch_q4",
+    "q_tpch_q12",
+    "q_tpch_q19",
 )
 
 
@@ -353,6 +388,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R6,
     RETIRED_R8,
     RETIRED_R8B,
+    RETIRED_R9,
     SLOTLESS,
 )
 

@@ -156,22 +156,38 @@ class HttpJsonStreamReader(DataSourceStreamReader):
              "lenient": options.get("lenient", "false")}
         )
 
-    def _exists(self, page: int) -> bool:
+    def _probe(self, page: int) -> str:
+        """'exists' | 'missing' | 'transient'. Only a definitive HTTP
+        404/410 means the page sequence ends; anything else (5xx,
+        timeouts, connection resets) is a transient blip that must
+        NOT truncate discovery (ADVICE r8)."""
         try:
             with urllib.request.urlopen(
                 self.tmpl.format(page=page), timeout=10
             ):
-                return True
+                return "exists"
+        except urllib.error.HTTPError as e:
+            return "missing" if e.code in (404, 410) else "transient"
         except Exception:
-            return False
+            return "transient"
 
     def initialOffset(self):
         return {"page": 0}
 
     def latestOffset(self):
-        n = 0
-        while n < self.MAX_PROBE and self._exists(n):
+        # Resume probing from the highest page already known to
+        # exist (tracked across triggers and seeded by commit()) —
+        # O(new pages) GETs per micro-batch instead of O(total), and
+        # a transient error merely PAUSES discovery at that page for
+        # this trigger (the next one retries from the same spot);
+        # offsets never regress.
+        n = getattr(self, "_probe_base", 0)
+        while n < self.MAX_PROBE:
+            status = self._probe(n)
+            if status != "exists":
+                break
             n += 1
+        self._probe_base = n
         return {"page": n}
 
     def partitions(self, start, end):
@@ -184,7 +200,10 @@ class HttpJsonStreamReader(DataSourceStreamReader):
         return self.batch.read(partition)
 
     def commit(self, end):
-        pass
+        # Seed the next latestOffset probe: everything below the
+        # committed offset is known to exist, so discovery never
+        # re-walks consumed pages even on a fresh reader instance.
+        self._probe_base = max(getattr(self, "_probe_base", 0), end["page"])
 
 
 @dataclass
@@ -204,6 +223,15 @@ class JsonlManifestWriter(DataSourceWriter):
     transaction log, reduced to its minimal observable form (and the
     write-side twin of the two-phase watermark commit,
     sources/watermark.py).
+
+    SHARED-FILESYSTEM PRECONDITION (ADVICE r8): Python DataSource
+    tasks write through the worker's OS filesystem, so ``path`` must
+    be visible to every executor AND the driver (local mode, NFS, or
+    a FUSE-mounted object store). On a multi-node cluster with
+    executor-local disks the task files would not exist where the
+    driver commits — so ``commit`` VERIFIES every named file is
+    present driver-side and aborts loudly (no manifest published)
+    instead of committing dangling names.
     """
 
     def __init__(self, options):
@@ -233,6 +261,18 @@ class JsonlManifestWriter(DataSourceWriter):
             for m in messages
             if m is not None
         ]
+        missing = [
+            e["path"]
+            for e in files
+            if not os.path.exists(os.path.join(self.path, e["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                "jsonlmanifest: task files not visible at commit time "
+                f"(executor-local writes on a non-shared filesystem?): "
+                f"{sorted(missing)} under {self.path!r} — see the "
+                "shared-filesystem precondition in the class docstring"
+            )
         manifest = {
             "files": sorted(files, key=lambda e: e["path"]),
             "total_rows": sum(e["rows"] for e in files),

@@ -226,72 +226,104 @@ class VersionedTable:
             and st.getPath().getName().endswith(".json")
         ]
 
+    def _constraints_with_base(self) -> tuple[dict[str, str], int]:
+        """(live constraints, newest file number) — the file number
+        is the optimistic-concurrency token for mutations (0 when no
+        constraints file exists yet)."""
+        files = self._constraints_glob()
+        if not files:
+            return {}, 0
+        newest = max(files, key=lambda st: st.getPath().getName())
+        base = int(newest.getPath().getName()[len("_constraints_"):-5])
+        doc = json.loads(_read_small_file(self.spark, str(newest.getPath())))
+        return dict(doc["constraints"]), base
+
     def constraints(self) -> dict[str, str]:
         """The table's live CHECK constraints (name -> SQL boolean
         expression), newest constraints file wins (same zero-padded
         newest-max-name rule as checkpoints)."""
-        files = self._constraints_glob()
-        if not files:
-            return {}
-        newest = max(files, key=lambda st: st.getPath().getName())
-        doc = json.loads(_read_small_file(self.spark, str(newest.getPath())))
-        return dict(doc["constraints"])
+        return self._constraints_with_base()[0]
 
-    def _write_constraints(self, cons: dict[str, str]) -> None:
-        files = self._constraints_glob()
-        nxt = (
-            max(
-                int(st.getPath().getName()[len("_constraints_"):-5])
-                for st in files
-            )
-            + 1
-            if files
-            else 1
-        )
+    def _try_publish_constraints(
+        self, cons: dict[str, str], base: int
+    ) -> bool:
+        """Put-if-absent at EXACTLY base+1 — never slides to a later
+        slot (ADVICE r8: sliding published a STALE base map over a
+        concurrent writer's constraints; now a lost race returns
+        False and the caller re-reads and re-applies, the same
+        optimistic-retry contract as the commit loop)."""
         payload = json.dumps({"constraints": cons}, sort_keys=True).encode()
-        for k in range(nxt, nxt + 5):
-            path = (
-                f"{self.path}/{_LOG_DIR}/_constraints_"
-                f"{k:0{_VERSION_DIGITS}d}.json"
-            )
-            if _write_file_atomic(self.spark, path, payload):
-                return
-        raise RuntimeError("could not publish constraints (contended)")
+        path = (
+            f"{self.path}/{_LOG_DIR}/_constraints_"
+            f"{base + 1:0{_VERSION_DIGITS}d}.json"
+        )
+        return _write_file_atomic(self.spark, path, payload)
 
     def _enforce_constraints(self, df: DataFrame) -> None:
         """Standard-SQL CHECK semantics: a row violates only when the
         expression evaluates FALSE (NULL/unknown passes, like SQL
-        CHECK and Delta). One limit(1) probe per constraint."""
-        for name, cond in sorted(self.constraints().items()):
-            bad = df.filter(F.expr(cond) == F.lit(False)).limit(1)
-            if bad.count() > 0:
-                raise ValueError(
-                    f"CHECK constraint {name!r} violated: {cond}"
-                )
+        CHECK and Delta). ALL constraints are validated in ONE
+        aggregate pass (a conditional count per constraint, map-side
+        combined) instead of one limit(1) job each (ADVICE r8).
+
+        Determinism assumption (documented, as Delta itself assumes
+        for its pre-write validation): the incoming ``df`` must be
+        deterministic — it is executed once here and once by the
+        write, so a non-deterministic source could pass the check yet
+        commit different rows. Callers with non-deterministic inputs
+        should materialize first (e.g. localCheckpoint)."""
+        cons = sorted(self.constraints().items())
+        if not cons:
+            return
+        probes = [
+            F.sum(
+                F.when(F.expr(cond) == F.lit(False), 1).otherwise(0)
+            ).alias(f"_c{i}")
+            for i, (_, cond) in enumerate(cons)
+        ]
+        row = df.agg(*probes).collect()[0]
+        violated = [
+            f"{name!r}: {cond}"
+            for i, (name, cond) in enumerate(cons)
+            if (row[f"_c{i}"] or 0) > 0
+        ]
+        if violated:
+            raise ValueError(
+                "CHECK constraint(s) violated: " + "; ".join(violated)
+            )
 
     def add_constraint(self, name: str, sql_condition: str) -> None:
         """Delta ``ALTER TABLE ADD CONSTRAINT`` parity: persist a
         CHECK constraint enforced on every later write (all DML
         routes through ``write``, so MERGE/DELETE/UPDATE inherit it).
         Refused — like Delta — when EXISTING data already violates
-        it; nothing is published in that case."""
-        cons = self.constraints()
-        if name in cons:
-            raise ValueError(f"constraint {name!r} already exists")
+        it; nothing is published in that case. Concurrent mutations
+        are safe: publication is put-if-absent at base+1 with
+        re-read-and-retry on conflict, so no writer's constraint can
+        be silently discarded."""
         probe = self.read().filter(F.expr(sql_condition) == F.lit(False))
         if probe.limit(1).count() > 0:
             raise ValueError(
                 f"existing rows violate {name!r}: {sql_condition}"
             )
-        cons[name] = sql_condition
-        self._write_constraints(cons)
+        for _ in range(5):
+            cons, base = self._constraints_with_base()
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            cons[name] = sql_condition
+            if self._try_publish_constraints(cons, base):
+                return
+        raise RuntimeError("could not publish constraints (contended)")
 
     def drop_constraint(self, name: str) -> None:
-        cons = self.constraints()
-        if name not in cons:
-            raise ValueError(f"no such constraint {name!r}")
-        del cons[name]
-        self._write_constraints(cons)
+        for _ in range(5):
+            cons, base = self._constraints_with_base()
+            if name not in cons:
+                raise ValueError(f"no such constraint {name!r}")
+            del cons[name]
+            if self._try_publish_constraints(cons, base):
+                return
+        raise RuntimeError("could not publish constraints (contended)")
 
     def latest_version(self, commits: list[Commit] | None = None) -> int:
         if commits is None:
@@ -458,6 +490,10 @@ class VersionedTable:
                 self._maybe_checkpoint(
                     version, live_after, df.dtypes, timestamp
                 )
+                self._mirror_delta_log(
+                    version, add, remove, df, timestamp, mode,
+                    commits, live_after,
+                )
                 return version
             # Lost the race: orphan the just-written files (vacuum
             # collects them), re-replay the log, retry against the tip.
@@ -475,6 +511,54 @@ class VersionedTable:
         raise RuntimeError(
             f"could not commit after {max_retries} attempts (contended table?)"
         )
+
+    def _mirror_delta_log(
+        self,
+        version: int,
+        add: Sequence[str],
+        remove: Sequence[str],
+        df: DataFrame,
+        timestamp: str,
+        operation: str,
+        commits: list[Commit],
+        live_after: list[str],
+    ) -> None:
+        """Mirror the just-won commit into the REAL Delta protocol
+        (sources/delta_log.py, round 9): ``_delta_log/%020d.json``
+        actions + the interval parquet checkpoint, so spec-conformant
+        external readers (delta-spark / delta-rs / DuckDB delta) can
+        read what VersionedTable writes. Runs only after the custom
+        rename wins, so mirror entries never race; pre-round-9 tables
+        are backfilled from the custom log first. Custom version V is
+        Delta version V-1 (Delta is 0-based)."""
+        from etl_deltalake_spark.sources import delta_log as DL
+
+        if commits:
+            DL.backfill_missing(self.spark, self, commits)
+        emit_meta = (not commits) or (
+            tuple(df.dtypes) != tuple(commits[-1].schema)
+        )
+        schema_json = df.schema.json()
+        DL.emit_delta_commit(
+            self.spark,
+            self.path,
+            version - 1,
+            list(add),
+            list(remove),
+            schema_json,
+            timestamp,
+            operation,
+            emit_meta,
+        )
+        if version % self.CHECKPOINT_INTERVAL == 0:
+            DL.write_delta_checkpoint(
+                self.spark,
+                self.path,
+                version - 1,
+                live_after,
+                schema_json,
+                timestamp,
+            )
 
     def upsert(
         self,

@@ -290,3 +290,63 @@ def test_functions_module_round8_surface(spark):
     assert row.canon == "http://a.example/x?a=1&b=2"
     assert 0.0 < row.zr < 0.3
     assert row.hd == 1  # 7 ^ 5 = 2 -> one bit
+
+
+def test_global_window_inventory():
+    """Grep-backed inventory of every partition-less Window in the
+    package (round 9, VERDICT r8 Next #3 — the casefold-inventory
+    pattern): a ``Window.orderBy(...)`` with no ``partitionBy`` is a
+    single-task global sort, the one plan shape that cannot survive a
+    100× scale-up. Every surviving site must be on this allowlist
+    with a documented cardinality bound — each one runs AFTER a
+    distributed ``orderBy().limit(k)`` (TakeOrderedAndProject:
+    per-partition heaps, merged at k rows), so the Window's input is
+    bounded by a constant, not by the corpus. A new unbounded global
+    sort fails here until it is converted to the TakeOrdered-then-
+    rank form or exempted with a bound.
+
+    Round-9 conversions this gate pins: q_tpch_q15 (rank → 1-row max
+    broadcast), q_copair / bm25_topk / ivfpq_topk / pq_adc_topk
+    (rank-then-filter → limit-then-rank), q_rfm (three global ntiles
+    → one percentile aggregate, no Window at all — see
+    test_plan_shapes.test_rfm_plan_has_no_window).
+    """
+    import re
+    import subprocess
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "etl_deltalake_spark"
+    out = subprocess.run(
+        ["grep", "-rn", r"Window\.orderBy(", str(pkg)],
+        capture_output=True,
+        text=True,
+    ).stdout
+    hits = []
+    for line in out.splitlines():
+        path, lineno, code = line.split(":", 2)
+        rel = str(Path(path).relative_to(pkg))
+        stripped = code.strip()
+        if stripped.startswith("#") or "``" in stripped:
+            continue  # comments / docstring markup
+        hits.append(rel)
+    counts: dict[str, int] = {}
+    for rel in hits:
+        counts[rel] = counts.get(rel, 0) + 1
+
+    allowed = {
+        # bm25_topk: Window runs on orderBy().limit(k) output (≤k
+        # rows, k=10 default) — rank assignment over the survivors
+        "operators/search.py": 1,
+        # ivfpq_topk + pq_adc_topk: Window on the ≤k ADC survivors
+        # (post-limit); kmeans seeding: Window on the ≤k seed rows
+        # (orderBy("id").limit(k) runs first)
+        "operators/similarity.py": 3,
+        # q_copair: Window on the ≤50 TakeOrdered survivors
+        "plans/queries_ext.py": 1,
+    }
+    assert counts == allowed, (
+        "partition-less Window.orderBy sites drifted from the "
+        f"documented allowlist: found {counts}, allowed {allowed} — "
+        "convert new sites to TakeOrdered-then-rank or exempt with a "
+        "cardinality bound"
+    )

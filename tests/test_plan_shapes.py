@@ -44,9 +44,14 @@ _SCALAR_CROSS_OK = {
     "q_tpch_q22": 1,
     # lm transfer crossJoins the 1-row train-vocabulary size
     "q_lm_transfer": 1,
+    # (q_tpch_q15's round-9 1-row max broadcast needs NO entry:
+    # Catalyst pushes the total_revenue = _mx filter into the join
+    # condition, planning a BroadcastHashJoin, not a BNLJ)
     # psi drift crossJoins the 1-row (t_ref, t_cur) totals aggregate
     "q_psi_drift": 1,
-    # rfm crossJoins the 1-row corpus-max-epoch aggregate
+    # rfm crossJoins the single 1-row quintile-boundary aggregate
+    # (round-9 boundary scoring; the corpus-max join is gone —
+    # recency scores on last_epoch directly)
     "q_rfm": 1,
     # one 1-row query-vector/ground-truth broadcast per branch:
     # cosine exact + the shared structure across the nprobe sweep
@@ -129,3 +134,24 @@ def test_substring_dup_shuffles_hashes_not_text(spark, sf_dir):
     assert exchanges, plan
     for ln in exchanges:
         assert "text" not in ln and "words" not in ln, ln
+
+
+def test_rfm_plan_has_no_window(spark, sf_dir):
+    """q_rfm's quintile scoring must plan ZERO Window nodes (round 9
+    — replaces round 8's three partition-less global ntile sorts):
+    boundaries come from one exact percentile aggregate, scoring is
+    broadcast CASE arithmetic."""
+    from etl_deltalake_spark.plans.queries_ext import q_rfm
+
+    plan = _physical_plan(q_rfm(spark, sf_dir))
+    assert "Window" not in plan, plan
+
+
+def test_tpch_q15_plan_has_no_window(spark, sf_dir):
+    """q_tpch_q15's max-revenue selection must plan ZERO Window nodes
+    (round 9 — the rank form funneled the supplier-sized revenue
+    table through one task); the max is a 1-row broadcast."""
+    from etl_deltalake_spark.plans.queries_ext import q_tpch_q15
+
+    plan = _physical_plan(q_tpch_q15(spark, sf_dir))
+    assert "Window" not in plan, plan
