@@ -1,0 +1,357 @@
+"""Real Delta-Lake transaction-log emission for VersionedTable.
+
+The reference's storage engine IS Delta (``write_deltalake``,
+reference main.py:414; ``DeltaTable.merge`` main.py:465-470).
+``sources/versioned.py`` restores Delta's user contract on plain
+parquet, but its commit log is custom JSON — nothing else can read
+those tables. This module closes that gap (VERDICT r8 Next #4): every
+VersionedTable commit ALSO writes the public Delta protocol
+(github.com/delta-io/delta PROTOCOL.md) under ``_delta_log/``, so any
+spec-conformant reader — delta-spark, delta-rs, DuckDB's delta
+extension, Trino — can read the table's latest snapshot without this
+repo in the loop.
+
+Emitted per commit ``N`` (0-based, = VersionedTable version - 1), as
+``_delta_log/%020d.json`` newline-delimited actions:
+
+ - ``protocol``  (minReaderVersion 1 / minWriterVersion 2) and
+   ``metaData`` (deterministic table id, Spark StructType
+   ``schemaString``, parquet format) — on the first commit and again
+   whenever the schema changes (latest metaData wins, per spec);
+ - one ``add`` per data file (table-relative path, real byte size,
+   caller-timestamp ``modificationTime``, ``dataChange`` true);
+ - one ``remove`` tombstone per file the commit logically removes;
+ - a ``commitInfo`` carrying the operation name (informational).
+
+Every ``CHECKPOINT_INTERVAL``-th commit also writes the classic
+single-file parquet checkpoint (``%020d.checkpoint.parquet`` with
+nullable ``protocol`` / ``metaData`` / ``add`` action structs, one
+row per action) plus ``_last_checkpoint``, so a reader resolves the
+snapshot from one parquet read + the JSON tail instead of the full
+log — the same O(interval) metadata story versioned.py's own
+checkpoints give.
+
+Concurrency: the custom-log rename (put-if-absent) is the commit
+lock; only the winner mirrors, so ``_delta_log`` entries cannot race.
+Tables created before round 9 gain a log lazily: the first new commit
+backfills every missing earlier version from the custom log
+(vacuumed files backfill with size 0 — only the LATEST snapshot's
+files are guaranteed present on disk, the same physical guarantee
+VACUUM leaves the custom log).
+
+Determinism: all timestamps are the caller-supplied commit timestamp
+(ISO-8601 → epoch millis); the table id is ``uuid5(NAMESPACE_URL,
+table_path)``. No wall clock anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+_DELTA_DIR = "_delta_log"
+_VERSION_DIGITS = 20
+PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _iso_to_millis(ts: str) -> int:
+    dt = datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def table_id(table_path: str) -> str:
+    """Deterministic metaData.id — stable across commits and sessions
+    without storing extra state (uuid5 over the table path)."""
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, f"spark-graft://{table_path}"))
+
+
+def _delta_path(table_path: str, version: int) -> str:
+    return f"{table_path}/{_DELTA_DIR}/{version:0{_VERSION_DIGITS}d}.json"
+
+
+def _file_size(spark: SparkSession, table_path: str, rel: str) -> int:
+    from etl_deltalake_spark.sources.versioned import _fs
+
+    jvm, fs, _ = _fs(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{rel}")
+    try:
+        return int(fs.getFileStatus(p).getLen())
+    except Exception:
+        return 0  # backfill of a since-vacuumed file
+
+
+def metadata_action(schema_json: str, table_path: str, ts_millis: int) -> dict:
+    return {
+        "metaData": {
+            "id": table_id(table_path),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": ts_millis,
+        }
+    }
+
+
+def emit_delta_commit(
+    spark: SparkSession,
+    table_path: str,
+    delta_version: int,
+    add: list[str],
+    remove: list[str],
+    schema_json: str,
+    timestamp: str,
+    operation: str,
+    emit_metadata: bool,
+) -> bool:
+    """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
+    via the same temp+rename as the custom log). Returns False when
+    the file already exists — idempotent under backfill re-runs."""
+    from etl_deltalake_spark.sources.versioned import _write_file_atomic
+
+    millis = _iso_to_millis(timestamp)
+    actions: list[dict] = []
+    if emit_metadata:
+        if delta_version == 0:
+            actions.append(PROTOCOL_ACTION)
+        actions.append(metadata_action(schema_json, table_path, millis))
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": millis,
+                "operation": operation.upper(),
+                "operationParameters": {},
+                "engineInfo": "etl-deltalake-spark versioned-table mirror",
+            }
+        }
+    )
+    for rel in remove:
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": millis,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in add:
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": _file_size(spark, table_path, rel),
+                    "modificationTime": millis,
+                    "dataChange": True,
+                }
+            }
+        )
+    payload = ("\n".join(json.dumps(a, sort_keys=True) for a in actions)).encode()
+    return _write_file_atomic(
+        spark, _delta_path(table_path, delta_version), payload
+    )
+
+
+def backfill_missing(spark: SparkSession, table, commits) -> None:
+    """Bring ``_delta_log`` up to date with the custom log: emit every
+    missing delta version below the tip (pre-round-9 tables, or a
+    crash between custom commit and mirror). O(missing commits) tiny
+    driver writes; put-if-absent makes concurrent backfills safe."""
+    from etl_deltalake_spark.sources.versioned import _fs
+
+    jvm, fs, _ = _fs(spark, table.path)
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{table.path}/{_DELTA_DIR}")
+    have: set[int] = set()
+    if fs.exists(log_dir):
+        for st in fs.listStatus(log_dir):
+            name = st.getPath().getName()
+            if name.endswith(".json") and name[:-5].isdigit():
+                have.add(int(name[:-5]))
+    prev_schema = None
+    for c in commits:
+        dv = c.version - 1
+        schema_json = _schema_json_from_ddl(c.schema)
+        if dv not in have:
+            emit_delta_commit(
+                spark,
+                table.path,
+                dv,
+                list(c.add),
+                list(c.remove),
+                schema_json,
+                c.timestamp,
+                c.operation,
+                emit_metadata=(prev_schema is None or c.schema != prev_schema),
+            )
+        prev_schema = c.schema
+
+
+def _schema_json_from_ddl(schema) -> str:
+    """Commit records carry (name, DDL type) pairs; rebuild the Spark
+    StructType JSON the protocol wants (untyped legacy entries degrade
+    to string, same rule versioned.read uses for empty snapshots)."""
+    from pyspark.sql.types import StructType
+
+    ddl = ", ".join(f"`{n}` {t or 'string'}" for n, t in schema)
+    return StructType.fromDDL(ddl).json()
+
+
+# ---- checkpointing ----------------------------------------------------
+
+_CHECKPOINT_SCHEMA = """
+    protocol struct<minReaderVersion:int, minWriterVersion:int>,
+    metaData struct<
+        id:string,
+        format:struct<provider:string, options:map<string,string>>,
+        schemaString:string,
+        partitionColumns:array<string>,
+        configuration:map<string,string>,
+        createdTime:bigint
+    >,
+    add struct<
+        path:string,
+        partitionValues:map<string,string>,
+        size:bigint,
+        modificationTime:bigint,
+        dataChange:boolean
+    >
+"""
+
+
+def write_delta_checkpoint(
+    spark: SparkSession,
+    table_path: str,
+    delta_version: int,
+    live: list[str],
+    schema_json: str,
+    timestamp: str,
+) -> None:
+    """The classic single-file parquet checkpoint at ``delta_version``
+    (one nullable-struct row per action: protocol, metaData, one add
+    per live file — tombstones are not retained, matching a
+    post-VACUUM state) plus the ``_last_checkpoint`` pointer."""
+    from etl_deltalake_spark.sources.versioned import _fs, _write_file_atomic
+
+    millis = _iso_to_millis(timestamp)
+    meta = metadata_action(schema_json, table_path, millis)["metaData"]
+    rows = [
+        ((1, 2), None, None),
+        (
+            None,
+            (
+                meta["id"],
+                ("parquet", {}),
+                meta["schemaString"],
+                [],
+                {},
+                millis,
+            ),
+            None,
+        ),
+    ]
+    for rel in live:
+        rows.append(
+            (
+                None,
+                None,
+                (rel, {}, _file_size(spark, table_path, rel), millis, True),
+            )
+        )
+    df = spark.createDataFrame(rows, schema=_CHECKPOINT_SCHEMA).coalesce(1)
+    tmp_dir = f"{table_path}/{_DELTA_DIR}/_tmp_ckpt_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp_dir)
+    jvm, fs, _ = _fs(spark, table_path)
+    part = next(
+        str(st.getPath())
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp_dir))
+        if st.getPath().getName().startswith("part-")
+    )
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{_DELTA_DIR}/"
+        f"{delta_version:0{_VERSION_DIGITS}d}.checkpoint.parquet"
+    )
+    renamed = fs.rename(jvm.org.apache.hadoop.fs.Path(part), final)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
+    if renamed:  # raced writers: first one wins, pointer follows
+        _write_file_atomic(
+            spark,
+            f"{table_path}/{_DELTA_DIR}/_last_checkpoint",
+            json.dumps(
+                {"version": delta_version, "size": len(rows)}, sort_keys=True
+            ).encode(),
+        )
+
+
+# ---- independent reader (spec replay, used by the conformance tests) --
+
+def delta_log_actions(
+    spark: SparkSession, table_path: str
+) -> list[tuple[int, dict]]:
+    """Every (version, action) in the JSON log, version-ordered —
+    straight spec replay, no VersionedTable machinery."""
+    from etl_deltalake_spark.sources.versioned import _fs, _read_small_file
+
+    jvm, fs, _ = _fs(spark, table_path)
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_DELTA_DIR}")
+    if not fs.exists(log_dir):
+        return []
+    entries = []
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and name[:-5].isdigit():
+            entries.append((int(name[:-5]), str(st.getPath())))
+    out: list[tuple[int, dict]] = []
+    for v, p in sorted(entries):
+        for line in _read_small_file(spark, p).decode().splitlines():
+            if line.strip():
+                out.append((v, json.loads(line)))
+    return out
+
+
+def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
+    """Replay the JSON log per the protocol: latest metaData wins,
+    live files = adds minus later removes (path-keyed). Returns
+    ``{"files": [...], "schema_json": str, "protocol": dict,
+    "version": int}``."""
+    live: dict[str, dict] = {}
+    schema_json = None
+    protocol = None
+    version = -1
+    for v, action in delta_log_actions(spark, table_path):
+        version = max(version, v)
+        if "metaData" in action:
+            schema_json = action["metaData"]["schemaString"]
+        elif "protocol" in action:
+            protocol = action["protocol"]
+        elif "add" in action:
+            live[action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            live.pop(action["remove"]["path"], None)
+    return {
+        "files": sorted(live),
+        "schema_json": schema_json,
+        "protocol": protocol,
+        "version": version,
+    }
+
+
+def read_delta(spark: SparkSession, table_path: str):
+    """Read the latest snapshot THROUGH the Delta log (never the
+    custom log) — what any external spec reader would materialize."""
+    snap = delta_snapshot(spark, table_path)
+    if snap["version"] < 0:
+        raise ValueError(f"{table_path} has no _delta_log")
+    if not snap["files"]:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap["schema_json"]))
+        return spark.createDataFrame([], schema=schema)
+    return spark.read.parquet(
+        *[f"{table_path}/{rel}" for rel in snap["files"]]
+    )

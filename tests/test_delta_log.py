@@ -1,0 +1,228 @@
+"""Delta-protocol conformance for the VersionedTable mirror
+(sources/delta_log.py, round 9 — VERDICT r8 Next #4): every commit
+must ALSO land as real ``_delta_log/%020d.json`` actions + interval
+parquet checkpoints, readable by any spec reader (PROTOCOL.md at
+github.com/delta-io/delta) with no VersionedTable machinery.
+
+The in-test verifier is the INDEPENDENT spec replay in
+delta_log.delta_snapshot (latest-metaData-wins, adds minus removes) —
+plus raw-JSON golden checks so the action shapes themselves are
+pinned, not just the replay outcome. delta-spark and DuckDB's delta
+extension are unobtainable in-container (the repo's two standing env
+skips), so an external-engine read is attempted and env-skipped.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.sources import delta_log as DL
+from etl_deltalake_spark.sources.versioned import versioned_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, ["id", "val"])
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return versioned_table(spark, str(tmp_path / "dl"), use_delta=False)
+
+
+def _log_files(vt):
+    import os
+
+    d = f"{vt.path}/_delta_log"
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.listdir(d))
+
+
+def test_first_commit_emits_protocol_and_metadata(spark, vt):
+    vt.write(_df(spark, [(1, "a"), (2, "b")]), timestamp="2026-01-01T00:00:00")
+    path = f"{vt.path}/_delta_log/{0:020d}.json"
+    with open(path, encoding="utf-8") as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    proto = actions[0]["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = actions[1]["metaData"]
+    # schemaString is a REAL Spark StructType JSON round-trippable to
+    # the written schema
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert [(f.name, f.dataType.simpleString()) for f in st.fields] == [
+        ("id", "bigint"),
+        ("val", "string"),
+    ]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == []
+    assert meta["id"] == DL.table_id(vt.path)  # deterministic + stable
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds, "first commit must add files"
+    import os
+
+    for add in adds:
+        full = f"{vt.path}/{add['path']}"
+        assert os.path.isfile(full), add
+        assert add["size"] == os.path.getsize(full)
+        assert add["dataChange"] is True
+        assert add["partitionValues"] == {}
+        # caller-timestamp determinism: 2026-01-01T00:00:00Z in millis
+        assert add["modificationTime"] == 1767225600000
+
+
+def test_every_commit_mirrors_and_versions_are_gapless(spark, vt):
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    vt.write(_df(spark, [(2, "b")]), timestamp="2026-01-02T00:00:00")
+    vt.write(
+        _df(spark, [(9, "z")]), mode="overwrite",
+        timestamp="2026-01-03T00:00:00",
+    )
+    names = [n for n in _log_files(vt) if n.endswith(".json")]
+    assert names == [f"{v:020d}.json" for v in range(3)]
+
+
+def test_overwrite_emits_removes_for_every_prior_live_file(spark, vt):
+    vt.write(_df(spark, [(1, "a"), (2, "b")]), timestamp="2026-01-01T00:00:00")
+    vt.write(_df(spark, [(3, "c")]), timestamp="2026-01-02T00:00:00")
+    snap_before = DL.delta_snapshot(spark, vt.path)
+    vt.write(
+        _df(spark, [(9, "z")]), mode="overwrite",
+        timestamp="2026-01-03T00:00:00",
+    )
+    with open(f"{vt.path}/_delta_log/{2:020d}.json", encoding="utf-8") as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    removed = sorted(a["remove"]["path"] for a in actions if "remove" in a)
+    assert removed == snap_before["files"]
+    for a in actions:
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is True
+            assert a["remove"]["deletionTimestamp"] == 1767398400000
+
+
+def test_spec_replay_matches_versioned_read_through_dml(spark, vt):
+    """The independent protocol replay (read_delta — never touches the
+    custom log) must materialize the same rows as VersionedTable.read
+    after append / overwrite / MERGE / UPDATE / DELETE."""
+    vt.write(_df(spark, [(1, "a"), (2, "b")]), timestamp="2026-01-01T00:00:00")
+    vt.upsert(
+        _df(spark, [(2, "B"), (3, "c")]), ["id"],
+        timestamp="2026-01-02T00:00:00",
+    )
+    vt.update_where(
+        F.col("id") == 1, {"val": F.lit("A")},
+        timestamp="2026-01-03T00:00:00",
+    )
+    vt.delete_where(F.col("id") == 3, timestamp="2026-01-04T00:00:00")
+    expected = _rows(vt.read())
+    assert expected == [(1, "A"), (2, "B")]
+    assert _rows(DL.read_delta(spark, vt.path)) == expected
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert snap["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # live-file sets agree exactly (path-keyed adds minus removes)
+    live_custom = sorted(
+        f[len(vt.path) + 1:] for f in vt._snapshot_files()[0]
+    )
+    assert snap["files"] == live_custom
+
+
+def test_metadata_reemitted_only_on_schema_change(spark, vt):
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    vt.write(_df(spark, [(2, "b")]), timestamp="2026-01-02T00:00:00")
+    wide = spark.createDataFrame([(1, "a", 0.5)], ["id", "val", "score"])
+    vt.write(wide, mode="overwrite", timestamp="2026-01-03T00:00:00")
+    metas = {
+        v: a["metaData"]
+        for v, a in DL.delta_log_actions(spark, vt.path)
+        if "metaData" in a
+    }
+    assert sorted(metas) == [0, 2]  # same-schema append emits none
+    assert metas[0]["id"] == metas[2]["id"]  # table id is stable
+    assert "score" in metas[2]["schemaString"]
+    # replay resolves the LATEST schema
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert snap["schema_json"] == metas[2]["schemaString"]
+
+
+def test_checkpoint_parquet_and_last_checkpoint(spark, vt):
+    for i in range(10):  # custom v10 = delta v9 → checkpoint
+        vt.write(
+            _df(spark, [(i, f"r{i}")]),
+            timestamp=f"2026-01-{i + 1:02d}T00:00:00",
+        )
+    names = _log_files(vt)
+    assert f"{9:020d}.checkpoint.parquet" in names
+    assert "_last_checkpoint" in names
+    with open(f"{vt.path}/_delta_log/_last_checkpoint", encoding="utf-8") as f:
+        ptr = json.load(f)
+    assert ptr["version"] == 9
+    ck = spark.read.parquet(
+        f"{vt.path}/_delta_log/{9:020d}.checkpoint.parquet"
+    )
+    assert ptr["size"] == ck.count()
+    cols = set(ck.columns)
+    assert {"protocol", "metaData", "add"} <= cols
+    # exactly one protocol row, one metaData row, one add per live file
+    assert ck.filter(F.col("protocol").isNotNull()).count() == 1
+    assert ck.filter(F.col("metaData").isNotNull()).count() == 1
+    adds = sorted(
+        r["add"]["path"]
+        for r in ck.filter(F.col("add").isNotNull()).collect()
+    )
+    assert adds == DL.delta_snapshot(spark, vt.path)["files"]
+    # checkpoint metaData round-trips to the live schema
+    meta_row = ck.filter(F.col("metaData").isNotNull()).collect()[0]
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(meta_row["metaData"]["schemaString"]))
+    assert [f.name for f in st.fields] == ["id", "val"]
+
+
+def test_backfill_upgrades_pre_round9_tables(spark, vt):
+    """A table whose early commits predate the mirror gains a gapless
+    _delta_log on its next write."""
+    import shutil
+
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    vt.write(_df(spark, [(2, "b")]), timestamp="2026-01-02T00:00:00")
+    shutil.rmtree(f"{vt.path}/_delta_log")  # simulate a pre-r9 table
+    vt.write(_df(spark, [(3, "c")]), timestamp="2026-01-03T00:00:00")
+    names = [n for n in _log_files(vt) if n.endswith(".json")]
+    assert names == [f"{v:020d}.json" for v in range(3)]
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+    # backfilled v0 carries protocol + metaData like a native v0
+    kinds = [
+        next(iter(a))
+        for v, a in DL.delta_log_actions(spark, vt.path)
+        if v == 0
+    ]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+
+
+def test_external_delta_reader_if_available(spark, vt):
+    """Full interop proof needs an external engine; both candidate
+    readers are env-absent in this container (the repo's standing
+    delta-spark skip; DuckDB's delta extension needs a network
+    INSTALL). Attempt DuckDB and skip honestly when unavailable."""
+    import duckdb
+
+    vt.write(_df(spark, [(1, "a"), (2, "b")]), timestamp="2026-01-01T00:00:00")
+    con = duckdb.connect()
+    try:
+        con.execute("INSTALL delta; LOAD delta")
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"duckdb delta extension unavailable: {e}")
+    rows = con.execute(
+        f"SELECT id, val FROM delta_scan('{vt.path}') ORDER BY id"
+    ).fetchall()
+    assert rows == [(1, "a"), (2, "b")]
