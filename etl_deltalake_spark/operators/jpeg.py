@@ -1,0 +1,618 @@
+"""Pure-stdlib+numpy baseline JPEG codec (round 9, VERDICT r8 Next
+#5 — the largest real-crawl media gap: PNG/APNG covered the lossless
+tier but crawled corpora are mostly JPEG).
+
+Decoder: baseline sequential DCT, Huffman entropy coding (ITU-T.81 /
+ISO 10918-1 — the public spec): SOI/APPn/COM/DQT (8- and 16-bit
+precision)/DHT/SOF0+SOF1/DRI+RSTn/SOS/EOI, byte-destuffing, DC
+difference + AC run-length decode, dequantization, float64
+matrix IDCT, chroma upsampling by sample replication for any legal
+(h,v) sampling factors, and the spec's YCbCr→RGB. Grayscale (1
+component) and YCbCr (3 components) interchange formats. Everything
+outside baseline raises ``UnsupportedJpegError`` honestly:
+progressive (SOF2), lossless (SOF3/7/11/15), arithmetic coding
+(SOF9/10), hierarchical (DHP), 12-bit precision, DNL.
+
+Encoder (test-fixture generator, like png.encode_png and
+wav.encode_*): real forward DCT + quantization + canonical-Huffman
+entropy coding, grayscale or YCbCr with 4:4:4 / 4:2:0 subsampling,
+optional restart intervals. It emits CUSTOM canonical Huffman tables
+in DHT (12 four-bit DC codes, 162 eight-bit AC codes — legal,
+trivially canonical, and deliberately not the Annex K defaults so
+the decoder's DHT walk is exercised generically rather than
+pattern-matched).
+
+Exactness contract used by the driver-graded q_media_decode branch:
+with the flat all-8s quantization table, a flat 8×8 block of value v
+encodes to the single quantized DC coefficient (v-128) with every AC
+exactly 0 (the DCT of a constant block is one DC term; float
+residues are ~1e-13, far under the rounding threshold), and decodes
+back to the constant v — so block-constant grayscale JPEGs
+round-trip bit-exactly and a SQL oracle can re-derive the pixels in
+closed form.
+
+Used by multimodal.decode_image (payload sniffing: ``FF D8`` routes
+here, ``89 PNG`` to png.py) inside the same Arrow-batched
+mapInPandas kernel — the plan never changes, only the kernel body.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    """Malformed/corrupt JPEG payload."""
+
+
+class UnsupportedJpegError(JpegError):
+    """Legal JPEG outside the baseline-sequential-Huffman subset."""
+
+
+@dataclass(frozen=True)
+class JpegImage:
+    width: int
+    height: int
+    channels: int  # 1 gray, 3 RGB
+    bit_depth: int  # always 8 in baseline
+    pixels: bytes  # row-major, interleaved for RGB
+
+
+# ---- shared constants ---------------------------------------------------
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """(row, col) visit order of the spec's zigzag — generated, not
+    hand-typed: anti-diagonal s walks rows ascending when s is odd,
+    descending when s is even."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(8, s + 1))
+        cells = [(r, s - r) for r in rows]
+        if s % 2 == 0:
+            cells.reverse()
+        out.extend(cells)
+    return out
+
+
+_ZIGZAG = _zigzag_order()  # zigzag index k -> (row, col)
+
+# IDCT/DCT basis: M[u, x] = c(u) * cos((2x+1) u pi / 16)
+_M = np.array(
+    [
+        [
+            (1 / np.sqrt(2) if u == 0 else 1.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+FLAT_Q8 = [8] * 64  # the exact-DC quantization table (zigzag order)
+
+# Custom canonical Huffman specs: bits[i] = #codes of length i+1.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), the spec's canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+def _extend(v: int, s: int) -> int:
+    """The spec's EXTEND: map an s-bit magnitude to its signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---- decoder ------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with
+    0xFF00 destuffing; stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def at_marker(self) -> bool:
+        d, p = self.data, self.pos
+        return p + 1 < len(d) and d[p] == 0xFF and d[p + 1] != 0x00
+
+    def byte_align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            d, p = self.data, self.pos
+            if p >= len(d):
+                raise JpegError("truncated entropy-coded segment")
+            b = d[p]
+            if b == 0xFF:
+                if p + 1 >= len(d):
+                    raise JpegError("truncated entropy-coded segment")
+                if d[p + 1] == 0x00:
+                    self.pos = p + 2
+                else:
+                    raise JpegError(
+                        "entropy decoder ran into marker "
+                        f"FF{d[p + 1]:02X} mid-block"
+                    )
+            else:
+                self.pos = p + 1
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code (no symbol within 16 bits)")
+
+
+@dataclass
+class _Component:
+    cid: int
+    h: int
+    v: int
+    tq: int
+    td: int = 0
+    ta: int = 0
+
+
+def _idct_block(coef: np.ndarray) -> np.ndarray:
+    return 0.25 * (_M.T @ coef @ _M)
+
+
+def decode_jpeg(data: bytes) -> JpegImage:
+    """Decode a baseline JPEG; raises JpegError / UnsupportedJpegError
+    (never crashes on foreign bytes — the mapInPandas kernels catch
+    per-row)."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[_Component] = []
+    width = height = 0
+    restart_interval = 0
+    sof_seen = False
+
+    while True:
+        if pos + 1 >= len(data):
+            raise JpegError("truncated before EOI")
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}, got {data[pos]:02X}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue  # stray SOI
+        if marker == 0xD9:
+            raise JpegError("EOI before SOS")
+        if marker in (0xC2,):
+            raise UnsupportedJpegError("progressive JPEG (SOF2)")
+        if marker in (0xC3, 0xC7, 0xCB, 0xCF):
+            raise UnsupportedJpegError("lossless JPEG")
+        if marker in (0xC9, 0xCA, 0xCD, 0xCE):
+            raise UnsupportedJpegError("arithmetic-coded JPEG")
+        if marker in (0xC5, 0xC6):
+            raise UnsupportedJpegError("non-baseline sequential JPEG")
+        if marker == 0xDE:
+            raise UnsupportedJpegError("hierarchical JPEG (DHP)")
+        if marker == 0xDC:
+            raise UnsupportedJpegError("DNL segment")
+        if pos + 2 > len(data):
+            raise JpegError("truncated segment header")
+        seglen = int.from_bytes(data[pos:pos + 2], "big")
+        seg = data[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise JpegError("truncated segment body")
+        nxt = pos + seglen
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 128 if pq == 1 else 64
+                if i + n > len(seg):
+                    raise JpegError("truncated DQT")
+                tbl = np.zeros((8, 8))
+                for k in range(64):
+                    val = (
+                        int.from_bytes(seg[i + 2 * k:i + 2 * k + 2], "big")
+                        if pq == 1
+                        else seg[i + k]
+                    )
+                    r, c = _ZIGZAG[k]
+                    tbl[r, c] = val
+                qt[tq] = tbl
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nsyms = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nsyms])
+                if len(vals) != nsyms:
+                    raise JpegError("truncated DHT")
+                table = _decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                i += 17 + nsyms
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            if seg[0] != 8:
+                raise UnsupportedJpegError(
+                    f"{seg[0]}-bit sample precision (baseline is 8)"
+                )
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise UnsupportedJpegError(
+                    f"{ncomp}-component JPEG (1=gray / 3=YCbCr supported)"
+                )
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+            sof_seen = True
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if not sof_seen:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            if ns != len(comps):
+                raise UnsupportedJpegError(
+                    "multi-scan / partial-scan JPEG (baseline is one "
+                    "interleaved scan)"
+                )
+            by_id = {c.cid: c for c in comps}
+            for j in range(ns):
+                cid, tdta = seg[1 + 2 * j:3 + 2 * j]
+                if cid not in by_id:
+                    raise JpegError(f"SOS names unknown component {cid}")
+                by_id[cid].td = tdta >> 4
+                by_id[cid].ta = tdta & 0x0F
+            pos = nxt
+            return _decode_scan(
+                data, pos, width, height, comps, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / anything else: skip
+        pos = nxt
+
+
+def _decode_scan(
+    data, pos, width, height, comps, qt, huff_dc, huff_ac, restart_interval
+) -> JpegImage:
+    if width == 0 or height == 0:
+        raise JpegError("zero image dimensions")
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise JpegError("illegal sampling factors")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = {
+        c.cid: np.zeros((mcuy * c.v * 8, mcux * c.h * 8)) for c in comps
+    }
+    for c in comps:
+        if c.tq not in qt:
+            raise JpegError(f"component references missing DQT {c.tq}")
+        if c.td not in huff_dc or c.ta not in huff_ac:
+            raise JpegError("scan references missing DHT")
+
+    br = _BitReader(data, pos)
+    pred = {c.cid: 0 for c in comps}
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                br.byte_align()
+                d, p = br.data, br.pos
+                if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != (
+                    0xD0 + rst_idx
+                ):
+                    raise JpegError("missing/garbled RST marker")
+                br.pos = p + 2
+                rst_idx = (rst_idx + 1) % 8
+                pred = {c.cid: 0 for c in comps}
+            for c in comps:
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        block = _decode_block(
+                            br, huff_dc[c.td], huff_ac[c.ta], qt[c.tq],
+                            pred, c.cid,
+                        )
+                        y0 = (my * c.v + by) * 8
+                        x0 = (mx * c.h + bx) * 8
+                        planes[c.cid][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+
+    if len(comps) == 1:
+        y = planes[comps[0].cid][:height, :width]
+        px = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        return JpegImage(width, height, 1, 8, px.tobytes())
+
+    # YCbCr, upsample by replication via index arrays (exact for any
+    # legal h/v ratio, integral or not)
+    ys = np.arange(height)
+    xs = np.arange(width)
+    chan = {}
+    for c in comps:
+        plane = planes[c.cid]
+        chan[c.cid] = plane[np.ix_((ys * c.v) // vmax, (xs * c.h) // hmax)]
+    cy, cb, cr = (chan[c.cid] for c in comps)
+    r = cy + 1.402 * (cr - 128.0)
+    g = cy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = cy + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255) for ch in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return JpegImage(width, height, 3, 8, rgb.tobytes())
+
+
+def _decode_block(br, dc_table, ac_table, q, pred, cid) -> np.ndarray:
+    coef = np.zeros((8, 8))
+    s = br.decode_huff(dc_table)
+    if s > 11:
+        raise JpegError(f"DC magnitude category {s} > 11")
+    diff = _extend(br.receive(s), s) if s else 0
+    pred[cid] += diff
+    coef[0, 0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = br.decode_huff(ac_table)
+        r, sz = rs >> 4, rs & 0x0F
+        if sz == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run overflows block")
+        row, col = _ZIGZAG[k]
+        coef[row, col] = _extend(br.receive(sz), sz)
+        k += 1
+    spatial = _idct_block(coef * q) + 128.0
+    return spatial
+
+
+# ---- encoder ------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:  # pad with 1-bits, per spec
+            self.write(1, 1)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category s, s-bit code) for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    code = v if v > 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    coef = 0.25 * (_M @ (block - 128.0) @ _M.T)
+    return np.round(coef / q).astype(np.int64)
+
+
+def _encode_block(bw, coef, pred, dc_codes, ac_codes) -> int:
+    dc = int(coef[0, 0])
+    s, code = _magnitude(dc - pred)
+    bw.write(*dc_codes[s])
+    if s:
+        bw.write(code, s)
+    run = 0
+    for k in range(1, 64):
+        r, c = _ZIGZAG[k]
+        v = int(coef[r, c])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s, code = _magnitude(v)
+        bw.write(*ac_codes[(run << 4) | s])
+        bw.write(code, s)
+        run = 0
+    if run:
+        bw.write(*ac_codes[0x00])  # EOB
+    return dc
+
+
+def _pad_edge(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    return np.pad(
+        plane,
+        ((0, rows - plane.shape[0]), (0, cols - plane.shape[1])),
+        mode="edge",
+    )
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quant=None,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder (test-fixture generator). ``pixels`` is
+    row-major gray (channels=1) or interleaved RGB (channels=3);
+    ``quant`` a 64-entry zigzag quantization table (default FLAT_Q8,
+    the exact-DC table); ``subsample`` '444' or '420' (color only)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be 444 or 420")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    quant = list(FLAT_Q8 if quant is None else quant)
+    if len(quant) != 64 or not all(1 <= v <= 255 for v in quant):
+        raise ValueError("quant must be 64 bytes in [1,255]")
+    q = np.zeros((8, 8))
+    for k in range(64):
+        r, c = _ZIGZAG[k]
+        q[r, c] = quant[k]
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    if channels == 1:
+        planes = [arr.reshape(height, width)]
+        samps = [(1, 1)]
+    else:
+        rgb = arr.reshape(height, width, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+        if subsample == "420":
+            # box-average 2x2 (edge-replicated to even dims first)
+            def down(p):
+                pe = _pad_edge(
+                    p, height + height % 2, width + width % 2
+                )
+                return np.round(
+                    (pe[0::2, 0::2] + pe[0::2, 1::2]
+                     + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+                )
+
+            planes = [y, down(cb), down(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(h for h, _ in samps)
+    vmax = max(v for _, v in samps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    padded = [
+        _pad_edge(p, mcuy * v * 8, mcux * h * 8)
+        for p, (h, v) in zip(planes, samps)
+    ]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0x00]) + bytes(quant))  # DQT table 0
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(channels)
+    for i, (h, v) in enumerate(samps):
+        sof += bytes([i + 1, (h << 4) | v, 0])
+    out += _seg(0xC0, bytes(sof))
+    dht = bytearray()
+    for tc, (bits, vals) in (
+        (0, (_DC_BITS, _DC_VALS)),
+        (1, (_AC_BITS, _AC_VALS)),
+    ):
+        dht += bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    out += _seg(0xC4, bytes(dht))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([channels])
+    for i in range(channels):
+        sos += bytes([i + 1, 0x00])  # dc table 0 / ac table 0
+    sos += bytes([0, 63, 0])  # Ss / Se / AhAl (baseline fixed)
+    out += _seg(0xDA, bytes(sos))
+
+    bw = _BitWriter()
+    pred = [0] * channels
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                pred = [0] * channels
+            for ci, (plane, (h, v)) in enumerate(zip(padded, samps)):
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        coef = _fdct_quant(
+                            plane[y0:y0 + 8, x0:x0 + 8], q
+                        )
+                        pred[ci] = _encode_block(
+                            bw, coef, pred[ci], dc_codes, ac_codes
+                        )
+            mcu_count += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

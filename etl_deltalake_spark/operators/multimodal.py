@@ -120,8 +120,20 @@ def decode_image(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
     Replaces the round-1..3 ``NotImplementedError`` stub (the
     container has no Pillow/ffmpeg, but PNG needs neither).
+
+    Round 9: payloads are format-SNIFFED — ``89 PNG`` routes to the
+    PNG codec, ``FF D8`` to the baseline JPEG codec
+    (operators/jpeg.py, Huffman + dequant + IDCT + YCbCr→RGB); for
+    JPEG, ``pix_sum``/``n_pix`` cover the decoded 8-bit
+    gray/interleaved-RGB buffer, exactly like PNG's.
     """
+    from etl_deltalake_spark.operators.jpeg import JpegError, decode_jpeg
     from etl_deltalake_spark.operators.png import PngError, decode_png
+
+    def _decode_any(payload: bytes):
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
+        return decode_png(payload)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,8 +141,8 @@ def decode_image(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             for doc, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(doc)
                 try:
-                    img = decode_png(bytes(payload))
-                except PngError as e:
+                    img = _decode_any(bytes(payload))
+                except (PngError, JpegError) as e:
                     ws.append(None)
                     hs.append(None)
                     chs.append(None)

@@ -932,19 +932,30 @@ oracle("q_rollup_state")(
 # big-endian byte pairs, so the mean is over high+low bytes), 4
 # two-bit palette + tRNS (0,255,128; entry 3 defaults opaque) →
 # RGBA, per-pixel contribution = entry channel-sum + its alpha.
+# q_media_decode: modes 0-4 are the PNG closed forms; mode 5 (round
+# 9) is the baseline-JPEG DC-exactness contract — 8x8 block b of a
+# (1+d%3)x(1+d%2) grid holds the constant (d*31+b)%256, so the pixel
+# SUM is 64x the block-value sum over exactly n_blocks terms (the
+# unnest range collapses to one k per block, value pre-scaled by 64,
+# and the divisor stays width*height so the double division sees the
+# same two integers Spark divides).
 oracle("q_media_decode")(
     """
     WITH dims AS (
       SELECT doc_id,
-             3 + doc_id % 7 AS width,
-             2 + doc_id % 4 AS height,
-             doc_id % 5 AS mode
+             CASE WHEN doc_id % 6 = 5 THEN 8 * (1 + doc_id % 3)
+                  ELSE 3 + doc_id % 7 END AS width,
+             CASE WHEN doc_id % 6 = 5 THEN 8 * (1 + doc_id % 2)
+                  ELSE 2 + doc_id % 4 END AS height,
+             doc_id % 6 AS mode
       FROM documents
     ),
     px AS (
       SELECT doc_id, width, height, mode,
-             unnest(range(0, CAST(width * height *
-               (CASE WHEN mode = 1 THEN 3 ELSE 1 END) AS BIGINT))) AS k
+             unnest(range(0, CAST(
+               CASE WHEN mode = 5 THEN (width // 8) * (height // 8)
+                    WHEN mode = 1 THEN width * height * 3
+                    ELSE width * height END AS BIGINT))) AS k
       FROM dims
     )
     SELECT doc_id,
@@ -961,6 +972,7 @@ oracle("q_media_decode")(
                  1 + CAST((doc_id * 31 + k) % 4 AS INT)]
                  + list_value(0, 255, 128, 255)[
                  1 + CAST((doc_id * 31 + k) % 4 AS INT)]
+               WHEN mode = 5 THEN 64 * ((doc_id * 31 + k) % 256)
                ELSE ((doc_id * 31 + k) % 65536) // 256
                     + ((doc_id * 31 + k) % 65536) % 256
              END) AS DOUBLE)

@@ -991,23 +991,31 @@ _MEDIA_PALETTE = bytes(
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG pixel decode, cross-engine verified: synthesize one
-    deterministic PNG per document cycling ALL FIVE codec paths by
-    doc_id % 5 — 8-bit gray, 8-bit RGB, 2-bit-packed palette written
-    ADAM7-INTERLACED (PLTE expansion + sub-byte unpack + 7-pass
-    scatter all on the graded path), 16-bit gray (big-endian byte
-    pairs), and (round 6) 2-bit palette WITH a tRNS table → RGBA
-    expansion, the per-entry alpha riding the graded pixel mean.
-    Pixel formula: sample k = (doc_id*31 + k) % 256 (% 4 palette
-    indices, % 65536 16-bit values); scanline filters cycle 0-4 so
-    every unfilter branch runs. Decode via the pure-stdlib codec
-    (operators/png.py via multimodal.decode_image); the DuckDB
-    oracle recomputes dimensions + exact pixel-byte mean from the
-    closed form — a decoder that mis-parses any container feature
-    or mis-inverts any filter hash-mismatches immediately. Both
-    stages are Arrow-batched mapInPandas, zero shuffles."""
+    """REAL image-pixel decode, cross-engine verified: synthesize one
+    deterministic payload per document cycling ALL SIX codec paths by
+    doc_id % 6 — PNG 8-bit gray, PNG 8-bit RGB, PNG 2-bit-packed
+    palette written ADAM7-INTERLACED (PLTE expansion + sub-byte
+    unpack + 7-pass scatter all on the graded path), PNG 16-bit gray
+    (big-endian byte pairs), PNG 2-bit palette WITH a tRNS table →
+    RGBA expansion (round 6), and (round 9) a REAL baseline JPEG —
+    Huffman entropy decode + dequant + IDCT through operators/jpeg.py
+    under the DC-exactness contract: block-constant grayscale with
+    the flat all-8s quant table decodes bit-exactly, so the oracle
+    re-derives JPEG pixels in closed form too.
+    Pixel formula (PNG modes): sample k = (doc_id*31 + k) % 256 (% 4
+    palette indices, % 65536 16-bit values); scanline filters cycle
+    0-4 so every unfilter branch runs. JPEG mode: 8×8 block b holds
+    the constant (doc_id*31 + b) % 256 over a (1+d%3)×(1+d%2) block
+    grid. Decode via multimodal.decode_image's magic-byte sniffing
+    (``89 PNG`` vs ``FF D8``); the DuckDB oracle recomputes
+    dimensions + exact pixel-byte mean from the closed forms — a
+    decoder that mis-parses any container feature, mis-inverts any
+    filter, or mis-decodes any Huffman/DCT step hash-mismatches
+    immediately. Both stages are Arrow-batched mapInPandas, zero
+    shuffles."""
     import pandas as pd
 
+    from etl_deltalake_spark.operators.jpeg import encode_jpeg
     from etl_deltalake_spark.operators.multimodal import decode_image
     from etl_deltalake_spark.operators.png import encode_png
 
@@ -1019,11 +1027,11 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
                 # width modulus 7 is COPRIME with the mode selector's
-                # 5 (round 8, ADVICE r7): every codec path sees all 7
-                # widths x 4 heights, not one fixed width each
+                # 6 (round 8, ADVICE r7): every PNG codec path sees
+                # all 7 widths x 4 heights, not one fixed width each
                 w = 3 + d % 7
                 h = 2 + d % 4
-                mode = d % 5
+                mode = d % 6
                 if mode == 0:
                     px = bytes((d * 31 + k) % 256 for k in range(w * h))
                     blob = encode_png(px, w, h, 0, "cycle")
@@ -1045,13 +1053,22 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for k in range(w * h)
                     )
                     blob = encode_png(px, w, h, 0, "cycle", bit_depth=16)
-                else:  # mode 4: palette + tRNS → RGBA expansion
+                elif mode == 4:  # palette + tRNS → RGBA expansion
                     idx = bytes((d * 31 + k) % 4 for k in range(w * h))
                     blob = encode_png(
                         idx, w, h, 3, "cycle",
                         bit_depth=2, palette=_MEDIA_PALETTE,
                         trns=bytes([0, 255, 128]),
                     )
+                else:  # mode 5: baseline JPEG, DC-exactness contract
+                    wb, hb = 1 + d % 3, 1 + d % 2
+                    w, h = 8 * wb, 8 * hb
+                    px = bytes(
+                        (d * 31 + ((yy // 8) * wb + (xx // 8))) % 256
+                        for yy in range(h)
+                        for xx in range(w)
+                    )
+                    blob = encode_jpeg(px, w, h, 1)
                 payloads.append(blob)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
