@@ -82,6 +82,13 @@ HEADLINE = [
     # kernels end-to-end) — both driver rows since the r8 rotation
     "q_hamming_pairs",
     "q_warc_extract",
+    # round-9 additions: TPC-H Q1 (the single most-run aggregate
+    # shape in analytics — one pushed-down scan, 6-wide decimal
+    # grouped aggregate) and Q21 (the hardest anti-join shape,
+    # decorrelated to one per-order aggregate) — both driver rows
+    # since the r9 rotation (Q21) / slotless-oracle-gated (Q1)
+    "q_tpch_q1",
+    "q_tpch_q21",
 ]
 
 # Rows whose cost is dominated by IN-QUERY TRAINING by design

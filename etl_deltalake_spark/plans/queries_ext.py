@@ -2642,11 +2642,14 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-correlated EXISTS / NOT-EXISTS shape.
 
     Spark-first decorrelation: both correlated subqueries collapse
-    into ONE per-order aggregate — n_supp = countDistinct(suppkey)
-    (EXISTS another supplier ⟺ n_supp ≥ 2) and n_late_supp =
-    countDistinct(suppkey when late) (NOT EXISTS another late
-    supplier, given l1 is late ⟺ n_late_supp = 1). One extra
-    groupBy on the already-shuffled join key instead of two
+    into ONE per-order aggregate — n_supp (EXISTS another supplier ⟺
+    n_supp ≥ 2) and n_late_supp (NOT EXISTS another late supplier,
+    given l1 is late ⟺ n_late_supp = 1). The distinct counts are
+    computed as a TWO-LEVEL distinct-free aggregate — group by
+    (orderkey, suppkey) with a max(late) flag, then count/sum per
+    order — so the plan is two partial-aggregated shuffles on the
+    same key, never the 2×-Expand a double countDistinct plans. One
+    extra groupBy on the already-shuffled join key instead of two
     lineitem self-joins; the DuckDB oracle runs the canonical
     EXISTS/NOT-EXISTS formulation so the rewrite is cross-checked,
     not assumed."""
@@ -2654,9 +2657,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     late = F.col("l_returnflag") == "R"
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("is_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").cast("bigint").alias("n_late_supp"),
     )
     orders_f = (
         load_table(spark, "orders", sf_dir)

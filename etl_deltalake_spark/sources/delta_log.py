@@ -288,13 +288,16 @@ def write_delta_checkpoint(
         )
 
 
-# ---- independent reader (spec replay, used by the conformance tests) --
+# ---- independent reader (spec replay; conformance tests AND a real
+# ----- reader for EXTERNAL Delta tables this repo never wrote) ---------
 
 def delta_log_actions(
-    spark: SparkSession, table_path: str
+    spark: SparkSession, table_path: str, min_version: int = 0
 ) -> list[tuple[int, dict]]:
-    """Every (version, action) in the JSON log, version-ordered —
-    straight spec replay, no VersionedTable machinery."""
+    """Every (version, action) in the JSON log at or above
+    ``min_version``, version-ordered — straight spec replay, no
+    VersionedTable machinery. The skip-below is by FILENAME, zero
+    reads (how checkpoint-based resolution stays O(tail))."""
     from etl_deltalake_spark.sources.versioned import _fs, _read_small_file
 
     jvm, fs, _ = _fs(spark, table_path)
@@ -305,7 +308,9 @@ def delta_log_actions(
     for st in fs.listStatus(log_dir):
         name = st.getPath().getName()
         if name.endswith(".json") and name[:-5].isdigit():
-            entries.append((int(name[:-5]), str(st.getPath())))
+            v = int(name[:-5])
+            if v >= min_version:
+                entries.append((v, str(st.getPath())))
     out: list[tuple[int, dict]] = []
     for v, p in sorted(entries):
         for line in _read_small_file(spark, p).decode().splitlines():
@@ -314,19 +319,64 @@ def delta_log_actions(
     return out
 
 
+def _last_checkpoint(spark: SparkSession, table_path: str) -> dict | None:
+    from etl_deltalake_spark.sources.versioned import _fs, _read_small_file
+
+    jvm, fs, _ = _fs(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{_DELTA_DIR}/_last_checkpoint"
+    )
+    if not fs.exists(p):
+        return None
+    return json.loads(_read_small_file(spark, str(p)))
+
+
 def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
-    """Replay the JSON log per the protocol: latest metaData wins,
-    live files = adds minus later removes (path-keyed). Returns
-    ``{"files": [...], "schema_json": str, "protocol": dict,
-    "version": int}``."""
+    """Resolve the latest snapshot per the protocol: start from the
+    ``_last_checkpoint``-named parquet checkpoint when one exists
+    (real Delta writers DELETE old JSON log files after
+    checkpointing, so a spec reader must not require version 0),
+    then replay only the JSON tail — latest metaData wins, live
+    files = adds minus later removes (path-keyed). Returns
+    ``{"files": [sorted paths], "adds": [add dicts in path order],
+    "schema_json", "partition_columns", "protocol", "version"}``."""
     live: dict[str, dict] = {}
     schema_json = None
+    partition_columns: list[str] = []
     protocol = None
     version = -1
-    for v, action in delta_log_actions(spark, table_path):
+    tail_from = 0
+
+    ckpt = _last_checkpoint(spark, table_path)
+    if ckpt is not None:
+        version = ckpt["version"]
+        tail_from = ckpt["version"] + 1
+        ck = spark.read.parquet(
+            f"{table_path}/{_DELTA_DIR}/"
+            f"{ckpt['version']:0{_VERSION_DIGITS}d}.checkpoint.parquet"
+        )
+        cols = set(ck.columns)
+        for row in ck.collect():
+            d = row.asDict(recursive=True)
+            if d.get("protocol") is not None:
+                protocol = d["protocol"]
+            if d.get("metaData") is not None:
+                schema_json = d["metaData"]["schemaString"]
+                partition_columns = list(
+                    d["metaData"].get("partitionColumns") or []
+                )
+            if d.get("add") is not None:
+                live[d["add"]["path"]] = d["add"]
+            if "remove" in cols and d.get("remove") is not None:
+                live.pop(d["remove"]["path"], None)
+
+    for v, action in delta_log_actions(spark, table_path, tail_from):
         version = max(version, v)
         if "metaData" in action:
             schema_json = action["metaData"]["schemaString"]
+            partition_columns = list(
+                action["metaData"].get("partitionColumns") or []
+            )
         elif "protocol" in action:
             protocol = action["protocol"]
         elif "add" in action:
@@ -335,7 +385,9 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
             live.pop(action["remove"]["path"], None)
     return {
         "files": sorted(live),
+        "adds": [live[k] for k in sorted(live)],
         "schema_json": schema_json,
+        "partition_columns": partition_columns,
         "protocol": protocol,
         "version": version,
     }
@@ -343,15 +395,44 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
 
 def read_delta(spark: SparkSession, table_path: str):
     """Read the latest snapshot THROUGH the Delta log (never the
-    custom log) — what any external spec reader would materialize."""
+    custom log) — what any external spec reader would materialize.
+    Handles PARTITIONED tables (real Delta writers put partition
+    values in the log's ``partitionValues``, not in the parquet
+    files): adds are grouped by their partition-value tuple, each
+    group's files are read together, and the partition columns are
+    injected as literals cast to the schema's declared types."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
     snap = delta_snapshot(spark, table_path)
     if snap["version"] < 0:
         raise ValueError(f"{table_path} has no _delta_log")
-    if not snap["files"]:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(snap["schema_json"]))
+    schema = StructType.fromJson(_json.loads(snap["schema_json"]))
+    if not snap["adds"]:
         return spark.createDataFrame([], schema=schema)
-    return spark.read.parquet(
-        *[f"{table_path}/{rel}" for rel in snap["files"]]
-    )
+    pcols = snap["partition_columns"]
+    if not pcols:
+        return spark.read.parquet(
+            *[f"{table_path}/{p}" for p in snap["files"]]
+        )
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    groups: dict[tuple, list[str]] = {}
+    for a in snap["adds"]:
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in pcols)
+        groups.setdefault(key, []).append(f"{table_path}/{a['path']}")
+    out = None
+    for key, paths in sorted(groups.items(), key=lambda kv: kv[0]):
+        part = spark.read.parquet(*paths)
+        for c, raw in zip(pcols, key):
+            lit = (
+                F.lit(None).cast(ptypes[c])
+                if raw is None
+                else F.lit(raw).cast(ptypes[c])
+            )
+            part = part.withColumn(c, lit)
+        part = part.select(*[f.name for f in schema.fields])
+        out = part if out is None else out.unionByName(part)
+    return out

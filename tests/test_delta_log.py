@@ -226,3 +226,130 @@ def test_external_delta_reader_if_available(spark, vt):
         f"SELECT id, val FROM delta_scan('{vt.path}') ORDER BY id"
     ).fetchall()
     assert rows == [(1, "a"), (2, "b")]
+
+
+def test_read_external_partitioned_delta_table(spark, tmp_path):
+    """read_delta must handle a table written by a FOREIGN Delta
+    writer: partition values live in the log's partitionValues (the
+    parquet files do NOT contain the partition column) and must be
+    injected as typed columns per the metaData schema."""
+    import os
+
+    root = str(tmp_path / "ext")
+    os.makedirs(f"{root}/_delta_log")
+    # two "foreign" part files, partition column `p` absent on disk
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "val"])
+    b = spark.createDataFrame([(3, "z")], ["id", "val"])
+    a.coalesce(1).write.parquet(f"{root}/p=1/f")
+    b.coalesce(1).write.parquet(f"{root}/p=2/f")
+
+    def one_part(d):
+        files = [
+            f for f in os.listdir(f"{root}/{d}") if f.startswith("part-")
+        ]
+        assert len(files) == 1
+        return f"{d}/{files[0]}"
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("val", StringType()),
+            StructField("p", IntegerType()),
+        ]
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "abc",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": ["p"],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": one_part("p=1/f"),
+                "partitionValues": {"p": "1"},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+        {
+            "add": {
+                "path": one_part("p=2/f"),
+                "partitionValues": {"p": "2"},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(x) for x in actions))
+
+    got = DL.read_delta(spark, root)
+    assert got.columns == ["id", "val", "p"]
+    assert dict(got.dtypes)["p"] == "int"
+    assert _rows(got) == [(1, "x", 1), (2, "y", 1), (3, "z", 2)]
+
+
+def test_snapshot_resolves_from_checkpoint_after_log_cleanup(spark, vt):
+    """Real Delta writers DELETE old JSON log files once a checkpoint
+    covers them — a spec reader must resolve from _last_checkpoint +
+    the JSON tail alone. Build 12 commits (checkpoint at delta v9),
+    delete JSON 0..9, and require identical rows and live files."""
+    import os
+
+    for i in range(12):
+        vt.write(
+            _df(spark, [(i, f"r{i}")]),
+            timestamp=f"2026-02-{i + 1:02d}T00:00:00",
+        )
+    before = _rows(DL.read_delta(spark, vt.path))
+    for v in range(10):
+        os.remove(f"{vt.path}/_delta_log/{v:020d}.json")
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert snap["version"] == 11
+    assert _rows(DL.read_delta(spark, vt.path)) == before == _rows(vt.read())
+
+
+def test_delta_snapshot_reads_are_o_of_tail(spark, vt, monkeypatch):
+    """The Delta-side metadata story mirrors the custom log's pinned
+    O(interval) resolution: with a checkpoint at delta v9 and 13
+    commits, delta_snapshot must read only the _last_checkpoint
+    pointer + the 3 post-checkpoint JSON files (versions 10..12) —
+    commit files at or below the checkpoint are skipped BY FILENAME,
+    zero reads (the parquet checkpoint itself goes through
+    spark.read, not _read_small_file)."""
+    from etl_deltalake_spark.sources import versioned as V
+
+    for i in range(13):
+        vt.write(
+            _df(spark, [(i, f"r{i}")]),
+            timestamp=f"2026-03-{i + 1:02d}T00:00:00",
+        )
+    expected = _rows(DL.read_delta(spark, vt.path))
+    reads = {"n": 0}
+    real = V._read_small_file
+
+    def counting(spark_, path):
+        reads["n"] += 1
+        return real(spark_, path)
+
+    monkeypatch.setattr(V, "_read_small_file", counting)
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert reads["n"] <= 4, reads["n"]  # pointer + 3 tail JSONs
+    assert snap["version"] == 12
+    assert _rows(DL.read_delta(spark, vt.path)) == expected

@@ -41,7 +41,7 @@ def main() -> None:
     from etl_deltalake_spark.sources.catalog import load_table
 
     spark = get_spark("grown-index-measure")
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     base_n = emb.count()
     cents = _ivf_centroids(spark, sf_dir)
     books = _pq_books(spark, sf_dir)
