@@ -506,11 +506,18 @@ def encode_jpeg(
     quant=None,
     subsample: str = "444",
     restart_interval: int = 0,
+    ycbcr_input: bool = False,
 ) -> bytes:
     """Baseline JPEG encoder (test-fixture generator). ``pixels`` is
     row-major gray (channels=1) or interleaved RGB (channels=3);
     ``quant`` a 64-entry zigzag quantization table (default FLAT_Q8,
-    the exact-DC table); ``subsample`` '444' or '420' (color only)."""
+    the exact-DC table); ``subsample`` '444' or '420' (color only).
+    ``ycbcr_input=True`` treats a 3-channel buffer as ALREADY
+    interleaved Y/Cb/Cr (no color conversion) — the color-exactness
+    fixture path: MCU-constant YCbCr planes with the flat quant
+    table survive DCT/quant/420-box-average bit-exactly, so the
+    decoder recovers the exact YCbCr and only the final (shared,
+    closed-form) RGB conversion rounds."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if subsample not in ("444", "420"):
@@ -530,12 +537,15 @@ def encode_jpeg(
         planes = [arr.reshape(height, width)]
         samps = [(1, 1)]
     else:
-        rgb = arr.reshape(height, width, 3)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+        tri = arr.reshape(height, width, 3)
+        if ycbcr_input:
+            y, cb, cr = tri[..., 0], tri[..., 1], tri[..., 2]
+        else:
+            r, g, b = tri[..., 0], tri[..., 1], tri[..., 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
         if subsample == "420":
             # box-average 2x2 (edge-replicated to even dims first)
             def down(p):

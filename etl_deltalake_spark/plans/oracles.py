@@ -932,36 +932,52 @@ oracle("q_rollup_state")(
 # big-endian byte pairs, so the mean is over high+low bytes), 4
 # two-bit palette + tRNS (0,255,128; entry 3 defaults opaque) →
 # RGBA, per-pixel contribution = entry channel-sum + its alpha.
-# q_media_decode: modes 0-4 are the PNG closed forms; mode 5 (round
-# 9) is the baseline-JPEG DC-exactness contract — 8x8 block b of a
+# q_media_decode: modes 0-4 are the PNG closed forms (dims from
+# d//7, independent of the mode residue); mode 5 (round 9) is the
+# baseline-JPEG DC-exactness contract — 8x8 block b of a
 # (1+d%3)x(1+d%2) grid holds the constant (d*31+b)%256, so the pixel
 # SUM is 64x the block-value sum over exactly n_blocks terms (the
 # unnest range collapses to one k per block, value pre-scaled by 64,
 # and the divisor stays width*height so the double division sees the
-# same two integers Spark divides).
+# same two integers Spark divides). Mode 6 is the color-4:2:0
+# contract: 16x16 tile k holds constant YCbCr, the decoder recovers
+# it exactly, and only the shared closed-form RGB rounding remains —
+# replayed here with the identical double arithmetic (chroma is a
+# multiple of 4, never an exact .5 boundary; per-tile value
+# pre-scaled by the 256 pixels of the tile).
 oracle("q_media_decode")(
     """
     WITH dims AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 6 = 5 THEN 8 * (1 + doc_id % 3)
-                  ELSE 3 + doc_id % 7 END AS width,
-             CASE WHEN doc_id % 6 = 5 THEN 8 * (1 + doc_id % 2)
-                  ELSE 2 + doc_id % 4 END AS height,
-             doc_id % 6 AS mode
+             CASE WHEN doc_id % 7 = 5 THEN 8 * (1 + doc_id % 3)
+                  WHEN doc_id % 7 = 6 THEN 16 * (1 + doc_id % 2)
+                  ELSE 3 + (doc_id // 7) % 7 END AS width,
+             CASE WHEN doc_id % 7 = 5 THEN 8 * (1 + doc_id % 2)
+                  WHEN doc_id % 7 = 6 THEN 16 * (1 + (doc_id % 4) // 2)
+                  ELSE 2 + (doc_id // 7) % 4 END AS height,
+             doc_id % 7 AS mode
       FROM documents
     ),
     px AS (
       SELECT doc_id, width, height, mode,
              unnest(range(0, CAST(
                CASE WHEN mode = 5 THEN (width // 8) * (height // 8)
+                    WHEN mode = 6 THEN (width // 16) * (height // 16)
                     WHEN mode = 1 THEN width * height * 3
                     ELSE width * height END AS BIGINT))) AS k
       FROM dims
+    ),
+    tile AS (
+      SELECT doc_id, width, height, mode, k,
+             CAST((doc_id * 31 + 5 * k) % 256 AS DOUBLE) AS ty,
+             CAST(4 * ((doc_id * 17 + 7 * k) % 60) + 4 AS DOUBLE) AS tcb,
+             CAST(4 * ((doc_id * 13 + 11 * k) % 60) + 4 AS DOUBLE) AS tcr
+      FROM px
     )
     SELECT doc_id,
            CAST(width AS INT) AS width,
            CAST(height AS INT) AS height,
-           CAST(CASE WHEN mode IN (1, 2) THEN 3
+           CAST(CASE WHEN mode IN (1, 2, 6) THEN 3
                      WHEN mode = 4 THEN 4 ELSE 1 END AS INT)
              AS channels,
            ROUND(CAST(SUM(CASE
@@ -973,14 +989,20 @@ oracle("q_media_decode")(
                  + list_value(0, 255, 128, 255)[
                  1 + CAST((doc_id * 31 + k) % 4 AS INT)]
                WHEN mode = 5 THEN 64 * ((doc_id * 31 + k) % 256)
+               WHEN mode = 6 THEN CAST(256 * (
+                   LEAST(GREATEST(ROUND(ty + 1.402 * (tcr - 128)), 0), 255)
+                 + LEAST(GREATEST(ROUND(ty - 0.344136 * (tcb - 128)
+                                           - 0.714136 * (tcr - 128)), 0), 255)
+                 + LEAST(GREATEST(ROUND(ty + 1.772 * (tcb - 128)), 0), 255)
+               ) AS BIGINT)
                ELSE ((doc_id * 31 + k) % 65536) // 256
                     + ((doc_id * 31 + k) % 65536) % 256
              END) AS DOUBLE)
-             / (width * height * CASE WHEN mode IN (1, 2) THEN 3
+             / (width * height * CASE WHEN mode IN (1, 2, 6) THEN 3
                                       WHEN mode = 3 THEN 2
                                       WHEN mode = 4 THEN 4
                                       ELSE 1 END), 6) AS mean_pixel
-    FROM px
+    FROM tile
     GROUP BY doc_id, width, height, mode
     ORDER BY doc_id
     """

@@ -992,8 +992,8 @@ _MEDIA_PALETTE = bytes(
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-pixel decode, cross-engine verified: synthesize one
-    deterministic payload per document cycling ALL SIX codec paths by
-    doc_id % 6 — PNG 8-bit gray, PNG 8-bit RGB, PNG 2-bit-packed
+    deterministic payload per document cycling ALL SEVEN codec paths
+    by doc_id % 7 — PNG 8-bit gray, PNG 8-bit RGB, PNG 2-bit-packed
     palette written ADAM7-INTERLACED (PLTE expansion + sub-byte
     unpack + 7-pass scatter all on the graded path), PNG 16-bit gray
     (big-endian byte pairs), PNG 2-bit palette WITH a tRNS table →
@@ -1001,12 +1001,18 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Huffman entropy decode + dequant + IDCT through operators/jpeg.py
     under the DC-exactness contract: block-constant grayscale with
     the flat all-8s quant table decodes bit-exactly, so the oracle
-    re-derives JPEG pixels in closed form too.
+    re-derives JPEG pixels in closed form too — plus a COLOR 4:2:0
+    JPEG mode: MCU-constant YCbCr planes (fed via ycbcr_input)
+    survive DCT/quant/box-average exactly, so only the shared
+    closed-form YCbCr→RGB rounding remains, replayed in SQL (chroma
+    values are multiples of 4, which provably never land on an
+    exact .5 rounding boundary — enumerated in test_jpeg.py).
     Pixel formula (PNG modes): sample k = (doc_id*31 + k) % 256 (% 4
     palette indices, % 65536 16-bit values); scanline filters cycle
-    0-4 so every unfilter branch runs. JPEG mode: 8×8 block b holds
-    the constant (doc_id*31 + b) % 256 over a (1+d%3)×(1+d%2) block
-    grid. Decode via multimodal.decode_image's magic-byte sniffing
+    0-4 so every unfilter branch runs. JPEG gray mode: 8×8 block b
+    holds the constant (doc_id*31 + b) % 256 over a (1+d%3)×(1+d%2)
+    block grid. JPEG color mode: 16×16 tile t holds constant
+    Y=(d·31+5t)%256, Cb=4·((d·17+7t)%60)+4, Cr=4·((d·13+11t)%60)+4. Decode via multimodal.decode_image's magic-byte sniffing
     (``89 PNG`` vs ``FF D8``); the DuckDB oracle recomputes
     dimensions + exact pixel-byte mean from the closed forms — a
     decoder that mis-parses any container feature, mis-inverts any
@@ -1026,12 +1032,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
-                # width modulus 7 is COPRIME with the mode selector's
-                # 6 (round 8, ADVICE r7): every PNG codec path sees
-                # all 7 widths x 4 heights, not one fixed width each
-                w = 3 + d % 7
-                h = 2 + d % 4
-                mode = d % 6
+                # width modulus 7 is COPRIME with the mode
+                # selector's 7? No — they would alias (round-8
+                # ADVICE-r7 rule). PNG dims therefore derive from
+                # d // 7, which is independent of d % 7: every PNG
+                # path still sees every width/height combination.
+                w = 3 + (d // 7) % 7
+                h = 2 + (d // 7) % 4
+                mode = d % 7
                 if mode == 0:
                     px = bytes((d * 31 + k) % 256 for k in range(w * h))
                     blob = encode_png(px, w, h, 0, "cycle")
@@ -1060,7 +1068,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bit_depth=2, palette=_MEDIA_PALETTE,
                         trns=bytes([0, 255, 128]),
                     )
-                else:  # mode 5: baseline JPEG, DC-exactness contract
+                elif mode == 5:  # gray JPEG, DC-exactness contract
                     wb, hb = 1 + d % 3, 1 + d % 2
                     w, h = 8 * wb, 8 * hb
                     px = bytes(
@@ -1069,6 +1077,24 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for xx in range(w)
                     )
                     blob = encode_jpeg(px, w, h, 1)
+                else:  # mode 6: color 4:2:0 JPEG, MCU-constant YCbCr
+                    tx, ty = 1 + d % 2, 1 + (d % 4) // 2
+                    w, h = 16 * tx, 16 * ty
+                    buf = bytearray()
+                    for yy in range(h):
+                        for xx in range(w):
+                            t = (yy // 16) * tx + (xx // 16)
+                            buf += bytes(
+                                (
+                                    (d * 31 + 5 * t) % 256,
+                                    4 * ((d * 17 + 7 * t) % 60) + 4,
+                                    4 * ((d * 13 + 11 * t) % 60) + 4,
+                                )
+                            )
+                    blob = encode_jpeg(
+                        bytes(buf), w, h, 3,
+                        subsample="420", ycbcr_input=True,
+                    )
                 payloads.append(blob)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}

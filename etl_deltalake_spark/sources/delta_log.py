@@ -436,3 +436,32 @@ def read_delta(spark: SparkSession, table_path: str):
         part = part.select(*[f.name for f in schema.fields])
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def cleanup_log(spark: SparkSession, table_path: str) -> int:
+    """Log retention (the real writers' behavior this reader already
+    survives): delete ``_delta_log`` JSON commit files strictly below
+    the newest checkpoint — snapshot resolution needs only the
+    checkpoint + the JSON tail. Returns files deleted. The CUSTOM
+    ``_log/`` is untouched (it keeps the full history, so
+    VersionedTable time travel / history / CDF keep working); only
+    the spec mirror's tail shrinks, exactly like a real Delta
+    table after ``delta.logRetentionDuration`` cleanup."""
+    from etl_deltalake_spark.sources.versioned import _fs
+
+    ckpt = _last_checkpoint(spark, table_path)
+    if ckpt is None:
+        return 0
+    jvm, fs, _ = _fs(spark, table_path)
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_DELTA_DIR}")
+    deleted = 0
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if (
+            name.endswith(".json")
+            and name[:-5].isdigit()
+            and int(name[:-5]) < ckpt["version"]
+        ):
+            fs.delete(st.getPath(), False)
+            deleted += 1
+    return deleted

@@ -353,3 +353,24 @@ def test_delta_snapshot_reads_are_o_of_tail(spark, vt, monkeypatch):
     assert reads["n"] <= 4, reads["n"]  # pointer + 3 tail JSONs
     assert snap["version"] == 12
     assert _rows(DL.read_delta(spark, vt.path)) == expected
+
+
+def test_cleanup_log_retention(spark, vt):
+    """cleanup_log deletes JSON commits below the newest checkpoint;
+    the spec reader still resolves, and the CUSTOM log keeps full
+    time travel."""
+    for i in range(12):
+        vt.write(
+            _df(spark, [(i, f"r{i}")]),
+            timestamp=f"2026-04-{i + 1:02d}T00:00:00",
+        )
+    before = _rows(DL.read_delta(spark, vt.path))
+    n = DL.cleanup_log(spark, vt.path)
+    assert n == 9  # delta versions 0..8 (checkpoint at 9 kept)
+    names = [x for x in _log_files(vt) if x.endswith(".json")]
+    assert names == [f"{v:020d}.json" for v in (9, 10, 11)]
+    assert _rows(DL.read_delta(spark, vt.path)) == before
+    # custom-log history intact: time travel below the checkpoint
+    assert _rows(vt.read(version=3)) == [(i, f"r{i}") for i in range(3)]
+    # idempotent
+    assert DL.cleanup_log(spark, vt.path) == 0

@@ -408,3 +408,65 @@ def test_decode_image_sniffs_jpeg_and_png(spark):
     assert (got[2]["width"], got[2]["height"]) == (3, 2)
     assert got[2]["pix_sum"] == 21
     assert got[3]["err"] is not None and got[3]["width"] is None
+
+
+def test_ycbcr_input_mcu_constant_color_exactness():
+    """The color-exactness contract behind q_media_decode mode 6:
+    MCU-constant YCbCr planes fed via ycbcr_input survive
+    DCT/quant/4:2:0-box-average bit-exactly, so decoded RGB equals
+    the closed-form conversion of the ORIGINAL YCbCr."""
+
+    def clamp8(v):
+        return max(0, min(255, round(v)))
+
+    d = 9  # arbitrary doc-style seed
+    tx, ty = 2, 2
+    w, h = 16 * tx, 16 * ty
+    buf = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            t = (yy // 16) * tx + (xx // 16)
+            buf += bytes(
+                (
+                    (d * 31 + 5 * t) % 256,
+                    4 * ((d * 17 + 7 * t) % 60) + 4,
+                    4 * ((d * 13 + 11 * t) % 60) + 4,
+                )
+            )
+    img = decode_jpeg(
+        encode_jpeg(bytes(buf), w, h, 3, subsample="420", ycbcr_input=True)
+    )
+    expected = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            t = (yy // 16) * tx + (xx // 16)
+            Y = (d * 31 + 5 * t) % 256
+            Cb = 4 * ((d * 17 + 7 * t) % 60) + 4
+            Cr = 4 * ((d * 13 + 11 * t) % 60) + 4
+            expected.append(clamp8(Y + 1.402 * (Cr - 128)))
+            expected.append(
+                clamp8(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128))
+            )
+            expected.append(clamp8(Y + 1.772 * (Cb - 128)))
+    assert img.pixels == bytes(expected)
+
+
+def test_rgb_rounding_never_hits_half_for_mode6_domain():
+    """Enumerated proof for the oracle's rounding-rule independence:
+    over the FULL mode-6 fixture domain (any integer Y, chroma a
+    multiple of 4 in [4, 240]), no RGB conversion term lands on an
+    exact .5 float64 boundary — so numpy's half-to-even and SQL's
+    half-away-from-zero agree everywhere the oracle replays."""
+    import math
+
+    def frac_is_half(x):
+        return math.floor(x) + 0.5 == x
+
+    chroma = range(4, 241, 4)
+    assert not any(frac_is_half(1.402 * (c - 128)) for c in chroma)
+    assert not any(frac_is_half(1.772 * (c - 128)) for c in chroma)
+    assert not any(
+        frac_is_half(-0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+        for cb in chroma
+        for cr in chroma
+    )
