@@ -489,3 +489,110 @@ def fold_confusables(col: Column) -> Column:
     ``normalize_text`` (the fold is case-sensitive by design — capital
     lookalikes map to capitals)."""
     return F.translate(col, CONFUSABLES_FROM, CONFUSABLES_TO)
+
+
+def nb_quality_scores(
+    train_df,
+    score_df,
+    id_col: str,
+    text_col: str,
+    label,
+):
+    """Trained quality classifier — the CCNet/fastText pipeline
+    pattern (train a cheap linear text classifier on a labeled
+    reference, score candidate documents at corpus scale) as pure
+    DataFrame algebra: multinomial Naive Bayes with add-one
+    smoothing over the BPE-ish token stream (round 9, SURVEY §2.9
+    text analysis).
+
+    ``label`` is a boolean Column over ``train_df`` (self-supervised
+    labels — e.g. a heuristic quality rule — or human labels alike).
+    Per token t the model weight is the smoothed log-likelihood
+    ratio w(t) = ln((c₁+1)/(n₁+V)) − ln((c₀+1)/(n₀+V)); a scored
+    doc's margin is the class-prior log-odds plus Σ w over its token
+    OCCURRENCES, with out-of-vocabulary tokens falling back to the
+    constant w_oov = ln(1/(n₁+V)) − ln(1/(n₀+V)).
+
+    Execution shape: one explode over each corpus; the model is a
+    Zipf-small (term → weight) table joined back LEFT (broadcast
+    when it fits); totals/prior/OOV ride ONE 1-row broadcast. Scale:
+    nothing driver-side, one shuffle per aggregation, the scored
+    corpus shuffles only (doc, term) pairs.
+
+    Determinism across engines: every log is quantized to
+    DECIMAL(20,10) before summing (the bigram-LM precedent —
+    order-independent sums, bitwise-replayable in the DuckDB oracle
+    after the final ROUND(.., 6)).
+
+    Output: doc, n_terms, nb_margin (round 6), pred (margin > 0).
+    """
+    labeled = train_df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_txt"),
+        label.cast("int").alias("y"),
+    )
+    tok = labeled.select(
+        "doc", "y", F.explode(tokens("_txt")).alias("term")
+    )
+    per_term = tok.groupBy("term").agg(
+        F.sum("y").alias("c1"),
+        F.sum(F.lit(1) - F.col("y")).alias("c0"),
+    )
+    totals = tok.groupBy().agg(
+        F.sum("y").alias("n1"),
+        F.sum(F.lit(1) - F.col("y")).alias("n0"),
+        F.countDistinct("term").alias("v"),
+    ).crossJoin(
+        labeled.groupBy().agg(
+            F.sum("y").alias("d1"),
+            F.sum(F.lit(1) - F.col("y")).alias("d0"),
+        )
+    )
+    dec = "decimal(20,10)"
+    model = per_term.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.log((F.col("c1") + 1.0) / (F.col("n1") + F.col("v")))
+            - F.log((F.col("c0") + 1.0) / (F.col("n0") + F.col("v")))
+        )
+        .cast(dec)
+        .alias("w"),
+    )
+    consts = totals.select(
+        (
+            F.log(1.0 / (F.col("n1") + F.col("v")))
+            - F.log(1.0 / (F.col("n0") + F.col("v")))
+        )
+        .cast(dec)
+        .alias("w_oov"),
+        (
+            F.log((F.col("d1") + 1.0) / (F.col("d0") + 1.0))
+        )
+        .cast(dec)
+        .alias("prior"),
+    )
+    stok = score_df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    # prior/w_oov are 1-row constants broadcast onto every token row;
+    # first(prior) inside the agg is deterministic (constant per group)
+    margin = (
+        F.first("prior")
+        + F.sum(F.coalesce(F.col("w"), F.col("w_oov")))
+    ).cast("double")
+    return (
+        stok.join(model, "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(margin, 6).alias("nb_margin"),
+        )
+        .select(
+            "doc",
+            "n_terms",
+            "nb_margin",
+            (F.col("nb_margin") > 0).alias("pred"),
+        )
+    )

@@ -5303,6 +5303,68 @@ oracle("q_sql_surface")(
 )
 
 
+# Naive-Bayes quality classifier (text.nb_quality_scores,
+# q_quality_clf, round 9): the full train-and-score replay — label
+# rule, per-class token counts, add-one log-likelihood-ratio weights
+# quantized to DECIMAL(20,10), OOV fallback, class prior — over the
+# same even/odd doc split.
+oracle("q_quality_clf")(
+    f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+        CASE WHEN ROUND(len(list_filter(
+                 string_split_regex(lower(replace(trim(text), 'İ', 'i')), '\\s+'),
+                 w -> w IN {_STOPS}))
+               / len(string_split_regex(lower(replace(trim(text), 'İ', 'i')), '\\s+')), 6)
+             >= 0.06 THEN 1 ELSE 0 END AS y
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    tok AS (
+      SELECT doc_id, y,
+        unnest(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term
+      FROM lab
+    ),
+    per_term AS (
+      SELECT term, SUM(y) AS c1, SUM(1 - y) AS c0 FROM tok GROUP BY term
+    ),
+    totals AS (
+      SELECT (SELECT SUM(y) FROM tok) AS n1,
+             (SELECT SUM(1 - y) FROM tok) AS n0,
+             (SELECT COUNT(DISTINCT term) FROM tok) AS v,
+             (SELECT SUM(y) FROM lab) AS d1,
+             (SELECT SUM(1 - y) FROM lab) AS d0
+    ),
+    model AS (
+      SELECT term,
+        CAST(ln((c1 + 1.0) / (n1 + v)) - ln((c0 + 1.0) / (n0 + v))
+             AS DECIMAL(20,10)) AS w
+      FROM per_term, totals
+    ),
+    consts AS (
+      SELECT CAST(ln(1.0 / (n1 + v)) - ln(1.0 / (n0 + v))
+                  AS DECIMAL(20,10)) AS w_oov,
+             CAST(ln((d1 + 1.0) / (d0 + 1.0)) AS DECIMAL(20,10)) AS prior
+      FROM totals
+    ),
+    stok AS (
+      SELECT doc_id AS doc,
+        unnest(regexp_extract_all(lower(replace(text, 'İ', 'i')), {_TOKEN_PAT})) AS term
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    scored AS (
+      SELECT doc, COUNT(*) AS n_terms,
+        ROUND(CAST(ANY_VALUE(prior) + SUM(COALESCE(m.w, w_oov)) AS DOUBLE), 6)
+          AS nb_margin
+      FROM stok LEFT JOIN model m USING (term)
+      CROSS JOIN consts
+      GROUP BY doc
+    )
+    SELECT doc, n_terms, nb_margin, nb_margin > 0 AS pred
+    FROM scored ORDER BY doc
+    """
+)
+
+
 # RFM truth (q_rfm, round 8; boundary-scored round 9): the same
 # user aggregates (epochs floored like unix_timestamp, exact decimal
 # monetary floored to whole units), exact type-7 quintile boundaries

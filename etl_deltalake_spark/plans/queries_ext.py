@@ -4020,6 +4020,30 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier over documents (round 9,
+    text.nb_quality_scores) — the CCNet/fastText curation pattern:
+    train multinomial Naive Bayes on the even-doc_id half
+    (self-supervised label: stopword_ratio ≥ 0.06, natural-prose
+    heuristic around the corpus median), score the odd half
+    including out-of-vocabulary fallback and class-prior log-odds.
+    All log terms quantize to DECIMAL(20,10) before summing (the
+    bigram-LM precedent), so the DuckDB oracle replays training AND
+    scoring bitwise."""
+    from etl_deltalake_spark.operators.text import (
+        nb_quality_scores,
+        stopword_ratio,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return nb_quality_scores(
+        train, score, "doc_id", "text",
+        label=stopword_ratio("text") >= 0.06,
+    ).orderBy("doc")
+
+
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (round 8; made scale-safe in round 9) — the
     classic customer-value grid: per user, recency (whole days from

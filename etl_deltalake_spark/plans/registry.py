@@ -371,6 +371,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q4",
     "q_tpch_q12",
     "q_tpch_q19",
+    "q_quality_clf",
 )
 
 

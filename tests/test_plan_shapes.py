@@ -155,3 +155,14 @@ def test_tpch_q15_plan_has_no_window(spark, sf_dir):
 
     plan = _physical_plan(q_tpch_q15(spark, sf_dir))
     assert "Window" not in plan, plan
+
+
+def test_tpch_q21_plan_has_no_expand(spark, sf_dir):
+    """Q21's per-order decorrelation must plan the two-level
+    distinct-free aggregate (round 9): a double countDistinct would
+    put an Expand node (2x row multiplication) on the lineitem
+    shuffle — pinned absent."""
+    from etl_deltalake_spark.plans.queries_ext import q_tpch_q21
+
+    plan = _physical_plan(q_tpch_q21(spark, sf_dir))
+    assert "Expand" not in plan, plan

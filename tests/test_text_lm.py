@@ -44,3 +44,42 @@ def test_repeated_bigrams_score_higher(spark):
     }
     assert got[1] > got[2]
     assert all(math.isfinite(v) for v in got.values())
+
+
+def test_nb_quality_scores_separates_held_out_classes(spark):
+    """Behavioral gate for the NB quality classifier (round 9): train
+    on a corpus with a clear lexical signal, then held-out docs of
+    each kind must land on opposite sides of the margin, with OOV
+    tokens absorbed by the fallback weight rather than crashing or
+    skewing the verdict."""
+    from pyspark.sql import functions as F
+
+    from etl_deltalake_spark.operators.text import nb_quality_scores
+
+    prose = "the cat sat of the mat and it is nice to see"
+    junk = "xqz9 zzkw 9911 #### @@@@ qqqq wwww"
+    train = spark.createDataFrame(
+        [(i, prose + f" extra{i}") for i in range(10)]
+        + [(100 + i, junk + f" junk{i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [
+            (1000, "the dog sat and it is good to stay"),  # prose-like
+            (1001, "zzkw 9911 #### qqqq brandnewoov"),  # junk-like + OOV
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc"]: r
+        for r in nb_quality_scores(
+            train,
+            score,
+            "doc_id",
+            "text",
+            label=F.col("doc_id") < 100,
+        ).collect()
+    }
+    assert out[1000]["pred"] is True and out[1000]["nb_margin"] > 0
+    assert out[1001]["pred"] is False and out[1001]["nb_margin"] < 0
+    assert out[1001]["n_terms"] > 0
