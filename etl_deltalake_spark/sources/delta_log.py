@@ -85,6 +85,63 @@ def _file_size(spark: SparkSession, table_path: str, rel: str) -> int:
         return 0  # backfill of a since-vacuumed file
 
 
+def _file_stats(table_path: str, rel: str) -> str | None:
+    """Per-file Delta ``stats`` JSON (numRecords / minValues /
+    maxValues over primitive leaf columns) from the parquet footer —
+    what spec readers use for file-level data skipping. Footer-only
+    (pyarrow metadata; no data pages read). Best-effort and
+    spec-optional: non-local paths or exotic types yield None, never
+    an error."""
+    try:
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        local = f"{table_path}/{rel}"
+        for prefix in ("file:", "file://"):
+            if local.startswith(prefix):
+                local = local[len(prefix):]
+        md = pq.ParquetFile(local).metadata
+        mins: dict = {}
+        maxs: dict = {}
+
+        def enc(v):
+            if isinstance(v, bytes):
+                return v.decode("utf-8", "replace")
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()
+            if isinstance(v, (int, float, str, bool)):
+                return v
+            raise TypeError
+
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max or "." in name:
+                    continue
+                try:
+                    lo, hi = enc(st.min), enc(st.max)
+                except TypeError:
+                    continue
+                if name not in mins or lo < mins[name]:
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:
+                    maxs[name] = hi
+        return json.dumps(
+            {
+                "numRecords": md.num_rows,
+                "minValues": mins,
+                "maxValues": maxs,
+            },
+            sort_keys=True,
+        )
+    except Exception:
+        return None
+
+
 def metadata_action(schema_json: str, table_path: str, ts_millis: int) -> dict:
     return {
         "metaData": {
@@ -141,17 +198,17 @@ def emit_delta_commit(
             }
         )
     for rel in add:
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": _file_size(spark, table_path, rel),
-                    "modificationTime": millis,
-                    "dataChange": True,
-                }
-            }
-        )
+        entry = {
+            "path": rel,
+            "partitionValues": {},
+            "size": _file_size(spark, table_path, rel),
+            "modificationTime": millis,
+            "dataChange": True,
+        }
+        stats = _file_stats(table_path, rel)
+        if stats is not None:
+            entry["stats"] = stats
+        actions.append({"add": entry})
     payload = ("\n".join(json.dumps(a, sort_keys=True) for a in actions)).encode()
     return _write_file_atomic(
         spark, _delta_path(table_path, delta_version), payload
@@ -465,3 +522,36 @@ def cleanup_log(spark: SparkSession, table_path: str) -> int:
             fs.delete(st.getPath(), False)
             deleted += 1
     return deleted
+
+
+def pruned_files(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    lo=None,
+    hi=None,
+) -> tuple[list[str], int]:
+    """File-level data skipping from the log's ``stats`` (the
+    consumer side of what emit_delta_commit writes): live files whose
+    [minValues, maxValues] range for ``column`` intersects [lo, hi].
+    Files without stats are conservatively KEPT (spec behavior —
+    stats are optional). Returns (surviving table-relative paths,
+    number skipped). Callers still apply the real filter; skipping
+    only prunes I/O, exactly like Delta's reader."""
+    snap = delta_snapshot(spark, table_path)
+    keep: list[str] = []
+    skipped = 0
+    for a in snap["adds"]:
+        st = a.get("stats")
+        if st:
+            doc = json.loads(st)
+            fmin = doc.get("minValues", {}).get(column)
+            fmax = doc.get("maxValues", {}).get(column)
+            if fmin is not None and fmax is not None:
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    skipped += 1
+                    continue
+        keep.append(a["path"])
+    return keep, skipped

