@@ -2683,12 +2683,20 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     late = F.col("l_returnflag") == "R"
+    # n_late carries the LINEITEM-row multiplicity (canonical numwait
+    # counts qualifying l1 rows, so a supplier with 3 late lines in
+    # one order contributes 3); the identical per_supp subtree feeds
+    # both the per-order stats and the qualifying-pair side, so the
+    # planner reuses ONE lineitem shuffle (ReusedExchange) instead of
+    # scanning lineitem twice.
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(late.cast("int")).alias("is_late")
+        F.sum(late.cast("int")).alias("n_late")
     )
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
-        F.sum("is_late").cast("bigint").alias("n_late_supp"),
+        F.sum((F.col("n_late") > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_late_supp"),
     )
     orders_f = (
         load_table(spark, "orders", sf_dir)
@@ -2706,13 +2714,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        li.filter(late)
+        per_supp.filter(F.col("n_late") > 0)
         .join(orders_f, F.col("l_orderkey") == orders_f.o_orderkey)
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(euro_supp), F.col("l_suppkey") == euro_supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
