@@ -234,6 +234,100 @@ def jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs with prefix-filtered candidate
+    generation (round 9) — the All-Pairs / PPJoin family (Bayardo et
+    al., WWW'07; Xiao et al., WWW'08; public algorithms), the
+    provably-lossless scale path the DF-capped ``jaccard_pairs``
+    approximates: instead of joining on EVERY shingle (fan-out =
+    document frequency², capped only by dropping ubiquitous
+    shingles), each document joins on its PREFIX — its
+    ``n − ⌈t·n⌉ + 1`` rarest shingles under one global
+    (document-frequency, shingle) total order.
+
+    Completeness theorem (why no qualifying pair is lost): if
+    J(a,b) ≥ t then |a∩b| ≥ t·max(|a|,|b|). Let w be the
+    globally-smallest common shingle. A prefix holds a document's
+    ORDER-smallest shingles, so if w sat outside a's prefix, every
+    common shingle would sit in a's suffix of size ⌈t·|a|⌉ − 1 <
+    t·|a| ≤ |a∩b| — contradiction; symmetrically for b. So w lies in
+    BOTH prefixes and the candidate equi-join on prefix shingles
+    finds the pair. Rare shingles order FIRST, so prefixes join on
+    the least-frequent shingles — candidate fan-out collapses
+    exactly where ``jaccard_pairs``'s cap had to DROP recall. The
+    size filter (t·max ≤ min) prunes further; verification computes
+    exact Jaccard on the full sets, so output = brute force
+    (the DuckDB oracle IS the exhaustive all-pairs join — the
+    theorem is cross-engine-checked, not assumed).
+
+    Prefix length uses exact DECIMAL(9,6) threshold arithmetic so
+    ⌈t·n⌉ can never round across an integer boundary in floats.
+
+    Shuffles: shingle-DF count + prefix-candidate join share the
+    gram partitioning; one doc-keyed window for per-doc rank (the
+    Window is PARTITIONED — no global sort); one pair shuffle for
+    verification. Raw text never shuffles.
+    """
+    sh = shingle_rows(df, id_col, text_col, k).withColumnRenamed("gram", "s")
+    t_dec = F.lit(threshold).cast("decimal(9,6)")
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    sets = (
+        sh.groupBy("doc")
+        .agg(F.collect_list("s").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sets.select("doc", F.size("sh").cast("bigint").alias("n"))
+    w = Window.partitionBy("doc").orderBy("_df", "s")
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    pfx = ranked.filter(
+        F.col("_rk") <= F.col("n") - F.ceil(t_dec * F.col("n")) + 1
+    ).select("doc", "s", "n")
+    a = pfx.select(
+        F.col("doc").alias("doc_a"), F.col("n").alias("na"), "s"
+    )
+    b = pfx.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("nb"), "s"
+    )
+    candidates = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("na", "nb").cast("decimal(20,6)")
+            >= t_dec * F.greatest("na", "nb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    # exact threshold test by decimal cross-multiplication:
+    # c/(na+nb−c) ≥ t  ⟺  c·(1+t) ≥ t·(na+nb) — no float boundary
+    keep = joined.filter(
+        inter.cast("decimal(20,6)") * (F.lit(1) + t_dec)
+        >= t_dec * (F.size("sh_a") + F.size("sh_b")).cast("decimal(20,6)")
+    )
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter.cast(
+        "double"
+    )
+    return keep.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -555,6 +555,37 @@ oracle("q_jaccard_pairs")(
     """
 )
 
+# Prefix-filtered exact Jaccard (dedup.jaccard_prefix_pairs,
+# q_jaccard_prefix, round 9): the oracle is the EXHAUSTIVE all-pairs
+# candidate join — no DF cap, no prefix, no pruning — with the same
+# decimal cross-multiplied threshold test, so the Spark side's
+# prefix-filter completeness theorem is checked against ground truth
+# every run.
+oracle("q_jaccard_prefix")(
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    jp AS (
+      SELECT c.doc_a, c.doc_b,
+        len(list_intersect(x.sh, y.sh)) AS c_int,
+        len(x.sh) AS na, len(y.sh) AS nb
+      FROM cand c
+      JOIN sh x ON c.doc_a = x.doc_id
+      JOIN sh y ON c.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b,
+      ROUND(CAST(c_int AS DOUBLE) / (na + nb - c_int), 6) AS jaccard
+    FROM jp
+    WHERE CAST(c_int AS DECIMAL(20,6)) * 1.5
+          >= CAST(0.5 AS DECIMAL(9,6)) * (na + nb)
+    ORDER BY doc_a, doc_b
+    """
+)
+
 _lp_rounds = "".join(
     f""",
     l{i} AS (

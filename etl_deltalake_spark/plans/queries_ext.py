@@ -4028,6 +4028,22 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard near-dup pairs (round 9,
+    dedup.jaccard_prefix_pairs — the All-Pairs/PPJoin family): the
+    provably-lossless scale path for exact set-similarity dedup.
+    The DuckDB oracle is the EXHAUSTIVE all-pairs shared-shingle
+    join with no candidate pruning at all, so the prefix filter's
+    completeness theorem is cross-engine-verified on every run —
+    one lost pair hash-fails."""
+    from etl_deltalake_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return jaccard_prefix_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier over documents (round 9,
     text.nb_quality_scores) — the CCNet/fastText curation pattern:

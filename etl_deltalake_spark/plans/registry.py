@@ -372,6 +372,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q12",
     "q_tpch_q19",
     "q_quality_clf",
+    "q_jaccard_prefix",
 )
 
 

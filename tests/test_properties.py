@@ -428,3 +428,31 @@ def test_bm25_matches_bruteforce(spark, docs):
             assert math.isclose(got[i], score, abs_tol=1e-4), (i, words)
         else:
             assert i not in got
+
+
+def test_jaccard_prefix_equals_exhaustive(spark, sf_dir):
+    """The prefix-filtered exact join must return EXACTLY the
+    exhaustive jaccard_pairs set (max_df=None — no cap): the
+    completeness theorem checked in-Spark, independent of the DuckDB
+    oracle's confirmation of the same identity."""
+    from etl_deltalake_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_prefix_pairs,
+    )
+    from etl_deltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exhaustive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5, max_df=None
+        ).collect()
+    }
+    prefix = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_prefix_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert prefix == exhaustive
+    assert prefix, "fixture must contain qualifying near-dup pairs"
