@@ -1231,3 +1231,80 @@ def sq_quantize(
         lambda x, s: _sq_code(x, s["mn"], s["mx"]),
     )
     return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    tau: float = 0.9,
+    scale: int = 6,
+) -> DataFrame:
+    """Cluster-bounded semantic near-duplicate mining — the SemDeDup
+    pattern (Abbas et al. 2023, arXiv:2303.09540, public): assign
+    every embedding to its nearest frozen centroid, then compare
+    pairs only WITHIN a cluster. The cluster bound is what makes
+    embedding-level dedup tractable at corpus scale: the quadratic
+    term shrinks from N² to Σ|cluster|², and nlist is the knob that
+    caps it (SemDeDup's own design argument — clusters of ~√N make
+    the total work ~N^1.5; at 100 TB you raise nlist, never the
+    pattern). Candidate generation is an equi-join on cluster_id
+    (never a cartesian product); cosine is the engine-deterministic
+    rounded form shared with every ANN oracle.
+
+    Returns one row per within-cluster pair with similarity ≥ tau:
+    (doc_a, doc_b, cluster_id, cos_sim), doc_b < doc_a. Cross-cluster
+    near-duplicates are invisible by design — the recall/efficiency
+    trade the paper makes; MinHash/LSH rows cover the text-level
+    complement.
+    """
+    assigned = ivf_assign_df(df, id_col, vec_col, centroids, scale)
+    a = assigned.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("_va"),
+        "cluster_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("_vb"),
+        "cluster_id",
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("doc_b") < F.col("doc_a"))
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb"), scale))
+        .filter(F.col("cos_sim") >= tau)
+        .select("doc_a", "doc_b", "cluster_id", "cos_sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    tau: float = 0.9,
+    scale: int = 6,
+) -> DataFrame:
+    """Keep/drop verdicts from ``semantic_dedup_pairs``: a document
+    drops iff some SMALLER-id document in its cluster sits within
+    the tau-ball (min-id representative survives each duplicate
+    neighborhood — deterministic, no iteration). Returns (id,
+    cluster_id, dup_of nullable, keep boolean)."""
+    assigned = ivf_assign_df(df, id_col, vec_col, centroids, scale)
+    dup_of = (
+        semantic_dedup_pairs(df, id_col, vec_col, centroids, tau, scale)
+        .groupBy("doc_a")
+        .agg(F.min("doc_b").alias("dup_of"))
+    )
+    return (
+        assigned.select(F.col(id_col), "cluster_id")
+        .join(dup_of, F.col(id_col) == F.col("doc_a"), "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

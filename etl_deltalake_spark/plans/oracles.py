@@ -555,6 +555,37 @@ oracle("q_jaccard_pairs")(
     """
 )
 
+# Cluster-bounded semantic near-dup pairs (the SemDeDup pattern,
+# similarity.semantic_dedup_pairs, q_semantic_dedup, round 9):
+# argmax IVF assignment over the every-50th-vector codebook, pair
+# join WITHIN clusters only, rounded cosine ≥ tau.
+oracle("q_semantic_dedup")(
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0
+    ),
+    a AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                        c.cid ASC
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1)
+    SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+           x.cid AS cluster_id,
+           ROUND(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+    FROM asg x JOIN asg y ON x.cid = y.cid AND y.vec_id < x.vec_id
+    WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.3
+    ORDER BY doc_a, doc_b
+    """
+)
+
 # Prefix-filtered exact Jaccard (dedup.jaccard_prefix_pairs,
 # q_jaccard_prefix, round 9): the oracle is the EXHAUSTIVE all-pairs
 # candidate join — no DF cap, no prefix, no pruning — with the same

@@ -4028,6 +4028,28 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-bounded semantic near-dup mining (round 9,
+    similarity.semantic_dedup_pairs — the SemDeDup pattern): IVF
+    assignment against the session's deterministic centroids, then
+    within-cluster cosine pairs at tau=0.3. The fixture's synthetic
+    embeddings are near-orthogonal (max within-cluster cosine ≈0.47
+    at sf0.001), so the graded tau sits inside the fixture's
+    similarity range to keep the full path non-empty at every scale;
+    the OPERATOR takes any tau (production semantic dedup runs
+    ~0.95+) — the drop-verdict form is behavior-tested with real
+    duplicate embeddings in pytest. The DuckDB oracle re-derives
+    assignment argmax, the cluster-bounded pair join, and the
+    rounded cosine exactly."""
+    from etl_deltalake_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = _ivf_centroids(spark, sf_dir)
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", cents, tau=0.3
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered EXACT Jaccard near-dup pairs (round 9,
     dedup.jaccard_prefix_pairs — the All-Pairs/PPJoin family): the

@@ -373,6 +373,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q19",
     "q_quality_clf",
     "q_jaccard_prefix",
+    "q_semantic_dedup",
 )
 
 

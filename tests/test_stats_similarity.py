@@ -239,3 +239,44 @@ def test_mad_outliers_robustness(spark):
     assert 12.0 <= out["med"] <= 14.0
     assert out["mad"] <= 3.0
     assert out["n_outliers"] == 1
+
+
+def test_semantic_dedup_drops_true_duplicates(spark):
+    """SemDeDup behavior with REAL duplicates (the fixture embeddings
+    are near-orthogonal, so the drop path needs synthetic dupes):
+    exact-copy and tiny-perturbation vectors drop against their
+    min-id representative at tau=0.95; orthogonal vectors survive;
+    cross-cluster lookalikes are invisible by design."""
+    from etl_deltalake_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    d = 8
+    base = [1.0, 0.5, -0.25, 2.0, 0.0, 1.5, -1.0, 0.75]
+    near = [x * 1.001 + (0.0001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    ortho = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 3.0]
+    anti = [-x for x in base]
+    rows = [(10, base), (11, base), (12, near), (20, ortho), (30, anti)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # two centroids: one aligned with base, one with ortho — anti
+    # lands wherever its argmax says (cosine with base-centroid = -1,
+    # with ortho-centroid = 0 → joins the ortho cluster)
+    cents = [(0, base), (1, ortho)]
+    verdicts = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, tau=0.95
+        ).collect()
+    }
+    assert verdicts[10]["keep"] is True  # min-id representative
+    assert verdicts[11]["keep"] is False and verdicts[11]["dup_of"] == 10
+    assert verdicts[12]["keep"] is False and verdicts[12]["dup_of"] == 10
+    assert verdicts[20]["keep"] is True
+    assert verdicts[30]["keep"] is True  # anti-parallel: cosine -1
+    pairs = semantic_dedup_pairs(
+        df, "vec_id", "embedding", cents, tau=0.95
+    ).collect()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {
+        (11, 10), (12, 10), (12, 11),
+    }
