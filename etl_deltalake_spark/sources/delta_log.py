@@ -165,6 +165,7 @@ def emit_delta_commit(
     timestamp: str,
     operation: str,
     emit_metadata: bool,
+    txn: tuple[str, int] | None = None,
 ) -> bool:
     """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
     via the same temp+rename as the custom log). Returns False when
@@ -177,6 +178,13 @@ def emit_delta_commit(
         if delta_version == 0:
             actions.append(PROTOCOL_ACTION)
         actions.append(metadata_action(schema_json, table_path, millis))
+    if txn is not None:
+        # The spec's txn action — what real Delta streaming sinks use
+        # for exactly-once: readers of the log can recover the last
+        # committed batch per appId.
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1])}}
+        )
     actions.append(
         {
             "commitInfo": {
@@ -245,6 +253,7 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
                 c.timestamp,
                 c.operation,
                 emit_metadata=(prev_schema is None or c.schema != prev_schema),
+                txn=c.txn,
             )
         prev_schema = c.schema
 

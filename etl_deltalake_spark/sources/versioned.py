@@ -114,6 +114,9 @@ class Commit:
     # the type half of enforcement degrades gracefully to name-only.
     schema: tuple[tuple[str, str | None], ...]
     timestamp: str  # writer-supplied wall clock, ISO-8601
+    # (app_id, txn_version) for exactly-once streaming sinks (the
+    # Delta txn-action idea); None for plain commits — round 9.
+    txn: tuple[str, int] | None = None
 
 
 class VersionedTable:
@@ -150,6 +153,7 @@ class VersionedTable:
             except ValueError:
                 continue  # not a commit file
             doc = json.loads(_read_small_file(self.spark, str(status.getPath())))
+            txn = doc.get("txn")
             out.append(
                 Commit(
                     version=doc["version"],
@@ -161,6 +165,7 @@ class VersionedTable:
                         for c in doc["schema"]
                     ),
                     timestamp=doc["timestamp"],
+                    txn=(txn[0], int(txn[1])) if txn else None,
                 )
             )
         return sorted(out, key=lambda c: c.version)
@@ -410,6 +415,7 @@ class VersionedTable:
         remove: Sequence[str],
         schema: Sequence[tuple[str, str]],
         timestamp: str,
+        txn: tuple[str, int] | None = None,
     ) -> bool:
         doc = {
             "version": version,
@@ -419,6 +425,8 @@ class VersionedTable:
             "schema": [list(c) for c in schema],
             "timestamp": timestamp,
         }
+        if txn is not None:
+            doc["txn"] = [txn[0], int(txn[1])]
         return _write_file_atomic(
             self.spark, self._log_path(version), json.dumps(doc).encode()
         )
@@ -443,13 +451,27 @@ class VersionedTable:
                 f"schema {expected}; overwrite to change the schema"
             )
 
+    def last_txn_version(
+        self, app_id: str, commits: list[Commit] | None = None
+    ) -> int | None:
+        """Highest committed txn version for ``app_id`` (the Delta
+        txn-action idempotence lookup) — None if the app never
+        committed."""
+        if commits is None:
+            commits = self._commits()
+        versions = [
+            c.txn[1] for c in commits if c.txn and c.txn[0] == app_id
+        ]
+        return max(versions) if versions else None
+
     def write(
         self,
         df: DataFrame,
         mode: str = "append",
         timestamp: str = "1970-01-01T00:00:00",
         max_retries: int = 5,
-    ) -> int:
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Commit ``df`` as a new version. ``mode='append'`` adds
         files; ``mode='overwrite'`` adds files and logically removes
         every live predecessor (old versions stay readable via time
@@ -471,6 +493,17 @@ class VersionedTable:
             self._check_schema(df, "append", commits)
         self._enforce_constraints(df)
         for _ in range(max_retries):
+            if txn is not None:
+                # Exactly-once idempotence (the Delta txn action): a
+                # batch whose (app_id, version) is already committed
+                # is a REPLAY — skip without writing anything. The
+                # check re-runs on every optimistic retry, so a
+                # concurrent duplicate writer cannot double-commit:
+                # the rename race picks one winner and the loser
+                # re-reads the log and sees the txn.
+                last = self.last_txn_version(txn[0], commits)
+                if last is not None and txn[1] <= last:
+                    return None
             version = self.latest_version(commits) + 1
             remove: Sequence[str] = ()
             if mode == "overwrite":
@@ -478,7 +511,7 @@ class VersionedTable:
                 remove = [f[len(self.path) + 1 :] for f in live]
             add = self._write_data_files(df, version)
             if self._try_commit(
-                version, mode, add, remove, df.dtypes, timestamp
+                version, mode, add, remove, df.dtypes, timestamp, txn=txn
             ):
                 if mode == "overwrite":
                     live_after = list(add)
@@ -492,7 +525,7 @@ class VersionedTable:
                 )
                 self._mirror_delta_log(
                     version, add, remove, df, timestamp, mode,
-                    commits, live_after,
+                    commits, live_after, txn=txn,
                 )
                 return version
             # Lost the race: orphan the just-written files (vacuum
@@ -522,6 +555,7 @@ class VersionedTable:
         operation: str,
         commits: list[Commit],
         live_after: list[str],
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Mirror the just-won commit into the REAL Delta protocol
         (sources/delta_log.py, round 9): ``_delta_log/%020d.json``
@@ -549,6 +583,7 @@ class VersionedTable:
             timestamp,
             operation,
             emit_meta,
+            txn=txn,
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             DL.write_delta_checkpoint(

@@ -654,3 +654,37 @@ def stream_static_enrich(
     ).select(
         "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
     )
+
+
+def exactly_once_versioned_sink(
+    table,
+    app_id: str,
+    timestamp_for_epoch=None,
+):
+    """foreachBatch sink into a VersionedTable with EXACTLY-ONCE
+    semantics across restarts and redeliveries (round 9) — the Delta
+    streaming-sink txn pattern: each micro-batch commits with its
+    (app_id, epoch_id) recorded as a txn action in both the custom
+    log and the Delta-protocol mirror. On replay (a crash after the
+    commit landed but before the engine checkpointed, or a duplicate
+    foreachBatch invocation), ``VersionedTable.write`` sees the
+    already-committed txn version and SKIPS — no duplicate rows,
+    idempotent by construction rather than by sink-side dedup.
+
+    ``timestamp_for_epoch`` maps epoch_id → the deterministic commit
+    timestamp (defaults to epoch seconds from 1970 so tests stay
+    wall-clock-free).
+    """
+    ts_of = timestamp_for_epoch or (
+        lambda epoch: f"1970-01-01T00:00:{min(int(epoch), 59):02d}"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        table.write(
+            batch_df,
+            mode="append",
+            timestamp=ts_of(epoch_id),
+            txn=(app_id, int(epoch_id)),
+        )
+
+    return sink

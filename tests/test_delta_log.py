@@ -429,3 +429,43 @@ def test_stats_based_file_pruning(spark, vt):
     )
     assert {100, 101, 102} <= set(got)
     assert all(100 <= v <= 102 for v in got) or True  # pruning, not filtering
+
+
+def test_txn_exactly_once_replay(spark, vt):
+    """The Delta txn pattern end-to-end: a committed (app_id, batch)
+    replayed — the crash-after-commit-before-checkpoint window, or a
+    duplicate foreachBatch invocation — must be a no-op: no new
+    version, no duplicate rows; the txn action lands in the mirror
+    log; an unrelated app's same version number still commits."""
+    from etl_deltalake_spark.streaming.pipeline import (
+        exactly_once_versioned_sink,
+    )
+
+    sink = exactly_once_versioned_sink(vt, "appA")
+    b0 = _df(spark, [(1, "a"), (2, "b")])
+    b1 = _df(spark, [(3, "c")])
+    sink(b0, 0)
+    sink(b1, 1)
+    assert _rows(vt.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    v_before = vt.latest_version()
+    sink(b1, 1)  # replayed batch
+    sink(b0, 0)  # out-of-order replay
+    assert vt.latest_version() == v_before
+    assert _rows(vt.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert vt.last_txn_version("appA") == 1
+    # a different app is independent
+    other = exactly_once_versioned_sink(vt, "appB")
+    other(_df(spark, [(9, "z")]), 1)
+    assert _rows(vt.read()) == [(1, "a"), (2, "b"), (3, "c"), (9, "z")]
+    assert vt.last_txn_version("appB") == 1
+    # txn actions are visible to spec readers in the mirror
+    txns = [
+        a["txn"]
+        for _, a in DL.delta_log_actions(spark, vt.path)
+        if "txn" in a
+    ]
+    assert {(t["appId"], t["version"]) for t in txns} == {
+        ("appA", 0), ("appA", 1), ("appB", 1),
+    }
+    # and read_delta agrees with the table
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
