@@ -469,3 +469,97 @@ def test_txn_exactly_once_replay(spark, vt):
     }
     # and read_delta agrees with the table
     assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+
+
+def test_versionedcdf_stream_reads_each_commit_once(spark, vt, tmp_path):
+    """The streaming CDF source: availableNow over a 3-version table
+    yields every added row exactly once with its _change_version;
+    after MORE commits land, a restart from the same checkpoint
+    consumes only the new versions (engine-managed offsets = table
+    versions)."""
+    from etl_deltalake_spark.sources.cdf_source import (
+        VersionedCdfDataSource,
+    )
+
+    spark.dataSource.register(VersionedCdfDataSource)
+    for i in range(3):
+        vt.write(
+            _df(spark, [(i, f"r{i}")]),
+            timestamp=f"2026-07-{i + 1:02d}T00:00:00",
+        )
+    ckpt = str(tmp_path / "cdf_ckpt")
+    out = str(tmp_path / "cdf_out")
+
+    def drain():
+        q = (
+            spark.readStream.format("versionedcdf")
+            .option("path", vt.path)
+            .load()
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = spark.read.json(out)
+    rows = sorted(
+        (r["id"], r["val"], r["_change_version"]) for r in got.collect()
+    )
+    assert rows == [(0, "r0", 1), (1, "r1", 2), (2, "r2", 3)]
+
+    # new commits stream incrementally after a restart — old versions
+    # are NOT re-read (exactly-once via the engine checkpoint)
+    vt.write(_df(spark, [(3, "r3")]), timestamp="2026-07-04T00:00:00")
+    vt.write(_df(spark, [(4, "r4")]), timestamp="2026-07-05T00:00:00")
+    drain()
+    rows = sorted(
+        (r["id"], r["val"], r["_change_version"])
+        for r in spark.read.json(out).collect()
+    )
+    assert rows == [
+        (0, "r0", 1), (1, "r1", 2), (2, "r2", 3),
+        (3, "r3", 4), (4, "r4", 5),
+    ]
+
+
+def test_versionedcdf_roundtrip_with_exactly_once_sink(spark, vt, tmp_path):
+    """The full streaming hop: versionedcdf source → foreachBatch →
+    exactly_once_versioned_sink into a SECOND versioned table; a
+    duplicate drain adds nothing downstream."""
+    from etl_deltalake_spark.sources.cdf_source import (
+        VersionedCdfDataSource,
+    )
+    from etl_deltalake_spark.sources.versioned import versioned_table
+    from etl_deltalake_spark.streaming.pipeline import (
+        exactly_once_versioned_sink,
+    )
+
+    spark.dataSource.register(VersionedCdfDataSource)
+    vt.write(_df(spark, [(1, "a"), (2, "b")]), timestamp="2026-07-01T00:00:00")
+    vt.write(_df(spark, [(3, "c")]), timestamp="2026-07-02T00:00:00")
+    dst = versioned_table(spark, str(tmp_path / "dst"), use_delta=False)
+    ckpt = str(tmp_path / "hop_ckpt")
+    sink = exactly_once_versioned_sink(dst, "hop")
+
+    def drain():
+        q = (
+            spark.readStream.format("versionedcdf")
+            .option("path", vt.path)
+            .load()
+            .drop("_change_version")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert _rows(dst.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    v = dst.latest_version()
+    drain()  # no new upstream versions → no downstream commits
+    assert dst.latest_version() == v
+    assert _rows(dst.read()) == [(1, "a"), (2, "b"), (3, "c")]
