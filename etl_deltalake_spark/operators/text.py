@@ -538,15 +538,23 @@ def nb_quality_scores(
         F.sum("y").alias("c1"),
         F.sum(F.lit(1) - F.col("y")).alias("c0"),
     )
-    totals = tok.groupBy().agg(
-        F.sum("y").alias("n1"),
-        F.sum(F.lit(1) - F.col("y")).alias("n0"),
-        F.countDistinct("term").alias("v"),
-    ).crossJoin(
-        labeled.groupBy().agg(
-            F.sum("y").alias("d1"),
-            F.sum(F.lit(1) - F.col("y")).alias("d0"),
+    # 1-row totals, materialized eagerly: both the model weights and
+    # the consts row reference it, and without the checkpoint the
+    # train-token aggregation subtree would execute once per consumer
+    totals = (
+        tok.groupBy()
+        .agg(
+            F.sum("y").alias("n1"),
+            F.sum(F.lit(1) - F.col("y")).alias("n0"),
+            F.countDistinct("term").alias("v"),
         )
+        .crossJoin(
+            labeled.groupBy().agg(
+                F.sum("y").alias("d1"),
+                F.sum(F.lit(1) - F.col("y")).alias("d0"),
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     dec = "decimal(20,10)"
     model = per_term.crossJoin(F.broadcast(totals)).select(

@@ -56,6 +56,14 @@ _SCALAR_CROSS_OK = {
     # one 1-row query-vector/ground-truth broadcast per branch:
     # cosine exact + the shared structure across the nprobe sweep
     "q_ivf_recall_curve": 3,
+    # round 9: NB classifier — the CHECKPOINTED 1-row totals
+    # broadcasts onto the model terms, and the 1-row consts
+    # projection broadcasts onto the scored tokens (the totals'
+    # internal cross join materialized away with the checkpoint)
+    "q_quality_clf": 2,
+    # round 9: SemDeDup — ivf_assign_df's 1-row constant-key
+    # codebook broadcast appears once per self-join branch
+    "q_semantic_dedup": 2,
 }
 
 
