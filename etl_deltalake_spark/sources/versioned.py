@@ -464,6 +464,37 @@ class VersionedTable:
         ]
         return max(versions) if versions else None
 
+    def _merge_schema(
+        self, df: DataFrame, commits: list[Commit]
+    ) -> list[tuple[str, str]]:
+        """Delta ``mergeSchema`` semantics for appends (round 9): the
+        incoming frame may ADD new columns (appended after the
+        table's), but every column shared with the table must keep
+        its name and type — widenings/renames stay an overwrite's
+        job. Returns the merged (name, type) list recorded in the
+        commit; older data files simply lack the new columns and
+        ``read`` (which reads under the commit-recorded schema)
+        surfaces them as nulls, exactly like Delta."""
+        if not commits:
+            return list(df.dtypes)
+        table = list(commits[-1].schema)
+        got = dict(df.dtypes)
+        for name, dtype in table:
+            if name in got and dtype is not None and got[name] != dtype:
+                raise ValueError(
+                    f"mergeSchema: column {name!r} type {got[name]} != "
+                    f"table type {dtype} (type changes need overwrite)"
+                )
+        table_names = {n for n, _ in table}
+        missing_ok = [
+            (n, t if t is not None else got.get(n, "string"))
+            for n, t in table
+        ]
+        new_cols = [
+            (n, t) for n, t in df.dtypes if n not in table_names
+        ]
+        return missing_ok + new_cols
+
     def write(
         self,
         df: DataFrame,
@@ -471,6 +502,7 @@ class VersionedTable:
         timestamp: str = "1970-01-01T00:00:00",
         max_retries: int = 5,
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int | None:
         """Commit ``df`` as a new version. ``mode='append'`` adds
         files; ``mode='overwrite'`` adds files and logically removes
@@ -489,8 +521,12 @@ class VersionedTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         commits = self._commits()
+        merged_schema: list[tuple[str, str]] | None = None
         if mode == "append":
-            self._check_schema(df, "append", commits)
+            if merge_schema:
+                merged_schema = self._merge_schema(df, commits)
+            else:
+                self._check_schema(df, "append", commits)
         self._enforce_constraints(df)
         for _ in range(max_retries):
             if txn is not None:
@@ -510,8 +546,10 @@ class VersionedTable:
                 live, _latest = self._snapshot_files(commits=commits)
                 remove = [f[len(self.path) + 1 :] for f in live]
             add = self._write_data_files(df, version)
+            commit_schema = merged_schema or df.dtypes
             if self._try_commit(
-                version, mode, add, remove, df.dtypes, timestamp, txn=txn
+                version, mode, add, remove, commit_schema, timestamp,
+                txn=txn,
             ):
                 if mode == "overwrite":
                     live_after = list(add)
@@ -521,11 +559,11 @@ class VersionedTable:
                         f[len(self.path) + 1 :] for f in prev
                     ] + list(add)
                 self._maybe_checkpoint(
-                    version, live_after, df.dtypes, timestamp
+                    version, live_after, commit_schema, timestamp
                 )
                 self._mirror_delta_log(
-                    version, add, remove, df, timestamp, mode,
-                    commits, live_after, txn=txn,
+                    version, add, remove, commit_schema, timestamp,
+                    mode, commits, live_after, txn=txn,
                 )
                 return version
             # Lost the race: orphan the just-written files (vacuum
@@ -540,7 +578,10 @@ class VersionedTable:
                 )
             commits = self._commits()
             if mode == "append":
-                self._check_schema(df, "append", commits)
+                if merge_schema:
+                    merged_schema = self._merge_schema(df, commits)
+                else:
+                    self._check_schema(df, "append", commits)
         raise RuntimeError(
             f"could not commit after {max_retries} attempts (contended table?)"
         )
@@ -550,7 +591,7 @@ class VersionedTable:
         version: int,
         add: Sequence[str],
         remove: Sequence[str],
-        df: DataFrame,
+        commit_schema: Sequence[tuple[str, str]],
         timestamp: str,
         operation: str,
         commits: list[Commit],
@@ -565,14 +606,18 @@ class VersionedTable:
         rename wins, so mirror entries never race; pre-round-9 tables
         are backfilled from the custom log first. Custom version V is
         Delta version V-1 (Delta is 0-based)."""
+        from pyspark.sql.types import StructType
+
         from etl_deltalake_spark.sources import delta_log as DL
 
         if commits:
             DL.backfill_missing(self.spark, self, commits)
         emit_meta = (not commits) or (
-            tuple(df.dtypes) != tuple(commits[-1].schema)
+            tuple(commit_schema) != tuple(commits[-1].schema)
         )
-        schema_json = df.schema.json()
+        schema_json = StructType.fromDDL(
+            ", ".join(f"`{n}` {t}" for n, t in commit_schema)
+        ).json()
         DL.emit_delta_commit(
             self.spark,
             self.path,
@@ -645,6 +690,16 @@ class VersionedTable:
                 f"`{name}` {dtype or 'string'}" for name, dtype in latest.schema
             )
             return self.spark.createDataFrame([], schema=ddl)
+        if all(t is not None for _, t in latest.schema):
+            # Read under the COMMIT-RECORDED schema (Delta reads under
+            # the log schema, not per-file footers): data files from
+            # before a mergeSchema append lack the newer columns and
+            # surface them as nulls; pre-typed-log commits fall back
+            # to footer inference below.
+            ddl = ", ".join(
+                f"`{name}` {dtype}" for name, dtype in latest.schema
+            )
+            return self.spark.read.schema(ddl).parquet(*files)
         return self.spark.read.parquet(*files)
 
     def read_changes(

@@ -368,3 +368,39 @@ def test_check_constraints(spark, tmp_path):
         mode="append", timestamp="2024-01-04T00:00:00",
     )
     assert vt2.read().count() == 4
+
+
+def test_merge_schema_append(spark, vt):
+    """Delta mergeSchema parity (round 9): an append may ADD columns
+    (old rows read as null under the commit-recorded schema); shared
+    columns must keep their types; plain appends still refuse schema
+    drift; new files may omit old columns (null-filled on read)."""
+    import pytest as _pytest
+
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    wide = spark.createDataFrame([(2, "b", 0.5)], ["id", "val", "score"])
+    with _pytest.raises(ValueError, match="schema enforcement"):
+        vt.write(wide, timestamp="2026-01-02T00:00:00")
+    vt.write(wide, timestamp="2026-01-02T00:00:00", merge_schema=True)
+    got = vt.read()
+    assert got.columns == ["id", "val", "score"]
+    rows = {r["id"]: (r["val"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
+    # writer omitting an old column: surfaces null for the new rows
+    narrow = spark.createDataFrame([(3, 1.25)], ["id", "score"])
+    vt.write(narrow, timestamp="2026-01-03T00:00:00", merge_schema=True)
+    rows = {r["id"]: (r["val"], r["score"]) for r in vt.read().collect()}
+    assert rows[3] == (None, 1.25)
+    # type change stays refused even with the flag
+    bad = spark.createDataFrame([(4, "x", "not-a-double")],
+                                ["id", "val", "score"])
+    with _pytest.raises(ValueError, match="type changes need overwrite"):
+        vt.write(bad, timestamp="2026-01-04T00:00:00", merge_schema=True)
+    # the Delta mirror records the MERGED schema
+    from etl_deltalake_spark.sources import delta_log as DL
+
+    snap = DL.delta_snapshot(spark, vt.path)
+    import json as _json
+
+    names = [f["name"] for f in _json.loads(snap["schema_json"])["fields"]]
+    assert names == ["id", "val", "score"]
