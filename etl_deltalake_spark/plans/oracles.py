@@ -555,6 +555,35 @@ oracle("q_jaccard_pairs")(
     """
 )
 
+# SQL-scripting truth (q_sql_scripting, round 9): the WHILE loop
+# unrolled as three chained CTEs — each threshold is 2x the
+# decimal-exact mean of the rows under the previous one (identical
+# exact-sum → double-division arithmetic, so every iterate is
+# bitwise shared).
+oracle("q_sql_scripting")(
+    """
+    WITH t1 AS (
+      SELECT 2.0 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / COUNT(*)) AS thr
+      FROM lineitem
+    ),
+    t2 AS (
+      SELECT 2.0 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / COUNT(*)) AS thr
+      FROM lineitem, t1 WHERE l_extendedprice <= t1.thr
+    ),
+    t3 AS (
+      SELECT 2.0 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / COUNT(*)) AS thr
+      FROM lineitem, t2 WHERE l_extendedprice <= t2.thr
+    )
+    SELECT ROUND(t3.thr, 6) AS trimmed_threshold,
+           (SELECT COUNT(*) FROM lineitem, t3
+            WHERE l_extendedprice <= t3.thr) AS n_kept
+    FROM t3
+    """
+)
+
 # Cluster-bounded semantic near-dup pairs (the SemDeDup pattern,
 # similarity.semantic_dedup_pairs, q_semantic_dedup, round 9):
 # argmax IVF assignment over the every-50th-vector codebook, pair

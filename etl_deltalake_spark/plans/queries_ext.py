@@ -4028,6 +4028,40 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 SQL SCRIPTING (round 9 — extends the round-8 SQL
+    frontier set): a BEGIN…END block with DECLARE + WHILE driving a
+    REAL iterative algorithm, the robust trimmed-threshold estimator
+    — each pass recomputes the outlier cutoff as 2× the mean of the
+    rows under the previous cutoff (a data-dependent loop no single
+    SQL statement expresses). Decimal-exact mean (exact decimal sum →
+    double ÷ count) keeps every iterate bitwise reproducible, so the
+    DuckDB oracle replays the loop UNROLLED as three chained CTEs."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    li.createOrReplaceTempView("li_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT CAST('Infinity' AS DOUBLE);
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 3 DO
+            SET thr = (
+              SELECT 2.0 * (
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / COUNT(*)
+              )
+              FROM li_script WHERE l_extendedprice <= thr
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT ROUND(thr, 6) AS trimmed_threshold,
+                 (SELECT COUNT(*) FROM li_script
+                  WHERE l_extendedprice <= thr) AS n_kept;
+        END
+        """
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-bounded semantic near-dup mining (round 9,
     similarity.semantic_dedup_pairs — the SemDeDup pattern): IVF

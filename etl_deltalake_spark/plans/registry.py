@@ -374,6 +374,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_quality_clf",
     "q_jaccard_prefix",
     "q_semantic_dedup",
+    "q_sql_scripting",
 )
 
 
