@@ -456,3 +456,37 @@ def test_jaccard_prefix_equals_exhaustive(spark, sf_dir):
     }
     assert prefix == exhaustive
     assert prefix, "fixture must contain qualifying near-dup pairs"
+
+
+def test_jaccard_prefix_edge_cases(spark):
+    """Prefix-join edges the fixture can't hit: identical docs
+    (J=1.0 survives any threshold), disjoint docs (no pair), docs
+    shorter than the shingle size (single truncated gram), and a
+    threshold so high only exact copies qualify."""
+    from etl_deltalake_spark.operators.dedup import jaccard_prefix_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (3, "zeta eta theta iota kappa"),  # disjoint
+        (4, "mu nu"),  # shorter than k → one truncated gram
+        (5, "mu nu"),  # dup of the short doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(
+            df, "doc_id", "text", k=3, threshold=0.99
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1.0, (4, 5): 1.0}
+    # threshold low enough to catch partial overlap still finds the
+    # exact dups and nothing across disjoint vocabularies
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_prefix_pairs(
+            df, "doc_id", "text", k=3, threshold=0.3
+        ).collect()
+    }
+    assert (1, 2) in loose and (4, 5) in loose
+    assert not any(3 in p for p in loose)
