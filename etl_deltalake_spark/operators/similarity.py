@@ -1240,6 +1240,7 @@ def semantic_dedup_pairs(
     centroids: Sequence[tuple[int, Sequence[float]]],
     tau: float = 0.9,
     scale: int = 6,
+    _preassigned: bool = False,
 ) -> DataFrame:
     """Cluster-bounded semantic near-duplicate mining — the SemDeDup
     pattern (Abbas et al. 2023, arXiv:2303.09540, public): assign
@@ -1259,7 +1260,19 @@ def semantic_dedup_pairs(
     trade the paper makes; MinHash/LSH rows cover the text-level
     complement.
     """
-    assigned = ivf_assign_df(df, id_col, vec_col, centroids, scale)
+    # Assign ONCE and materialize: the self-join consumes the
+    # assignment on both sides, and without the checkpoint the
+    # codebook-broadcast argmax subtree would execute per branch
+    # (SemDeDup itself clusters first, then processes — same shape).
+    # ``_preassigned`` lets semantic_dedup reuse ITS checkpointed
+    # assignment instead of assigning a second time.
+    assigned = (
+        df
+        if _preassigned
+        else ivf_assign_df(
+            df, id_col, vec_col, centroids, scale
+        ).localCheckpoint(eager=True)
+    )
     a = assigned.select(
         F.col(id_col).alias("doc_a"),
         F.col(vec_col).alias("_va"),
@@ -1292,12 +1305,19 @@ def semantic_dedup(
     the tau-ball (min-id representative survives each duplicate
     neighborhood — deterministic, no iteration). Returns (id,
     cluster_id, dup_of nullable, keep boolean)."""
-    assigned = ivf_assign_df(df, id_col, vec_col, centroids, scale)
-    dup_of = (
-        semantic_dedup_pairs(df, id_col, vec_col, centroids, tau, scale)
-        .groupBy("doc_a")
-        .agg(F.min("doc_b").alias("dup_of"))
+    assigned = ivf_assign_df(
+        df, id_col, vec_col, centroids, scale
+    ).localCheckpoint(eager=True)
+    pairs = semantic_dedup_pairs(
+        assigned.select(id_col, vec_col, "cluster_id"),
+        id_col,
+        vec_col,
+        centroids,
+        tau,
+        scale,
+        _preassigned=True,
     )
+    dup_of = pairs.groupBy("doc_a").agg(F.min("doc_b").alias("dup_of"))
     return (
         assigned.select(F.col(id_col), "cluster_id")
         .join(dup_of, F.col(id_col) == F.col("doc_a"), "left")

@@ -538,15 +538,17 @@ def nb_quality_scores(
         F.sum("y").alias("c1"),
         F.sum(F.lit(1) - F.col("y")).alias("c0"),
     )
-    # 1-row totals, materialized eagerly: both the model weights and
-    # the consts row reference it, and without the checkpoint the
-    # train-token aggregation subtree would execute once per consumer
+    # 1-row totals DERIVED FROM per_term (n1/n0 are its column sums,
+    # V its row count) — no second scan of the token stream — plus
+    # the cheap per-doc label counts; materialized eagerly because
+    # both the model weights and the consts row consume it (without
+    # the checkpoint the subtree would execute once per consumer)
     totals = (
-        tok.groupBy()
+        per_term.groupBy()
         .agg(
-            F.sum("y").alias("n1"),
-            F.sum(F.lit(1) - F.col("y")).alias("n0"),
-            F.countDistinct("term").alias("v"),
+            F.sum("c1").alias("n1"),
+            F.sum("c0").alias("n0"),
+            F.count(F.lit(1)).alias("v"),
         )
         .crossJoin(
             labeled.groupBy().agg(

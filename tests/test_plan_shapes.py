@@ -61,9 +61,9 @@ _SCALAR_CROSS_OK = {
     # projection broadcasts onto the scored tokens (the totals'
     # internal cross join materialized away with the checkpoint)
     "q_quality_clf": 2,
-    # round 9: SemDeDup — ivf_assign_df's 1-row constant-key
-    # codebook broadcast appears once per self-join branch
-    "q_semantic_dedup": 2,
+    # (q_semantic_dedup needs NO entry since the round-9 assignment
+    # checkpoint: the codebook-broadcast argmax runs pre-checkpoint,
+    # so the final plan self-joins a materialized scan — 0 BNLJ)
 }
 
 
