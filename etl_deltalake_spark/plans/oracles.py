@@ -5216,10 +5216,13 @@ oracle("q_blocklist")(
 )
 
 
-# Point-in-time feature truth (q_feature_matrix, round 8): the same
-# epoch-second range frame ending 1 s before the row, the same total
-# (epoch, event_id) lag order, exact decimal sums, left dimension
-# join.
+# Point-in-time feature truth (q_feature_matrix, round 8; hardened
+# round 10): the same epoch-second range frame ending 1 s before the
+# row, the same total (epoch, event_id) lag order, left dimension
+# join. The monetary sum is exact integer cents derived with pure
+# IEEE-754 double ops (floor(value*100 + 0.5)) — bit-identical in
+# any engine version, no DOUBLE→DECIMAL rounding path on any graded
+# column.
 oracle("q_feature_matrix")(
     """
     WITH base AS (
@@ -5227,14 +5230,14 @@ oracle("q_feature_matrix")(
              -- floor, not round: Spark unix_timestamp truncates the
              -- fractional seconds
              CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
-             CAST(value AS DECIMAL(18,2)) AS val
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_cents
       FROM events
     ),
     feat AS (
       SELECT event_id, user_id,
              count(*) OVER w3 AS n_prior_3d,
-             CAST(COALESCE(sum(val) OVER w3, 0) AS DECIMAL(28,2))
-               AS sum_prior_3d,
+             CAST(COALESCE(sum(val_cents) OVER w3, 0) AS BIGINT)
+               AS sum_prior_3d_cents,
              epoch - lag(epoch) OVER (
                PARTITION BY user_id ORDER BY epoch, event_id
              ) AS gap_s
@@ -5244,7 +5247,7 @@ oracle("q_feature_matrix")(
         RANGE BETWEEN 259200 PRECEDING AND 1 PRECEDING
       )
     )
-    SELECT f.event_id, f.n_prior_3d, f.sum_prior_3d, f.gap_s,
+    SELECT f.event_id, f.n_prior_3d, f.sum_prior_3d_cents, f.gap_s,
            c.c_mktsegment AS segment
     FROM feat f LEFT JOIN customer c ON c.c_custkey = f.user_id
     ORDER BY f.event_id

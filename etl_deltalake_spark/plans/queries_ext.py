@@ -3779,18 +3779,23 @@ def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frame that ends ONE SECOND BEFORE the event — the
     training-serving-skew rule that only the past may enter a
     feature — plus recency (gap to the user's previous event under a
-    total order) and a broadcast dimension attribute. Exact decimal
-    sums keep the frame aggregate order-free so both engines agree
-    bitwise. The DuckDB oracle replays the epoch-second range frame,
-    the lag, and the join — an off-by-one frame bound (current row
-    leaking into its own features) mismatches immediately."""
+    total order) and a broadcast dimension attribute. The monetary
+    sum is EXACT INTEGER CENTS — ``floor(value*100 + 0.5)`` is pure
+    IEEE-754 double arithmetic plus an exact floor, so both engines
+    derive bit-identical bigints from the same parquet doubles with
+    NO DOUBLE→DECIMAL cast left on any graded column (a cast whose
+    half-way rounding path is engine-version-dependent — the round-9
+    driver divergence). The DuckDB oracle replays the epoch-second
+    range frame, the lag, and the join — an off-by-one frame bound
+    (current row leaking into its own features) mismatches
+    immediately."""
     ev = load_table(spark, "events", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     base = ev.select(
         "event_id",
         "user_id",
         F.unix_timestamp("ts").alias("epoch"),
-        F.col("value").cast("decimal(18,2)").alias("val"),
+        F.floor(F.col("value") * 100 + 0.5).alias("val_cents"),
     )
     w3d = (
         Window.partitionBy("user_id")
@@ -3802,9 +3807,9 @@ def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w3d).alias("n_prior_3d"),
-        F.coalesce(
-            F.sum("val").over(w3d), F.lit(0).cast("decimal(18,2)")
-        ).cast("decimal(28,2)").alias("sum_prior_3d"),
+        F.coalesce(F.sum("val_cents").over(w3d), F.lit(0))
+        .cast("long")
+        .alias("sum_prior_3d_cents"),
         (F.col("epoch") - F.lag("epoch").over(wlag)).alias("gap_s"),
     )
     dim = cust.select(
@@ -3812,7 +3817,7 @@ def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return feat.join(F.broadcast(dim), "user_id", "left").select(
-        "event_id", "n_prior_3d", "sum_prior_3d", "gap_s", "segment"
+        "event_id", "n_prior_3d", "sum_prior_3d_cents", "gap_s", "segment"
     ).orderBy("event_id")
 
 

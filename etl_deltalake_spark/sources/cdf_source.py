@@ -99,8 +99,19 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
     def read(self, part: FileChangePartition):
         import pyarrow.parquet as pq
 
-        table = pq.read_table(part.path, columns=self.fields)
-        cols = [table.column(f).to_pylist() for f in self.fields]
+        # Data files committed BEFORE a mergeSchema append lack the
+        # newer columns; a CDF replay from version 0 must surface
+        # nulls for them (the same commit-recorded-schema null fill
+        # VersionedTable.read does), not crash the reader.
+        pf = pq.ParquetFile(part.path)
+        present = set(pf.schema_arrow.names)
+        wanted = [f for f in self.fields if f in present]
+        table = pf.read(columns=wanted)
+        by_name = {
+            f: table.column(f).to_pylist() for f in wanted
+        }
+        n = table.num_rows
+        cols = [by_name.get(f, [None] * n) for f in self.fields]
         for row in zip(*cols) if cols else ():
             yield (*row, part.version)
 

@@ -227,7 +227,14 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
     """Bring ``_delta_log`` up to date with the custom log: emit every
     missing delta version below the tip (pre-round-9 tables, or a
     crash between custom commit and mirror). O(missing commits) tiny
-    driver writes; put-if-absent makes concurrent backfills safe."""
+    driver writes; put-if-absent makes concurrent backfills safe.
+
+    Versions at or below the newest checkpoint are COVERED, not
+    missing: ``cleanup_log`` deletes their JSON by design (spec log
+    retention), and re-emitting them would both undo retention forever
+    (every later commit repaying O(full-history) driver writes) and
+    resurrect since-vacuumed files as size-0 stats-less adds. The
+    ``_last_checkpoint`` pointer is the backfill floor."""
     from etl_deltalake_spark.sources.versioned import _fs
 
     jvm, fs, _ = _fs(spark, table.path)
@@ -238,11 +245,13 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
             name = st.getPath().getName()
             if name.endswith(".json") and name[:-5].isdigit():
                 have.add(int(name[:-5]))
+    ckpt = _last_checkpoint(spark, table.path)
+    floor = ckpt["version"] if ckpt is not None else -1
     prev_schema = None
     for c in commits:
         dv = c.version - 1
         schema_json = _schema_json_from_ddl(c.schema)
-        if dv not in have:
+        if dv not in have and dv > floor:
             emit_delta_commit(
                 spark,
                 table.path,
@@ -286,6 +295,16 @@ _CHECKPOINT_SCHEMA = """
         size:bigint,
         modificationTime:bigint,
         dataChange:boolean
+    >,
+    remove struct<
+        path:string,
+        deletionTimestamp:bigint,
+        dataChange:boolean
+    >,
+    txn struct<
+        appId:string,
+        version:bigint,
+        lastUpdated:bigint
     >
 """
 
@@ -297,17 +316,23 @@ def write_delta_checkpoint(
     live: list[str],
     schema_json: str,
     timestamp: str,
+    txns: dict[str, int] | None = None,
+    tombstones: list[tuple[str, int]] | None = None,
 ) -> None:
     """The classic single-file parquet checkpoint at ``delta_version``
     (one nullable-struct row per action: protocol, metaData, one add
-    per live file — tombstones are not retained, matching a
-    post-VACUUM state) plus the ``_last_checkpoint`` pointer."""
+    per live file, one remove tombstone per not-yet-expired deleted
+    file, one txn per appId's latest committed version — PROTOCOL.md
+    says checkpoints carry the COMPLETE replay state, so a spec
+    reader that starts from the checkpoint after ``cleanup_log`` must
+    still see tombstones and per-appId exactly-once state) plus the
+    ``_last_checkpoint`` pointer."""
     from etl_deltalake_spark.sources.versioned import _fs, _write_file_atomic
 
     millis = _iso_to_millis(timestamp)
     meta = metadata_action(schema_json, table_path, millis)["metaData"]
     rows = [
-        ((1, 2), None, None),
+        ((1, 2), None, None, None, None),
         (
             None,
             (
@@ -319,6 +344,8 @@ def write_delta_checkpoint(
                 millis,
             ),
             None,
+            None,
+            None,
         ),
     ]
     for rel in live:
@@ -327,7 +354,15 @@ def write_delta_checkpoint(
                 None,
                 None,
                 (rel, {}, _file_size(spark, table_path, rel), millis, True),
+                None,
+                None,
             )
+        )
+    for rel, del_ts in sorted(tombstones or []):
+        rows.append((None, None, None, (rel, del_ts, True), None))
+    for app_id in sorted(txns or {}):
+        rows.append(
+            (None, None, None, None, (app_id, int(txns[app_id]), millis))
         )
     df = spark.createDataFrame(rows, schema=_CHECKPOINT_SCHEMA).coalesce(1)
     tmp_dir = f"{table_path}/{_DELTA_DIR}/_tmp_ckpt_{uuid.uuid4().hex}"
@@ -410,6 +445,7 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
     schema_json = None
     partition_columns: list[str] = []
     protocol = None
+    txns: dict[str, int] = {}
     version = -1
     tail_from = 0
 
@@ -435,6 +471,8 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
                 live[d["add"]["path"]] = d["add"]
             if "remove" in cols and d.get("remove") is not None:
                 live.pop(d["remove"]["path"], None)
+            if "txn" in cols and d.get("txn") is not None:
+                txns[d["txn"]["appId"]] = int(d["txn"]["version"])
 
     for v, action in delta_log_actions(spark, table_path, tail_from):
         version = max(version, v)
@@ -449,12 +487,18 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
             live[action["add"]["path"]] = action["add"]
         elif "remove" in action:
             live.pop(action["remove"]["path"], None)
+        elif "txn" in action:
+            app = action["txn"]["appId"]
+            txns[app] = max(
+                int(action["txn"]["version"]), txns.get(app, -(1 << 62))
+            )
     return {
         "files": sorted(live),
         "adds": [live[k] for k in sorted(live)],
         "schema_json": schema_json,
         "partition_columns": partition_columns,
         "protocol": protocol,
+        "txns": txns,
         "version": version,
     }
 
@@ -490,7 +534,12 @@ def read_delta(spark: SparkSession, table_path: str):
         key = tuple(pv.get(c) for c in pcols)
         groups.setdefault(key, []).append(f"{table_path}/{a['path']}")
     out = None
-    for key, paths in sorted(groups.items(), key=lambda kv: kv[0]):
+    # None-safe group order: external tables mix null partition
+    # values with strings, and None < str raises bare.
+    for key, paths in sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    ):
         part = spark.read.parquet(*paths)
         for c, raw in zip(pcols, key):
             lit = (

@@ -631,6 +631,31 @@ class VersionedTable:
             txn=txn,
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
+            # Complete replay state per PROTOCOL.md: the checkpoint
+            # carries every appId's latest txn version (exactly-once
+            # lookups survive cleanup_log) and remove tombstones for
+            # files deleted but not re-added (spec readers within the
+            # retention window still see them).
+            txns: dict[str, int] = {}
+            tombstones: dict[str, int] = {}
+            live_set = set(live_after)
+            for c in [*commits]:
+                if c.txn is not None:
+                    txns[c.txn[0]] = max(
+                        int(c.txn[1]), txns.get(c.txn[0], -(1 << 62))
+                    )
+                millis = DL._iso_to_millis(c.timestamp)
+                for rel in c.remove:
+                    if rel not in live_set:
+                        tombstones[rel] = millis
+            if txn is not None:
+                txns[txn[0]] = max(
+                    int(txn[1]), txns.get(txn[0], -(1 << 62))
+                )
+            millis_now = DL._iso_to_millis(timestamp)
+            for rel in remove:
+                if rel not in live_set:
+                    tombstones[rel] = millis_now
             DL.write_delta_checkpoint(
                 self.spark,
                 self.path,
@@ -638,6 +663,8 @@ class VersionedTable:
                 live_after,
                 schema_json,
                 timestamp,
+                txns=txns,
+                tombstones=sorted(tombstones.items()),
             )
 
     def upsert(

@@ -563,3 +563,189 @@ def test_versionedcdf_roundtrip_with_exactly_once_sink(spark, vt, tmp_path):
     drain()  # no new upstream versions → no downstream commits
     assert dst.latest_version() == v
     assert _rows(dst.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_backfill_respects_checkpoint_floor(spark, vt):
+    """Round-10 regression (ADVICE r9): after cleanup_log deletes the
+    JSON commits a checkpoint covers, the NEXT write must not re-emit
+    them — retention has to stick, or every later commit pays
+    O(full-history) driver writes and resurrects vacuumed files as
+    size-0 adds. The _last_checkpoint pointer is the backfill floor."""
+    for i in range(12):
+        vt.write(
+            _df(spark, [(i, f"r{i}")]),
+            timestamp=f"2026-05-{i + 1:02d}T00:00:00",
+        )
+    assert DL.cleanup_log(spark, vt.path) == 9  # delta 0..8 gone
+    vt.write(_df(spark, [(99, "new")]), timestamp="2026-05-13T00:00:00")
+    names = [x for x in _log_files(vt) if x.endswith(".json")]
+    # only the tail (9..12) — nothing below the checkpoint came back
+    assert names == [f"{v:020d}.json" for v in (9, 10, 11, 12)]
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+    # and retention keeps sticking on the round after
+    vt.write(_df(spark, [(100, "newer")]), timestamp="2026-05-14T00:00:00")
+    names = [x for x in _log_files(vt) if x.endswith(".json")]
+    assert names[0] == f"{9:020d}.json"
+
+
+def test_checkpoint_carries_txn_and_tombstones(spark, vt):
+    """Round-10 regression (ADVICE r9): PROTOCOL.md checkpoints hold
+    the COMPLETE replay state — after cleanup_log, a spec reader
+    resolving from the checkpoint alone must still see (a) each
+    appId's latest txn version (exactly-once lookups) and (b) remove
+    tombstones for deleted-but-unexpired files."""
+    for i in range(3):
+        vt.write(
+            _df(spark, [(i, f"r{i}")]),
+            timestamp=f"2026-06-{i + 1:02d}T00:00:00",
+        )
+    overwritten = DL.delta_snapshot(spark, vt.path)["files"]
+    # overwrite → every prior live file becomes a tombstone
+    vt.write(
+        _df(spark, [(10, "ow")]),
+        mode="overwrite",
+        timestamp="2026-06-04T00:00:00",
+    )
+    vt.write(
+        _df(spark, [(11, "t")]),
+        timestamp="2026-06-05T00:00:00",
+        txn=("appX", 7),
+    )
+    for i in range(5):  # commits 6..10; v10 checkpoints at delta 9
+        vt.write(
+            _df(spark, [(20 + i, f"s{i}")]),
+            timestamp=f"2026-06-{6 + i:02d}T00:00:00",
+        )
+    assert DL.cleanup_log(spark, vt.path) == 9
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert snap["txns"] == {"appX": 7}
+    ck = spark.read.parquet(
+        f"{vt.path}/_delta_log/{9:020d}.checkpoint.parquet"
+    )
+    removes = [
+        r["remove"].asDict() for r in ck.collect() if r["remove"] is not None
+    ]
+    assert sorted(rm["path"] for rm in removes) == overwritten
+    from datetime import datetime, timezone
+
+    ow_millis = int(
+        datetime(2026, 6, 4, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    for rm in removes:
+        assert rm["deletionTimestamp"] == ow_millis
+        assert rm["dataChange"] is True
+        assert rm["path"] not in snap["files"]
+    txn_rows = [
+        r["txn"].asDict() for r in ck.collect() if r["txn"] is not None
+    ]
+    assert [(t["appId"], t["version"]) for t in txn_rows] == [("appX", 7)]
+    # the table still reads correctly through the spec path
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+
+
+def test_read_delta_null_partition_values(spark, tmp_path):
+    """Round-10 regression (ADVICE r9): foreign tables may carry NULL
+    partitionValues (Hive __HIVE_DEFAULT_PARTITION__ semantics);
+    sorting partition groups must not compare None < str."""
+    import os
+
+    root = str(tmp_path / "extnull")
+    os.makedirs(f"{root}/_delta_log")
+    a = spark.createDataFrame([(1, "x")], ["id", "val"])
+    b = spark.createDataFrame([(2, "y")], ["id", "val"])
+    a.coalesce(1).write.parquet(f"{root}/p=1/f")
+    b.coalesce(1).write.parquet(f"{root}/p=null/f")
+
+    def one_part(d):
+        files = [
+            f for f in os.listdir(f"{root}/{d}") if f.startswith("part-")
+        ]
+        return f"{d}/{files[0]}"
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("val", StringType()),
+            StructField("p", StringType()),
+        ]
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "nullpart",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": ["p"],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": one_part("p=1/f"),
+                "partitionValues": {"p": "1"},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+        {
+            "add": {
+                "path": one_part("p=null/f"),
+                "partitionValues": {"p": None},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(x) for x in actions))
+    got = DL.read_delta(spark, root)
+    assert _rows(got) == [(1, "x", "1"), (2, "y", None)]
+
+
+def test_versionedcdf_replays_across_schema_evolution(spark, vt, tmp_path):
+    """Round-10 regression (ADVICE r9): a CDF replay from version 0
+    over a mergeSchema-evolved table must surface NULLs for columns
+    the older data files lack (VersionedTable.read's null-fill rule),
+    not crash the Python reader on a missing parquet column."""
+    from etl_deltalake_spark.sources.cdf_source import (
+        VersionedCdfDataSource,
+    )
+
+    spark.dataSource.register(VersionedCdfDataSource)
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-08-01T00:00:00")
+    wide = spark.createDataFrame([(2, "b", 9.5)], ["id", "val", "extra"])
+    vt.write(wide, timestamp="2026-08-02T00:00:00", merge_schema=True)
+    out = str(tmp_path / "evo_out")
+    q = (
+        spark.readStream.format("versionedcdf")
+        .option("path", vt.path)
+        .load()
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "evo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.json(out)
+    rows = sorted(
+        (
+            r["id"],
+            r["val"],
+            r["extra"] if "extra" in got.columns else None,
+            r["_change_version"],
+        )
+        for r in got.collect()
+    )
+    assert rows == [(1, "a", None, 1), (2, "b", 9.5, 2)]

@@ -753,8 +753,6 @@ def test_feature_matrix_no_leakage(spark, sf_dir):
     n_prior_3d = 0 and null gap (nothing before it), and no event's
     own value may enter its features — verified by recomputing one
     user's features driver-side from raw events."""
-    from decimal import Decimal
-
     from etl_deltalake_spark.plans.queries_ext import q_feature_matrix
 
     ev = qx.load_table(spark, "events", sf_dir).select(
@@ -772,16 +770,19 @@ def test_feature_matrix_no_leakage(spark, sf_dir):
     assert got[first_eid]["n_prior_3d"] == 0
     assert got[first_eid]["gap_s"] is None
     # recompute for every event of this user: strictly-prior window
+    # (integer cents via floor(v*100+0.5) — round-10 hardening)
+    import math
+
     for ep, eid, _ in raw:
         prior = [
             (e, v) for (e, i, v) in raw if ep - 259200 <= e <= ep - 1
         ]
         r = got[eid]
         assert r["n_prior_3d"] == len(prior)
-        expect = sum(
-            Decimal(str(round(v, 2))) for _, v in prior
-        ).quantize(Decimal("0.01")) if prior else Decimal("0.00")
-        assert r["sum_prior_3d"] == expect, (eid, r["sum_prior_3d"], expect)
+        expect = sum(int(math.floor(v * 100 + 0.5)) for _, v in prior)
+        assert r["sum_prior_3d_cents"] == expect, (
+            eid, r["sum_prior_3d_cents"], expect,
+        )
 
 
 def test_labels_strictly_future_no_overlap_with_features(spark, sf_dir):
