@@ -89,6 +89,15 @@ HEADLINE = [
     # since the r9 rotation (Q21) / slotless-oracle-gated (Q1)
     "q_tpch_q1",
     "q_tpch_q21",
+    # round-10 additions: the four rows seated at the r10 rotation
+    # (prefix-filtered exact Jaccard, SemDeDup, the trained NB
+    # quality classifier, SQL scripting) plus TPC-H Q9 — the
+    # suite's hardest join tree over the derived partsupp
+    "q_jaccard_prefix",
+    "q_semantic_dedup",
+    "q_quality_clf",
+    "q_sql_scripting",
+    "q_tpch_q9",
 ]
 
 # Rows whose cost is dominated by IN-QUERY TRAINING by design
@@ -99,6 +108,19 @@ HEADLINE = [
 # number (q_ivfpq_pretrained, ~0.3 s — the 100 TB steady-state shape)
 # is a first-class headline.
 TRAINING_ROWS = frozenset({"q_ivfpq_topk"})
+
+# Rows that have historically shown the largest run-to-run variance
+# under co-tenant load (BENCH_r09 was measured at loadavg ~4 and its
+# per-row "regressions" inverted on a quiet box): min-of-3 instead of
+# min-of-2, so the shipped JSON carries its own noise defense.
+NOISY_ROWS = frozenset({"q_corpus_prep", "q_incr_neardup", "q_ivfpq_topk"})
+
+# When the box is visibly contended at start (loadavg_before ≥ this on
+# a 32-core box) AND a row's first/best ratio exceeds _RERUN_RATIO, the
+# row gets one extra timed run — a cheap targeted retry that converges
+# noisy rows without re-running the whole suite.
+_LOAD_GUARD = 2.0
+_RERUN_RATIO = 2.0
 
 
 def main() -> None:
@@ -147,11 +169,14 @@ def main() -> None:
     # the plan build each run.
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    reruns: dict[str, int] = {}
     total = 0.0
     for name in names:
         best = None
         rows = 0
-        for i in range(2):
+        n_runs = 3 if name in NOISY_ROWS else 2
+        i = 0
+        while i < n_runs:
             t0 = time.perf_counter()
             df = registry[name](spark, sf_dir)
             rows = df.count()
@@ -159,9 +184,24 @@ def main() -> None:
             if i == 0:
                 first_run[name] = round(dt, 4)
             best = dt if best is None else min(best, dt)
+            i += 1
+            # Contended-box guard: a first/best ratio this large under
+            # visible start load means the min hasn't converged — buy
+            # one extra run for THIS row only.
+            if (
+                i == n_runs
+                and load_before[0] >= _LOAD_GUARD
+                and first_run[name] / max(best, 1e-9) > _RERUN_RATIO
+                and reruns.get(name, 0) == 0
+            ):
+                reruns[name] = 1
+                n_runs += 1
         timings[name] = round(best, 4)
         total += best
-        print(f"# {name}: {rows} rows in {best:.3f}s (min of 2)", file=sys.stderr)
+        print(
+            f"# {name}: {rows} rows in {best:.3f}s (min of {i})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -180,6 +220,9 @@ def main() -> None:
                 # first-touch timings (the r1-r3 single-run
                 # methodology) kept for cross-round comparability
                 "queries_first_run": first_run,
+                # rows that earned a contended-box extra run this
+                # invocation (empty on a quiet box)
+                "noise_reruns": sorted(reruns),
                 "sf": sf,
                 "run_started": run_started,
                 "run_finished": time.strftime("%Y-%m-%dT%H:%M:%S%z"),

@@ -1024,7 +1024,7 @@ oracle("q_rollup_state")(
 # two-bit palette + tRNS (0,255,128; entry 3 defaults opaque) →
 # RGBA, per-pixel contribution = entry channel-sum + its alpha.
 # q_media_decode: modes 0-4 are the PNG closed forms (dims from
-# d//7, independent of the mode residue); mode 5 (round 9) is the
+# d//8, independent of the mode residue); mode 5 (round 9) is the
 # baseline-JPEG DC-exactness contract — 8x8 block b of a
 # (1+d%3)x(1+d%2) grid holds the constant (d*31+b)%256, so the pixel
 # SUM is 64x the block-value sum over exactly n_blocks terms (the
@@ -1035,24 +1035,28 @@ oracle("q_rollup_state")(
 # it exactly, and only the shared closed-form RGB rounding remains —
 # replayed here with the identical double arithmetic (chroma is a
 # multiple of 4, never an exact .5 boundary; per-tile value
-# pre-scaled by the 256 pixels of the tile).
+# pre-scaled by the 256 pixels of the tile). Mode 7 (round 10) is
+# the PROGRESSIVE grayscale JPEG: the same block-constant closed
+# form as mode 5 — a full spectral-selection + successive-
+# approximation script reconstructs the sequential coefficients
+# exactly, so only the Spark-side decoder changes, not the truth.
 oracle("q_media_decode")(
     """
     WITH dims AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 7 = 5 THEN 8 * (1 + doc_id % 3)
-                  WHEN doc_id % 7 = 6 THEN 16 * (1 + doc_id % 2)
-                  ELSE 3 + (doc_id // 7) % 7 END AS width,
-             CASE WHEN doc_id % 7 = 5 THEN 8 * (1 + doc_id % 2)
-                  WHEN doc_id % 7 = 6 THEN 16 * (1 + (doc_id % 4) // 2)
-                  ELSE 2 + (doc_id // 7) % 4 END AS height,
-             doc_id % 7 AS mode
+             CASE WHEN doc_id % 8 IN (5, 7) THEN 8 * (1 + doc_id % 3)
+                  WHEN doc_id % 8 = 6 THEN 16 * (1 + doc_id % 2)
+                  ELSE 3 + (doc_id // 8) % 7 END AS width,
+             CASE WHEN doc_id % 8 IN (5, 7) THEN 8 * (1 + doc_id % 2)
+                  WHEN doc_id % 8 = 6 THEN 16 * (1 + (doc_id % 4) // 2)
+                  ELSE 2 + (doc_id // 8) % 4 END AS height,
+             doc_id % 8 AS mode
       FROM documents
     ),
     px AS (
       SELECT doc_id, width, height, mode,
              unnest(range(0, CAST(
-               CASE WHEN mode = 5 THEN (width // 8) * (height // 8)
+               CASE WHEN mode IN (5, 7) THEN (width // 8) * (height // 8)
                     WHEN mode = 6 THEN (width // 16) * (height // 16)
                     WHEN mode = 1 THEN width * height * 3
                     ELSE width * height END AS BIGINT))) AS k
@@ -1079,7 +1083,7 @@ oracle("q_media_decode")(
                  1 + CAST((doc_id * 31 + k) % 4 AS INT)]
                  + list_value(0, 255, 128, 255)[
                  1 + CAST((doc_id * 31 + k) % 4 AS INT)]
-               WHEN mode = 5 THEN 64 * ((doc_id * 31 + k) % 256)
+               WHEN mode IN (5, 7) THEN 64 * ((doc_id * 31 + k) % 256)
                WHEN mode = 6 THEN CAST(256 * (
                    LEAST(GREATEST(ROUND(ty + 1.402 * (tcr - 128)), 0), 255)
                  + LEAST(GREATEST(ROUND(ty - 0.344136 * (tcb - 128)
@@ -5500,5 +5504,163 @@ oracle("q_rfm")(
     SELECT r_score, f_score, m_score, count(*) AS n_users
     FROM scored GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
+    """
+)
+
+
+# ---------------------------------------------- TPC-H 22/22 (round 10)
+# The derived partsupp CTE — pinned integer formulas over 0-based
+# keys, the exact mirror of queries_ext._partsupp (see its block
+# comment). Pure integer arithmetic ⇒ bit-identical rows in both
+# engines by construction.
+_PARTSUPP_CTE = """
+    sc AS (SELECT COUNT(*) AS s_cnt FROM supplier),
+    ps0 AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i.i * (sc.s_cnt // 4)) % sc.s_cnt AS ps_suppkey
+      FROM part, sc, (VALUES (0),(1),(2),(3)) AS i(i)
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+             (ps_partkey * 31 + ps_suppkey * 17) % 900 + 1 AS ps_supplycost
+      FROM ps0
+    )
+"""
+
+oracle("q_tpch_q2")(
+    f"""
+    WITH {_PARTSUPP_CTE},
+    eu AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             s_name, s_acctbal, n_name
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mn AS (
+      SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+      FROM eu GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.ps_supplycost
+    FROM eu e
+    JOIN mn ON e.ps_partkey = mn.ps_partkey
+           AND e.ps_supplycost = mn.min_cost
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size = 15
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """
+)
+
+oracle("q_tpch_q9")(
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT n_name AS nation,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) -
+                   CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+             - CAST(ps_supplycost * CAST(l_quantity AS BIGINT)
+                    AS DECIMAL(18,4))
+           ) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY nation, o_year DESC
+    """
+)
+
+oracle("q_tpch_q11")(
+    f"""
+    WITH {_PARTSUPP_CTE},
+    scoped AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    tot AS (
+      SELECT SUM(v) AS total_v, COUNT(DISTINCT ps_partkey) AS np
+      FROM scoped
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value_dollars
+    FROM scoped, tot
+    GROUP BY ps_partkey, total_v, np
+    HAVING SUM(v) * np * 10 > total_v * 12
+    ORDER BY value_dollars DESC, ps_partkey
+    """
+)
+
+oracle("q_tpch_q16")(
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 15, 25, 36, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+)
+
+oracle("q_tpch_q20")(
+    f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, s_suppkey
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND ps_availqty * 2 > qty
+      )
+    ORDER BY s_name
+    """
+)
+
+
+# Streaming CDF hop truth (q_stream_cdf, round 10): batch v+1 holds
+# exactly the events with event_id % 3 == v, landed downstream ONCE —
+# a duplicate replay (engine-offset or foreachBatch) would double a
+# count; a missed commit would drop a group. Money in exact integer
+# cents (the q_feature_matrix derivation).
+oracle("q_stream_cdf")(
+    """
+    SELECT CAST(event_id % 3 + 1 AS BIGINT) AS batch_v,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
     """
 )

@@ -992,8 +992,8 @@ _MEDIA_PALETTE = bytes(
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-pixel decode, cross-engine verified: synthesize one
-    deterministic payload per document cycling ALL SEVEN codec paths
-    by doc_id % 7 — PNG 8-bit gray, PNG 8-bit RGB, PNG 2-bit-packed
+    deterministic payload per document cycling ALL EIGHT codec paths
+    by doc_id % 8 — PNG 8-bit gray, PNG 8-bit RGB, PNG 2-bit-packed
     palette written ADAM7-INTERLACED (PLTE expansion + sub-byte
     unpack + 7-pass scatter all on the graded path), PNG 16-bit gray
     (big-endian byte pairs), PNG 2-bit palette WITH a tRNS table →
@@ -1006,7 +1006,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive DCT/quant/box-average exactly, so only the shared
     closed-form YCbCr→RGB rounding remains, replayed in SQL (chroma
     values are multiples of 4, which provably never land on an
-    exact .5 rounding boundary — enumerated in test_jpeg.py).
+    exact .5 rounding boundary — enumerated in test_jpeg.py) — and
+    (round 10) a PROGRESSIVE (SOF2) grayscale JPEG: the multi-scan
+    spectral-selection + successive-approximation decode path under
+    the same block-constant DC-exactness closed form.
     Pixel formula (PNG modes): sample k = (doc_id*31 + k) % 256 (% 4
     palette indices, % 65536 16-bit values); scanline filters cycle
     0-4 so every unfilter branch runs. JPEG gray mode: 8×8 block b
@@ -1021,7 +1024,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles."""
     import pandas as pd
 
-    from etl_deltalake_spark.operators.jpeg import encode_jpeg
+    from etl_deltalake_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from etl_deltalake_spark.operators.multimodal import decode_image
     from etl_deltalake_spark.operators.png import encode_png
 
@@ -1033,13 +1039,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
                 # width modulus 7 is COPRIME with the mode
-                # selector's 7? No — they would alias (round-8
+                # selector's 8? No — they would alias (round-8
                 # ADVICE-r7 rule). PNG dims therefore derive from
-                # d // 7, which is independent of d % 7: every PNG
+                # d // 8, which is independent of d % 8: every PNG
                 # path still sees every width/height combination.
-                w = 3 + (d // 7) % 7
-                h = 2 + (d // 7) % 4
-                mode = d % 7
+                w = 3 + (d // 8) % 7
+                h = 2 + (d // 8) % 4
+                mode = d % 8
                 if mode == 0:
                     px = bytes((d * 31 + k) % 256 for k in range(w * h))
                     blob = encode_png(px, w, h, 0, "cycle")
@@ -1068,7 +1074,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bit_depth=2, palette=_MEDIA_PALETTE,
                         trns=bytes([0, 255, 128]),
                     )
-                elif mode == 5:  # gray JPEG, DC-exactness contract
+                elif mode in (5, 7):  # gray JPEG, DC-exactness
+                    # contract — mode 5 baseline, mode 7 PROGRESSIVE
+                    # (round 10): the same block-constant closed form
+                    # survives any scan script, so the oracle stays
+                    # identical while the SOF2 multi-scan decode path
+                    # (spectral selection + successive approximation)
+                    # is driver-graded.
                     wb, hb = 1 + d % 3, 1 + d % 2
                     w, h = 8 * wb, 8 * hb
                     px = bytes(
@@ -1076,7 +1088,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for yy in range(h)
                         for xx in range(w)
                     )
-                    blob = encode_jpeg(px, w, h, 1)
+                    if mode == 5:
+                        blob = encode_jpeg(px, w, h, 1)
+                    else:
+                        blob = encode_jpeg_progressive(px, w, h, 1)
                 else:  # mode 6: color 4:2:0 JPEG, MCU-constant YCbCr
                     tx, ty = 1 + d % 2, 1 + (d % 4) // 2
                     w, h = 16 * tx, 16 * ty
@@ -4197,4 +4212,343 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ------------------------------------------------- TPC-H 22/22 (round 10)
+# The fixture lacks a partsupp table, so the last five TPC-H shapes
+# (Q2/Q9/Q11/Q16/Q20) derive one DETERMINISTICALLY from part ×
+# supplier with pinned integer formulas — every column is pure
+# integer arithmetic over the 0-based keys, so Spark and DuckDB
+# derive bit-identical rows by construction (the q_media_decode
+# closed-form-fixture precedent, no parquet write needed):
+#   ps_suppkey    = (p_partkey + i·⌊S/4⌋) mod S,  i ∈ {0,1,2,3}
+#                   (4 distinct suppliers per part for S ≥ 8)
+#   ps_availqty   = (p_partkey·7  + ps_suppkey·11) mod 9999 + 1
+#   ps_supplycost = (p_partkey·31 + ps_suppkey·17) mod 900  + 1
+# ps_supplycost is INTEGER DOLLARS (1..900) so money math involving
+# it stays exact in BIGINT/DECIMAL on both engines with no
+# DOUBLE→DECIMAL rounding path anywhere.
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp table (see block comment above). Shape:
+    4 rows per part, built by two broadcast cross joins (a 1-row
+    supplier count and a 4-row index) — partsupp inherits part's
+    partitioning with ZERO shuffles, so at 100 TB it stays a narrow
+    map over the part scan."""
+    part = load_table(spark, "part", sf_dir).select("p_partkey")
+    scnt = load_table(spark, "supplier", sf_dir).agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    sk = (
+        F.col("p_partkey")
+        + F.col("i") * F.floor(F.col("s_cnt") / F.lit(4))
+    ) % F.col("s_cnt")
+    return (
+        part.crossJoin(F.broadcast(scnt))
+        # the 4-way fanout is a GENERATOR (explode), not a join —
+        # one narrow Generate node over the part scan, zero BNLJ
+        .withColumn(
+            "i", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+        )
+        .withColumn(
+            "ps_availqty",
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 9999 + 1,
+        )
+        .withColumn(
+            "ps_supplycost",
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 900 + 1,
+        )
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to the fixture
+    schema (p_type is a single word, so the size filter alone scopes
+    parts; no s_address/s_phone/s_comment columns): for size-15
+    parts, the EUROPE supplier(s) achieving the region-minimum
+    supply cost. The correlated-MIN-subquery shape decorrelated the
+    scale-safe way: aggregate the region-scoped partsupp to per-part
+    minima once, then join back on (partkey, cost = min) — both
+    sides share the ps_partkey shuffle key, and all dimension hops
+    (supplier, nation, region) are broadcasts. Total ORDER BY
+    (acctbal DESC, nation, supplier, partkey) + LIMIT 100, exactly
+    the spec's presentation order."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_size") == 15
+    ).select("p_partkey", "p_brand")
+    eu = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    # rename the group key before the self-join: mn derives FROM eu,
+    # and joining on same-lineage columns risks a trivially-true
+    # predicate (Spark's self-join ambiguity)
+    mn = (
+        eu.groupBy(F.col("ps_partkey").alias("mk"))
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+    )
+    return (
+        eu.join(
+            mn,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), the hardest join tree in the
+    suite: lineitem ⋈ orders ⋈ partsupp ⋈ part ⋈ supplier ⋈ nation,
+    profit = disc revenue − supply cost, by nation and order year.
+    Scale shape: part is filtered by name FIRST and joined into the
+    derived partsupp (both narrow), and that small composite
+    broadcasts into the lineitem scan — the only real shuffle left
+    is lineitem ⋈ orders on orderkey. Money math: revenue in
+    DECIMAL(18,4) exactly as the green Q1/Q3 rows; the supply-cost
+    term is integer dollars × integral quantity, exact in BIGINT
+    before the decimal subtraction — no float path anywhere."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, "nation", sf_dir)
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(part), F.col("ps_partkey") == part.p_partkey
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = (_dec("l_extendedprice") * (one - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cost = (
+        F.col("ps_supplycost") * F.col("l_quantity").cast("long")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(revenue - cost).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part stock
+    value (supplycost × availqty) for EUROPE suppliers, keeping
+    parts whose value exceeds 1.2× the average part share — the
+    HAVING-over-global-aggregate shape. The global total is a 1-row
+    broadcast (the q_psi_drift pattern), and the threshold is the
+    exact integer cross-multiplication sum·np·10 > total·12 — all
+    BIGINT, no float boundary. One shuffle: the groupBy(ps_partkey)
+    aggregate; dimension hops broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    scoped = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    tot = scoped.agg(
+        F.sum("v").alias("total_v"),
+        F.countDistinct("ps_partkey").alias("np"),
+    )
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("sum_v"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("sum_v") * F.col("np") * 10 > F.col("total_v") * 12)
+        .select(
+            "ps_partkey",
+            F.col("sum_v").cast("double").alias("value_dollars"),
+        )
+        .orderBy(F.col("value_dollars").desc(), "ps_partkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted to the
+    fixture schema (no s_comment — "complaint" suppliers become the
+    negative-balance ones): distinct supplier count per (brand,
+    type, size) over six sizes, excluding one brand and the bad
+    suppliers. The NOT-IN-subquery shape compiles to a LEFT ANTI
+    join against the tiny bad-supplier list (broadcast); the
+    countDistinct shuffles once on the grouping key."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 15, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), the nested semi-join
+    chain: suppliers in three nations holding excess stock
+    (availqty > half of what they shipped in 1997) of 'small%'
+    parts. Ship quantities aggregate once per (partkey, suppkey) —
+    integral doubles cast to BIGINT exactly — and the excess test is
+    the integer cross-multiplication 2·availqty > qty. The supplier
+    qualification is a LEFT SEMI join, so each supplier emits at
+    most once regardless of how many parts qualify."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    small = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(small), F.col("ps_partkey") == small.p_partkey
+    )
+    qualifying = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(
+            qualifying,
+            supp.s_suppkey == qualifying.ps_suppkey,
+            "left_semi",
+        )
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
+
+
+def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming STORAGE hop, cross-engine graded (round 10,
+    VERDICT r9 Next #7): three deterministic event batches commit
+    into a versioned table (each commit also mirrored to the spec
+    ``_delta_log``), a REAL ``readStream`` over the ``versionedcdf``
+    Python DataSource replays them (engine-managed offsets = table
+    versions; every added data file is one input partition read by
+    executors), and ``exactly_once_versioned_sink`` lands each
+    micro-batch downstream under a Delta txn action. The drain runs
+    TWICE against the same checkpoint — the second pass must add
+    nothing (restart-replay exactly-once), which the oracle enforces
+    by construction: any duplicate row breaks the per-batch counts.
+    The graded output aggregates the DOWNSTREAM table per
+    (_change_version, event_type), so the values prove the replay
+    covered every upstream commit exactly once."""
+    import tempfile
+
+    from etl_deltalake_spark.sources.cdf_source import (
+        VersionedCdfDataSource,
+    )
+    from etl_deltalake_spark.sources.versioned import versioned_table
+    from etl_deltalake_spark.streaming.pipeline import (
+        exactly_once_versioned_sink,
+    )
+
+    spark.dataSource.register(VersionedCdfDataSource)
+    root = tempfile.mkdtemp(prefix="sgraft_cdf_")
+    src = versioned_table(spark, f"{root}/src", use_delta=False)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+    )
+    for v in range(3):
+        src.write(
+            ev.filter(F.col("event_id") % 3 == v),
+            timestamp=f"2026-01-{v + 1:02d}T00:00:00",
+        )
+    dst = versioned_table(spark, f"{root}/dst", use_delta=False)
+    sink = exactly_once_versioned_sink(dst, "hop")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("versionedcdf")
+            .option("path", src.path)
+            .load()
+            .withColumnRenamed("_change_version", "batch_v")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    drain()  # restart replay — engine offsets make it a no-op
+    return (
+        dst.read()
+        .groupBy("batch_v", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("batch_v", "event_type")
     )

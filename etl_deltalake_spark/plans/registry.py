@@ -107,7 +107,7 @@ REGISTERED: tuple[str, ...] = (
     "q_merge_dedup",
     # relational completeness (SURVEY §2.8)
     "q_group_agg",
-    "q_join_agg",
+    "q_tpch_q9",
     "q_topk_per_group",
     "q_tpch_q21",
     "q_recursive",
@@ -123,7 +123,7 @@ REGISTERED: tuple[str, ...] = (
     "q_percentiles",
     "q_seasonal",
     "q_fuzzy_pairs",
-    "q_scalar_funcs",
+    "q_sql_scripting",
     "q_sessionize",
     "q_variant",
     # streaming (SURVEY §2.8)
@@ -131,21 +131,21 @@ REGISTERED: tuple[str, ...] = (
     "q_stream_dedup",
     "q_session_window",
     # LLM-data-pipeline extensions (SURVEY §2.9)
-    "q_dedup_exact",
+    "q_jaccard_prefix",
     "q_minhash_lsh",
     "q_ivfpq_pretrained",
     "q_corpus_prep",
     "q_hamming_pairs",
     "q_substring_dup",
     "q_containment",
-    "q_text_stats",
+    "q_quality_clf",
     "q_heavy_hitters",
     "q_incr_neardup",
     "q_bm25",
     "q_ann_recall",
     "q_image_dedup",
     "q_weighted_draw",
-    "q_ivfpq_topk",
+    "q_semantic_dedup",
     "q_warc_extract",
     "q_media_decode",
     "q_audio_decode",
@@ -262,6 +262,42 @@ RETIRED_R9: tuple[str, ...] = (
     "q_sort_limit",
 )
 
+# Round-10 rotation (VERDICT r9 Next #2+#3): the round-9 flagships
+# and the hardest new TPC-H join tree take driver rows.
+# q_join_agg → q_tpch_q9: the 4-table join+aggregate executes inside
+# EVERY TPC-H driver row (Q21's join tree strictly contains it); Q9
+# is the suite's hardest shape — a 6-table tree over the derived
+# partsupp with decimal-exact profit math — and had no slot.
+# q_scalar_funcs → q_sql_scripting: the scalar expression library
+# executes inside dozens of registered rows (every CASE/cast/round/
+# date function rides some driver scan); Spark 4.1 SQL scripting
+# (iterative WHILE/variables, oracle = unrolled chained CTEs) had
+# no driver row.
+# q_dedup_exact → q_jaccard_prefix: exact md5 dedup executes
+# verbatim inside q_corpus_prep's funnel (the q_dedup_clusters
+# precedent from round 2); the prefix-filtered EXACT Jaccard join —
+# the All-Pairs/PPJoin scale path whose oracle re-proves candidate
+# completeness against the exhaustive join — is the strongest
+# near-dup row with no slot.
+# q_text_stats → q_quality_clf: the heuristic token/length/ratio
+# stats ride the same tokenizer q_bm25 drives harder, and the
+# trained NB quality classifier (the CCNet/fastText curation
+# pattern, DECIMAL-quantized log scores) is strictly richer quality
+# evidence.
+# q_ivfpq_topk → q_semantic_dedup: the in-query-TRAINING ANN row
+# (excluded from headline_serving_total by design) cedes to
+# SemDeDup cluster-bounded semantic dedup, which EXECUTES the IVF
+# assignment + within-cluster cosine at scale; the train/encode/ADC
+# chain stays driver-graded through q_ivfpq_pretrained, whose
+# oracle re-derives it end-to-end.
+RETIRED_R10: tuple[str, ...] = (
+    "q_join_agg",
+    "q_scalar_funcs",
+    "q_dedup_exact",
+    "q_text_stats",
+    "q_ivfpq_topk",
+)
+
 # Oracle-paired queries without a driver slot (pytest-gated).
 SLOTLESS: tuple[str, ...] = (
     "q_pack_sequences",
@@ -371,10 +407,14 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q4",
     "q_tpch_q12",
     "q_tpch_q19",
-    "q_quality_clf",
-    "q_jaccard_prefix",
-    "q_semantic_dedup",
-    "q_sql_scripting",
+    # round 10 — TPC-H 22/22 via the derived partsupp, plus the
+    # streaming CDF storage hop (versionedcdf source → exactly-once
+    # txn sink, drained twice) as a cross-engine-graded row
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_stream_cdf",
 )
 
 
@@ -393,6 +433,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R8,
     RETIRED_R8B,
     RETIRED_R9,
+    RETIRED_R10,
     SLOTLESS,
 )
 

@@ -345,7 +345,6 @@ def test_unsupported_variants_raise_honestly():
     blob = bytearray(encode_jpeg(px, w, h, 1))
     i = blob.find(b"\xff\xc0")
     for marker, msg in [
-        (0xC2, "progressive"),
         (0xC3, "lossless"),
         (0xC9, "arithmetic"),
         (0xC5, "non-baseline"),
@@ -354,6 +353,14 @@ def test_unsupported_variants_raise_honestly():
         mutated[i + 1] = marker
         with pytest.raises(UnsupportedJpegError, match=msg):
             decode_jpeg(bytes(mutated))
+    # SOF2 is SUPPORTED since round 10 — but a baseline scan header
+    # (Ss=0, Se=63) inside a progressive file is malformed, so the
+    # naive marker swap now fails as a corrupt file, not as an
+    # unsupported variant
+    mutated = bytearray(blob)
+    mutated[i + 1] = 0xC2
+    with pytest.raises(JpegError, match="Se=0"):
+        decode_jpeg(bytes(mutated))
     # 12-bit precision
     mutated = bytearray(blob)
     mutated[i + 4] = 12
@@ -470,3 +477,153 @@ def test_rgb_rounding_never_hits_half_for_mode6_domain():
         for cb in chroma
         for cr in chroma
     )
+
+
+# -------------------------------------------- progressive (round 10)
+
+def _prog():
+    from etl_deltalake_spark.operators.jpeg import (
+        DEFAULT_SCANS_COLOR,
+        DEFAULT_SCANS_GRAY,
+        encode_jpeg_progressive,
+    )
+
+    return encode_jpeg_progressive, DEFAULT_SCANS_GRAY, DEFAULT_SCANS_COLOR
+
+
+@pytest.mark.parametrize(
+    "w,h", [(8, 8), (16, 16), (17, 9), (24, 31), (40, 40)]
+)
+def test_progressive_equals_baseline_gray(w, h):
+    """The equivalence gate: a full progressive script reconstructs
+    exactly the sequential coefficient array, so progressive decode
+    must be PIXEL-IDENTICAL to the (independently cross-engine-
+    graded) baseline decode of the same input — on arbitrary random
+    content, not just the closed-form fixtures."""
+    enc_prog, _, _ = _prog()
+    random.seed(w * 100 + h)
+    px = bytes(random.randrange(256) for _ in range(w * h))
+    base = decode_jpeg(encode_jpeg(px, w, h, 1))
+    prog = decode_jpeg(enc_prog(px, w, h, 1))
+    assert (prog.width, prog.height, prog.channels) == (w, h, 1)
+    assert prog.pixels == base.pixels
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_progressive_equals_baseline_color(subsample):
+    """Interleaved DC scans + per-component AC scans over both
+    subsampling layouts (the 4:2:0 luma grid is wider than its
+    non-interleaved chroma grids — the MCU-vs-component block-count
+    split the spec requires)."""
+    enc_prog, _, _ = _prog()
+    random.seed(17)
+    w, h = 21, 18
+    px = bytes(random.randrange(256) for _ in range(w * h * 3))
+    base = decode_jpeg(encode_jpeg(px, w, h, 3, subsample=subsample))
+    prog = decode_jpeg(enc_prog(px, w, h, 3, subsample=subsample))
+    assert prog.pixels == base.pixels
+
+
+def test_progressive_restart_markers():
+    enc_prog, _, _ = _prog()
+    random.seed(23)
+    w, h = 32, 24
+    px = bytes(random.randrange(256) for _ in range(w * h))
+    blob = enc_prog(px, w, h, 1, restart_interval=2)
+    assert b"\xff\xd0" in blob  # RST actually emitted inside scans
+    base = decode_jpeg(encode_jpeg(px, w, h, 1))
+    assert decode_jpeg(blob).pixels == base.pixels
+
+
+def test_progressive_spectral_selection_split_bands():
+    """Band-split script (1-5 / 6-63) with a refinement pass whose
+    band matches its first scan — exercises per-band EOBRUN state."""
+    enc_prog, _, _ = _prog()
+    scans = (
+        ((0,), 0, 0, 0, 0),
+        ((0,), 1, 5, 0, 1),
+        ((0,), 6, 63, 0, 0),
+        ((0,), 1, 5, 1, 0),
+    )
+    random.seed(29)
+    w, h = 24, 24
+    px = bytes(random.randrange(256) for _ in range(w * h))
+    base = decode_jpeg(encode_jpeg(px, w, h, 1))
+    assert decode_jpeg(enc_prog(px, w, h, 1, scans=scans)).pixels == base.pixels
+
+
+def test_progressive_eobrun_spans_blocks():
+    """A mostly-flat image makes most blocks' AC bands empty, forcing
+    EOBn runs > 1 (the r>0 EOBRUN path with appended magnitude bits)
+    in both the first and refinement AC scans; the refinement run
+    carries buffered correction bits across blocks."""
+    enc_prog, scans_gray, _ = _prog()
+    # 64x8: eight blocks, only the last has AC energy
+    w, h = 64, 8
+    px = bytearray([77] * (w * h))
+    for y in range(8):
+        for x in range(56, 64):
+            px[y * w + x] = (x * 37 + y * 91) % 256
+    px = bytes(px)
+    blob = enc_prog(px, w, h, 1)
+    base = decode_jpeg(encode_jpeg(px, w, h, 1))
+    assert decode_jpeg(blob).pixels == base.pixels
+
+
+def test_progressive_dc_exactness_closed_form():
+    """The q_media_decode mode-7 contract: block-constant gray + the
+    flat all-8s quant table decodes BIT-EXACTLY through any full
+    progressive script — the closed form the SQL oracle re-derives."""
+    enc_prog, _, _ = _prog()
+    px, w, h = _flat_blocks_gray(3, 2, [10, 60, 110, 160, 210, 255])
+    assert decode_jpeg(enc_prog(px, w, h, 1)).pixels == px
+    # and under a deliberately different script
+    scans = (
+        ((0,), 0, 0, 0, 2),
+        ((0,), 0, 0, 2, 1),
+        ((0,), 0, 0, 1, 0),
+        ((0,), 1, 63, 0, 0),
+    )
+    assert decode_jpeg(enc_prog(px, w, h, 1, scans=scans)).pixels == px
+
+
+def test_progressive_against_independent_decoder():
+    """The in-test from-scratch spec decoder cannot read SOF2, but
+    the baseline re-encode of the progressive DECODE must match it —
+    closing the loop without trusting either progressive codec
+    half."""
+    enc_prog, _, _ = _prog()
+    random.seed(31)
+    w, h = 16, 16
+    px = bytes(random.randrange(256) for _ in range(w * h))
+    prog_pixels = decode_jpeg(enc_prog(px, w, h, 1)).pixels
+    blob2 = encode_jpeg(prog_pixels, w, h, 1)
+    assert _ref_decode(blob2)[3] == decode_jpeg(blob2).pixels
+
+
+def test_progressive_error_paths():
+    enc_prog, _, _ = _prog()
+    px, w, h = _flat_blocks_gray(1, 1, [128])
+    blob = bytearray(enc_prog(px, w, h, 1))
+    # truncate mid-scan → JpegError, not a crash
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(blob[: len(blob) // 2]))
+    # AC scan naming two components is illegal in progressive
+    from etl_deltalake_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    with pytest.raises(JpegError):
+        # craft via a legal file then corrupt the SOS ns byte of an
+        # AC scan: find the second SOS (first is DC, interleaved ok)
+        data = encode_jpeg_progressive(
+            bytes(random.randrange(256) for _ in range(16 * 16 * 3)),
+            16, 16, 3,
+        )
+        i = data.find(b"\xff\xda")
+        j = data.find(b"\xff\xda", i + 2)
+        bad = bytearray(data)
+        # ns byte follows the 2-byte length
+        bad[j + 4] = 2
+        bad[j + 3] = bad[j + 3] + 2  # keep the length consistent
+        decode_jpeg(bytes(bad))

@@ -64,6 +64,17 @@ _SCALAR_CROSS_OK = {
     # (q_semantic_dedup needs NO entry since the round-9 assignment
     # checkpoint: the codebook-broadcast argmax runs pre-checkpoint,
     # so the final plan self-joins a materialized scan — 0 BNLJ)
+    # round 10: the derived partsupp crossJoins the 1-row supplier
+    # COUNT (its 4-way fanout is an explode, not a join). Q2 and Q11
+    # consume partsupp through two branches of a self-join/agg pair,
+    # so the 1-row broadcast appears once per branch; Q11 adds the
+    # 1-row (total, np) threshold aggregate (the q_psi_drift
+    # pattern).
+    "q_tpch_q2": 2,
+    "q_tpch_q9": 1,
+    "q_tpch_q11": 3,
+    "q_tpch_q16": 1,
+    "q_tpch_q20": 1,
 }
 
 
