@@ -510,7 +510,13 @@ def read_delta(spark: SparkSession, table_path: str):
     values in the log's ``partitionValues``, not in the parquet
     files): adds are grouped by their partition-value tuple, each
     group's files are read together, and the partition columns are
-    injected as literals cast to the schema's declared types."""
+    injected as literals cast to the schema's declared types.
+
+    Every read PROJECTS the log's metaData schema (round 10): data
+    files written before a schema-evolution append lack the newer
+    columns, and a spec reader must surface them as nulls — reading
+    with an explicit schema makes the parquet scan null-fill, exactly
+    like real Delta readers."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -524,10 +530,13 @@ def read_delta(spark: SparkSession, table_path: str):
         return spark.createDataFrame([], schema=schema)
     pcols = snap["partition_columns"]
     if not pcols:
-        return spark.read.parquet(
+        return spark.read.schema(schema).parquet(
             *[f"{table_path}/{p}" for p in snap["files"]]
         )
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
     groups: dict[tuple, list[str]] = {}
     for a in snap["adds"]:
         pv = a.get("partitionValues") or {}
@@ -540,7 +549,7 @@ def read_delta(spark: SparkSession, table_path: str):
         groups.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        part = spark.read.parquet(*paths)
+        part = spark.read.schema(data_schema).parquet(*paths)
         for c, raw in zip(pcols, key):
             lit = (
                 F.lit(None).cast(ptypes[c])
