@@ -5664,3 +5664,25 @@ oracle("q_stream_cdf")(
     ORDER BY 1, 2
     """
 )
+
+
+# Declarative-pipeline medallion truth (q_sdp_pipeline, round 10):
+# gold is exactly q_gold_window's diff/cumsum shape — the oracle
+# grades the SDP path (registry → fixpoint resolution → three
+# physical materializations) against the same bitwise windows.
+oracle("q_sdp_pipeline")(
+    """
+    SELECT
+      l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice,
+      COALESCE(
+        l_extendedprice - lag(l_extendedprice) OVER w, l_extendedprice
+      ) AS diff_extendedprice,
+      COALESCE(l_quantity - lag(l_quantity) OVER w, l_quantity) AS diff_quantity,
+      SUM(l_quantity) OVER (
+        PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_quantity, l_extendedprice
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cumsum_quantity
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_quantity, l_extendedprice)
+    """
+)

@@ -4552,3 +4552,70 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_v", "event_type")
     )
+
+
+def q_sdp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference medallion declared through the REAL Spark 4.1
+    Declarative Pipelines API (round 10, etl_deltalake_spark/sdp.py):
+    ``@dp.table`` bronze → ``@dp.materialized_view`` silver →
+    ``@dp.materialized_view`` gold, registered GOLD-FIRST so the
+    local runner's fixpoint dependency resolution (not declaration
+    order) sequences the run, each layer materialized to physical
+    parquet. Gold is exactly q_gold_window's diff/cumsum shape, so
+    the same bitwise DuckDB oracle grades the whole declarative
+    path: registry → resolution → three materializations → final
+    rows."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark import pipelines as dp
+
+    from etl_deltalake_spark.operators.window_agg import gold_aggregation
+    from etl_deltalake_spark.sdp import run_pipeline
+
+    p = f"sdp{_uuid.uuid4().hex[:8]}"
+
+    def define() -> None:
+        @dp.materialized_view(name=f"{p}_gold")
+        def gold():  # declared first, resolved last
+            s = spark.read.table(f"{p}_silver")
+            return gold_aggregation(
+                s,
+                group_col="l_orderkey",
+                diff_cols=["l_extendedprice", "l_quantity"],
+                cumsum_cols=["l_quantity"],
+                order_cols=[
+                    "l_shipdate",
+                    "l_linenumber",
+                    "l_quantity",
+                    "l_extendedprice",
+                ],
+            )
+
+        @dp.materialized_view(name=f"{p}_silver")
+        def silver():
+            return spark.read.table(f"{p}_bronze").select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_shipdate",
+                "l_quantity",
+                "l_extendedprice",
+            )
+
+        @dp.table(name=f"{p}_bronze")
+        def bronze():
+            return load_table(spark, "lineitem", sf_dir)
+
+    out = run_pipeline(
+        spark, define, tempfile.mkdtemp(prefix="sgraft_sdp_")
+    )
+    return out[f"{p}_gold"].select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("diff_l_extendedprice").alias("diff_extendedprice"),
+        F.col("diff_l_quantity").alias("diff_quantity"),
+        F.col("cumsum_l_quantity").alias("cumsum_quantity"),
+    )

@@ -415,6 +415,9 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q16",
     "q_tpch_q20",
     "q_stream_cdf",
+    # round 10 — the medallion declared through the REAL Spark 4.1
+    # Declarative Pipelines API, executed by the local SDP runner
+    "q_sdp_pipeline",
 )
 
 

@@ -1,0 +1,386 @@
+"""Local executor for Spark Declarative Pipelines (round 10).
+
+``pyspark.pipelines`` is the Spark 4.1 SDP surface (SPARK-51727
+SPIP, public API): ``@table`` / ``@materialized_view`` /
+``@temporary_view`` / ``create_streaming_table`` + ``@append_flow`` /
+``create_sink`` declare a dataflow graph; a runner resolves
+dependencies and materializes it. The stock distribution ships ONLY
+the Spark Connect runner (the ``spark-pipelines`` CLI →
+``spark_connect_pipeline``), which cannot run against a classic
+local session — so this module implements the other side of the
+public ``GraphElementRegistry`` ABC: the same decorator definitions
+register into a local graph and execute on the session the tests and
+the medallion pipelines already use.
+
+Execution model (mirrors SDP semantics, documented differences
+honest):
+
+- Dependencies are resolved by FIXPOINT ANALYSIS, not declaration
+  order: each pass tries every unmaterialized target; a flow whose
+  upstream dataset is not yet available fails analysis with
+  ``TABLE_OR_VIEW_NOT_FOUND`` and is retried after the others. No
+  progress in a full pass ⇒ the unresolved targets and their missing
+  upstreams are reported (covers both genuinely-missing datasets and
+  dependency cycles).
+- ``Table`` / ``MaterializedView`` / ``StreamingTable`` targets are
+  materialized to PHYSICAL parquet under ``storage_dir`` and
+  re-registered as views over those bytes (the "backed by physical
+  storage" contract of the Output dataclasses); ``TemporaryView``
+  stays a pure temp view; ``Sink`` writes to the sink's
+  ``options["path"]`` in the sink's format.
+- Batch flows into a ``Table``/``MaterializedView`` overwrite (a
+  one-shot run recomputes the full result; multiple flows union by
+  name first). Flows into a ``StreamingTable`` APPEND — streaming
+  ones drain ``availableNow`` with a per-flow checkpoint (restart
+  = incremental, the SDP triggered-execution semantics), batch ones
+  append once (SDP's one-time-backfill pattern).
+- Per-flow ``spark_conf`` is set around the flow's analysis +
+  execution and restored after, exactly scoped.
+- SQL-file registration (``register_sql``) is honestly unsupported
+  here (the CLI's SQL frontend); Python decorators cover the
+  reference surface.
+
+Reference parity: the reference's medallion (main.py:567-569
+Bronze→Silver→Gold) is re-expressed as an SDP graph in
+``declare_medallion`` and verified equal to the imperative
+``pipelines.py`` path in tests/test_sdp.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+from typing import Callable
+
+from pyspark.errors import AnalysisException
+from pyspark.pipelines.flow import Flow
+from pyspark.pipelines.graph_element_registry import (
+    GraphElementRegistry,
+    graph_element_registration_context,
+)
+from pyspark.pipelines.output import (
+    MaterializedView,
+    Output,
+    Sink,
+    StreamingTable,
+    Table,
+    TemporaryView,
+)
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LocalGraphRegistry(GraphElementRegistry):
+    """Collects the outputs and flows the ``pyspark.pipelines``
+    decorators register — the local counterpart of
+    ``SparkConnectGraphElementRegistry``."""
+
+    def __init__(self) -> None:
+        self.outputs: dict[str, Output] = {}
+        self.flows: list[Flow] = []
+
+    def register_output(self, output: Output) -> None:
+        if output.name in self.outputs:
+            raise ValueError(f"duplicate dataset name {output.name!r}")
+        if "." in output.name and not isinstance(output, Sink):
+            # the local runner resolves datasets as session temp
+            # views — single-part names only (no catalog binding)
+            raise ValueError(
+                f"dataset {output.name!r}: the local runner supports "
+                "single-part dataset names"
+            )
+        self.outputs[output.name] = output
+
+    def register_flow(self, flow: Flow) -> None:
+        self.flows.append(flow)
+
+    def register_sql(self, sql_text: str, file_path: Path) -> None:
+        raise NotImplementedError(
+            "SQL-file pipeline definitions are the spark-pipelines "
+            "CLI frontend; the local runner executes the Python "
+            "decorator API"
+        )
+
+
+def _is_missing_dataset(exc: AnalysisException) -> bool:
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+                break
+            except Exception:
+                continue
+    if cond is not None:
+        return "TABLE_OR_VIEW_NOT_FOUND" in str(cond)
+    return "TABLE_OR_VIEW_NOT_FOUND" in str(exc)
+
+
+class _FlowConf:
+    """Set a flow's spark_conf for exactly its analysis+execution."""
+
+    def __init__(self, spark: SparkSession, conf: dict[str, str]):
+        self.spark = spark
+        self.conf = conf or {}
+        self.saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self.conf.items():
+            self.saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self.saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False
+
+
+def run_pipeline(
+    spark: SparkSession,
+    define: Callable[[], None],
+    storage_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Register ``define``'s decorated graph and materialize it in
+    dependency order. Returns {dataset name → DataFrame} for every
+    non-sink output (views included); sinks appear with the
+    DataFrame read back from their path."""
+    registry = LocalGraphRegistry()
+    with graph_element_registration_context(registry):
+        define()
+
+    by_target: dict[str, list[Flow]] = {}
+    for f in registry.flows:
+        by_target.setdefault(f.target, []).append(f)
+    for name, out in registry.outputs.items():
+        if name not in by_target and not isinstance(out, Sink):
+            raise ValueError(
+                f"dataset {name!r} has no flow writing to it"
+            )
+    for target in by_target:
+        if target not in registry.outputs:
+            raise ValueError(
+                f"flow targets unregistered dataset {target!r}"
+            )
+
+    storage = storage_dir or tempfile.mkdtemp(prefix="sdp_local_")
+    results: dict[str, DataFrame] = {}
+    pending = dict(by_target)
+    blocked: dict[str, str] = {}
+
+    while pending:
+        progressed = False
+        blocked.clear()
+        for target in list(pending):
+            flows = pending[target]
+            out = registry.outputs[target]
+            try:
+                dfs = []
+                for fl in flows:
+                    with _FlowConf(spark, fl.spark_conf):
+                        dfs.append((fl, fl.func()))
+            except AnalysisException as exc:
+                if _is_missing_dataset(exc):
+                    blocked[target] = str(exc).splitlines()[0]
+                    continue
+                raise
+            results[target] = _materialize(spark, out, dfs, storage)
+            del pending[target]
+            progressed = True
+        if not progressed:
+            detail = "; ".join(
+                f"{t}: {m}" for t, m in sorted(blocked.items())
+            )
+            raise ValueError(
+                "pipeline cannot make progress (missing upstream "
+                f"dataset or dependency cycle): {detail}"
+            )
+    return results
+
+
+def _materialize(
+    spark: SparkSession,
+    out: Output,
+    flows: list[tuple[Flow, DataFrame]],
+    storage: str,
+) -> DataFrame:
+    name = out.name
+    if isinstance(out, TemporaryView):
+        df = _union([d for _, d in flows])
+        if df.isStreaming:
+            raise ValueError(
+                f"temporary view {name!r} cannot be streaming in the "
+                "local runner"
+            )
+        df.createOrReplaceTempView(name)
+        return df
+
+    if isinstance(out, Sink):
+        path = dict(out.options).get("path")
+        if not path:
+            raise ValueError(f"sink {name!r} needs options['path']")
+        for fl, df in flows:
+            if df.isStreaming:
+                q = (
+                    df.writeStream.format(out.format)
+                    .options(**{k: v for k, v in out.options.items()})
+                    .option(
+                        "checkpointLocation",
+                        f"{storage}/_ckpt_{name}_{fl.name}",
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            else:
+                df.write.format(out.format).mode("append").save(path)
+        return spark.read.format(out.format).load(path)
+
+    # Table / MaterializedView / StreamingTable: physical parquet
+    assert isinstance(out, Table), f"unknown output type {type(out)}"
+    path = f"{storage}/{name}"
+    partition_cols = list(out.partition_cols or [])
+    if isinstance(out, StreamingTable):
+        # Each flow appends into ITS OWN subdirectory and the table
+        # reads the union: a streaming FileSink records its files in
+        # a _spark_metadata log that makes any batch-written file in
+        # the SAME directory invisible to readers — per-flow subdirs
+        # sidestep that trap entirely.
+        flow_paths = []
+        for i, (fl, df) in enumerate(flows):
+            fpath = f"{path}/flow_{i}_{fl.name.replace('.', '_')}"
+            flow_paths.append(fpath)
+            if out.schema is not None:
+                df = _apply_schema(df, out.schema)
+            if df.isStreaming:
+                writer = (
+                    df.writeStream.format(out.format or "parquet")
+                    .option("path", fpath)
+                    .option(
+                        "checkpointLocation",
+                        f"{storage}/_ckpt_{name}_{i}",
+                    )
+                    .trigger(availableNow=True)
+                )
+                if partition_cols:
+                    writer = writer.partitionBy(*partition_cols)
+                writer.start().awaitTermination()
+            else:
+                w = df.write.format(out.format or "parquet").mode("append")
+                if partition_cols:
+                    w = w.partitionBy(*partition_cols)
+                w.save(fpath)
+        back = _union(
+            [
+                spark.read.format(out.format or "parquet").load(p)
+                for p in flow_paths
+            ]
+        )
+        back.createOrReplaceTempView(name)
+        return back
+    else:
+        df = _union([d for _, d in flows])
+        if df.isStreaming:
+            raise ValueError(
+                f"{name!r} is a batch table; use "
+                "create_streaming_table + append_flow for streaming "
+                "writes"
+            )
+        if out.schema is not None:
+            df = _apply_schema(df, out.schema)
+        w = df.write.format(out.format or "parquet").mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.save(path)
+    back = spark.read.format(out.format or "parquet").load(path)
+    back.createOrReplaceTempView(name)
+    return back
+
+
+def _union(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _apply_schema(df: DataFrame, schema) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    from pyspark.sql import functions as F
+
+    cols = []
+    for field in schema.fields:
+        if field.name not in df.columns:
+            raise ValueError(
+                f"declared schema column {field.name!r} missing from "
+                "flow result"
+            )
+        cols.append(F.col(field.name).cast(field.dataType))
+    return df.select(*cols)
+
+
+# ---- the reference medallion as a declarative graph ---------------------
+
+def declare_medallion(
+    spark: SparkSession, raw: DataFrame, prefix: str | None = None
+) -> tuple[Callable[[], None], dict[str, str]]:
+    """The reference's Bronze→Silver→Gold ticker medallion
+    (reference main.py:567-569; imperative form in pipelines.py)
+    declared through the REAL ``pyspark.pipelines`` decorators —
+    deliberately registered gold-first so the runner's dependency
+    resolution (not declaration order) sequences the materialization.
+    Returns (define_fn, {layer → dataset name})."""
+    from pyspark import pipelines as dp
+
+    from etl_deltalake_spark.operators.cleaning import (
+        coerce_numeric,
+        empty_to_null,
+    )
+    from etl_deltalake_spark.operators.window_agg import gold_aggregation
+
+    p = prefix or f"mdl_{uuid.uuid4().hex[:8]}"
+    names = {
+        "bronze": f"{p}_bronze",
+        "silver": f"{p}_silver",
+        "gold": f"{p}_gold",
+    }
+
+    def define() -> None:
+        from pyspark.sql import functions as F
+
+        @dp.materialized_view(name=names["gold"])
+        def gold():  # registered FIRST, depends on silver
+            s = spark.read.table(names["silver"])
+            return gold_aggregation(
+                s,
+                group_col="symbol",
+                diff_cols="price_usd",
+                cumsum_cols="volume24",
+                order_cols=["ingest_ts"],
+            ).select(
+                "symbol",
+                "ingest_ts",
+                "price_usd",
+                "diff_price_usd",
+                "cumsum_volume24",
+            )
+
+        @dp.materialized_view(name=names["silver"])
+        def silver():
+            b = spark.read.table(names["bronze"])
+            b = empty_to_null(b, ["price_usd", "volume24"])
+            b = coerce_numeric(b, ["price_usd", "volume24"])
+            return b.filter(F.col("price_usd").isNotNull())
+
+        @dp.table(name=names["bronze"])
+        def bronze():
+            return raw
+
+    return define, names
