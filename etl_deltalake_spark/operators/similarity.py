@@ -1328,3 +1328,100 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    store: DataFrame | None = None,
+    tau: float = 0.9,
+    scale: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SemDeDup (round 10) — the embedding-tier mirror of
+    ``dedup.incremental_dedup`` / the MinHash band store: dedup a NEW
+    batch of embeddings against a persisted store of previously-KEPT
+    vectors without ever re-scoring history against itself.
+
+    ``store`` holds (id, cluster_id, vec) rows — kept vectors with
+    their FROZEN cluster assignment (assignment happened when they
+    entered the store; history never re-assigns, so codebook use is
+    append-consistent). The new batch assigns ONCE (checkpointed),
+    then a row drops iff it sits within the tau-ball of (a) any
+    store vector in its cluster, or (b) a smaller-id batch vector in
+    its cluster (the min-id-representative rule of
+    ``semantic_dedup``, applied batch-internally). ``dup_of`` is the
+    minimum matching id across both sources.
+
+    Returns (verdicts, new_store): verdicts = (id, cluster_id,
+    dup_of nullable, keep boolean); new_store = store ∪ kept batch
+    rows, ready for the next increment.
+
+    Scale shape: both candidate joins are cluster-id equi-joins —
+    per-batch cost is |batch|·avg_cluster_load cosines, never
+    |history|² and never |batch|·|history|; at 100 TB the store is
+    written cluster-partitioned (the ivfpq index layout) so the
+    history side prunes to the batch's touched clusters only.
+    """
+    assigned = ivf_assign_df(
+        new_df, id_col, vec_col, centroids, scale
+    ).localCheckpoint(eager=True)
+    n = assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        "cluster_id",
+    )
+    matches = []
+    if store is not None:
+        h = store.select(
+            F.col(id_col).alias("_hid"),
+            F.col(vec_col).alias("_hv"),
+            "cluster_id",
+        )
+        matches.append(
+            n.join(h, "cluster_id")
+            .withColumn("_cs", cosine(F.col("_v"), F.col("_hv"), scale))
+            .filter(F.col("_cs") >= tau)
+            .select("_id", F.col("_hid").alias("_dup"))
+        )
+    nb = n.select(
+        F.col("_id").alias("_bid"),
+        F.col("_v").alias("_bv"),
+        "cluster_id",
+    )
+    matches.append(
+        n.join(nb, "cluster_id")
+        .filter(F.col("_bid") < F.col("_id"))
+        .withColumn("_cs", cosine(F.col("_v"), F.col("_bv"), scale))
+        .filter(F.col("_cs") >= tau)
+        .select("_id", F.col("_bid").alias("_dup"))
+    )
+    allm = matches[0]
+    for m in matches[1:]:
+        allm = allm.unionByName(m)
+    dup_of = allm.groupBy("_id").agg(F.min("_dup").alias("dup_of"))
+    verdicts = (
+        assigned.select(F.col(id_col), "cluster_id", F.col(vec_col))
+        .join(dup_of, F.col(id_col) == F.col("_id"), "left")
+        .drop("_id")
+    )
+    kept = verdicts.filter(F.col("dup_of").isNull()).select(
+        F.col(id_col), "cluster_id", F.col(vec_col)
+    )
+    new_store = (
+        kept
+        if store is None
+        else store.select(
+            F.col(id_col), "cluster_id", F.col(vec_col)
+        ).unionByName(kept)
+    )
+    return (
+        verdicts.select(
+            F.col(id_col),
+            "cluster_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        ),
+        new_store,
+    )

@@ -5686,3 +5686,57 @@ oracle("q_sdp_pipeline")(
     WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_quantity, l_extendedprice)
     """
 )
+
+
+# Incremental SemDeDup truth (q_incr_semdedup, round 10): identical
+# assignment argmax for both halves, history matches (odd vs even,
+# same cluster) union batch matches (odd vs smaller odd), dup_of =
+# min over both, keep = no match. A history row wrongly re-deduped
+# against itself, a missed cross-half match, or a wrong min all
+# mismatch.
+oracle("q_incr_semdedup")(
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0
+    ),
+    a AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                        c.cid ASC
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+    hist AS (
+      SELECT o.vec_id AS id, MIN(h.vec_id) AS m
+      FROM asg o JOIN asg h
+        ON o.cid = h.cid AND h.vec_id % 2 = 0
+      WHERE o.vec_id % 2 = 1
+        AND ROUND(list_cosine_similarity(o.v, h.v), 6) >= 0.3
+      GROUP BY o.vec_id
+    ),
+    batchm AS (
+      SELECT o.vec_id AS id, MIN(b.vec_id) AS m
+      FROM asg o JOIN asg b
+        ON o.cid = b.cid AND b.vec_id % 2 = 1 AND b.vec_id < o.vec_id
+      WHERE o.vec_id % 2 = 1
+        AND ROUND(list_cosine_similarity(o.v, b.v), 6) >= 0.3
+      GROUP BY o.vec_id
+    ),
+    dup AS (
+      SELECT id, MIN(m) AS dup_of
+      FROM (SELECT * FROM hist UNION ALL SELECT * FROM batchm)
+      GROUP BY id
+    )
+    SELECT o.vec_id, o.cid AS cluster_id, d.dup_of,
+           d.dup_of IS NULL AS keep
+    FROM asg o LEFT JOIN dup d ON o.vec_id = d.id
+    WHERE o.vec_id % 2 = 1
+    ORDER BY o.vec_id
+    """
+)

@@ -4619,3 +4619,35 @@ def q_sdp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("diff_l_quantity").alias("diff_quantity"),
         F.col("cumsum_l_quantity").alias("cumsum_quantity"),
     )
+
+
+def q_incr_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (round 10,
+    similarity.incremental_semantic_dedup) — the embedding-tier
+    mirror of q_incr_neardup: the even-vec_id half plays the
+    persisted KEPT-vector store (frozen cluster assignments), the
+    odd half arrives as the new batch; a new vector drops iff it
+    sits within tau of a store vector in its cluster or of a
+    smaller-id batch vector. The DuckDB oracle re-derives the
+    assignment argmax for both halves and replays both candidate
+    joins and the min-dup rule exactly. tau=0.3 sits inside the
+    synthetic fixture's similarity range (the q_semantic_dedup
+    note); production runs ~0.95+."""
+    from etl_deltalake_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        ivf_assign_df,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = _ivf_centroids(spark, sf_dir)
+    store = ivf_assign_df(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        "vec_id",
+        "embedding",
+        cents,
+    ).select("vec_id", "cluster_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    verdicts, _store2 = incremental_semantic_dedup(
+        batch, "vec_id", "embedding", cents, store=store, tau=0.3
+    )
+    return verdicts.orderBy("vec_id")

@@ -416,8 +416,10 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q20",
     "q_stream_cdf",
     # round 10 — the medallion declared through the REAL Spark 4.1
-    # Declarative Pipelines API, executed by the local SDP runner
+    # Declarative Pipelines API, executed by the local SDP runner;
+    # incremental SemDeDup (new-batch vs persisted kept-vector store)
     "q_sdp_pipeline",
+    "q_incr_semdedup",
 )
 
 

@@ -75,6 +75,12 @@ _SCALAR_CROSS_OK = {
     "q_tpch_q11": 3,
     "q_tpch_q16": 1,
     "q_tpch_q20": 1,
+    # round 10: the incremental-SemDeDup STORE half assigns through
+    # ivf_assign_df un-checkpointed (the store is an input, built
+    # in-query only for grading) — its 1-row codebook broadcast is
+    # the single BNLJ; the batch half is checkpointed like
+    # q_semantic_dedup and contributes none.
+    "q_incr_semdedup": 1,
 }
 
 
@@ -185,3 +191,35 @@ def test_tpch_q21_plan_has_no_expand(spark, sf_dir):
 
     plan = _physical_plan(q_tpch_q21(spark, sf_dir))
     assert "Expand" not in plan, plan
+
+
+def test_tpch_q9_fact_shuffles_once(spark, sf_dir):
+    """Q9's scale contract (round 10): the name-filtered part ⋈
+    derived-partsupp composite BROADCASTS into the lineitem scan and
+    every dimension hop is a broadcast — the only shuffle exchanges
+    left belong to lineitem ⋈ orders and the final aggregate, so the
+    fact table crosses the network at most twice and never for a
+    dimension."""
+    from etl_deltalake_spark.plans.queries_ext import q_tpch_q9
+
+    df = q_tpch_q9(spark, sf_dir)
+    df.count()
+    report = plan_report(df)
+    assert report["exchanges"] <= 2, report
+    assert report["sort_merge_joins"] == 0, report
+    assert report["cartesian"] == 0, report
+
+
+def test_partsupp_derivation_is_shuffle_free(spark, sf_dir):
+    """The derived partsupp must be a narrow map over the part scan:
+    one 1-row broadcast (the supplier count) + a Generate (explode)
+    fanout, ZERO shuffle exchanges — at 100 TB it costs exactly one
+    pass over part."""
+    from etl_deltalake_spark.plans.queries_ext import _partsupp
+
+    df = _partsupp(spark, sf_dir)
+    df.count()
+    report = plan_report(df)
+    assert report["exchanges"] == 0, report
+    plan = _physical_plan(df)
+    assert "Generate" in plan, plan

@@ -280,3 +280,68 @@ def test_semantic_dedup_drops_true_duplicates(spark):
     assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {
         (11, 10), (12, 10), (12, 11),
     }
+
+
+def test_incremental_semantic_dedup_behavior(spark):
+    """Incremental SemDeDup with REAL duplicates at production tau
+    (round 10): a batch vector near a STORE vector drops against the
+    store id; a batch-internal duplicate drops against the smaller
+    batch id; unique vectors survive and join the returned store;
+    the store itself is never re-deduped; and a second increment
+    against the grown store catches a duplicate of a vector kept in
+    the FIRST increment."""
+    from etl_deltalake_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        ivf_assign_df,
+    )
+
+    base = [1.0, 0.5, -0.25, 2.0, 0.0, 1.5, -1.0, 0.75]
+    near = [x * 1.001 + (0.0001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    ortho = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 3.0]
+    ortho2 = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.001, 2.9]
+    cents = [(0, base), (1, ortho)]
+
+    store = ivf_assign_df(
+        spark.createDataFrame(
+            [(1, base)], "vec_id long, embedding array<double>"
+        ),
+        "vec_id",
+        "embedding",
+        cents,
+    ).select("vec_id", "cluster_id", "embedding")
+
+    batch = spark.createDataFrame(
+        [(10, near), (20, ortho), (21, ortho2), (30, [0.0] * 7 + [-5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    verdicts, store2 = incremental_semantic_dedup(
+        batch, "vec_id", "embedding", cents, store=store, tau=0.95
+    )
+    v = {r["vec_id"]: r for r in verdicts.collect()}
+    assert v[10]["keep"] is False and v[10]["dup_of"] == 1  # vs store
+    assert v[20]["keep"] is True
+    assert v[21]["keep"] is False and v[21]["dup_of"] == 20  # in-batch
+    assert v[30]["keep"] is True  # anti-parallel to ortho: cosine -1
+    kept_ids = {r["vec_id"] for r in store2.collect()}
+    assert kept_ids == {1, 20, 30}  # store grew by exactly the kept
+
+    # second increment: a duplicate of first-increment survivor 20
+    batch2 = spark.createDataFrame(
+        [(40, [x * 1.0005 for x in ortho])],
+        "vec_id long, embedding array<double>",
+    )
+    verdicts2, store3 = incremental_semantic_dedup(
+        batch2, "vec_id", "embedding", cents, store=store2, tau=0.95
+    )
+    v2 = {r["vec_id"]: r for r in verdicts2.collect()}
+    assert v2[40]["keep"] is False and v2[40]["dup_of"] == 20
+    assert {r["vec_id"] for r in store3.collect()} == {1, 20, 30}
+
+    # cold start (no store): pure batch-internal min-id rule
+    verdicts0, store0 = incremental_semantic_dedup(
+        batch, "vec_id", "embedding", cents, store=None, tau=0.95
+    )
+    v0 = {r["vec_id"]: r for r in verdicts0.collect()}
+    assert v0[10]["keep"] is True  # nothing before it now
+    assert v0[21]["dup_of"] == 20
+    assert {r["vec_id"] for r in store0.collect()} == {10, 20, 30}
