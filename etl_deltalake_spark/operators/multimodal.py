@@ -122,17 +122,22 @@ def decode_image(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     container has no Pillow/ffmpeg, but PNG needs neither).
 
     Round 9: payloads are format-SNIFFED — ``89 PNG`` routes to the
-    PNG codec, ``FF D8`` to the baseline JPEG codec
-    (operators/jpeg.py, Huffman + dequant + IDCT + YCbCr→RGB); for
-    JPEG, ``pix_sum``/``n_pix`` cover the decoded 8-bit
-    gray/interleaved-RGB buffer, exactly like PNG's.
+    PNG codec, ``FF D8`` to the JPEG codec (operators/jpeg.py,
+    baseline AND progressive since round 10: Huffman + dequant +
+    IDCT + YCbCr→RGB); round 10 adds ``GIF8`` → the GIF codec
+    (operators/gif.py, LZW + interlace + frame composition; the
+    still contract decodes the first composed frame). For every
+    format, ``pix_sum``/``n_pix`` cover the decoded 8-bit buffer.
     """
+    from etl_deltalake_spark.operators.gif import GifError, decode_gif
     from etl_deltalake_spark.operators.jpeg import JpegError, decode_jpeg
     from etl_deltalake_spark.operators.png import PngError, decode_png
 
     def _decode_any(payload: bytes):
         if payload[:2] == b"\xff\xd8":
             return decode_jpeg(payload)
+        if payload[:4] == b"GIF8":
+            return decode_gif(payload)
         return decode_png(payload)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,7 +147,7 @@ def decode_image(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                 ids.append(doc)
                 try:
                     img = _decode_any(bytes(payload))
-                except (PngError, JpegError) as e:
+                except (PngError, JpegError, GifError) as e:
                     ws.append(None)
                     hs.append(None)
                     chs.append(None)

@@ -1040,17 +1040,20 @@ oracle("q_rollup_state")(
 # form as mode 5 — a full spectral-selection + successive-
 # approximation script reconstructs the sequential coefficients
 # exactly, so only the Spark-side decoder changes, not the truth.
+# Mode 8 (round 10) is the INTERLACED GIF over the shared 4-entry
+# palette: LZW decode + deinterlace are lossless on indices, so the
+# pixel sum is the same palette channel-sum closed form as mode 2.
 oracle("q_media_decode")(
     """
     WITH dims AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 8 IN (5, 7) THEN 8 * (1 + doc_id % 3)
-                  WHEN doc_id % 8 = 6 THEN 16 * (1 + doc_id % 2)
-                  ELSE 3 + (doc_id // 8) % 7 END AS width,
-             CASE WHEN doc_id % 8 IN (5, 7) THEN 8 * (1 + doc_id % 2)
-                  WHEN doc_id % 8 = 6 THEN 16 * (1 + (doc_id % 4) // 2)
-                  ELSE 2 + (doc_id // 8) % 4 END AS height,
-             doc_id % 8 AS mode
+             CASE WHEN doc_id % 9 IN (5, 7) THEN 8 * (1 + doc_id % 3)
+                  WHEN doc_id % 9 = 6 THEN 16 * (1 + doc_id % 2)
+                  ELSE 3 + (doc_id // 9) % 7 END AS width,
+             CASE WHEN doc_id % 9 IN (5, 7) THEN 8 * (1 + doc_id % 2)
+                  WHEN doc_id % 9 = 6 THEN 16 * (1 + (doc_id % 4) // 2)
+                  ELSE 2 + (doc_id // 9) % 4 END AS height,
+             doc_id % 9 AS mode
       FROM documents
     ),
     px AS (
@@ -1072,12 +1075,12 @@ oracle("q_media_decode")(
     SELECT doc_id,
            CAST(width AS INT) AS width,
            CAST(height AS INT) AS height,
-           CAST(CASE WHEN mode IN (1, 2, 6) THEN 3
+           CAST(CASE WHEN mode IN (1, 2, 6, 8) THEN 3
                      WHEN mode = 4 THEN 4 ELSE 1 END AS INT)
              AS channels,
            ROUND(CAST(SUM(CASE
                WHEN mode IN (0, 1) THEN (doc_id * 31 + k) % 256
-               WHEN mode = 2 THEN list_value(60, 300, 383, 765)[
+               WHEN mode IN (2, 8) THEN list_value(60, 300, 383, 765)[
                  1 + CAST((doc_id * 31 + k) % 4 AS INT)]
                WHEN mode = 4 THEN list_value(60, 300, 383, 765)[
                  1 + CAST((doc_id * 31 + k) % 4 AS INT)]
@@ -1093,7 +1096,7 @@ oracle("q_media_decode")(
                ELSE ((doc_id * 31 + k) % 65536) // 256
                     + ((doc_id * 31 + k) % 65536) % 256
              END) AS DOUBLE)
-             / (width * height * CASE WHEN mode IN (1, 2, 6) THEN 3
+             / (width * height * CASE WHEN mode IN (1, 2, 6, 8) THEN 3
                                       WHEN mode = 3 THEN 2
                                       WHEN mode = 4 THEN 4
                                       ELSE 1 END), 6) AS mean_pixel

@@ -992,8 +992,8 @@ _MEDIA_PALETTE = bytes(
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-pixel decode, cross-engine verified: synthesize one
-    deterministic payload per document cycling ALL EIGHT codec paths
-    by doc_id % 8 — PNG 8-bit gray, PNG 8-bit RGB, PNG 2-bit-packed
+    deterministic payload per document cycling ALL NINE codec paths
+    by doc_id % 9 — PNG 8-bit gray, PNG 8-bit RGB, PNG 2-bit-packed
     palette written ADAM7-INTERLACED (PLTE expansion + sub-byte
     unpack + 7-pass scatter all on the graded path), PNG 16-bit gray
     (big-endian byte pairs), PNG 2-bit palette WITH a tRNS table →
@@ -1009,7 +1009,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact .5 rounding boundary — enumerated in test_jpeg.py) — and
     (round 10) a PROGRESSIVE (SOF2) grayscale JPEG: the multi-scan
     spectral-selection + successive-approximation decode path under
-    the same block-constant DC-exactness closed form.
+    the same block-constant DC-exactness closed form — and an
+    INTERLACED GIF (mode 8, operators/gif.py): LZW decompression +
+    4-pass row reassembly over the shared 4-entry palette, graded by
+    the same palette channel-sum closed form as PNG mode 2.
     Pixel formula (PNG modes): sample k = (doc_id*31 + k) % 256 (% 4
     palette indices, % 65536 16-bit values); scanline filters cycle
     0-4 so every unfilter branch runs. JPEG gray mode: 8×8 block b
@@ -1024,6 +1027,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles."""
     import pandas as pd
 
+    from etl_deltalake_spark.operators.gif import encode_gif
     from etl_deltalake_spark.operators.jpeg import (
         encode_jpeg,
         encode_jpeg_progressive,
@@ -1039,13 +1043,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
                 # width modulus 7 is COPRIME with the mode
-                # selector's 8? No — they would alias (round-8
-                # ADVICE-r7 rule). PNG dims therefore derive from
-                # d // 8, which is independent of d % 8: every PNG
-                # path still sees every width/height combination.
-                w = 3 + (d // 8) % 7
-                h = 2 + (d // 8) % 4
-                mode = d % 8
+                # selector's 9? No — they would alias (round-8
+                # ADVICE-r7 rule). PNG/GIF dims therefore derive from
+                # d // 9, which is independent of d % 9: every path
+                # still sees every width/height combination.
+                w = 3 + (d // 9) % 7
+                h = 2 + (d // 9) % 4
+                mode = d % 9
                 if mode == 0:
                     px = bytes((d * 31 + k) % 256 for k in range(w * h))
                     blob = encode_png(px, w, h, 0, "cycle")
@@ -1092,7 +1096,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         blob = encode_jpeg(px, w, h, 1)
                     else:
                         blob = encode_jpeg_progressive(px, w, h, 1)
-                else:  # mode 6: color 4:2:0 JPEG, MCU-constant YCbCr
+                elif mode == 6:  # color 4:2:0 JPEG, MCU-constant
                     tx, ty = 1 + d % 2, 1 + (d % 4) // 2
                     w, h = 16 * tx, 16 * ty
                     buf = bytearray()
@@ -1110,6 +1114,16 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bytes(buf), w, h, 3,
                         subsample="420", ycbcr_input=True,
                     )
+                else:  # mode 8 (round 10): INTERLACED GIF over the
+                    # shared 4-entry palette — LZW decode + 4-pass
+                    # row reassembly on the graded path; same
+                    # closed-form palette sums as PNG mode 2
+                    idx = bytes((d * 31 + k) % 4 for k in range(w * h))
+                    pal = [
+                        tuple(_MEDIA_PALETTE[3 * i:3 * i + 3])
+                        for i in range(4)
+                    ]
+                    blob = encode_gif(idx, w, h, pal, interlace=True)
                 payloads.append(blob)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}

@@ -391,20 +391,26 @@ def test_malformed_battery():
         decode_jpeg(bytes(bad))
 
 
-def test_decode_image_sniffs_jpeg_and_png(spark):
-    """multimodal.decode_image routes FF D8 to the JPEG codec and
-    keeps PNG working in the same kernel, with per-row error capture
-    for corrupt payloads."""
+def test_decode_image_sniffs_jpeg_png_gif(spark):
+    """multimodal.decode_image routes FF D8 to the JPEG codec,
+    GIF8 to the GIF codec (round 10), and keeps PNG working in the
+    same kernel, with per-row error capture for corrupt payloads of
+    every format."""
+    from etl_deltalake_spark.operators.gif import encode_gif
     from etl_deltalake_spark.operators.multimodal import decode_image
     from etl_deltalake_spark.operators.png import encode_png
 
     px, w, h = _flat_blocks_gray(2, 1, [40, 90])
     jpeg_blob = encode_jpeg(px, w, h, 1)
     png_blob = encode_png(bytes([1, 2, 3, 4, 5, 6]), 3, 2, 0, "cycle")
+    pal = [(9, 8, 7), (1, 2, 3)]
+    gif_blob = encode_gif(bytes([0, 1, 1, 0, 1, 0]), 3, 2, pal)
     rows = [
         (1, bytearray(jpeg_blob)),
         (2, bytearray(png_blob)),
         (3, bytearray(b"\xff\xd8garbage")),
+        (4, bytearray(gif_blob)),
+        (5, bytearray(b"GIF89a truncated")),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "payload"])
     got = {
@@ -415,6 +421,10 @@ def test_decode_image_sniffs_jpeg_and_png(spark):
     assert (got[2]["width"], got[2]["height"]) == (3, 2)
     assert got[2]["pix_sum"] == 21
     assert got[3]["err"] is not None and got[3]["width"] is None
+    assert (got[4]["width"], got[4]["height"], got[4]["channels"]) == (3, 2, 3)
+    assert got[4]["pix_sum"] == 3 * (9 + 8 + 7) + 3 * (1 + 2 + 3)
+    assert got[4]["err"] is None
+    assert got[5]["err"] is not None and got[5]["width"] is None
 
 
 def test_ycbcr_input_mcu_constant_color_exactness():
