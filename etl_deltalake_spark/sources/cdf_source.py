@@ -86,6 +86,11 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         parts = []
         for doc in _commit_docs(self.root):
+            # compaction commits (dataChange false — Delta OPTIMIZE
+            # semantics) reorganize files without changing rows; a
+            # CDF stream must not re-emit the table for them
+            if not doc.get("dataChange", True):
+                continue
             if lo < doc["version"] <= hi:
                 for rel in doc["add"]:
                     parts.append(

@@ -166,6 +166,7 @@ def emit_delta_commit(
     operation: str,
     emit_metadata: bool,
     txn: tuple[str, int] | None = None,
+    data_change: bool = True,
 ) -> bool:
     """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
     via the same temp+rename as the custom log). Returns False when
@@ -201,7 +202,7 @@ def emit_delta_commit(
                 "remove": {
                     "path": rel,
                     "deletionTimestamp": millis,
-                    "dataChange": True,
+                    "dataChange": data_change,
                 }
             }
         )
@@ -211,7 +212,7 @@ def emit_delta_commit(
             "partitionValues": {},
             "size": _file_size(spark, table_path, rel),
             "modificationTime": millis,
-            "dataChange": True,
+            "dataChange": data_change,
         }
         stats = _file_stats(table_path, rel)
         if stats is not None:
@@ -263,6 +264,7 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
                 c.operation,
                 emit_metadata=(prev_schema is None or c.schema != prev_schema),
                 txn=c.txn,
+                data_change=c.data_change,
             )
         prev_schema = c.schema
 

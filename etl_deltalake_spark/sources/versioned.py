@@ -117,6 +117,10 @@ class Commit:
     # (app_id, txn_version) for exactly-once streaming sinks (the
     # Delta txn-action idea); None for plain commits — round 9.
     txn: tuple[str, int] | None = None
+    # False for file-reorganization commits (compaction — Delta
+    # OPTIMIZE semantics): the data is unchanged, so CDF readers and
+    # streaming sources must SKIP the commit — round 10.
+    data_change: bool = True
 
 
 class VersionedTable:
@@ -166,6 +170,7 @@ class VersionedTable:
                     ),
                     timestamp=doc["timestamp"],
                     txn=(txn[0], int(txn[1])) if txn else None,
+                    data_change=doc.get("dataChange", True),
                 )
             )
         return sorted(out, key=lambda c: c.version)
@@ -416,6 +421,7 @@ class VersionedTable:
         schema: Sequence[tuple[str, str]],
         timestamp: str,
         txn: tuple[str, int] | None = None,
+        data_change: bool = True,
     ) -> bool:
         doc = {
             "version": version,
@@ -427,6 +433,8 @@ class VersionedTable:
         }
         if txn is not None:
             doc["txn"] = [txn[0], int(txn[1])]
+        if not data_change:
+            doc["dataChange"] = False
         return _write_file_atomic(
             self.spark, self._log_path(version), json.dumps(doc).encode()
         )
@@ -503,6 +511,7 @@ class VersionedTable:
         max_retries: int = 5,
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
+        data_change: bool = True,
     ) -> int | None:
         """Commit ``df`` as a new version. ``mode='append'`` adds
         files; ``mode='overwrite'`` adds files and logically removes
@@ -549,7 +558,7 @@ class VersionedTable:
             commit_schema = merged_schema or df.dtypes
             if self._try_commit(
                 version, mode, add, remove, commit_schema, timestamp,
-                txn=txn,
+                txn=txn, data_change=data_change,
             ):
                 if mode == "overwrite":
                     live_after = list(add)
@@ -564,6 +573,7 @@ class VersionedTable:
                 self._mirror_delta_log(
                     version, add, remove, commit_schema, timestamp,
                     mode, commits, live_after, txn=txn,
+                    data_change=data_change,
                 )
                 return version
             # Lost the race: orphan the just-written files (vacuum
@@ -597,6 +607,7 @@ class VersionedTable:
         commits: list[Commit],
         live_after: list[str],
         txn: tuple[str, int] | None = None,
+        data_change: bool = True,
     ) -> None:
         """Mirror the just-won commit into the REAL Delta protocol
         (sources/delta_log.py, round 9): ``_delta_log/%020d.json``
@@ -629,6 +640,7 @@ class VersionedTable:
             operation,
             emit_meta,
             txn=txn,
+            data_change=data_change,
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             # Complete replay state per PROTOCOL.md: the checkpoint
@@ -757,7 +769,7 @@ class VersionedTable:
         files = [
             f"{self.path}/{f}"
             for c in commits
-            if from_version < c.version <= to_version
+            if from_version < c.version <= to_version and c.data_change
             for f in c.add
         ]
         if not files:
@@ -838,7 +850,14 @@ class VersionedTable:
         """OPTIMIZE as a commit: rewrite the live snapshot into
         ~target-sized files, remove the fragments, add the compacted
         files — atomic for readers AND time-travel-safe, unlike the
-        in-place rename swap in ``table_format.compact_table``."""
+        in-place rename swap in ``table_format.compact_table``.
+
+        Committed with ``dataChange=false`` (round 10 — Delta
+        OPTIMIZE semantics): the rows are unchanged, so CDF reads
+        and the versionedcdf streaming source SKIP the commit
+        instead of re-emitting the whole table; the spec mirror's
+        add/remove actions carry the same flag for external
+        streaming readers."""
         import math
 
         jvm, fs, _ = _fs(self.spark, self.path)
@@ -849,7 +868,10 @@ class VersionedTable:
         )
         n_files = max(1, math.ceil(total / target_file_bytes))
         compacted = self.read().repartition(n_files)
-        return self.write(compacted, mode="overwrite", timestamp=timestamp)
+        return self.write(
+            compacted, mode="overwrite", timestamp=timestamp,
+            data_change=False,
+        )
 
     def vacuum(self, retain_versions: int = 1) -> int:
         """Delete data files unreachable from the ``retain_versions``

@@ -904,3 +904,73 @@ def test_golden_log_conformance(spark, vt):
     assert snap["version"] == 9
     assert snap["txns"] == {"app1": 5}
     assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+
+
+def test_compaction_is_data_change_false(spark, vt, tmp_path):
+    """Round-10 OPTIMIZE semantics: compaction reorganizes files
+    without changing rows, so (a) the commit records
+    dataChange=false in BOTH logs, (b) batch CDF across it yields
+    zero rows, (c) a versionedcdf stream does not re-emit the table,
+    (d) reads and the spec replay still see identical data, and
+    (e) a LATER real append streams normally."""
+    from etl_deltalake_spark.sources.cdf_source import (
+        VersionedCdfDataSource,
+    )
+
+    spark.dataSource.register(VersionedCdfDataSource)
+    for i in range(4):
+        vt.write(
+            _df(spark, [(i, f"r{i}")]),
+            timestamp=f"2026-09-{i + 1:02d}T00:00:00",
+        )
+    before = _rows(vt.read())
+
+    out = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "cdf_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versionedcdf")
+            .option("path", vt.path)
+            .load()
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_before = spark.read.json(out).count()
+    assert n_before == 4
+
+    v_compact = vt.compact(timestamp="2026-09-05T00:00:00")
+    assert _rows(vt.read()) == before  # rows unchanged
+    # (a) both logs carry the flag
+    commits = vt._commits()
+    assert commits[-1].data_change is False
+    with open(
+        f"{vt.path}/_delta_log/{v_compact - 1:020d}.json", encoding="utf-8"
+    ) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    adds = [a["add"] for a in actions if "add" in a]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert adds and removes
+    assert all(a["dataChange"] is False for a in adds)
+    assert all(r["dataChange"] is False for r in removes)
+    # (b) batch CDF across the compaction is empty
+    assert vt.read_changes(v_compact - 1, v_compact).count() == 0
+    # (d) the spec replay sees the compacted files, same data
+    assert _rows(DL.read_delta(spark, vt.path)) == before
+    # (c) the stream does not re-emit the table for the compaction
+    drain()
+    assert spark.read.json(out).count() == n_before
+    # (e) a later real append streams normally
+    vt.write(_df(spark, [(9, "new")]), timestamp="2026-09-06T00:00:00")
+    drain()
+    got = spark.read.json(out)
+    assert got.count() == n_before + 1
+    assert got.filter("id = 9").collect()[0]["_change_version"] == (
+        v_compact + 1
+    )
