@@ -323,6 +323,15 @@ def decode_gif_frames(
     return width, height, has_alpha, frames
 
 
+def rgba_strip_alpha(rgba: bytes) -> bytes:
+    """Drop the alpha byte of an RGBA buffer (used when the container
+    declares no transparency, so every alpha is 255)."""
+    out = bytearray()
+    for i in range(0, len(rgba), 4):
+        out += rgba[i:i + 3]
+    return bytes(out)
+
+
 def decode_gif(data: bytes) -> GifImage:
     """Still-image decode (the decode_image contract): the FIRST
     frame composed on the logical screen. RGBA when the container
@@ -331,10 +340,9 @@ def decode_gif(data: bytes) -> GifImage:
     rgba = frames[0][1]
     if has_alpha:
         return GifImage(width, height, 4, 8, rgba, len(frames))
-    rgb = bytearray()
-    for i in range(0, len(rgba), 4):
-        rgb += rgba[i:i + 3]
-    return GifImage(width, height, 3, 8, bytes(rgb), len(frames))
+    return GifImage(
+        width, height, 3, 8, rgba_strip_alpha(rgba), len(frames)
+    )
 
 
 # ---- encoder (fixture generator) -----------------------------------------

@@ -727,30 +727,60 @@ def decode_video(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     Same failure posture as the other kernels: corrupt payloads give
     one row with null features and ``err`` set — a bad file never
     kills a 100 TB job. Arrow-batched mapInPandas; the per-frame
-    fan-out happens inside the kernel, so no explode/shuffle."""
+    fan-out happens inside the kernel, so no explode/shuffle.
+
+    Round 10: payloads are format-SNIFFED like decode_image — ``GIF8``
+    demuxes through operators/gif.py (disposal-aware composed frames,
+    centisecond delays converted to ms), everything else through the
+    APNG/PNG path; one kernel, one row shape for both animation
+    containers."""
     from etl_deltalake_spark.operators.apng import decode_apng
+    from etl_deltalake_spark.operators.gif import (
+        GifError,
+        decode_gif_frames,
+        rgba_strip_alpha,
+    )
     from etl_deltalake_spark.operators.png import PngError
+
+    def _frames_any(payload: bytes):
+        """[(delay_ms, pixels, width, height, channels)] per frame."""
+        if payload[:4] == b"GIF8":
+            w, h, has_alpha, frames = decode_gif_frames(payload)
+            ch = 4 if has_alpha else 3
+            return [
+                (
+                    delay_cs * 10,
+                    rgba if ch == 4 else rgba_strip_alpha(rgba),
+                    w,
+                    h,
+                    ch,
+                )
+                for delay_cs, rgba in frames
+            ]
+        an = decode_apng(payload)
+        return [
+            (delay, img.pixels, img.width, img.height, img.channels)
+            for img, delay in zip(an.frames, an.delays_ms)
+        ]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
             for doc, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    an = decode_apng(bytes(payload))
-                except (PngError, ValueError) as e:
+                    frames = _frames_any(bytes(payload))
+                except (PngError, GifError, ValueError) as e:
                     rows.append(
                         (int(doc), None, None, None, None, None, None,
                          None, None, str(e))
                     )
                 else:
-                    for i, (img, delay) in enumerate(
-                        zip(an.frames, an.delays_ms)
-                    ):
+                    for i, (delay, px, w, h, ch) in enumerate(frames):
                         rows.append(
                             (
-                                int(doc), i, img.width, img.height,
-                                img.channels, an.num_frames, delay,
-                                sum(img.pixels), len(img.pixels), None,
+                                int(doc), i, w, h,
+                                ch, len(frames), delay,
+                                sum(px), len(px), None,
                             )
                         )
             yield pd.DataFrame(

@@ -150,3 +150,32 @@ def test_error_battery():
     # the image data sub-block starts after header+GCT+descriptor+mcs
     with pytest.raises(GifError):
         _lzw_decode(2, b"\xfc\xff", 4)  # code 7 with empty table region
+
+
+def test_decode_video_demuxes_gif(spark):
+    """decode_video sniffs GIF8 and emits one row per composed frame
+    with centisecond→ms delays, alongside APNG through the same
+    kernel; corrupt GIFs land in err."""
+    from etl_deltalake_spark.operators.multimodal import decode_video
+
+    f1 = bytes([0] * 4)
+    f2 = bytes([1] * 4)
+    gif = encode_gif(
+        [f1, f2], 2, 2, PAL, delays=[5, 7],
+        rects=[(0, 0, 2, 2), (0, 0, 2, 2)],
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"GIF89a bad"))],
+        ["doc_id", "payload"],
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in decode_video(df, "doc_id", "payload").collect()
+    }
+    r0 = rows[(1, 0)]
+    assert (r0["width"], r0["height"], r0["channels"]) == (2, 2, 3)
+    assert r0["n_frames"] == 2 and r0["delay_ms"] == 50
+    assert r0["pix_sum"] == 4 * sum(PAL[0])
+    r1 = rows[(1, 1)]
+    assert r1["delay_ms"] == 70 and r1["pix_sum"] == 4 * sum(PAL[1])
+    assert rows[(2, None)]["err"] is not None
