@@ -490,3 +490,71 @@ def test_jaccard_prefix_edge_cases(spark):
     }
     assert (1, 2) in loose and (4, 5) in loose
     assert not any(3 in p for p in loose)
+
+
+# ---- round 10: codec properties (no Spark job per example — these
+# ---- run pure-Python, so the example counts can be much larger)
+
+@settings(deadline=None, max_examples=60, print_blob=True)
+@given(
+    ncolors=st.sampled_from([2, 3, 4, 7, 16, 64, 200, 256]),
+    data=st.binary(min_size=0, max_size=4000),
+)
+def test_gif_lzw_roundtrip_property(ncolors, data):
+    """LZW(encode) ∘ decode == identity for ANY index stream over ANY
+    alphabet size — including empty streams, single symbols, runs
+    (the KwKwK shapes), and alphabets that are not powers of two."""
+    from etl_deltalake_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    idx = bytes(b % ncolors for b in data)
+    mcs = max((ncolors - 1).bit_length(), 2)
+    assert _lzw_decode(mcs, _lzw_encode(mcs, idx), len(idx)) == idx
+
+
+@settings(deadline=None, max_examples=25, print_blob=True)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    interlace=st.booleans(),
+)
+def test_gif_still_roundtrip_property(w, h, seed, interlace):
+    """encode_gif ∘ decode_gif reproduces exact palette pixels for
+    arbitrary dimensions (including 1-pixel edges where interlace
+    passes are empty) and both interlace settings."""
+    import random as _r
+
+    from etl_deltalake_spark.operators.gif import decode_gif, encode_gif
+
+    rng = _r.Random(seed)
+    pal = [(10, 20, 30), (200, 100, 0), (0, 255, 128), (255, 255, 255)]
+    idx = bytes(rng.randrange(4) for _ in range(w * h))
+    img = decode_gif(encode_gif(idx, w, h, pal, interlace=interlace))
+    assert (img.width, img.height) == (w, h)
+    assert img.pixels == b"".join(bytes(pal[i]) for i in idx)
+
+
+@settings(deadline=None, max_examples=12, print_blob=True)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 18),
+    seed=st.integers(0, 2**31),
+)
+def test_progressive_jpeg_equals_baseline_property(w, h, seed):
+    """For ANY dimensions (odd, 1-pixel, non-multiple-of-8) and any
+    content, the progressive encoding decodes pixel-identical to the
+    baseline encoding — the full-script coefficient-equivalence
+    theorem, probed beyond the example-based sizes."""
+    import random as _r
+
+    from etl_deltalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = _r.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    base = decode_jpeg(encode_jpeg(px, w, h, 1))
+    prog = decode_jpeg(encode_jpeg_progressive(px, w, h, 1))
+    assert prog.pixels == base.pixels
