@@ -455,10 +455,21 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
     if ckpt is not None:
         version = ckpt["version"]
         tail_from = ckpt["version"] + 1
-        ck = spark.read.parquet(
-            f"{table_path}/{_DELTA_DIR}/"
-            f"{ckpt['version']:0{_VERSION_DIGITS}d}.checkpoint.parquet"
-        )
+        v20 = f"{ckpt['version']:0{_VERSION_DIGITS}d}"
+        parts = ckpt.get("parts")
+        if parts:
+            # foreign MULTI-PART checkpoint:
+            # %020d.checkpoint.%010d.%010d.parquet, one file per part
+            paths = [
+                f"{table_path}/{_DELTA_DIR}/"
+                f"{v20}.checkpoint.{i + 1:010d}.{int(parts):010d}.parquet"
+                for i in range(int(parts))
+            ]
+            ck = spark.read.parquet(*paths)
+        else:
+            ck = spark.read.parquet(
+                f"{table_path}/{_DELTA_DIR}/{v20}.checkpoint.parquet"
+            )
         cols = set(ck.columns)
         for row in ck.collect():
             d = row.asDict(recursive=True)
@@ -527,6 +538,17 @@ def read_delta(spark: SparkSession, table_path: str):
     snap = delta_snapshot(spark, table_path)
     if snap["version"] < 0:
         raise ValueError(f"{table_path} has no _delta_log")
+    proto = snap.get("protocol") or {}
+    if int(proto.get("minReaderVersion", 1)) > 1:
+        # HONEST refusal, never a silent misread: reader v2+ features
+        # (column mapping, deletion vectors, v2 checkpoints) change
+        # what the data files MEAN — ignoring them would resurface
+        # deleted rows or misname columns.
+        raise ValueError(
+            f"{table_path} requires Delta reader protocol "
+            f"{proto.get('minReaderVersion')} (column mapping / "
+            "deletion vectors); this reader implements protocol 1"
+        )
     schema = StructType.fromJson(_json.loads(snap["schema_json"]))
     if not snap["adds"]:
         return spark.createDataFrame([], schema=schema)

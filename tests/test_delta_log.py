@@ -974,3 +974,132 @@ def test_compaction_is_data_change_false(spark, vt, tmp_path):
     assert got.filter("id = 9").collect()[0]["_change_version"] == (
         v_compact + 1
     )
+
+
+def test_read_foreign_multipart_checkpoint(spark, tmp_path):
+    """Round-10 interop: real Delta writers may split a checkpoint
+    into MULTI-PART files (%020d.checkpoint.%010d.%010d.parquet with
+    a "parts" field in _last_checkpoint); the spec reader must
+    resolve from all parts plus the JSON tail."""
+    import os
+
+    root = str(tmp_path / "mp")
+    os.makedirs(f"{root}/_delta_log")
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "val"])
+    b = spark.createDataFrame([(3, "z")], ["id", "val"])
+    a.coalesce(1).write.parquet(f"{root}/fa")
+    b.coalesce(1).write.parquet(f"{root}/fb")
+
+    def one_part(d):
+        return next(
+            f"{d}/{f}"
+            for f in os.listdir(f"{root}/{d}")
+            if f.startswith("part-")
+        )
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    meta = (
+        "m-id",
+        ("parquet", {}),
+        schema.json(),
+        [],
+        {},
+        0,
+    )
+    # part 1: protocol + metaData; part 2: the two adds
+    rows1 = [((1, 2), None, None), (None, meta, None)]
+    rows2 = [
+        (None, None, (one_part("fa"), {}, 1, 0, True)),
+        (None, None, (one_part("fb"), {}, 1, 0, True)),
+    ]
+    ck_schema = """
+        protocol struct<minReaderVersion:int, minWriterVersion:int>,
+        metaData struct<id:string,
+            format:struct<provider:string, options:map<string,string>>,
+            schemaString:string, partitionColumns:array<string>,
+            configuration:map<string,string>, createdTime:bigint>,
+        add struct<path:string, partitionValues:map<string,string>,
+            size:bigint, modificationTime:bigint, dataChange:boolean>
+    """
+    for i, rows in ((1, rows1), (2, rows2)):
+        df = spark.createDataFrame(rows, schema=ck_schema).coalesce(1)
+        tmp = f"{root}/_tmpck{i}"
+        df.write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-")
+        )
+        os.rename(
+            f"{tmp}/{part}",
+            f"{root}/_delta_log/"
+            f"{4:020d}.checkpoint.{i:010d}.{2:010d}.parquet",
+        )
+    with open(f"{root}/_delta_log/_last_checkpoint", "w") as f:
+        json.dump({"version": 4, "size": 4, "parts": 2}, f)
+    # a JSON tail commit after the checkpoint
+    with open(f"{root}/_delta_log/{5:020d}.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": one_part("fb"),
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+    got = DL.read_delta(spark, root)
+    assert _rows(got) == [(1, "x"), (2, "y")]  # fb removed by the tail
+    snap = DL.delta_snapshot(spark, root)
+    assert snap["version"] == 5
+
+
+def test_reader_protocol_v2_refused_honestly(spark, tmp_path):
+    """Round-10 interop guard: a foreign table demanding
+    minReaderVersion > 1 (column mapping / deletion vectors) must be
+    REFUSED with a clear error — ignoring the protocol action would
+    silently resurface deleted rows or misname columns."""
+    import os
+
+    root = str(tmp_path / "v3")
+    os.makedirs(f"{root}/_delta_log")
+    a = spark.createDataFrame([(1, "x")], ["id", "val"])
+    a.coalesce(1).write.parquet(f"{root}/f")
+    part = next(
+        f"f/{f}" for f in os.listdir(f"{root}/f") if f.startswith("part-")
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {
+            "metaData": {
+                "id": "dv",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": part,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(x) for x in actions))
+    with pytest.raises(ValueError, match="reader protocol"):
+        DL.read_delta(spark, root)
