@@ -291,12 +291,29 @@ def jaccard_prefix_pairs(
     )
     pfx = ranked.filter(
         F.col("_rk") <= F.col("n") - F.ceil(t_dec * F.col("n")) + 1
-    ).select("doc", "s", "n")
+    ).select("doc", "s", "n", "_rk")
     a = pfx.select(
-        F.col("doc").alias("doc_a"), F.col("n").alias("na"), "s"
+        F.col("doc").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("_rk").alias("ra"),
+        "s",
     )
     b = pfx.select(
-        F.col("doc").alias("doc_b"), F.col("n").alias("nb"), "s"
+        F.col("doc").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("_rk").alias("rb"),
+        "s",
+    )
+    # POSITIONAL filter (PPJoin, Xiao et al. WWW'08 — public): the
+    # joining shingle w is the globally-smallest common one for some
+    # candidate row, and every other common shingle ranks AFTER it in
+    # both docs, so |a∩b| ≤ min(na−ra, nb−rb) + 1. A qualifying pair
+    # needs overlap·(1+t) ≥ t·(na+nb); if even the upper bound fails
+    # that, the row cannot witness a real pair — pruned EXACTLY
+    # (decimal cross-multiplication, no float boundary; losslessness
+    # re-proved every run by the exhaustive all-pairs oracle).
+    ubound = (
+        F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
     )
     candidates = (
         a.join(b, "s")
@@ -304,6 +321,10 @@ def jaccard_prefix_pairs(
         .filter(
             F.least("na", "nb").cast("decimal(20,6)")
             >= t_dec * F.greatest("na", "nb")
+        )
+        .filter(
+            ubound.cast("decimal(20,6)") * (F.lit(1) + t_dec)
+            >= t_dec * (F.col("na") + F.col("nb")).cast("decimal(20,6)")
         )
         .select("doc_a", "doc_b")
         .distinct()
