@@ -276,3 +276,54 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert scan.count() == 5
     assert "PartitionFilters: [isnotnull(country" in plan or "country#" in plan
+
+
+def test_alternating_components_equals_label_propagation(spark):
+    """The alternating (large-star/small-star) connected components
+    must produce exactly label propagation's (doc, cluster=min id)
+    output on assorted graph shapes — two independent algorithms,
+    one truth."""
+    from etl_deltalake_spark.operators.dedup import (
+        alternating_components,
+        label_propagation_clusters,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(0, i) for i in range(1, 8)],  # star
+        [(1, 2), (2, 1), (1, 2)],  # duplicate/reversed edges
+        [(10**9, 10**9 + 1), (10**9 + 1, 5)],
+        [(7, 3)],
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        alt = sorted(map(tuple, alternating_components(df).collect()))
+        lp = sorted(
+            map(
+                tuple,
+                label_propagation_clusters(df, iterations=None).collect(),
+            )
+        )
+        assert alt == lp, pairs
+
+
+def test_alternating_components_logarithmic_rounds_on_chains(spark):
+    """The scale claim: a 200-node chain has diameter 200 — min-label
+    propagation needs ~200 rounds (and is provably NOT converged
+    after 12), while the alternating algorithm must finish within a
+    12-round budget (O(log² n) contraction regardless of diameter)
+    and still produce the exact components."""
+    from etl_deltalake_spark.operators.dedup import (
+        alternating_components,
+        label_propagation_clusters,
+    )
+
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    alt = alternating_components(df, max_rounds=12)
+    rows = sorted(map(tuple, alt.collect()))
+    assert rows == [(i, 0) for i in range(201)]
+    # the same budget leaves min-label propagation unconverged
+    lp = label_propagation_clusters(df, iterations=12)
+    labels = {r["doc"]: r["cluster"] for r in lp.collect()}
+    assert labels[200] != 0  # node 200 has not heard from node 0 yet

@@ -558,3 +558,38 @@ def test_progressive_jpeg_equals_baseline_property(w, h, seed):
     base = decode_jpeg(encode_jpeg(px, w, h, 1))
     prog = decode_jpeg(encode_jpeg_progressive(px, w, h, 1))
     assert prog.pixels == base.pixels
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_alternating_components_matches_bruteforce(spark, edges):
+    """Alternating large-star/small-star == brute-force connected
+    components (union-find model) on arbitrary small graphs,
+    including self-loops (dropped) and duplicate/reversed edges."""
+    from etl_deltalake_spark.operators.dedup import alternating_components
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = sorted((n, find(n)) for n in parent)
+    df = spark.createDataFrame(real, "doc_a long, doc_b long")
+    got = sorted(map(tuple, alternating_components(df).collect()))
+    assert got == expect
