@@ -5743,3 +5743,36 @@ oracle("q_incr_semdedup")(
     ORDER BY o.vec_id
     """
 )
+
+
+# Connected-components truth (q_components, round 10): the decade
+# graph's components are closed-form — every node connects to its
+# decade's min via the chain (and the skip edges stay in-decade), so
+# cluster(doc) = the smallest doc_id of its decade PRESENT among the
+# graph's nodes (edges reference doc_id+1 / doc_id+5, which also lie
+# in the table for the fixture's dense 0..N-1 ids — asserted by the
+# count parity with the Spark side).
+oracle("q_components")(
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    edges AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM ids WHERE doc_id % 10 != 9
+      UNION ALL
+      SELECT doc_id AS a, doc_id + 5 AS b FROM ids WHERE doc_id % 10 < 5
+    ),
+    nodes AS (
+      SELECT DISTINCT x AS doc
+      FROM (SELECT a AS x FROM edges UNION ALL SELECT b FROM edges)
+    ),
+    labeled AS (
+      SELECT doc, (doc // 10) * 10 AS decade FROM nodes
+    ),
+    mins AS (
+      SELECT decade, MIN(doc) AS cluster, COUNT(*) AS n_members
+      FROM labeled GROUP BY decade
+    )
+    SELECT l.doc, m.cluster, m.n_members
+    FROM labeled l JOIN mins m ON l.decade = m.decade
+    ORDER BY l.doc
+    """
+)

@@ -4665,3 +4665,36 @@ def q_incr_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, "vec_id", "embedding", cents, store=store, tau=0.3
     )
     return verdicts.orderBy("vec_id")
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the ALTERNATING large-star/small-star
+    algorithm (round 10, dedup.alternating_components — Kiveris et
+    al. SoCC'14), driver-gradable: a deterministic multi-hop graph
+    over documents (chain edges i→i+1 within each decade of doc_id,
+    plus skip edges i→i+5 for the first half of each decade) whose
+    components are exactly the decades. The 10-hop chains force real
+    multi-round contraction — a propagation bug, a lost edge, or a
+    wrong min all break the closed-form cluster the oracle computes
+    per node. Output: (doc, cluster, n_members) per node, cluster =
+    min doc_id of the decade present in the table."""
+    from etl_deltalake_spark.operators.dedup import alternating_components
+
+    ids = load_table(spark, "documents", sf_dir).select("doc_id")
+    chain = ids.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+    )
+    skip = ids.filter(F.col("doc_id") % 10 < 5).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 5).alias("doc_b"),
+    )
+    comp = alternating_components(chain.unionByName(skip))
+    sizes = comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        comp.join(sizes, "cluster")
+        .select("doc", "cluster", "n_members")
+        .orderBy("doc")
+    )

@@ -420,6 +420,9 @@ SLOTLESS: tuple[str, ...] = (
     # incremental SemDeDup (new-batch vs persisted kept-vector store)
     "q_sdp_pipeline",
     "q_incr_semdedup",
+    # round 10 — alternating-algorithm connected components over a
+    # closed-form decade graph
+    "q_components",
 )
 
 
