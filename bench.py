@@ -98,6 +98,13 @@ HEADLINE = [
     "q_quality_clf",
     "q_sql_scripting",
     "q_tpch_q9",
+    # round-10 second wave (driver rows since the r10b rotation):
+    # the streaming storage hop (3 commits → CDF stream → exactly-
+    # once sink, drained twice) and the declarative-pipelines
+    # medallion (3 physical materializations) — both dominated by
+    # orchestration I/O by design, timed as end-to-end hops
+    "q_stream_cdf",
+    "q_sdp_pipeline",
 ]
 
 # Rows whose cost is dominated by IN-QUERY TRAINING by design

@@ -113,9 +113,9 @@ REGISTERED: tuple[str, ...] = (
     "q_recursive",
     "q_grouping_sets",
     "q_set_ops",
-    "q_semi_anti",
+    "q_sdp_pipeline",
     "q_feature_matrix",
-    "q_window_funcs",
+    "q_stream_cdf",
     "q_asof_join",
     "q_entity_match",
     "q_interval_join",
@@ -298,6 +298,27 @@ RETIRED_R10: tuple[str, ...] = (
     "q_ivfpq_topk",
 )
 
+# Round-10 second rotation (the round-4/-8 multi-wave precedent —
+# the strongest members built THIS round take driver rows at round
+# end so the driver grades them immediately):
+# q_window_funcs → q_stream_cdf: the generic window-function surface
+# (row_number/rank/lag/lead) EXECUTES inside three driver rows —
+# q_gold_window's lag/cumsum, q_topk_per_group's row_number, and
+# q_feature_matrix's RANGE frames + lag — while the streaming
+# storage hop (versionedcdf source → exactly-once txn sink, drained
+# twice) had no driver row and VERDICT r9 #7 asked for exactly this
+# cross-engine grading.
+# q_semi_anti → q_sdp_pipeline: LEFT SEMI and LEFT ANTI both execute
+# inside q_tpch_q21's decorrelation (the same argument that seated
+# Q21 over q_count_distinct), with Q4/Q16/Q20 adding more semi/anti
+# shapes at the pytest gate; the Spark 4.1 Declarative Pipelines
+# runner — registry → fixpoint resolution → three physical
+# materializations — had no driver row.
+RETIRED_R10B: tuple[str, ...] = (
+    "q_window_funcs",
+    "q_semi_anti",
+)
+
 # Oracle-paired queries without a driver slot (pytest-gated).
 SLOTLESS: tuple[str, ...] = (
     "q_pack_sequences",
@@ -414,11 +435,9 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q11",
     "q_tpch_q16",
     "q_tpch_q20",
-    "q_stream_cdf",
     # round 10 — the medallion declared through the REAL Spark 4.1
     # Declarative Pipelines API, executed by the local SDP runner;
     # incremental SemDeDup (new-batch vs persisted kept-vector store)
-    "q_sdp_pipeline",
     "q_incr_semdedup",
     # round 10 — alternating-algorithm connected components over a
     # closed-form decade graph
@@ -442,6 +461,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R8B,
     RETIRED_R9,
     RETIRED_R10,
+    RETIRED_R10B,
     SLOTLESS,
 )
 
