@@ -34,8 +34,10 @@ honest):
   ones drain ``availableNow`` with a per-flow checkpoint (restart
   = incremental, the SDP triggered-execution semantics), batch ones
   append once (SDP's one-time-backfill pattern).
-- Per-flow ``spark_conf`` is set around the flow's analysis +
-  execution and restored after, exactly scoped.
+- Per-flow ``spark_conf`` is set around the flow's analysis AND
+  around the target's materialization (Spark confs act at action
+  time), restored after; flows writing one target with conflicting
+  values for the same key are rejected.
 - SQL-file registration (``register_sql``) is honestly unsupported
   here (the CLI's SQL frontend); Python decorators cover the
   reference surface.
@@ -178,6 +180,15 @@ def run_pipeline(
         for target in list(pending):
             flows = pending[target]
             out = registry.outputs[target]
+            merged: dict[str, str] = {}
+            for fl in flows:
+                for k, v in (fl.spark_conf or {}).items():
+                    if merged.get(k, v) != v:
+                        raise ValueError(
+                            f"dataset {target!r}: flows set conflicting "
+                            f"values for {k!r}"
+                        )
+                    merged[k] = v
             try:
                 dfs = []
                 for fl in flows:
@@ -188,7 +199,12 @@ def run_pipeline(
                     blocked[target] = str(exc).splitlines()[0]
                     continue
                 raise
-            results[target] = _materialize(spark, out, dfs, storage)
+            # Spark confs act at ACTION time, not analysis time —
+            # the materialization (the actual jobs) must also run
+            # under the flows' spark_conf (merged; conflicting
+            # per-flow values on one target are rejected above).
+            with _FlowConf(spark, merged):
+                results[target] = _materialize(spark, out, dfs, storage)
             del pending[target]
             progressed = True
         if not progressed:

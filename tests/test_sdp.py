@@ -283,3 +283,61 @@ def test_register_sql_honestly_unsupported():
 
     with pytest.raises(NotImplementedError):
         LocalGraphRegistry().register_sql("SELECT 1", Path("x.sql"))
+
+
+def test_flow_spark_conf_applies_at_action_time(spark, tmp_path):
+    """Spark confs act when JOBS run, not at analysis: a flow's
+    shuffle-partitions conf must shape the MATERIALIZED output (file
+    count under the storage dir follows the shuffle partitioning of
+    the job that wrote it)."""
+    from pyspark import pipelines as dp
+
+    p = _p()
+    key = "spark.sql.shuffle.partitions"
+
+    def define():
+        @dp.materialized_view(name=f"{p}_m3", spark_conf={key: "3"})
+        def m3():
+            return (
+                spark.range(100)
+                .groupBy((F.col("id") % 50).alias("k"))
+                .count()
+            )
+
+    out = run_pipeline(spark, define, str(tmp_path / "sdp"))
+    # the aggregate ran with 3 shuffle partitions → ≤3 part files
+    import os
+
+    parts = [
+        f
+        for f in os.listdir(str(tmp_path / "sdp" / f"{p}_m3"))
+        if f.startswith("part-")
+    ]
+    assert 1 <= len(parts) <= 3, parts
+    assert out[f"{p}_m3"].count() == 50
+
+
+def test_conflicting_flow_confs_rejected(spark, tmp_path):
+    from pyspark import pipelines as dp
+
+    p = _p()
+
+    def define():
+        dp.create_streaming_table(name=f"{p}_st")
+
+        @dp.append_flow(
+            target=f"{p}_st", name="a",
+            spark_conf={"spark.sql.shuffle.partitions": "3"},
+        )
+        def a():
+            return spark.range(2).select("id")
+
+        @dp.append_flow(
+            target=f"{p}_st", name="b",
+            spark_conf={"spark.sql.shuffle.partitions": "5"},
+        )
+        def b():
+            return spark.range(2).select("id")
+
+    with pytest.raises(ValueError, match="conflicting"):
+        run_pipeline(spark, define, str(tmp_path / "sdp"))
