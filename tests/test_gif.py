@@ -179,3 +179,47 @@ def test_decode_video_demuxes_gif(spark):
     r1 = rows[(1, 1)]
     assert r1["delay_ms"] == 70 and r1["pix_sum"] == 4 * sum(PAL[1])
     assert rows[(2, None)]["err"] is not None
+
+
+def test_local_color_table_overrides_global():
+    """A frame's LOCAL color table must take precedence over the
+    global one (hand-built container: GCT says red/green, LCT says
+    blue/white — decoded pixels follow the LCT)."""
+    out = bytearray(b"GIF89a")
+    out += (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    out += bytes([0x80 | 0, 0, 0])  # GCT present, 2 entries
+    out += bytes([255, 0, 0, 0, 255, 0])  # global: red, green
+    out += bytes([0x2C])  # image descriptor
+    out += (0).to_bytes(2, "little") * 2
+    out += (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    out += bytes([0x80 | 0])  # LCT present, 2 entries
+    out += bytes([0, 0, 255, 255, 255, 255])  # local: blue, white
+    out += bytes([2])  # LZW min code size
+    lzw = _lzw_encode(2, bytes([0, 1]))
+    out += bytes([len(lzw)]) + lzw + b"\x00"
+    out += b"\x3B"
+    img = decode_gif(bytes(out))
+    assert img.pixels == bytes([0, 0, 255, 255, 255, 255])
+
+
+def test_two_entry_palette_roundtrip():
+    """2-color palettes still use LZW minimum code size 2 (the spec
+    floor) — the smallest legal container round-trips."""
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    idx = bytes([0, 1, 1, 0, 1, 0, 0, 1])
+    img = decode_gif(encode_gif(idx, 4, 2, pal2))
+    assert img.pixels == b"".join(bytes(pal2[i]) for i in idx)
+
+
+def test_netscape_loop_extension_skipped():
+    """The ubiquitous NETSCAPE2.0 application extension (looping)
+    must be skipped structurally, not tripped over."""
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    base = encode_gif(bytes([0, 1]), 2, 1, pal2)
+    # splice the app extension right after the GCT (13 + 6 bytes in)
+    netscape = (
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    )
+    spliced = base[:19] + netscape + base[19:]
+    img = decode_gif(spliced)
+    assert img.pixels == bytes([0, 0, 0, 255, 255, 255])
