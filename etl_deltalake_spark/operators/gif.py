@@ -326,9 +326,8 @@ def decode_gif_frames(
 def rgba_strip_alpha(rgba: bytes) -> bytes:
     """Drop the alpha byte of an RGBA buffer (used when the container
     declares no transparency, so every alpha is 255)."""
-    out = bytearray()
-    for i in range(0, len(rgba), 4):
-        out += rgba[i:i + 3]
+    out = bytearray(rgba)
+    del out[3::4]  # C-speed strided delete, no per-pixel Python loop
     return bytes(out)
 
 

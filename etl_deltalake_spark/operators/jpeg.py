@@ -238,6 +238,12 @@ def decode_jpeg(data: bytes) -> JpegImage:
             raise JpegError("truncated before EOI")
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}, got {data[pos]:02X}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # the marker code — skip the run, first non-0xFF is the code.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise JpegError("truncated before EOI")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8:
@@ -391,6 +397,8 @@ def _decode_scan(
             ):
                 br.byte_align()
                 d, p = br.data, br.pos
+                while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+                    p += 1  # T.81 B.1.1.2 fill bytes before RST
                 if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != (
                     0xD0 + rst_idx
                 ):
@@ -534,6 +542,8 @@ class _ProgressiveState:
             if restart_interval and unit and unit % restart_interval == 0:
                 br.byte_align()
                 d, p = br.data, br.pos
+                while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+                    p += 1  # T.81 B.1.1.2 fill bytes before RST
                 if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != (
                     0xD0 + rst_idx
                 ):
@@ -581,6 +591,9 @@ class _ProgressiveState:
         # skip to the next true marker (the scan may end mid-byte)
         p = br.pos
         while p + 1 < len(data):
+            if data[p] == 0xFF and data[p + 1] == 0xFF:
+                p += 1  # T.81 B.1.1.2 fill byte before the marker
+                continue
             if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
                 0xD0 <= data[p + 1] <= 0xD7
             ):

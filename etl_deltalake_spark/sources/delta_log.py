@@ -501,10 +501,10 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
         elif "remove" in action:
             live.pop(action["remove"]["path"], None)
         elif "txn" in action:
-            app = action["txn"]["appId"]
-            txns[app] = max(
-                int(action["txn"]["version"]), txns.get(app, -(1 << 62))
-            )
+            # last-writer-wins per the protocol (actions arrive
+            # version-ordered): a writer may legitimately LOWER an
+            # appId's version, so plain assignment, never max().
+            txns[action["txn"]["appId"]] = int(action["txn"]["version"])
     return {
         "files": sorted(live),
         "adds": [live[k] for k in sorted(live)],

@@ -176,6 +176,11 @@ class VersionedTable:
         return sorted(out, key=lambda c: c.version)
 
     CHECKPOINT_INTERVAL = 10
+    # Delta's default delta.deletedFileRetentionDuration ("interval
+    # 1 week"): checkpoint tombstones older than this relative to the
+    # checkpointing commit's timestamp are expired, bounding checkpoint
+    # metadata on overwrite/compaction-heavy tables.
+    TOMBSTONE_RETENTION_MILLIS = 7 * 24 * 3600 * 1000
 
     def _checkpoint_path(self, version: int) -> str:
         return (
@@ -644,30 +649,35 @@ class VersionedTable:
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             # Complete replay state per PROTOCOL.md: the checkpoint
-            # carries every appId's latest txn version (exactly-once
-            # lookups survive cleanup_log) and remove tombstones for
-            # files deleted but not re-added (spec readers within the
-            # retention window still see them).
+            # carries every appId's LATEST txn version (last-writer-
+            # wins over the version-ordered commits — a writer may
+            # legitimately lower an appId's version) so exactly-once
+            # lookups survive cleanup_log, and remove tombstones for
+            # files deleted but not re-added, EXPIRED past
+            # TOMBSTONE_RETENTION_MILLIS relative to this commit's
+            # timestamp (Delta's deletedFileRetentionDuration — else
+            # every checkpoint carries the table's full delete
+            # history).
             txns: dict[str, int] = {}
             tombstones: dict[str, int] = {}
             live_set = set(live_after)
             for c in [*commits]:
                 if c.txn is not None:
-                    txns[c.txn[0]] = max(
-                        int(c.txn[1]), txns.get(c.txn[0], -(1 << 62))
-                    )
+                    txns[c.txn[0]] = int(c.txn[1])
                 millis = DL._iso_to_millis(c.timestamp)
                 for rel in c.remove:
                     if rel not in live_set:
                         tombstones[rel] = millis
             if txn is not None:
-                txns[txn[0]] = max(
-                    int(txn[1]), txns.get(txn[0], -(1 << 62))
-                )
+                txns[txn[0]] = int(txn[1])
             millis_now = DL._iso_to_millis(timestamp)
             for rel in remove:
                 if rel not in live_set:
                     tombstones[rel] = millis_now
+            cutoff = millis_now - self.TOMBSTONE_RETENTION_MILLIS
+            tombstones = {
+                rel: ms for rel, ms in tombstones.items() if ms >= cutoff
+            }
             DL.write_delta_checkpoint(
                 self.spark,
                 self.path,

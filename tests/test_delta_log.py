@@ -1103,3 +1103,68 @@ def test_reader_protocol_v2_refused_honestly(spark, tmp_path):
         f.write("\n".join(json.dumps(x) for x in actions))
     with pytest.raises(ValueError, match="reader protocol"):
         DL.read_delta(spark, root)
+
+
+def test_txn_replay_last_writer_wins(spark, tmp_path):
+    """Round-11 regression (ADVICE r10): the protocol's txn replay is
+    last-writer-wins per appId — a foreign writer may legitimately
+    LOWER an appId's version, and version-ordered JSON replay must
+    surface the later (lower) value, not max()."""
+    import os
+
+    root = str(tmp_path / "txnlww")
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            + "\n"
+            + json.dumps({"txn": {"appId": "app1", "version": 7}})
+        )
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as f:
+        f.write(json.dumps({"txn": {"appId": "app1", "version": 3}}))
+    snap = DL.delta_snapshot(spark, root)
+    assert snap["txns"] == {"app1": 3}
+
+
+def test_checkpoint_tombstones_expire(spark, vt):
+    """Round-11 regression (ADVICE r10): checkpoint tombstones honor
+    Delta's deletedFileRetentionDuration — removes older than the
+    retention window relative to the checkpointing commit expire, so
+    overwrite-heavy tables don't carry their full delete history in
+    every checkpoint. Fresh removes within the window stay."""
+    vt.write(_df(spark, [(1, "old")]), timestamp="2026-01-01T00:00:00")
+    old_files = DL.delta_snapshot(spark, vt.path)["files"]
+    # overwrite in January: its tombstones are months stale by the
+    # time the checkpointing commit lands in June
+    vt.write(
+        _df(spark, [(2, "ow1")]),
+        mode="overwrite",
+        timestamp="2026-01-02T00:00:00",
+    )
+    for i in range(6):  # commits 3..8
+        vt.write(
+            _df(spark, [(10 + i, f"s{i}")]),
+            timestamp=f"2026-06-{i + 1:02d}T00:00:00",
+        )
+    before_ow2 = DL.delta_snapshot(spark, vt.path)["files"]
+    # fresh overwrite one day before the checkpointing commit
+    vt.write(
+        _df(spark, [(3, "ow2")]),
+        mode="overwrite",
+        timestamp="2026-06-07T00:00:00",
+    )
+    vt.write(_df(spark, [(4, "tip")]), timestamp="2026-06-08T00:00:00")
+    ck = spark.read.parquet(
+        f"{vt.path}/_delta_log/{9:020d}.checkpoint.parquet"
+    )
+    removes = sorted(
+        r["remove"]["path"] for r in ck.collect() if r["remove"] is not None
+    )
+    # January tombstones expired; June-07 tombstones retained
+    assert removes == sorted(before_ow2)
+    assert not set(removes) & set(old_files)
+    # replay correctness is unaffected by expiry
+    assert DL.cleanup_log(spark, vt.path) > 0
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())

@@ -637,3 +637,47 @@ def test_progressive_error_paths():
         bad[j + 4] = 2
         bad[j + 3] = bad[j + 3] + 2  # keep the length consistent
         decode_jpeg(bytes(bad))
+
+
+def test_fill_bytes_before_markers():
+    """Round-11 regression (ADVICE r10): T.81 B.1.1.2 allows any
+    number of 0xFF fill bytes before a marker code — real-crawl
+    encoders pad with them. Insert fills before header markers, a
+    progressive scan's SOS, the RST markers, and EOI; decode must be
+    pixel-identical to the unpadded stream, not JpegError."""
+    random.seed(411)
+    w, h = 24, 16
+    px = bytes(random.randrange(256) for _ in range(w * h))
+    blob = encode_jpeg(px, w, h, 1)
+    want = decode_jpeg(blob).pixels
+
+    # fill before every header marker segment (DQT/DHT/SOF/SOS): the
+    # header area is everything before the first SOS payload
+    sos = blob.index(b"\xff\xda")
+    padded = blob[:2]
+    pos = 2
+    while pos <= sos:
+        assert blob[pos] == 0xFF
+        padded += b"\xff\xff" + blob[pos : pos + 2]
+        seglen = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        padded += blob[pos + 2 : pos + 2 + seglen]
+        pos += 2 + seglen
+    padded += blob[pos:]
+    assert decode_jpeg(padded).pixels == want
+
+    # progressive: fill before each scan's SOS and before EOI
+    # (exercises the post-scan marker search), plus padded RSTs
+    enc_prog, _, _ = _prog()
+    blob_p = enc_prog(px, w, h, 1, restart_interval=2)
+    want_p = decode_jpeg(blob_p).pixels
+    out = bytearray()
+    i = 0
+    while i < len(blob_p) - 1:
+        if blob_p[i] == 0xFF and blob_p[i + 1] in (0xDA, 0xD9) or (
+            blob_p[i] == 0xFF and 0xD0 <= blob_p[i + 1] <= 0xD7
+        ):
+            out += b"\xff"
+        out += blob_p[i : i + 1]
+        i += 1
+    out += blob_p[i:]
+    assert decode_jpeg(bytes(out)).pixels == want_p
