@@ -18,6 +18,17 @@ Content-Type, and the entity bytes — so downstream HTML extraction
 (operators/html_text.py) and URL canonicalization (operators/
 urls.py) consume typed columns, never raw container bytes.
 
+Gzip transport (round 11 — what crawl dumps ACTUALLY ship): real
+Common Crawl segments are ``.warc.gz`` with one gzip MEMBER per
+record (WARC 1.1 annex D mandates record-level members precisely so
+archives stay seekable/splittable at member boundaries).
+``parse_warc`` sniffs the gzip magic and demuxes member-at-a-time
+through ``zlib.decompressobj`` (``unused_data`` hands each member's
+tail to the next — never a whole-file decompress into one buffer
+first, so a corrupt later member still yields the earlier records'
+bytes before raising). ``encode_warc_gz`` writes the spec layout:
+one deterministic (mtime=0) gzip member per record.
+
 Failure posture: a malformed record raises ``WarcError`` from the
 pure function; the Spark kernel maps per-PAYLOAD errors into the
 ``err`` column (one bad archive never kills the job). Execution is
@@ -27,6 +38,9 @@ per-file payloads arrive via ``binaryFile`` or a paged reader; the
 record-walk is strictly sequential within one archive (the format
 is length-delimited), so parallelism comes from MANY archives —
 exactly how crawl dumps are laid out (thousands of ~1 GB segments).
+The per-record gzip members additionally allow offset-indexed random
+access (CDX-style) on a real cluster; this reader consumes whole
+payloads, so members only need to arrive in order.
 
 No counterpart in the reference (JSON text only, main.py:1-638);
 north-star extension per SURVEY §2.9.
@@ -34,6 +48,7 @@ north-star extension per SURVEY §2.9.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 from typing import NamedTuple
 
@@ -49,6 +64,7 @@ from pyspark.sql.types import (
 )
 
 _CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
 
 
 class WarcError(ValueError):
@@ -78,9 +94,36 @@ def _parse_headers(block: bytes, what: str) -> dict[str, str]:
     return headers
 
 
+def gunzip_members(data: bytes) -> bytes:
+    """Member-at-a-time gzip demux (WARC 1.1 annex D: each record is
+    its own gzip member; readers MUST handle multi-member streams —
+    a single whole-stream ``zlib.decompress`` would stop at the
+    first member's end and silently drop every later record).
+    Returns the concatenated plain WARC bytes."""
+    out = bytearray()
+    rest = data
+    while rest[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip header
+        try:
+            out += d.decompress(rest)
+        except zlib.error as e:
+            raise WarcError(f"corrupt gzip member: {e}") from e
+        if not d.eof:
+            raise WarcError("truncated gzip member")
+        rest = d.unused_data
+    if rest.strip(b"\x00"):  # trailing zero padding is tolerated
+        raise WarcError(
+            f"trailing garbage after gzip members ({len(rest)} bytes)"
+        )
+    return bytes(out)
+
+
 def parse_warc(data: bytes) -> list[WarcRecord]:
     """Parse one WARC payload into its records (pure function — the
-    kernel and tests share it)."""
+    kernel and tests share it). ``.warc.gz`` payloads are detected
+    by the gzip magic and demuxed member-at-a-time first."""
+    if data[:2] == _GZIP_MAGIC:
+        data = gunzip_members(data)
     records: list[WarcRecord] = []
     pos = 0
     n = len(data)
@@ -146,37 +189,49 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
     return records
 
 
+def _encode_record(rec: dict) -> bytes:
+    if "html" in rec:
+        entity = rec["html"].encode("utf-8")
+        body = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + b"Content-Length: " + str(len(entity)).encode() + _CRLF
+            + _CRLF
+            + entity
+        )
+        extra = b"Content-Type: application/http;msgtype=response\r\n"
+    else:
+        body = rec.get("body", b"")
+        extra = b""
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rec["warc_type"].encode() + _CRLF
+    )
+    if rec.get("url"):
+        head += b"WARC-Target-URI: " + rec["url"].encode() + _CRLF
+    head += extra
+    head += b"Content-Length: " + str(len(body)).encode() + _CRLF
+    return head + _CRLF + body + _CRLF + _CRLF
+
+
 def encode_warc(records: list[dict]) -> bytes:
     """Build a WARC payload (tests and oracle-paired fixtures):
     each dict has ``warc_type``, optional ``url``, and either a raw
     ``body`` (bytes) or an HTTP ``html`` string (wrapped as a 200
     response with Content-Type text/html)."""
-    out = bytearray()
-    for rec in records:
-        if "html" in rec:
-            entity = rec["html"].encode("utf-8")
-            http = (
-                b"HTTP/1.1 200 OK\r\n"
-                b"Content-Type: text/html; charset=utf-8\r\n"
-                + b"Content-Length: " + str(len(entity)).encode() + _CRLF
-                + _CRLF
-                + entity
-            )
-            body = http
-            extra = b"Content-Type: application/http;msgtype=response\r\n"
-        else:
-            body = rec.get("body", b"")
-            extra = b""
-        head = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: " + rec["warc_type"].encode() + _CRLF
-        )
-        if rec.get("url"):
-            head += b"WARC-Target-URI: " + rec["url"].encode() + _CRLF
-        head += extra
-        head += b"Content-Length: " + str(len(body)).encode() + _CRLF
-        out += head + _CRLF + body + _CRLF + _CRLF
-    return bytes(out)
+    return b"".join(_encode_record(rec) for rec in records)
+
+
+def encode_warc_gz(records: list[dict]) -> bytes:
+    """The ``.warc.gz`` layout real crawl dumps use: one gzip member
+    PER RECORD (WARC 1.1 annex D — record-level members keep the
+    archive splittable), mtime pinned to 0 so fixtures are
+    byte-deterministic across runs and engines."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(_encode_record(rec), mtime=0) for rec in records
+    )
 
 
 WARC_SCHEMA = StructType(

@@ -3176,12 +3176,20 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical http://site{...}.example/p{r}) — a defect in the WARC
     walk, the HTTP split, the URL rules, or the HTML contract
     mismatches. Three round-8 operators composed and cross-engine
-    verified together."""
+    verified together. Round 11: odd doc_ids ship as ``.warc.gz``
+    (one gzip member per record, the real Common Crawl transport)
+    and even doc_ids as bare WARC, so the member-at-a-time demux is
+    driver-graded at every scale — a gzip-path defect mismatches
+    half the rows."""
     import pandas as pd
 
     from etl_deltalake_spark.operators.html_text import html_to_text
     from etl_deltalake_spark.operators.urls import canonical_url
-    from etl_deltalake_spark.operators.warc import encode_warc, warc_records
+    from etl_deltalake_spark.operators.warc import (
+        encode_warc,
+        encode_warc_gz,
+        warc_records,
+    )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
 
@@ -3216,7 +3224,8 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "html": page(d, r),
                         }
                     )
-                payloads.append(encode_warc(recs))
+                enc = encode_warc_gz if d % 2 else encode_warc
+                payloads.append(enc(recs))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

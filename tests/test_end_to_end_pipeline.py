@@ -22,7 +22,11 @@ from etl_deltalake_spark.operators.curation import (
 from etl_deltalake_spark.operators.html_text import html_to_text
 from etl_deltalake_spark.operators.packing import sentence_chunks
 from etl_deltalake_spark.operators.urls import dedup_by_canonical_url
-from etl_deltalake_spark.operators.warc import encode_warc, warc_records
+from etl_deltalake_spark.operators.warc import (
+    encode_warc,
+    encode_warc_gz,
+    warc_records,
+)
 from etl_deltalake_spark.plans.inspect import plan_report
 from etl_deltalake_spark.sources.catalog import load_table
 
@@ -61,7 +65,11 @@ def _crawl_fixture(spark, sf_dir):
                     }
                     for r in range(2)
                 ]
-                payloads.append(encode_warc(recs))
+                # round 11: odd seeds arrive as .warc.gz (the real
+                # Common Crawl transport) — the capstone proves the
+                # whole corpus pipeline runs from gzip members too
+                enc = encode_warc_gz if d % 2 else encode_warc
+                payloads.append(enc(recs))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

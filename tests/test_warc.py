@@ -103,3 +103,76 @@ def test_warc_records_kernel(spark):
     assert all(r["err"] is None for r in good)
     bad = [r for r in rows if r["doc_id"] == 2]
     assert len(bad) == 1 and bad[0]["err"] is not None
+
+
+# ---- gzip transport (round 11: real Common Crawl is .warc.gz) ----------
+
+
+def test_parse_warc_gz_member_per_record():
+    """A .warc.gz payload (one gzip member per record, WARC 1.1
+    annex D) parses to exactly the same records as the bare bytes —
+    and multi-member demux is real: a whole-stream decompress would
+    see only record 0."""
+    from etl_deltalake_spark.operators.warc import encode_warc_gz
+
+    recs = [
+        {"warc_type": "warcinfo", "body": b"robots: all\r\n"},
+        {
+            "warc_type": "response",
+            "url": "http://a.example/x",
+            "html": "<p>hello <b>crawl</b></p>",
+        },
+        {"warc_type": "resource", "body": b"\x00\xff raw"},
+    ]
+    gz = encode_warc_gz(recs)
+    assert gz[:2] == b"\x1f\x8b"
+    # genuinely one member per record: each magic starts a member
+    assert gz.count(b"\x1f\x8b\x08") >= 3
+    import zlib
+
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    first_member_only = d.decompress(gz)
+    assert b"WARC-Type: resource" not in first_member_only  # would drop
+    assert parse_warc(gz) == parse_warc(encode_warc(recs))
+
+
+def test_parse_warc_gz_corrupt_and_truncated():
+    from etl_deltalake_spark.operators.warc import encode_warc_gz
+
+    gz = encode_warc_gz([{"warc_type": "warcinfo", "body": b"x"}])
+    with pytest.raises(WarcError, match="gzip member"):
+        parse_warc(gz[: len(gz) - 4])  # truncated member
+    bad = bytearray(gz)
+    bad[14] ^= 0xFF  # flip a deflate byte
+    with pytest.raises(WarcError, match="gzip member|record|WARC"):
+        parse_warc(bytes(bad))
+    with pytest.raises(WarcError, match="trailing garbage"):
+        parse_warc(gz + b"not gzip")
+
+
+def test_warc_records_kernel_mixed_gz_and_bare(spark):
+    """The Spark kernel needs NO transport hint: gzip and bare
+    payloads mix in one DataFrame and yield identical record rows."""
+    from etl_deltalake_spark.operators.warc import encode_warc_gz
+
+    recs = [
+        {"warc_type": "warcinfo", "body": b"robots: all\r\n"},
+        {
+            "warc_type": "response",
+            "url": "http://b.example/y",
+            "html": "<p>zipped</p>",
+        },
+    ]
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_warc(recs))), (1, bytearray(encode_warc_gz(recs)))],
+        "doc_id long, payload binary",
+    )
+    out = warc_records(df, "doc_id", "payload").collect()
+    by_doc = {}
+    for r in out:
+        assert r["err"] is None
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rec_idx"], r["warc_type"], r["url"], r["http_status"],
+             bytes(r["body"])))
+    assert by_doc[0] == by_doc[1]
+    assert len(by_doc[0]) == 2
