@@ -1059,10 +1059,12 @@ def test_read_foreign_multipart_checkpoint(spark, tmp_path):
 
 
 def test_reader_protocol_v2_refused_honestly(spark, tmp_path):
-    """Round-10 interop guard: a foreign table demanding
-    minReaderVersion > 1 (column mapping / deletion vectors) must be
-    REFUSED with a clear error — ignoring the protocol action would
-    silently resurface deleted rows or misname columns."""
+    """Round-10 interop guard, round-11 boundary: protocol 2 (column
+    mapping) and unsupported v3 features refuse (covered in
+    test_read_delta_still_refuses_column_mapping); a v3 protocol
+    demanding NO reader features is degenerate-but-harmless and must
+    READ — features are what change the data files' meaning, and
+    none are demanded."""
     import os
 
     root = str(tmp_path / "v3")
@@ -1101,8 +1103,7 @@ def test_reader_protocol_v2_refused_honestly(spark, tmp_path):
     ]
     with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
         f.write("\n".join(json.dumps(x) for x in actions))
-    with pytest.raises(ValueError, match="reader protocol"):
-        DL.read_delta(spark, root)
+    assert _rows(DL.read_delta(spark, root)) == [(1, "x")]
 
 
 def test_txn_replay_last_writer_wins(spark, tmp_path):
@@ -1168,3 +1169,367 @@ def test_checkpoint_tombstones_expire(spark, vt):
     # replay correctness is unaffected by expiry
     assert DL.cleanup_log(spark, vt.path) > 0
     assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+
+
+# ---- deletion vectors (round 11: reader protocol 3) ---------------------
+#
+# The test side carries its own independent ENCODER for the public
+# formats (RoaringFormatSpec 32-bit portable + Delta's 64-bit
+# RoaringBitmapArray + the DV sidecar file layout), so the reader is
+# checked against spec-constructed bytes, not against itself.
+
+
+def _ser_r32(values, run_keys=frozenset()):
+    groups: dict[int, list[int]] = {}
+    for v in sorted(values):
+        groups.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(groups)
+    size = len(keys)
+    runs_here = set(run_keys) & set(keys)
+    if runs_here:
+        head = ((12347) | ((size - 1) << 16)).to_bytes(4, "little")
+        flags = bytearray((size + 7) // 8)
+        for i, k in enumerate(keys):
+            if k in runs_here:
+                flags[i // 8] |= 1 << (i % 8)
+        head += bytes(flags)
+        has_offsets = size >= 4
+    else:
+        head = (12346).to_bytes(4, "little") + size.to_bytes(4, "little")
+        has_offsets = True
+    desc = b"".join(
+        k.to_bytes(2, "little") + (len(groups[k]) - 1).to_bytes(2, "little")
+        for k in keys
+    )
+    conts = []
+    for k in keys:
+        vals = groups[k]
+        if k in runs_here:
+            runs = []
+            s = prev = vals[0]
+            for v in vals[1:]:
+                if v == prev + 1:
+                    prev = v
+                    continue
+                runs.append((s, prev - s))
+                s = prev = v
+            runs.append((s, prev - s))
+            c = len(runs).to_bytes(2, "little") + b"".join(
+                a.to_bytes(2, "little") + ln.to_bytes(2, "little")
+                for a, ln in runs
+            )
+        elif len(vals) <= 4096:
+            c = b"".join(v.to_bytes(2, "little") for v in vals)
+        else:
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v // 8] |= 1 << (v % 8)
+            c = bytes(bits)
+        conts.append(c)
+    out = head + desc
+    if has_offsets:
+        base = len(out) + 4 * size
+        offs = b""
+        for c in conts:
+            offs += base.to_bytes(4, "little")
+            base += len(c)
+        out += offs
+    return out + b"".join(conts)
+
+
+def _dv_blob(positions, run_keys=frozenset()):
+    groups: dict[int, list[int]] = {}
+    for p in sorted(positions):
+        groups.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n = (max(groups) + 1) if groups else 0
+    out = (1681511377).to_bytes(4, "little") + n.to_bytes(8, "little")
+    for hi in range(n):
+        out += _ser_r32(groups.get(hi, []), run_keys)
+    return bytes(out)
+
+
+def _dv_sidecar(blob, pad=0):
+    """DV file layout: version byte 1, then (after optional padding,
+    exercising a non-trivial offset) i32-BE size + blob + i32-BE
+    CRC-32."""
+    import zlib
+
+    body = b"\x01" + b"\x00" * pad
+    offset = len(body)
+    body += (
+        len(blob).to_bytes(4, "big")
+        + blob
+        + zlib.crc32(blob).to_bytes(4, "big")
+    )
+    return body, offset
+
+
+def test_roaring_decoder_all_container_kinds():
+    """Array, bitset, and run containers across multiple 16-bit keys
+    AND multiple 32-bit bitmaps (row indexes past 2^32) decode to
+    exactly the encoded set."""
+    from etl_deltalake_spark.sources.delta_log import (
+        roaring_array_positions,
+    )
+
+    vals = (
+        [5, 9, 40000]                      # array container, key 0
+        + list(range(100_000, 105_001))    # card 5001 > 4096 → bitset
+        + list(range(200_000, 200_040))    # run container (key 3)
+        + [(1 << 32) + 7, (1 << 32) + 8]   # second 64-bit bitmap
+    )
+    blob = _dv_blob(vals, run_keys={3})
+    assert b"\x03\x00\x27\x00" in blob  # run container descriptive pair
+    assert roaring_array_positions(blob) == sorted(vals)
+    with pytest.raises(ValueError, match="magic"):
+        roaring_array_positions(b"\x00" * 16)
+    with pytest.raises(ValueError, match="trailing"):
+        roaring_array_positions(blob + b"\x00")
+
+
+def _write_one_parquet(spark, rows, schema, dir_path):
+    import os
+
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dir_path)
+    (name,) = [f for f in os.listdir(dir_path) if f.startswith("part-")]
+    return name
+
+
+def test_read_delta_deletion_vector_uuid_sidecar(spark, tmp_path):
+    """A foreign reader-protocol-3 table with a UUID-sidecar DV on
+    one of two files: deleted row indexes are absent, the un-DV'd
+    file unaffected. Sidecar name and base85 encoding follow
+    PROTOCOL.md (prefix + RFC-1924 base85 uuid, version byte,
+    BE size + CRC framing)."""
+    import base64
+    import os
+    import uuid
+
+    root = str(tmp_path / "dvu")
+    fa = _write_one_parquet(
+        spark, [(i, f"a{i}") for i in range(10)], "id long, val string",
+        f"{root}/fa",
+    )
+    fb = _write_one_parquet(
+        spark, [(100 + i, f"b{i}") for i in range(4)], "id long, val string",
+        f"{root}/fb",
+    )
+    blob = _dv_blob([0, 3, 7])
+    body, offset = _dv_sidecar(blob, pad=5)
+    u = uuid.uuid4()
+    os.makedirs(f"{root}/ab", exist_ok=True)
+    with open(f"{root}/ab/deletion_vector_{u}.bin", "wb") as f:
+        f.write(body)
+    enc = "ab" + base64.b85encode(u.bytes).decode()
+    schema = spark.createDataFrame([], "id long, val string").schema
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "dvu",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": f"fa/{fa}",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": enc,
+                    "offset": offset,
+                    "sizeInBytes": len(blob),
+                    "cardinality": 3,
+                },
+            }
+        },
+        {
+            "add": {
+                "path": f"fb/{fb}",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    got = _rows(DL.read_delta(spark, root))
+    want = [(i, f"a{i}") for i in range(10) if i not in (0, 3, 7)] + [
+        (100 + i, f"b{i}") for i in range(4)
+    ]
+    assert got == sorted(want)
+
+
+def test_read_delta_deletion_vector_inline_partitioned(spark, tmp_path):
+    """Inline ('i') DV storage on a PARTITIONED table: base85 blob in
+    the action itself, masking composes with partition-value literal
+    injection."""
+    import base64
+    import os
+
+    root = str(tmp_path / "dvi")
+    fa = _write_one_parquet(
+        spark, [(i,) for i in range(6)], "id long", f"{root}/p=x/fa"
+    )
+    fb = _write_one_parquet(
+        spark, [(10 + i,) for i in range(3)], "id long", f"{root}/p=y/fb"
+    )
+    blob = _dv_blob([1, 4])
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("p", StringType())]
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "dvi",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": ["p"],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": f"p=x/fa/{fa}",
+                "partitionValues": {"p": "x"},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "i",
+                    "pathOrInlineDv": base64.b85encode(blob).decode(),
+                    "sizeInBytes": len(blob),
+                    "cardinality": 2,
+                },
+            }
+        },
+        {
+            "add": {
+                "path": f"p=y/fb/{fb}",
+                "partitionValues": {"p": "y"},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    got = _rows(DL.read_delta(spark, root))
+    assert got == [
+        (0, "x"), (2, "x"), (3, "x"), (5, "x"),
+        (10, "y"), (11, "y"), (12, "y"),
+    ]
+
+
+def test_read_delta_still_refuses_column_mapping(spark, tmp_path):
+    """Protocol 2 (column mapping) and v3 tables demanding features
+    beyond deletionVectors stay honestly refused."""
+    import os
+
+    for sub, proto in [
+        ("r2", {"minReaderVersion": 2, "minWriterVersion": 5}),
+        (
+            "r3cm",
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", "columnMapping"],
+                "writerFeatures": [],
+            },
+        ),
+    ]:
+        root = str(tmp_path / sub)
+        os.makedirs(f"{root}/_delta_log")
+        schema = spark.createDataFrame([], "id long").schema
+        actions = [
+            {"protocol": proto},
+            {
+                "metaData": {
+                    "id": sub,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+        ]
+        with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions))
+        with pytest.raises(ValueError, match="protocol 2|columnMapping"):
+            DL.read_delta(spark, root)
+
+
+def test_dv_corruption_detected(spark, tmp_path):
+    """CRC mismatch, size mismatch, and cardinality mismatch each
+    raise instead of silently resurrecting or over-deleting rows."""
+    import base64
+
+    from etl_deltalake_spark.sources.delta_log import dv_positions
+
+    blob = _dv_blob([2, 5])
+    good = {
+        "storageType": "i",
+        "pathOrInlineDv": base64.b85encode(blob).decode(),
+        "sizeInBytes": len(blob),
+        "cardinality": 2,
+    }
+    assert dv_positions(spark, str(tmp_path), good) == [2, 5]
+    with pytest.raises(ValueError, match="sizeInBytes"):
+        dv_positions(spark, str(tmp_path), {**good, "sizeInBytes": 3})
+    with pytest.raises(ValueError, match="cardinality"):
+        dv_positions(spark, str(tmp_path), {**good, "cardinality": 9})
+    body, offset = _dv_sidecar(blob)
+    bad = bytearray(body)
+    bad[-1] ^= 0xFF  # corrupt the CRC
+    p = tmp_path / "dv.bin"
+    p.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="checksum"):
+        dv_positions(
+            spark,
+            str(tmp_path),
+            {
+                "storageType": "p",
+                "pathOrInlineDv": str(p),
+                "offset": offset,
+                "sizeInBytes": len(blob),
+                "cardinality": 2,
+            },
+        )
