@@ -105,6 +105,12 @@ HEADLINE = [
     # orchestration I/O by design, timed as end-to-end hops
     "q_stream_cdf",
     "q_sdp_pipeline",
+    # round-11 rotation members (driver rows since r11): incremental
+    # SemDeDup vs the persisted kept-vector store, alternating-star
+    # connected components, and TPC-H Q20's doubly-nested correlation
+    "q_incr_semdedup",
+    "q_components",
+    "q_tpch_q20",
 ]
 
 # Rows whose cost is dominated by IN-QUERY TRAINING by design

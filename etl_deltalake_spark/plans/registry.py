@@ -132,18 +132,18 @@ REGISTERED: tuple[str, ...] = (
     "q_session_window",
     # LLM-data-pipeline extensions (SURVEY §2.9)
     "q_jaccard_prefix",
-    "q_minhash_lsh",
+    "q_tpch_q20",
     "q_ivfpq_pretrained",
     "q_corpus_prep",
     "q_hamming_pairs",
     "q_substring_dup",
-    "q_containment",
+    "q_incr_semdedup",
     "q_quality_clf",
     "q_heavy_hitters",
     "q_incr_neardup",
     "q_bm25",
     "q_ann_recall",
-    "q_image_dedup",
+    "q_components",
     "q_weighted_draw",
     "q_semantic_dedup",
     "q_warc_extract",
@@ -319,6 +319,38 @@ RETIRED_R10B: tuple[str, ...] = (
     "q_semi_anti",
 )
 
+# Round-11 rotation (VERDICT r10 Next #4): the round-10 flagships
+# take driver rows from the three most-covered members.
+# q_minhash_lsh → q_incr_semdedup: the MinHash+LSH banding chain
+# already executes inside TWO driver rows — q_incr_neardup signs the
+# new batch with the identical signature+banding path against the
+# bucketed store, and q_corpus_prep runs minhash → LSH → label
+# propagation inside the full curation funnel (the exact argument
+# that retired q_dedup_clusters in round 2); incremental SemDeDup —
+# per-batch scoring against the persisted kept-vector store with
+# cluster equi-joins only — is a first-class incremental-curation
+# capability with no driver row.
+# q_image_dedup → q_components: the perceptual-hash MINING surface is
+# strictly generalized by q_hamming_pairs (exact Hamming-ball mining
+# over 64-bit fingerprints — the round-8B q_simhash precedent), and
+# the real image decoders are driver-graded by q_media_decode across
+# all nine modes; alternating large-star/small-star connected
+# components — the O(log²n)-round clustering step every dedup tier
+# terminates in, convergent where label propagation provably is not —
+# had no driver row.
+# q_containment → q_tpch_q20: asymmetric containment's prefix-join
+# mechanics ride q_jaccard_prefix (strictly harder: one global
+# (df, shingle) order, pair-level positional bound, exhaustive-join
+# oracle) and substring-level span dedup keeps q_substring_dup's
+# row; TPC-H Q20's doubly-nested correlation — a semi-join chain
+# feeding a correlated scalar aggregate over the derived partsupp —
+# is a decorrelation shape no other driver row executes.
+RETIRED_R11: tuple[str, ...] = (
+    "q_minhash_lsh",
+    "q_image_dedup",
+    "q_containment",
+)
+
 # Oracle-paired queries without a driver slot (pytest-gated).
 SLOTLESS: tuple[str, ...] = (
     "q_pack_sequences",
@@ -434,14 +466,6 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q2",
     "q_tpch_q11",
     "q_tpch_q16",
-    "q_tpch_q20",
-    # round 10 — the medallion declared through the REAL Spark 4.1
-    # Declarative Pipelines API, executed by the local SDP runner;
-    # incremental SemDeDup (new-batch vs persisted kept-vector store)
-    "q_incr_semdedup",
-    # round 10 — alternating-algorithm connected components over a
-    # closed-form decade graph
-    "q_components",
 )
 
 
@@ -462,6 +486,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R9,
     RETIRED_R10,
     RETIRED_R10B,
+    RETIRED_R11,
     SLOTLESS,
 )
 
