@@ -517,6 +517,7 @@ class VersionedTable:
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
         data_change: bool = True,
+        operation: str | None = None,
     ) -> int | None:
         """Commit ``df`` as a new version. ``mode='append'`` adds
         files; ``mode='overwrite'`` adds files and logically removes
@@ -534,6 +535,10 @@ class VersionedTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        # ``operation`` relabels the commit record (e.g. compaction
+        # commits as OPTIMIZE, matching real writers' commitInfo);
+        # replay semantics come from ``mode``'s add/remove lists only.
+        op_label = operation or mode
         commits = self._commits()
         merged_schema: list[tuple[str, str]] | None = None
         if mode == "append":
@@ -562,7 +567,7 @@ class VersionedTable:
             add = self._write_data_files(df, version)
             commit_schema = merged_schema or df.dtypes
             if self._try_commit(
-                version, mode, add, remove, commit_schema, timestamp,
+                version, op_label, add, remove, commit_schema, timestamp,
                 txn=txn, data_change=data_change,
             ):
                 if mode == "overwrite":
@@ -577,7 +582,7 @@ class VersionedTable:
                 )
                 self._mirror_delta_log(
                     version, add, remove, commit_schema, timestamp,
-                    mode, commits, live_after, txn=txn,
+                    op_label, commits, live_after, txn=txn,
                     data_change=data_change,
                 )
                 return version
@@ -880,7 +885,7 @@ class VersionedTable:
         compacted = self.read().repartition(n_files)
         return self.write(
             compacted, mode="overwrite", timestamp=timestamp,
-            data_change=False,
+            data_change=False, operation="optimize",
         )
 
     def vacuum(self, retain_versions: int = 1) -> int:

@@ -775,8 +775,10 @@ _SPEC_OPTIONAL = {
 
 def _golden_script(spark, vt):
     """The scripted history behind tests/data/golden_delta_log.json:
-    appends, a txn commit, an overwrite, a mergeSchema append, then
-    five more commits so the 10th checkpoints at delta version 9."""
+    appends, a txn commit, an overwrite, a mergeSchema append, five
+    more commits so the 10th checkpoints at delta version 9, then
+    (round 11) an OPTIMIZE compaction — its add/remove actions must
+    carry dataChange=false — and a final real append after it."""
     def df(pairs, cols=("id", "val")):
         return spark.createDataFrame(pairs, list(cols)).coalesce(1)
 
@@ -798,6 +800,11 @@ def _golden_script(spark, vt):
             df([(20 + i, f"s{i}", float(i))], ("id", "val", "score")),
             timestamp=f"2026-01-{6 + i:02d}T00:00:00",
         )
+    vt.compact(timestamp="2026-01-11T00:00:00")
+    vt.write(
+        df([(30, "p", 9.0)], ("id", "val", "score")),
+        timestamp="2026-01-12T00:00:00",
+    )
 
 
 def _normalize_stream(spark, vt):
@@ -895,13 +902,15 @@ def test_golden_log_conformance(spark, vt):
     )
     assert kinds == golden["checkpoint_row_kinds"]
 
-    # retention: cleanup leaves exactly the golden survivors, and the
-    # spec snapshot still resolves (checkpoint + tail)
+    # retention: cleanup leaves exactly the golden survivors (the
+    # checkpoint version plus the post-checkpoint tail: the OPTIMIZE
+    # commit and the final append), and the spec snapshot still
+    # resolves (checkpoint + tail)
     assert DL.cleanup_log(spark, vt.path) == 9
     surviving = sorted({v for v, _ in DL.delta_log_actions(spark, vt.path)})
-    assert surviving == golden["surviving_json_versions"]
+    assert surviving == golden["surviving_json_versions"] == [9, 10, 11]
     snap = DL.delta_snapshot(spark, vt.path)
-    assert snap["version"] == 9
+    assert snap["version"] == 11
     assert snap["txns"] == {"app1": 5}
     assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
 

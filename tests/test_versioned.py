@@ -110,7 +110,9 @@ def test_compact_is_a_commit_and_time_travel_safe(spark, vt):
     assert len(vt._snapshot_files()[0]) == 1  # tiny table → one file
     # pre-compaction snapshot still readable
     assert _rows(vt.read(version=v - 1)) == before
-    assert vt.history()[0]["operation"] == "overwrite"
+    # round 11: compaction relabels its commit OPTIMIZE (real
+    # writers' commitInfo label); replay semantics stay overwrite's
+    assert vt.history()[0]["operation"] == "optimize"
 
 
 def test_vacuum_frees_old_versions_keeps_latest(spark, vt):
