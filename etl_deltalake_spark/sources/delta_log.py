@@ -446,6 +446,7 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
     live: dict[str, dict] = {}
     schema_json = None
     partition_columns: list[str] = []
+    configuration: dict[str, str] = {}
     protocol = None
     txns: dict[str, int] = {}
     version = -1
@@ -480,6 +481,9 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
                 partition_columns = list(
                     d["metaData"].get("partitionColumns") or []
                 )
+                configuration = dict(
+                    d["metaData"].get("configuration") or {}
+                )
             if d.get("add") is not None:
                 live[d["add"]["path"]] = d["add"]
             if "remove" in cols and d.get("remove") is not None:
@@ -493,6 +497,9 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
             schema_json = action["metaData"]["schemaString"]
             partition_columns = list(
                 action["metaData"].get("partitionColumns") or []
+            )
+            configuration = dict(
+                action["metaData"].get("configuration") or {}
             )
         elif "protocol" in action:
             protocol = action["protocol"]
@@ -510,6 +517,7 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
         "adds": [live[k] for k in sorted(live)],
         "schema_json": schema_json,
         "partition_columns": partition_columns,
+        "configuration": configuration,
         "protocol": protocol,
         "txns": txns,
         "version": version,
@@ -661,6 +669,54 @@ def dv_positions(spark: SparkSession, table_path: str, dv: dict) -> list[int]:
     return out
 
 
+# ---- column mapping (PROTOCOL.md "Column Mapping") -------------------
+#
+# With delta.columnMapping.mode = name|id, parquet files store columns
+# under per-field PHYSICAL names (``col-<uuid>``) recorded in the
+# schema fields' metadata, so renames/drops never rewrite data. A
+# reader must scan by physical name (or parquet field id in id mode)
+# and surface LOGICAL names. Spark makes both cheap: struct casts
+# match fields by POSITION, so logical renaming of an arbitrarily
+# nested column is one cast+alias; id mode maps onto Spark's native
+# parquet field-id matching (read-schema metadata ``parquet.field.id``
+# + spark.sql.parquet.fieldId.read.enabled).
+
+_CM_PHYS = "delta.columnMapping.physicalName"
+_CM_ID = "delta.columnMapping.id"
+
+
+def _cm_physical_type(dt, mode: str):
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        fields = []
+        for f in dt.fields:
+            meta = dict(f.metadata or {})
+            phys = meta.get(_CM_PHYS, f.name)
+            if mode == "id" and _CM_ID in meta:
+                # Spark's parquet reader matches by field id when the
+                # read schema carries this metadata key
+                meta["parquet.field.id"] = int(meta[_CM_ID])
+            fields.append(
+                StructField(
+                    phys, _cm_physical_type(f.dataType, mode),
+                    f.nullable, meta,
+                )
+            )
+        return StructType(fields)
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _cm_physical_type(dt.elementType, mode), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _cm_physical_type(dt.keyType, mode),
+            _cm_physical_type(dt.valueType, mode),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _norm_uri(p: str) -> str:
     import re as _re
 
@@ -731,11 +787,14 @@ def read_delta(spark: SparkSession, table_path: str):
     with an explicit schema makes the parquet scan null-fill, exactly
     like real Delta readers.
 
-    Reader protocol 3 with the ``deletionVectors`` feature is READ
-    (round 11): per-file RoaringBitmapArray bitmaps (inline, UUID
-    sidecar, or absolute-path storage) mask deleted rows via
-    ``_metadata.row_index``. Column mapping (protocol 2, or a v3
-    feature) is still refused honestly."""
+    Reader protocols 2 and 3 are READ (round 11): deletion vectors —
+    per-file RoaringBitmapArray bitmaps (inline, UUID sidecar, or
+    absolute-path storage) masking deleted rows via
+    ``_metadata.row_index`` — and column mapping in BOTH modes
+    (scan by physical name, or by parquet field id in id mode, then
+    positional struct casts rename to logical; partitionValues are
+    looked up by physical name). Only genuinely unknown reader
+    features are refused."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -746,23 +805,33 @@ def read_delta(spark: SparkSession, table_path: str):
         raise ValueError(f"{table_path} has no _delta_log")
     proto = snap.get("protocol") or {}
     mrv = int(proto.get("minReaderVersion", 1))
-    if mrv == 2:
-        # HONEST refusal, never a silent misread: reader v2 is column
-        # mapping — ignoring it would misname or drop columns.
+    cm_mode = (snap.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm_mode not in ("none", "name", "id"):
         raise ValueError(
-            f"{table_path} requires Delta reader protocol 2 "
-            "(column mapping); this reader implements protocols 1 "
-            "and 3 (deletionVectors)"
+            f"{table_path}: unknown delta.columnMapping.mode "
+            f"{cm_mode!r}"
         )
     if mrv >= 3:
         feats = set(proto.get("readerFeatures") or [])
-        unsupported = sorted(feats - {"deletionVectors"})
+        unsupported = sorted(
+            feats - {"deletionVectors", "columnMapping"}
+        )
         if unsupported or mrv > 3:
+            # HONEST refusal, never a silent misread: an unknown
+            # reader feature changes what the data files MEAN.
             raise ValueError(
                 f"{table_path} requires unsupported reader features "
                 f"{unsupported or mrv} — ignoring them would change "
                 "what the data files mean"
             )
+    if cm_mode == "id":
+        # Spark's field-id matching is gated by a session conf read
+        # at SCAN time; it only applies to read schemas that carry
+        # parquet.field.id metadata, so enabling it is inert for
+        # every other read in the session.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     # Deletion vectors (round 11): decode each live add's DV into the
     # per-file deleted row-index set. Decodes happen driver-side from
     # kilobyte sidecars/inline blobs — the DATA-side masking in
@@ -777,22 +846,50 @@ def read_delta(spark: SparkSession, table_path: str):
     schema = StructType.fromJson(_json.loads(snap["schema_json"]))
     if not snap["adds"]:
         return spark.createDataFrame([], schema=schema)
+
+    def to_logical(df, phys_schema, logical_schema):
+        if cm_mode == "none":
+            return df
+        # struct casts match by POSITION: one cast+alias renames the
+        # whole (possibly nested) column back to logical names
+        return df.select(
+            *[
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for pf, lf in zip(
+                    phys_schema.fields, logical_schema.fields
+                )
+            ]
+        )
+
     pcols = snap["partition_columns"]
     if not pcols:
-        return _scan_with_dv(
-            spark,
+        phys = _cm_physical_type(schema, cm_mode)
+        return to_logical(
+            _scan_with_dv(
+                spark,
+                phys,
+                [f"{table_path}/{p}" for p in snap["files"]],
+                dv_map,
+            ),
+            phys,
             schema,
-            [f"{table_path}/{p}" for p in snap["files"]],
-            dv_map,
         )
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    # partitionValues keys are PHYSICAL names under column mapping
+    phys_of = {
+        f.name: (f.metadata or {}).get(_CM_PHYS, f.name)
+        if cm_mode != "none"
+        else f.name
+        for f in schema.fields
+    }
     data_schema = StructType(
         [f for f in schema.fields if f.name not in pcols]
     )
+    phys_data_schema = _cm_physical_type(data_schema, cm_mode)
     groups: dict[tuple, list[str]] = {}
     for a in snap["adds"]:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
+        key = tuple(pv.get(phys_of[c]) for c in pcols)
         groups.setdefault(key, []).append(f"{table_path}/{a['path']}")
     out = None
     # None-safe group order: external tables mix null partition
@@ -801,7 +898,11 @@ def read_delta(spark: SparkSession, table_path: str):
         groups.items(),
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
-        part = _scan_with_dv(spark, data_schema, paths, dv_map)
+        part = to_logical(
+            _scan_with_dv(spark, phys_data_schema, paths, dv_map),
+            phys_data_schema,
+            data_schema,
+        )
         for c, raw in zip(pcols, key):
             lit = (
                 F.lit(None).cast(ptypes[c])

@@ -1467,19 +1467,19 @@ def test_read_delta_deletion_vector_inline_partitioned(spark, tmp_path):
     ]
 
 
-def test_read_delta_still_refuses_column_mapping(spark, tmp_path):
-    """Protocol 2 (column mapping) and v3 tables demanding features
-    beyond deletionVectors stay honestly refused."""
+def test_read_delta_refuses_unknown_reader_features(spark, tmp_path):
+    """v3 tables demanding features beyond deletionVectors +
+    columnMapping stay honestly refused — an unknown feature changes
+    what the data files mean."""
     import os
 
     for sub, proto in [
-        ("r2", {"minReaderVersion": 2, "minWriterVersion": 5}),
         (
-            "r3cm",
+            "r3v2ck",
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors", "columnMapping"],
+                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                 "writerFeatures": [],
             },
         ),
@@ -1502,7 +1502,9 @@ def test_read_delta_still_refuses_column_mapping(spark, tmp_path):
         ]
         with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
             f.write("\n".join(json.dumps(a) for a in actions))
-        with pytest.raises(ValueError, match="protocol 2|columnMapping"):
+        with pytest.raises(
+            ValueError, match="unsupported reader features.*v2Checkpoint"
+        ):
             DL.read_delta(spark, root)
 
 
@@ -1542,3 +1544,250 @@ def test_dv_corruption_detected(spark, tmp_path):
                 "cardinality": 2,
             },
         )
+
+
+# ---- column mapping (round 11: reader protocols 2 and 3) ----------------
+
+
+def _cm_field(name, dtype, cid, phys, nested_fields=None):
+    meta = {
+        "delta.columnMapping.id": cid,
+        "delta.columnMapping.physicalName": phys,
+    }
+    body = {"name": name, "type": dtype, "nullable": True, "metadata": meta}
+    return body
+
+
+def test_read_delta_column_mapping_name_mode(spark, tmp_path):
+    """A protocol-2 name-mode table: parquet stores col-<uuid>
+    physical names (including inside a nested struct), the reader
+    surfaces logical names; partitionValues are keyed by the
+    partition column's PHYSICAL name."""
+    import os
+
+    root = str(tmp_path / "cmname")
+    # physical layout: col-a (long), col-n struct<col-x string>
+    part = _write_one_parquet(
+        spark,
+        [(i, (f"v{i}",)) for i in range(4)],
+        "`col-a` long, `col-n` struct<`col-x`: string>",
+        f"{root}/col-p=east/f",
+    )
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            _cm_field("id", "long", 1, "col-a"),
+            {
+                "name": "nest",
+                "type": {
+                    "type": "struct",
+                    "fields": [_cm_field("x", "string", 3, "col-x")],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-n",
+                },
+            },
+            _cm_field("region", "string", 4, "col-p"),
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cmname",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": ["region"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": f"col-p=east/f/{part}",
+                "partitionValues": {"col-p": "east"},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    got = DL.read_delta(spark, root)
+    assert got.columns == ["id", "nest", "region"]
+    assert got.schema["nest"].dataType.fieldNames() == ["x"]
+    rows = sorted((r["id"], r["nest"]["x"], r["region"]) for r in got.collect())
+    assert rows == [(i, f"v{i}", "east") for i in range(4)]
+
+
+def test_read_delta_column_mapping_id_mode(spark, tmp_path):
+    """An id-mode table whose parquet column NAMES match neither the
+    logical nor the recorded physical names — only the parquet field
+    ids line up, so a read that resolves by any name fails and only
+    true field-id matching returns the data."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmid")
+    os.makedirs(f"{root}/data")
+    t = pa.table(
+        {
+            "scrambled_a": pa.array([10, 11, 12], pa.int64()),
+            "scrambled_b": pa.array(["p", "q", "r"], pa.string()),
+        }
+    )
+    t = t.cast(
+        pa.schema(
+            [
+                pa.field(
+                    "scrambled_a",
+                    pa.int64(),
+                    metadata={b"PARQUET:field_id": b"7"},
+                ),
+                pa.field(
+                    "scrambled_b",
+                    pa.string(),
+                    metadata={b"PARQUET:field_id": b"9"},
+                ),
+            ]
+        )
+    )
+    pq.write_table(t, f"{root}/data/f1.parquet")
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            _cm_field("amount", "long", 7, "col-amt"),
+            _cm_field("tag", "string", 9, "col-tag"),
+        ],
+    }
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "cmid",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": "data/f1.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    got = DL.read_delta(spark, root)
+    assert got.columns == ["amount", "tag"]
+    assert _rows(got) == [(10, "p"), (11, "q"), (12, "r")]
+
+
+def test_read_delta_column_mapping_with_deletion_vector(spark, tmp_path):
+    """Both round-11 reader features COMPOSED: a name-mode table with
+    an inline DV — physical-name scan, row masking, then logical
+    rename."""
+    import base64
+    import os
+
+    root = str(tmp_path / "cmdv")
+    part = _write_one_parquet(
+        spark,
+        [(i, f"t{i}") for i in range(5)],
+        "`col-u` long, `col-v` string",
+        f"{root}/f",
+    )
+    blob = _dv_blob([0, 2])
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            _cm_field("id", "long", 1, "col-u"),
+            _cm_field("val", "string", 2, "col-v"),
+        ],
+    }
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "writerFeatures": [],
+            }
+        },
+        {
+            "metaData": {
+                "id": "cmdv",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": f"f/{part}",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "i",
+                    "pathOrInlineDv": base64.b85encode(blob).decode(),
+                    "sizeInBytes": len(blob),
+                    "cardinality": 2,
+                },
+            }
+        },
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    got = DL.read_delta(spark, root)
+    assert got.columns == ["id", "val"]
+    assert _rows(got) == [(1, "t1"), (3, "t3"), (4, "t4")]
+
+
+def test_read_delta_unknown_column_mapping_mode_refused(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "cmbad")
+    os.makedirs(f"{root}/_delta_log")
+    schema = spark.createDataFrame([], "id long").schema
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cmbad",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "weird"},
+                "createdTime": 0,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    with pytest.raises(ValueError, match="columnMapping.mode"):
+        DL.read_delta(spark, root)
