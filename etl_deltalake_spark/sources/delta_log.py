@@ -434,6 +434,94 @@ def _last_checkpoint(spark: SparkSession, table_path: str) -> dict | None:
     return json.loads(_read_small_file(spark, str(p)))
 
 
+
+def _action_rows(df) -> list[dict]:
+    rows = []
+    for row in df.collect():
+        d = row.asDict(recursive=True)
+        rows.append({k: v for k, v in d.items() if v is not None})
+    return rows
+
+
+def checkpoint_actions(
+    spark: SparkSession, table_path: str, ckpt: dict
+) -> list[dict]:
+    """Resolve a checkpoint's action rows across the three public
+    layouts: classic single-file ``%020d.checkpoint.parquet``,
+    multi-part ``%020d.checkpoint.%010d.%010d.parquet``, and the V2
+    NAMED checkpoint ``%020d.checkpoint.<uuid>.{parquet|json}``
+    (reader feature ``v2Checkpoint``) whose file actions live in
+    ``_delta_log/_sidecars/`` parquet files referenced by ``sidecar``
+    actions in the manifest. The uuid is not recorded in
+    ``_last_checkpoint``, so V2 discovery lists the log directory —
+    exactly what the spec prescribes."""
+    from etl_deltalake_spark.sources.versioned import (
+        _fs,
+        _read_small_file,
+    )
+
+    v20 = f"{ckpt['version']:0{_VERSION_DIGITS}d}"
+    log = f"{table_path}/{_DELTA_DIR}"
+    parts = ckpt.get("parts")
+    if parts:
+        paths = [
+            f"{log}/{v20}.checkpoint.{i + 1:010d}.{int(parts):010d}.parquet"
+            for i in range(int(parts))
+        ]
+        return _action_rows(spark.read.parquet(*paths))
+    jvm, fs, _ = _fs(spark, table_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    classic = f"{log}/{v20}.checkpoint.parquet"
+    if fs.exists(hpath(classic)):
+        return _action_rows(spark.read.parquet(classic))
+    manifest = None
+    for st in fs.listStatus(hpath(log)):
+        name = st.getPath().getName()
+        seg = name.split(".")
+        if (
+            len(seg) == 4
+            and seg[0] == v20
+            and seg[1] == "checkpoint"
+            and seg[3] in ("parquet", "json")
+        ):
+            manifest = name
+    if manifest is None:
+        raise ValueError(
+            f"{table_path}: _last_checkpoint names version "
+            f"{ckpt['version']} but no checkpoint file exists for it"
+        )
+    if manifest.endswith(".json"):
+        raw = [
+            json.loads(line)
+            for line in _read_small_file(spark, f"{log}/{manifest}")
+            .decode()
+            .splitlines()
+            if line.strip()
+        ]
+    else:
+        raw = _action_rows(spark.read.parquet(f"{log}/{manifest}"))
+    out: list[dict] = []
+    for a in raw:
+        if a.get("sidecar") is not None:
+            out.extend(
+                _action_rows(
+                    spark.read.parquet(
+                        f"{log}/_sidecars/{a['sidecar']['path']}"
+                    )
+                )
+            )
+        elif a.get("checkpointMetadata") is not None:
+            got = int(a["checkpointMetadata"]["version"])
+            if got != int(ckpt["version"]):
+                raise ValueError(
+                    f"v2 checkpoint manifest is for version {got}, "
+                    f"_last_checkpoint says {ckpt['version']}"
+                )
+        else:
+            out.append(a)
+    return out
+
+
 def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
     """Resolve the latest snapshot per the protocol: start from the
     ``_last_checkpoint``-named parquet checkpoint when one exists
@@ -456,24 +544,7 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
     if ckpt is not None:
         version = ckpt["version"]
         tail_from = ckpt["version"] + 1
-        v20 = f"{ckpt['version']:0{_VERSION_DIGITS}d}"
-        parts = ckpt.get("parts")
-        if parts:
-            # foreign MULTI-PART checkpoint:
-            # %020d.checkpoint.%010d.%010d.parquet, one file per part
-            paths = [
-                f"{table_path}/{_DELTA_DIR}/"
-                f"{v20}.checkpoint.{i + 1:010d}.{int(parts):010d}.parquet"
-                for i in range(int(parts))
-            ]
-            ck = spark.read.parquet(*paths)
-        else:
-            ck = spark.read.parquet(
-                f"{table_path}/{_DELTA_DIR}/{v20}.checkpoint.parquet"
-            )
-        cols = set(ck.columns)
-        for row in ck.collect():
-            d = row.asDict(recursive=True)
+        for d in checkpoint_actions(spark, table_path, ckpt):
             if d.get("protocol") is not None:
                 protocol = d["protocol"]
             if d.get("metaData") is not None:
@@ -486,10 +557,12 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
                 )
             if d.get("add") is not None:
                 live[d["add"]["path"]] = d["add"]
-            if "remove" in cols and d.get("remove") is not None:
+            if d.get("remove") is not None:
                 live.pop(d["remove"]["path"], None)
-            if "txn" in cols and d.get("txn") is not None:
+            if d.get("txn") is not None:
                 txns[d["txn"]["appId"]] = int(d["txn"]["version"])
+            # domainMetadata / checkpointMetadata carry no
+            # snapshot-visible state for this reader
 
     for v, action in delta_log_actions(spark, table_path, tail_from):
         version = max(version, v)
@@ -816,7 +889,17 @@ def read_delta(spark: SparkSession, table_path: str):
     if mrv >= 3:
         feats = set(proto.get("readerFeatures") or [])
         unsupported = sorted(
-            feats - {"deletionVectors", "columnMapping"}
+            feats
+            - {
+                "deletionVectors",
+                "columnMapping",
+                # timestampNtz: the schema's timestamp_ntz columns map
+                # onto Spark's native TIMESTAMP_NTZ parquet read
+                "timestampNtz",
+                # v2Checkpoint: named manifests + sidecars, resolved
+                # by checkpoint_actions during snapshot replay
+                "v2Checkpoint",
+            }
         )
         if unsupported or mrv > 3:
             # HONEST refusal, never a silent misread: an unknown

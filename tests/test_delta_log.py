@@ -1468,18 +1468,19 @@ def test_read_delta_deletion_vector_inline_partitioned(spark, tmp_path):
 
 
 def test_read_delta_refuses_unknown_reader_features(spark, tmp_path):
-    """v3 tables demanding features beyond deletionVectors +
-    columnMapping stay honestly refused — an unknown feature changes
-    what the data files mean."""
+    """v3 tables demanding reader features beyond the implemented
+    set (deletionVectors, columnMapping, timestampNtz, v2Checkpoint)
+    stay honestly refused — an unknown feature changes what the data
+    files mean."""
     import os
 
     for sub, proto in [
         (
-            "r3v2ck",
+            "r3tw",
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                "readerFeatures": ["deletionVectors", "typeWidening"],
                 "writerFeatures": [],
             },
         ),
@@ -1503,7 +1504,7 @@ def test_read_delta_refuses_unknown_reader_features(spark, tmp_path):
         with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
             f.write("\n".join(json.dumps(a) for a in actions))
         with pytest.raises(
-            ValueError, match="unsupported reader features.*v2Checkpoint"
+            ValueError, match="unsupported reader features.*typeWidening"
         ):
             DL.read_delta(spark, root)
 
@@ -1791,3 +1792,259 @@ def test_read_delta_unknown_column_mapping_mode_refused(spark, tmp_path):
         f.write("\n".join(json.dumps(a) for a in actions))
     with pytest.raises(ValueError, match="columnMapping.mode"):
         DL.read_delta(spark, root)
+
+
+# ---- v2 checkpoints + timestampNtz (round 11, second wave) ---------------
+
+
+def _pa_struct_col(pylist, pa_type):
+    import pyarrow as pa
+
+    return pa.array(pylist, type=pa_type)
+
+
+def _write_v2_fixture(spark, tmp_path, manifest_kind):
+    """A foreign table whose ONLY checkpoint is a V2 named manifest
+    (parquet or json) with file actions in a _sidecars parquet, plus
+    one JSON commit past the checkpoint to prove tail replay still
+    composes."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / f"v2{manifest_kind}")
+    log = f"{root}/_delta_log"
+    os.makedirs(f"{log}/_sidecars")
+    fa = _write_one_parquet(
+        spark, [(i, f"a{i}") for i in range(3)], "id long, val string",
+        f"{root}/fa",
+    )
+    fb = _write_one_parquet(
+        spark, [(10 + i, f"b{i}") for i in range(2)], "id long, val string",
+        f"{root}/fb",
+    )
+    schema = spark.createDataFrame([], "id long, val string").schema
+
+    def add_action(path):
+        return {
+            "path": path,
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    # sidecar parquet holding the checkpoint's add actions
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    def to_pa_add(a):
+        b = dict(a)
+        b["partitionValues"] = list(b["partitionValues"].items())
+        return b
+
+    side_name = f"{uuid.uuid4()}.parquet"
+    pq.write_table(
+        pa.table({"add": _pa_struct_col(
+            [to_pa_add(add_action(f"fa/{fa}"))], add_t
+        )}),
+        f"{log}/_sidecars/{side_name}",
+    )
+
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta = {
+        "id": "v2fix",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    manifest_name = f"{0:020d}.checkpoint.{uuid.uuid4()}.{manifest_kind}"
+    if manifest_kind == "json":
+        actions = [
+            {"checkpointMetadata": {"version": 0}},
+            {"protocol": proto},
+            {"metaData": meta},
+            {
+                "sidecar": {
+                    "path": side_name,
+                    "sizeInBytes": 1,
+                    "modificationTime": 0,
+                }
+            },
+        ]
+        with open(f"{log}/{manifest_name}", "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions))
+    else:
+        ckm_t = pa.struct([("version", pa.int64())])
+        proto_t = pa.struct(
+            [
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ]
+        )
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct(
+                    [("provider", pa.string()),
+                     ("options", pa.map_(pa.string(), pa.string()))]
+                )),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        side_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]
+        )
+        meta_pa = dict(meta)
+        meta_pa["format"] = {
+            "provider": "parquet",
+            "options": [],
+        }
+        meta_pa["configuration"] = []
+        rows = 4
+        tbl = pa.table(
+            {
+                "checkpointMetadata": _pa_struct_col(
+                    [{"version": 0}, None, None, None], ckm_t
+                ),
+                "protocol": _pa_struct_col(
+                    [None, proto, None, None], proto_t
+                ),
+                "metaData": _pa_struct_col(
+                    [None, None, meta_pa, None], meta_t
+                ),
+                "sidecar": _pa_struct_col(
+                    [
+                        None,
+                        None,
+                        None,
+                        {
+                            "path": side_name,
+                            "sizeInBytes": 1,
+                            "modificationTime": 0,
+                        },
+                    ],
+                    side_t,
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{log}/{manifest_name}")
+    with open(f"{log}/_last_checkpoint", "w") as f:
+        f.write(json.dumps({"version": 0, "size": 4}))
+    # JSON tail past the checkpoint: one more add
+    with open(f"{log}/{1:020d}.json", "w") as f:
+        f.write(json.dumps({"add": add_action(f"fb/{fb}")}))
+    return root
+
+
+@pytest.mark.parametrize("kind", ["parquet", "json"])
+def test_read_delta_v2_named_checkpoint(spark, tmp_path, kind):
+    """A V2 named checkpoint (manifest + _sidecars file actions, the
+    reader feature modern writers gate checkpoints behind) resolves:
+    protocol/metaData from the manifest, adds from the sidecar, and
+    the JSON tail past the checkpoint still replays on top."""
+    root = _write_v2_fixture(spark, tmp_path, kind)
+    snap = DL.delta_snapshot(spark, root)
+    assert snap["version"] == 1
+    assert len(snap["adds"]) == 2
+    got = _rows(DL.read_delta(spark, root))
+    assert got == [
+        (0, "a0"), (1, "a1"), (2, "a2"), (10, "b0"), (11, "b1"),
+    ]
+
+
+def test_v2_checkpoint_version_mismatch_refused(spark, tmp_path):
+    import os
+    import uuid
+
+    root = str(tmp_path / "v2bad")
+    log = f"{root}/_delta_log"
+    os.makedirs(log)
+    name = f"{0:020d}.checkpoint.{uuid.uuid4()}.json"
+    with open(f"{log}/{name}", "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 5}}))
+    with open(f"{log}/_last_checkpoint", "w") as f:
+        f.write(json.dumps({"version": 0}))
+    with pytest.raises(ValueError, match="manifest is for version 5"):
+        DL.delta_snapshot(spark, root)
+
+
+def test_read_delta_timestamp_ntz_feature(spark, tmp_path):
+    """timestampNtz: a v3 table whose schema carries timestamp_ntz
+    reads through Spark's native TIMESTAMP_NTZ parquet support —
+    values match what was written, no UTC adjustment."""
+    import datetime
+    import os
+
+    root = str(tmp_path / "ntz")
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 3, 1, 12, 30, 0))],
+        "id long, ts timestamp_ntz",
+    )
+    part = _write_one_parquet(
+        spark,
+        [(1, datetime.datetime(2026, 3, 1, 12, 30, 0))],
+        "id long, ts timestamp_ntz",
+        f"{root}/f",
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "ntz",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": f"f/{part}",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    got = DL.read_delta(spark, root)
+    assert got.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    assert _rows(got) == [
+        (1, datetime.datetime(2026, 3, 1, 12, 30, 0)),
+    ]
