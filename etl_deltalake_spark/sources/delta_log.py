@@ -522,25 +522,39 @@ def checkpoint_actions(
     return out
 
 
-def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
-    """Resolve the latest snapshot per the protocol: start from the
+def delta_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict:
+    """Resolve a snapshot per the protocol: start from the
     ``_last_checkpoint``-named parquet checkpoint when one exists
     (real Delta writers DELETE old JSON log files after
     checkpointing, so a spec reader must not require version 0),
     then replay only the JSON tail — latest metaData wins, live
     files = adds minus later removes (path-keyed). Returns
     ``{"files": [sorted paths], "adds": [add dicts in path order],
-    "schema_json", "partition_columns", "protocol", "version"}``."""
+    "schema_json", "partition_columns", "protocol", "version"}``.
+
+    ``version`` requests TIME TRAVEL (the spec form of delta-spark's
+    versionAsOf, round 11): replay stops at that version. When the
+    requested version predates the newest checkpoint, resolution
+    falls back to pure JSON replay from 0 and REFUSES honestly if
+    log retention already deleted any needed commit file — a spec
+    reader must never silently reconstruct a partial snapshot."""
     live: dict[str, dict] = {}
     schema_json = None
     partition_columns: list[str] = []
     configuration: dict[str, str] = {}
     protocol = None
     txns: dict[str, int] = {}
+    as_of = version
     version = -1
     tail_from = 0
 
     ckpt = _last_checkpoint(spark, table_path)
+    if ckpt is not None and as_of is not None and ckpt["version"] > as_of:
+        # requested snapshot predates the checkpoint: pure JSON
+        # replay, continuity-checked below
+        ckpt = None
     if ckpt is not None:
         version = ckpt["version"]
         tail_from = ckpt["version"] + 1
@@ -564,7 +578,18 @@ def delta_snapshot(spark: SparkSession, table_path: str) -> dict:
             # domainMetadata / checkpointMetadata carry no
             # snapshot-visible state for this reader
 
-    for v, action in delta_log_actions(spark, table_path, tail_from):
+    tail = delta_log_actions(spark, table_path, tail_from)
+    if as_of is not None:
+        have = {v for v, _ in tail}
+        missing = sorted(set(range(tail_from, as_of + 1)) - have)
+        if missing:
+            raise ValueError(
+                f"{table_path}: cannot time-travel to version {as_of} "
+                f"— commit files {missing} were removed by log "
+                "retention"
+            )
+        tail = [(v, a) for v, a in tail if v <= as_of]
+    for v, action in tail:
         version = max(version, v)
         if "metaData" in action:
             schema_json = action["metaData"]["schemaString"]
@@ -845,7 +870,9 @@ def _scan_with_dv(spark, schema, abs_paths, dv_map):
     return out
 
 
-def read_delta(spark: SparkSession, table_path: str):
+def read_delta(
+    spark: SparkSession, table_path: str, version: int | None = None
+):
     """Read the latest snapshot THROUGH the Delta log (never the
     custom log) — what any external spec reader would materialize.
     Handles PARTITIONED tables (real Delta writers put partition
@@ -873,7 +900,7 @@ def read_delta(spark: SparkSession, table_path: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    snap = delta_snapshot(spark, table_path)
+    snap = delta_snapshot(spark, table_path, version=version)
     if snap["version"] < 0:
         raise ValueError(f"{table_path} has no _delta_log")
     proto = snap.get("protocol") or {}
@@ -899,6 +926,11 @@ def read_delta(spark: SparkSession, table_path: str):
                 # v2Checkpoint: named manifests + sidecars, resolved
                 # by checkpoint_actions during snapshot replay
                 "v2Checkpoint",
+                # variantType: schema variant columns map onto
+                # Spark 4's native VariantType parquet read (GA and
+                # preview feature names)
+                "variantType",
+                "variantType-preview",
             }
         )
         if unsupported or mrv > 3:

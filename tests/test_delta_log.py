@@ -2048,3 +2048,104 @@ def test_read_delta_timestamp_ntz_feature(spark, tmp_path):
     assert _rows(got) == [
         (1, datetime.datetime(2026, 3, 1, 12, 30, 0)),
     ]
+
+
+def test_read_delta_variant_type_feature(spark, tmp_path):
+    """variantType: a v3 table whose schema carries a VARIANT column
+    reads through Spark 4's native variant parquet support; values
+    survive semantically (compared via cast to string)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "vart")
+    df = spark.range(3).select(
+        "id",
+        F.parse_json(
+            F.format_string('{"a": %d, "b": "x%d"}', F.col("id"), F.col("id"))
+        ).alias("v"),
+    )
+    df.coalesce(1).write.parquet(f"{root}/f")
+    (part,) = [
+        f for f in os.listdir(f"{root}/f") if f.startswith("part-")
+    ]
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["variantType"],
+                "writerFeatures": ["variantType"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "vart",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": f"f/{part}",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    got = DL.read_delta(spark, root)
+    assert got.schema["v"].dataType.typeName() == "variant"
+    rows = sorted(
+        map(tuple, got.select("id", F.col("v").cast("string")).collect())
+    )
+    assert rows == [
+        (0, '{"a":0,"b":"x0"}'),
+        (1, '{"a":1,"b":"x1"}'),
+        (2, '{"a":2,"b":"x2"}'),
+    ]
+
+
+def test_read_delta_version_as_of(spark, vt):
+    """Spec-reader time travel (delta-spark's versionAsOf through the
+    public log): every historical version reconstructs; versions
+    below the checkpoint fall back to pure JSON replay; once log
+    retention deletes those files the reader refuses honestly."""
+    states = []
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-02-01T00:00:00")
+    states.append(_rows(vt.read()))
+    vt.write(_df(spark, [(2, "b")]), timestamp="2026-02-02T00:00:00")
+    states.append(_rows(vt.read()))
+    vt.write(
+        _df(spark, [(9, "ow")]),
+        mode="overwrite",
+        timestamp="2026-02-03T00:00:00",
+    )
+    states.append(_rows(vt.read()))
+    for dv, want in enumerate(states):
+        assert _rows(DL.read_delta(spark, vt.path, version=dv)) == want
+    # snapshot version is pinned, not just rows
+    assert DL.delta_snapshot(spark, vt.path, version=1)["version"] == 1
+    # roll past the checkpoint (10th commit checkpoints at delta 9),
+    # clean the log, and confirm pre-checkpoint versions now refuse
+    for i in range(7):
+        vt.write(
+            _df(spark, [(20 + i, f"s{i}")]),
+            timestamp=f"2026-02-{4 + i:02d}T00:00:00",
+        )
+    # pre-cleanup: JSON replay from 0 still works below the checkpoint
+    assert _rows(DL.read_delta(spark, vt.path, version=1)) == states[1]
+    assert DL.cleanup_log(spark, vt.path) == 9
+    with pytest.raises(ValueError, match="log retention"):
+        DL.read_delta(spark, vt.path, version=1)
+    # at-and-after the checkpoint still resolves
+    assert DL.delta_snapshot(spark, vt.path, version=9)["version"] == 9
+    latest = _rows(vt.read())
+    assert _rows(DL.read_delta(spark, vt.path)) == latest
