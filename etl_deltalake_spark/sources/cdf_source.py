@@ -60,10 +60,48 @@ def _commit_docs(root: str) -> list[dict]:
     return sorted(docs, key=lambda d: d["version"])
 
 
+def _dv_positions_local(root: str, desc: dict) -> set[int]:
+    """Resolve a deletionVector descriptor with plain file I/O (the
+    Python-worker twin of ``delta_log.dv_positions`` — this module is
+    file-scheme-scoped by design, see docstring)."""
+    import base64
+    import uuid as _uuid
+
+    from etl_deltalake_spark.sources.delta_log import (
+        roaring_array_positions,
+    )
+
+    st = desc["storageType"]
+    if st == "i":
+        data = base64.b85decode(desc["pathOrInlineDv"])
+    elif st in ("u", "p"):
+        if st == "u":
+            enc = desc["pathOrInlineDv"]
+            prefix, enc_uuid = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=base64.b85decode(enc_uuid))
+            path = os.path.join(
+                _local(root), prefix, f"deletion_vector_{u}.bin"
+            )
+        else:
+            path = _local(desc["pathOrInlineDv"])
+        with open(path, "rb") as f:
+            raw = f.read()
+        off = int(desc["offset"])
+        size = int.from_bytes(raw[off : off + 4], "big")
+        data = raw[off + 4 : off + 4 + size]
+    else:
+        raise ValueError(f"unknown deletionVector storageType {st!r}")
+    return set(roaring_array_positions(data))
+
+
 class FileChangePartition(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(self, path: str, version: int, dv: dict | None = None):
         self.path = path
         self.version = version
+        # deletionVector descriptor when the commit re-added this
+        # file with a mask (merge-on-read DML) — the reader must
+        # skip masked row indexes, never re-emit deleted rows
+        self.dv = dv
 
 
 class VersionedCdfStreamReader(DataSourceStreamReader):
@@ -92,11 +130,13 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             if not doc.get("dataChange", True):
                 continue
             if lo < doc["version"] <= hi:
+                dvd = doc.get("dv") or {}
                 for rel in doc["add"]:
                     parts.append(
                         FileChangePartition(
                             os.path.join(_local(self.root), rel),
                             doc["version"],
+                            dv=dvd.get(rel),
                         )
                     )
         return parts
@@ -117,7 +157,12 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         }
         n = table.num_rows
         cols = [by_name.get(f, [None] * n) for f in self.fields]
-        for row in zip(*cols) if cols else ():
+        masked = (
+            _dv_positions_local(self.root, part.dv) if part.dv else None
+        )
+        for i, row in enumerate(zip(*cols) if cols else ()):
+            if masked is not None and i in masked:
+                continue
             yield (*row, part.version)
 
     def commit(self, end):

@@ -167,16 +167,28 @@ def emit_delta_commit(
     emit_metadata: bool,
     txn: tuple[str, int] | None = None,
     data_change: bool = True,
+    dv_adds: dict[str, dict] | None = None,
+    protocol_action: dict | None = None,
 ) -> bool:
     """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
     via the same temp+rename as the custom log). Returns False when
-    the file already exists — idempotent under backfill re-runs."""
+    the file already exists — idempotent under backfill re-runs.
+
+    ``dv_adds`` maps an added rel path to its ``deletionVector``
+    descriptor (merge-on-read deletes re-add the same file with a
+    mask). ``protocol_action`` emits a protocol UPGRADE action — the
+    spec's mechanism for a table's first DV commit to raise
+    (minReaderVersion 3 / minWriterVersion 7 + feature lists) so
+    readers that cannot decode DVs refuse instead of resurrecting
+    deleted rows."""
     from etl_deltalake_spark.sources.versioned import _write_file_atomic
 
     millis = _iso_to_millis(timestamp)
     actions: list[dict] = []
+    if protocol_action is not None:
+        actions.append(protocol_action)
     if emit_metadata:
-        if delta_version == 0:
+        if delta_version == 0 and protocol_action is None:
             actions.append(PROTOCOL_ACTION)
         actions.append(metadata_action(schema_json, table_path, millis))
     if txn is not None:
@@ -214,6 +226,9 @@ def emit_delta_commit(
             "modificationTime": millis,
             "dataChange": data_change,
         }
+        dv = (dv_adds or {}).get(rel)
+        if dv is not None:
+            entry["deletionVector"] = dv
         stats = _file_stats(table_path, rel)
         if stats is not None:
             entry["stats"] = stats
@@ -249,10 +264,21 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
     ckpt = _last_checkpoint(spark, table.path)
     floor = ckpt["version"] if ckpt is not None else -1
     prev_schema = None
+    had_dv = False
     for c in commits:
         dv = c.version - 1
         schema_json = _schema_json_from_ddl(c.schema)
         if dv not in have and dv > floor:
+            proto = None
+            if c.dv and not had_dv:
+                proto = {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                }
             emit_delta_commit(
                 spark,
                 table.path,
@@ -265,8 +291,13 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
                 emit_metadata=(prev_schema is None or c.schema != prev_schema),
                 txn=c.txn,
                 data_change=c.data_change,
+                dv_adds=(
+                    {rel: json.loads(desc) for rel, desc in c.dv} or None
+                ),
+                protocol_action=proto,
             )
         prev_schema = c.schema
+        had_dv = had_dv or bool(c.dv)
 
 
 def _schema_json_from_ddl(schema) -> str:
@@ -282,7 +313,12 @@ def _schema_json_from_ddl(schema) -> str:
 # ---- checkpointing ----------------------------------------------------
 
 _CHECKPOINT_SCHEMA = """
-    protocol struct<minReaderVersion:int, minWriterVersion:int>,
+    protocol struct<
+        minReaderVersion:int,
+        minWriterVersion:int,
+        readerFeatures:array<string>,
+        writerFeatures:array<string>
+    >,
     metaData struct<
         id:string,
         format:struct<provider:string, options:map<string,string>>,
@@ -296,7 +332,14 @@ _CHECKPOINT_SCHEMA = """
         partitionValues:map<string,string>,
         size:bigint,
         modificationTime:bigint,
-        dataChange:boolean
+        dataChange:boolean,
+        deletionVector:struct<
+            storageType:string,
+            pathOrInlineDv:string,
+            offset:int,
+            sizeInBytes:int,
+            cardinality:bigint
+        >
     >,
     remove struct<
         path:string,
@@ -320,6 +363,9 @@ def write_delta_checkpoint(
     timestamp: str,
     txns: dict[str, int] | None = None,
     tombstones: list[tuple[str, int]] | None = None,
+    dvs: dict[str, dict] | None = None,
+    protocol: tuple[int, int] | None = None,
+    features: tuple[list[str], list[str]] | None = None,
 ) -> None:
     """The classic single-file parquet checkpoint at ``delta_version``
     (one nullable-struct row per action: protocol, metaData, one add
@@ -333,8 +379,10 @@ def write_delta_checkpoint(
 
     millis = _iso_to_millis(timestamp)
     meta = metadata_action(schema_json, table_path, millis)["metaData"]
+    mrv, mwv = protocol or (1, 2)
+    rfeats, wfeats = features or (None, None)
     rows = [
-        ((1, 2), None, None, None, None),
+        ((mrv, mwv, rfeats, wfeats), None, None, None, None),
         (
             None,
             (
@@ -351,11 +399,30 @@ def write_delta_checkpoint(
         ),
     ]
     for rel in live:
+        dv = (dvs or {}).get(rel)
+        dv_row = (
+            (
+                dv["storageType"],
+                dv["pathOrInlineDv"],
+                int(dv["offset"]),
+                int(dv["sizeInBytes"]),
+                int(dv["cardinality"]),
+            )
+            if dv is not None
+            else None
+        )
         rows.append(
             (
                 None,
                 None,
-                (rel, {}, _file_size(spark, table_path, rel), millis, True),
+                (
+                    rel,
+                    {},
+                    _file_size(spark, table_path, rel),
+                    millis,
+                    True,
+                    dv_row,
+                ),
                 None,
                 None,
             )
@@ -765,6 +832,121 @@ def dv_positions(spark: SparkSession, table_path: str, dv: dict) -> list[int]:
             f"{len(out)} decoded"
         )
     return out
+
+
+# ---- deletion-vector WRITE (writer feature ``deletionVectors``) ------
+#
+# The modern Delta DELETE path (merge-on-read): instead of rewriting a
+# file to drop some rows, the writer records the deleted row indexes
+# as a RoaringBitmapArray and re-adds the SAME file with a
+# ``deletionVector`` descriptor. At 100 TB a delete touching 0.1% of
+# rows costs kilobytes of bitmap per file instead of rewriting
+# terabytes — the read-side cost (broadcast anti-join on
+# ``_metadata.row_index``, see ``_scan_with_dv``) is proportional to
+# DV cardinality, and OPTIMIZE materializes the masks away. The
+# encoder below is the production twin of the reader above; the test
+# suite carries a THIRD, independent spec encoder so neither is ever
+# validated only against itself.
+
+def _ser_roaring32(values) -> bytes:
+    """Serialize one 32-bit RoaringBitmap (official portable format,
+    no-runs cookie): sorted uint32 values → array containers when a
+    16-bit key holds <= 4096 values, bitset containers above. The
+    offset index is emitted (mandatory with the no-runs cookie)."""
+    import numpy as np
+
+    vals = np.asarray(values, dtype=np.uint32)
+    head = _SERIAL_COOKIE_NO_RUNS.to_bytes(4, "little")
+    if vals.size == 0:
+        return head + (0).to_bytes(4, "little")
+    keys = vals >> np.uint32(16)
+    lows = (vals & np.uint32(0xFFFF)).astype("<u2")
+    uniq, starts = np.unique(keys, return_index=True)
+    bounds = np.append(starts, vals.size)
+    conts: list[bytes] = []
+    desc = b""
+    for i, k in enumerate(uniq):
+        group = lows[bounds[i] : bounds[i + 1]]
+        desc += int(k).to_bytes(2, "little") + (
+            group.size - 1
+        ).to_bytes(2, "little")
+        if group.size <= 4096:
+            conts.append(group.tobytes())
+        else:
+            bits = np.zeros(65536, dtype=bool)
+            bits[group.astype(np.int64)] = True
+            conts.append(np.packbits(bits, bitorder="little").tobytes())
+    out = head + uniq.size.to_bytes(4, "little") + desc
+    base = len(out) + 4 * uniq.size
+    offs = b""
+    for c in conts:
+        offs += base.to_bytes(4, "little")
+        base += len(c)
+    return out + offs + b"".join(conts)
+
+
+def roaring_array_serialize(positions) -> bytes:
+    """Encode sorted 64-bit row indexes as Delta's portable
+    RoaringBitmapArray (magic + i64 count + DENSE 32-bit bitmaps:
+    bitmap i covers [i*2^32, (i+1)*2^32), so gaps serialize as empty
+    bitmaps). Inverse of ``roaring_array_positions``."""
+    import numpy as np
+
+    pos = np.asarray(sorted(positions), dtype=np.uint64)
+    if pos.size and int(pos[0]) < 0:
+        raise ValueError("row indexes must be non-negative")
+    n = (int(pos[-1]) >> 32) + 1 if pos.size else 0
+    out = _DV_MAGIC.to_bytes(4, "little") + n.to_bytes(8, "little")
+    his = (pos >> np.uint64(32)).astype(np.int64)
+    los = (pos & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    for hi in range(n):
+        out += _ser_roaring32(los[his == hi])
+    return out
+
+
+def write_dv_sidecar(
+    spark: SparkSession,
+    table_path: str,
+    dv_blobs: list[bytes],
+    cardinalities: list[int],
+) -> list[dict]:
+    """Write one on-disk DV file holding every blob (real writers pack
+    several files' DVs per sidecar — one PUT per commit, not per
+    file) in the spec layout: format-version byte 1, then per blob at
+    its descriptor ``offset``: i32-BE size, blob, i32-BE CRC-32.
+    Returns one ``deletionVector`` descriptor per blob (storageType
+    ``u``: the file name is ``deletion_vector_<uuid>.bin`` under the
+    table root, encoded as the RFC-1924 base85 uuid)."""
+    import base64
+    import zlib as _zlib
+
+    from etl_deltalake_spark.sources.versioned import _fs
+
+    u = uuid.uuid4()
+    body = bytearray(b"\x01")
+    descs: list[dict] = []
+    for blob, card in zip(dv_blobs, cardinalities):
+        off = len(body)
+        body += len(blob).to_bytes(4, "big")
+        body += blob
+        body += _zlib.crc32(blob).to_bytes(4, "big")
+        descs.append(
+            {
+                "storageType": "u",
+                "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+                "offset": off,
+                "sizeInBytes": len(blob),
+                "cardinality": int(card),
+            }
+        )
+    jvm, fs, _ = _fs(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/deletion_vector_{u}.bin"
+    )
+    out = fs.create(p, False)
+    out.write(bytearray(body))
+    out.close()
+    return descs
 
 
 # ---- column mapping (PROTOCOL.md "Column Mapping") -------------------

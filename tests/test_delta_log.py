@@ -768,7 +768,8 @@ _SPEC_FIELDS = {
     "commitInfo": {"timestamp", "operation"},
 }
 _SPEC_OPTIONAL = {
-    "add": {"stats"},
+    "protocol": {"readerFeatures", "writerFeatures"},
+    "add": {"stats", "deletionVector"},
     "commitInfo": {"operationParameters", "engineInfo"},
 }
 
@@ -778,7 +779,11 @@ def _golden_script(spark, vt):
     appends, a txn commit, an overwrite, a mergeSchema append, five
     more commits so the 10th checkpoints at delta version 9, then
     (round 11) an OPTIMIZE compaction — its add/remove actions must
-    carry dataChange=false — and a final real append after it."""
+    carry dataChange=false — a final real append after it, and a
+    merge-on-read DELETE + UPDATE (deletion vectors: the DELETE's
+    commit must carry the protocol-upgrade action to reader 3 /
+    writer 7 with the deletionVectors feature, and both re-add the
+    masked file with a ``deletionVector`` descriptor)."""
     def df(pairs, cols=("id", "val")):
         return spark.createDataFrame(pairs, list(cols)).coalesce(1)
 
@@ -805,6 +810,15 @@ def _golden_script(spark, vt):
         df([(30, "p", 9.0)], ("id", "val", "score")),
         timestamp="2026-01-12T00:00:00",
     )
+    vt.delete_where(
+        F.col("id") == 20, timestamp="2026-01-13T00:00:00", use_dv=True
+    )
+    vt.update_where(
+        F.col("id") == 30,
+        {"val": F.lit("q")},
+        timestamp="2026-01-14T00:00:00",
+        use_dv=True,
+    )
 
 
 def _normalize_stream(spark, vt):
@@ -830,6 +844,13 @@ def _normalize_stream(spark, vt):
         if kind == "add":
             body["path"] = norm_path(body["path"])
             body["size"] = "<SIZE>" if body["size"] > 0 else 0
+            if "deletionVector" in body:
+                # the sidecar uuid is random; everything else in the
+                # descriptor (offset, blob size, cardinality) is
+                # deterministic and stays pinned
+                dv = dict(body["deletionVector"])
+                dv["pathOrInlineDv"] = "<DV_UUID>"
+                body["deletionVector"] = dv
             if "stats" in body:
                 st = json.loads(body["stats"])
                 body["stats"] = {
@@ -904,15 +925,21 @@ def test_golden_log_conformance(spark, vt):
 
     # retention: cleanup leaves exactly the golden survivors (the
     # checkpoint version plus the post-checkpoint tail: the OPTIMIZE
-    # commit and the final append), and the spec snapshot still
-    # resolves (checkpoint + tail)
+    # commit, the final append, and the two merge-on-read DML
+    # commits), and the spec snapshot still resolves (checkpoint +
+    # tail) — including the protocol upgrade and both DV masks
     assert DL.cleanup_log(spark, vt.path) == 9
     surviving = sorted({v for v, _ in DL.delta_log_actions(spark, vt.path)})
-    assert surviving == golden["surviving_json_versions"] == [9, 10, 11]
+    assert surviving == golden["surviving_json_versions"] == [
+        9, 10, 11, 12, 13,
+    ]
     snap = DL.delta_snapshot(spark, vt.path)
-    assert snap["version"] == 11
+    assert snap["version"] == 13
     assert snap["txns"] == {"app1": 5}
+    assert snap["protocol"]["minReaderVersion"] == 3
     assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+    vals = {r.id: r.val for r in vt.read().collect()}
+    assert 20 not in vals and vals[30] == "q"
 
 
 def test_compaction_is_data_change_false(spark, vt, tmp_path):
@@ -2149,3 +2176,266 @@ def test_read_delta_version_as_of(spark, vt):
     assert DL.delta_snapshot(spark, vt.path, version=9)["version"] == 9
     latest = _rows(vt.read())
     assert _rows(DL.read_delta(spark, vt.path)) == latest
+
+
+# ---- deletion-vector WRITE (round 11: merge-on-read DML) ----------------
+#
+# The write-side twin of the reader section above: delete_where /
+# update_where with use_dv=True mask rows with RoaringBitmapArray
+# deletion vectors instead of rewriting files. The production encoder
+# (delta_log.roaring_array_serialize) is validated three ways: against
+# the production decoder, against the INDEPENDENT spec encoder at the
+# top of the reader section (_dv_blob), and end-to-end through the
+# mirrored Delta log read back by the spec reader.
+
+
+def test_roaring_encoder_round_trip_and_cross_check():
+    from etl_deltalake_spark.sources.delta_log import (
+        roaring_array_positions,
+        roaring_array_serialize,
+    )
+
+    cases = [
+        [],
+        [0],
+        [5, 9, 40000],
+        list(range(4096)),                 # array-container boundary
+        list(range(4097)),                 # first bitset container
+        list(range(100_000, 105_001)),     # bitset mid-key
+        [65535, 65536, 131072],            # 16-bit key edges
+        [(1 << 32) + 7, (3 << 32) + 1],    # >2^32 rows, gap bitmaps
+    ]
+    for vals in cases:
+        blob = roaring_array_serialize(vals)
+        assert roaring_array_positions(blob) == sorted(vals)
+    # cross-check vs the independent spec encoder: identical sets must
+    # decode identically from BOTH encoders' bytes
+    vals = [1, 70_000, *range(200_000, 204_200), (1 << 32) + 5]
+    assert roaring_array_positions(
+        roaring_array_serialize(vals)
+    ) == roaring_array_positions(_dv_blob(vals)) == sorted(vals)
+
+
+def test_dv_delete_masks_without_rewriting_files(spark, vt):
+    import os
+
+    vals = [(i, f"v{i}") for i in range(50)]
+    vt.write(_df(spark, vals), timestamp="2026-01-01T00:00:00")
+    root = vt.path[len("file:"):] if vt.path.startswith("file:") else vt.path
+    data_before = sorted(
+        f for d in os.listdir(f"{root}/data")
+        for f in os.listdir(f"{root}/data/{d}")
+    )
+    n = vt.delete_where(
+        F.col("id") % 5 == 0, timestamp="2026-01-02T00:00:00", use_dv=True
+    )
+    assert n == 10
+    data_after = sorted(
+        f for d in os.listdir(f"{root}/data")
+        for f in os.listdir(f"{root}/data/{d}")
+    )
+    assert data_before == data_after  # merge-on-read: no file rewrite
+    assert any(
+        f.startswith("deletion_vector_") for f in os.listdir(root)
+    )
+    assert _rows(vt.read()) == sorted(
+        (i, f"v{i}") for i in range(50) if i % 5
+    )
+    # pre-delete snapshot still time-travels
+    assert len(_rows(vt.read(version=1))) == 50
+    # a second delete on the same file UNIONS the masks
+    n2 = vt.delete_where(
+        F.col("id") % 7 == 0, timestamp="2026-01-03T00:00:00", use_dv=True
+    )
+    assert n2 == 6  # 7,14,21,28,42,49 (0 and 35 already masked)
+    assert _rows(vt.read()) == sorted(
+        (i, f"v{i}") for i in range(50) if i % 5 and i % 7
+    )
+
+
+def test_dv_delete_null_condition_keeps_rows(spark, vt):
+    vt.write(
+        _df(spark, [(1, "a"), (2, None), (3, "c")]),
+        timestamp="2026-01-01T00:00:00",
+    )
+    # NULL condition must not delete (SQL DELETE semantics)
+    n = vt.delete_where(
+        F.col("val") == "a", timestamp="2026-01-02T00:00:00", use_dv=True
+    )
+    assert n == 1
+    assert _rows(vt.read()) == [(2, None), (3, "c")]
+
+
+def test_dv_mirror_upgrades_protocol_and_spec_reads(spark, vt):
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(20)]).coalesce(1),
+        timestamp="2026-01-01T00:00:00",
+    )
+    vt.delete_where(
+        F.col("id") >= 15, timestamp="2026-01-02T00:00:00", use_dv=True
+    )
+    # the DV commit carries the protocol upgrade action
+    actions = [a for v, a in DL.delta_log_actions(spark, vt.path) if v == 1]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos == [
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    ]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) == 1 and adds[0]["deletionVector"]["cardinality"] == 5
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert [r["path"] for r in removes] == [adds[0]["path"]]
+    # spec reader: masked rows absent, pre-delete version intact
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+    assert len(_rows(DL.read_delta(spark, vt.path, version=0))) == 20
+    # a SECOND dv commit must not re-emit the upgrade
+    vt.delete_where(
+        F.col("id") == 0, timestamp="2026-01-03T00:00:00", use_dv=True
+    )
+    actions2 = [a for v, a in DL.delta_log_actions(spark, vt.path) if v == 2]
+    assert not any("protocol" in a for a in actions2)
+
+
+def test_dv_update_is_one_commit(spark, vt):
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1),
+        timestamp="2026-01-01T00:00:00",
+    )
+    n = vt.update_where(
+        F.col("id") < 3,
+        {"val": F.concat(F.lit("u"), F.col("id").cast("string"))},
+        timestamp="2026-01-02T00:00:00",
+        use_dv=True,
+    )
+    assert n == 3
+    # exactly ONE new version: masks + rewritten rows committed together
+    assert vt.latest_version() == 2
+    want = sorted(
+        [(i, f"u{i}") for i in range(3)] + [(i, f"v{i}") for i in range(3, 10)]
+    )
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
+    # the commit's add actions: exactly one masked re-add, plus new
+    # file(s) holding the rewritten rows — and no empty adds (a
+    # filtered narrow scan leaves most write tasks empty; those
+    # files must never reach the log)
+    actions = [a for v, a in DL.delta_log_actions(spark, vt.path) if v == 1]
+    adds = [a["add"] for a in actions if "add" in a]
+    masked = [a for a in adds if a.get("deletionVector")]
+    fresh = [a for a in adds if not a.get("deletionVector")]
+    assert len(masked) == 1 and masked[0]["deletionVector"]["cardinality"] == 3
+    assert fresh and all(
+        json.loads(a["stats"])["numRecords"] > 0 for a in fresh
+    )
+    # batch CDF post-image of the update commit: rewritten rows plus
+    # the masked file's surviving rows, never the pre-update images
+    got = sorted(
+        (r.id, r.val) for r in vt.read_changes(1, 2).collect()
+    )
+    assert got == want
+
+
+def test_dv_checkpoints_carry_masks(spark, vt):
+    for i in range(8):
+        vt.write(
+            _df(spark, [(i, f"v{i}")]),
+            timestamp=f"2026-01-{1 + i:02d}T00:00:00",
+        )
+    vt.delete_where(
+        F.col("id") == 3, timestamp="2026-01-09T00:00:00", use_dv=True
+    )
+    # 10th commit triggers BOTH checkpoints with a live mask in play
+    vt.write(_df(spark, [(100, "x")]), timestamp="2026-01-10T00:00:00")
+    ck = vt._latest_checkpoint()
+    assert ck["version"] == 10 and ck.get("dv")
+    # custom fast path resolves from the checkpoint
+    assert (3, "v3") not in _rows(vt.read())
+    # mirror checkpoint rows carry the descriptor and the protocol
+    rows = DL.checkpoint_actions(
+        spark, vt.path, DL._last_checkpoint(spark, vt.path)
+    )
+    dv_adds = [
+        r["add"] for r in rows
+        if r.get("add") and r["add"].get("deletionVector")
+    ]
+    assert len(dv_adds) == 1
+    assert dv_adds[0]["deletionVector"]["cardinality"] == 1
+    proto = next(r["protocol"] for r in rows if r.get("protocol"))
+    assert proto["minReaderVersion"] == 3
+    assert proto["readerFeatures"] == ["deletionVectors"]
+    # spec snapshot FROM the checkpoint (cleanup deletes the tail
+    # below it) still masks
+    DL.cleanup_log(spark, vt.path)
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+
+
+def test_dv_compact_materializes_and_vacuum_collects(spark, vt):
+    import os
+
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(30)]),
+        timestamp="2026-01-01T00:00:00",
+    )
+    vt.delete_where(
+        F.col("id") < 10, timestamp="2026-01-02T00:00:00", use_dv=True
+    )
+    want = sorted((i, f"v{i}") for i in range(10, 30))
+    vt.compact(timestamp="2026-01-03T00:00:00")
+    assert _rows(vt.read()) == want
+    # compaction rewrote the masked file: no DV in the live snapshot
+    _files, dvs, _latest = vt._snapshot_state()
+    assert dvs == {}
+    assert not any(
+        a.get("deletionVector")
+        for a in DL.delta_snapshot(spark, vt.path)["adds"]
+    )
+    # vacuum to 1 version: the orphaned sidecar is collected
+    vt.vacuum(retain_versions=1)
+    root = vt.path[len("file:"):] if vt.path.startswith("file:") else vt.path
+    assert not any(
+        f.startswith("deletion_vector_") for f in os.listdir(root)
+    )
+    assert _rows(vt.read()) == want
+
+
+def test_dv_streaming_cdf_masks_deleted_rows(spark, vt, tmp_path):
+    from etl_deltalake_spark.sources.cdf_source import (
+        VersionedCdfDataSource,
+    )
+
+    spark.dataSource.register(VersionedCdfDataSource)
+    # single data file so the DV commit's post-image is the whole
+    # surviving id range (only TOUCHED files re-emit)
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1),
+        timestamp="2026-01-01T00:00:00",
+    )
+    vt.delete_where(
+        F.col("id") < 4, timestamp="2026-01-02T00:00:00", use_dv=True
+    )
+    out = str(tmp_path / "out")
+    ckp = str(tmp_path / "ckp")
+    q = (
+        spark.readStream.format("versionedcdf")
+        .option("path", vt.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.id, r._change_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    # v1 emits all 10; the DV commit (v2) re-emits only the 6
+    # SURVIVORS — deleted rows never reappear downstream
+    assert got == sorted(
+        [(i, 1) for i in range(10)] + [(i, 2) for i in range(4, 10)]
+    )
