@@ -689,6 +689,77 @@ def delta_snapshot(
     }
 
 
+def delta_version_at_timestamp(
+    spark: SparkSession, table_path: str, timestamp: str | int
+) -> int:
+    """Resolve ``timestampAsOf`` → version per the spec: a commit's
+    time is its log file's modificationTime, MONOTONICALLY adjusted
+    (max(mtime, prev+1) — real writers do exactly this because object
+    stores don't promise ordered mtimes); when in-commit timestamps
+    are enabled (writer feature ``inCommitTimestamp`` /
+    ``delta.enableInCommitTimestamps``), commits at or after the
+    enablement version use ``commitInfo.inCommitTimestamp`` instead —
+    the clock the table itself recorded. Picks the LATEST commit at
+    or before the requested time; refuses a time before the first
+    resolvable commit (older commits may be log-cleaned) or after the
+    last one, like delta-spark."""
+    from etl_deltalake_spark.sources.versioned import _fs
+
+    want = (
+        _iso_to_millis(timestamp)
+        if isinstance(timestamp, str)
+        else int(timestamp)
+    )
+    jvm, fs, _ = _fs(spark, table_path)
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_DELTA_DIR}")
+    entries: list[tuple[int, int]] = []
+    if fs.exists(log_dir):
+        for st in fs.listStatus(log_dir):
+            name = st.getPath().getName()
+            if name.endswith(".json") and name[:-5].isdigit():
+                entries.append(
+                    (int(name[:-5]), int(st.getModificationTime()))
+                )
+    if not entries:
+        raise ValueError(f"{table_path} has no _delta_log commits")
+    entries.sort()
+    ts_by_version: dict[int, int] = {}
+    prev = -1
+    for v, mtime in entries:
+        prev = max(mtime, prev + 1)
+        ts_by_version[v] = prev
+    snap = delta_snapshot(spark, table_path)
+    cfg = snap.get("configuration") or {}
+    if cfg.get("delta.enableInCommitTimestamps") == "true":
+        enable_from = int(
+            cfg.get("delta.inCommitTimestampEnablementVersion", entries[0][0])
+        )
+        for v, a in delta_log_actions(spark, table_path, entries[0][0]):
+            if v >= enable_from and "commitInfo" in a:
+                ict = a["commitInfo"].get("inCommitTimestamp")
+                if ict is not None:
+                    ts_by_version[v] = int(ict)
+    eligible = [v for v, ts in sorted(ts_by_version.items()) if ts <= want]
+    if not eligible:
+        raise ValueError(
+            f"{table_path}: timestamp {timestamp!r} predates the "
+            f"earliest resolvable commit "
+            f"(version {entries[0][0]} at {ts_by_version[entries[0][0]]})"
+        )
+    latest_v = entries[-1][0]
+    if want > ts_by_version[latest_v]:
+        # strictly after the tip: refuse like delta-spark — "as of a
+        # future time" silently meaning "latest" would hide clock
+        # bugs in callers replaying history
+        raise ValueError(
+            f"{table_path}: timestamp {timestamp!r} is after the "
+            f"latest commit (version {latest_v} at "
+            f"{ts_by_version[latest_v]}); omit timestampAsOf to read "
+            "the current snapshot"
+        )
+    return eligible[-1]
+
+
 # ---- deletion vectors (reader protocol 3, PROTOCOL.md "Deletion
 # Vectors") -----------------------------------------------------------
 #
@@ -1053,10 +1124,18 @@ def _scan_with_dv(spark, schema, abs_paths, dv_map):
 
 
 def read_delta(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp: str | int | None = None,
 ):
     """Read the latest snapshot THROUGH the Delta log (never the
     custom log) — what any external spec reader would materialize.
+    ``timestamp`` is the spec form of delta-spark's ``timestampAsOf``
+    (ISO-8601 string or epoch millis), resolved by
+    ``delta_version_at_timestamp`` — commit-file modification times,
+    monotonically adjusted, or ``commitInfo.inCommitTimestamp`` when
+    the table enables in-commit timestamps.
     Handles PARTITIONED tables (real Delta writers put partition
     values in the log's ``partitionValues``, not in the parquet
     files): adds are grouped by their partition-value tuple, each
@@ -1082,6 +1161,10 @@ def read_delta(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = delta_version_at_timestamp(spark, table_path, timestamp)
     snap = delta_snapshot(spark, table_path, version=version)
     if snap["version"] < 0:
         raise ValueError(f"{table_path} has no _delta_log")
@@ -1113,6 +1196,17 @@ def read_delta(
                 # preview feature names)
                 "variantType",
                 "variantType-preview",
+                # typeWidening: files written before a widen carry
+                # narrower parquet types; every read here projects
+                # the log's metaData schema, and Spark 4's parquet
+                # readers perform the spec's widening promotions
+                # (int→long/double, float→double, int→decimal) at
+                # scan time — pinned by the foreign-fixture test
+                "typeWidening",
+                "typeWidening-preview",
+                # vacuumProtocolCheck: constrains VACUUM writers
+                # only; the spec sets no reader requirement
+                "vacuumProtocolCheck",
             }
         )
         if unsupported or mrv > 3:

@@ -2439,3 +2439,150 @@ def test_dv_streaming_cdf_masks_deleted_rows(spark, vt, tmp_path):
     assert got == sorted(
         [(i, 1) for i in range(10)] + [(i, 2) for i in range(4, 10)]
     )
+
+
+# ---- typeWidening + timestamp time travel (round 11, continued) ---------
+
+
+def test_read_foreign_type_widened_table(spark, tmp_path):
+    """Reader feature ``typeWidening``: a file written BEFORE the
+    widen carries int32/float32 parquet types while the log's
+    metaData schema says bigint/double — reads must surface the
+    widened types (Spark 4 parquet widening promotions under the
+    projected log schema). ``vacuumProtocolCheck`` rides along to pin
+    its allowlisting (the spec sets no reader requirement for it)."""
+    import os
+
+    root = str(tmp_path / "tw")
+    fa = _write_one_parquet(
+        spark, [(1, 1.5), (2, 2.5)], "a int, b float", f"{root}/fa"
+    )
+    wide = spark.createDataFrame([], "a bigint, b double").schema
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening", "vacuumProtocolCheck"],
+                "writerFeatures": ["typeWidening", "vacuumProtocolCheck"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "tw",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": wide.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": f"fa/{fa}",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    df = DL.read_delta(spark, root)
+    assert dict(df.dtypes) == {"a": "bigint", "b": "double"}
+    assert _rows(df) == [(1, 1.5), (2, 2.5)]
+    # a genuinely unknown feature still refuses
+    actions[0]["protocol"]["readerFeatures"].append("futureFeature")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    with pytest.raises(ValueError, match="futureFeature"):
+        DL.read_delta(spark, root)
+
+
+def test_timestamp_time_travel_by_file_mtime(spark, vt):
+    """Spec timestampAsOf, default clock: commit-file modification
+    times, monotonically adjusted. mtimes are pinned with os.utime so
+    the resolution is deterministic."""
+    import os
+
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    vt.write(_df(spark, [(2, "b")]), timestamp="2026-01-02T00:00:00")
+    vt.write(_df(spark, [(3, "c")]), timestamp="2026-01-03T00:00:00")
+    root = vt.path[len("file:"):] if vt.path.startswith("file:") else vt.path
+    t0 = 1_700_000_000  # seconds
+    for v, sec in ((0, t0), (1, t0 + 100), (2, t0 + 200)):
+        os.utime(f"{root}/_delta_log/{v:020d}.json", (sec, sec))
+    ms = t0 * 1000
+    assert _rows(DL.read_delta(spark, vt.path, timestamp=ms)) == [(1, "a")]
+    assert _rows(
+        DL.read_delta(spark, vt.path, timestamp=ms + 150_000)
+    ) == [(1, "a"), (2, "b")]
+    assert _rows(
+        DL.read_delta(spark, vt.path, timestamp=ms + 200_000)
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(ValueError, match="predates"):
+        DL.read_delta(spark, vt.path, timestamp=ms - 1)
+    with pytest.raises(ValueError, match="after the latest"):
+        DL.read_delta(spark, vt.path, timestamp=ms + 300_000)
+    with pytest.raises(ValueError, match="not both"):
+        DL.read_delta(spark, vt.path, version=1, timestamp=ms)
+
+
+def test_timestamp_time_travel_in_commit_timestamps(spark, tmp_path):
+    """Writer feature ``inCommitTimestamp``: when
+    delta.enableInCommitTimestamps is set, timestamp resolution must
+    use commitInfo.inCommitTimestamp — the table's own recorded clock
+    — NOT file mtimes. The fixture's mtimes are deliberately set in
+    REVERSE order to prove which clock wins."""
+    import os
+
+    root = str(tmp_path / "ict")
+    fa = _write_one_parquet(spark, [(1,)], "id long", f"{root}/fa")
+    fb = _write_one_parquet(spark, [(2,)], "id long", f"{root}/fb")
+    schema = spark.createDataFrame([], "id long").schema
+    meta = {
+        "metaData": {
+            "id": "ict",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": [],
+            "configuration": {"delta.enableInCommitTimestamps": "true"},
+            "createdTime": 0,
+        }
+    }
+    v0 = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["inCommitTimestamp"],
+            }
+        },
+        meta,
+        {"commitInfo": {"timestamp": 50_000, "operation": "WRITE",
+                        "inCommitTimestamp": 50_000}},
+        {"add": {"path": f"fa/{fa}", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    v1 = [
+        {"commitInfo": {"timestamp": 90_000, "operation": "WRITE",
+                        "inCommitTimestamp": 90_000}},
+        {"add": {"path": f"fb/{fb}", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    os.makedirs(f"{root}/_delta_log")
+    for v, acts in ((0, v0), (1, v1)):
+        with open(f"{root}/_delta_log/{v:020d}.json", "w") as f:
+            f.write("\n".join(json.dumps(a) for a in acts))
+    # adversarial mtimes: v0 file NEWER than v1
+    os.utime(f"{root}/_delta_log/{0:020d}.json", (2_000_000, 2_000_000))
+    os.utime(f"{root}/_delta_log/{1:020d}.json", (1_000_000, 1_000_000))
+    assert _rows(DL.read_delta(spark, root, timestamp=50_000)) == [(1,)]
+    assert _rows(DL.read_delta(spark, root, timestamp=89_999)) == [(1,)]
+    assert _rows(DL.read_delta(spark, root, timestamp=90_000)) == [
+        (1,), (2,),
+    ]
+    with pytest.raises(ValueError, match="predates"):
+        DL.read_delta(spark, root, timestamp=49_999)
