@@ -5776,3 +5776,42 @@ oracle("q_components")(
     ORDER BY l.doc
     """
 )
+
+oracle("q_dv_cdf")(
+    """
+    WITH base AS (
+      SELECT doc_id, doc_id % 1000 AS bucket FROM documents
+    ),
+    del AS (
+      SELECT CAST(2 AS BIGINT) AS _commit_version,
+             'delete' AS _change_type,
+             COUNT(*) AS n,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(SUM(bucket) AS BIGINT) AS sum_bucket
+      FROM base WHERE doc_id % 5 = 0
+    ),
+    touched AS (
+      SELECT * FROM base WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+    ),
+    pre AS (
+      SELECT CAST(3 AS BIGINT) AS _commit_version,
+             'update_preimage' AS _change_type,
+             COUNT(*) AS n,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(SUM(bucket) AS BIGINT) AS sum_bucket
+      FROM touched
+    ),
+    post AS (
+      SELECT CAST(3 AS BIGINT) AS _commit_version,
+             'update_postimage' AS _change_type,
+             COUNT(*) AS n,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(-COUNT(*) AS BIGINT) AS sum_bucket
+      FROM touched
+    )
+    SELECT * FROM del
+    UNION ALL SELECT * FROM pre
+    UNION ALL SELECT * FROM post
+    ORDER BY _commit_version, _change_type
+    """
+)

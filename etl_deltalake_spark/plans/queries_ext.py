@@ -4707,3 +4707,52 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", "cluster", "n_members")
         .orderBy("doc")
     )
+
+
+def q_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read storage DML, cross-engine graded (round 11):
+    the documents table commits into a versioned table, a
+    deletion-vector DELETE masks every fifth doc and a
+    deletion-vector UPDATE rewrites every seventh SURVIVOR (one
+    commit: masks + rewritten rows — sources/versioned.py
+    delete_where/update_where(use_dv=True)) without rewriting any
+    committed data file; ``table_changes`` then derives the
+    change-typed CDF (Delta readChangeFeed semantics) from the log's
+    mask DELTAS. The graded aggregate per (_commit_version,
+    _change_type) breaks if a mask misses a row, a masked row leaks
+    back, the update's pre/post images diverge, or the mask delta
+    double-counts the already-deleted docs — the oracle recomputes
+    every change set from the source table. Reference analogue:
+    DeltaTable DML over the stored table (main.py:465-470), done the
+    modern merge-on-read way."""
+    import tempfile
+
+    from etl_deltalake_spark.sources.versioned import versioned_table
+
+    root = tempfile.mkdtemp(prefix="sgraft_dvcdf_")
+    t = versioned_table(spark, f"{root}/t", use_delta=False)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", (F.col("doc_id") % 1000).alias("bucket")
+    )
+    t.write(docs, timestamp="2026-01-01T00:00:00")  # v1
+    t.delete_where(
+        F.col("doc_id") % 5 == 0,
+        timestamp="2026-01-02T00:00:00",
+        use_dv=True,
+    )  # v2
+    t.update_where(
+        F.col("doc_id") % 7 == 0,
+        {"bucket": F.lit(-1).cast("long")},
+        timestamp="2026-01-03T00:00:00",
+        use_dv=True,
+    )  # v3
+    ch = t.table_changes(1)
+    return (
+        ch.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("bucket").alias("sum_bucket"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )

@@ -466,6 +466,9 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q2",
     "q_tpch_q11",
     "q_tpch_q16",
+    # round 11 — merge-on-read storage DML (deletion-vector DELETE +
+    # UPDATE) graded through the change-typed CDF derivation
+    "q_dv_cdf",
 )
 
 

@@ -966,6 +966,154 @@ class VersionedTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-typed CDF — the Delta ``readChangeFeed`` contract:
+        every row changed by commits in ``(from_version, to_version]``
+        tagged ``_change_type`` (``insert`` / ``delete`` /
+        ``update_preimage`` / ``update_postimage``) and
+        ``_commit_version``. Where real Delta writers persist
+        ``_change_data`` files, this derives the identical rows from
+        the log itself — adds, removes, and deletion-vector DELTAS
+        (a file's new mask minus its previous mask is exactly the
+        rows that commit deleted):
+
+        - plain adds → ``insert``;
+        - files removed and not re-added → their pre-commit LIVE rows
+          (previous masks applied, previous schema) as ``delete`` —
+          an overwrite emits full pre-image deletes + post-image
+          inserts;
+        - a DV commit's mask-delta rows → ``delete``, or
+          ``update_preimage`` when the commit also adds rewritten
+          rows, which then come out as ``update_postimage``;
+        - ``dataChange=false`` (OPTIMIZE) commits emit nothing.
+
+        Cost is proportional to the CHANGED data (mask deltas are
+        broadcast semi-joins on ``_metadata.row_index``; only
+        overwrites touch whole files, as their change set IS the
+        whole file), never to table size times history."""
+        from etl_deltalake_spark.sources import delta_log as DL
+
+        commits = self._commits()
+        tip = commits[-1].version if commits else 0
+        to_version = tip if to_version is None else to_version
+        if not from_version <= to_version <= tip:
+            raise ValueError(
+                f"need from_version <= to_version <= {tip}, "
+                f"got ({from_version}, {to_version})"
+            )
+
+        def _positions(desc_json: str) -> set[int]:
+            return set(
+                DL.dv_positions(self.spark, self.path, json.loads(desc_json))
+            )
+
+        def _mask_scan(rel_files, dvs_rel, ddl):
+            return DL._scan_with_dv(
+                self.spark,
+                ddl,
+                [f"{self.path}/{f}" for f in rel_files],
+                {
+                    DL._norm_uri(f"{self.path}/{rel}"): sorted(
+                        _positions(desc)
+                    )
+                    for rel, desc in dvs_rel.items()
+                },
+            )
+
+        def _tag(df, kind, version):
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+            )
+
+        parts: list[DataFrame] = []
+        live: dict[str, str | None] = {}
+        prev_c: Commit | None = None
+        for c in commits:
+            pre_live = dict(live)
+            for f in c.remove:
+                live.pop(f, None)
+            dvd = dict(c.dv)
+            for f in c.add:
+                live[f] = dvd.get(f)
+            in_window = (
+                from_version < c.version <= to_version and c.data_change
+            )
+            if not in_window:
+                prev_c = c
+                continue
+            ddl = self._typed_ddl(c)
+            readded = set(c.add)
+            # rows this commit's masks NEWLY deleted, per file
+            dv_delta: dict[str, list[int]] = {}
+            for rel, desc in dvd.items():
+                old = pre_live.get(rel)
+                delta = sorted(
+                    _positions(desc) - (_positions(old) if old else set())
+                )
+                if delta:
+                    dv_delta[rel] = delta
+            fresh = [f for f in c.add if f not in dvd]
+            gone = [
+                f for f in c.remove if f not in readded and f in pre_live
+            ]
+            is_update = bool(dv_delta) and bool(fresh)
+            if gone:
+                pre_ddl = self._typed_ddl(prev_c) if prev_c else ddl
+                pre_dvs = {
+                    f: pre_live[f] for f in gone if pre_live.get(f)
+                }
+                parts.append(
+                    _tag(
+                        _mask_scan(gone, pre_dvs, pre_ddl),
+                        "delete",
+                        c.version,
+                    )
+                )
+            if dv_delta:
+                sel = self.spark.createDataFrame(
+                    [
+                        (DL._norm_uri(f"{self.path}/{rel}"), int(i))
+                        for rel, pos in dv_delta.items()
+                        for i in pos
+                    ],
+                    schema="__fp string, __ri long",
+                )
+                scan = self._scan_with_position(
+                    [f"{self.path}/{f}" for f in dv_delta], {}, ddl
+                )
+                hit = scan.join(
+                    F.broadcast(sel), ["__fp", "__ri"], "left_semi"
+                ).drop("__fp", "__ri")
+                parts.append(
+                    _tag(
+                        hit,
+                        "update_preimage" if is_update else "delete",
+                        c.version,
+                    )
+                )
+            if fresh:
+                parts.append(
+                    _tag(
+                        self.spark.read.schema(ddl).parquet(
+                            *[f"{self.path}/{f}" for f in fresh]
+                        ),
+                        "update_postimage" if is_update else "insert",
+                        c.version,
+                    )
+                )
+            prev_c = c
+        if not parts:
+            base = self.read(version=to_version).limit(0)
+            return _tag(base, "insert", 0).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def history(self) -> list[dict]:
         """Commit metadata, newest first (Delta's DESCRIBE HISTORY)."""
         return [
