@@ -1221,6 +1221,7 @@ def alternating_components(
         return edges.select(
             F.col("u").alias("doc"), F.col("v").alias("cluster")
         )
+    prev_count = edges.count()
     for _ in range(max_rounds):
         # ---- large-star: group the full neighborhood at every node
         adj = edges.unionByName(
@@ -1260,14 +1261,23 @@ def alternating_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # converged when the (canonical) edge set is unchanged
-        changed = (
-            small.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(small).limit(1).count()
-        )
+        # converged when the (canonical) edge set is unchanged. The
+        # exact equality test (two exceptAll shuffles) only runs when
+        # the cheap witness — edge COUNT over the already-checkpointed
+        # set — fails to prove inequality; on long contractions most
+        # rounds change the count, so most rounds pay one count job
+        # and zero extra shuffles.
+        n = small.count()
+        if n == prev_count:
+            changed = (
+                small.exceptAll(edges).limit(1).count()
+                + edges.exceptAll(small).limit(1).count()
+            )
+            if changed == 0:
+                edges = small
+                break
+        prev_count = n
         edges = small
-        if changed == 0:
-            break
     else:
         raise RuntimeError(
             f"alternating components did not converge in {max_rounds} "
