@@ -142,17 +142,44 @@ def _file_stats(table_path: str, rel: str) -> str | None:
         return None
 
 
-def metadata_action(schema_json: str, table_path: str, ts_millis: int) -> dict:
+def metadata_action(
+    schema_json: str,
+    table_path: str,
+    ts_millis: int,
+    configuration: dict[str, str] | None = None,
+) -> dict:
     return {
         "metaData": {
             "id": table_id(table_path),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
             "partitionColumns": [],
-            "configuration": {},
+            "configuration": dict(configuration or {}),
             "createdTime": ts_millis,
         }
     }
+
+
+def mirror_protocol(has_dv: bool, ict: bool) -> dict | None:
+    """The protocol action the mirror needs for its enabled features
+    (None = the default ``PROTOCOL_ACTION`` suffices). Feature lists
+    exist only at the table-features protocol versions (reader 3 /
+    writer 7), so any feature forces writer 7; only deletion vectors
+    force reader 3."""
+    if not has_dv and not ict:
+        return None
+    wfeats = sorted(
+        (["deletionVectors"] if has_dv else [])
+        + (["inCommitTimestamp"] if ict else [])
+    )
+    p: dict = {
+        "minReaderVersion": 3 if has_dv else 1,
+        "minWriterVersion": 7,
+        "writerFeatures": wfeats,
+    }
+    if has_dv:
+        p["readerFeatures"] = ["deletionVectors"]
+    return {"protocol": p}
 
 
 def emit_delta_commit(
@@ -169,6 +196,8 @@ def emit_delta_commit(
     data_change: bool = True,
     dv_adds: dict[str, dict] | None = None,
     protocol_action: dict | None = None,
+    ict: bool = False,
+    metadata_configuration: dict[str, str] | None = None,
 ) -> bool:
     """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
     via the same temp+rename as the custom log). Returns False when
@@ -180,7 +209,11 @@ def emit_delta_commit(
     spec's mechanism for a table's first DV commit to raise
     (minReaderVersion 3 / minWriterVersion 7 + feature lists) so
     readers that cannot decode DVs refuse instead of resurrecting
-    deleted rows."""
+    deleted rows. ``ict`` stamps ``commitInfo.inCommitTimestamp``
+    (the in-commit-timestamps writer feature: timestamp travel then
+    uses the table's own recorded clock, immune to file-copy mtime
+    churn); the caller supplies the enabling configuration through
+    ``metadata_configuration``."""
     from etl_deltalake_spark.sources.versioned import _write_file_atomic
 
     millis = _iso_to_millis(timestamp)
@@ -190,7 +223,12 @@ def emit_delta_commit(
     if emit_metadata:
         if delta_version == 0 and protocol_action is None:
             actions.append(PROTOCOL_ACTION)
-        actions.append(metadata_action(schema_json, table_path, millis))
+        actions.append(
+            metadata_action(
+                schema_json, table_path, millis,
+                configuration=metadata_configuration,
+            )
+        )
     if txn is not None:
         # The spec's txn action — what real Delta streaming sinks use
         # for exactly-once: readers of the log can recover the last
@@ -198,16 +236,20 @@ def emit_delta_commit(
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1])}}
         )
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": millis,
-                "operation": operation.upper(),
-                "operationParameters": {},
-                "engineInfo": "etl-deltalake-spark versioned-table mirror",
-            }
-        }
-    )
+    commit_info = {
+        "timestamp": millis,
+        "operation": operation.upper(),
+        "operationParameters": {},
+        "engineInfo": "etl-deltalake-spark versioned-table mirror",
+    }
+    if ict:
+        # the spec requires commitInfo FIRST in the file when it
+        # carries inCommitTimestamp, so readers find the clock
+        # without scanning every action
+        commit_info["inCommitTimestamp"] = millis
+        actions.insert(0, {"commitInfo": commit_info})
+    else:
+        actions.append({"commitInfo": commit_info})
     for rel in remove:
         actions.append(
             {
@@ -265,20 +307,13 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
     floor = ckpt["version"] if ckpt is not None else -1
     prev_schema = None
     had_dv = False
-    for c in commits:
+    ict = getattr(table, "ict", False)
+    for i, c in enumerate(commits):
         dv = c.version - 1
         schema_json = _schema_json_from_ddl(c.schema)
         if dv not in have and dv > floor:
-            proto = None
-            if c.dv and not had_dv:
-                proto = {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
-                        "writerFeatures": ["deletionVectors"],
-                    }
-                }
+            cur = mirror_protocol(had_dv or bool(c.dv), ict)
+            prev = mirror_protocol(had_dv, ict) if i else None
             emit_delta_commit(
                 spark,
                 table.path,
@@ -294,7 +329,13 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
                 dv_adds=(
                     {rel: json.loads(desc) for rel, desc in c.dv} or None
                 ),
-                protocol_action=proto,
+                protocol_action=cur if cur != prev else None,
+                ict=ict,
+                metadata_configuration=(
+                    {"delta.enableInCommitTimestamps": "true"}
+                    if ict
+                    else None
+                ),
             )
         prev_schema = c.schema
         had_dv = had_dv or bool(c.dv)
@@ -365,7 +406,8 @@ def write_delta_checkpoint(
     tombstones: list[tuple[str, int]] | None = None,
     dvs: dict[str, dict] | None = None,
     protocol: tuple[int, int] | None = None,
-    features: tuple[list[str], list[str]] | None = None,
+    features: tuple[list[str] | None, list[str] | None] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> None:
     """The classic single-file parquet checkpoint at ``delta_version``
     (one nullable-struct row per action: protocol, metaData, one add
@@ -378,7 +420,9 @@ def write_delta_checkpoint(
     from etl_deltalake_spark.sources.versioned import _fs, _write_file_atomic
 
     millis = _iso_to_millis(timestamp)
-    meta = metadata_action(schema_json, table_path, millis)["metaData"]
+    meta = metadata_action(
+        schema_json, table_path, millis, configuration=configuration
+    )["metaData"]
     mrv, mwv = protocol or (1, 2)
     rfeats, wfeats = features or (None, None)
     rows = [
@@ -390,7 +434,7 @@ def write_delta_checkpoint(
                 ("parquet", {}),
                 meta["schemaString"],
                 [],
-                {},
+                meta["configuration"],
                 millis,
             ),
             None,

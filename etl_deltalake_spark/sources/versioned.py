@@ -167,11 +167,21 @@ class Commit:
 
 
 class VersionedTable:
-    """Handle for one versioned table rooted at ``path``."""
+    """Handle for one versioned table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``ict=True`` opts the Delta MIRROR into in-commit timestamps
+    (writer feature ``inCommitTimestamp``): every mirrored commit
+    stamps ``commitInfo.inCommitTimestamp`` with the caller's logical
+    commit timestamp, so spec-reader timestamp travel
+    (``delta_log.read_delta(timestamp=...)``) resolves by the SAME
+    clock as ``read(timestamp=...)`` — not by file mtimes, which
+    change under copy/restore. Open an existing ICT table with the
+    same flag."""
+
+    def __init__(self, spark: SparkSession, path: str, ict: bool = False):
         self.spark = spark
         self.path = path.rstrip("/")
+        self.ict = ict
 
     # ---- log plumbing -------------------------------------------------
 
@@ -737,21 +747,18 @@ class VersionedTable:
         schema_json = StructType.fromDDL(
             ", ".join(f"`{n}` {t}" for n, t in commit_schema)
         ).json()
-        # Merge-on-read deletes raise the protocol: the FIRST commit
-        # carrying a deletionVector emits the upgrade action
-        # (minReader 3 / minWriter 7 + feature lists) so readers that
-        # cannot decode DVs refuse instead of resurrecting rows.
+        # Feature-driven protocol: the FIRST commit needing a feature
+        # emits the upgrade action — merge-on-read deletes raise to
+        # reader 3 / writer 7 with deletionVectors (readers that
+        # cannot decode DVs must refuse, not resurrect rows); ICT
+        # tables carry writer 7 + inCommitTimestamp from creation.
         had_dv = any(c.dv for c in commits)
-        proto_action = None
-        if dv_adds and not had_dv:
-            proto_action = {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
-            }
+        has_dv = had_dv or bool(dv_adds)
+        cur_proto = DL.mirror_protocol(has_dv, self.ict)
+        prev_proto = (
+            DL.mirror_protocol(had_dv, self.ict) if commits else None
+        )
+        proto_action = cur_proto if cur_proto != prev_proto else None
         DL.emit_delta_commit(
             self.spark,
             self.path,
@@ -766,6 +773,12 @@ class VersionedTable:
             data_change=data_change,
             dv_adds=dv_adds,
             protocol_action=proto_action,
+            ict=self.ict,
+            metadata_configuration=(
+                {"delta.enableInCommitTimestamps": "true"}
+                if self.ict
+                else None
+            ),
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             # Complete replay state per PROTOCOL.md: the checkpoint
@@ -802,7 +815,8 @@ class VersionedTable:
                 rel: json.loads(desc)
                 for rel, desc in (dv_live or {}).items()
             }
-            has_dv = had_dv or bool(dv_adds)
+            ckpt_proto = DL.mirror_protocol(has_dv, self.ict)
+            proto_body = (ckpt_proto or {}).get("protocol") or {}
             DL.write_delta_checkpoint(
                 self.spark,
                 self.path,
@@ -813,10 +827,25 @@ class VersionedTable:
                 txns=txns,
                 tombstones=sorted(tombstones.items()),
                 dvs=dv_checkpoint,
-                protocol=(3, 7) if has_dv else None,
+                protocol=(
+                    (
+                        proto_body["minReaderVersion"],
+                        proto_body["minWriterVersion"],
+                    )
+                    if ckpt_proto
+                    else None
+                ),
                 features=(
-                    (["deletionVectors"], ["deletionVectors"])
-                    if has_dv
+                    (
+                        proto_body.get("readerFeatures"),
+                        proto_body.get("writerFeatures"),
+                    )
+                    if ckpt_proto
+                    else None
+                ),
+                configuration=(
+                    {"delta.enableInCommitTimestamps": "true"}
+                    if self.ict
                     else None
                 ),
             )
@@ -1500,7 +1529,10 @@ class VersionedTable:
 
 
 def versioned_table(
-    spark: SparkSession, path: str, use_delta: bool | None = None
+    spark: SparkSession,
+    path: str,
+    use_delta: bool | None = None,
+    ict: bool = False,
 ):
     """Factory: the Delta-native table when delta-spark is importable,
     else the parquet-log fallback above. Tests pin ``use_delta=False``
@@ -1515,4 +1547,4 @@ def versioned_table(
             "versionAsOf/timestampAsOf and DeltaTable directly; this fallback "
             "exists for environments without it"
         )
-    return VersionedTable(spark, path)
+    return VersionedTable(spark, path, ict=ict)

@@ -1496,18 +1496,18 @@ def test_read_delta_deletion_vector_inline_partitioned(spark, tmp_path):
 
 def test_read_delta_refuses_unknown_reader_features(spark, tmp_path):
     """v3 tables demanding reader features beyond the implemented
-    set (deletionVectors, columnMapping, timestampNtz, v2Checkpoint)
-    stay honestly refused — an unknown feature changes what the data
-    files mean."""
+    set (deletionVectors, columnMapping, timestampNtz, v2Checkpoint,
+    typeWidening, vacuumProtocolCheck, variantType) stay honestly
+    refused — an unknown feature changes what the data files mean."""
     import os
 
     for sub, proto in [
         (
-            "r3tw",
+            "r3xx",
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors", "typeWidening"],
+                "readerFeatures": ["deletionVectors", "futureFeatureX"],
                 "writerFeatures": [],
             },
         ),
@@ -1531,7 +1531,7 @@ def test_read_delta_refuses_unknown_reader_features(spark, tmp_path):
         with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
             f.write("\n".join(json.dumps(a) for a in actions))
         with pytest.raises(
-            ValueError, match="unsupported reader features.*typeWidening"
+            ValueError, match="unsupported reader features.*futureFeatureX"
         ):
             DL.read_delta(spark, root)
 
@@ -2586,3 +2586,54 @@ def test_timestamp_time_travel_in_commit_timestamps(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="predates"):
         DL.read_delta(spark, root, timestamp=49_999)
+
+
+def test_ict_mirror_timestamp_travel_matches_custom_log(spark, tmp_path):
+    """Opt-in in-commit timestamps (writer feature
+    ``inCommitTimestamp``): the mirror stamps every commit with the
+    caller's logical timestamp, so SPEC timestamp travel resolves by
+    the same clock as the custom log's ``read(timestamp=...)`` — file
+    mtimes (set adversarially here) become irrelevant."""
+    import os
+
+    vt = versioned_table(
+        spark, str(tmp_path / "ict_tbl"), use_delta=False, ict=True
+    )
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    vt.write(_df(spark, [(2, "b")]), timestamp="2026-02-01T00:00:00")
+    vt.write(_df(spark, [(3, "c")]), timestamp="2026-03-01T00:00:00")
+    root = vt.path[len("file:"):] if vt.path.startswith("file:") else vt.path
+    # adversarial mtimes: reverse order — ICT must win
+    for v, sec in ((0, 3_000_000), (1, 2_000_000), (2, 1_000_000)):
+        os.utime(f"{root}/_delta_log/{v:020d}.json", (sec, sec))
+    # protocol + config declare the feature
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert snap["protocol"]["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in snap["protocol"]["writerFeatures"]
+    assert (
+        snap["configuration"]["delta.enableInCommitTimestamps"] == "true"
+    )
+    # commitInfo is FIRST in each commit file and carries the clock
+    first = DL.delta_log_actions(spark, vt.path, 0)[0][1]
+    assert "commitInfo" in first
+    assert first["commitInfo"]["inCommitTimestamp"] == DL._iso_to_millis(
+        "2026-01-01T00:00:00"
+    )
+    # spec timestamp travel == custom-log timestamp travel
+    for ts in ("2026-01-15T00:00:00", "2026-02-01T00:00:00",
+               "2026-03-01T00:00:00"):
+        assert _rows(DL.read_delta(spark, vt.path, timestamp=ts)) == _rows(
+            vt.read(timestamp=ts)
+        )
+    with pytest.raises(ValueError, match="predates"):
+        DL.read_delta(spark, vt.path, timestamp="2025-12-31T00:00:00")
+    # a DV commit on an ICT table MERGES the feature lists
+    vt.delete_where(
+        F.col("id") == 1, timestamp="2026-04-01T00:00:00", use_dv=True
+    )
+    snap2 = DL.delta_snapshot(spark, vt.path)
+    assert snap2["protocol"]["minReaderVersion"] == 3
+    assert sorted(snap2["protocol"]["writerFeatures"]) == [
+        "deletionVectors", "inCommitTimestamp",
+    ]
+    assert _rows(DL.read_delta(spark, vt.path)) == [(2, "b"), (3, "c")]
