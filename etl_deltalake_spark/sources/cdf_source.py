@@ -130,6 +130,17 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             if not doc.get("dataChange", True):
                 continue
             if lo < doc["version"] <= hi:
+                if doc.get("columnIds"):
+                    # column-mapped table: files store PHYSICAL names
+                    # this reader doesn't translate — refuse rather
+                    # than emit wrongly-named/null columns (same
+                    # restriction real Delta places on streaming
+                    # reads after RENAME/DROP COLUMN)
+                    raise ValueError(
+                        "versionedcdf: table uses column mapping "
+                        "(rename/drop column) — stream the Delta "
+                        "mirror with a batch read instead"
+                    )
                 dvd = doc.get("dv") or {}
                 for rel in doc["add"]:
                     parts.append(

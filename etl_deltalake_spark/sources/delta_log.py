@@ -160,25 +160,28 @@ def metadata_action(
     }
 
 
-def mirror_protocol(has_dv: bool, ict: bool) -> dict | None:
+def mirror_protocol(has_dv: bool, ict: bool, cm: bool = False) -> dict | None:
     """The protocol action the mirror needs for its enabled features
     (None = the default ``PROTOCOL_ACTION`` suffices). Feature lists
     exist only at the table-features protocol versions (reader 3 /
-    writer 7), so any feature forces writer 7; only deletion vectors
-    force reader 3."""
-    if not has_dv and not ict:
+    writer 7), so any feature forces writer 7; deletion vectors and
+    column mapping are reader-visible and force reader 3."""
+    if not has_dv and not ict and not cm:
         return None
-    wfeats = sorted(
+    rfeats = sorted(
         (["deletionVectors"] if has_dv else [])
-        + (["inCommitTimestamp"] if ict else [])
+        + (["columnMapping"] if cm else [])
+    )
+    wfeats = sorted(
+        rfeats + (["inCommitTimestamp"] if ict else [])
     )
     p: dict = {
-        "minReaderVersion": 3 if has_dv else 1,
+        "minReaderVersion": 3 if rfeats else 1,
         "minWriterVersion": 7,
         "writerFeatures": wfeats,
     }
-    if has_dv:
-        p["readerFeatures"] = ["deletionVectors"]
+    if rfeats:
+        p["readerFeatures"] = rfeats
     return {"protocol": p}
 
 
@@ -307,13 +310,32 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
     floor = ckpt["version"] if ckpt is not None else -1
     prev_schema = None
     had_dv = False
+    had_cm = False
     ict = getattr(table, "ict", False)
     for i, c in enumerate(commits):
         dv = c.version - 1
-        schema_json = _schema_json_from_ddl(c.schema)
+        c_mapping = (
+            {
+                "physical": dict(c.physical),
+                "columnIds": dict(c.column_ids),
+                "maxColumnId": c.max_column_id,
+            }
+            if c.column_ids
+            else None
+        )
+        schema_json = _schema_json_from_ddl(c.schema, c_mapping)
         if dv not in have and dv > floor:
-            cur = mirror_protocol(had_dv or bool(c.dv), ict)
-            prev = mirror_protocol(had_dv, ict) if i else None
+            has_cm = had_cm or c_mapping is not None
+            cur = mirror_protocol(had_dv or bool(c.dv), ict, has_cm)
+            prev = mirror_protocol(had_dv, ict, had_cm) if i else None
+            config: dict[str, str] = {}
+            if ict:
+                config["delta.enableInCommitTimestamps"] = "true"
+            if c_mapping is not None:
+                config["delta.columnMapping.mode"] = "name"
+                config["delta.columnMapping.maxColumnId"] = str(
+                    c_mapping["maxColumnId"]
+                )
             emit_delta_commit(
                 spark,
                 table.path,
@@ -331,24 +353,41 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
                 ),
                 protocol_action=cur if cur != prev else None,
                 ict=ict,
-                metadata_configuration=(
-                    {"delta.enableInCommitTimestamps": "true"}
-                    if ict
-                    else None
-                ),
+                metadata_configuration=config or None,
             )
         prev_schema = c.schema
         had_dv = had_dv or bool(c.dv)
+        had_cm = had_cm or c_mapping is not None
 
 
-def _schema_json_from_ddl(schema) -> str:
+def _schema_json_from_ddl(schema, mapping: dict | None = None) -> str:
     """Commit records carry (name, DDL type) pairs; rebuild the Spark
     StructType JSON the protocol wants (untyped legacy entries degrade
-    to string, same rule versioned.read uses for empty snapshots)."""
-    from pyspark.sql.types import StructType
+    to string, same rule versioned.read uses for empty snapshots).
+    With a column-mapping state, every field carries the spec's
+    ``delta.columnMapping.physicalName`` + ``id`` metadata."""
+    from pyspark.sql.types import StructField, StructType
 
     ddl = ", ".join(f"`{n}` {t or 'string'}" for n, t in schema)
-    return StructType.fromDDL(ddl).json()
+    base = StructType.fromDDL(ddl)
+    if not mapping:
+        return base.json()
+    physical = mapping["physical"]
+    ids = mapping["columnIds"]
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {
+                    _CM_PHYS: physical.get(f.name, f.name),
+                    _CM_ID: int(ids[physical.get(f.name, f.name)]),
+                },
+            )
+            for f in base.fields
+        ]
+    ).json()
 
 
 # ---- checkpointing ----------------------------------------------------

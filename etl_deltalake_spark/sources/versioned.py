@@ -164,6 +164,14 @@ class Commit:
     # carries a deletion vector (merge-on-read DELETE/UPDATE re-add
     # the same data file with a row mask) — round 11.
     dv: tuple[tuple[str, str], ...] = ()
+    # Column mapping (round 11, ALTER TABLE RENAME/DROP COLUMN without
+    # rewriting data): (logical, physical) pairs for fields whose
+    # physical parquet name differs from the logical name, plus the
+    # stable per-physical-name field ids the Delta mirror emits.
+    # Empty on tables that never renamed/dropped.
+    physical: tuple[tuple[str, str], ...] = ()
+    column_ids: tuple[tuple[str, int], ...] = ()
+    max_column_id: int = 0
 
 
 class VersionedTable:
@@ -230,6 +238,16 @@ class VersionedTable:
                             for rel, desc in (doc.get("dv") or {}).items()
                         )
                     ),
+                    physical=tuple(
+                        sorted((doc.get("physical") or {}).items())
+                    ),
+                    column_ids=tuple(
+                        sorted(
+                            (k, int(v))
+                            for k, v in (doc.get("columnIds") or {}).items()
+                        )
+                    ),
+                    max_column_id=int(doc.get("maxColumnId", 0)),
                 )
             )
         return sorted(out, key=lambda c: c.version)
@@ -254,6 +272,7 @@ class VersionedTable:
         dtypes,
         timestamp: str,
         dv_live: dict[str, str] | None = None,
+        mapping: dict | None = None,
     ) -> None:
         """Every CHECKPOINT_INTERVAL-th commit also writes a log
         checkpoint — the Delta-protocol idea that keeps metadata
@@ -276,6 +295,8 @@ class VersionedTable:
             # mirror checkpoint also follows), else a reader starting
             # here would resurrect merge-on-read-deleted rows
             doc["dv"] = dict(dv_live)
+        if mapping:
+            doc["mapping"] = dict(mapping)
         payload = json.dumps(doc, sort_keys=True).encode("utf-8")
         _write_file_atomic(self.spark, self._checkpoint_path(version), payload)
 
@@ -456,6 +477,7 @@ class VersionedTable:
                 }
                 for c in tail:
                     _apply(live, c)
+                ck_map = ck.get("mapping") or {}
                 latest = (
                     tail[-1]
                     if tail
@@ -466,6 +488,18 @@ class VersionedTable:
                         remove=(),
                         schema=tuple((n, t) for n, t in ck["schema"]),
                         timestamp=ck["timestamp"],
+                        physical=tuple(
+                            sorted((ck_map.get("physical") or {}).items())
+                        ),
+                        column_ids=tuple(
+                            sorted(
+                                (k, int(v))
+                                for k, v in (
+                                    ck_map.get("columnIds") or {}
+                                ).items()
+                            )
+                        ),
+                        max_column_id=int(ck_map.get("maxColumnId", 0)),
                     )
                 )
                 return _out(live, latest)
@@ -528,6 +562,7 @@ class VersionedTable:
         txn: tuple[str, int] | None = None,
         data_change: bool = True,
         dv: dict[str, dict] | None = None,
+        mapping: dict | None = None,
     ) -> bool:
         doc = {
             "version": version,
@@ -543,6 +578,10 @@ class VersionedTable:
             doc["dataChange"] = False
         if dv:
             doc["dv"] = dv
+        if mapping:
+            doc["physical"] = dict(mapping["physical"])
+            doc["columnIds"] = dict(mapping["columnIds"])
+            doc["maxColumnId"] = int(mapping["maxColumnId"])
         return _write_file_atomic(
             self.spark, self._log_path(version), json.dumps(doc).encode()
         )
@@ -667,11 +706,24 @@ class VersionedTable:
             if mode == "overwrite":
                 live, _latest = self._snapshot_files(commits=commits)
                 remove = [f[len(self.path) + 1 :] for f in live]
-            add = self._write_data_files(df, version)
             commit_schema = merged_schema or df.dtypes
+            # Column-mapped tables write files under PHYSICAL names
+            # (so renames stay metadata-only forever); new columns
+            # claim fresh ids and must not reuse any historical name.
+            mapping = self._advance_mapping(commits, commit_schema)
+            out_df = df
+            if mapping is not None:
+                # alias only the columns the frame actually carries —
+                # a mergeSchema append may legitimately OMIT table
+                # columns (readers null-fill them)
+                phys = mapping["physical"]
+                out_df = df.select(
+                    *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+                )
+            add = self._write_data_files(out_df, version)
             if self._try_commit(
                 version, op_label, add, remove, commit_schema, timestamp,
-                txn=txn, data_change=data_change,
+                txn=txn, data_change=data_change, mapping=mapping,
             ):
                 if mode == "overwrite":
                     live_after = list(add)
@@ -684,12 +736,13 @@ class VersionedTable:
                     dv_after = dict(prev_dvs)
                 self._maybe_checkpoint(
                     version, live_after, commit_schema, timestamp,
-                    dv_live=dv_after,
+                    dv_live=dv_after, mapping=mapping,
                 )
                 self._mirror_delta_log(
                     version, add, remove, commit_schema, timestamp,
                     op_label, commits, live_after, txn=txn,
                     data_change=data_change, dv_live=dv_after,
+                    mapping=mapping,
                 )
                 return version
             # Lost the race: orphan the just-written files (vacuum
@@ -726,6 +779,7 @@ class VersionedTable:
         data_change: bool = True,
         dv_live: dict[str, str] | None = None,
         dv_adds: dict[str, dict] | None = None,
+        mapping: dict | None = None,
     ) -> None:
         """Mirror the just-won commit into the REAL Delta protocol
         (sources/delta_log.py, round 9): ``_delta_log/%020d.json``
@@ -735,8 +789,6 @@ class VersionedTable:
         rename wins, so mirror entries never race; pre-round-9 tables
         are backfilled from the custom log first. Custom version V is
         Delta version V-1 (Delta is 0-based)."""
-        from pyspark.sql.types import StructType
-
         from etl_deltalake_spark.sources import delta_log as DL
 
         if commits:
@@ -744,9 +796,7 @@ class VersionedTable:
         emit_meta = (not commits) or (
             tuple(commit_schema) != tuple(commits[-1].schema)
         )
-        schema_json = StructType.fromDDL(
-            ", ".join(f"`{n}` {t}" for n, t in commit_schema)
-        ).json()
+        schema_json = DL._schema_json_from_ddl(commit_schema, mapping)
         # Feature-driven protocol: the FIRST commit needing a feature
         # emits the upgrade action — merge-on-read deletes raise to
         # reader 3 / writer 7 with deletionVectors (readers that
@@ -754,11 +804,24 @@ class VersionedTable:
         # tables carry writer 7 + inCommitTimestamp from creation.
         had_dv = any(c.dv for c in commits)
         has_dv = had_dv or bool(dv_adds)
-        cur_proto = DL.mirror_protocol(has_dv, self.ict)
+        had_cm = bool(commits and commits[-1].column_ids)
+        has_cm = had_cm or mapping is not None
+        cur_proto = DL.mirror_protocol(has_dv, self.ict, has_cm)
         prev_proto = (
-            DL.mirror_protocol(had_dv, self.ict) if commits else None
+            DL.mirror_protocol(had_dv, self.ict, had_cm)
+            if commits
+            else None
         )
         proto_action = cur_proto if cur_proto != prev_proto else None
+        mirror_config: dict[str, str] = {}
+        if self.ict:
+            mirror_config["delta.enableInCommitTimestamps"] = "true"
+        if has_cm:
+            mirror_config["delta.columnMapping.mode"] = "name"
+            if mapping is not None:
+                mirror_config["delta.columnMapping.maxColumnId"] = str(
+                    mapping["maxColumnId"]
+                )
         DL.emit_delta_commit(
             self.spark,
             self.path,
@@ -774,11 +837,7 @@ class VersionedTable:
             dv_adds=dv_adds,
             protocol_action=proto_action,
             ict=self.ict,
-            metadata_configuration=(
-                {"delta.enableInCommitTimestamps": "true"}
-                if self.ict
-                else None
-            ),
+            metadata_configuration=mirror_config or None,
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             # Complete replay state per PROTOCOL.md: the checkpoint
@@ -815,7 +874,7 @@ class VersionedTable:
                 rel: json.loads(desc)
                 for rel, desc in (dv_live or {}).items()
             }
-            ckpt_proto = DL.mirror_protocol(has_dv, self.ict)
+            ckpt_proto = DL.mirror_protocol(has_dv, self.ict, has_cm)
             proto_body = (ckpt_proto or {}).get("protocol") or {}
             DL.write_delta_checkpoint(
                 self.spark,
@@ -843,11 +902,7 @@ class VersionedTable:
                     if ckpt_proto
                     else None
                 ),
-                configuration=(
-                    {"delta.enableInCommitTimestamps": "true"}
-                    if self.ict
-                    else None
-                ),
+                configuration=mirror_config or None,
             )
 
     def upsert(
@@ -907,22 +962,10 @@ class VersionedTable:
             # Read under the COMMIT-RECORDED schema (Delta reads under
             # the log schema, not per-file footers): data files from
             # before a mergeSchema append lack the newer columns and
-            # surface them as nulls; pre-typed-log commits fall back
-            # to footer inference below.
-            ddl = ", ".join(
-                f"`{name}` {dtype}" for name, dtype in latest.schema
-            )
-            if dvs:
-                from etl_deltalake_spark.sources import delta_log as DL
-
-                dv_map = {
-                    DL._norm_uri(f"{self.path}/{rel}"): DL.dv_positions(
-                        self.spark, self.path, json.loads(desc)
-                    )
-                    for rel, desc in dvs.items()
-                }
-                return DL._scan_with_dv(self.spark, ddl, files, dv_map)
-            return self.spark.read.schema(ddl).parquet(*files)
+            # surface them as nulls; renamed columns scan by PHYSICAL
+            # name and alias back; pre-typed-log commits fall back to
+            # footer inference below.
+            return self._logical_scan(files, dvs, latest)
         return self.spark.read.parquet(*files)
 
     def read_changes(
@@ -972,22 +1015,12 @@ class VersionedTable:
             # overwrite precedent applies — emit the commit's
             # POST-image (live rows of its re-added files), never the
             # masked-out rows
-            from etl_deltalake_spark.sources import delta_log as DL
-
             for c in dv_commits:
-                dvd = dict(c.dv)
-                dv_map = {
-                    DL._norm_uri(f"{self.path}/{rel}"): DL.dv_positions(
-                        self.spark, self.path, json.loads(desc)
-                    )
-                    for rel, desc in dvd.items()
-                }
                 parts.append(
-                    DL._scan_with_dv(
-                        self.spark,
-                        self._typed_ddl(c),
+                    self._logical_scan(
                         [f"{self.path}/{f}" for f in c.add],
-                        dv_map,
+                        dict(c.dv),
+                        c,
                     )
                 )
         out = parts[0]
@@ -1038,18 +1071,6 @@ class VersionedTable:
                 DL.dv_positions(self.spark, self.path, json.loads(desc_json))
             )
 
-        def _mask_scan(rel_files, dvs_rel, ddl):
-            return DL._scan_with_dv(
-                self.spark,
-                ddl,
-                [f"{self.path}/{f}" for f in rel_files],
-                {
-                    DL._norm_uri(f"{self.path}/{rel}"): sorted(
-                        _positions(desc)
-                    )
-                    for rel, desc in dvs_rel.items()
-                },
-            )
 
         def _tag(df, kind, version):
             return df.select(
@@ -1074,7 +1095,6 @@ class VersionedTable:
             if not in_window:
                 prev_c = c
                 continue
-            ddl = self._typed_ddl(c)
             readded = set(c.add)
             # rows this commit's masks NEWLY deleted, per file
             dv_delta: dict[str, list[int]] = {}
@@ -1091,13 +1111,16 @@ class VersionedTable:
             ]
             is_update = bool(dv_delta) and bool(fresh)
             if gone:
-                pre_ddl = self._typed_ddl(prev_c) if prev_c else ddl
                 pre_dvs = {
                     f: pre_live[f] for f in gone if pre_live.get(f)
                 }
                 parts.append(
                     _tag(
-                        _mask_scan(gone, pre_dvs, pre_ddl),
+                        self._logical_scan(
+                            [f"{self.path}/{f}" for f in gone],
+                            pre_dvs,
+                            prev_c if prev_c is not None else c,
+                        ),
                         "delete",
                         c.version,
                     )
@@ -1112,7 +1135,7 @@ class VersionedTable:
                     schema="__fp string, __ri long",
                 )
                 scan = self._scan_with_position(
-                    [f"{self.path}/{f}" for f in dv_delta], {}, ddl
+                    [f"{self.path}/{f}" for f in dv_delta], {}, c
                 )
                 hit = scan.join(
                     F.broadcast(sel), ["__fp", "__ri"], "left_semi"
@@ -1127,8 +1150,8 @@ class VersionedTable:
             if fresh:
                 parts.append(
                     _tag(
-                        self.spark.read.schema(ddl).parquet(
-                            *[f"{self.path}/{f}" for f in fresh]
+                        self._logical_scan(
+                            [f"{self.path}/{f}" for f in fresh], {}, c
                         ),
                         "update_postimage" if is_update else "insert",
                         c.version,
@@ -1166,17 +1189,231 @@ class VersionedTable:
             )
         return ", ".join(f"`{n}` {t}" for n, t in latest.schema)
 
+    # ---- column mapping (rename/drop without rewrite) -----------------
+
+    @staticmethod
+    def _mapping_state(latest: Commit | None) -> dict | None:
+        """The column-mapping state a commit carries (None until the
+        first rename/drop enabled it): ``physical`` maps logical →
+        parquet column name where they differ; ``columnIds`` keeps a
+        stable id per PHYSICAL name — including tombstones for
+        dropped/renamed-away names, which is what makes name-reuse
+        refusal possible."""
+        if latest is None or not latest.column_ids:
+            return None
+        return {
+            "physical": dict(latest.physical),
+            "columnIds": dict(latest.column_ids),
+            "maxColumnId": latest.max_column_id,
+        }
+
+    def _phys_pairs(self, latest: Commit) -> list[tuple[str, str, str]]:
+        """[(logical, physical, ddl type)] under the commit's mapping
+        (physical == logical on unmapped tables/fields)."""
+        mapping = dict(latest.physical)
+        return [
+            (n, mapping.get(n, n), t or "string") for n, t in latest.schema
+        ]
+
+    def _advance_mapping(
+        self,
+        commits: list[Commit],
+        commit_schema: Sequence[tuple[str, str]],
+    ) -> dict | None:
+        """Mapping state for a new data commit: None on never-mapped
+        tables (zero overhead); else the previous state plus fresh
+        ids for genuinely new columns. A new column may not reuse ANY
+        name the table ever used physically (live data files still
+        store values under old names — reuse would resurrect them;
+        real Delta avoids this with uuid physical names, this store
+        refuses instead, honestly)."""
+        state = self._mapping_state(commits[-1]) if commits else None
+        if state is None:
+            return None
+        physical = dict(state["physical"])
+        ids = dict(state["columnIds"])
+        max_id = int(state["maxColumnId"])
+        prev_names = {n for n, _ in commits[-1].schema}
+        for n, _t in commit_schema:
+            if n in prev_names:
+                continue  # existing column — id already assigned
+            if n in ids:
+                # a historical physical name: live data files still
+                # store the old column's values under it
+                raise ValueError(
+                    f"column name {n!r} was used by a renamed or "
+                    "dropped column and live data files still store "
+                    "values under it — pick a different name"
+                )
+            max_id += 1
+            ids[n] = max_id
+        return {
+            "physical": physical,
+            "columnIds": ids,
+            "maxColumnId": max_id,
+        }
+
+    def _alter_commit(
+        self,
+        new_schema: list[tuple[str, str]],
+        mapping: dict,
+        operation: str,
+        timestamp: str,
+        max_retries: int = 5,
+    ) -> int:
+        """Metadata-only commit (no files touched) — the RENAME /
+        DROP COLUMN form. CDF and streaming sources skip it (empty
+        add/remove)."""
+        commits = self._commits()
+        for _ in range(max_retries):
+            version = self.latest_version(commits) + 1
+            if self._try_commit(
+                version, operation, [], [], new_schema, timestamp,
+                mapping=mapping,
+            ):
+                files, dv_live, _l = self._snapshot_state(commits=commits)
+                live_after = [f[len(self.path) + 1 :] for f in files]
+                self._maybe_checkpoint(
+                    version, live_after, new_schema, timestamp,
+                    dv_live=dv_live, mapping=mapping,
+                )
+                self._mirror_delta_log(
+                    version, [], [], new_schema, timestamp, operation,
+                    commits, live_after, dv_live=dv_live, mapping=mapping,
+                )
+                return version
+            commits = self._commits()
+        raise RuntimeError(
+            f"could not commit after {max_retries} attempts (contended table?)"
+        )
+
+    def rename_column(
+        self, old: str, new: str, timestamp: str = "1970-01-01T00:00:00"
+    ) -> int:
+        """ALTER TABLE RENAME COLUMN without rewriting a byte of data
+        (round 11): the first rename enables column mapping — every
+        field's PHYSICAL parquet name freezes at its name-at-enable
+        and gets a stable field id — and the rename itself only
+        changes the logical name in the commit schema. The Delta
+        mirror emits the spec form (delta.columnMapping.mode=name,
+        physicalName + id field metadata, protocol raised to carry
+        the columnMapping feature), which this repo's spec reader
+        already consumes."""
+        commits = self._commits()
+        if not commits:
+            raise ValueError(f"{self.path} has no commits")
+        latest = commits[-1]
+        names = [n for n, _ in latest.schema]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        state = self._mapping_state(latest) or {
+            "physical": {},
+            "columnIds": {n: i + 1 for i, n in enumerate(names)},
+            "maxColumnId": len(names),
+        }
+        physical = dict(state["physical"])
+        if new in state["columnIds"] and new != physical.get(old, old):
+            raise ValueError(
+                f"column name {new!r} was used by a renamed or dropped "
+                "column and live data files still store values under "
+                "it — pick a different name"
+            )
+        phys_old = physical.pop(old, old)
+        if new != phys_old:
+            physical[new] = phys_old
+        mapping = {
+            "physical": physical,
+            "columnIds": state["columnIds"],
+            "maxColumnId": state["maxColumnId"],
+        }
+        new_schema = [
+            (new if n == old else n, t) for n, t in latest.schema
+        ]
+        return self._alter_commit(
+            new_schema, mapping, "rename column", timestamp
+        )
+
+    def drop_column(
+        self, name: str, timestamp: str = "1970-01-01T00:00:00"
+    ) -> int:
+        """ALTER TABLE DROP COLUMN, metadata-only (round 11): the
+        field leaves the schema; data files keep the bytes until
+        OPTIMIZE/VACUUM rewrite them; the physical name's id stays
+        tombstoned in the mapping so the name can never be reused
+        over live files."""
+        commits = self._commits()
+        if not commits:
+            raise ValueError(f"{self.path} has no commits")
+        latest = commits[-1]
+        names = [n for n, _ in latest.schema]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        state = self._mapping_state(latest) or {
+            "physical": {},
+            "columnIds": {n: i + 1 for i, n in enumerate(names)},
+            "maxColumnId": len(names),
+        }
+        physical = dict(state["physical"])
+        physical.pop(name, None)
+        mapping = {
+            "physical": physical,
+            "columnIds": state["columnIds"],
+            "maxColumnId": state["maxColumnId"],
+        }
+        new_schema = [(n, t) for n, t in latest.schema if n != name]
+        return self._alter_commit(
+            new_schema, mapping, "drop column", timestamp
+        )
+
+    def _logical_scan(
+        self, files: list[str], dvs: dict[str, str], latest: Commit
+    ) -> DataFrame:
+        """Scan ``files`` under the commit's PHYSICAL schema (what the
+        parquet actually stores), apply DV masks, surface LOGICAL
+        names — the one scan path read/table_changes/DML share."""
+        from etl_deltalake_spark.sources import delta_log as DL
+
+        pairs = self._phys_pairs(latest)
+        phys_ddl = ", ".join(f"`{p}` {t}" for _, p, t in pairs)
+        if dvs:
+            dv_map = {
+                DL._norm_uri(f"{self.path}/{rel}"): DL.dv_positions(
+                    self.spark, self.path, json.loads(desc)
+                )
+                for rel, desc in dvs.items()
+            }
+            df = DL._scan_with_dv(self.spark, phys_ddl, files, dv_map)
+        else:
+            df = self.spark.read.schema(phys_ddl).parquet(*files)
+        if any(n != p for n, p, _ in pairs):
+            df = df.select(
+                *[F.col(p).alias(n) for n, p, _ in pairs]
+            )
+        return df
+
     def _scan_with_position(
-        self, files: list[str], dvs: dict[str, str], ddl: str
+        self, files: list[str], dvs: dict[str, str], latest: Commit
     ) -> DataFrame:
         """Snapshot scan that carries each LIVE row's physical address
         (``__fp`` normalized file path, ``__ri`` in-file row index) —
         what merge-on-read DML masks by. Existing masks are applied
-        the same way ``read`` applies them."""
+        the same way ``read`` applies them; columns surface under
+        LOGICAL names (scans use the commit's physical names)."""
         from etl_deltalake_spark.sources import delta_log as DL
 
-        df = self.spark.read.schema(ddl).parquet(*files).select(
-            "*",
+        pairs = self._phys_pairs(latest)
+        if not all(t is not None for _, t in latest.schema):
+            raise ValueError(
+                "merge-on-read DML needs a typed commit log "
+                "(pre-typed-log table: overwrite it once first)"
+            )
+        phys_ddl = ", ".join(f"`{p}` {t}" for _, p, t in pairs)
+        df = self.spark.read.schema(phys_ddl).parquet(*files).select(
+            *[F.col(p).alias(n) for n, p, _ in pairs],
             F.regexp_replace(
                 F.col("_metadata.file_path"),
                 r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+",
@@ -1247,12 +1484,22 @@ class VersionedTable:
         for _ in range(max_retries):
             latest = commits[-1]
             version = self.latest_version(commits) + 1
+            mapping = self._mapping_state(latest)
             # The UPDATE path's rewritten rows land in the SAME commit
             # as the masks — readers see pre-update or post-update,
             # never rows missing (Delta's one-commit DV UPDATE).
+            out_extra = extra_df
+            if extra_df is not None and mapping is not None:
+                phys = mapping["physical"]
+                out_extra = extra_df.select(
+                    *[
+                        F.col(c).alias(phys.get(c, c))
+                        for c in extra_df.columns
+                    ]
+                )
             new_files = (
-                self._write_data_files(extra_df, version)
-                if extra_df is not None
+                self._write_data_files(out_extra, version)
+                if out_extra is not None
                 else []
             )
             # A narrow filtered scan leaves most write tasks empty;
@@ -1266,7 +1513,7 @@ class VersionedTable:
             add = masked + new_files
             if self._try_commit(
                 version, operation, add, masked, latest.schema,
-                timestamp, dv=dv_adds,
+                timestamp, dv=dv_adds, mapping=mapping,
             ):
                 _files, dv_after, _l = self._snapshot_state(
                     commits=[
@@ -1288,12 +1535,12 @@ class VersionedTable:
                 live_after = [f[len(self.path) + 1 :] for f in _files]
                 self._maybe_checkpoint(
                     version, live_after, latest.schema, timestamp,
-                    dv_live=dv_after,
+                    dv_live=dv_after, mapping=mapping,
                 )
                 self._mirror_delta_log(
                     version, add, masked, latest.schema,
                     timestamp, operation, commits, live_after,
-                    dv_live=dv_after, dv_adds=dv_adds,
+                    dv_live=dv_after, dv_adds=dv_adds, mapping=mapping,
                 )
                 return n_new
             # Lost the race: masks are only valid against the exact
@@ -1361,8 +1608,7 @@ class VersionedTable:
                 raise ValueError(f"{self.path} has no commits")
             if not files:
                 return 0
-            ddl = self._typed_ddl(latest)
-            scan = self._scan_with_position(files, dvs, ddl)
+            scan = self._scan_with_position(files, dvs, latest)
             hits = scan.filter(
                 F.coalesce(condition, F.lit(False))
             ).select("__fp", "__ri")
@@ -1408,8 +1654,7 @@ class VersionedTable:
                 )
             if not files:
                 return 0
-            ddl = self._typed_ddl(latest)
-            scan = self._scan_with_position(files, dvs, ddl)
+            scan = self._scan_with_position(files, dvs, latest)
             hit = F.coalesce(condition, F.lit(False))
             matched = scan.filter(hit)
             rewritten = matched.select(

@@ -2637,3 +2637,186 @@ def test_ict_mirror_timestamp_travel_matches_custom_log(spark, tmp_path):
         "deletionVectors", "inCommitTimestamp",
     ]
     assert _rows(DL.read_delta(spark, vt.path)) == [(2, "b"), (3, "c")]
+
+
+# ---- column-mapping WRITE (round 11: rename/drop without rewrite) -------
+
+
+def test_rename_column_is_metadata_only(spark, vt):
+    import os
+
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(10)]),
+        timestamp="2026-01-01T00:00:00",
+    )
+    root = vt.path[len("file:"):] if vt.path.startswith("file:") else vt.path
+    data_before = sorted(
+        f for sub in os.listdir(f"{root}/data")
+        for f in os.listdir(f"{root}/data/{sub}")
+    )
+    vt.rename_column("val", "label", timestamp="2026-01-02T00:00:00")
+    data_after = sorted(
+        f for sub in os.listdir(f"{root}/data")
+        for f in os.listdir(f"{root}/data/{sub}")
+    )
+    assert data_before == data_after  # not a byte of data rewritten
+    got = vt.read()
+    assert got.columns == ["id", "label"]
+    assert _rows(got) == [(i, f"v{i}") for i in range(10)]
+    # time travel shows the OLD logical names
+    assert vt.read(version=1).columns == ["id", "val"]
+    # the spec mirror: columnMapping protocol + config + our own
+    # spec reader consumes it
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert "columnMapping" in snap["protocol"]["readerFeatures"]
+    assert snap["configuration"]["delta.columnMapping.mode"] == "name"
+    sp = DL.read_delta(spark, vt.path)
+    assert sp.columns == ["id", "label"]
+    assert _rows(sp) == _rows(got)
+
+
+def test_mapped_table_appends_dml_and_compaction(spark, vt):
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(10)]),
+        timestamp="2026-01-01T00:00:00",
+    )
+    vt.rename_column("val", "label", timestamp="2026-01-02T00:00:00")
+    # appends after the rename write files under the PHYSICAL name;
+    # both readers surface the logical one
+    vt.write(
+        spark.createDataFrame(
+            [(100, "x")], "id long, label string"
+        ).coalesce(1),
+        timestamp="2026-01-03T00:00:00",
+    )
+    want = sorted([(i, f"v{i}") for i in range(10)] + [(100, "x")])
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
+    # merge-on-read DELETE keyed on the renamed column
+    n = vt.delete_where(
+        F.col("label") == "v3", timestamp="2026-01-04T00:00:00",
+        use_dv=True,
+    )
+    assert n == 1
+    want = [r for r in want if r[1] != "v3"]
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
+    # merge-on-read UPDATE: rewritten rows land under physical names
+    n = vt.update_where(
+        F.col("id") == 100,
+        {"label": F.lit("y")},
+        timestamp="2026-01-05T00:00:00",
+        use_dv=True,
+    )
+    assert n == 1
+    want = sorted([(i, f"v{i}") for i in range(10) if i != 3] + [(100, "y")])
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
+    # change-typed CDF over the mapped table uses logical names
+    ch = vt.table_changes(3, 5)
+    kinds = sorted(
+        (r._change_type, r.id, r.label) for r in ch.collect()
+    )
+    assert kinds == [
+        ("delete", 3, "v3"),
+        ("update_postimage", 100, "y"),
+        ("update_preimage", 100, "x"),
+    ]
+    # compaction materializes and keeps the mapping working
+    vt.compact(timestamp="2026-01-06T00:00:00")
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
+
+
+def test_drop_column_and_name_reuse_refusal(spark, vt):
+    vt.write(
+        _df(spark, [(1, "a"), (2, "b")]),
+        timestamp="2026-01-01T00:00:00",
+    )
+    vt.drop_column("val", timestamp="2026-01-02T00:00:00")
+    assert vt.read().columns == ["id"]
+    assert DL.read_delta(spark, vt.path).columns == ["id"]
+    # the dropped column's physical name is tombstoned: live files
+    # still store values under it, so re-adding 'val' must refuse
+    # (real Delta avoids this with uuid physical names; this store
+    # refuses honestly)
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        vt.write(
+            spark.createDataFrame([(3, "z")], "id long, val string"),
+            mode="append",
+            timestamp="2026-01-03T00:00:00",
+            merge_schema=True,
+        )
+    # a fresh name is fine and null-fills history
+    vt.write(
+        spark.createDataFrame([(3, 1.5)], "id long, score double")
+        .coalesce(1),
+        mode="append",
+        timestamp="2026-01-04T00:00:00",
+        merge_schema=True,
+    )
+    got = {(r.id, r.score) for r in vt.read().collect()}
+    assert got == {(1, None), (2, None), (3, 1.5)}
+    assert got == {
+        (r.id, r.score) for r in DL.read_delta(spark, vt.path).collect()
+    }
+    # rename onto a tombstoned name refuses too
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        vt.rename_column("score", "val", timestamp="2026-01-05T00:00:00")
+    # dropping the only column refuses
+    vt.drop_column("score", timestamp="2026-01-06T00:00:00")
+    with pytest.raises(ValueError, match="only column"):
+        vt.drop_column("id")
+
+
+def test_mapped_checkpoint_fast_path(spark, vt):
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(4)]),
+        timestamp="2026-01-01T00:00:00",
+    )
+    vt.rename_column("val", "label", timestamp="2026-01-02T00:00:00")
+    for i in range(8):
+        vt.write(
+            spark.createDataFrame(
+                [(10 + i, f"s{i}")], "id long, label string"
+            ).coalesce(1),
+            timestamp=f"2026-01-{3 + i:02d}T00:00:00",
+        )
+    # custom checkpoint at v10 carries the mapping; the fast path
+    # (snapshot from checkpoint + tail) must keep scanning by
+    # physical name
+    ck = vt._latest_checkpoint()
+    assert ck["version"] == 10 and ck.get("mapping")
+    got = vt.read()
+    assert got.columns == ["id", "label"]
+    assert len(_rows(got)) == 12
+    # the mirror checkpoint round-trips through the spec reader after
+    # log cleanup
+    DL.cleanup_log(spark, vt.path)
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(got)
+
+
+def test_versionedcdf_refuses_mapped_tables(spark, vt, tmp_path):
+    from etl_deltalake_spark.sources.cdf_source import (
+        VersionedCdfDataSource,
+    )
+
+    spark.dataSource.register(VersionedCdfDataSource)
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    vt.rename_column("val", "label", timestamp="2026-01-02T00:00:00")
+    vt.write(
+        spark.createDataFrame([(2, "b")], "id long, label string"),
+        timestamp="2026-01-03T00:00:00",
+    )
+    q = (
+        spark.readStream.format("versionedcdf")
+        .option("path", vt.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="column mapping"):
+        q.awaitTermination(300)
