@@ -5815,3 +5815,18 @@ oracle("q_dv_cdf")(
     ORDER BY _commit_version, _change_type
     """
 )
+
+oracle("q_rename_read")(
+    """
+    SELECT
+      c_mktsegment AS segment,
+      COUNT(*) AS n,
+      CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+      CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """
+)

@@ -4756,3 +4756,55 @@ def q_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_commit_version", "_change_type")
     )
+
+
+def q_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage DDL without data rewrite, cross-engine graded (round
+    11): customer commits into a versioned table, ALTER TABLE RENAME
+    COLUMN (c_mktsegment → segment) and DROP COLUMN (c_comment) run
+    as metadata-only commits (sources/versioned.py column mapping —
+    files keep their physical names; the Delta mirror emits the spec
+    columnMapping form), an append AFTER the rename lands under the
+    physical name, and a merge-on-read DELETE keys on the RENAMED
+    column. The graded aggregate breaks if the mapping misroutes a
+    column, the post-rename append lands under the wrong physical
+    name, or the dropped column leaks. Oracle: the same rename/drop
+    applied relationally to the source table."""
+    import tempfile
+
+    from etl_deltalake_spark.sources.versioned import versioned_table
+
+    root = tempfile.mkdtemp(prefix="sgraft_rename_")
+    t = versioned_table(spark, f"{root}/t", use_delta=False)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).alias("cents"),
+    )
+    t.write(
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        timestamp="2026-01-01T00:00:00",
+    )
+    t.rename_column("c_mktsegment", "segment", "2026-01-02T00:00:00")
+    t.write(
+        cust.filter(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+            "c_mktsegment", "segment"
+        ),
+        mode="append",
+        timestamp="2026-01-03T00:00:00",
+    )
+    t.delete_where(
+        F.col("segment") == "BUILDING",
+        timestamp="2026-01-04T00:00:00",
+        use_dv=True,
+    )
+    return (
+        t.read()
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("segment")
+    )

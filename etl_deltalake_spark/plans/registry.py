@@ -467,8 +467,11 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q11",
     "q_tpch_q16",
     # round 11 — merge-on-read storage DML (deletion-vector DELETE +
-    # UPDATE) graded through the change-typed CDF derivation
+    # UPDATE) graded through the change-typed CDF derivation, and
+    # metadata-only RENAME/DROP COLUMN graded through a post-DDL
+    # aggregate
     "q_dv_cdf",
+    "q_rename_read",
 )
 
 
