@@ -231,6 +231,11 @@ def test_casefold_inventory_outside_text_module():
         # option-string normalization ("true"/"false"), the
         # sources/files.py precedent
         ("sources/http_source.py", '"false")).lower()'),
+        # round-11 deltastream source: option strings and DDL type
+        # KEYWORDS (bigint/double/...), never data columns
+        ("sources/delta_stream.py", "t = ddl_type.lower()"),
+        ("sources/delta_stream.py", '"skipChangeCommits", "false").lower()'),
+        ("sources/delta_stream.py", '"ignoreDeletes", "false").lower()'),
     }
     unexpected = [
         (rel, code)
