@@ -172,6 +172,11 @@ class Commit:
     physical: tuple[tuple[str, str], ...] = ()
     column_ids: tuple[tuple[str, int], ...] = ()
     max_column_id: int = 0
+    # Constraints-store file number seen at commit time (round 11):
+    # lets the mirror re-emit metaData when CHECK constraints changed
+    # between commits (they live in delta.constraints.* config keys).
+    # -1 on commits that predate the field.
+    cons_base: int = -1
 
 
 class VersionedTable:
@@ -248,6 +253,7 @@ class VersionedTable:
                         )
                     ),
                     max_column_id=int(doc.get("maxColumnId", 0)),
+                    cons_base=int(doc.get("consBase", -1)),
                 )
             )
         return sorted(out, key=lambda c: c.version)
@@ -582,6 +588,7 @@ class VersionedTable:
             doc["physical"] = dict(mapping["physical"])
             doc["columnIds"] = dict(mapping["columnIds"])
             doc["maxColumnId"] = int(mapping["maxColumnId"])
+        doc["consBase"] = self._constraints_with_base()[1]
         return _write_file_atomic(
             self.spark, self._log_path(version), json.dumps(doc).encode()
         )
@@ -793,8 +800,15 @@ class VersionedTable:
 
         if commits:
             DL.backfill_missing(self.spark, self, commits)
-        emit_meta = (not commits) or (
-            tuple(commit_schema) != tuple(commits[-1].schema)
+        cons, cons_base = self._constraints_with_base()
+        emit_meta = (
+            (not commits)
+            or tuple(commit_schema) != tuple(commits[-1].schema)
+            # CHECK constraints live in metaData.configuration — a
+            # changed constraints store must re-emit it (legacy
+            # commits carry cons_base -1: re-emit once if any
+            # constraints exist now)
+            or commits[-1].cons_base != cons_base
         )
         schema_json = DL._schema_json_from_ddl(commit_schema, mapping)
         # Feature-driven protocol: the FIRST commit needing a feature
@@ -822,6 +836,11 @@ class VersionedTable:
                 mirror_config["delta.columnMapping.maxColumnId"] = str(
                     mapping["maxColumnId"]
                 )
+        # CHECK constraints surface in metaData.configuration as
+        # delta.constraints.<name> (the spec form) so spec-conformant
+        # WRITERS enforce them too — readers ignore them
+        for cname, cond in sorted(cons.items()):
+            mirror_config[f"delta.constraints.{cname}"] = cond
         DL.emit_delta_commit(
             self.spark,
             self.path,

@@ -2820,3 +2820,19 @@ def test_versionedcdf_refuses_mapped_tables(spark, vt, tmp_path):
     )
     with pytest.raises(Exception, match="column mapping"):
         q.awaitTermination(300)
+
+
+def test_check_constraints_surface_in_mirror_config(spark, vt):
+    """CHECK constraints live in metaData.configuration as
+    ``delta.constraints.<name>`` (the spec form real writers
+    enforce); adding or dropping one re-emits metaData on the next
+    commit even though the schema is unchanged."""
+    vt.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    vt.add_constraint("pos", "id >= 0")
+    vt.write(_df(spark, [(2, "b")]), timestamp="2026-01-02T00:00:00")
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert snap["configuration"]["delta.constraints.pos"] == "id >= 0"
+    vt.drop_constraint("pos")
+    vt.write(_df(spark, [(3, "c")]), timestamp="2026-01-03T00:00:00")
+    snap2 = DL.delta_snapshot(spark, vt.path)
+    assert "delta.constraints.pos" not in snap2["configuration"]
