@@ -95,22 +95,31 @@ def _dv_positions_local(root: str, desc: dict) -> set[int]:
 
 
 class FileChangePartition(InputPartition):
-    def __init__(self, path: str, version: int, dv: dict | None = None):
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        dv: dict | None = None,
+        partition_values: dict | None = None,
+    ):
         self.path = path
         self.version = version
         # deletionVector descriptor when the commit re-added this
         # file with a mask (merge-on-read DML) — the reader must
         # skip masked row indexes, never re-emit deleted rows
         self.dv = dv
+        # hive-layout partition values (the parquet files do NOT
+        # store partition columns; they come from the dir names)
+        self.partition_values = partition_values or {}
 
 
 class VersionedCdfStreamReader(DataSourceStreamReader):
-    def __init__(self, options, fields: list[str]):
+    def __init__(self, options, fields: list[tuple[str, str]]):
         self.root = options.get("path", "")
         if not self.root:
             raise ValueError("versionedcdf requires the 'path' option")
         self.start = int(options.get("start_version", 0))
-        self.fields = fields
+        self.fields = fields  # (name, ddl type) pairs
 
     def initialOffset(self):
         return {"version": self.start}
@@ -143,11 +152,23 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                     )
                 dvd = doc.get("dv") or {}
                 for rel in doc["add"]:
+                    pv = {}
+                    for seg in rel.split("/")[:-1]:
+                        if "=" in seg:
+                            from urllib.parse import unquote
+
+                            k, v = seg.split("=", 1)
+                            pv[unquote(k)] = (
+                                None
+                                if v == "__HIVE_DEFAULT_PARTITION__"
+                                else unquote(v)
+                            )
                     parts.append(
                         FileChangePartition(
                             os.path.join(_local(self.root), rel),
                             doc["version"],
                             dv=dvd.get(rel),
+                            partition_values=pv,
                         )
                     )
         return parts
@@ -161,13 +182,31 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         # VersionedTable.read does), not crash the reader.
         pf = pq.ParquetFile(part.path)
         present = set(pf.schema_arrow.names)
-        wanted = [f for f in self.fields if f in present]
+        wanted = [n for n, _ in self.fields if n in present]
         table = pf.read(columns=wanted)
         by_name = {
             f: table.column(f).to_pylist() for f in wanted
         }
         n = table.num_rows
-        cols = [by_name.get(f, [None] * n) for f in self.fields]
+        cols = []
+        for name, ddl_type in self.fields:
+            if name in by_name:
+                cols.append(by_name[name])
+            elif name in part.partition_values:
+                from etl_deltalake_spark.sources.delta_stream import (
+                    _partition_value,
+                )
+
+                cols.append(
+                    [
+                        _partition_value(
+                            part.partition_values.get(name), ddl_type
+                        )
+                    ]
+                    * n
+                )
+            else:
+                cols.append([None] * n)
         masked = (
             _dv_positions_local(self.root, part.dv) if part.dv else None
         )
@@ -204,5 +243,4 @@ class VersionedCdfDataSource(DataSource):
         return f"{cols}, `_change_version` bigint"
 
     def streamReader(self, schema) -> VersionedCdfStreamReader:
-        fields = [n for n, _ in self._table_schema()]
-        return VersionedCdfStreamReader(self.options, fields)
+        return VersionedCdfStreamReader(self.options, self._table_schema())

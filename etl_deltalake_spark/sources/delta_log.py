@@ -142,18 +142,36 @@ def _file_stats(table_path: str, rel: str) -> str | None:
         return None
 
 
+def partition_values_from_path(rel: str) -> dict[str, str | None]:
+    """Hive-style ``col=value`` path segments → the spec's
+    ``partitionValues`` string map (percent-unescaped;
+    __HIVE_DEFAULT_PARTITION__ → null). Unpartitioned version-dir
+    paths contain no ``=`` segments and yield {}."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[unquote(k)] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+    return out
+
+
 def metadata_action(
     schema_json: str,
     table_path: str,
     ts_millis: int,
     configuration: dict[str, str] | None = None,
+    partition_columns: list[str] | None = None,
 ) -> dict:
     return {
         "metaData": {
             "id": table_id(table_path),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
-            "partitionColumns": [],
+            "partitionColumns": list(partition_columns or []),
             "configuration": dict(configuration or {}),
             "createdTime": ts_millis,
         }
@@ -201,6 +219,7 @@ def emit_delta_commit(
     protocol_action: dict | None = None,
     ict: bool = False,
     metadata_configuration: dict[str, str] | None = None,
+    partition_columns: list[str] | None = None,
 ) -> bool:
     """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
     via the same temp+rename as the custom log). Returns False when
@@ -230,6 +249,7 @@ def emit_delta_commit(
             metadata_action(
                 schema_json, table_path, millis,
                 configuration=metadata_configuration,
+                partition_columns=partition_columns,
             )
         )
     if txn is not None:
@@ -266,7 +286,7 @@ def emit_delta_commit(
     for rel in add:
         entry = {
             "path": rel,
-            "partitionValues": {},
+            "partitionValues": partition_values_from_path(rel),
             "size": _file_size(spark, table_path, rel),
             "modificationTime": millis,
             "dataChange": data_change,
@@ -354,6 +374,7 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
                 protocol_action=cur if cur != prev else None,
                 ict=ict,
                 metadata_configuration=config or None,
+                partition_columns=list(c.partition_by) or None,
             )
         prev_schema = c.schema
         had_dv = had_dv or bool(c.dv)
@@ -447,6 +468,7 @@ def write_delta_checkpoint(
     protocol: tuple[int, int] | None = None,
     features: tuple[list[str] | None, list[str] | None] | None = None,
     configuration: dict[str, str] | None = None,
+    partition_columns: list[str] | None = None,
 ) -> None:
     """The classic single-file parquet checkpoint at ``delta_version``
     (one nullable-struct row per action: protocol, metaData, one add
@@ -460,7 +482,8 @@ def write_delta_checkpoint(
 
     millis = _iso_to_millis(timestamp)
     meta = metadata_action(
-        schema_json, table_path, millis, configuration=configuration
+        schema_json, table_path, millis, configuration=configuration,
+        partition_columns=partition_columns,
     )["metaData"]
     mrv, mwv = protocol or (1, 2)
     rfeats, wfeats = features or (None, None)
@@ -472,7 +495,7 @@ def write_delta_checkpoint(
                 meta["id"],
                 ("parquet", {}),
                 meta["schemaString"],
-                [],
+                meta["partitionColumns"],
                 meta["configuration"],
                 millis,
             ),
@@ -500,7 +523,7 @@ def write_delta_checkpoint(
                 None,
                 (
                     rel,
-                    {},
+                    partition_values_from_path(rel),
                     _file_size(spark, table_path, rel),
                     millis,
                     True,
@@ -1157,7 +1180,7 @@ def _norm_uri(p: str) -> str:
     return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
 
 
-def _scan_with_dv(spark, schema, abs_paths, dv_map):
+def _scan_with_dv(spark, schema, abs_paths, dv_map, base_path=None):
     """Scan parquet files masking DV-deleted rows: files without a DV
     take the plain fast path; files with one read alongside
     ``_metadata.row_index`` (Spark's native per-file row position)
@@ -1168,11 +1191,17 @@ def _scan_with_dv(spark, schema, abs_paths, dv_map):
     gets compacted, not scanned)."""
     from pyspark.sql import functions as F
 
+    def reader():
+        r = spark.read.schema(schema)
+        # hive-partitioned layouts surface partition columns from the
+        # directory names under one shared base path
+        return r.option("basePath", base_path) if base_path else r
+
     plain = [p for p in abs_paths if _norm_uri(p) not in dv_map]
     dvd = [p for p in abs_paths if _norm_uri(p) in dv_map]
     parts = []
     if plain:
-        parts.append(spark.read.schema(schema).parquet(*plain))
+        parts.append(reader().parquet(*plain))
     if dvd:
         deleted = spark.createDataFrame(
             [
@@ -1183,7 +1212,7 @@ def _scan_with_dv(spark, schema, abs_paths, dv_map):
             schema="__dv_fp string, __dv_ri long",
         )
         df = (
-            spark.read.schema(schema)
+            reader()
             .parquet(*dvd)
             .select(
                 "*",

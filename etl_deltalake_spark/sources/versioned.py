@@ -177,6 +177,11 @@ class Commit:
     # between commits (they live in delta.constraints.* config keys).
     # -1 on commits that predate the field.
     cons_base: int = -1
+    # Hive-style partition columns of this commit's layout (round 11)
+    # — data files live under data/<col>=<val>/ and the scan injects
+    # the values from the directory names (real Delta layout: the
+    # parquet files do NOT store partition columns).
+    partition_by: tuple[str, ...] = ()
 
 
 class VersionedTable:
@@ -254,6 +259,7 @@ class VersionedTable:
                     ),
                     max_column_id=int(doc.get("maxColumnId", 0)),
                     cons_base=int(doc.get("consBase", -1)),
+                    partition_by=tuple(doc.get("partitionBy") or ()),
                 )
             )
         return sorted(out, key=lambda c: c.version)
@@ -279,6 +285,7 @@ class VersionedTable:
         timestamp: str,
         dv_live: dict[str, str] | None = None,
         mapping: dict | None = None,
+        partition_by: tuple[str, ...] = (),
     ) -> None:
         """Every CHECKPOINT_INTERVAL-th commit also writes a log
         checkpoint — the Delta-protocol idea that keeps metadata
@@ -303,6 +310,8 @@ class VersionedTable:
             doc["dv"] = dict(dv_live)
         if mapping:
             doc["mapping"] = dict(mapping)
+        if partition_by:
+            doc["partitionBy"] = list(partition_by)
         payload = json.dumps(doc, sort_keys=True).encode("utf-8")
         _write_file_atomic(self.spark, self._checkpoint_path(version), payload)
 
@@ -506,6 +515,7 @@ class VersionedTable:
                             )
                         ),
                         max_column_id=int(ck_map.get("maxColumnId", 0)),
+                        partition_by=tuple(ck.get("partitionBy") or ()),
                     )
                 )
                 return _out(live, latest)
@@ -542,20 +552,65 @@ class VersionedTable:
 
     # ---- write path ---------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame, version: int) -> list[str]:
-        """Executors write the data files for a prospective commit
-        into a version-scoped directory; returns table-relative file
-        paths. Files are invisible to readers until the commit lands."""
-        rel_dir = f"{_DATA_DIR}/v{version:0{_VERSION_DIGITS}d}-{uuid.uuid4().hex[:8]}"
-        out_dir = f"{self.path}/{rel_dir}"
-        df.write.mode("overwrite").parquet(out_dir)
-        jvm, fs, _ = _fs(self.spark, out_dir)
-        listed = fs.listStatus(jvm.org.apache.hadoop.fs.Path(out_dir))
-        return sorted(
-            f"{rel_dir}/{s.getPath().getName()}"
-            for s in listed
-            if s.getPath().getName().startswith("part-")
-        )
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        version: int,
+        partition_by: tuple[str, ...] = (),
+    ) -> list[str]:
+        """Executors write the data files for a prospective commit;
+        returns table-relative file paths. Files are invisible to
+        readers until the commit lands.
+
+        Unpartitioned: a version-scoped directory. Partitioned: the
+        REAL Delta layout — hive-style ``data/<col>=<val>/`` dirs
+        shared by every commit (one ``basePath`` for the whole table,
+        so any snapshot scans in ONE FileScan with true partition
+        pruning), file names carrying the version for uniqueness.
+        Executors write a staging dir; the driver renames each part
+        file to its final partition path — O(#files) metadata ops,
+        the same order as the commit record itself."""
+        jvm, fs, _ = _fs(self.spark, self.path)
+        if not partition_by:
+            rel_dir = (
+                f"{_DATA_DIR}/v{version:0{_VERSION_DIGITS}d}"
+                f"-{uuid.uuid4().hex[:8]}"
+            )
+            out_dir = f"{self.path}/{rel_dir}"
+            df.write.mode("overwrite").parquet(out_dir)
+            listed = fs.listStatus(jvm.org.apache.hadoop.fs.Path(out_dir))
+            return sorted(
+                f"{rel_dir}/{s.getPath().getName()}"
+                for s in listed
+                if s.getPath().getName().startswith("part-")
+            )
+        stamp = f"v{version:0{_VERSION_DIGITS}d}-{uuid.uuid4().hex[:8]}"
+        stage = f"{self.path}/_stage_{stamp}"
+        df.write.partitionBy(*partition_by).mode("overwrite").parquet(stage)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        rels: list[str] = []
+
+        def walk(cur: str, parts: list[str]) -> None:
+            for st in fs.listStatus(hpath(cur)):
+                name = st.getPath().getName()
+                if st.isDirectory():
+                    walk(f"{cur}/{name}", [*parts, name])
+                elif name.startswith("part-"):
+                    sub = "/".join(parts)
+                    dest_dir = f"{self.path}/{_DATA_DIR}/{sub}"
+                    fs.mkdirs(hpath(dest_dir))
+                    dest_rel = f"{_DATA_DIR}/{sub}/{stamp}-{name}"
+                    if not fs.rename(
+                        st.getPath(), hpath(f"{self.path}/{dest_rel}")
+                    ):
+                        raise RuntimeError(
+                            f"could not place data file {dest_rel}"
+                        )
+                    rels.append(dest_rel)
+
+        walk(stage, [])
+        fs.delete(hpath(stage), True)
+        return sorted(rels)
 
     def _try_commit(
         self,
@@ -569,6 +624,7 @@ class VersionedTable:
         data_change: bool = True,
         dv: dict[str, dict] | None = None,
         mapping: dict | None = None,
+        partition_by: tuple[str, ...] = (),
     ) -> bool:
         doc = {
             "version": version,
@@ -589,6 +645,8 @@ class VersionedTable:
             doc["columnIds"] = dict(mapping["columnIds"])
             doc["maxColumnId"] = int(mapping["maxColumnId"])
         doc["consBase"] = self._constraints_with_base()[1]
+        if partition_by:
+            doc["partitionBy"] = list(partition_by)
         return _write_file_atomic(
             self.spark, self._log_path(version), json.dumps(doc).encode()
         )
@@ -667,6 +725,7 @@ class VersionedTable:
         merge_schema: bool = False,
         data_change: bool = True,
         operation: str | None = None,
+        partition_by: Sequence[str] | None = None,
     ) -> int | None:
         """Commit ``df`` as a new version. ``mode='append'`` adds
         files; ``mode='overwrite'`` adds files and logically removes
@@ -689,6 +748,23 @@ class VersionedTable:
         # replay semantics come from ``mode``'s add/remove lists only.
         op_label = operation or mode
         commits = self._commits()
+        # Layout resolution: None INHERITS the table's current
+        # partitioning (Delta behavior — compaction and plain
+        # overwrites keep the partition spec); pass an explicit
+        # empty list to unpartition on overwrite. Appends must keep
+        # the current layout.
+        cur_pb = tuple(commits[-1].partition_by) if commits else ()
+        eff_pb = cur_pb if partition_by is None else tuple(partition_by)
+        if mode == "append" and eff_pb != cur_pb:
+            raise ValueError(
+                f"append must keep the table partitioning {list(cur_pb)}; "
+                "repartitioning the layout is an overwrite's job"
+            )
+        missing_pb = [c for c in eff_pb if c not in df.columns]
+        if missing_pb:
+            raise ValueError(
+                f"partition columns {missing_pb} not in the frame"
+            )
         merged_schema: list[tuple[str, str]] | None = None
         if mode == "append":
             if merge_schema:
@@ -719,6 +795,7 @@ class VersionedTable:
             # claim fresh ids and must not reuse any historical name.
             mapping = self._advance_mapping(commits, commit_schema)
             out_df = df
+            pb_phys = eff_pb
             if mapping is not None:
                 # alias only the columns the frame actually carries —
                 # a mergeSchema append may legitimately OMIT table
@@ -727,10 +804,14 @@ class VersionedTable:
                 out_df = df.select(
                     *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
                 )
-            add = self._write_data_files(out_df, version)
+                pb_phys = tuple(phys.get(c, c) for c in eff_pb)
+            add = self._write_data_files(
+                out_df, version, partition_by=pb_phys
+            )
             if self._try_commit(
                 version, op_label, add, remove, commit_schema, timestamp,
                 txn=txn, data_change=data_change, mapping=mapping,
+                partition_by=eff_pb,
             ):
                 if mode == "overwrite":
                     live_after = list(add)
@@ -744,24 +825,34 @@ class VersionedTable:
                 self._maybe_checkpoint(
                     version, live_after, commit_schema, timestamp,
                     dv_live=dv_after, mapping=mapping,
+                    partition_by=eff_pb,
                 )
                 self._mirror_delta_log(
                     version, add, remove, commit_schema, timestamp,
                     op_label, commits, live_after, txn=txn,
                     data_change=data_change, dv_live=dv_after,
-                    mapping=mapping,
+                    mapping=mapping, partition_by=eff_pb,
                 )
                 return version
             # Lost the race: orphan the just-written files (vacuum
             # collects them), re-replay the log, retry against the tip.
             if add:
                 jvm, fs, _ = _fs(self.spark, self.path)
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{self.path}/{add[0].rsplit('/', 1)[0]}"
-                    ),
-                    True,
-                )
+                if eff_pb:
+                    for rel in add:  # scattered across partition dirs
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                f"{self.path}/{rel}"
+                            ),
+                            False,
+                        )
+                else:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{self.path}/{add[0].rsplit('/', 1)[0]}"
+                        ),
+                        True,
+                    )
             commits = self._commits()
             if mode == "append":
                 if merge_schema:
@@ -787,6 +878,7 @@ class VersionedTable:
         dv_live: dict[str, str] | None = None,
         dv_adds: dict[str, dict] | None = None,
         mapping: dict | None = None,
+        partition_by: tuple[str, ...] = (),
     ) -> None:
         """Mirror the just-won commit into the REAL Delta protocol
         (sources/delta_log.py, round 9): ``_delta_log/%020d.json``
@@ -857,6 +949,7 @@ class VersionedTable:
             protocol_action=proto_action,
             ict=self.ict,
             metadata_configuration=mirror_config or None,
+            partition_columns=list(partition_by) or None,
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             # Complete replay state per PROTOCOL.md: the checkpoint
@@ -922,6 +1015,7 @@ class VersionedTable:
                     else None
                 ),
                 configuration=mirror_config or None,
+                partition_columns=list(partition_by) or None,
             )
 
     def upsert(
@@ -1278,6 +1372,7 @@ class VersionedTable:
         mapping: dict,
         operation: str,
         timestamp: str,
+        partition_by: tuple[str, ...] = (),
         max_retries: int = 5,
     ) -> int:
         """Metadata-only commit (no files touched) — the RENAME /
@@ -1288,17 +1383,19 @@ class VersionedTable:
             version = self.latest_version(commits) + 1
             if self._try_commit(
                 version, operation, [], [], new_schema, timestamp,
-                mapping=mapping,
+                mapping=mapping, partition_by=partition_by,
             ):
                 files, dv_live, _l = self._snapshot_state(commits=commits)
                 live_after = [f[len(self.path) + 1 :] for f in files]
                 self._maybe_checkpoint(
                     version, live_after, new_schema, timestamp,
                     dv_live=dv_live, mapping=mapping,
+                    partition_by=partition_by,
                 )
                 self._mirror_delta_log(
                     version, [], [], new_schema, timestamp, operation,
                     commits, live_after, dv_live=dv_live, mapping=mapping,
+                    partition_by=partition_by,
                 )
                 return version
             commits = self._commits()
@@ -1350,8 +1447,12 @@ class VersionedTable:
         new_schema = [
             (new if n == old else n, t) for n, t in latest.schema
         ]
+        new_pb = tuple(
+            new if c == old else c for c in latest.partition_by
+        )
         return self._alter_commit(
-            new_schema, mapping, "rename column", timestamp
+            new_schema, mapping, "rename column", timestamp,
+            partition_by=new_pb,
         )
 
     def drop_column(
@@ -1371,6 +1472,11 @@ class VersionedTable:
             raise ValueError(f"no column {name!r} (have {names})")
         if len(names) == 1:
             raise ValueError("cannot drop the only column")
+        if name in latest.partition_by:
+            raise ValueError(
+                f"{name!r} is a partition column — repartitioning the "
+                "layout is an overwrite's job"
+            )
         state = self._mapping_state(latest) or {
             "physical": {},
             "columnIds": {n: i + 1 for i, n in enumerate(names)},
@@ -1385,7 +1491,8 @@ class VersionedTable:
         }
         new_schema = [(n, t) for n, t in latest.schema if n != name]
         return self._alter_commit(
-            new_schema, mapping, "drop column", timestamp
+            new_schema, mapping, "drop column", timestamp,
+            partition_by=tuple(latest.partition_by),
         )
 
     def _logical_scan(
@@ -1398,6 +1505,9 @@ class VersionedTable:
 
         pairs = self._phys_pairs(latest)
         phys_ddl = ", ".join(f"`{p}` {t}" for _, p, t in pairs)
+        base = (
+            f"{self.path}/{_DATA_DIR}" if latest.partition_by else None
+        )
         if dvs:
             dv_map = {
                 DL._norm_uri(f"{self.path}/{rel}"): DL.dv_positions(
@@ -1405,9 +1515,14 @@ class VersionedTable:
                 )
                 for rel, desc in dvs.items()
             }
-            df = DL._scan_with_dv(self.spark, phys_ddl, files, dv_map)
+            df = DL._scan_with_dv(
+                self.spark, phys_ddl, files, dv_map, base_path=base
+            )
         else:
-            df = self.spark.read.schema(phys_ddl).parquet(*files)
+            reader = self.spark.read.schema(phys_ddl)
+            if base:
+                reader = reader.option("basePath", base)
+            df = reader.parquet(*files)
         if any(n != p for n, p, _ in pairs):
             df = df.select(
                 *[F.col(p).alias(n) for n, p, _ in pairs]
@@ -1431,7 +1546,10 @@ class VersionedTable:
                 "(pre-typed-log table: overwrite it once first)"
             )
         phys_ddl = ", ".join(f"`{p}` {t}" for _, p, t in pairs)
-        df = self.spark.read.schema(phys_ddl).parquet(*files).select(
+        reader = self.spark.read.schema(phys_ddl)
+        if latest.partition_by:
+            reader = reader.option("basePath", f"{self.path}/{_DATA_DIR}")
+        df = reader.parquet(*files).select(
             *[F.col(p).alias(n) for n, p, _ in pairs],
             F.regexp_replace(
                 F.col("_metadata.file_path"),
@@ -1508,16 +1626,22 @@ class VersionedTable:
             # as the masks — readers see pre-update or post-update,
             # never rows missing (Delta's one-commit DV UPDATE).
             out_extra = extra_df
-            if extra_df is not None and mapping is not None:
+            pb = tuple(latest.partition_by)
+            pb_phys = pb
+            if mapping is not None:
                 phys = mapping["physical"]
-                out_extra = extra_df.select(
-                    *[
-                        F.col(c).alias(phys.get(c, c))
-                        for c in extra_df.columns
-                    ]
-                )
+                pb_phys = tuple(phys.get(c, c) for c in pb)
+                if extra_df is not None:
+                    out_extra = extra_df.select(
+                        *[
+                            F.col(c).alias(phys.get(c, c))
+                            for c in extra_df.columns
+                        ]
+                    )
             new_files = (
-                self._write_data_files(out_extra, version)
+                self._write_data_files(
+                    out_extra, version, partition_by=pb_phys
+                )
                 if out_extra is not None
                 else []
             )
@@ -1532,7 +1656,7 @@ class VersionedTable:
             add = masked + new_files
             if self._try_commit(
                 version, operation, add, masked, latest.schema,
-                timestamp, dv=dv_adds, mapping=mapping,
+                timestamp, dv=dv_adds, mapping=mapping, partition_by=pb,
             ):
                 _files, dv_after, _l = self._snapshot_state(
                     commits=[
@@ -1554,12 +1678,13 @@ class VersionedTable:
                 live_after = [f[len(self.path) + 1 :] for f in _files]
                 self._maybe_checkpoint(
                     version, live_after, latest.schema, timestamp,
-                    dv_live=dv_after, mapping=mapping,
+                    dv_live=dv_after, mapping=mapping, partition_by=pb,
                 )
                 self._mirror_delta_log(
                     version, add, masked, latest.schema,
                     timestamp, operation, commits, live_after,
                     dv_live=dv_after, dv_adds=dv_adds, mapping=mapping,
+                    partition_by=pb,
                 )
                 return n_new
             # Lost the race: masks are only valid against the exact

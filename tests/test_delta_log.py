@@ -2836,3 +2836,159 @@ def test_check_constraints_surface_in_mirror_config(spark, vt):
     vt.write(_df(spark, [(3, "c")]), timestamp="2026-01-03T00:00:00")
     snap2 = DL.delta_snapshot(spark, vt.path)
     assert "delta.constraints.pos" not in snap2["configuration"]
+
+
+# ---- partitioned versioned tables (round 11: hive layout, pruning) ------
+
+
+def test_partitioned_write_layout_read_and_pruning(spark, vt):
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(30)],
+        "id long, g string, v long",
+    )
+    vt.write(
+        df, mode="overwrite", timestamp="2026-01-01T00:00:00",
+        partition_by=["g"],
+    )
+    root = vt.path[len("file:"):] if vt.path.startswith("file:") else vt.path
+    # REAL Delta layout: hive dirs shared by all commits, partition
+    # column NOT in the parquet files
+    assert sorted(os.listdir(f"{root}/data")) == ["g=g0", "g=g1", "g=g2"]
+    got = vt.read()
+    assert sorted((r.id, r.g, r.v) for r in got.collect()) == [
+        (i, f"g{i % 3}", i * 10) for i in range(30)
+    ]
+    # TRUE partition pruning: the filter lands in PartitionFilters,
+    # and the scan schema excludes the partition column
+    plan = (
+        got.filter(F.col("g") == "g1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "g1" in plan.split("PartitionFilters", 1)[1][:160]
+    # appends inherit the layout; changing it is an overwrite's job
+    vt.write(
+        spark.createDataFrame([(100, "g0", 1)], "id long, g string, v long"),
+        timestamp="2026-01-02T00:00:00",
+    )
+    assert vt.read().count() == 31
+    with pytest.raises(ValueError, match="overwrite"):
+        vt.write(df, timestamp="2026-01-03T00:00:00", partition_by=[])
+    # the mirror: metaData.partitionColumns + per-add partitionValues,
+    # consumed by the spec reader (which injects from the log)
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert snap["partition_columns"] == ["g"]
+    assert {a["partitionValues"]["g"] for a in snap["adds"]} == {
+        "g0", "g1", "g2",
+    }
+    assert sorted(
+        (r.id, r.g, r.v) for r in DL.read_delta(spark, vt.path).collect()
+    ) == sorted((r.id, r.g, r.v) for r in vt.read().collect())
+
+
+def test_partitioned_dml_compaction_and_streams(spark, vt, tmp_path):
+    from etl_deltalake_spark.sources.cdf_source import (
+        VersionedCdfDataSource,
+    )
+    from etl_deltalake_spark.sources.delta_stream import (
+        DeltaStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedCdfDataSource)
+    spark.dataSource.register(DeltaStreamDataSource)
+    vt.write(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", i * 10) for i in range(10)],
+            "id long, g string, v long",
+        ),
+        mode="overwrite",
+        timestamp="2026-01-01T00:00:00",
+        partition_by=["g"],
+    )
+    # merge-on-read DELETE keyed on the partition column
+    n = vt.delete_where(
+        F.col("g") == "g1", timestamp="2026-01-02T00:00:00", use_dv=True
+    )
+    assert n == 5
+    want = {(i, "g0", i * 10) for i in range(0, 10, 2)}
+    assert {(r.id, r.g, r.v) for r in vt.read().collect()} == want
+    assert {
+        (r.id, r.g, r.v) for r in DL.read_delta(spark, vt.path).collect()
+    } == want
+    # merge-on-read UPDATE: rewritten rows land partitioned
+    n = vt.update_where(
+        F.col("id") == 2, {"v": F.lit(999).cast("long")},
+        timestamp="2026-01-03T00:00:00", use_dv=True,
+    )
+    assert n == 1
+    want = {(i, "g0", i * 10) for i in (0, 4, 6, 8)} | {(2, "g0", 999)}
+    assert {(r.id, r.g, r.v) for r in vt.read().collect()} == want
+    # compaction preserves the partition layout
+    vt.compact(timestamp="2026-01-04T00:00:00")
+    _files, dvs, latest = vt._snapshot_state()
+    assert tuple(latest.partition_by) == ("g",) and dvs == {}
+    assert {(r.id, r.g, r.v) for r in vt.read().collect()} == want
+    assert {
+        (r.id, r.g, r.v) for r in DL.read_delta(spark, vt.path).collect()
+    } == want
+    # both streaming sources inject partition values (fresh table so
+    # the drains see only clean appends)
+    t2 = versioned_table(spark, str(tmp_path / "p2"), use_delta=False)
+    t2.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, g string, v long"
+        ),
+        mode="overwrite",
+        timestamp="2026-01-01T00:00:00",
+        partition_by=["g"],
+    )
+    for fmt, sub in (("versionedcdf", "c"), ("deltastream", "d")):
+        out = str(tmp_path / f"out_{sub}")
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", t2.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckp_{sub}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert sorted(
+            (r.id, r.g, r.v) for r in spark.read.parquet(out).collect()
+        ) == [(1, "a", 10), (2, "b", 20)], fmt
+
+
+def test_partitioned_rename_partition_column(spark, vt):
+    """Renaming a PARTITION column stays metadata-only: the hive dirs
+    keep the frozen physical name, partition_by follows the logical
+    rename, and dropping a partition column refuses."""
+    vt.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, g string"
+        ),
+        mode="overwrite",
+        timestamp="2026-01-01T00:00:00",
+        partition_by=["g"],
+    )
+    vt.rename_column("g", "grp", timestamp="2026-01-02T00:00:00")
+    got = vt.read()
+    assert got.columns == ["id", "grp"]
+    assert sorted((r.id, r.grp) for r in got.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    # appends keep working: logical frame, physical dirs
+    vt.write(
+        spark.createDataFrame([(3, "c")], "id long, grp string"),
+        timestamp="2026-01-03T00:00:00",
+    )
+    assert sorted(
+        (r.id, r.grp) for r in DL.read_delta(spark, vt.path).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(ValueError, match="partition column"):
+        vt.drop_column("grp")
