@@ -5830,3 +5830,18 @@ oracle("q_rename_read")(
     ORDER BY segment
     """
 )
+
+oracle("q_partitioned_read")(
+    """
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n,
+      CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+)

@@ -4808,3 +4808,52 @@ def q_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def q_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned versioned table, cross-engine graded (round
+    11): orders commit partitioned by o_orderpriority (the real Delta
+    layout — partition values live in directory names and the log,
+    never in the parquet), an append inherits the layout, a
+    merge-on-read DELETE masks one priority, and the graded read
+    aggregates per partition — pruning is plan-asserted by
+    tests/test_plan_shapes.py-style checks in the storage tests; the
+    oracle recomputes the same aggregate relationally. Breaks if
+    partition values misroute (injection from dirs), the append lands
+    in the wrong layout, or masked rows leak."""
+    import tempfile
+
+    from etl_deltalake_spark.sources.versioned import versioned_table
+
+    root = tempfile.mkdtemp(prefix="sgraft_part_")
+    t = versioned_table(spark, f"{root}/t", use_delta=False)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
+    )
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        mode="overwrite",
+        timestamp="2026-01-01T00:00:00",
+        partition_by=["o_orderpriority"],
+    )
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        timestamp="2026-01-02T00:00:00",
+    )
+    t.delete_where(
+        F.col("o_orderpriority") == "1-URGENT",
+        timestamp="2026-01-03T00:00:00",
+        use_dv=True,
+    )
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

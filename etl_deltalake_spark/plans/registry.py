@@ -472,6 +472,7 @@ SLOTLESS: tuple[str, ...] = (
     # aggregate
     "q_dv_cdf",
     "q_rename_read",
+    "q_partitioned_read",
 )
 
 
