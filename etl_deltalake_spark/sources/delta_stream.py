@@ -452,7 +452,11 @@ class DeltaStreamDataSource(DataSource):
     def _table_fields(self) -> list[tuple[str, str]]:
         from pyspark.sql.types import StructType
 
-        snap = _snapshot_py(self.options.get("path", ""))
+        root = self.options.get("path", "")
+        snap = _snapshot_py(root)
+        # fail at load(), not first batch: an unsupported protocol
+        # means the declared schema would be wrong
+        _check_protocol(root, snap)
         if snap["schema_json"] is None:
             raise ValueError("deltastream: table has no metaData action")
         struct = StructType.fromJson(json.loads(snap["schema_json"]))
