@@ -2992,3 +2992,57 @@ def test_partitioned_rename_partition_column(spark, vt):
     ) == [(1, "a"), (2, "b"), (3, "c")]
     with pytest.raises(ValueError, match="partition column"):
         vt.drop_column("grp")
+
+
+def test_dv_merge_is_one_commit_touching_only_masks(spark, vt):
+    """Merge-on-read MERGE (upsert use_dv=True — the modern Delta
+    MERGE): one commit masks matched rows and appends the source;
+    untouched data files are never rewritten."""
+    import os
+
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(10)]),
+        timestamp="2026-01-01T00:00:00",
+    )
+    root = vt.path[len("file:"):] if vt.path.startswith("file:") else vt.path
+    before = sorted(os.listdir(f"{root}/data"))
+    src = spark.createDataFrame(
+        [(3, "U3"), (7, "U7"), (100, "N")], "id long, val string"
+    )
+    v = vt.upsert(src, ["id"], timestamp="2026-01-02T00:00:00", use_dv=True)
+    assert v == 2
+    after = sorted(os.listdir(f"{root}/data"))
+    assert before[0] in after and len(after) == len(before) + 1
+    want = sorted(
+        [(i, f"v{i}") for i in range(10) if i not in (3, 7)]
+        + [(3, "U3"), (7, "U7"), (100, "N")]
+    )
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
+    assert vt.history()[0]["operation"] == "merge"
+    # CDF: matched pre-images + full source post-image
+    kinds = sorted(
+        (r._change_type, r.id) for r in vt.table_changes(1, 2).collect()
+    )
+    assert kinds == [
+        ("update_postimage", 3),
+        ("update_postimage", 7),
+        ("update_postimage", 100),
+        ("update_preimage", 3),
+        ("update_preimage", 7),
+    ]
+    # a no-match merge is a pure insert (append commit, still labeled
+    # merge)
+    v2 = vt.upsert(
+        _df(spark, [(200, "X")]), ["id"],
+        timestamp="2026-01-03T00:00:00", use_dv=True,
+    )
+    assert v2 == 3 and vt.history()[0]["operation"] == "merge"
+    assert (200, "X") in set(_rows(vt.read()))
+    # schema enforcement still applies
+    with pytest.raises(ValueError, match="schema"):
+        vt.upsert(
+            spark.createDataFrame([(1, 2.0)], "id long, val double"),
+            ["id"],
+            use_dv=True,
+        )
