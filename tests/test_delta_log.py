@@ -3046,3 +3046,44 @@ def test_dv_merge_is_one_commit_touching_only_masks(spark, vt):
             ["id"],
             use_dv=True,
         )
+
+
+def test_optimize_zorder_prunes_on_every_clustered_column(spark, vt):
+    """OPTIMIZE ZORDER BY (compact zorder_by=[x, y]): after the
+    rewrite, a point filter on EITHER column touches a strict subset
+    of files (per-add stats in the mirror prove it for external
+    readers too) — linear clustering can only do that for the
+    leading column. Rows are bit-identical and the commit stays
+    dataChange=false."""
+    df = spark.range(40000).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 200).cast("long").alias("x"),
+        ((F.col("id") * 7919) % 200).cast("long").alias("y"),
+    )
+    vt.write(df, mode="overwrite", timestamp="2026-01-01T00:00:00")
+    vt.compact(
+        target_file_bytes=20_000,
+        timestamp="2026-01-02T00:00:00",
+        zorder_by=["x", "y"],
+    )
+    adds = DL.delta_snapshot(spark, vt.path)["adds"]
+    assert len(adds) >= 4
+
+    def touched(col, val):
+        n = 0
+        for a in adds:
+            st = json.loads(a["stats"])
+            if st["minValues"][col] <= val <= st["maxValues"][col]:
+                n += 1
+        return n
+
+    assert touched("x", 17) < len(adds)
+    assert touched("y", 17) < len(adds)
+    assert vt.read().count() == 40000
+    assert sorted(
+        r.id for r in vt.read().filter(F.col("x") == 17).collect()
+    ) == [i for i in range(40000) if i % 200 == 17]
+    assert vt.history()[0]["operation"] == "optimize"
+    assert vt._commits()[-1].data_change is False
+    with pytest.raises(ValueError, match="numeric"):
+        vt.compact(zorder_by=["nope"])
