@@ -1861,6 +1861,58 @@ class VersionedTable:
         self.write(updated, mode="overwrite", timestamp=timestamp)
         return n_updated
 
+    def restore(
+        self, version: int, timestamp: str = "1970-01-01T00:00:00"
+    ) -> int:
+        """RESTORE TABLE TO VERSION AS OF (Delta RESTORE): commit the
+        target snapshot's exact file set (including its deletion-
+        vector masks) as a NEW version — nothing is rewritten or
+        deleted, so the restore itself is time-travelable and
+        un-restorable, and the cost is one metadata commit however
+        large the table is. Data files the target needs must still
+        exist (VACUUM past the target refuses the read, same as
+        Delta)."""
+        commits = self._commits()
+        if not commits or version > commits[-1].version:
+            raise ValueError(f"version {version} does not exist")
+        t_files, t_dvs, t_latest = self._snapshot_state(
+            version=version, commits=commits
+        )
+        if t_latest is None:
+            raise ValueError(f"version {version} does not exist")
+        target_rel = [f[len(self.path) + 1 :] for f in t_files]
+        dv_adds = {
+            rel: json.loads(desc) for rel, desc in t_dvs.items()
+        }
+        mapping = self._mapping_state(t_latest)
+        pb = tuple(t_latest.partition_by)
+        for _ in range(5):
+            cur_files, _cur_dvs, _cur = self._snapshot_state(
+                commits=commits
+            )
+            cur_rel = [f[len(self.path) + 1 :] for f in cur_files]
+            new_version = self.latest_version(commits) + 1
+            if self._try_commit(
+                new_version, "restore", target_rel, cur_rel,
+                list(t_latest.schema), timestamp, dv=dv_adds or None,
+                mapping=mapping, partition_by=pb,
+            ):
+                self._maybe_checkpoint(
+                    new_version, target_rel, t_latest.schema, timestamp,
+                    dv_live=dict(t_dvs), mapping=mapping, partition_by=pb,
+                )
+                self._mirror_delta_log(
+                    new_version, target_rel, cur_rel, t_latest.schema,
+                    timestamp, "restore", commits, target_rel,
+                    dv_live=dict(t_dvs), dv_adds=dv_adds or None,
+                    mapping=mapping, partition_by=pb,
+                )
+                return new_version
+            commits = self._commits()
+        raise RuntimeError(
+            "could not commit restore after 5 attempts (contended table?)"
+        )
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
                 timestamp: str = "1970-01-01T00:00:00",
                 zorder_by: Sequence[str] | None = None) -> int:

@@ -3087,3 +3087,38 @@ def test_optimize_zorder_prunes_on_every_clustered_column(spark, vt):
     assert vt._commits()[-1].data_change is False
     with pytest.raises(ValueError, match="numeric"):
         vt.compact(zorder_by=["nope"])
+
+
+def test_restore_to_version(spark, vt):
+    """RESTORE TABLE TO VERSION: one metadata commit re-points the
+    live set (deletion-vector masks included) at the target
+    snapshot; nothing rewritten, restore itself time-travelable,
+    both readers agree."""
+    vt.write(
+        _df(spark, [(i, f"v{i}") for i in range(10)]),
+        timestamp="2026-01-01T00:00:00",
+    )
+    vt.delete_where(
+        F.col("id") < 4, timestamp="2026-01-02T00:00:00", use_dv=True
+    )
+    vt.write(_df(spark, [(100, "x")]), timestamp="2026-01-03T00:00:00")
+    post_delete = _rows(vt.read(version=2))
+    # restore to the masked state (version 2): the DV mask must ride
+    # along in the restore commit
+    v = vt.restore(2, timestamp="2026-01-04T00:00:00")
+    assert v == 4
+    assert _rows(vt.read()) == post_delete
+    assert _rows(DL.read_delta(spark, vt.path)) == post_delete
+    assert vt.history()[0]["operation"] == "restore"
+    # restore to version 1: the full pre-delete table comes back —
+    # the DELETE was only ever logical
+    vt.restore(1, timestamp="2026-01-05T00:00:00")
+    assert _rows(vt.read()) == [(i, f"v{i}") for i in range(10)]
+    assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
+    # the RESTORE is itself time-travelable (version 4 still shows
+    # the restored-to-2 state), and the pre-restore tip (version 3)
+    # still shows the appended row
+    assert _rows(vt.read(version=4)) == post_delete
+    assert (100, "x") in set(_rows(vt.read(version=3)))
+    with pytest.raises(ValueError, match="does not exist"):
+        vt.restore(99)
