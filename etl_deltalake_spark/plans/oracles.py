@@ -5845,3 +5845,36 @@ oracle("q_partitioned_read")(
     ORDER BY o_orderpriority
     """
 )
+
+oracle("q_dv_merge")(
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    n AS (SELECT COUNT(*) AS n_cust FROM base),
+    src AS (
+      SELECT c_custkey, 'MERGED' AS c_mktsegment, CAST(0 AS BIGINT) AS cents
+      FROM base WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + n_cust * 10, 'FRESH', CAST(1 AS BIGINT)
+      FROM base, n WHERE c_custkey % 5 = 0
+    ),
+    merged AS (
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM src s WHERE s.c_custkey = b.c_custkey
+      )
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """
+)

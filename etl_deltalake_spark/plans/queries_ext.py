@@ -4857,3 +4857,58 @@ def q_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def q_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE, cross-engine graded (round 11): customer
+    commits into a versioned table, then a source batch (every 7th
+    customer with a changed segment and zeroed balance, plus synthetic
+    new keys) merges via ``upsert(use_dv=True)`` — ONE commit that
+    masks the matched rows with deletion vectors and appends the
+    source; untouched files are never rewritten (sources/versioned.py
+    upsert). The graded aggregate per segment breaks if a matched row
+    survives unmasked, a source row is lost, or the masks leak onto
+    non-matched rows. Oracle: the relational MERGE (anti-join + union)
+    over the source table. Reference analogue: DeltaTable.merge
+    (main.py:465-470), done the modern merge-on-read way."""
+    import tempfile
+
+    from etl_deltalake_spark.sources.versioned import versioned_table
+
+    root = tempfile.mkdtemp(prefix="sgraft_dvmerge_")
+    t = versioned_table(spark, f"{root}/t", use_delta=False)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).alias("cents"),
+    )
+    t.write(cust, timestamp="2026-01-01T00:00:00")
+    n_cust = cust.count()
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MERGED").alias("c_mktsegment"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    inserts = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            (F.col("c_custkey") + F.lit(n_cust) * 10).alias("c_custkey"),
+            F.lit("FRESH").alias("c_mktsegment"),
+            F.lit(1).cast("long").alias("cents"),
+        )
+    )
+    t.upsert(
+        updates.unionByName(inserts), ["c_custkey"],
+        timestamp="2026-01-02T00:00:00", use_dv=True,
+    )
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -473,6 +473,7 @@ SLOTLESS: tuple[str, ...] = (
     "q_dv_cdf",
     "q_rename_read",
     "q_partitioned_read",
+    "q_dv_merge",
 )
 
 
