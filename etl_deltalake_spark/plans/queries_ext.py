@@ -4761,7 +4761,7 @@ def q_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage DDL without data rewrite, cross-engine graded (round
     11): customer commits into a versioned table, ALTER TABLE RENAME
-    COLUMN (c_mktsegment → segment) and DROP COLUMN (c_comment) run
+    COLUMN (c_mktsegment → segment) and DROP COLUMN (c_name) run
     as metadata-only commits (sources/versioned.py column mapping —
     files keep their physical names; the Delta mirror emits the spec
     columnMapping form), an append AFTER the rename lands under the
@@ -4780,16 +4780,18 @@ def q_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") * 100 + 0.5).alias("cents"),
+        "c_name",
     )
     t.write(
         cust.filter(F.col("c_custkey") % 2 == 0),
         timestamp="2026-01-01T00:00:00",
     )
     t.rename_column("c_mktsegment", "segment", "2026-01-02T00:00:00")
+    t.drop_column("c_name", "2026-01-02T12:00:00")
     t.write(
-        cust.filter(F.col("c_custkey") % 2 == 1).withColumnRenamed(
-            "c_mktsegment", "segment"
-        ),
+        cust.filter(F.col("c_custkey") % 2 == 1)
+        .withColumnRenamed("c_mktsegment", "segment")
+        .drop("c_name"),
         mode="append",
         timestamp="2026-01-03T00:00:00",
     )

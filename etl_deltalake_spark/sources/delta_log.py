@@ -958,19 +958,21 @@ def roaring_array_positions(data: bytes) -> list[int]:
     return out
 
 
-def dv_positions(spark: SparkSession, table_path: str, dv: dict) -> list[int]:
-    """Resolve a ``deletionVector`` descriptor to the deleted row
-    indexes. Storage types per PROTOCOL.md: ``i`` inline (base85,
-    RFC 1924 alphabet), ``u`` UUID-relative sidecar
+def dv_blob(dv: dict, table_path: str, read_bytes) -> bytes:
+    """Resolve a ``deletionVector`` descriptor to its VALIDATED raw
+    RoaringBitmapArray blob. Storage types per PROTOCOL.md: ``i``
+    inline (base85, RFC 1924 alphabet), ``u`` UUID-relative sidecar
     (``<prefix?>deletion_vector_<uuid>.bin`` under the table),
     ``p`` absolute path. Sidecar layout: format-version byte 1, then
     at ``offset``: i32-BE size, the blob, i32-BE CRC-32 of the blob.
-    """
+
+    ``read_bytes(path) -> bytes`` abstracts the byte source so the
+    SAME resolution runs on the driver (Hadoop FS, scheme-agnostic)
+    and inside executors (plain ``open()`` — the local-read contract
+    the deltastream/cdf Python sources already use)."""
     import base64
     import uuid as _uuid
     import zlib as _zlib
-
-    from etl_deltalake_spark.sources.versioned import _read_small_file
 
     st = dv["storageType"]
     if st == "i":
@@ -984,7 +986,7 @@ def dv_positions(spark: SparkSession, table_path: str, dv: dict) -> list[int]:
             path = f"{table_path}/{rel}deletion_vector_{u}.bin"
         else:
             path = dv["pathOrInlineDv"]
-        raw = _read_small_file(spark, path)
+        raw = read_bytes(path)
         if raw[0:1] != b"\x01":
             raise ValueError(
                 f"unsupported deletion-vector file version {raw[0]}"
@@ -1002,6 +1004,10 @@ def dv_positions(spark: SparkSession, table_path: str, dv: dict) -> list[int]:
             f"deletionVector sizeInBytes {dv['sizeInBytes']} != "
             f"{len(data)} actual"
         )
+    return data
+
+
+def _dv_decode_checked(data: bytes, dv: dict) -> list[int]:
     out = roaring_array_positions(data)
     if len(out) != int(dv["cardinality"]):
         raise ValueError(
@@ -1009,6 +1015,26 @@ def dv_positions(spark: SparkSession, table_path: str, dv: dict) -> list[int]:
             f"{len(out)} decoded"
         )
     return out
+
+
+def _local_read(path: str) -> bytes:
+    """Executor-side byte source for ``dv_blob``: plain ``open()`` on
+    the scheme-stripped path — same contract as the deltastream /
+    cdf Python sources' worker reads."""
+    with open(_norm_uri(path), "rb") as f:
+        return f.read()
+
+
+def dv_positions(spark: SparkSession, table_path: str, dv: dict) -> list[int]:
+    """DRIVER-side descriptor → sorted deleted row indexes (Hadoop FS
+    byte source, scheme-agnostic). Only used on the bounded fast path
+    (Σcardinality ≤ ``_DV_BROADCAST_MAX``) and for metadata-sized
+    decodes; large masks decode inside executors via
+    ``_dv_deleted_udf`` so nothing O(deleted rows) exists here."""
+    from etl_deltalake_spark.sources.versioned import _read_small_file
+
+    data = dv_blob(dv, table_path, lambda p: _read_small_file(spark, p))
+    return _dv_decode_checked(data, dv)
 
 
 # ---- deletion-vector WRITE (writer feature ``deletionVectors``) ------
@@ -1180,15 +1206,116 @@ def _norm_uri(p: str) -> str:
     return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
 
 
-def _scan_with_dv(spark, schema, abs_paths, dv_map, base_path=None):
+# Above this many TOTAL masked positions (summed from descriptor
+# ``cardinality`` fields — no decode needed to decide) the mask is
+# applied by executor-side decode instead of a driver broadcast. The
+# constant bounds the only driver-side position materialization left.
+_DV_BROADCAST_MAX = 1_000_000
+
+
+def _dv_deleted_udf(descs: dict, table_path: str):
+    """Arrow-batched boolean predicate ``(file_path, row_index) →
+    row is masked``, decoding each file's deletion vector INSIDE the
+    executor that scans it (round 12 — the batch twin of
+    delta_stream's worker-side decode). Only the two address columns
+    cross into Python; data columns stay JVM-side, and nothing
+    O(deleted rows) is ever built on the driver. Per-worker decoded
+    masks are cached (bounded FIFO) as sorted int64 numpy arrays —
+    per-file cardinality is bounded by per-file row count, so the
+    cache is tens of MB even for fully-masked 128 MB files."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cache: dict = {}  # worker-local: survives across Arrow batches
+
+    def _positions_np(fp: str):
+        import numpy as np
+
+        arr = cache.get(fp)
+        if arr is None:
+            if len(cache) >= 64:
+                cache.pop(next(iter(cache)))
+            blob = dv_blob(descs[fp], table_path, _local_read)
+            arr = np.asarray(
+                _dv_decode_checked(blob, descs[fp]), dtype=np.int64
+            )
+            cache[fp] = arr
+        return arr
+
+    def deleted(fp, ri):
+        import numpy as np
+
+        out = np.zeros(len(ri), dtype=bool)
+        rv = ri.to_numpy(dtype=np.int64, copy=False)
+        fv = fp.to_numpy()
+        for f in pd.unique(fv):
+            if f not in descs:
+                continue
+            pos = _positions_np(f)
+            if len(pos) == 0:
+                continue
+            m = fv == f
+            r = rv[m]
+            idx = np.minimum(np.searchsorted(pos, r), len(pos) - 1)
+            out[m] = pos[idx] == r
+        return pd.Series(out)
+
+    # real class objects (not strings): the closure-local ``pd``
+    # import is invisible to typing.get_type_hints' string eval
+    deleted.__annotations__ = {
+        "fp": pd.Series, "ri": pd.Series, "return": pd.Series
+    }
+    return F.pandas_udf(deleted, "boolean")
+
+
+def dv_mask(df, fp_col: str, ri_col: str, descs: dict, table_path: str,
+            keep: str = "live"):
+    """Apply deletion-vector masks to a scan that carries per-row
+    physical addresses (``fp_col`` = scheme-normalized file path,
+    ``ri_col`` = in-file row index). ``keep='live'`` drops masked
+    rows (snapshot read); ``keep='deleted'`` keeps ONLY masked rows
+    (CDF delete extraction). Two physical strategies, picked from the
+    descriptors' summed ``cardinality`` without decoding anything:
+
+    - ≤ ``_DV_BROADCAST_MAX``: driver-side decode + broadcast hash
+      anti/semi-join — all-JVM, whole-stage codegen around it, the
+      right shape for the common small-DV case.
+    - above: per-file decode inside executors behind an Arrow-batched
+      boolean ``pandas_udf`` over (file, row_index) only — no shuffle,
+      partition-local, driver memory O(#files), the shape that
+      survives a 10⁹-row right-to-be-forgotten purge.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    total = sum(int(d["cardinality"]) for d in descs.values())
+    if total <= _DV_BROADCAST_MAX:
+        masked = spark.createDataFrame(
+            [
+                (fp, int(i))
+                for fp, d in descs.items()
+                for i in dv_positions(spark, table_path, d)
+            ],
+            schema=f"{fp_col} string, {ri_col} long",
+        )
+        how = "left_anti" if keep == "live" else "left_semi"
+        return df.join(F.broadcast(masked), [fp_col, ri_col], how)
+    pred = _dv_deleted_udf(descs, table_path)(
+        F.col(fp_col), F.col(ri_col)
+    )
+    return df.filter(~pred if keep == "live" else pred)
+
+
+def _scan_with_dv(spark, schema, abs_paths, descs, table_path,
+                  base_path=None):
     """Scan parquet files masking DV-deleted rows: files without a DV
     take the plain fast path; files with one read alongside
     ``_metadata.row_index`` (Spark's native per-file row position)
-    and drop deleted (file, index) pairs via a BROADCAST anti-join —
-    data rows stay JVM-side in whole-stage codegen, and the
-    broadcast is |sum of DV cardinalities| keys, small by design
-    (that's the point of deletion vectors; a table with giant DVs
-    gets compacted, not scanned)."""
+    and drop masked rows via ``dv_mask`` — broadcast anti-join below
+    ``_DV_BROADCAST_MAX`` total positions, executor-side decode
+    above it (round 12; nothing O(deleted rows) on the driver).
+    ``descs`` maps scheme-normalized absolute file path → the add's
+    ``deletionVector`` descriptor dict."""
     from pyspark.sql import functions as F
 
     def reader():
@@ -1197,20 +1324,12 @@ def _scan_with_dv(spark, schema, abs_paths, dv_map, base_path=None):
         # directory names under one shared base path
         return r.option("basePath", base_path) if base_path else r
 
-    plain = [p for p in abs_paths if _norm_uri(p) not in dv_map]
-    dvd = [p for p in abs_paths if _norm_uri(p) in dv_map]
+    plain = [p for p in abs_paths if _norm_uri(p) not in descs]
+    dvd = [p for p in abs_paths if _norm_uri(p) in descs]
     parts = []
     if plain:
         parts.append(reader().parquet(*plain))
     if dvd:
-        deleted = spark.createDataFrame(
-            [
-                (_norm_uri(p), int(i))
-                for p in dvd
-                for i in dv_map[_norm_uri(p)]
-            ],
-            schema="__dv_fp string, __dv_ri long",
-        )
         df = (
             reader()
             .parquet(*dvd)
@@ -1224,9 +1343,10 @@ def _scan_with_dv(spark, schema, abs_paths, dv_map, base_path=None):
                 F.col("_metadata.row_index").alias("__dv_ri"),
             )
         )
+        live = {_norm_uri(p): descs[_norm_uri(p)] for p in dvd}
         parts.append(
-            df.join(
-                F.broadcast(deleted), ["__dv_fp", "__dv_ri"], "left_anti"
+            dv_mask(
+                df, "__dv_fp", "__dv_ri", live, table_path, keep="live"
             ).drop("__dv_fp", "__dv_ri")
         )
     out = parts[0]
@@ -1335,14 +1455,12 @@ def read_delta(
         # parquet.field.id metadata, so enabling it is inert for
         # every other read in the session.
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    # Deletion vectors (round 11): decode each live add's DV into the
-    # per-file deleted row-index set. Decodes happen driver-side from
-    # kilobyte sidecars/inline blobs — the DATA-side masking in
-    # _scan_with_dv stays distributed and JVM-only.
+    # Deletion vectors (round 11, rebuilt round 12): only the
+    # kilobyte DESCRIPTORS reach the driver; position decode happens
+    # on the broadcast fast path (bounded by _DV_BROADCAST_MAX) or
+    # inside executors (dv_mask) — never O(deleted rows) here.
     dv_map = {
-        _norm_uri(f"{table_path}/{a['path']}"): dv_positions(
-            spark, table_path, a["deletionVector"]
-        )
+        _norm_uri(f"{table_path}/{a['path']}"): a["deletionVector"]
         for a in snap["adds"]
         if a.get("deletionVector")
     }
@@ -1373,6 +1491,7 @@ def read_delta(
                 phys,
                 [f"{table_path}/{p}" for p in snap["files"]],
                 dv_map,
+                table_path,
             ),
             phys,
             schema,
@@ -1402,7 +1521,9 @@ def read_delta(
         key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
     ):
         part = to_logical(
-            _scan_with_dv(spark, phys_data_schema, paths, dv_map),
+            _scan_with_dv(
+                spark, phys_data_schema, paths, dv_map, table_path
+            ),
             phys_data_schema,
             data_schema,
         )

@@ -124,22 +124,45 @@ def _parquet_num_rows(path: str) -> int:
         return -1
 
 
-def _dv_build_kernel(pdf):
+def _dv_union_kernel(old_descs: dict, table_path: str):
     """Arrow-grouped bitmap build: one group = one data file's newly
     deleted row indexes → one serialized RoaringBitmapArray. Runs on
-    executors; only kilobyte blobs reach the driver."""
-    import pandas as pd
+    executors; only kilobyte blobs reach the driver. A file already
+    carrying a mask (repeat delete) has its OLD descriptor resolved
+    and unioned HERE, in the worker (round 12) — previously a
+    driver-side ``sorted(set|set)`` that materialized every historic
+    position per file."""
 
-    from etl_deltalake_spark.sources.delta_log import roaring_array_serialize
+    def kernel(pdf):
+        import json as _json
 
-    pos = sorted(int(v) for v in pdf["__ri"])
-    return pd.DataFrame(
-        {
-            "fp": [str(pdf["__fp"].iloc[0])],
-            "blob": [roaring_array_serialize(pos)],
-            "card": [len(pos)],
-        }
-    )
+        import pandas as pd
+
+        from etl_deltalake_spark.sources.delta_log import (
+            _dv_decode_checked,
+            _local_read,
+            dv_blob,
+            roaring_array_serialize,
+        )
+
+        fp = str(pdf["__fp"].iloc[0])
+        hits = sorted(int(v) for v in pdf["__ri"])
+        n_new = len(hits)
+        old = old_descs.get(fp)
+        if old is not None:
+            desc = _json.loads(old)
+            blob = dv_blob(desc, table_path, _local_read)
+            hits = sorted(set(hits) | set(_dv_decode_checked(blob, desc)))
+        return pd.DataFrame(
+            {
+                "fp": [fp],
+                "blob": [roaring_array_serialize(hits)],
+                "card": [len(hits)],
+                "n_new": [n_new],
+            }
+        )
+
+    return kernel
 
 
 @dataclass(frozen=True)
@@ -753,18 +776,6 @@ class VersionedTable:
         # overwrites keep the partition spec); pass an explicit
         # empty list to unpartition on overwrite. Appends must keep
         # the current layout.
-        cur_pb = tuple(commits[-1].partition_by) if commits else ()
-        eff_pb = cur_pb if partition_by is None else tuple(partition_by)
-        if mode == "append" and eff_pb != cur_pb:
-            raise ValueError(
-                f"append must keep the table partitioning {list(cur_pb)}; "
-                "repartitioning the layout is an overwrite's job"
-            )
-        missing_pb = [c for c in eff_pb if c not in df.columns]
-        if missing_pb:
-            raise ValueError(
-                f"partition columns {missing_pb} not in the frame"
-            )
         merged_schema: list[tuple[str, str]] | None = None
         if mode == "append":
             if merge_schema:
@@ -773,6 +784,24 @@ class VersionedTable:
                 self._check_schema(df, "append", commits)
         self._enforce_constraints(df)
         for _ in range(max_retries):
+            # layout resolution runs PER ATTEMPT: a lost race against
+            # a concurrent overwrite may have changed the table's
+            # partition spec, and the append-must-keep-partitioning
+            # guard must fire against the refreshed tip, not the
+            # layout read before the loop
+            cur_pb = tuple(commits[-1].partition_by) if commits else ()
+            eff_pb = cur_pb if partition_by is None else tuple(partition_by)
+            if mode == "append" and eff_pb != cur_pb:
+                raise ValueError(
+                    f"append must keep the table partitioning "
+                    f"{list(cur_pb)}; repartitioning the layout is an "
+                    "overwrite's job"
+                )
+            missing_pb = [c for c in eff_pb if c not in df.columns]
+            if missing_pb:
+                raise ValueError(
+                    f"partition columns {missing_pb} not in the frame"
+                )
             if txn is not None:
                 # Exactly-once idempotence (the Delta txn action): a
                 # batch whose (app_id, version) is already committed
@@ -1241,20 +1270,18 @@ class VersionedTable:
                 prev_c = c
                 continue
             readded = set(c.add)
-            # rows this commit's masks NEWLY deleted, per file
-            dv_delta: dict[str, list[int]] = {}
-            for rel, desc in dvd.items():
-                old = pre_live.get(rel)
-                delta = sorted(
-                    _positions(desc) - (_positions(old) if old else set())
-                )
-                if delta:
-                    dv_delta[rel] = delta
+            # files whose mask this commit CHANGED — decided from
+            # descriptor inequality alone, no decode (round 12)
+            changed = {
+                rel: desc
+                for rel, desc in dvd.items()
+                if desc != pre_live.get(rel)
+            }
             fresh = [f for f in c.add if f not in dvd]
             gone = [
                 f for f in c.remove if f not in readded and f in pre_live
             ]
-            is_update = bool(dv_delta) and bool(fresh)
+            is_update = bool(changed) and bool(fresh)
             if gone:
                 pre_dvs = {
                     f: pre_live[f] for f in gone if pre_live.get(f)
@@ -1270,21 +1297,58 @@ class VersionedTable:
                         c.version,
                     )
                 )
-            if dv_delta:
-                sel = self.spark.createDataFrame(
-                    [
-                        (DL._norm_uri(f"{self.path}/{rel}"), int(i))
-                        for rel, pos in dv_delta.items()
-                        for i in pos
-                    ],
-                    schema="__fp string, __ri long",
-                )
+            if changed:
+                # rows NEWLY masked by this commit = in the new mask,
+                # not in the old one. Below the broadcast threshold
+                # the exact diff is computed driver-side (bounded);
+                # above it, two executor-side predicates evaluate
+                # (new ∧ ¬old) with no driver materialization.
                 scan = self._scan_with_position(
-                    [f"{self.path}/{f}" for f in dv_delta], {}, c
+                    [f"{self.path}/{f}" for f in changed], {}, c
                 )
-                hit = scan.join(
-                    F.broadcast(sel), ["__fp", "__ri"], "left_semi"
-                ).drop("__fp", "__ri")
+                new_descs = {
+                    DL._norm_uri(f"{self.path}/{rel}"): json.loads(desc)
+                    for rel, desc in changed.items()
+                }
+                total = sum(
+                    int(d["cardinality"]) for d in new_descs.values()
+                )
+                if total <= DL._DV_BROADCAST_MAX:
+                    sel_rows = [
+                        (DL._norm_uri(f"{self.path}/{rel}"), int(i))
+                        for rel, desc in changed.items()
+                        for i in sorted(
+                            _positions(desc)
+                            - (
+                                _positions(pre_live[rel])
+                                if pre_live.get(rel)
+                                else set()
+                            )
+                        )
+                    ]
+                    sel = self.spark.createDataFrame(
+                        sel_rows, schema="__fp string, __ri long"
+                    )
+                    hit = scan.join(
+                        F.broadcast(sel), ["__fp", "__ri"], "left_semi"
+                    )
+                else:
+                    pred = DL._dv_deleted_udf(new_descs, self.path)(
+                        F.col("__fp"), F.col("__ri")
+                    )
+                    old_descs = {
+                        DL._norm_uri(f"{self.path}/{rel}"): json.loads(
+                            pre_live[rel]
+                        )
+                        for rel in changed
+                        if pre_live.get(rel)
+                    }
+                    if old_descs:
+                        pred = pred & ~DL._dv_deleted_udf(
+                            old_descs, self.path
+                        )(F.col("__fp"), F.col("__ri"))
+                    hit = scan.filter(pred)
+                hit = hit.drop("__fp", "__ri")
                 parts.append(
                     _tag(
                         hit,
@@ -1542,13 +1606,12 @@ class VersionedTable:
         )
         if dvs:
             dv_map = {
-                DL._norm_uri(f"{self.path}/{rel}"): DL.dv_positions(
-                    self.spark, self.path, json.loads(desc)
-                )
+                DL._norm_uri(f"{self.path}/{rel}"): json.loads(desc)
                 for rel, desc in dvs.items()
             }
             df = DL._scan_with_dv(
-                self.spark, phys_ddl, files, dv_map, base_path=base
+                self.spark, phys_ddl, files, dv_map, self.path,
+                base_path=base,
             )
         else:
             reader = self.spark.read.schema(phys_ddl)
@@ -1591,17 +1654,13 @@ class VersionedTable:
             F.col("_metadata.row_index").alias("__ri"),
         )
         if dvs:
-            deleted = self.spark.createDataFrame(
-                [
-                    (DL._norm_uri(f"{self.path}/{rel}"), int(i))
-                    for rel, desc in dvs.items()
-                    for i in DL.dv_positions(
-                        self.spark, self.path, json.loads(desc)
-                    )
-                ],
-                schema="__fp string, __ri long",
+            descs = {
+                DL._norm_uri(f"{self.path}/{rel}"): json.loads(desc)
+                for rel, desc in dvs.items()
+            }
+            df = DL.dv_mask(
+                df, "__fp", "__ri", descs, self.path, keep="live"
             )
-            df = df.join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
         return df
 
     def _dv_mask_commit(
@@ -1626,30 +1685,28 @@ class VersionedTable:
         Returns the number of newly masked rows."""
         from etl_deltalake_spark.sources import delta_log as DL
 
+        prefix = DL._norm_uri(f"{self.path}/")
+        old_descs = {
+            DL._norm_uri(f"{self.path}/{rel}"): desc
+            for rel, desc in dvs.items()
+        }
         new_masks = hits.groupBy("__fp").applyInPandas(
-            _dv_build_kernel, "fp string, blob binary, card long"
+            _dv_union_kernel(old_descs, self.path),
+            "fp string, blob binary, card long, n_new long",
         ).collect()
         if not new_masks:
             return None, 0
-        prefix = DL._norm_uri(f"{self.path}/")
-        touched: list[tuple[str, list[int]]] = []  # (rel, merged positions)
-        n_new = 0
-        for row in sorted(new_masks, key=lambda r: r["fp"]):
-            rel = row["fp"][len(prefix):]
-            pos = DL.roaring_array_positions(bytes(row["blob"]))
-            n_new += len(pos)
-            if rel in dvs:
-                old = DL.dv_positions(
-                    self.spark, self.path, json.loads(dvs[rel])
-                )
-                pos = sorted(set(pos) | set(old))
-            touched.append((rel, pos))
-        blobs = [DL.roaring_array_serialize(p) for _, p in touched]
+        # only (rel, kilobyte blob, counts) per touched file reach the
+        # driver — never positions (round 12)
+        new_masks.sort(key=lambda r: r["fp"])
+        touched = [r["fp"][len(prefix):] for r in new_masks]
+        n_new = sum(r["n_new"] for r in new_masks)
+        blobs = [bytes(r["blob"]) for r in new_masks]
         descs = DL.write_dv_sidecar(
-            self.spark, self.path, blobs, [len(p) for _, p in touched]
+            self.spark, self.path, blobs, [r["card"] for r in new_masks]
         )
-        dv_adds = {rel: d for (rel, _), d in zip(touched, descs)}
-        masked = [rel for rel, _ in touched]
+        dv_adds = dict(zip(touched, descs))
+        masked = list(touched)
         for _ in range(max_retries):
             latest = commits[-1]
             version = self.latest_version(commits) + 1
@@ -1722,15 +1779,29 @@ class VersionedTable:
             # Lost the race: masks are only valid against the exact
             # snapshot they were computed on — a concurrent writer
             # may have removed or re-masked the touched files. Delta
-            # aborts DELETE on such conflicts; so do we.
+            # aborts DELETE on such conflicts; so do we. Cleanup
+            # mirrors write()'s loser path: partitioned layouts share
+            # hive dirs across commits, so delete each just-written
+            # file individually (a recursive dirname delete would
+            # destroy OTHER commits' live files); only unpartitioned
+            # version-scoped dirs are safe to remove recursively.
             if new_files:
                 jvm, fs, _ = _fs(self.spark, self.path)
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{self.path}/{new_files[0].rsplit('/', 1)[0]}"
-                    ),
-                    True,
-                )
+                if pb:
+                    for rel in new_files:
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                f"{self.path}/{rel}"
+                            ),
+                            False,
+                        )
+                else:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{self.path}/{new_files[0].rsplit('/', 1)[0]}"
+                        ),
+                        True,
+                    )
             commits = self._commits()
             _f, now_dvs, _l = self._snapshot_state(commits=commits)
             live_rel = {f[len(self.path) + 1 :] for f in _f}
@@ -1954,37 +2025,68 @@ class VersionedTable:
         if zorder_by:
             from etl_deltalake_spark.operators.partitioning import z_value
 
-            numeric_ok = {
+            # Each column maps to ONE JVM-side double expression that
+            # preserves its sort order; the quantizer below is then
+            # type-agnostic. CAST(date AS double) is forbidden by
+            # Spark, so dates go through datediff (day number);
+            # timestamp_ntz routes via timestamp (monotone). STRINGS
+            # (round 12 — real OPTIMIZE ZORDER range-ids them)
+            # quantize on their first 7 bytes as a big-endian integer
+            # — exact UTF8_BINARY prefix order, fits a double's 53-bit
+            # mantissa close enough for 8-bit bucketing, one
+            # expression inside codegen.
+            numeric = {
                 "tinyint", "smallint", "int", "bigint", "float",
-                "double", "date", "timestamp", "timestamp_ntz",
+                "double", "decimal",
             }
             dtypes = dict(df.dtypes)
-            bad = [
-                c for c in zorder_by
-                if dtypes.get(c, "").split("(")[0] not in numeric_ok
-            ]
-            if bad:
-                raise ValueError(
-                    f"zorder_by supports numeric/date/timestamp "
-                    f"columns; {bad} are "
-                    f"{[dtypes.get(c) for c in bad]}"
-                )
+            nexprs = []
+            for c in zorder_by:
+                dt = dtypes.get(c, "").split("(")[0]
+                if dt in numeric:
+                    e = F.col(c).cast("double")
+                elif dt == "date":
+                    e = F.datediff(
+                        F.col(c), F.lit("1970-01-01")
+                    ).cast("double")
+                elif dt in ("timestamp", "timestamp_ntz"):
+                    e = F.col(c).cast("timestamp").cast("double")
+                elif dt in ("string", "varchar", "char"):
+                    e = F.conv(
+                        F.hex(
+                            F.rpad(
+                                F.substring(
+                                    F.col(c).cast("binary"), 1, 7
+                                ),
+                                7,
+                                F.lit(bytes([0])),
+                            )
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                else:
+                    raise ValueError(
+                        f"zorder_by supports numeric/date/timestamp/"
+                        f"string columns; {c!r} is {dtypes.get(c)}"
+                    )
+                nexprs.append(e)
             # one 1-row aggregate for every column's [min, max]
             bounds = df.agg(
-                *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(zorder_by)],
-                *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(zorder_by)],
+                *[e.alias(f"lo_{i}") for i, e in enumerate(
+                    map(F.min, nexprs))],
+                *[e.alias(f"hi_{i}") for i, e in enumerate(
+                    map(F.max, nexprs))],
             ).collect()[0]
             buckets = 255
             qcols = []
-            for i, c in enumerate(zorder_by):
+            for i, e in enumerate(nexprs):
                 lo = F.lit(bounds[f"lo_{i}"]).cast("double")
                 hi = F.lit(bounds[f"hi_{i}"]).cast("double")
                 span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
                 q = F.least(
                     F.lit(buckets),
-                    F.floor(
-                        (F.col(c).cast("double") - lo) / span * buckets
-                    ).cast("long"),
+                    F.floor((e - lo) / span * buckets).cast("long"),
                 )
                 qcols.append(
                     F.coalesce(q, F.lit(0)).alias(f"_zq_{i}")
@@ -2052,19 +2154,31 @@ class VersionedTable:
         if not fs.exists(data_dir):
             return dv_deleted
         deleted = dv_deleted
-        for d in fs.listStatus(data_dir):
-            for f in fs.listStatus(d.getPath()):
-                fpath = str(f.getPath())
+
+        # Arbitrary-depth walk (round 12): multi-column partitioning
+        # nests data/c1=v1/c2=v2/part-*, so the old fixed two-level
+        # scan met a DIRECTORY where it expected a file and crashed.
+        # Delete only unreferenced regular files; prune emptied
+        # directories bottom-up (never the data root itself).
+        def sweep(dpath) -> int:
+            n = 0
+            for st in fs.listStatus(dpath):
+                if st.isDirectory():
+                    n += sweep(st.getPath())
+                    if not list(fs.listStatus(st.getPath())):
+                        fs.delete(st.getPath(), True)
+                    continue
+                fpath = str(st.getPath())
                 # normalize scheme prefixes like file:/ for comparison
                 rel = fpath.split(self.path, 1)[-1]
                 if f"{self.path}{rel}" not in referenced and not any(
                     r.endswith(rel) for r in referenced
                 ):
-                    fs.delete(f.getPath(), False)
-                    deleted += 1
-            if not list(fs.listStatus(d.getPath())):
-                fs.delete(d.getPath(), True)
-        return deleted
+                    fs.delete(st.getPath(), False)
+                    n += 1
+            return n
+
+        return deleted + sweep(data_dir)
 
 
 def versioned_table(
