@@ -136,6 +136,24 @@ _LOAD_GUARD = 2.0
 _RERUN_RATIO = 2.0
 
 
+def _calibrate() -> float:
+    """Fixed single-core CPU probe (round 12): min-of-5 timed
+    ``np.sort`` of a pinned PRNG array. Loadavg cannot see co-tenant
+    CPU steal or thermal throttling (BENCH_r11 measured uniformly
+    ~1.4x slower on UNCHANGED code while self-reporting
+    contended=false); this number can — it is constant on a healthy
+    box, so cross-round query ratios divide it out mechanically."""
+    import numpy as np
+
+    arr = np.random.RandomState(0).rand(8_000_000)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.sort(arr, kind="quicksort")
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -162,6 +180,7 @@ def main() -> None:
         load_before = tuple(round(x, 2) for x in os.getloadavg())
     contended = load_before[0] >= _LOAD_GUARD
     run_started = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    calibration_before = _calibrate()
 
     from etl_deltalake_spark.plans import queries as _q
     from etl_deltalake_spark.plans import queries_ext as _qx
@@ -241,6 +260,13 @@ def main() -> None:
                 # trust per-query ratios over absolutes.
                 "contended": contended,
                 "delayed_for_load_sec": delayed_for_load,
+                # fixed CPU-probe seconds before/after the suite: a
+                # cross-round ratio here is HOST throughput change,
+                # not code change — divide it out when comparing
+                "calibration_s": {
+                    "before": calibration_before,
+                    "after": _calibrate(),
+                },
                 "value": round(total, 4),
                 "unit": "sec",
                 # the same total minus in-query-training rows

@@ -104,7 +104,6 @@ REGISTERED: tuple[str, ...] = (
     "q_split_explode",
     "q_regex_extract",
     "q_mask_email",
-    "q_merge_dedup",
     # relational completeness (SURVEY §2.8)
     "q_group_agg",
     "q_tpch_q9",
@@ -116,13 +115,14 @@ REGISTERED: tuple[str, ...] = (
     "q_sdp_pipeline",
     "q_feature_matrix",
     "q_stream_cdf",
+    "q_dv_merge",
+    "q_dv_cdf",
+    "q_partitioned_read",
     "q_asof_join",
     "q_entity_match",
-    "q_interval_join",
     "q_stats_agg",
     "q_percentiles",
     "q_seasonal",
-    "q_fuzzy_pairs",
     "q_sql_scripting",
     "q_sessionize",
     "q_variant",
@@ -351,6 +351,30 @@ RETIRED_R11: tuple[str, ...] = (
     "q_containment",
 )
 
+# Round-12 rotation (VERDICT r11 Next #3): the round-11 storage
+# flagships — the merge-on-read writer surface had ZERO driver rows —
+# take slots from the three most-carried members.
+# q_merge_dedup → q_dv_merge: insert-only MERGE dedup is exactly the
+# whenNotMatched branch of upsert(use_dv=True), which q_dv_merge
+# drives END-TO-END through the Delta log (masks matched rows via
+# deletion vectors AND appends the source in ONE commit) — strictly
+# more MERGE surface per row, same S6 family.
+# q_fuzzy_pairs → q_dv_cdf: the blocked-Levenshtein candidate plan
+# (equi-join on (prefix, length band) → edit-distance filter, no
+# cartesian) executes identically inside q_entity_match's driver row,
+# which adds clustering + survivorship on top; the change-typed CDF
+# derivation over DV DELETE/UPDATE commits had no driver row.
+# q_interval_join → q_partitioned_read: the time-bucket-blocked
+# non-equi join shape (bucket equi-join generates candidates, range
+# predicate filters, zero BNLJ) is the same plan q_asof_join's
+# driver row executes with its tolerance band; hive-layout partition
+# pruning through the commit log had no driver row.
+RETIRED_R12: tuple[str, ...] = (
+    "q_merge_dedup",
+    "q_fuzzy_pairs",
+    "q_interval_join",
+)
+
 # Oracle-paired queries without a driver slot (pytest-gated).
 SLOTLESS: tuple[str, ...] = (
     "q_pack_sequences",
@@ -466,14 +490,10 @@ SLOTLESS: tuple[str, ...] = (
     "q_tpch_q2",
     "q_tpch_q11",
     "q_tpch_q16",
-    # round 11 — merge-on-read storage DML (deletion-vector DELETE +
-    # UPDATE) graded through the change-typed CDF derivation, and
-    # metadata-only RENAME/DROP COLUMN graded through a post-DDL
-    # aggregate
-    "q_dv_cdf",
+    # round 11 — metadata-only RENAME/DROP COLUMN graded through a
+    # post-DDL aggregate (q_dv_cdf / q_partitioned_read / q_dv_merge
+    # were promoted to driver rows in the round-12 rotation)
     "q_rename_read",
-    "q_partitioned_read",
-    "q_dv_merge",
 )
 
 
@@ -495,6 +515,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R10,
     RETIRED_R10B,
     RETIRED_R11,
+    RETIRED_R12,
     SLOTLESS,
 )
 

@@ -63,35 +63,17 @@ def _commit_docs(root: str) -> list[dict]:
 def _dv_positions_local(root: str, desc: dict) -> set[int]:
     """Resolve a deletionVector descriptor with plain file I/O (the
     Python-worker twin of ``delta_log.dv_positions`` — this module is
-    file-scheme-scoped by design, see docstring)."""
-    import base64
-    import uuid as _uuid
-
+    file-scheme-scoped by design, see docstring). Round 12: delegates
+    to the shared ``dv_blob`` resolver so the sidecar-format version,
+    size, CRC, and cardinality checks hold here too — the hand-rolled
+    copy silently skipped all four."""
     from etl_deltalake_spark.sources.delta_log import (
-        roaring_array_positions,
+        _dv_decode_checked,
+        _local_read,
+        dv_blob,
     )
 
-    st = desc["storageType"]
-    if st == "i":
-        data = base64.b85decode(desc["pathOrInlineDv"])
-    elif st in ("u", "p"):
-        if st == "u":
-            enc = desc["pathOrInlineDv"]
-            prefix, enc_uuid = enc[:-20], enc[-20:]
-            u = _uuid.UUID(bytes=base64.b85decode(enc_uuid))
-            path = os.path.join(
-                _local(root), prefix, f"deletion_vector_{u}.bin"
-            )
-        else:
-            path = _local(desc["pathOrInlineDv"])
-        with open(path, "rb") as f:
-            raw = f.read()
-        off = int(desc["offset"])
-        size = int.from_bytes(raw[off : off + 4], "big")
-        data = raw[off + 4 : off + 4 + size]
-    else:
-        raise ValueError(f"unknown deletionVector storageType {st!r}")
-    return set(roaring_array_positions(data))
+    return set(_dv_decode_checked(dv_blob(desc, root, _local_read), desc))
 
 
 class FileChangePartition(InputPartition):

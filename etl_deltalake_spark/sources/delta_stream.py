@@ -13,6 +13,10 @@ public semantics this reimplements:
   deletion-vector masks applied), exactly delta-spark's
   initial-snapshot behavior; ``startingVersion`` (an int, or
   ``"latest"``) replays the commit tail instead;
+  ``startingTimestamp`` (round 12) resolves the tail start by the
+  spec clock — monotonically-adjusted log mtimes, overridden by
+  ``commitInfo.inCommitTimestamp`` — refusing a time past the last
+  commit, mutually exclusive with ``startingVersion``;
 - each later batch covers the commit versions that landed since the
   engine-checkpointed offset; only APPEND commits stream;
 - a commit that removes or rewrites data (overwrite, DV DELETE /
@@ -22,15 +26,24 @@ public semantics this reimplements:
   commits wholesale (the public escape hatch), and ``ignoreDeletes=
   true`` permits delete-ONLY commits (removes, no adds) to be
   skipped;
-- ``dataChange=false`` commits (OPTIMIZE) are invisible.
+- ``dataChange=false`` commits (OPTIMIZE) are invisible;
+- ``maxFilesPerTrigger`` (round 12) caps the data files per
+  micro-batch once the reader knows its position — commit-granular
+  (never splits a commit); the first offset a fresh process answers
+  is unbounded because the Python DataSource API exposes no
+  admission-control hook (see the __init__ comment).
 
 Scope matches cdf_source: file-scheme table roots (planner walks the
 log with plain file I/O; executors read parquet via pyarrow in Python
 workers). Deletion vectors are decoded in-worker from the descriptor
-(inline / UUID sidecar / absolute path). Column mapping is REFUSED
-honestly (physical-name scans need the JVM reader — use
-``delta_log.read_delta`` for batch reads of such tables); genuinely
-unknown reader features refuse with the feature name.
+(inline / UUID sidecar / absolute path). Column mapping is supported
+in BOTH modes (round 12): the worker scans by PHYSICAL name (name
+mode) or parquet field id (id mode, falling back to physical name
+for files without ids), partition values resolve by physical name,
+and the declared reader schema carries LOGICAL names — so a foreign
+table with rename/drop history streams exactly like the batch
+reader reads it. Genuinely unknown reader features refuse with the
+feature name.
 
 Register per session: ``spark.dataSource.register(
 DeltaStreamDataSource)``.
@@ -147,6 +160,7 @@ def _checkpoint_actions_py(root: str) -> tuple[int, list[dict]] | None:
 
 
 _READER_FEATURES_OK = {
+    "columnMapping",
     "deletionVectors",
     "timestampNtz",
     "v2Checkpoint",
@@ -222,18 +236,44 @@ def _snapshot_py(root: str, version: int | None = None) -> dict:
     }
 
 
+def _version_ts_map(root: str) -> dict[int, int]:
+    """Commit version → epoch millis, the spec clock (round 12):
+    log-file mtimes MONOTONICALLY adjusted (max(mtime, prev+1) —
+    object stores don't promise ordered mtimes), overridden by
+    ``commitInfo.inCommitTimestamp`` where present. Pure-python twin
+    of ``delta_log.delta_version_at_timestamp``'s resolution; runs
+    once per stream start on the driver-side planner."""
+    log_dir = os.path.join(_local(root), _DELTA_DIR)
+    entries = sorted(
+        (
+            int(n[:-5]),
+            int(os.stat(os.path.join(log_dir, n)).st_mtime * 1000),
+        )
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    if not entries:
+        raise ValueError(f"{root} has no _delta_log commits")
+    out: dict[int, int] = {}
+    prev = -1
+    for v, mt in entries:
+        prev = max(mt, prev + 1)
+        out[v] = prev
+    for v in out:
+        for a in _commit_actions(root, v):
+            ci = a.get("commitInfo")
+            if ci and ci.get("inCommitTimestamp") is not None:
+                out[v] = int(ci["inCommitTimestamp"])
+    return out
+
+
 def _check_protocol(root: str, snap: dict) -> None:
+    # minReaderVersion 2 = legacy column-mapping tier (supported
+    # since round 12); 3 = table features, each checked by name
     proto = snap.get("protocol") or {}
     mrv = int(proto.get("minReaderVersion", 1))
     feats = set(proto.get("readerFeatures") or []) if mrv >= 3 else set()
-    if mrv == 2 or "columnMapping" in feats:
-        # honest refusal: physical-name scans need the JVM reader
-        raise ValueError(
-            f"{root}: column mapping is not supported by the "
-            "deltastream source — read batches via "
-            "delta_log.read_delta instead"
-        )
-    unsupported = sorted(feats - _READER_FEATURES_OK - {"columnMapping"})
+    unsupported = sorted(feats - _READER_FEATURES_OK)
     if unsupported or mrv > 3:
         raise ValueError(
             f"{root} requires unsupported reader features "
@@ -242,34 +282,17 @@ def _check_protocol(root: str, snap: dict) -> None:
 
 
 def _dv_positions_py(root: str, desc: dict) -> set[int]:
-    import base64
-    import uuid as _uuid
-
+    """Worker-side descriptor resolve — delegates to the shared
+    ``dv_blob`` resolver (round 12) so the sidecar-format version,
+    size, CRC, and cardinality checks apply on the streaming path
+    too; the previous hand-rolled copy silently skipped all four."""
     from etl_deltalake_spark.sources.delta_log import (
-        roaring_array_positions,
+        _dv_decode_checked,
+        _local_read,
+        dv_blob,
     )
 
-    st = desc["storageType"]
-    if st == "i":
-        data = base64.b85decode(desc["pathOrInlineDv"])
-    elif st in ("u", "p"):
-        if st == "u":
-            enc = desc["pathOrInlineDv"]
-            prefix, enc_uuid = enc[:-20], enc[-20:]
-            u = _uuid.UUID(bytes=base64.b85decode(enc_uuid))
-            path = os.path.join(
-                _local(root), prefix, f"deletion_vector_{u}.bin"
-            )
-        else:
-            path = _local(desc["pathOrInlineDv"])
-        with open(path, "rb") as f:
-            raw = f.read()
-        off = int(desc["offset"])
-        size = int.from_bytes(raw[off : off + 4], "big")
-        data = raw[off + 4 : off + 4 + size]
-    else:
-        raise ValueError(f"unknown deletionVector storageType {st!r}")
-    return set(roaring_array_positions(data))
+    return set(_dv_decode_checked(dv_blob(desc, root, _local_read), desc))
 
 
 def _partition_value(raw: str | None, ddl_type: str):
@@ -307,11 +330,13 @@ class DeltaFilePartition(InputPartition):
 
 
 class DeltaStreamReader(DataSourceStreamReader):
-    def __init__(self, options, fields: list[tuple[str, str]]):
+    def __init__(self, options, fields: list[tuple]):
         self.root = options.get("path", "")
         if not self.root:
             raise ValueError("deltastream requires the 'path' option")
-        self.fields = fields  # (name, ddl type) of the TABLE schema
+        # (logical name, ddl type, physical name, field id) per TABLE
+        # column — physical/id resolve column-mapped files in read()
+        self.fields = fields
         self.skip_change = (
             options.get("skipChangeCommits", "false").lower() == "true"
         )
@@ -319,17 +344,66 @@ class DeltaStreamReader(DataSourceStreamReader):
             options.get("ignoreDeletes", "false").lower() == "true"
         )
         self.starting = options.get("startingVersion")
+        self.starting_ts = options.get("startingTimestamp")
+        if self.starting is not None and self.starting_ts is not None:
+            raise ValueError(
+                "deltastream: startingVersion and startingTimestamp "
+                "are mutually exclusive (delta-spark rule)"
+            )
+        # Admission control (round 12): cap the data files one
+        # micro-batch admits — a stream catching up on a 100k-commit
+        # backlog must not plan ONE batch over all of it (per-batch
+        # state, sink transaction size, and executor memory all scale
+        # with batch size). Best-effort by necessity: the Python
+        # DataSource API gives latestOffset() no start offset and no
+        # read-limit hook (the JVM SupportsAdmissionControl /
+        # SupportsTriggerAvailableNow traits are not exposed), so the
+        # reader tracks its own position (initialOffset, partitions,
+        # commit). Consequences, documented honestly: the FIRST
+        # latestOffset a fresh process answers before learning any
+        # position is unbounded — that is availableNow's pinned
+        # target and the first batch after a restart; every
+        # subsequent micro-batch (processingTime / continuous
+        # catch-up) honors the cap. Commits are never split (a Delta
+        # commit is the atomicity unit), so a single commit larger
+        # than the cap still admits whole.
+        mft = options.get("maxFilesPerTrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        self._pos: dict | None = None
 
     # offset {"version": V, "initial": bool}: V = last consumed
     # commit version; initial=True means the snapshot AS OF V still
     # has to stream (it becomes the first batch).
     def initialOffset(self):
+        if self.starting_ts is not None:
+            # delta-spark startingTimestamp: replay every commit AT
+            # OR AFTER the timestamp (the next commit when nothing
+            # matches exactly); after the last commit → refuse
+            from etl_deltalake_spark.sources.delta_log import (
+                _iso_to_millis,
+            )
+
+            want = _iso_to_millis(self.starting_ts)
+            ts_map = _version_ts_map(self.root)
+            hits = [v for v, ts in sorted(ts_map.items()) if ts >= want]
+            if not hits:
+                raise ValueError(
+                    f"deltastream: startingTimestamp "
+                    f"{self.starting_ts!r} is after the last commit "
+                    f"({max(ts_map)}) — nothing to stream"
+                )
+            return {"version": hits[0] - 1, "initial": False}
         if self.starting is None:
-            return {"version": -1, "initial": True}
-        if str(self.starting) == "latest":
+            self._pos = {"version": -1, "initial": True}
+        elif str(self.starting) == "latest":
             snap = _snapshot_py(self.root)
-            return {"version": snap["version"], "initial": False}
-        return {"version": int(self.starting) - 1, "initial": False}
+            self._pos = {"version": snap["version"], "initial": False}
+        else:
+            self._pos = {"version": int(self.starting) - 1,
+                         "initial": False}
+        return self._pos
 
     def latestOffset(self):
         versions = _log_versions(self.root)
@@ -337,9 +411,44 @@ class DeltaStreamReader(DataSourceStreamReader):
         if not versions:
             ck = _checkpoint_actions_py(self.root)
         tip = versions[-1] if versions else (ck[0] if ck else -1)
-        return {"version": tip, "initial": False}
+        end = {"version": tip, "initial": False}
+        if (
+            self.max_files is not None
+            and self._pos is not None
+            and not self._pos.get("initial")  # snapshot batch = whole
+        ):
+            lo = self._pos["version"]
+            budget = self.max_files
+            v_end = lo
+            for v in versions:
+                if v <= lo:
+                    continue
+                n = sum(
+                    1
+                    for a in _commit_actions(self.root, v)
+                    if a.get("add") is not None
+                )
+                if v_end > lo and n > budget:
+                    break  # next commit would blow the cap
+                v_end = v
+                budget -= n
+                if budget <= 0:
+                    break
+            end = {"version": v_end, "initial": False}
+        self._pos = end
+        return end
 
     def partitions(self, start, end):
+        # acquire position for rate limiting: after a RESTART the
+        # engine never calls initialOffset, so the checkpointed batch
+        # boundary first becomes visible HERE — the batch being
+        # planned ends at `end`, so the next latestOffset continues
+        # from it (never regress below what the engine has planned)
+        if self._pos is None or (
+            not end.get("initial")
+            and end["version"] > self._pos.get("version", -1)
+        ):
+            self._pos = {"version": end["version"], "initial": False}
         hi = end["version"]
         parts: list[DeltaFilePartition] = []
         if start.get("initial"):
@@ -414,18 +523,39 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(part.path)
-        present = set(pf.schema_arrow.names)
-        wanted = [n for n, _ in self.fields if n in present]
+        sch = pf.schema_arrow
+        # column-mapping resolution (round 12): id mode matches the
+        # parquet field ids the writer stamped; name mode (and the
+        # id-mode fallback for files written before ids existed)
+        # matches the PHYSICAL name — files never store logical names
+        # on a mapped table, which is what makes renames free
+        by_id: dict[int, str] = {}
+        for i in range(len(sch.names)):
+            fld = sch.field(i)
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = fld.name
+        present = set(sch.names)
+        col_of: dict[str, str] = {}  # logical name -> file column
+        for name, _t, phys, fid in self.fields:
+            if fid is not None and fid in by_id:
+                col_of[name] = by_id[fid]
+            elif phys in present:
+                col_of[name] = phys
+        wanted = sorted(set(col_of.values()))
         table = pf.read(columns=wanted)
         by_name = {n: table.column(n).to_pylist() for n in wanted}
-        n_rows = table.num_rows
+        n_rows = table.num_rows if wanted else pf.metadata.num_rows
         cols = []
-        for name, ddl_type in self.fields:
-            if name in by_name:
-                cols.append(by_name[name])
-            elif name in part.partition_values:
+        for name, ddl_type, phys, _fid in self.fields:
+            src = col_of.get(name)
+            # spec: partitionValues keys are PHYSICAL names on a
+            # mapped table (physical == logical when unmapped)
+            if src is not None:
+                cols.append(by_name[src])
+            elif phys in part.partition_values:
                 val = _partition_value(
-                    part.partition_values.get(name), ddl_type
+                    part.partition_values.get(phys), ddl_type
                 )
                 cols.append([val] * n_rows)
             else:  # pre-schema-evolution file: null fill
@@ -439,7 +569,10 @@ class DeltaStreamReader(DataSourceStreamReader):
             yield (*row, part.version)
 
     def commit(self, end):
-        pass  # offsets live in the engine checkpoint
+        # offsets live in the engine checkpoint; remember the batch
+        # boundary so rate limiting resumes after a restart (the
+        # first post-restart batch is unbounded — see __init__)
+        self._pos = dict(end)
 
 
 class DeltaStreamDataSource(DataSource):
@@ -449,7 +582,7 @@ class DeltaStreamDataSource(DataSource):
     def name(cls) -> str:
         return "deltastream"
 
-    def _table_fields(self) -> list[tuple[str, str]]:
+    def _table_fields(self) -> list[tuple]:
         from pyspark.sql.types import StructType
 
         root = self.options.get("path", "")
@@ -460,10 +593,25 @@ class DeltaStreamDataSource(DataSource):
         if snap["schema_json"] is None:
             raise ValueError("deltastream: table has no metaData action")
         struct = StructType.fromJson(json.loads(snap["schema_json"]))
-        return [(f.name, f.dataType.simpleString()) for f in struct.fields]
+        out = []
+        for f in struct.fields:
+            md = f.metadata or {}
+            phys = md.get("delta.columnMapping.physicalName", f.name)
+            fid = md.get("delta.columnMapping.id")
+            out.append(
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    phys,
+                    int(fid) if fid is not None else None,
+                )
+            )
+        return out
 
     def schema(self) -> str:
-        cols = ", ".join(f"`{n}` {t}" for n, t in self._table_fields())
+        cols = ", ".join(
+            f"`{n}` {t}" for n, t, _p, _i in self._table_fields()
+        )
         return f"{cols}, `_commit_version` bigint"
 
     def streamReader(self, schema) -> DeltaStreamReader:

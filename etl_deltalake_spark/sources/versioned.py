@@ -48,8 +48,11 @@ Scale notes (the 100 TB story):
    records.
  - On S3, ``rename`` is not atomic (it is on HDFS/ABFS/local); Delta
    solves put-if-absent there with an external log store
-   (DynamoDB). Same applies here and is the deployment's choice —
-   the protocol is unchanged.
+   (DynamoDB). Round 12: commit placement is now an injectable
+   seam — ``VersionedTable(log_store=...)`` takes a
+   ``(path, payload) -> bool`` conditional put, so an S3 deployment
+   plugs its external store in without forking the engine; the
+   default stays temp+rename. The protocol is unchanged.
 
 Every operator takes the Delta path instead when ``delta-spark`` is
 importable (``use_delta=True`` default): this module is the
@@ -219,10 +222,31 @@ class VersionedTable:
     change under copy/restore. Open an existing ICT table with the
     same flag."""
 
-    def __init__(self, spark: SparkSession, path: str, ict: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ict: bool = False,
+        log_store=None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.ict = ict
+        # LogStore seam (round 12): commit-file placement is the ONE
+        # operation optimistic concurrency needs to be atomic.
+        # Default = Hadoop temp+rename, atomic on HDFS/ABFS/local but
+        # NOT on S3 — real Delta mutual-excludes there with an
+        # external log store (e.g. DynamoDB). A deployment on such a
+        # store injects ``log_store(path, payload) -> bool``: durably
+        # write ``payload`` at ``path`` iff absent (conditional put),
+        # returning False when the slot is already claimed — the
+        # optimistic-concurrency loss signal. Everything else
+        # (data files, checkpoints, the mirror) stays plain writes:
+        # they are uniquely named or emitted only after the commit
+        # wins, so they never race.
+        self._put_if_absent = log_store or (
+            lambda p, payload: _write_file_atomic(self.spark, p, payload)
+        )
 
     # ---- log plumbing -------------------------------------------------
 
@@ -670,8 +694,8 @@ class VersionedTable:
         doc["consBase"] = self._constraints_with_base()[1]
         if partition_by:
             doc["partitionBy"] = list(partition_by)
-        return _write_file_atomic(
-            self.spark, self._log_path(version), json.dumps(doc).encode()
+        return self._put_if_absent(
+            self._log_path(version), json.dumps(doc).encode()
         )
 
     def _check_schema(
@@ -925,6 +949,13 @@ class VersionedTable:
         emit_meta = (
             (not commits)
             or tuple(commit_schema) != tuple(commits[-1].schema)
+            # partitionColumns live in metaData too — an overwrite
+            # that changes the partition layout must re-emit it or
+            # spec readers keep resolving the OLD layout (round 12:
+            # found by the golden fixture's partitioned-overwrite
+            # extension, which read back null partition values)
+            or tuple(partition_by)
+            != (tuple(commits[-1].partition_by) if commits else ())
             # CHECK constraints live in metaData.configuration — a
             # changed constraints store must re-emit it (legacy
             # commits carry cons_base -1: re-emit once if any
@@ -2186,6 +2217,7 @@ def versioned_table(
     path: str,
     use_delta: bool | None = None,
     ict: bool = False,
+    log_store=None,
 ):
     """Factory: the Delta-native table when delta-spark is importable,
     else the parquet-log fallback above. Tests pin ``use_delta=False``
@@ -2200,4 +2232,4 @@ def versioned_table(
             "versionAsOf/timestampAsOf and DeltaTable directly; this fallback "
             "exists for environments without it"
         )
-    return VersionedTable(spark, path, ict=ict)
+    return VersionedTable(spark, path, ict=ict, log_store=log_store)

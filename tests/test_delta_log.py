@@ -783,7 +783,12 @@ def _golden_script(spark, vt):
     merge-on-read DELETE + UPDATE (deletion vectors: the DELETE's
     commit must carry the protocol-upgrade action to reader 3 /
     writer 7 with the deletionVectors feature, and both re-add the
-    masked file with a ``deletionVector`` descriptor)."""
+    masked file with a ``deletionVector`` descriptor), then (round
+    12) the full DDL/layout tail: RENAME COLUMN (columnMapping
+    protocol upgrade + mapped metaData), a post-rename append,
+    RESTORE, DROP COLUMN, and a partitioned overwrite whose adds
+    carry physical-name partitionValues and whose metaData re-emits
+    the new partitionColumns."""
     def df(pairs, cols=("id", "val")):
         return spark.createDataFrame(pairs, list(cols)).coalesce(1)
 
@@ -819,15 +824,44 @@ def _golden_script(spark, vt):
         timestamp="2026-01-14T00:00:00",
         use_dv=True,
     )
+    # round 12: every remaining writer action class gets byte-pinned —
+    # column-mapping DDL (rename enables mapping: metaData gains the
+    # columnMapping config + per-field physicalName/id, protocol
+    # gains the feature), a post-rename append (files under PHYSICAL
+    # names), RESTORE (one metadata commit re-pointing the live set),
+    # metadata-only DROP COLUMN, and a partitioned overwrite on the
+    # mapped table (hive adds whose partitionValues key is the
+    # PHYSICAL name)
+    vt.rename_column("val", "label", "2026-01-15T00:00:00")
+    vt.write(
+        df([(40, "m", 2.5)], ("id", "label", "score")),
+        mode="append",
+        timestamp="2026-01-16T00:00:00",
+    )
+    vt.restore(15, timestamp="2026-01-17T00:00:00")
+    vt.drop_column("score", "2026-01-18T00:00:00")
+    vt.write(
+        df([(50, "x"), (51, "x"), (52, "y")], ("id", "label")),
+        mode="overwrite",
+        partition_by=["label"],
+        timestamp="2026-01-19T00:00:00",
+    )
 
 
 def _normalize_stream(spark, vt):
     import re
 
     def norm_path(p):
-        return re.sub(
+        p = re.sub(
             r"data/v(\d{20})-[0-9a-f]{8}/part-[^\"]+",
             lambda m: f"<FILE v{int(m.group(1))}>",
+            p,
+        )
+        # partitioned layout: keep the (deterministic, physical-name)
+        # partition dirs, mask the stamped file name
+        return re.sub(
+            r"data/((?:[^/=]+=[^/]*/)+)v(\d{20})-[0-9a-f]{8}-part-[^\"]+",
+            lambda m: f"data/{m.group(1)}<FILE v{int(m.group(2))}>",
             p,
         )
 
@@ -924,22 +958,32 @@ def test_golden_log_conformance(spark, vt):
     assert kinds == golden["checkpoint_row_kinds"]
 
     # retention: cleanup leaves exactly the golden survivors (the
-    # checkpoint version plus the post-checkpoint tail: the OPTIMIZE
-    # commit, the final append, and the two merge-on-read DML
-    # commits), and the spec snapshot still resolves (checkpoint +
-    # tail) — including the protocol upgrade and both DV masks
+    # checkpoint version plus the post-checkpoint tail: OPTIMIZE,
+    # the final append, both merge-on-read DML commits, and the
+    # round-12 tail — rename, post-rename append, RESTORE, DROP
+    # COLUMN, partitioned overwrite), and the spec snapshot still
+    # resolves (checkpoint + tail) — protocol upgrades, DV masks,
+    # column mapping, and the new partition layout included
     assert DL.cleanup_log(spark, vt.path) == 9
     surviving = sorted({v for v, _ in DL.delta_log_actions(spark, vt.path)})
-    assert surviving == golden["surviving_json_versions"] == [
-        9, 10, 11, 12, 13,
-    ]
+    assert surviving == golden["surviving_json_versions"] == list(
+        range(9, 19)
+    )
     snap = DL.delta_snapshot(spark, vt.path)
-    assert snap["version"] == 13
+    assert snap["version"] == 18
     assert snap["txns"] == {"app1": 5}
     assert snap["protocol"]["minReaderVersion"] == 3
+    assert sorted(snap["protocol"]["readerFeatures"]) == [
+        "columnMapping", "deletionVectors",
+    ]
+    assert snap["partition_columns"] == ["label"]
     assert _rows(DL.read_delta(spark, vt.path)) == _rows(vt.read())
-    vals = {r.id: r.val for r in vt.read().collect()}
-    assert 20 not in vals and vals[30] == "q"
+    vals = {r.id: r.label for r in vt.read().collect()}
+    assert vals == {50: "x", 51: "x", 52: "y"}
+    # pre-restore state reachable via the custom log's time travel:
+    # the DV DELETE (id=20 gone) and UPDATE (30 -> "q") still hold
+    hist = {r.id: r.val for r in vt.read(version=14).collect()}
+    assert 20 not in hist and hist[30] == "q"
 
 
 def test_compaction_is_data_change_false(spark, vt, tmp_path):

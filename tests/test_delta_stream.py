@@ -180,36 +180,120 @@ def test_delete_only_commit_needs_ignore_deletes(spark, vt, tmp_path):
     assert _got(spark, out) == [(1, 1), (2, 1)]  # nothing new emitted
 
 
-def test_column_mapping_refused(spark, tmp_path):
+def test_column_mapped_rename_streams_with_logical_names(spark, vt, tmp_path):
+    """Round 12: a table with rename history STREAMS — the worker
+    scans by physical name, the declared schema carries the logical
+    (renamed) one, and an append AFTER the rename (which lands under
+    the physical name) streams too. The r11 docstring refusal is
+    gone."""
+    vt.write(_df(spark, [(1, "a"), (2, "b")], "id long, val string"),
+             timestamp="2026-01-01T00:00:00")
+    vt.rename_column("val", "label", "2026-01-02T00:00:00")
+    vt.write(_df(spark, [(3, "c")], "id long, label string"),
+             mode="append", timestamp="2026-01-03T00:00:00")
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    _drain(spark, vt.path, out, ckp)
+    got = sorted(
+        (r.id, r.label, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "a", 2), (2, "b", 2), (3, "c", 2)]
+    # post-snapshot tail append still routes through the mapping
+    vt.write(_df(spark, [(4, "d")], "id long, label string"),
+             mode="append", timestamp="2026-01-04T00:00:00")
+    _drain(spark, vt.path, out, ckp)
+    got = sorted(
+        (r.id, r.label, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got[-1] == (4, "d", 3)
+
+
+def test_column_mapping_id_mode_foreign_log_streams(spark, tmp_path):
+    """id-mode foreign table: files store opaque physical names AND
+    parquet field ids; the worker must match by id (the mode's
+    contract), not by either name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     spark.dataSource.register(DeltaStreamDataSource)
-    root = str(tmp_path / "cm")
-    schema = spark.createDataFrame([], "id long").schema
+    root = str(tmp_path / "cmid")
+    os.makedirs(f"{root}/_delta_log")
+    phys = pa.schema(
+        [
+            pa.field(
+                "col-aaaa", pa.int64(),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "col-bbbb", pa.string(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+    )
+    name = "part-00000-idmode.parquet"
+    pq.write_table(
+        pa.table({"col-aaaa": [10, 11], "col-bbbb": ["x", "y"]},
+                 schema=phys),
+        f"{root}/{name}",
+    )
+    fields = [
+        {
+            "name": "id", "type": "long", "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaaa",
+            },
+        },
+        {
+            "name": "tag", "type": "string", "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbbb",
+            },
+        },
+    ]
     actions = [
         {
             "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["columnMapping"],
-                "writerFeatures": ["columnMapping"],
+                "minReaderVersion": 2,
+                "minWriterVersion": 5,
             }
         },
         {
             "metaData": {
-                "id": "cm",
+                "id": "cmid",
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema.json(),
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
                 "partitionColumns": [],
-                "configuration": {"delta.columnMapping.mode": "name"},
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
                 "createdTime": 0,
             }
         },
+        {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(f"{root}/{name}"),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
     ]
-    os.makedirs(f"{root}/_delta_log")
     with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions))
     out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
-    with pytest.raises(Exception, match="column mapping"):
-        _drain(spark, root, out, ckp)
+    _drain(spark, root, out, ckp)
+    got = sorted(
+        (r.id, r.tag, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(10, "x", 0), (11, "y", 0)]
 
 
 def test_schema_evolution_null_fills(spark, vt, tmp_path):
@@ -246,3 +330,91 @@ def test_snapshot_resolves_from_checkpoint_after_cleanup(
             spark, vt.path, str(tmp_path / "o2"), str(tmp_path / "c2"),
             startingVersion="0",
         )
+
+
+def test_starting_timestamp_replays_from_clock(spark, tmp_path):
+    """startingTimestamp (round 12, delta-spark parity): replay every
+    commit at or after the timestamp — resolved by the spec clock
+    (in-commit timestamps here, so the test is deterministic); after
+    the last commit refuses; mutually exclusive with
+    startingVersion."""
+    t = versioned_table(
+        spark, str(tmp_path / "ict"), use_delta=False, ict=True
+    )
+    spark.dataSource.register(DeltaStreamDataSource)
+    t.write(_df(spark, [(1,)]), timestamp="2026-01-01T00:00:00")
+    t.write(_df(spark, [(2,)]), timestamp="2026-02-01T00:00:00")
+    t.write(_df(spark, [(3,)]), timestamp="2026-03-01T00:00:00")
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    _drain(
+        spark, t.path, out, ckp,
+        startingTimestamp="2026-01-15T00:00:00",
+    )
+    assert _got(spark, out) == [(2, 1), (3, 2)]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _drain(
+            spark, t.path, str(tmp_path / "o2"), str(tmp_path / "c2"),
+            startingVersion="0",
+            startingTimestamp="2026-01-01T00:00:00",
+        )
+    with pytest.raises(Exception, match="after the last commit"):
+        _drain(
+            spark, t.path, str(tmp_path / "o3"), str(tmp_path / "c3"),
+            startingTimestamp="2027-01-01T00:00:00",
+        )
+
+
+def test_max_files_per_trigger_bounds_batches(spark, vt, tmp_path):
+    """Round 12 admission control: once a running stream knows its
+    position, a backlog of commits drains as capped micro-batches
+    (2 files each here), never one monster batch; no row lost or
+    duplicated across the boundaries. The process's FIRST
+    latestOffset (availableNow's pinned target / the first batch
+    after restart) is unbounded by design — the Python DataSource
+    API exposes no admission-control hook, documented in
+    delta_stream.py."""
+    import time as _time
+
+    vt.write(_df(spark, [(0,)]), timestamp="2026-01-01T00:00:00")
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    q = (
+        spark.readStream.format("deltastream")
+        .option("path", vt.path)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckp)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0  # sink dir not created yet
+
+    try:
+        deadline = _time.time() + 60
+        while rows() < 1 and _time.time() < deadline:
+            _time.sleep(0.3)
+        assert rows() >= 1, "stream never delivered the seed commit"
+        # backlog lands while the stream is mid-flight: 6 single-file
+        # commits, cap 2 -> at least 3 catch-up batches
+        for i in range(1, 7):
+            vt.write(_df(spark, [(i,)]),
+                     timestamp=f"2026-01-{i + 1:02d}T00:00:00")
+        deadline = _time.time() + 120
+        while rows() < 7 and _time.time() < deadline:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert _got(spark, out) == [(i, i) for i in range(7)]
+    import os as _os
+
+    n_batches = len(
+        [f for f in _os.listdir(f"{ckp}/offsets") if f.isdigit()]
+    )
+    assert n_batches >= 4  # seed batch + >= 3 capped catch-up batches

@@ -192,3 +192,76 @@ def test_vacuum_walks_multi_column_partitions(spark, tmp_path):
     assert deleted > 0
     assert t.read().count() == 60
     assert t.read().agg(F.min("v")).collect()[0][0] == 1000.0
+
+
+class _CondPutStore:
+    """Mock object-store log store: a shared dict provides the
+    put-if-absent mutual exclusion (what DynamoDB provides for real
+    S3 deployments); the payload still lands on the local FS so
+    readers replay it. Records every attempt for the contract
+    assertions."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.claimed: dict = {}
+        self.attempts: list = []
+
+    def __call__(self, path: str, payload: bytes) -> bool:
+        won = path not in self.claimed
+        self.attempts.append((path, won))
+        if not won:
+            return False
+        self.claimed[path] = payload
+        from etl_deltalake_spark.sources.versioned import _write_file_atomic
+
+        assert _write_file_atomic(self.spark, path, payload)
+        return True
+
+
+def test_log_store_seam_mediates_commit_races(spark, tmp_path):
+    """Round 12 (VERDICT #7): commit placement goes through the
+    injectable put-if-absent seam, so multi-writer safety on stores
+    without atomic rename (S3) is a deployment choice, not
+    scheme-implicit. Two writers share one conditional-put store:
+    both race for the same version slot, exactly one wins it, the
+    loser retries against the refreshed tip and lands next."""
+    path = str(tmp_path / "s3ish")
+    store = _CondPutStore(spark)
+    a = versioned_table(spark, path, use_delta=False, log_store=store)
+    b = versioned_table(spark, path, use_delta=False, log_store=store)
+    a.write(
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        timestamp="2024-01-01T00:00:00",
+    )
+    # b's handle replays the log lazily, so both writers now contend
+    # for version 2: claim it in the store WITHOUT a file landing —
+    # exactly the crashed-writer / remote-claim window rename cannot
+    # see — then b must lose at the seam, not at the FS
+    v2 = a._log_path(2)
+    store.claimed[v2] = b"remote-claim"
+    with pytest.raises(RuntimeError, match="contended"):
+        b.write(
+            spark.createDataFrame([(2, "b")], "id long, val string"),
+            timestamp="2024-01-02T00:00:00",
+            max_retries=2,
+        )
+    # both of b's attempts lost AT THE SEAM (no v2 file exists on
+    # disk for rename to refuse — only the store knew)
+    assert [won for p, won in store.attempts if p == v2] == [False, False]
+    # release the phantom claim by letting the real v2 land, then the
+    # loser retries through: sees v2, commits v3
+    del store.claimed[v2]
+    a.write(
+        spark.createDataFrame([(5, "e")], "id long, val string"),
+        timestamp="2024-01-03T00:00:00",
+    )
+    v = b.write(
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+        timestamp="2024-01-04T00:00:00",
+    )
+    assert v == 3
+    assert sorted((r.id, r.val) for r in b.read().collect()) == [
+        (1, "a"), (2, "b"), (5, "e"),
+    ]
+    # every commit file that exists was placed through the store
+    assert set(store.claimed) == {a._log_path(i) for i in (1, 2, 3)}
