@@ -5878,3 +5878,36 @@ oracle("q_dv_merge")(
     ORDER BY c_mktsegment
     """
 )
+
+oracle("q_cdf_spec")(
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    changes AS (
+      SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+             c_custkey, cents
+      FROM base
+      UNION ALL
+      SELECT 'delete', CAST(1 AS BIGINT), c_custkey, cents
+      FROM base WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT 'update_preimage', CAST(2 AS BIGINT), c_custkey, cents
+      FROM base
+      WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 10 = 3
+      UNION ALL
+      SELECT 'update_postimage', CAST(2 AS BIGINT), c_custkey, cents + 1
+      FROM base
+      WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 10 = 3
+    )
+    SELECT _change_type, _commit_version,
+           COUNT(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM changes
+    GROUP BY _change_type, _commit_version
+    ORDER BY _change_type, _commit_version
+    """
+)

@@ -4914,3 +4914,52 @@ def q_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def q_cdf_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec change-data-feed, cross-engine graded (round 12): a
+    CDF-enabled versioned table (delta.enableChangeDataFeed) takes an
+    initial load, a merge-on-read DELETE, and a merge-on-read UPDATE;
+    each DML commit writes its change rows under ``_change_data/``
+    and logs spec ``cdc`` actions. The graded frame is read by
+    ``delta_log.read_delta_cdf`` — the SPEC reader over the Delta log
+    alone, never the custom log — so it breaks if the cdc actions,
+    the change files, or the insert-derivation for the plain append
+    commit are wrong. Oracle: the same change feed derived
+    relationally from the source table. Scale: CDF read cost is
+    O(change rows), not O(touched files) — the reason the spec
+    records changes instead of deriving them."""
+    import tempfile
+
+    from etl_deltalake_spark.sources import delta_log as DL
+    from etl_deltalake_spark.sources.versioned import versioned_table
+
+    root = tempfile.mkdtemp(prefix="sgraft_cdfspec_")
+    t = versioned_table(spark, f"{root}/t", use_delta=False, cdf=True)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).alias("cents"),
+    )
+    t.write(cust, timestamp="2026-01-01T00:00:00")
+    t.delete_where(
+        F.col("c_mktsegment") == "BUILDING",
+        timestamp="2026-01-02T00:00:00",
+        use_dv=True,
+    )
+    t.update_where(
+        F.col("c_custkey") % 10 == 3,
+        {"cents": F.col("cents") + 1},
+        timestamp="2026-01-03T00:00:00",
+        use_dv=True,
+    )
+    ch = DL.read_delta_cdf(spark, t.path, -1)
+    return (
+        ch.groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("_change_type", "_commit_version")
+    )

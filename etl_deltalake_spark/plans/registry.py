@@ -494,6 +494,10 @@ SLOTLESS: tuple[str, ...] = (
     # post-DDL aggregate (q_dv_cdf / q_partitioned_read / q_dv_merge
     # were promoted to driver rows in the round-12 rotation)
     "q_rename_read",
+    # round 12 — spec change data feed: DML commits record cdc
+    # actions + _change_data files; graded through the SPEC reader
+    # (delta_log.read_delta_cdf), never the custom log
+    "q_cdf_spec",
 )
 
 

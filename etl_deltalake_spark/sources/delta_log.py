@@ -178,20 +178,25 @@ def metadata_action(
     }
 
 
-def mirror_protocol(has_dv: bool, ict: bool, cm: bool = False) -> dict | None:
+def mirror_protocol(
+    has_dv: bool, ict: bool, cm: bool = False, cdf: bool = False
+) -> dict | None:
     """The protocol action the mirror needs for its enabled features
     (None = the default ``PROTOCOL_ACTION`` suffices). Feature lists
     exist only at the table-features protocol versions (reader 3 /
     writer 7), so any feature forces writer 7; deletion vectors and
-    column mapping are reader-visible and force reader 3."""
-    if not has_dv and not ict and not cm:
+    column mapping are reader-visible and force reader 3; change data
+    feed and in-commit timestamps are writer-only."""
+    if not has_dv and not ict and not cm and not cdf:
         return None
     rfeats = sorted(
         (["deletionVectors"] if has_dv else [])
         + (["columnMapping"] if cm else [])
     )
     wfeats = sorted(
-        rfeats + (["inCommitTimestamp"] if ict else [])
+        rfeats
+        + (["inCommitTimestamp"] if ict else [])
+        + (["changeDataFeed"] if cdf else [])
     )
     p: dict = {
         "minReaderVersion": 3 if rfeats else 1,
@@ -220,6 +225,7 @@ def emit_delta_commit(
     ict: bool = False,
     metadata_configuration: dict[str, str] | None = None,
     partition_columns: list[str] | None = None,
+    cdc_paths: list[str] | None = None,
 ) -> bool:
     """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
     via the same temp+rename as the custom log). Returns False when
@@ -273,11 +279,16 @@ def emit_delta_commit(
         actions.insert(0, {"commitInfo": commit_info})
     else:
         actions.append({"commitInfo": commit_info})
+    # spec add/remove paths are percent-encoded (round 12); '/' and
+    # '=' stay literal so our own layouts round-trip byte-identical,
+    # while a space or '%' in a value-derived partition dir encodes
+    from urllib.parse import quote as _q
+
     for rel in remove:
         actions.append(
             {
                 "remove": {
-                    "path": rel,
+                    "path": _q(rel, safe="/="),
                     "deletionTimestamp": millis,
                     "dataChange": data_change,
                 }
@@ -285,7 +296,7 @@ def emit_delta_commit(
         )
     for rel in add:
         entry = {
-            "path": rel,
+            "path": _q(rel, safe="/="),
             "partitionValues": partition_values_from_path(rel),
             "size": _file_size(spark, table_path, rel),
             "modificationTime": millis,
@@ -298,6 +309,21 @@ def emit_delta_commit(
         if stats is not None:
             entry["stats"] = stats
         actions.append({"add": entry})
+    for rel in cdc_paths or []:
+        # spec cdc action: the commit's change rows live in
+        # _change_data/ parquet (with _change_type); dataChange is
+        # ALWAYS false — cdc files are derived content, invisible to
+        # snapshot reads and non-CDF streams
+        actions.append(
+            {
+                "cdc": {
+                    "path": _q(rel, safe="/="),
+                    "partitionValues": partition_values_from_path(rel),
+                    "size": _file_size(spark, table_path, rel),
+                    "dataChange": False,
+                }
+            }
+        )
     payload = ("\n".join(json.dumps(a, sort_keys=True) for a in actions)).encode()
     return _write_file_atomic(
         spark, _delta_path(table_path, delta_version), payload
@@ -455,6 +481,13 @@ _CHECKPOINT_SCHEMA = """
 """
 
 
+# Max action rows per checkpoint parquet: above this the classic
+# checkpoint shards into the spec's multi-part layout. Real writers
+# use ~the same order of magnitude (delta-spark's
+# checkpoint.partSize); tests lower it to force the sharded path.
+_CHECKPOINT_PART_MAX = 50_000
+
+
 def write_delta_checkpoint(
     spark: SparkSession,
     table_path: str,
@@ -504,6 +537,8 @@ def write_delta_checkpoint(
             None,
         ),
     ]
+    from urllib.parse import quote as _q
+
     for rel in live:
         dv = (dvs or {}).get(rel)
         dv_row = (
@@ -522,7 +557,9 @@ def write_delta_checkpoint(
                 None,
                 None,
                 (
-                    rel,
+                    # same percent-encoding as the JSON log — replay
+                    # joins checkpoint and tail by path STRING
+                    _q(rel, safe="/="),
                     partition_values_from_path(rel),
                     _file_size(spark, table_path, rel),
                     millis,
@@ -534,33 +571,63 @@ def write_delta_checkpoint(
             )
         )
     for rel, del_ts in sorted(tombstones or []):
-        rows.append((None, None, None, (rel, del_ts, True), None))
+        rows.append(
+            (None, None, None, (_q(rel, safe="/="), del_ts, True), None)
+        )
     for app_id in sorted(txns or {}):
         rows.append(
             (None, None, None, None, (app_id, int(txns[app_id]), millis))
         )
-    df = spark.createDataFrame(rows, schema=_CHECKPOINT_SCHEMA).coalesce(1)
-    tmp_dir = f"{table_path}/{_DELTA_DIR}/_tmp_ckpt_{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(tmp_dir)
     jvm, fs, _ = _fs(spark, table_path)
-    part = next(
-        str(st.getPath())
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp_dir))
-        if st.getPath().getName().startswith("part-")
-    )
-    final = jvm.org.apache.hadoop.fs.Path(
-        f"{table_path}/{_DELTA_DIR}/"
-        f"{delta_version:0{_VERSION_DIGITS}d}.checkpoint.parquet"
-    )
-    renamed = fs.rename(jvm.org.apache.hadoop.fs.Path(part), final)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
+
+    def _emit(chunk, final_name: str) -> bool:
+        df = spark.createDataFrame(
+            chunk, schema=_CHECKPOINT_SCHEMA
+        ).coalesce(1)
+        tmp_dir = f"{table_path}/{_DELTA_DIR}/_tmp_ckpt_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp_dir)
+        part = next(
+            str(st.getPath())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp_dir))
+            if st.getPath().getName().startswith("part-")
+        )
+        ok = fs.rename(
+            jvm.org.apache.hadoop.fs.Path(part),
+            jvm.org.apache.hadoop.fs.Path(
+                f"{table_path}/{_DELTA_DIR}/{final_name}"
+            ),
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
+        return ok
+
+    v20 = f"{delta_version:0{_VERSION_DIGITS}d}"
+    pointer: dict = {"version": delta_version, "size": len(rows)}
+    if len(rows) <= _CHECKPOINT_PART_MAX:
+        renamed = _emit(rows, f"{v20}.checkpoint.parquet")
+    else:
+        # MULTI-PART checkpoint (round 12, PROTOCOL.md classic-sharded
+        # form %020d.checkpoint.%010d.%010d.parquet): at 100 TB a live
+        # set of millions of adds makes a single checkpoint file the
+        # metadata bottleneck — shard it so readers fetch parts in
+        # parallel and no single write exceeds memory. Spec: parts
+        # are a pure row-split; replay order within a checkpoint is
+        # irrelevant (it is complete state, not a log).
+        n_parts = -(-len(rows) // _CHECKPOINT_PART_MAX)
+        renamed = True
+        for i in range(n_parts):
+            chunk = rows[
+                i * _CHECKPOINT_PART_MAX : (i + 1) * _CHECKPOINT_PART_MAX
+            ]
+            renamed = renamed and _emit(
+                chunk,
+                f"{v20}.checkpoint.{i + 1:010d}.{n_parts:010d}.parquet",
+            )
+        pointer["parts"] = n_parts
     if renamed:  # raced writers: first one wins, pointer follows
         _write_file_atomic(
             spark,
             f"{table_path}/{_DELTA_DIR}/_last_checkpoint",
-            json.dumps(
-                {"version": delta_version, "size": len(rows)}, sort_keys=True
-            ).encode(),
+            json.dumps(pointer, sort_keys=True).encode(),
         )
 
 
@@ -793,6 +860,89 @@ def delta_snapshot(
         "txns": txns,
         "version": version,
     }
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    timestamp: str = "1970-01-01T00:00:00",
+    version: int | None = None,
+) -> int:
+    """CREATE TABLE ... SHALLOW CLONE (Delta's metadata-only table
+    copy, round 12): write a NEW ``_delta_log`` at ``dest_path``
+    whose version-0 commit re-adds every live source file by
+    ABSOLUTE percent-encoded path — zero data copied, however many
+    terabytes the source holds; the spec explicitly allows absolute
+    ``add.path`` for exactly this. Protocol, schema, configuration
+    (column mapping included) and per-add partitionValues / stats /
+    size carry over verbatim; UUID-relative deletion-vector
+    descriptors rewrite to absolute ``p`` storage (they would
+    otherwise resolve against the CLONE root and miss). ``version``
+    clones a time-travel snapshot. The clone is an independent spec
+    table (fresh table id): reads via ``read_delta`` / the
+    ``deltastream`` source, and future writes to the SOURCE never
+    change it. VACUUM on the source can still break a clone, like
+    real Delta — the clone shares data files it does not own."""
+    import base64
+    import uuid as _uuid
+    from urllib.parse import quote as _q
+
+    from etl_deltalake_spark.sources.versioned import _write_file_atomic
+
+    snap = delta_snapshot(spark, src_path, version=version)
+    if snap["schema_json"] is None:
+        raise ValueError(f"{src_path} has no metaData action to clone")
+    millis = _iso_to_millis(timestamp)
+    proto = snap.get("protocol") or dict(PROTOCOL_ACTION["protocol"])
+    meta = metadata_action(
+        snap["schema_json"],
+        dest_path,
+        millis,
+        configuration=snap.get("configuration") or None,
+        partition_columns=snap.get("partition_columns") or None,
+    )
+    actions: list[dict] = [{"protocol": dict(proto)}, meta]
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": millis,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_path,
+                    "sourceVersion": snap["version"],
+                },
+                "engineInfo": "etl-deltalake-spark versioned-table mirror",
+            }
+        }
+    )
+    for a in snap["adds"]:
+        entry = dict(a)
+        entry["path"] = _q(
+            resolve_add_path(src_path, a["path"]), safe="/=:"
+        )
+        entry["modificationTime"] = millis
+        entry["dataChange"] = True
+        dv = entry.get("deletionVector")
+        if dv is not None and dv.get("storageType") == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, enc_uuid = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=base64.b85decode(enc_uuid))
+            rel = f"{prefix}/" if prefix else ""
+            entry["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": (
+                    f"{src_path}/{rel}deletion_vector_{u}.bin"
+                ),
+            }
+        actions.append({"add": entry})
+    payload = (
+        "\n".join(json.dumps(x, sort_keys=True) for x in actions)
+    ).encode()
+    if not _write_file_atomic(spark, _delta_path(dest_path, 0), payload):
+        raise ValueError(f"{dest_path} already has a _delta_log")
+    return 0
 
 
 def delta_version_at_timestamp(
@@ -1206,6 +1356,21 @@ def _norm_uri(p: str) -> str:
     return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
 
 
+def resolve_add_path(table_path: str, p: str) -> str:
+    """Spec ``add``/``remove`` paths are PERCENT-ENCODED and either
+    table-relative or ABSOLUTE (PROTOCOL.md: shallow clones and some
+    writers emit absolute URIs pointing at another table's files).
+    Round 12: decode and resolve both forms — previously a foreign
+    log with an encoded space or an absolute add misread."""
+    import re as _re
+    from urllib.parse import unquote
+
+    p = unquote(p)
+    if p.startswith("/") or _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", p):
+        return p
+    return f"{table_path}/{p}"
+
+
 # Above this many TOTAL masked positions (summed from descriptor
 # ``cardinality`` fields — no decode needed to decide) the mask is
 # applied by executor-side decode instead of a driver broadcast. The
@@ -1460,7 +1625,9 @@ def read_delta(
     # on the broadcast fast path (bounded by _DV_BROADCAST_MAX) or
     # inside executors (dv_mask) — never O(deleted rows) here.
     dv_map = {
-        _norm_uri(f"{table_path}/{a['path']}"): a["deletionVector"]
+        _norm_uri(resolve_add_path(table_path, a["path"])): a[
+            "deletionVector"
+        ]
         for a in snap["adds"]
         if a.get("deletionVector")
     }
@@ -1489,7 +1656,10 @@ def read_delta(
             _scan_with_dv(
                 spark,
                 phys,
-                [f"{table_path}/{p}" for p in snap["files"]],
+                [
+                    resolve_add_path(table_path, p)
+                    for p in snap["files"]
+                ],
                 dv_map,
                 table_path,
             ),
@@ -1512,7 +1682,9 @@ def read_delta(
     for a in snap["adds"]:
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(phys_of[c]) for c in pcols)
-        groups.setdefault(key, []).append(f"{table_path}/{a['path']}")
+        groups.setdefault(key, []).append(
+            resolve_add_path(table_path, a["path"])
+        )
     out = None
     # None-safe group order: external tables mix null partition
     # values with strings, and None < str raises bare.
@@ -1599,3 +1771,215 @@ def pruned_files(
                     continue
         keep.append(a["path"])
     return keep, skipped
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+):
+    """Change-data-feed read THROUGH the Delta log (round 12) — the
+    spec form of delta-spark's ``readChangeFeed``: rows changed by
+    commits in ``(from_version, to_version]``, tagged
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
+
+    Per-commit rule (delta-spark's):
+
+    - a commit carrying ``cdc`` actions serves THEM verbatim (the
+      ``_change_data`` parquet files hold the change rows plus
+      ``_change_type``) — O(changes) however big the touched files;
+    - no cdc + only dataChange adds → every added row is ``insert``;
+    - no cdc + only full-file removes → the removed files' rows are
+      ``delete`` (files must not be vacuumed yet, same as Delta);
+    - no cdc + a rewrite (adds AND removes, or a deletion-vector
+      re-add) REFUSES honestly: the change set is not derivable
+      without re-running the DML — enable CDF at write time.
+
+    Columns resolve under the LATEST schema (delta-spark's default);
+    column-mapped tables scan by physical name and alias back.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    snap = delta_snapshot(spark, table_path)
+    tip = snap["version"]
+    to_version = tip if to_version is None else to_version
+    if not from_version <= to_version <= tip:
+        raise ValueError(
+            f"need from_version <= to_version <= {tip}, "
+            f"got ({from_version}, {to_version})"
+        )
+    cm_mode = (snap.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    schema = StructType.fromJson(_json.loads(snap["schema_json"]))
+    pcols = snap["partition_columns"]
+    phys_of = {
+        f.name: (f.metadata or {}).get(_CM_PHYS, f.name)
+        if cm_mode != "none"
+        else f.name
+        for f in schema.fields
+    }
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema = StructType(data_fields)
+    phys_data = _cm_physical_type(data_schema, cm_mode)
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+
+    def scan(entries, change_lit: str | None, version: int, millis: int):
+        """entries: [(path, partitionValues dict)] — read under the
+        physical data schema (+ _change_type when stored in-file),
+        inject partition literals, alias to logical, tag commit
+        columns. Groups by partition tuple like read_delta."""
+        ddl = phys_data
+        if change_lit is None:  # cdc files store _change_type
+            ddl = StructType(
+                [*phys_data.fields]
+            ).add("_change_type", "string")
+        groups: dict[tuple, list[str]] = {}
+        for path, pv in entries:
+            key = tuple(pv.get(phys_of[c]) for c in pcols)
+            groups.setdefault(key, []).append(
+                resolve_add_path(table_path, path)
+            )
+        out = None
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        ):
+            part = spark.read.schema(ddl).parquet(*paths)
+            part = part.select(
+                *[
+                    F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                    for pf, lf in zip(phys_data.fields, data_fields)
+                ],
+                *(
+                    []
+                    if change_lit is not None
+                    else [F.col("_change_type")]
+                ),
+            )
+            for c, raw in zip(pcols, key):
+                lit = (
+                    F.lit(None).cast(ptypes[c])
+                    if raw is None
+                    else F.lit(raw).cast(ptypes[c])
+                )
+                part = part.withColumn(c, lit)
+            if change_lit is not None:
+                part = part.withColumn("_change_type", F.lit(change_lit))
+            out = part if out is None else out.unionByName(part)
+        return out.select(
+            *[f.name for f in schema.fields],
+            "_change_type",
+            F.lit(version).cast("long").alias("_commit_version"),
+            F.lit(millis).cast("long").alias("_commit_timestamp"),
+        )
+
+    by_version: dict[int, list[dict]] = {}
+    for v, a in delta_log_actions(spark, table_path, from_version + 1):
+        if from_version < v <= to_version:
+            by_version.setdefault(v, []).append(a)
+    missing = sorted(
+        set(range(from_version + 1, to_version + 1)) - set(by_version)
+    )
+    if missing:
+        raise ValueError(
+            f"{table_path}: commit files {missing} were removed by log "
+            "retention — CDF cannot be read below the retention floor"
+        )
+    parts = []
+    for v in sorted(by_version):
+        actions = by_version[v]
+        millis = 0
+        for a in actions:
+            if a.get("commitInfo") is not None:
+                millis = int(
+                    a["commitInfo"].get("inCommitTimestamp")
+                    or a["commitInfo"].get("timestamp")
+                    or 0
+                )
+        cdcs = [a["cdc"] for a in actions if a.get("cdc") is not None]
+        adds = [
+            a["add"]
+            for a in actions
+            if a.get("add") is not None
+            and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in actions
+            if a.get("remove") is not None
+            and a["remove"].get("dataChange", True)
+        ]
+        if cdcs:
+            parts.append(
+                scan(
+                    [
+                        (c["path"], c.get("partitionValues") or {})
+                        for c in cdcs
+                    ],
+                    None,
+                    v,
+                    millis,
+                )
+            )
+            continue
+        if not adds and not removes:
+            continue  # OPTIMIZE / metadata-only
+        if removes and adds:
+            raise ValueError(
+                f"{table_path}: version {v} rewrites data without cdc "
+                "actions — the change set is not derivable; enable "
+                "delta.enableChangeDataFeed at write time"
+            )
+        if any(a.get("deletionVector") for a in adds):
+            raise ValueError(
+                f"{table_path}: version {v} re-masks files without cdc "
+                "actions — enable delta.enableChangeDataFeed at write "
+                "time"
+            )
+        if adds:
+            parts.append(
+                scan(
+                    [
+                        (a["path"], a.get("partitionValues") or {})
+                        for a in adds
+                    ],
+                    "insert",
+                    v,
+                    millis,
+                )
+            )
+        else:
+            parts.append(
+                scan(
+                    [
+                        (
+                            r["path"],
+                            # spec removes MAY omit partitionValues;
+                            # hive-layout paths still carry them
+                            r.get("partitionValues")
+                            or partition_values_from_path(r["path"]),
+                        )
+                        for r in removes
+                    ],
+                    "delete",
+                    v,
+                    millis,
+                )
+            )
+    if not parts:
+        base = read_delta(spark, table_path).limit(0)
+        return base.select(
+            "*",
+            F.lit(None).cast("string").alias("_change_type"),
+            F.lit(None).cast("long").alias("_commit_version"),
+            F.lit(None).cast("long").alias("_commit_timestamp"),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -512,8 +512,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         return parts
 
     def _part(self, add: dict, version: int) -> DeltaFilePartition:
+        # spec paths are percent-encoded, relative OR absolute
+        # (shallow clones point at another table's files)
+        from etl_deltalake_spark.sources.delta_log import resolve_add_path
+
         return DeltaFilePartition(
-            os.path.join(_local(self.root), add["path"]),
+            _local(resolve_add_path(_local(self.root), add["path"])),
             version,
             add.get("deletionVector"),
             dict(add.get("partitionValues") or {}),

@@ -73,6 +73,8 @@ from etl_deltalake_spark.sources.table_format import _delta_available
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+# spec location for change-data-feed files (PROTOCOL.md cdc actions)
+_CHANGE_DIR = "_change_data"
 _VERSION_DIGITS = 20
 
 
@@ -208,6 +210,13 @@ class Commit:
     # the values from the directory names (real Delta layout: the
     # parquet files do NOT store partition columns).
     partition_by: tuple[str, ...] = ()
+    # Change-data-feed capture (round 12, spec ``cdc`` actions): rel
+    # paths of the ``_change_data/`` parquet files this DML commit
+    # wrote — each carries the change rows plus a ``_change_type``
+    # column, so CDF readers consume the recorded changes instead of
+    # re-deriving them from add/remove diffs. Empty on non-CDF
+    # tables and non-DML commits.
+    cdc: tuple[str, ...] = ()
 
 
 class VersionedTable:
@@ -228,10 +237,19 @@ class VersionedTable:
         path: str,
         ict: bool = False,
         log_store=None,
+        cdf: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.ict = ict
+        # Change data feed (round 12, the real Delta
+        # delta.enableChangeDataFeed): DML commits ALSO write their
+        # change rows (+ _change_type) under _change_data/ and log
+        # spec ``cdc`` actions — CDF read cost becomes O(changes)
+        # instead of O(touched files), and EXTERNAL spec readers can
+        # serve table_changes without this repo in the loop. Open an
+        # existing CDF table with the same flag.
+        self.cdf = cdf
         # LogStore seam (round 12): commit-file placement is the ONE
         # operation optimistic concurrency needs to be atomic.
         # Default = Hadoop temp+rename, atomic on HDFS/ABFS/local but
@@ -307,6 +325,7 @@ class VersionedTable:
                     max_column_id=int(doc.get("maxColumnId", 0)),
                     cons_base=int(doc.get("consBase", -1)),
                     partition_by=tuple(doc.get("partitionBy") or ()),
+                    cdc=tuple(doc.get("cdc") or ()),
                 )
             )
         return sorted(out, key=lambda c: c.version)
@@ -604,6 +623,7 @@ class VersionedTable:
         df: DataFrame,
         version: int,
         partition_by: tuple[str, ...] = (),
+        base_dir: str = _DATA_DIR,
     ) -> list[str]:
         """Executors write the data files for a prospective commit;
         returns table-relative file paths. Files are invisible to
@@ -620,7 +640,7 @@ class VersionedTable:
         jvm, fs, _ = _fs(self.spark, self.path)
         if not partition_by:
             rel_dir = (
-                f"{_DATA_DIR}/v{version:0{_VERSION_DIGITS}d}"
+                f"{base_dir}/v{version:0{_VERSION_DIGITS}d}"
                 f"-{uuid.uuid4().hex[:8]}"
             )
             out_dir = f"{self.path}/{rel_dir}"
@@ -644,9 +664,9 @@ class VersionedTable:
                     walk(f"{cur}/{name}", [*parts, name])
                 elif name.startswith("part-"):
                     sub = "/".join(parts)
-                    dest_dir = f"{self.path}/{_DATA_DIR}/{sub}"
+                    dest_dir = f"{self.path}/{base_dir}/{sub}"
                     fs.mkdirs(hpath(dest_dir))
-                    dest_rel = f"{_DATA_DIR}/{sub}/{stamp}-{name}"
+                    dest_rel = f"{base_dir}/{sub}/{stamp}-{name}"
                     if not fs.rename(
                         st.getPath(), hpath(f"{self.path}/{dest_rel}")
                     ):
@@ -658,6 +678,37 @@ class VersionedTable:
         walk(stage, [])
         fs.delete(hpath(stage), True)
         return sorted(rels)
+
+    def _cdc_files(
+        self,
+        cdf_df: DataFrame,
+        version: int,
+        mapping: dict | None,
+        partition_by: tuple[str, ...],
+    ) -> list[str]:
+        """Write a DML commit's change rows (table columns +
+        ``_change_type``) under ``_change_data/`` — physical names
+        under column mapping, hive layout matching the table's
+        partitioning (the spec convention: cdc files mirror data-file
+        layout; partition values live in the action, not the file).
+        Returns rel paths for the commit record and the mirror's
+        ``cdc`` actions. Orphaned by a lost commit race like data
+        files — vacuum collects them."""
+        out = cdf_df
+        if mapping is not None:
+            phys = mapping["physical"]
+            out = cdf_df.select(
+                *[
+                    F.col(c).alias(phys.get(c, c))
+                    if c != "_change_type"
+                    else F.col(c)
+                    for c in cdf_df.columns
+                ]
+            )
+        return self._write_data_files(
+            out, version, partition_by=partition_by,
+            base_dir=_CHANGE_DIR,
+        )
 
     def _try_commit(
         self,
@@ -672,6 +723,7 @@ class VersionedTable:
         dv: dict[str, dict] | None = None,
         mapping: dict | None = None,
         partition_by: tuple[str, ...] = (),
+        cdc: Sequence[str] = (),
     ) -> bool:
         doc = {
             "version": version,
@@ -694,6 +746,8 @@ class VersionedTable:
         doc["consBase"] = self._constraints_with_base()[1]
         if partition_by:
             doc["partitionBy"] = list(partition_by)
+        if cdc:
+            doc["cdc"] = list(cdc)
         return self._put_if_absent(
             self._log_path(version), json.dumps(doc).encode()
         )
@@ -773,6 +827,7 @@ class VersionedTable:
         data_change: bool = True,
         operation: str | None = None,
         partition_by: Sequence[str] | None = None,
+        cdc_df: DataFrame | None = None,
     ) -> int | None:
         """Commit ``df`` as a new version. ``mode='append'`` adds
         files; ``mode='overwrite'`` adds files and logically removes
@@ -861,10 +916,15 @@ class VersionedTable:
             add = self._write_data_files(
                 out_df, version, partition_by=pb_phys
             )
+            cdc_rels: list[str] = (
+                self._cdc_files(cdc_df, version, mapping, pb_phys)
+                if cdc_df is not None
+                else []
+            )
             if self._try_commit(
                 version, op_label, add, remove, commit_schema, timestamp,
                 txn=txn, data_change=data_change, mapping=mapping,
-                partition_by=eff_pb,
+                partition_by=eff_pb, cdc=cdc_rels,
             ):
                 if mode == "overwrite":
                     live_after = list(add)
@@ -884,7 +944,7 @@ class VersionedTable:
                     version, add, remove, commit_schema, timestamp,
                     op_label, commits, live_after, txn=txn,
                     data_change=data_change, dv_live=dv_after,
-                    mapping=mapping, partition_by=eff_pb,
+                    mapping=mapping, partition_by=eff_pb, cdc=cdc_rels,
                 )
                 return version
             # Lost the race: orphan the just-written files (vacuum
@@ -932,6 +992,7 @@ class VersionedTable:
         dv_adds: dict[str, dict] | None = None,
         mapping: dict | None = None,
         partition_by: tuple[str, ...] = (),
+        cdc: Sequence[str] = (),
     ) -> None:
         """Mirror the just-won commit into the REAL Delta protocol
         (sources/delta_log.py, round 9): ``_delta_log/%020d.json``
@@ -972,9 +1033,11 @@ class VersionedTable:
         has_dv = had_dv or bool(dv_adds)
         had_cm = bool(commits and commits[-1].column_ids)
         has_cm = had_cm or mapping is not None
-        cur_proto = DL.mirror_protocol(has_dv, self.ict, has_cm)
+        cur_proto = DL.mirror_protocol(
+            has_dv, self.ict, has_cm, cdf=self.cdf
+        )
         prev_proto = (
-            DL.mirror_protocol(had_dv, self.ict, had_cm)
+            DL.mirror_protocol(had_dv, self.ict, had_cm, cdf=self.cdf)
             if commits
             else None
         )
@@ -982,6 +1045,8 @@ class VersionedTable:
         mirror_config: dict[str, str] = {}
         if self.ict:
             mirror_config["delta.enableInCommitTimestamps"] = "true"
+        if self.cdf:
+            mirror_config["delta.enableChangeDataFeed"] = "true"
         if has_cm:
             mirror_config["delta.columnMapping.mode"] = "name"
             if mapping is not None:
@@ -1010,6 +1075,7 @@ class VersionedTable:
             ict=self.ict,
             metadata_configuration=mirror_config or None,
             partition_columns=list(partition_by) or None,
+            cdc_paths=list(cdc) or None,
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             # Complete replay state per PROTOCOL.md: the checkpoint
@@ -1110,14 +1176,30 @@ class VersionedTable:
             self._enforce_constraints(source)
             if files:
                 scan = self._scan_with_position(files, dvs, latest)
+                src_keys = source.select(*key_cols).distinct()
                 hits = scan.join(
-                    source.select(*key_cols).distinct(),
-                    on=list(key_cols),
-                    how="left_semi",
+                    src_keys, on=list(key_cols), how="left_semi"
                 ).select("__fp", "__ri")
+                cdc_df = None
+                if self.cdf:
+                    cur_keys = scan.select(*key_cols).distinct()
+                    pre = scan.join(
+                        src_keys, on=list(key_cols), how="left_semi"
+                    ).drop("__fp", "__ri").withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    post = source.join(
+                        cur_keys, on=list(key_cols), how="left_semi"
+                    ).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    ins = source.join(
+                        cur_keys, on=list(key_cols), how="left_anti"
+                    ).withColumn("_change_type", F.lit("insert"))
+                    cdc_df = pre.unionByName(post).unionByName(ins)
                 version, _n = self._dv_mask_commit(
                     hits, dvs, commits, timestamp, "merge",
-                    extra_df=source,
+                    extra_df=source, cdc_df=cdc_df,
                 )
                 if version is not None:
                     return version
@@ -1134,12 +1216,28 @@ class VersionedTable:
             source.select(*key_cols), on=list(key_cols), how="left_anti"
         )
         merged = kept.unionByName(source.select(*current.columns))
+        cdc_df = None
+        if self.cdf:
+            src_keys = source.select(*key_cols).distinct()
+            cur_keys = current.select(*key_cols).distinct()
+            pre = current.join(
+                src_keys, on=list(key_cols), how="left_semi"
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = source.select(*current.columns).join(
+                cur_keys, on=list(key_cols), how="left_semi"
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            ins = source.select(*current.columns).join(
+                cur_keys, on=list(key_cols), how="left_anti"
+            ).withColumn("_change_type", F.lit("insert"))
+            cdc_df = pre.unionByName(post).unionByName(ins)
         # Materialize before the overwrite commit: the plan reads the
         # snapshot the commit will supersede. localCheckpoint keeps it
         # on executors; data files are immutable so this is belt and
         # braces for the fallback's same-session reads.
         merged = merged.localCheckpoint(eager=True)
-        return self.write(merged, mode="overwrite", timestamp=timestamp)
+        return self.write(
+            merged, mode="overwrite", timestamp=timestamp, cdc_df=cdc_df
+        )
 
     # ---- read path ----------------------------------------------------
 
@@ -1300,6 +1398,20 @@ class VersionedTable:
             if not in_window:
                 prev_c = c
                 continue
+            if c.cdc:
+                # the commit RECORDED its change rows (round 12 CDF
+                # capture): serve them verbatim — O(changes) read,
+                # no re-scan, no mask-delta derivation
+                parts.append(
+                    self._cdc_scan(c).select(
+                        "*",
+                        F.lit(c.version).cast("long").alias(
+                            "_commit_version"
+                        ),
+                    )
+                )
+                prev_c = c
+                continue
             readded = set(c.add)
             # files whose mask this commit CHANGED — decided from
             # descriptor inequality alone, no decode (round 12)
@@ -1446,6 +1558,35 @@ class VersionedTable:
             "columnIds": dict(latest.column_ids),
             "maxColumnId": latest.max_column_id,
         }
+
+    def _cdc_scan(self, c: Commit) -> DataFrame:
+        """Read one commit's recorded ``_change_data`` files: physical
+        schema + the literal ``_change_type`` column, partition values
+        from the hive dirs (one shared basePath), logical names out —
+        the cdc twin of ``_logical_scan``."""
+        pairs = self._phys_pairs(c)
+        pb = set(c.partition_by)
+        phys_of = {n: p for n, p, _ in pairs}
+        data_ddl = ", ".join(
+            f"`{p}` {t}" for n, p, t in pairs if n not in pb
+        )
+        part_ddl = ", ".join(
+            f"`{phys_of[n]}` {t}"
+            for n, _p, t in pairs
+            if n in pb
+        )
+        ddl = ", ".join(
+            x for x in (data_ddl, "`_change_type` string", part_ddl) if x
+        )
+        reader = self.spark.read.schema(ddl)
+        if c.partition_by:
+            reader = reader.option(
+                "basePath", f"{self.path}/{_CHANGE_DIR}"
+            )
+        df = reader.parquet(*[f"{self.path}/{rel}" for rel in c.cdc])
+        return df.select(
+            *[F.col(p).alias(n) for n, p, _ in pairs], "_change_type"
+        )
 
     def _phys_pairs(self, latest: Commit) -> list[tuple[str, str, str]]:
         """[(logical, physical, ddl type)] under the commit's mapping
@@ -1703,6 +1844,7 @@ class VersionedTable:
         operation: str,
         extra_df: DataFrame | None = None,
         max_retries: int = 5,
+        cdc_df: DataFrame | None = None,
     ) -> int:
         """Commit a merge-on-read mask: ``hits`` is (``__fp``,
         ``__ri``) of the rows to delete (already disjoint from
@@ -1773,10 +1915,16 @@ class VersionedTable:
                 rel for rel in new_files
                 if _parquet_num_rows(f"{self.path}/{rel}") != 0
             ]
+            cdc_rels: list[str] = (
+                self._cdc_files(cdc_df, version, mapping, pb_phys)
+                if cdc_df is not None
+                else []
+            )
             add = masked + new_files
             if self._try_commit(
                 version, operation, add, masked, latest.schema,
                 timestamp, dv=dv_adds, mapping=mapping, partition_by=pb,
+                cdc=cdc_rels,
             ):
                 _files, dv_after, _l = self._snapshot_state(
                     commits=[
@@ -1804,7 +1952,7 @@ class VersionedTable:
                     version, add, masked, latest.schema,
                     timestamp, operation, commits, live_after,
                     dv_live=dv_after, dv_adds=dv_adds, mapping=mapping,
-                    partition_by=pb,
+                    partition_by=pb, cdc=cdc_rels,
                 )
                 return version, n_new
             # Lost the race: masks are only valid against the exact
@@ -1887,16 +2035,30 @@ class VersionedTable:
             if not files:
                 return 0
             scan = self._scan_with_position(files, dvs, latest)
-            hits = scan.filter(
-                F.coalesce(condition, F.lit(False))
-            ).select("__fp", "__ri")
+            matched = scan.filter(F.coalesce(condition, F.lit(False)))
+            cdc_df = (
+                matched.drop("__fp", "__ri").withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                if self.cdf
+                else None
+            )
             return self._dv_mask_commit(
-                hits, dvs, commits, timestamp, "delete"
+                matched.select("__fp", "__ri"), dvs, commits, timestamp,
+                "delete", cdc_df=cdc_df,
             )[1]
         cur = self.read()
         keep = cur.filter(~F.coalesce(condition, F.lit(False)))
         n_deleted = cur.count() - keep.count()
-        self.write(keep, mode="overwrite", timestamp=timestamp)
+        cdc_df = (
+            cur.filter(F.coalesce(condition, F.lit(False))).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            if self.cdf
+            else None
+        )
+        self.write(keep, mode="overwrite", timestamp=timestamp,
+                   cdc_df=cdc_df)
         return n_deleted
 
     def update_where(
@@ -1942,9 +2104,18 @@ class VersionedTable:
                 ]
             )
             self._enforce_constraints(rewritten)
+            cdc_df = None
+            if self.cdf:
+                pre = matched.drop("__fp", "__ri").withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = rewritten.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                cdc_df = pre.unionByName(post)
             return self._dv_mask_commit(
                 matched.select("__fp", "__ri"), dvs, commits,
-                timestamp, "update", extra_df=rewritten,
+                timestamp, "update", extra_df=rewritten, cdc_df=cdc_df,
             )[1]
         cur = self.read()
         missing = set(assignments) - set(cur.columns)
@@ -1960,7 +2131,26 @@ class VersionedTable:
                 for c in cur.columns
             ]
         )
-        self.write(updated, mode="overwrite", timestamp=timestamp)
+        cdc_df = None
+        if self.cdf:
+            pre = cur.filter(hit).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = (
+                cur.filter(hit)
+                .select(
+                    *[
+                        assignments[c].alias(c)
+                        if c in assignments
+                        else F.col(c)
+                        for c in cur.columns
+                    ]
+                )
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            cdc_df = pre.unionByName(post)
+        self.write(updated, mode="overwrite", timestamp=timestamp,
+                   cdc_df=cdc_df)
         return n_updated
 
     def restore(
@@ -2191,25 +2381,41 @@ class VersionedTable:
         # scan met a DIRECTORY where it expected a file and crashed.
         # Delete only unreferenced regular files; prune emptied
         # directories bottom-up (never the data root itself).
-        def sweep(dpath) -> int:
+        def sweep(dpath, keep: set[str]) -> int:
             n = 0
             for st in fs.listStatus(dpath):
                 if st.isDirectory():
-                    n += sweep(st.getPath())
+                    n += sweep(st.getPath(), keep)
                     if not list(fs.listStatus(st.getPath())):
                         fs.delete(st.getPath(), True)
                     continue
                 fpath = str(st.getPath())
                 # normalize scheme prefixes like file:/ for comparison
                 rel = fpath.split(self.path, 1)[-1]
-                if f"{self.path}{rel}" not in referenced and not any(
-                    r.endswith(rel) for r in referenced
+                if f"{self.path}{rel}" not in keep and not any(
+                    r.endswith(rel) for r in keep
                 ):
                     fs.delete(st.getPath(), False)
                     n += 1
             return n
 
-        return deleted + sweep(data_dir)
+        deleted += sweep(data_dir, referenced)
+        # change-data files (round 12): keep those referenced by any
+        # commit inside the retention window — CDF below retention is
+        # already unreadable (its data files are gone), so its cdc
+        # files are orphans by the same rule
+        change_dir = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{_CHANGE_DIR}"
+        )
+        if fs.exists(change_dir):
+            keep_cdc = {
+                f"{self.path}/{rel}"
+                for c in commits
+                if c.version >= keep_versions[0]
+                for rel in c.cdc
+            }
+            deleted += sweep(change_dir, keep_cdc)
+        return deleted
 
 
 def versioned_table(
@@ -2218,6 +2424,7 @@ def versioned_table(
     use_delta: bool | None = None,
     ict: bool = False,
     log_store=None,
+    cdf: bool = False,
 ):
     """Factory: the Delta-native table when delta-spark is importable,
     else the parquet-log fallback above. Tests pin ``use_delta=False``
@@ -2232,4 +2439,6 @@ def versioned_table(
             "versionAsOf/timestampAsOf and DeltaTable directly; this fallback "
             "exists for environments without it"
         )
-    return VersionedTable(spark, path, ict=ict, log_store=log_store)
+    return VersionedTable(
+        spark, path, ict=ict, log_store=log_store, cdf=cdf
+    )

@@ -15,6 +15,7 @@ skips), so an external-engine read is attempted and env-skipped.
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -766,6 +767,7 @@ _SPEC_FIELDS = {
     "remove": {"path", "deletionTimestamp", "dataChange"},
     "txn": {"appId", "version"},
     "commitInfo": {"timestamp", "operation"},
+    "cdc": {"path", "partitionValues", "size", "dataChange"},
 }
 _SPEC_OPTIONAL = {
     "protocol": {"readerFeatures", "writerFeatures"},
@@ -3208,3 +3210,159 @@ def test_optimize_zorder_string_and_date_columns(spark, vt):
     assert sorted(
         r.id for r in vt.read().filter(F.col("seg") == "SEG07").collect()
     ) == [i for i in range(40000) if i % 20 == 7]
+
+
+def test_spec_paths_percent_encoded_and_absolute(spark, tmp_path):
+    """PROTOCOL.md: add/remove paths are percent-encoded and may be
+    ABSOLUTE (shallow clones). A foreign log using both forms must
+    read (round 12; previously an encoded space or absolute add
+    misread)."""
+    root = str(tmp_path / "enc")
+    other = str(tmp_path / "elsewhere")
+    os.makedirs(f"{root}/_delta_log")
+    os.makedirs(other)
+    spark.createDataFrame([(1,)], "id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/stage1")
+    spark.createDataFrame([(2,)], "id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{other}/stage2")
+    import glob as _glob
+
+    f1 = _glob.glob(f"{root}/stage1/part-*.parquet")[0]
+    f2 = _glob.glob(f"{other}/stage2/part-*.parquet")[0]
+    # give the first file a name that NEEDS encoding
+    weird = f"{root}/my data 100%.parquet"
+    os.rename(f1, weird)
+    schema = spark.createDataFrame([], "id long").schema
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "enc",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": "my%20data%20100%25.parquet",  # encoded relative
+                "partitionValues": {},
+                "size": os.path.getsize(weird),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+        {
+            "add": {
+                "path": f2,  # absolute, outside the table root
+                "partitionValues": {},
+                "size": os.path.getsize(f2),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    assert _rows(DL.read_delta(spark, root)) == [(1,), (2,)]
+
+
+def test_shallow_clone_is_metadata_only_and_independent(spark, vt, tmp_path):
+    """SHALLOW CLONE (round 12): one version-0 commit of absolute-path
+    adds — zero data files copied; deletion-vector masks carry over
+    (rewritten to absolute 'p' storage); later writes to the SOURCE
+    never change the clone; the clone streams through deltastream."""
+    from etl_deltalake_spark.sources.delta_stream import (
+        DeltaStreamDataSource,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 4).cast("long").alias("p"),
+    )
+    vt.write(df, mode="overwrite", partition_by=["p"],
+             timestamp="2026-01-01T00:00:00")
+    vt.delete_where(F.col("id") % 10 == 0,
+                    timestamp="2026-01-02T00:00:00", use_dv=True)
+    dest = str(tmp_path / "clone")
+    DL.shallow_clone(spark, vt.path, dest,
+                     timestamp="2026-01-03T00:00:00")
+    src_rows = _rows(DL.read_delta(spark, vt.path))
+    assert _rows(DL.read_delta(spark, dest)) == src_rows
+    assert len(src_rows) == 2000 - 200
+    # metadata-only: the clone root holds ONLY the log
+    assert os.listdir(dest.replace("file:", "")) == ["_delta_log"]
+    # independence: source evolves, clone does not
+    vt.write(
+        spark.createDataFrame([(99999, 1)], "id long, p long"),
+        mode="append", timestamp="2026-01-04T00:00:00",
+    )
+    assert len(_rows(DL.read_delta(spark, vt.path))) == 1801
+    assert _rows(DL.read_delta(spark, dest)) == src_rows
+    # double clone to the same dest refuses
+    with pytest.raises(ValueError, match="already has"):
+        DL.shallow_clone(spark, vt.path, dest)
+    # the clone streams (initial snapshot = its version-0 live set)
+    spark.dataSource.register(DeltaStreamDataSource)
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    q = (
+        spark.readStream.format("deltastream")
+        .option("path", dest)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.id, r.p) for r in spark.read.parquet(out).collect()
+    )
+    assert got == src_rows
+
+
+def test_multipart_checkpoint_written_and_replayed(
+    spark, vt, tmp_path, monkeypatch
+):
+    """Round 12: above _CHECKPOINT_PART_MAX action rows the mirror
+    writes the spec's SHARDED classic checkpoint
+    (%020d.checkpoint.%010d.%010d.parquet + parts in
+    _last_checkpoint) — at 100 TB a single checkpoint parquet over
+    millions of adds is the metadata bottleneck. Both readers (JVM
+    replay and the pure-python deltastream planner) resolve from the
+    parts after log cleanup."""
+    monkeypatch.setattr(DL, "_CHECKPOINT_PART_MAX", 4)
+    for i in range(10):  # 10th commit checkpoints at delta version 9
+        vt.write(
+            spark.createDataFrame([(i, f"r{i}")], "id long, val string")
+            .coalesce(1),
+            timestamp=f"2026-01-{i + 1:02d}T00:00:00",
+        )
+    log = f"{vt.path}/_delta_log".replace("file:", "")
+    parts = sorted(
+        n for n in os.listdir(log)
+        if not n.startswith(".")
+        and ".checkpoint." in n
+        and n.endswith(".parquet")
+        and len(n.split(".")) == 5
+    )
+    assert len(parts) >= 2  # 12 action rows / 4 per part
+    lc = json.load(open(f"{log}/_last_checkpoint"))
+    assert lc["parts"] == len(parts)
+    assert not os.path.exists(
+        f"{log}/{9:020d}.checkpoint.parquet"
+    )  # sharded form only
+    assert DL.cleanup_log(spark, vt.path) == 9
+    assert _rows(DL.read_delta(spark, vt.path)) == [
+        (i, f"r{i}") for i in range(10)
+    ]
+    from etl_deltalake_spark.sources.delta_stream import _snapshot_py
+
+    snap = _snapshot_py(vt.path)
+    assert snap["version"] == 9
+    assert len(snap["adds"]) == 10
