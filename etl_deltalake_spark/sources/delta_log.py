@@ -179,7 +179,8 @@ def metadata_action(
 
 
 def mirror_protocol(
-    has_dv: bool, ict: bool, cm: bool = False, cdf: bool = False
+    has_dv: bool, ict: bool, cm: bool = False, cdf: bool = False,
+    v2ck: bool = False,
 ) -> dict | None:
     """The protocol action the mirror needs for its enabled features
     (None = the default ``PROTOCOL_ACTION`` suffices). Feature lists
@@ -187,11 +188,12 @@ def mirror_protocol(
     writer 7), so any feature forces writer 7; deletion vectors and
     column mapping are reader-visible and force reader 3; change data
     feed and in-commit timestamps are writer-only."""
-    if not has_dv and not ict and not cm and not cdf:
+    if not has_dv and not ict and not cm and not cdf and not v2ck:
         return None
     rfeats = sorted(
         (["deletionVectors"] if has_dv else [])
         + (["columnMapping"] if cm else [])
+        + (["v2Checkpoint"] if v2ck else [])
     )
     wfeats = sorted(
         rfeats
@@ -502,6 +504,7 @@ def write_delta_checkpoint(
     features: tuple[list[str] | None, list[str] | None] | None = None,
     configuration: dict[str, str] | None = None,
     partition_columns: list[str] | None = None,
+    policy: str = "classic",
 ) -> None:
     """The classic single-file parquet checkpoint at ``delta_version``
     (one nullable-struct row per action: protocol, metaData, one add
@@ -602,6 +605,74 @@ def write_delta_checkpoint(
 
     v20 = f"{delta_version:0{_VERSION_DIGITS}d}"
     pointer: dict = {"version": delta_version, "size": len(rows)}
+    if policy == "v2":
+        # V2 NAMED checkpoint (round 12, writer side — the reader has
+        # handled these since r11): file actions (add/remove) go into
+        # a ``_delta_log/_sidecars/`` parquet; the top-level manifest
+        # ``%020d.checkpoint.<uuid>.json`` carries checkpointMetadata
+        # + protocol/metaData/txn + the sidecar reference. The uuid is
+        # NOT in _last_checkpoint — discovery lists the log dir, per
+        # spec. Scale story: sidecars shard file actions without the
+        # multi-part layout's fixed part count, and the manifest stays
+        # tiny however many files the table holds.
+        side_rows = [r for r in rows if r[2] is not None or r[3] is not None]
+        side_name = f"{uuid.uuid4().hex}.parquet"
+        fs.mkdirs(hp := jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/{_DELTA_DIR}/_sidecars"
+        ))
+        df = spark.createDataFrame(
+            side_rows, schema=_CHECKPOINT_SCHEMA
+        ).coalesce(1)
+        tmp_dir = f"{table_path}/{_DELTA_DIR}/_tmp_ckpt_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp_dir)
+        part = next(
+            str(st.getPath())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp_dir))
+            if st.getPath().getName().startswith("part-")
+        )
+        side_final = jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/{_DELTA_DIR}/_sidecars/{side_name}"
+        )
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(part), side_final):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
+            return
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
+        side_size = int(fs.getFileStatus(side_final).getLen())
+        proto_doc: dict = {"minReaderVersion": mrv, "minWriterVersion": mwv}
+        if rfeats is not None:
+            proto_doc["readerFeatures"] = rfeats
+        if wfeats is not None:
+            proto_doc["writerFeatures"] = wfeats
+        manifest_actions: list[dict] = [
+            {"checkpointMetadata": {"version": delta_version}},
+            {"protocol": proto_doc},
+            {"metaData": meta},
+            *(
+                {"txn": {"appId": a, "version": int((txns or {})[a])}}
+                for a in sorted(txns or {})
+            ),
+            {
+                "sidecar": {
+                    "path": side_name,
+                    "sizeInBytes": side_size,
+                    "modificationTime": millis,
+                }
+            },
+        ]
+        manifest = (
+            f"{table_path}/{_DELTA_DIR}/"
+            f"{v20}.checkpoint.{uuid.uuid4().hex}.json"
+        )
+        payload = "\n".join(
+            json.dumps(a, sort_keys=True) for a in manifest_actions
+        ).encode()
+        if _write_file_atomic(spark, manifest, payload):
+            _write_file_atomic(
+                spark,
+                f"{table_path}/{_DELTA_DIR}/_last_checkpoint",
+                json.dumps(pointer, sort_keys=True).encode(),
+            )
+        return
     if len(rows) <= _CHECKPOINT_PART_MAX:
         renamed = _emit(rows, f"{v20}.checkpoint.parquet")
     else:

@@ -31,7 +31,14 @@ public semantics this reimplements:
   micro-batch once the reader knows its position — commit-granular
   (never splits a commit); the first offset a fresh process answers
   is unbounded because the Python DataSource API exposes no
-  admission-control hook (see the __init__ comment).
+  admission-control hook (see the __init__ comment);
+- ``readChangeFeed=true`` (round 12) streams the CHANGE FEED: the
+  schema gains ``_change_type``, commits carrying spec ``cdc``
+  actions stream their recorded change rows (DML no longer
+  refuses), pure appends derive as inserts, the initial snapshot
+  labels current rows insert, and a rewrite WITHOUT cdc actions
+  still refuses honestly (enable delta.enableChangeDataFeed at
+  write time) unless skipChangeCommits skips it.
 
 Scope matches cdf_source: file-scheme table roots (planner walks the
 log with plain file I/O; executors read parquet via pyarrow in Python
@@ -322,11 +329,18 @@ class DeltaFilePartition(InputPartition):
         version: int,
         dv: dict | None,
         partition_values: dict,
+        change_type: str | None = None,
+        is_cdc: bool = False,
     ):
         self.path = path
         self.version = version
         self.dv = dv
         self.partition_values = partition_values
+        # CDF streaming (round 12): a literal label for derived
+        # changes ("insert"/"delete"), or is_cdc=True when the file
+        # is a _change_data parquet carrying its own _change_type
+        self.change_type = change_type
+        self.is_cdc = is_cdc
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -367,6 +381,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         # catch-up) honors the cap. Commits are never split (a Delta
         # commit is the atomicity unit), so a single commit larger
         # than the cap still admits whole.
+        self.read_cdf = (
+            options.get("readChangeFeed", "false").lower() == "true"
+        )
         mft = options.get("maxFilesPerTrigger")
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
@@ -456,7 +473,12 @@ class DeltaStreamReader(DataSourceStreamReader):
             snap = _snapshot_py(self.root, version=hi)
             _check_protocol(self.root, snap)
             for a in snap["adds"]:
-                parts.append(self._part(a, hi))
+                parts.append(
+                    self._part(
+                        a, hi,
+                        change_type="insert" if self.read_cdf else None,
+                    )
+                )
             return parts
         lo = start["version"]
         snap = _snapshot_py(self.root)
@@ -484,6 +506,36 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if a.get("remove") is not None
                 and a["remove"].get("dataChange", True)
             ]
+            if self.read_cdf:
+                # CDF streaming (round 12, delta-spark's
+                # readChangeFeed): commits carrying cdc actions stream
+                # their RECORDED change rows — DML no longer refuses;
+                # pure appends derive as inserts; a rewrite without
+                # cdc still refuses (enable CDF at write time) unless
+                # skipChangeCommits skips it wholesale.
+                cdcs = [
+                    a["cdc"] for a in actions if a.get("cdc") is not None
+                ]
+                if cdcs:
+                    for c in cdcs:
+                        parts.append(self._part(c, v, is_cdc=True))
+                    continue
+                if not adds and not removes:
+                    continue  # OPTIMIZE / metadata-only commit
+                if adds and not removes:
+                    for a in adds:
+                        parts.append(
+                            self._part(a, v, change_type="insert")
+                        )
+                    continue
+                if self.skip_change:
+                    continue
+                raise ValueError(
+                    f"deltastream: version {v} rewrites data without "
+                    "cdc actions — the change set is not derivable; "
+                    "enable delta.enableChangeDataFeed at write time "
+                    "or set skipChangeCommits=true"
+                )
             if not adds and not removes:
                 continue  # OPTIMIZE / metadata-only commit
             if removes:
@@ -511,7 +563,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                 parts.append(self._part(a, v))
         return parts
 
-    def _part(self, add: dict, version: int) -> DeltaFilePartition:
+    def _part(
+        self, add: dict, version: int, change_type: str | None = None,
+        is_cdc: bool = False,
+    ) -> DeltaFilePartition:
         # spec paths are percent-encoded, relative OR absolute
         # (shallow clones point at another table's files)
         from etl_deltalake_spark.sources.delta_log import resolve_add_path
@@ -521,6 +576,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             version,
             add.get("deletionVector"),
             dict(add.get("partitionValues") or {}),
+            change_type=change_type,
+            is_cdc=is_cdc,
         )
 
     def read(self, part: DeltaFilePartition):
@@ -547,6 +604,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             elif phys in present:
                 col_of[name] = phys
         wanted = sorted(set(col_of.values()))
+        if part.is_cdc and "_change_type" in present:
+            wanted.append("_change_type")
         table = pf.read(columns=wanted)
         by_name = {n: table.column(n).to_pylist() for n in wanted}
         n_rows = table.num_rows if wanted else pf.metadata.num_rows
@@ -564,6 +623,13 @@ class DeltaStreamReader(DataSourceStreamReader):
                 cols.append([val] * n_rows)
             else:  # pre-schema-evolution file: null fill
                 cols.append([None] * n_rows)
+        if self.read_cdf:
+            # CDF column: recorded in the cdc file itself, or the
+            # derived literal ("insert" for snapshot/append rows)
+            if part.is_cdc:
+                cols.append(by_name["_change_type"])
+            else:
+                cols.append([part.change_type] * n_rows)
         masked = (
             _dv_positions_py(self.root, part.dv) if part.dv else None
         )
@@ -616,6 +682,11 @@ class DeltaStreamDataSource(DataSource):
         cols = ", ".join(
             f"`{n}` {t}" for n, t, _p, _i in self._table_fields()
         )
+        if self.options.get("readChangeFeed", "false").lower() == "true":
+            return (
+                f"{cols}, `_change_type` string, "
+                "`_commit_version` bigint"
+            )
         return f"{cols}, `_commit_version` bigint"
 
     def streamReader(self, schema) -> DeltaStreamReader:

@@ -238,6 +238,7 @@ class VersionedTable:
         ict: bool = False,
         log_store=None,
         cdf: bool = False,
+        v2_checkpoints: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -250,6 +251,12 @@ class VersionedTable:
         # serve table_changes without this repo in the loop. Open an
         # existing CDF table with the same flag.
         self.cdf = cdf
+        # V2 named checkpoints (round 12): the mirror emits the
+        # manifest + _sidecars layout instead of the classic parquet;
+        # requires the v2Checkpoint reader/writer feature, so only
+        # opt in when downstream readers support it (this repo's two
+        # readers both do).
+        self.v2_checkpoints = v2_checkpoints
         # LogStore seam (round 12): commit-file placement is the ONE
         # operation optimistic concurrency needs to be atomic.
         # Default = Hadoop temp+rename, atomic on HDFS/ABFS/local but
@@ -1034,10 +1041,14 @@ class VersionedTable:
         had_cm = bool(commits and commits[-1].column_ids)
         has_cm = had_cm or mapping is not None
         cur_proto = DL.mirror_protocol(
-            has_dv, self.ict, has_cm, cdf=self.cdf
+            has_dv, self.ict, has_cm, cdf=self.cdf,
+            v2ck=self.v2_checkpoints,
         )
         prev_proto = (
-            DL.mirror_protocol(had_dv, self.ict, had_cm, cdf=self.cdf)
+            DL.mirror_protocol(
+                had_dv, self.ict, had_cm, cdf=self.cdf,
+                v2ck=self.v2_checkpoints,
+            )
             if commits
             else None
         )
@@ -1112,7 +1123,10 @@ class VersionedTable:
                 rel: json.loads(desc)
                 for rel, desc in (dv_live or {}).items()
             }
-            ckpt_proto = DL.mirror_protocol(has_dv, self.ict, has_cm)
+            ckpt_proto = DL.mirror_protocol(
+                has_dv, self.ict, has_cm, cdf=self.cdf,
+                v2ck=self.v2_checkpoints,
+            )
             proto_body = (ckpt_proto or {}).get("protocol") or {}
             DL.write_delta_checkpoint(
                 self.spark,
@@ -1142,6 +1156,7 @@ class VersionedTable:
                 ),
                 configuration=mirror_config or None,
                 partition_columns=list(partition_by) or None,
+                policy="v2" if self.v2_checkpoints else "classic",
             )
 
     def upsert(
@@ -2425,6 +2440,7 @@ def versioned_table(
     ict: bool = False,
     log_store=None,
     cdf: bool = False,
+    v2_checkpoints: bool = False,
 ):
     """Factory: the Delta-native table when delta-spark is importable,
     else the parquet-log fallback above. Tests pin ``use_delta=False``
@@ -2440,5 +2456,6 @@ def versioned_table(
             "exists for environments without it"
         )
     return VersionedTable(
-        spark, path, ict=ict, log_store=log_store, cdf=cdf
+        spark, path, ict=ict, log_store=log_store, cdf=cdf,
+        v2_checkpoints=v2_checkpoints,
     )

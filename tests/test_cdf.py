@@ -190,3 +190,88 @@ def test_vacuum_collects_expired_cdc_files(spark, tmp_path):
     n_after = sum(len(fs) for _, _, fs in os.walk(f"{root}/_change_data"))
     assert n_after < n_before
     assert t.read().count() == 10  # 10 - 1 deleted + 1 appended
+
+
+def test_deltastream_read_change_feed(spark, tmp_path):
+    """readChangeFeed streaming (round 12, delta-spark parity): a CDF
+    table's DML commits STREAM their recorded change rows instead of
+    refusing; appends derive as inserts; the initial snapshot labels
+    current rows insert; a rewrite without cdc still refuses."""
+    from etl_deltalake_spark.sources.delta_stream import (
+        DeltaStreamDataSource,
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    t = versioned_table(spark, str(tmp_path / "cdfs"), use_delta=False,
+                        cdf=True)
+    t.write(_df(spark, [(i, f"v{i}") for i in range(10)]),
+            timestamp="2026-01-01T00:00:00")
+    t.delete_where(F.col("id") % 3 == 0,
+                   timestamp="2026-01-02T00:00:00", use_dv=True)
+    t.update_where(F.col("id") == 7, {"val": F.lit("SEVEN")},
+                   timestamp="2026-01-03T00:00:00", use_dv=True)
+
+    def drain(out, ckp, **opts):
+        reader = (
+            spark.readStream.format("deltastream")
+            .option("path", t.path)
+            .option("readChangeFeed", "true")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (r.id, r.val, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # full replay: matches the SPEC batch CDF reader exactly
+    got = drain(str(tmp_path / "o1"), str(tmp_path / "c1"),
+                startingVersion="0")
+    want = sorted(
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in DL.read_delta_cdf(spark, t.path, -1).collect()
+    )
+    assert got == want
+    assert (0, "v0", "delete", 1) in got
+    assert (7, "v7", "update_preimage", 2) in got
+    assert (7, "SEVEN", "update_postimage", 2) in got
+    # initial-snapshot mode: CURRENT rows, all labeled insert, masks on
+    snap = drain(str(tmp_path / "o2"), str(tmp_path / "c2"))
+    assert {ct for _, _, ct, _ in snap} == {"insert"}
+    assert sorted(i for i, _, _, _ in snap) == [
+        i for i in range(10) if i % 3 != 0
+    ]
+    # a non-CDF table's rewrite refuses even under readChangeFeed
+    t2 = versioned_table(spark, str(tmp_path / "plain2"),
+                         use_delta=False)
+    t2.write(_df(spark, [(1, "a"), (2, "b")]),
+             timestamp="2026-01-01T00:00:00")
+    t2.delete_where(F.col("id") == 1, timestamp="2026-01-02T00:00:00",
+                    use_dv=True)
+    import re
+
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        reader = (
+            spark.readStream.format("deltastream")
+            .option("path", t2.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+        )
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "o3"))
+            .option("checkpointLocation", str(tmp_path / "c3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)

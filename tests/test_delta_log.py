@@ -3366,3 +3366,46 @@ def test_multipart_checkpoint_written_and_replayed(
     snap = _snapshot_py(vt.path)
     assert snap["version"] == 9
     assert len(snap["adds"]) == 10
+
+
+def test_v2_checkpoint_written_and_replayed(spark, tmp_path):
+    """Round 12 writer side (the reader handled v2 since r11): a
+    ``v2_checkpoints=True`` table mirrors the V2 NAMED layout —
+    manifest %020d.checkpoint.<uuid>.json (checkpointMetadata +
+    protocol/metaData/txn + sidecar refs) with file actions in
+    _delta_log/_sidecars/ parquet; protocol carries the v2Checkpoint
+    feature; both readers resolve from it after log cleanup."""
+    t = versioned_table(
+        spark, str(tmp_path / "v2"), use_delta=False, v2_checkpoints=True
+    )
+    for i in range(10):
+        t.write(
+            spark.createDataFrame(
+                [(i, f"r{i}")], "id long, val string"
+            ).coalesce(1),
+            timestamp=f"2026-01-{i + 1:02d}T00:00:00",
+            txn=("app", i) if i == 4 else None,
+        )
+    log = f"{t.path}/_delta_log".replace("file:", "")
+    manifests = [
+        n for n in os.listdir(log)
+        if not n.startswith(".")
+        and len(n.split(".")) == 4
+        and n.split(".")[1] == "checkpoint"
+        and n.endswith(".json")
+    ]
+    assert len(manifests) == 1
+    assert not os.path.exists(f"{log}/{9:020d}.checkpoint.parquet")
+    assert os.path.isdir(f"{log}/_sidecars")
+    snap = DL.delta_snapshot(spark, t.path)
+    assert "v2Checkpoint" in snap["protocol"]["readerFeatures"]
+    assert DL.cleanup_log(spark, t.path) == 9
+    assert _rows(DL.read_delta(spark, t.path)) == [
+        (i, f"r{i}") for i in range(10)
+    ]
+    snap = DL.delta_snapshot(spark, t.path)
+    assert snap["txns"] == {"app": 4}
+    from etl_deltalake_spark.sources.delta_stream import _snapshot_py
+
+    psnap = _snapshot_py(t.path)
+    assert psnap["version"] == 9 and len(psnap["adds"]) == 10
