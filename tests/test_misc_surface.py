@@ -236,6 +236,9 @@ def test_casefold_inventory_outside_text_module():
         ("sources/delta_stream.py", "t = ddl_type.lower()"),
         ("sources/delta_stream.py", '"skipChangeCommits", "false").lower()'),
         ("sources/delta_stream.py", '"ignoreDeletes", "false").lower()'),
+        # round-12 CDF streaming: the readChangeFeed OPTION STRING
+        # ("true"/"false"), same class as the two above
+        ("sources/delta_stream.py", '"readChangeFeed", "false").lower()'),
     }
     unexpected = [
         (rel, code)
