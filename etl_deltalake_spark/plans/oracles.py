@@ -5911,3 +5911,17 @@ oracle("q_cdf_spec")(
     ORDER BY _change_type, _commit_version
     """
 )
+
+oracle("q_clone_read")(
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM customer
+    WHERE c_mktsegment <> 'MACHINERY'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """
+)

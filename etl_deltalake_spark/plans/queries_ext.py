@@ -4963,3 +4963,54 @@ def q_cdf_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type", "_commit_version")
     )
+
+
+def q_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE, cross-engine graded (round 12): customer loads
+    into a versioned table, a merge-on-read DELETE masks one segment,
+    ``delta_log.shallow_clone`` snapshots the table as a NEW spec
+    table of absolute-path adds (deletion vectors rewritten to
+    absolute ``p`` storage), and the SOURCE then deletes another
+    segment. The graded aggregate reads the CLONE through the spec
+    reader — it breaks if the absolute adds mispoint, the DV rewrite
+    fails (MACHINERY resurrects), or source evolution leaks in
+    (BUILDING disappears). Oracle: the clone-time snapshot derived
+    relationally. Scale: the clone is ONE metadata commit at any
+    table size — the O(metadata) dev/test-copy story."""
+    import tempfile
+
+    from etl_deltalake_spark.sources import delta_log as DL
+    from etl_deltalake_spark.sources.versioned import versioned_table
+
+    root = tempfile.mkdtemp(prefix="sgraft_clone_")
+    t = versioned_table(spark, f"{root}/src", use_delta=False)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).alias("cents"),
+    )
+    t.write(cust, timestamp="2026-01-01T00:00:00")
+    t.delete_where(
+        F.col("c_mktsegment") == "MACHINERY",
+        timestamp="2026-01-02T00:00:00",
+        use_dv=True,
+    )
+    DL.shallow_clone(
+        spark, t.path, f"{root}/clone", timestamp="2026-01-03T00:00:00"
+    )
+    # post-clone source evolution must NOT leak into the clone
+    t.delete_where(
+        F.col("c_mktsegment") == "BUILDING",
+        timestamp="2026-01-04T00:00:00",
+        use_dv=True,
+    )
+    return (
+        DL.read_delta(spark, f"{root}/clone")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -498,6 +498,10 @@ SLOTLESS: tuple[str, ...] = (
     # actions + _change_data files; graded through the SPEC reader
     # (delta_log.read_delta_cdf), never the custom log
     "q_cdf_spec",
+    # round 12 — shallow clone: absolute-path adds + DV rewrite,
+    # graded through the spec reader on the CLONE after the source
+    # evolved
+    "q_clone_read",
 )
 
 
