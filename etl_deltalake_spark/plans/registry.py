@@ -116,15 +116,15 @@ REGISTERED: tuple[str, ...] = (
     "q_feature_matrix",
     "q_stream_cdf",
     "q_dv_merge",
-    "q_dv_cdf",
+    "q_cdf_spec",
     "q_partitioned_read",
+    "q_clone_read",
     "q_asof_join",
     "q_entity_match",
     "q_stats_agg",
     "q_percentiles",
     "q_seasonal",
     "q_sql_scripting",
-    "q_sessionize",
     "q_variant",
     # streaming (SURVEY §2.8)
     "q_stream_tumbling",
@@ -375,6 +375,31 @@ RETIRED_R12: tuple[str, ...] = (
     "q_interval_join",
 )
 
+# Round-13 rotation (VERDICT r12 Next #3): the round-12 spec-storage
+# flagships — spec change data feed and shallow clone — had zero
+# driver rows.
+# q_dv_cdf → q_cdf_spec: the identical DML script (initial load +
+# merge-on-read DELETE + merge-on-read UPDATE over the same source)
+# is graded through the SPEC reader (read_delta_cdf over cdc actions
+# recorded at write time) instead of the custom log's table_changes
+# derivation — strictly more external-reader surface per row. The
+# derivation path keeps its own driver-independent gates:
+# tests/test_dv_scale.py::test_large_mask_cdf_no_driver_positions
+# drives table_changes over a >1M-position DV commit, and the
+# q_dv_cdf oracle stays pytest-gated like every retiree.
+# q_sessionize → q_clone_read: every operator in the sessionize plan
+# already holds a driver row — grouped lag + running sum is exactly
+# q_gold_window's graded shape, the rollup half is q_grouping_sets,
+# the aggregate q_group_agg — while shallow clone (absolute
+# percent-encoded adds, DV descriptors rewritten to absolute
+# storage, source-independence after the source evolves) had no
+# driver row at all; the behavior family keeps q_funnel/q_cohort/
+# q_attribution/q_rfm pytest oracles.
+RETIRED_R13: tuple[str, ...] = (
+    "q_dv_cdf",
+    "q_sessionize",
+)
+
 # Oracle-paired queries without a driver slot (pytest-gated).
 SLOTLESS: tuple[str, ...] = (
     "q_pack_sequences",
@@ -494,14 +519,6 @@ SLOTLESS: tuple[str, ...] = (
     # post-DDL aggregate (q_dv_cdf / q_partitioned_read / q_dv_merge
     # were promoted to driver rows in the round-12 rotation)
     "q_rename_read",
-    # round 12 — spec change data feed: DML commits record cdc
-    # actions + _change_data files; graded through the SPEC reader
-    # (delta_log.read_delta_cdf), never the custom log
-    "q_cdf_spec",
-    # round 12 — shallow clone: absolute-path adds + DV rewrite,
-    # graded through the spec reader on the CLONE after the source
-    # evolved
-    "q_clone_read",
 )
 
 
@@ -524,6 +541,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R10B,
     RETIRED_R11,
     RETIRED_R12,
+    RETIRED_R13,
     SLOTLESS,
 )
 

@@ -223,6 +223,7 @@ def emit_delta_commit(
     txn: tuple[str, int] | None = None,
     data_change: bool = True,
     dv_adds: dict[str, dict] | None = None,
+    dv_removes: dict[str, dict] | None = None,
     protocol_action: dict | None = None,
     ict: bool = False,
     metadata_configuration: dict[str, str] | None = None,
@@ -287,15 +288,18 @@ def emit_delta_commit(
     from urllib.parse import quote as _q
 
     for rel in remove:
-        actions.append(
-            {
-                "remove": {
-                    "path": _q(rel, safe="/="),
-                    "deletionTimestamp": millis,
-                    "dataChange": data_change,
-                }
-            }
-        )
+        rentry: dict = {
+            "path": _q(rel, safe="/="),
+            "deletionTimestamp": millis,
+            "dataChange": data_change,
+        }
+        rdv = (dv_removes or {}).get(rel)
+        if rdv is not None:
+            # the file leaves the table as it WAS — masked. Real Delta
+            # removes copy the add's descriptor; CDF derivation needs
+            # it to report only live rows as deleted (round 13)
+            rentry["deletionVector"] = rdv
+        actions.append({"remove": rentry})
     for rel in add:
         entry = {
             "path": _q(rel, safe="/="),
@@ -360,6 +364,7 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
     had_dv = False
     had_cm = False
     ict = getattr(table, "ict", False)
+    dv_state: dict[str, str] = {}  # rel → descriptor JSON, as of c-1
     for i, c in enumerate(commits):
         dv = c.version - 1
         c_mapping = (
@@ -399,6 +404,14 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
                 dv_adds=(
                     {rel: json.loads(desc) for rel, desc in c.dv} or None
                 ),
+                dv_removes=(
+                    {
+                        rel: json.loads(dv_state[rel])
+                        for rel in c.remove
+                        if rel in dv_state
+                    }
+                    or None
+                ),
                 protocol_action=cur if cur != prev else None,
                 ict=ict,
                 metadata_configuration=config or None,
@@ -407,6 +420,16 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
         prev_schema = c.schema
         had_dv = had_dv or bool(c.dv)
         had_cm = had_cm or c_mapping is not None
+        # roll the DV state forward (same rule as snapshot replay: a
+        # re-add without a descriptor clears any prior mask)
+        for rel in c.remove:
+            dv_state.pop(rel, None)
+        dvd = dict(c.dv)
+        for rel in c.add:
+            if dvd.get(rel) is not None:
+                dv_state[rel] = dvd[rel]
+            else:
+                dv_state.pop(rel, None)
 
 
 def _schema_json_from_ddl(schema, mapping: dict | None = None) -> str:
@@ -616,28 +639,52 @@ def write_delta_checkpoint(
         # multi-part layout's fixed part count, and the manifest stays
         # tiny however many files the table holds.
         side_rows = [r for r in rows if r[2] is not None or r[3] is not None]
-        side_name = f"{uuid.uuid4().hex}.parquet"
-        fs.mkdirs(hp := jvm.org.apache.hadoop.fs.Path(
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(
             f"{table_path}/{_DELTA_DIR}/_sidecars"
         ))
-        df = spark.createDataFrame(
-            side_rows, schema=_CHECKPOINT_SCHEMA
-        ).coalesce(1)
-        tmp_dir = f"{table_path}/{_DELTA_DIR}/_tmp_ckpt_{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(tmp_dir)
-        part = next(
-            str(st.getPath())
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp_dir))
-            if st.getPath().getName().startswith("part-")
-        )
-        side_final = jvm.org.apache.hadoop.fs.Path(
-            f"{table_path}/{_DELTA_DIR}/_sidecars/{side_name}"
-        )
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(part), side_final):
+        # shard file actions by _CHECKPOINT_PART_MAX — same bound as
+        # the classic multi-part layout; one unbounded sidecar would
+        # re-create the single-file bottleneck v2 exists to avoid
+        # (round 13; the manifest carries one sidecar action each)
+        chunks = [
+            side_rows[i : i + _CHECKPOINT_PART_MAX]
+            for i in range(0, len(side_rows), _CHECKPOINT_PART_MAX)
+        ] or [[]]
+        sidecar_actions: list[dict] = []
+        for chunk in chunks:
+            side_name = f"{uuid.uuid4().hex}.parquet"
+            df = spark.createDataFrame(
+                chunk, schema=_CHECKPOINT_SCHEMA
+            ).coalesce(1)
+            tmp_dir = (
+                f"{table_path}/{_DELTA_DIR}/_tmp_ckpt_{uuid.uuid4().hex}"
+            )
+            df.write.mode("overwrite").parquet(tmp_dir)
+            part = next(
+                str(st.getPath())
+                for st in fs.listStatus(
+                    jvm.org.apache.hadoop.fs.Path(tmp_dir)
+                )
+                if st.getPath().getName().startswith("part-")
+            )
+            side_final = jvm.org.apache.hadoop.fs.Path(
+                f"{table_path}/{_DELTA_DIR}/_sidecars/{side_name}"
+            )
+            ok = fs.rename(jvm.org.apache.hadoop.fs.Path(part), side_final)
             fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
-            return
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
-        side_size = int(fs.getFileStatus(side_final).getLen())
+            if not ok:
+                return
+            sidecar_actions.append(
+                {
+                    "sidecar": {
+                        "path": side_name,
+                        "sizeInBytes": int(
+                            fs.getFileStatus(side_final).getLen()
+                        ),
+                        "modificationTime": millis,
+                    }
+                }
+            )
         proto_doc: dict = {"minReaderVersion": mrv, "minWriterVersion": mwv}
         if rfeats is not None:
             proto_doc["readerFeatures"] = rfeats
@@ -651,13 +698,7 @@ def write_delta_checkpoint(
                 {"txn": {"appId": a, "version": int((txns or {})[a])}}
                 for a in sorted(txns or {})
             ),
-            {
-                "sidecar": {
-                    "path": side_name,
-                    "sizeInBytes": side_size,
-                    "modificationTime": millis,
-                }
-            },
+            *sidecar_actions,
         ]
         manifest = (
             f"{table_path}/{_DELTA_DIR}/"
@@ -1427,6 +1468,25 @@ def _norm_uri(p: str) -> str:
     return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
 
 
+def _fp_encode(p: str) -> str:
+    """Encode a RAW filesystem path exactly as Spark reports it in
+    ``_metadata.file_path`` (Hadoop Path → java.net.URI string form,
+    round 13): percent-encode chars outside the URI path charset
+    (unreserved + sub-delims + ``:@/``), leave non-ASCII raw — the
+    multi-arg java.net.URI constructor does not escape 'other'
+    chars. One ``urllib.parse.unquote`` is the exact inverse. Every
+    driver-built key that joins against a ``_metadata.file_path``
+    column MUST pass through this (or the column's values through
+    ``unquote``), else a partition value with a space or ``%``
+    silently mismatches — masked rows would resurrect."""
+    from urllib.parse import quote as _q
+
+    return "".join(
+        ch if ord(ch) > 127 else _q(ch, safe="/:@!$&'()*+,;=~")
+        for ch in p
+    )
+
+
 def resolve_add_path(table_path: str, p: str) -> str:
     """Spec ``add``/``remove`` paths are PERCENT-ENCODED and either
     table-relative or ABSOLUTE (PROTOCOL.md: shallow clones and some
@@ -1480,14 +1540,17 @@ def _dv_deleted_udf(descs: dict, table_path: str):
 
     def deleted(fp, ri):
         import numpy as np
+        from urllib.parse import unquote as _unq
 
         out = np.zeros(len(ri), dtype=bool)
         rv = ri.to_numpy(dtype=np.int64, copy=False)
         fv = fp.to_numpy()
         for f in pd.unique(fv):
-            if f not in descs:
+            # the scan column is URI-encoded; descs are keyed raw
+            fd = _unq(f)
+            if fd not in descs:
                 continue
-            pos = _positions_np(f)
+            pos = _positions_np(fd)
             if len(pos) == 0:
                 continue
             m = fv == f
@@ -1528,7 +1591,9 @@ def dv_mask(df, fp_col: str, ri_col: str, descs: dict, table_path: str,
     if total <= _DV_BROADCAST_MAX:
         masked = spark.createDataFrame(
             [
-                (fp, int(i))
+                # descs are keyed by RAW paths; the scan column is
+                # Spark's URI-encoded form — encode the join keys
+                (_fp_encode(fp), int(i))
                 for fp, d in descs.items()
                 for i in dv_positions(spark, table_path, d)
             ],
@@ -1860,12 +1925,16 @@ def read_delta_cdf(
     - a commit carrying ``cdc`` actions serves THEM verbatim (the
       ``_change_data`` parquet files hold the change rows plus
       ``_change_type``) — O(changes) however big the touched files;
-    - no cdc + only dataChange adds → every added row is ``insert``;
-    - no cdc + only full-file removes → the removed files' rows are
+    - no cdc + dataChange adds → every added row is ``insert``;
+    - no cdc + full-file removes → the removed files' rows are
       ``delete`` (files must not be vacuumed yet, same as Delta);
-    - no cdc + a rewrite (adds AND removes, or a deletion-vector
-      re-add) REFUSES honestly: the change set is not derivable
-      without re-running the DML — enable CDF at write time.
+      a commit with BOTH serves adds-as-insert plus
+      removes-as-delete — delta-spark's CDCReader derivation for
+      plain ``INSERT OVERWRITE`` on a CDF table, which writes no
+      cdc files (round 13, was a refusal);
+    - no cdc + a deletion-vector re-add REFUSES honestly: the
+      per-row change set is not derivable without re-running the
+      DML — enable CDF at write time.
 
     Columns resolve under the LATEST schema (delta-spark's default);
     column-mapped tables scan by physical name and alias back.
@@ -1899,11 +1968,16 @@ def read_delta_cdf(
     phys_data = _cm_physical_type(data_schema, cm_mode)
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
-    def scan(entries, change_lit: str | None, version: int, millis: int):
+    def scan(entries, change_lit: str | None, version: int, millis: int,
+             dvs: dict | None = None):
         """entries: [(path, partitionValues dict)] — read under the
         physical data schema (+ _change_type when stored in-file),
         inject partition literals, alias to logical, tag commit
-        columns. Groups by partition tuple like read_delta."""
+        columns. Groups by partition tuple like read_delta. ``dvs``
+        (scheme-normalized abs path → deletionVector descriptor)
+        masks files that were PARTIALLY deleted before this commit —
+        a remove of a DV-carrying file changes only its live rows
+        (round 13)."""
         ddl = phys_data
         if change_lit is None:  # cdc files store _change_type
             ddl = StructType(
@@ -1921,6 +1995,19 @@ def read_delta_cdf(
             key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
         ):
             part = spark.read.schema(ddl).parquet(*paths)
+            if dvs and any(_norm_uri(p) in dvs for p in paths):
+                part = dv_mask(
+                    part.select(
+                        "*",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"),
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+",
+                            "/",
+                        ).alias("__dv_fp"),
+                        F.col("_metadata.row_index").alias("__dv_ri"),
+                    ),
+                    "__dv_fp", "__dv_ri", dvs, table_path, keep="live",
+                ).drop("__dv_fp", "__dv_ri")
             part = part.select(
                 *[
                     F.col(pf.name).cast(lf.dataType).alias(lf.name)
@@ -2000,12 +2087,6 @@ def read_delta_cdf(
             continue
         if not adds and not removes:
             continue  # OPTIMIZE / metadata-only
-        if removes and adds:
-            raise ValueError(
-                f"{table_path}: version {v} rewrites data without cdc "
-                "actions — the change set is not derivable; enable "
-                "delta.enableChangeDataFeed at write time"
-            )
         if any(a.get("deletionVector") for a in adds):
             raise ValueError(
                 f"{table_path}: version {v} re-masks files without cdc "
@@ -2024,22 +2105,36 @@ def read_delta_cdf(
                     millis,
                 )
             )
-        else:
+        if removes:
+            from urllib.parse import unquote as _unquote
+
             parts.append(
                 scan(
                     [
                         (
                             r["path"],
                             # spec removes MAY omit partitionValues;
-                            # hive-layout paths still carry them
+                            # hive-layout paths still carry them —
+                            # decoded from the SPEC-encoded path
+                            # first, else `a%2520b` style values come
+                            # back one decode level wrong (round 13)
                             r.get("partitionValues")
-                            or partition_values_from_path(r["path"]),
+                            or partition_values_from_path(
+                                _unquote(r["path"])
+                            ),
                         )
                         for r in removes
                     ],
                     "delete",
                     v,
                     millis,
+                    dvs={
+                        _norm_uri(
+                            resolve_add_path(table_path, r["path"])
+                        ): r["deletionVector"]
+                        for r in removes
+                        if r.get("deletionVector")
+                    },
                 )
             )
     if not parts:

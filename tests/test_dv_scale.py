@@ -265,3 +265,56 @@ def test_log_store_seam_mediates_commit_races(spark, tmp_path):
     ]
     # every commit file that exists was placed through the store
     assert set(store.claimed) == {a._log_path(i) for i in (1, 2, 3)}
+
+
+def test_dv_dml_lost_race_retries_through_log_store(spark, tmp_path):
+    """ADVICE r12 (high): losing a commit race during merge-on-read
+    DML crashed with 'too many values to unpack' (the conflict check
+    iterated `for rel, _ in touched:` after touched became a list of
+    path strings). The loser must instead re-check the snapshot and
+    retry — succeeding when the rival commit was a benign append
+    that touched none of the masked files."""
+    path = str(tmp_path / "dvrace")
+    holder: dict = {}
+
+    class _LoseOnce:
+        def __init__(self):
+            self.fired = False
+
+        def __call__(self, p: str, payload: bytes) -> bool:
+            from etl_deltalake_spark.sources.versioned import (
+                _write_file_atomic,
+            )
+
+            if not self.fired and p == holder.get("slot"):
+                # a rival writer lands THIS slot first (benign
+                # append), then the seam reports the loss
+                self.fired = True
+                holder["rival"]()
+                return False
+            return _write_file_atomic(spark, p, payload)
+
+    store = _LoseOnce()
+    t = versioned_table(spark, path, use_delta=False, log_store=store)
+    t.write(
+        spark.range(200).select(F.col("id").cast("long")),
+        mode="overwrite",
+        timestamp="2024-01-01T00:00:00",
+    )
+    rival = versioned_table(spark, path, use_delta=False)
+    holder["slot"] = t._log_path(2)
+    holder["rival"] = lambda: rival.write(
+        spark.createDataFrame([(1001,)], "id long"),
+        timestamp="2024-01-02T00:00:00",
+    )
+    n = t.delete_where(
+        F.col("id") % 2 == 0, timestamp="2024-01-03T00:00:00",
+        use_dv=True,
+    )
+    assert store.fired
+    assert n == 100
+    # the DML landed at version 3, after the rival's append at 2
+    out = t.read()
+    assert out.count() == 101  # 100 odd survivors + the rival's row
+    assert out.filter(F.col("id") == 1001).count() == 1
+    assert out.filter((F.col("id") % 2 == 0) & (F.col("id") < 1000)).count() == 0
