@@ -1,0 +1,121 @@
+"""Log-stats file skipping wired into the READ PATHS (round 13,
+VERDICT r12 #4): ``read_delta(..., ranges=...)`` and
+``VersionedTable.read(ranges=...)`` prune files whose log-recorded
+min/max (or typed partitionValues) provably exclude the range —
+BEFORE any parquet footer is opened. At 100 TB a point query must
+skip files from O(log) metadata, not probe a million footers.
+Contract: pruning is conservative and I/O-only — the filtered result
+is bit-equal with and without ``ranges``."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_deltalake_spark.sources import delta_log as DL
+from etl_deltalake_spark.sources.versioned import versioned_table
+
+
+def _mk(spark, path, n_files=4, rows_per=100):
+    """n_files appends with DISJOINT id ranges, one file each."""
+    t = versioned_table(spark, path, use_delta=False)
+    for i in range(n_files):
+        df = spark.range(i * rows_per, (i + 1) * rows_per).select(
+            F.col("id").cast("long"),
+            (F.col("id") % 7).cast("long").alias("k"),
+        )
+        t.write(
+            df.coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+            timestamp=f"2026-01-{i + 1:02d}T00:00:00",
+        )
+    return t
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_spec_read_prunes_files_from_log_stats(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    full = DL.read_delta(spark, t.path)
+    assert len(full.inputFiles()) == 4
+    pruned = DL.read_delta(spark, t.path, ranges={"id": (120, 180)})
+    # ids 120..180 live entirely in file #2 (100..199)
+    assert len(pruned.inputFiles()) == 1
+    cond = F.col("id").between(120, 180)
+    assert _rows(pruned.filter(cond)) == _rows(full.filter(cond))
+    # open bounds work: id >= 350 → last file only
+    ge = DL.read_delta(spark, t.path, ranges={"id": (350, None)})
+    assert len(ge.inputFiles()) == 1
+    assert _rows(ge.filter(F.col("id") >= 350)) == _rows(
+        full.filter(F.col("id") >= 350)
+    )
+    # a range matching nothing → empty frame, schema intact
+    none = DL.read_delta(spark, t.path, ranges={"id": (10_000, None)})
+    assert none.count() == 0
+    assert none.columns == full.columns
+
+
+def test_versioned_read_prunes_and_masks_bit_equal(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "v"))
+    # DV delete across every file, then a ranged read: pruning and
+    # masking must compose — kept files still apply their masks
+    t.delete_where(
+        F.col("id") % 10 == 0, timestamp="2026-02-01T00:00:00",
+        use_dv=True,
+    )
+    full = t.read()
+    pruned = t.read(ranges={"id": (120, 180)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    cond = F.col("id").between(120, 180)
+    assert _rows(pruned.filter(cond)) == _rows(full.filter(cond))
+    # masked rows stay masked in the pruned scan
+    assert pruned.filter(F.col("id") == 130).count() == 0
+
+
+def test_partition_values_prune_without_stats(spark, tmp_path):
+    t = versioned_table(spark, str(tmp_path / "p"), use_delta=False)
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(400)],
+        "id long, p long, v double",
+    )
+    t.write(
+        df, mode="overwrite", partition_by=["p"],
+        timestamp="2026-01-01T00:00:00",
+    )
+    full = DL.read_delta(spark, t.path)
+    pruned = DL.read_delta(spark, t.path, ranges={"p": (2, 2)})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _rows(pruned.filter(F.col("p") == 2)) == _rows(
+        full.filter(F.col("p") == 2)
+    )
+    # composed: partition range AND data-column range
+    both = DL.read_delta(
+        spark, t.path, ranges={"p": (2, 2), "id": (0, 50)}
+    )
+    assert len(both.inputFiles()) <= len(pruned.inputFiles())
+    cond = (F.col("p") == 2) & (F.col("id") <= 50)
+    assert _rows(both.filter(cond)) == _rows(full.filter(cond))
+
+
+def test_ranges_resolve_logical_names_on_mapped_tables(spark, tmp_path):
+    """Column-mapped table: ranges key by LOGICAL name; stats and
+    partitionValues key by PHYSICAL name — the mapping must route."""
+    t = _mk(spark, str(tmp_path / "m"))
+    t.rename_column("id", "doc_id", "2026-02-01T00:00:00")
+    pruned = t.read(ranges={"doc_id": (120, 180)})
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter(
+        F.col("doc_id").between(120, 180)
+    ).count() == 61
+    spec = DL.read_delta(spark, t.path, ranges={"doc_id": (120, 180)})
+    assert len(spec.inputFiles()) == 1
+
+
+def test_unknown_or_statless_columns_keep_everything(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "c"))
+    # a column the stats never covered / a name that does not exist:
+    # conservative keep, never a wrong skip
+    kept = DL.read_delta(spark, t.path, ranges={"nope": (0, 1)})
+    assert len(kept.inputFiles()) == 4
+    assert kept.count() == 400
