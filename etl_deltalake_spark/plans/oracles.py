@@ -5925,3 +5925,19 @@ oracle("q_clone_read")(
     ORDER BY c_mktsegment
     """
 )
+
+oracle("q_pruned_read")(
+    """
+    WITH m AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders, m
+    WHERE o_orderkey % 10 <> 7
+      AND o_orderkey BETWEEN mk // 3 AND 2 * mk // 3
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+)

@@ -5014,3 +5014,58 @@ def q_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def q_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-stats file skipping on the READ PATH, cross-engine graded
+    (round 13, VERDICT r12 #4): orders commit as four key-ranged
+    appends (disjoint per-file min/max in the mirrored log's stats),
+    a merge-on-read DELETE masks every 10th key, and the graded read
+    goes through the SPEC reader with ``ranges`` — files whose stats
+    exclude [lo, hi] are pruned from the scan before any footer is
+    opened (tests/test_stats_pruning.py proves strictly-fewer files;
+    this row grades bit-equality). Breaks if pruning drops a file it
+    must keep, a masked row survives in a kept file, or the range
+    arithmetic diverges. Scale: a point query over 100 TB should
+    open O(matching files) footers, not O(all files)."""
+    import tempfile
+
+    from etl_deltalake_spark.sources import delta_log as DL
+    from etl_deltalake_spark.sources.versioned import versioned_table
+
+    root = tempfile.mkdtemp(prefix="sgraft_prune_")
+    t = versioned_table(spark, f"{root}/t", use_delta=False)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
+    )
+    mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    for i in range(4):
+        lo_i = i * (mk + 1) // 4
+        hi_i = (i + 1) * (mk + 1) // 4
+        t.write(
+            orders.filter(
+                (F.col("o_orderkey") >= lo_i)
+                & (F.col("o_orderkey") < hi_i)
+            ),
+            mode="overwrite" if i == 0 else "append",
+            timestamp=f"2026-01-{i + 1:02d}T00:00:00",
+        )
+    t.delete_where(
+        F.col("o_orderkey") % 10 == 7,
+        timestamp="2026-01-05T00:00:00",
+        use_dv=True,
+    )
+    lo, hi = mk // 3, 2 * mk // 3
+    return (
+        DL.read_delta(spark, t.path, ranges={"o_orderkey": (lo, hi)})
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

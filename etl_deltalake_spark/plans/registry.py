@@ -519,6 +519,10 @@ SLOTLESS: tuple[str, ...] = (
     # post-DDL aggregate (q_dv_cdf / q_partitioned_read / q_dv_merge
     # were promoted to driver rows in the round-12 rotation)
     "q_rename_read",
+    # round 13 — log-stats file skipping wired into the read paths
+    # (ranges={col: (lo, hi)}), graded through the spec reader over
+    # a DV-masked multi-file table
+    "q_pruned_read",
 )
 
 
