@@ -1662,6 +1662,7 @@ def read_delta(
     version: int | None = None,
     timestamp: str | int | None = None,
     ranges: dict | None = None,
+    where: str | None = None,
 ):
     """Read the latest snapshot THROUGH the Delta log (never the
     custom log) — what any external spec reader would materialize.
@@ -1699,7 +1700,15 @@ def read_delta(
     metadata, not probe a million parquet footers. Skipping is
     conservative (files without stats are kept) and prunes I/O only:
     the caller still applies the real filter, and the filtered
-    result is bit-equal with or without ``ranges``."""
+    result is bit-equal with or without ``ranges``.
+
+    ``where`` is the one-argument form: a SQL predicate string that
+    is BOTH mined for prune ranges (``ranges_from_condition`` —
+    conjuncts Catalyst can prove are per-column bounds) AND applied
+    as the row filter on the result, so
+    ``read_delta(s, p, where="k = 7 AND d >= DATE'2026-01-01'")``
+    is the full predicate-pushdown read. Explicit ``ranges`` compose
+    (intersection)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1768,6 +1777,18 @@ def read_delta(
         # every other read in the session.
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     schema = StructType.fromJson(_json.loads(snap["schema_json"]))
+    if where is not None:
+        mined = ranges_from_condition(spark, where)
+        if ranges:
+            # explicit ranges intersect the mined ones
+            for c, (lo, hi) in ranges.items():
+                mlo, mhi = mined.get(c, (None, None))
+                if lo is not None and (mlo is None or lo > mlo):
+                    mlo = lo
+                if hi is not None and (mhi is None or hi < mhi):
+                    mhi = hi
+                mined[c] = (mlo, mhi)
+        ranges = mined
     adds = snap["adds"]
     if ranges:
         # log-stats file skipping BEFORE any parquet footer is
@@ -1797,8 +1818,12 @@ def read_delta(
         for a in adds
         if a.get("deletionVector")
     }
+
+    def finish(df):
+        return df.filter(where) if where is not None else df
+
     if not adds:
-        return spark.createDataFrame([], schema=schema)
+        return finish(spark.createDataFrame([], schema=schema))
 
     def to_logical(df, phys_schema, logical_schema):
         if cm_mode == "none":
@@ -1817,7 +1842,7 @@ def read_delta(
     pcols = snap["partition_columns"]
     if not pcols:
         phys = _cm_physical_type(schema, cm_mode)
-        return to_logical(
+        return finish(to_logical(
             _scan_with_dv(
                 spark,
                 phys,
@@ -1830,7 +1855,7 @@ def read_delta(
             ),
             phys,
             schema,
-        )
+        ))
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     # partitionValues keys are PHYSICAL names under column mapping
     phys_of = {
@@ -1873,7 +1898,7 @@ def read_delta(
             part = part.withColumn(c, lit)
         part = part.select(*[f.name for f in schema.fields])
         out = part if out is None else out.unionByName(part)
-    return out
+    return finish(out)
 
 
 def cleanup_log(spark: SparkSession, table_path: str) -> int:
@@ -1991,8 +2016,168 @@ def add_survives_ranges(
             ):
                 return False
         except TypeError:
+            # date/datetime bounds vs the stats JSON's ISO strings:
+            # ISO-8601 order == lexicographic order, so compare the
+            # isoformat forms; anything else stays a conservative keep
+            import datetime
+
+            def _iso(b):
+                return (
+                    b.isoformat()
+                    if isinstance(
+                        b, (datetime.date, datetime.datetime)
+                    )
+                    else b
+                )
+
+            lo_s, hi_s = _iso(lo), _iso(hi)
+            if isinstance(fmin, str) and isinstance(fmax, str):
+                try:
+                    if (
+                        hi_s is not None
+                        and isinstance(hi_s, str)
+                        and fmin > hi_s
+                    ) or (
+                        lo_s is not None
+                        and isinstance(lo_s, str)
+                        and fmax < lo_s
+                    ):
+                        return False
+                except TypeError:
+                    continue
             continue
     return True
+
+
+def ranges_from_condition(spark: SparkSession, condition: str) -> dict:
+    """Extract per-column closed ranges from a SQL predicate for
+    file-level data skipping (round 13) — Catalyst parses the string
+    (spark-first: no hand SQL tokenizer) and the TOP-LEVEL AND
+    conjuncts of the tree are inspected for ``col OP literal`` /
+    ``literal OP col`` (OP ∈ =, <, <=, >, >=), ``BETWEEN`` and
+    ``IN``. Everything else — OR trees, functions over the column,
+    non-literal sides, unsupported literal types — contributes
+    NOTHING, never a wrong bound, so skipping stays conservative:
+    the returned dict under-constrains the predicate and the caller
+    still applies the full filter. Strict bounds relax to closed
+    ones (a file whose max equals the strict bound is kept)."""
+    import datetime
+
+    try:
+        root = (
+            spark._jsparkSession.sessionState()
+            .sqlParser()
+            .parseExpression(condition)
+        )
+    except Exception:
+        return {}
+
+    def lit_value(x):
+        dt = x.dataType().simpleString()
+        v = x.value()
+        if v is None:
+            return None, False
+        try:
+            if dt in ("tinyint", "smallint", "int", "bigint"):
+                return int(v), True
+            if dt in ("float", "double"):
+                return float(v), True
+            if dt == "string":
+                return str(v), True
+            if dt == "date":
+                return (
+                    datetime.date(1970, 1, 1)
+                    + datetime.timedelta(days=int(v)),
+                    True,
+                )
+            if dt.startswith("decimal"):
+                return float(str(v)), True
+        except Exception:
+            return None, False
+        return None, False  # timestamps/binary/etc: no bound
+
+    out: dict[str, list] = {}
+
+    def bound(col: str, lo, hi) -> None:
+        cur = out.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    def name_of(x) -> str:
+        return x.getClass().getSimpleName()
+
+    def conjunct(x) -> None:
+        nm = name_of(x)
+        ch = x.children()
+        if nm == "And":
+            conjunct(ch.apply(0))
+            conjunct(ch.apply(1))
+            return
+        if nm in (
+            "EqualTo",
+            "GreaterThan",
+            "GreaterThanOrEqual",
+            "LessThan",
+            "LessThanOrEqual",
+        ):
+            left, right = ch.apply(0), ch.apply(1)
+            flip = False
+            if (
+                name_of(left) == "Literal"
+                and name_of(right) == "UnresolvedAttribute"
+            ):
+                left, right, flip = right, left, True
+            if not (
+                name_of(left) == "UnresolvedAttribute"
+                and name_of(right) == "Literal"
+            ):
+                return
+            v, ok = lit_value(right)
+            if not ok:
+                return
+            col = left.name()
+            greater = nm in ("GreaterThan", "GreaterThanOrEqual")
+            if nm == "EqualTo":
+                bound(col, v, v)
+            elif greater != flip:  # col >= v (possibly mirrored)
+                bound(col, v, None)
+            else:
+                bound(col, None, v)
+            return
+        if nm == "In" and ch.size() >= 2:
+            if name_of(ch.apply(0)) != "UnresolvedAttribute":
+                return
+            vals = []
+            for i in range(1, ch.size()):
+                if name_of(ch.apply(i)) != "Literal":
+                    return
+                v, ok = lit_value(ch.apply(i))
+                if not ok:
+                    return
+                vals.append(v)
+            if vals:
+                bound(ch.apply(0).name(), min(vals), max(vals))
+            return
+        if nm == "UnresolvedFunction":
+            np = x.nameParts()
+            fn = ".".join(np.apply(i) for i in range(np.size()))
+            if fn == "between" and ch.size() == 3:
+                if (
+                    name_of(ch.apply(0)) == "UnresolvedAttribute"
+                    and name_of(ch.apply(1)) == "Literal"
+                    and name_of(ch.apply(2)) == "Literal"
+                ):
+                    lo, ok1 = lit_value(ch.apply(1))
+                    hi, ok2 = lit_value(ch.apply(2))
+                    if ok1 and ok2:
+                        bound(ch.apply(0).name(), lo, hi)
+            return
+        # anything else (Or, Not, functions, subqueries): no bound
+
+    conjunct(root)
+    return {c: (lo, hi) for c, (lo, hi) in out.items()}
 
 
 def _partition_value_typed(raw: str, ddl_type: str):

@@ -1279,6 +1279,7 @@ class VersionedTable:
         version: int | None = None,
         timestamp: str | None = None,
         ranges: dict | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally as of a version or a timestamp
         (the latest commit with ``commit.timestamp <= timestamp``).
@@ -1293,27 +1294,43 @@ class VersionedTable:
         the scan list before any footer is opened. Conservative
         (files without stats or without a mirror entry are kept) and
         I/O-only: callers still apply the real filter, and the
-        filtered result is bit-equal with or without ``ranges``."""
+        filtered result is bit-equal with or without ``ranges``.
+
+        ``where`` is the one-argument form: a SQL predicate string
+        mined for prune ranges (``delta_log.ranges_from_condition``)
+        AND applied as the row filter on the result; explicit
+        ``ranges`` intersect."""
         files, dvs, latest = self._snapshot_state(version, timestamp)
         if latest is None:
             raise ValueError(f"{self.path} has no commits")
+        if where is not None:
+            from etl_deltalake_spark.sources import delta_log as DL
+
+            mined = DL.ranges_from_condition(self.spark, where)
+            for c, (lo, hi) in (ranges or {}).items():
+                mlo, mhi = mined.get(c, (None, None))
+                if lo is not None and (mlo is None or lo > mlo):
+                    mlo = lo
+                if hi is not None and (mhi is None or hi < mhi):
+                    mhi = hi
+                mined[c] = (mlo, mhi)
+            ranges = mined
         if ranges and files:
             files = self._prune_files_by_stats(files, ranges, latest)
-            if not files:
-                ddl = ", ".join(
-                    f"`{name}` {dtype or 'string'}"
-                    for name, dtype in latest.schema
-                )
-                return self.spark.createDataFrame([], schema=ddl)
+
+        def finish(df: DataFrame) -> DataFrame:
+            return df.filter(where) if where is not None else df
+
         if not files:
             # A snapshot can be legitimately empty (overwrite with an
-            # empty frame); rebuild its TYPED schema from the commit
-            # record (pre-typed-log commits lack types and degrade to
+            # empty frame, or every file pruned by ``ranges``);
+            # rebuild its TYPED schema from the commit record
+            # (pre-typed-log commits lack types and degrade to
             # string, flagged in the DDL below rather than silently).
             ddl = ", ".join(
                 f"`{name}` {dtype or 'string'}" for name, dtype in latest.schema
             )
-            return self.spark.createDataFrame([], schema=ddl)
+            return finish(self.spark.createDataFrame([], schema=ddl))
         if all(t is not None for _, t in latest.schema):
             # Read under the COMMIT-RECORDED schema (Delta reads under
             # the log schema, not per-file footers): data files from
@@ -1321,8 +1338,8 @@ class VersionedTable:
             # surface them as nulls; renamed columns scan by PHYSICAL
             # name and alias back; pre-typed-log commits fall back to
             # footer inference below.
-            return self._logical_scan(files, dvs, latest)
-        return self.spark.read.parquet(*files)
+            return finish(self._logical_scan(files, dvs, latest))
+        return finish(self.spark.read.parquet(*files))
 
     def _prune_files_by_stats(
         self, files: list[str], ranges: dict, latest: Commit

@@ -234,6 +234,10 @@ def test_casefold_inventory_outside_text_module():
         # round-11 deltastream source: option strings and DDL type
         # KEYWORDS (bigint/double/...), never data columns
         ("sources/delta_stream.py", "t = ddl_type.lower()"),
+        # round-13 stats pruning: the same DDL-type-keyword lower in
+        # delta_log._partition_value_typed (the batch twin of the
+        # line above), never data columns
+        ("sources/delta_log.py", "t = ddl_type.lower()"),
         ("sources/delta_stream.py", '"skipChangeCommits", "false").lower()'),
         ("sources/delta_stream.py", '"ignoreDeletes", "false").lower()'),
         # round-12 CDF streaming: the readChangeFeed OPTION STRING

@@ -119,3 +119,47 @@ def test_unknown_or_statless_columns_keep_everything(spark, tmp_path):
     kept = DL.read_delta(spark, t.path, ranges={"nope": (0, 1)})
     assert len(kept.inputFiles()) == 4
     assert kept.count() == 400
+
+
+def test_ranges_from_condition_mines_conservative_bounds(spark):
+    R = DL.ranges_from_condition
+    assert R(spark, "id >= 5 AND id < 10") == {"id": (5, 10)}
+    assert R(spark, "k = 7") == {"k": (7, 7)}
+    assert R(spark, "5 <= id AND 20 > id") == {"id": (5, 20)}
+    assert R(spark, "name = 'x y'") == {"name": ("x y", "x y")}
+    assert R(spark, "a BETWEEN 1 AND 2 AND b IN (3, 1, 7)") == {
+        "a": (1, 2),
+        "b": (1, 7),
+    }
+    import datetime
+
+    assert R(spark, "d >= DATE'2026-01-02'") == {
+        "d": (datetime.date(2026, 1, 2), None)
+    }
+    # conservative refusals: OR trees, functions over the column,
+    # non-literal sides, unparseable text → no bound, never a wrong one
+    assert R(spark, "id = 1 OR id = 2") == {}
+    assert R(spark, "abs(id) < 5") == {}
+    assert R(spark, "id < other_col") == {}
+    assert R(spark, "this is ~~ not sql") == {}
+    # mixed: the OR branch contributes nothing, the AND conjunct does
+    assert R(spark, "(a = 1 OR b = 2) AND k >= 9") == {"k": (9, None)}
+
+
+def test_where_prunes_and_filters_in_one_call(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "w"))
+    got = DL.read_delta(
+        spark, t.path, where="id BETWEEN 120 AND 180 AND k = 3"
+    )
+    assert len(got.inputFiles()) == 1  # pruned like explicit ranges
+    full = DL.read_delta(spark, t.path)
+    want = full.filter(
+        F.col("id").between(120, 180) & (F.col("k") == 3)
+    )
+    assert _rows(got) == _rows(want)  # and FILTERED, not just pruned
+    # versioned twin
+    vgot = t.read(where="id BETWEEN 120 AND 180 AND k = 3")
+    assert len(vgot.inputFiles()) == 1
+    assert _rows(vgot) == _rows(want)
+    # a predicate that prunes everything still applies cleanly
+    assert t.read(where="id > 100000").count() == 0
