@@ -3682,3 +3682,96 @@ def test_golden_cdf_clone_v2_conformance(spark, tmp_path, monkeypatch):
         and len(n.split(".")) == 5
     )
     assert parts == golden["multipart_checkpoint_files"]
+
+
+def test_foreign_log_with_writer_only_features_reads(spark, tmp_path):
+    """Writer-only protocol features (rowTracking, domainMetadata,
+    icebergCompatV2, ...) constrain WRITERS; a reader must ignore
+    them — plus ``domainMetadata`` actions and row-tracking fields
+    (baseRowId / defaultRowCommitVersion) on adds — and still
+    refuse unknown READER features (round 13 tolerance pin; real
+    delta-spark tables carry these routinely)."""
+    import glob as _glob
+
+    root = str(tmp_path / "ft")
+    os.makedirs(f"{root}/_delta_log")
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/stage")
+    f1 = _glob.glob(f"{root}/stage/part-*.parquet")[0]
+    os.rename(f1, f"{root}/d1.parquet")
+    schema = spark.createDataFrame([], "id long").schema
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": [
+                    "deletionVectors",
+                    "rowTracking",
+                    "domainMetadata",
+                    "icebergCompatV2",
+                    "appendOnly",
+                    "invariants",
+                ],
+            }
+        },
+        {
+            "metaData": {
+                "id": "ft",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {"delta.enableRowTracking": "true"},
+                "createdTime": 0,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": "{\"rowIdHighWaterMark\":1}",
+                "removed": False,
+            }
+        },
+        {
+            "add": {
+                "path": "d1.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(f"{root}/d1.parquet"),
+                "modificationTime": 0,
+                "dataChange": True,
+                # row-tracking per-add fields a real writer emits
+                "baseRowId": 0,
+                "defaultRowCommitVersion": 0,
+            }
+        },
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    assert _rows(DL.read_delta(spark, root)) == [(1,), (2,)]
+    snap = DL.delta_snapshot(spark, root)
+    assert snap["version"] == 0
+    # the pure-python streaming planner tolerates them too
+    from etl_deltalake_spark.sources.delta_stream import _snapshot_py
+
+    psnap = _snapshot_py(root)
+    assert len(psnap["adds"]) == 1
+    # an unknown READER feature still refuses honestly
+    actions[0] = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "futureFeatureX"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    root2 = str(tmp_path / "ft2")
+    os.makedirs(f"{root2}/_delta_log")
+    with open(f"{root2}/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="futureFeatureX"):
+        DL.read_delta(spark, root2)

@@ -163,3 +163,21 @@ def test_where_prunes_and_filters_in_one_call(spark, tmp_path):
     assert _rows(vgot) == _rows(want)
     # a predicate that prunes everything still applies cleanly
     assert t.read(where="id > 100000").count() == 0
+
+
+def test_ranges_compose_with_time_travel(spark, tmp_path):
+    """Stats pruning at a time-travel version uses THAT snapshot's
+    adds: a file added after the as-of version never resurrects, and
+    pruning still skips within the historical live set."""
+    t = _mk(spark, str(tmp_path / "tt"))  # versions 1..4
+    got = DL.read_delta(
+        spark, t.path, version=1, ranges={"id": (120, 180)}
+    )
+    # at delta version 1 only files 0..199 exist; the range hits one
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 100  # whole surviving file, filter is caller's
+    assert got.filter(F.col("id").between(120, 180)).count() == 61
+    late = DL.read_delta(
+        spark, t.path, version=1, ranges={"id": (350, None)}
+    )
+    assert late.count() == 0  # that file does not exist yet at v1
