@@ -1481,6 +1481,8 @@ def _fp_encode(p: str) -> str:
     silently mismatches — masked rows would resurrect."""
     from urllib.parse import quote as _q
 
+    if p.isascii():  # fast path: java and python agree on ASCII
+        return _q(p, safe="/:@!$&'()*+,;=~")
     return "".join(
         ch if ord(ch) > 127 else _q(ch, safe="/:@!$&'()*+,;=~")
         for ch in p

@@ -181,3 +181,20 @@ def test_ranges_compose_with_time_travel(spark, tmp_path):
         spark, t.path, version=1, ranges={"id": (350, None)}
     )
     assert late.count() == 0  # that file does not exist yet at v1
+
+
+def test_where_filter_reaches_the_parquet_scan(spark, tmp_path):
+    """Three-tier pruning: the log stats skip FILES, and the same
+    predicate must also land in the FileScan (DataFilters) so the
+    kept files get parquet row-group skipping — not a filter stuck
+    above the union."""
+    t = _mk(spark, str(tmp_path / "push"))
+    df = DL.read_delta(
+        spark, t.path, where="id BETWEEN 120 AND 180 AND k = 3"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        line for line in plan.splitlines() if "FileScan" in line
+    ]
+    assert scan_lines
+    assert any("id" in line and ">= 120" in line for line in scan_lines)
