@@ -35,10 +35,14 @@ public semantics this reimplements:
 - ``readChangeFeed=true`` (round 12) streams the CHANGE FEED: the
   schema gains ``_change_type``, commits carrying spec ``cdc``
   actions stream their recorded change rows (DML no longer
-  refuses), pure appends derive as inserts, the initial snapshot
-  labels current rows insert, and a rewrite WITHOUT cdc actions
-  still refuses honestly (enable delta.enableChangeDataFeed at
-  write time) unless skipChangeCommits skips it.
+  refuses), appends derive as inserts, the initial snapshot labels
+  current rows insert, a no-cdc commit with adds AND removes (plain
+  INSERT OVERWRITE on a CDF table) derives adds-as-insert +
+  removes-as-delete like delta-spark's CDCReader (round 13; removes
+  carrying a deletion vector stream only their LIVE rows as
+  deletes), and only a DV re-add without cdc still refuses honestly
+  (enable delta.enableChangeDataFeed at write time) unless
+  skipChangeCommits skips it.
 
 Scope matches cdf_source: file-scheme table roots (planner walks the
 log with plain file I/O; executors read parquet via pyarrow in Python
@@ -527,20 +531,40 @@ class DeltaStreamReader(DataSourceStreamReader):
                     continue
                 if not adds and not removes:
                     continue  # OPTIMIZE / metadata-only commit
-                if adds and not removes:
-                    for a in adds:
-                        parts.append(
-                            self._part(a, v, change_type="insert")
+                if any(a.get("deletionVector") for a in adds):
+                    # a DV re-add without cdc: the per-row change set
+                    # is not derivable — refuse unless skipped
+                    if self.skip_change:
+                        continue
+                    raise ValueError(
+                        f"deltastream: version {v} re-masks files "
+                        "without cdc actions — the change set is not "
+                        "derivable; enable delta.enableChangeDataFeed "
+                        "at write time or set skipChangeCommits=true"
+                    )
+                # adds-as-insert + removes-as-delete — delta-spark's
+                # CDCReader derivation for plain INSERT OVERWRITE on a
+                # CDF table (round 13, matching read_delta_cdf). A
+                # remove carrying a DV masks the file so only its
+                # LIVE rows stream as deletes.
+                for a in adds:
+                    parts.append(self._part(a, v, change_type="insert"))
+                for r in removes:
+                    if not r.get("partitionValues"):
+                        from urllib.parse import unquote as _unq
+
+                        from etl_deltalake_spark.sources.delta_log import (
+                            partition_values_from_path,
                         )
-                    continue
-                if self.skip_change:
-                    continue
-                raise ValueError(
-                    f"deltastream: version {v} rewrites data without "
-                    "cdc actions — the change set is not derivable; "
-                    "enable delta.enableChangeDataFeed at write time "
-                    "or set skipChangeCommits=true"
-                )
+
+                        r = {
+                            **r,
+                            "partitionValues": partition_values_from_path(
+                                _unq(r["path"])
+                            ),
+                        }
+                    parts.append(self._part(r, v, change_type="delete"))
+                continue
             if not adds and not removes:
                 continue  # OPTIMIZE / metadata-only commit
             if removes:

@@ -515,3 +515,39 @@ def test_max_files_cap_respected_across_backlog_commits(spark, vt, tmp_path):
             break
     # 7 single-file commits / cap 2 → exactly ceil(7/2)=4 batches
     assert seen == [1, 3, 5, 6]
+
+
+def test_cdf_stream_derives_overwrite_insert_plus_delete(spark, tmp_path):
+    """Round 13 (streaming twin of read_delta_cdf's derivation): a
+    plain INSERT OVERWRITE on a CDF table writes no cdc actions —
+    the CDF stream must derive adds-as-insert + removes-as-delete,
+    masking a DV-carrying remove so only its live rows stream as
+    deletes, instead of refusing."""
+    spark.dataSource.register(DeltaStreamDataSource)
+    t = versioned_table(
+        spark, str(tmp_path / "ow"), use_delta=False, cdf=True
+    )
+    t.write(_df(spark, [(i,) for i in range(10)]),
+            timestamp="2026-01-01T00:00:00")
+    # DV delete (writes cdc; the data file now carries a mask)
+    t.delete_where(F.col("id") < 4, timestamp="2026-01-02T00:00:00",
+                   use_dv=True)
+    # plain overwrite: adds + removes, NO cdc — the derivation case
+    t.write(_df(spark, [(100,)]), mode="overwrite",
+            timestamp="2026-01-03T00:00:00")
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    _drain(spark, t.path, out, ckp,
+           readChangeFeed="true", startingVersion="0")
+    got = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == sorted(
+        [
+            *((i, "insert", 0) for i in range(10)),
+            *((i, "delete", 1) for i in range(4)),  # recorded cdc
+            # derived from the overwrite's removes, DV mask applied
+            *((i, "delete", 2) for i in range(4, 10)),
+            (100, "insert", 2),
+        ]
+    )
