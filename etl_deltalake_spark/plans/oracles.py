@@ -5901,6 +5901,15 @@ oracle("q_cdf_spec")(
       SELECT 'update_postimage', CAST(2 AS BIGINT), c_custkey, cents + 1
       FROM base
       WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 10 = 3
+      -- v3 = plain INSERT OVERWRITE, no cdc: derived as deletes of
+      -- the v2 LIVE set (DV masks applied) + inserts of the new rows
+      UNION ALL
+      SELECT 'delete', CAST(3 AS BIGINT), c_custkey,
+             cents + CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END
+      FROM base WHERE c_mktsegment <> 'BUILDING'
+      UNION ALL
+      SELECT 'insert', CAST(3 AS BIGINT), c_custkey, CAST(5 AS BIGINT)
+      FROM base WHERE c_custkey % 3 = 0
     )
     SELECT _change_type, _commit_version,
            COUNT(*) AS n,

@@ -4953,6 +4953,18 @@ def q_cdf_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp="2026-01-03T00:00:00",
         use_dv=True,
     )
+    # plain INSERT OVERWRITE writes NO cdc actions — the reader must
+    # DERIVE it as removes-as-delete (DV masks applied: only live
+    # rows) + adds-as-insert, delta-spark's CDCReader rule (round 13)
+    t.write(
+        cust.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey",
+            F.lit("NEW").alias("c_mktsegment"),
+            F.lit(5).cast("long").alias("cents"),
+        ),
+        mode="overwrite",
+        timestamp="2026-01-04T00:00:00",
+    )
     ch = DL.read_delta_cdf(spark, t.path, -1)
     return (
         ch.groupBy("_change_type", "_commit_version")
