@@ -537,7 +537,11 @@ def write_delta_checkpoint(
     reader that starts from the checkpoint after ``cleanup_log`` must
     still see tombstones and per-appId exactly-once state) plus the
     ``_last_checkpoint`` pointer."""
-    from etl_deltalake_spark.sources.versioned import _fs, _write_file_atomic
+    from etl_deltalake_spark.sources.versioned import (
+        _fs,
+        _write_file_atomic,
+        _write_file_overwrite,
+    )
 
     millis = _iso_to_millis(timestamp)
     meta = metadata_action(
@@ -708,7 +712,10 @@ def write_delta_checkpoint(
             json.dumps(a, sort_keys=True) for a in manifest_actions
         ).encode()
         if _write_file_atomic(spark, manifest, payload):
-            _write_file_atomic(
+            # OVERWRITE: the pointer must advance past earlier
+            # checkpoint generations (round 13 — put-if-absent left
+            # it stale forever after the first checkpoint)
+            _write_file_overwrite(
                 spark,
                 f"{table_path}/{_DELTA_DIR}/_last_checkpoint",
                 json.dumps(pointer, sort_keys=True).encode(),
@@ -736,7 +743,7 @@ def write_delta_checkpoint(
             )
         pointer["parts"] = n_parts
     if renamed:  # raced writers: first one wins, pointer follows
-        _write_file_atomic(
+        _write_file_overwrite(
             spark,
             f"{table_path}/{_DELTA_DIR}/_last_checkpoint",
             json.dumps(pointer, sort_keys=True).encode(),
@@ -1907,12 +1914,22 @@ def cleanup_log(spark: SparkSession, table_path: str) -> int:
     """Log retention (the real writers' behavior this reader already
     survives): delete ``_delta_log`` JSON commit files strictly below
     the newest checkpoint — snapshot resolution needs only the
-    checkpoint + the JSON tail. Returns files deleted. The CUSTOM
-    ``_log/`` is untouched (it keeps the full history, so
+    checkpoint + the JSON tail. Returns commit files deleted. The
+    CUSTOM ``_log/`` is untouched (it keeps the full history, so
     VersionedTable time travel / history / CDF keep working); only
     the spec mirror's tail shrinks, exactly like a real Delta
-    table after ``delta.logRetentionDuration`` cleanup."""
-    from etl_deltalake_spark.sources.versioned import _fs
+    table after ``delta.logRetentionDuration`` cleanup.
+
+    SUPERSEDED checkpoint generations go too (round 13): classic
+    single/multi-part parquet and v2 manifests below the newest
+    checkpoint version, plus ``_sidecars/`` parquet no surviving
+    manifest references — a long-lived table checkpoints every N
+    commits and would otherwise accumulate one dead metadata
+    generation per interval forever (real Delta's metadata cleanup
+    does the same). Not counted in the return value."""
+    import re as _re
+
+    from etl_deltalake_spark.sources.versioned import _fs, _read_small_file
 
     ckpt = _last_checkpoint(spark, table_path)
     if ckpt is None:
@@ -1920,6 +1937,11 @@ def cleanup_log(spark: SparkSession, table_path: str) -> int:
     jvm, fs, _ = _fs(spark, table_path)
     log_dir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_DELTA_DIR}")
     deleted = 0
+    live_sidecars: set[str] = set()
+    # a surviving PARQUET v2 manifest (foreign writers emit those)
+    # would need a parquet read to learn its sidecar refs — skip the
+    # sidecar sweep entirely in that case (conservative)
+    opaque_manifest = False
     for st in fs.listStatus(log_dir):
         name = st.getPath().getName()
         if (
@@ -1929,6 +1951,36 @@ def cleanup_log(spark: SparkSession, table_path: str) -> int:
         ):
             fs.delete(st.getPath(), False)
             deleted += 1
+            continue
+        m = _re.match(r"^(\d{20})\.checkpoint(\..*)?\.(json|parquet)$", name)
+        if m is None:
+            continue
+        v = int(m.group(1))
+        if v < ckpt["version"]:
+            fs.delete(st.getPath(), False)
+            continue
+        if name.endswith(".json"):
+            # surviving v2 manifest: its sidecars must stay
+            for line in _read_small_file(
+                spark, str(st.getPath())
+            ).decode().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("sidecar") is not None:
+                    live_sidecars.add(a["sidecar"]["path"])
+        elif m.group(2) and not _re.fullmatch(
+            r"\.\d{10}\.\d{10}", m.group(2)
+        ):
+            opaque_manifest = True  # surviving uuid-named parquet
+    side_dir = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{_DELTA_DIR}/_sidecars"
+    )
+    if fs.exists(side_dir) and not opaque_manifest:
+        for st in fs.listStatus(side_dir):
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and name not in live_sidecars:
+                fs.delete(st.getPath(), False)
     return deleted
 
 

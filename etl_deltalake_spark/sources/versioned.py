@@ -113,6 +113,30 @@ def _write_file_atomic(spark: SparkSession, path: str, payload: bytes) -> bool:
     return False
 
 
+def _write_file_overwrite(
+    spark: SparkSession, path: str, payload: bytes
+) -> bool:
+    """Last-writer-wins overwrite via temp + delete + rename — for
+    ADVISORY files (``_last_checkpoint``) where clobbering is the
+    point (round 13: the put-if-absent form silently FAILED to
+    advance the pointer past the first checkpoint generation, so
+    readers replayed ever-longer JSON tails forever). A reader
+    racing the swap sees the old pointer or none; both are safe —
+    the pointer is an optimization, missing means full replay."""
+    jvm, fs, hpath = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        hpath.getParent(), f"_tmp_{uuid.uuid4().hex}.json"
+    )
+    out = fs.create(tmp, False)
+    out.write(bytearray(payload))
+    out.close()
+    fs.delete(hpath, False)
+    if fs.rename(tmp, hpath):
+        return True
+    fs.delete(tmp, False)
+    return False
+
+
 def _parquet_num_rows(path: str) -> int:
     """Footer-only row count of one parquet file (local/file-scheme
     paths; -1 when the footer can't be read, so callers keep the

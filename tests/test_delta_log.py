@@ -3775,3 +3775,69 @@ def test_foreign_log_with_writer_only_features_reads(spark, tmp_path):
             f.write(json.dumps(a) + "\n")
     with pytest.raises(ValueError, match="futureFeatureX"):
         DL.read_delta(spark, root2)
+
+
+def test_cleanup_sweeps_superseded_checkpoint_generations(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: a long-lived table checkpoints every N commits —
+    cleanup must delete SUPERSEDED checkpoint generations (classic
+    parquet, multi-part parts, v2 manifests + their sidecars) along
+    with the commit JSONs, keeping the newest generation and its
+    sidecars; both readers still resolve. Real Delta's metadata
+    cleanup does the same."""
+    monkeypatch.setattr(DL, "_CHECKPOINT_PART_MAX", 4)
+    # classic + multipart generations
+    t = versioned_table(spark, str(tmp_path / "c"), use_delta=False)
+    for i in range(20):  # checkpoints at delta versions 9 and 19
+        t.write(
+            spark.createDataFrame([(i,)], "id long").coalesce(1),
+            timestamp=f"2026-01-{i + 1:02d}T00:00:00",
+        )
+    log = f"{t.path}/_delta_log".replace("file:", "")
+    before = [n for n in os.listdir(log) if ".checkpoint." in n]
+    assert any(n.startswith(f"{9:020d}.") for n in before)
+    assert DL.cleanup_log(spark, t.path) == 19
+    after = [n for n in os.listdir(log) if ".checkpoint." in n]
+    assert not any(n.startswith(f"{9:020d}.") for n in after)
+    assert any(n.startswith(f"{19:020d}.") for n in after)
+    assert _rows(DL.read_delta(spark, t.path)) == [(i,) for i in range(20)]
+
+    # v2 generations: the old manifest AND its sidecars go; the new
+    # manifest's sidecars survive and both readers resolve
+    tv = versioned_table(
+        spark, str(tmp_path / "v"), use_delta=False, v2_checkpoints=True
+    )
+    for i in range(20):
+        tv.write(
+            spark.createDataFrame([(i, f"r{i}")], "id long, val string")
+            .coalesce(1),
+            timestamp=f"2026-02-{i + 1:02d}T00:00:00",
+        )
+    vlog = f"{tv.path}/_delta_log".replace("file:", "")
+    n_side_before = len(
+        [n for n in os.listdir(f"{vlog}/_sidecars") if n.endswith(".parquet")]
+    )
+    assert DL.cleanup_log(spark, tv.path) == 19
+    manifests = [
+        n for n in os.listdir(vlog)
+        if len(n.split(".")) == 4 and n.endswith(".json")
+    ]
+    assert len(manifests) == 1 and manifests[0].startswith(f"{19:020d}.")
+    live = {
+        json.loads(line)["sidecar"]["path"]
+        for line in open(f"{vlog}/{manifests[0]}", encoding="utf-8")
+        if line.strip() and "sidecar" in json.loads(line)
+    }
+    on_disk = {
+        n for n in os.listdir(f"{vlog}/_sidecars") if n.endswith(".parquet")
+    }
+    assert on_disk == live  # old generation's sidecars swept
+    assert len(on_disk) < n_side_before
+    assert _rows(DL.read_delta(spark, tv.path)) == [
+        (i, f"r{i}") for i in range(20)
+    ]
+    from etl_deltalake_spark.sources.delta_stream import _snapshot_py
+
+    psnap = _snapshot_py(tv.path)
+    assert psnap["version"] == 19 and len(psnap["adds"]) == 20

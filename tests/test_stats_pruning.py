@@ -198,3 +198,51 @@ def test_where_filter_reaches_the_parquet_scan(spark, tmp_path):
     ]
     assert scan_lines
     assert any("id" in line and ">= 120" in line for line in scan_lines)
+
+
+def test_fp_encode_matches_sparks_file_path_encoding(spark, tmp_path):
+    """Pin the java.net.URI assumption behind ``_fp_encode``: for
+    every hostile partition value (space, %, +, parens, semicolon,
+    non-ASCII) the encoded raw on-disk path must equal what Spark
+    reports in ``_metadata.file_path`` (scheme-stripped) — the
+    invariant every DV broadcast join and Arrow kernel relies on. If
+    a Spark upgrade changes the encoding, this fails first."""
+    from urllib.parse import unquote
+
+    values = ["a b", "100%", "c+d", "p(ren)", "semi;colon", "naïve"]
+    t = versioned_table(spark, str(tmp_path / "enc"), use_delta=False)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, p string"
+    )
+    t.write(
+        df, mode="overwrite", partition_by=["p"],
+        timestamp="2026-01-01T00:00:00",
+    )
+    scan = (
+        t.read()
+        .select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"),
+                r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+",
+                "/",
+            ).alias("fp")
+        )
+        .distinct()
+        .collect()
+    )
+    reported = sorted(r.fp for r in scan)
+    files, _dvs, _l = t._snapshot_state()
+    encoded = sorted(DL._fp_encode(DL._norm_uri(f)) for f in files)
+    assert encoded == reported
+    # and one unquote is the exact inverse
+    raw = sorted(DL._norm_uri(f) for f in files)
+    assert sorted(unquote(e) for e in encoded) == raw
+    # end-to-end: DV DML keyed on every hostile value round-trips
+    n = t.delete_where(
+        F.col("id") % 2 == 0, timestamp="2026-01-02T00:00:00",
+        use_dv=True,
+    )
+    assert n == 3
+    assert sorted(r.p for r in t.read().collect()) == sorted(
+        values[i] for i in (1, 3, 5)
+    )
