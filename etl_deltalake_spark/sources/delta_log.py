@@ -1064,6 +1064,107 @@ def shallow_clone(
     return 0
 
 
+def delta_commit_timestamps(
+    spark: SparkSession, table_path: str
+) -> dict[int, int]:
+    """version → commit-time millis per the spec clock: log-file
+    modificationTime, MONOTONICALLY adjusted (max(mtime, prev+1) —
+    object stores don't promise ordered mtimes), overridden by
+    ``commitInfo.inCommitTimestamp`` from the enablement version on
+    when the table carries in-commit timestamps. The shared clock
+    behind ``timestampAsOf``, CDF timestamp bounds, and
+    ``delta_history`` (round 13 refactor)."""
+    from etl_deltalake_spark.sources.versioned import _fs
+
+    jvm, fs, _ = _fs(spark, table_path)
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_DELTA_DIR}")
+    entries: list[tuple[int, int]] = []
+    if fs.exists(log_dir):
+        for st in fs.listStatus(log_dir):
+            name = st.getPath().getName()
+            if name.endswith(".json") and name[:-5].isdigit():
+                entries.append(
+                    (int(name[:-5]), int(st.getModificationTime()))
+                )
+    if not entries:
+        return {}
+    entries.sort()
+    ts_by_version: dict[int, int] = {}
+    prev = -1
+    for v, mtime in entries:
+        prev = max(mtime, prev + 1)
+        ts_by_version[v] = prev
+    snap = delta_snapshot(spark, table_path)
+    cfg = snap.get("configuration") or {}
+    if cfg.get("delta.enableInCommitTimestamps") == "true":
+        enable_from = int(
+            cfg.get(
+                "delta.inCommitTimestampEnablementVersion", entries[0][0]
+            )
+        )
+        for v, a in delta_log_actions(spark, table_path, entries[0][0]):
+            if v >= enable_from and "commitInfo" in a:
+                ict = a["commitInfo"].get("inCommitTimestamp")
+                if ict is not None:
+                    ts_by_version[v] = int(ict)
+    return ts_by_version
+
+
+def delta_history(spark: SparkSession, table_path: str):
+    """DESCRIBE HISTORY through the Delta log alone (round 13) —
+    works on FOREIGN tables this repo never wrote: one row per
+    surviving commit (newest first, like delta-spark) with the spec
+    clock's timestamp, commitInfo's operation/parameters/engineInfo,
+    and the commit's add/remove counts. Only O(log) driver metadata;
+    no data files open."""
+    import json as _json
+
+    ts = delta_commit_timestamps(spark, table_path)
+    if not ts:
+        raise ValueError(f"{table_path} has no _delta_log commits")
+    by_v: dict[int, dict] = {
+        v: {"operation": None, "params": None, "engine": None,
+            "adds": 0, "removes": 0}
+        for v in ts
+    }
+    for v, a in delta_log_actions(spark, table_path, min(ts)):
+        row = by_v.get(v)
+        if row is None:
+            continue
+        if a.get("commitInfo") is not None:
+            ci = a["commitInfo"]
+            row["operation"] = ci.get("operation")
+            params = ci.get("operationParameters")
+            row["params"] = (
+                _json.dumps(params, sort_keys=True)
+                if params is not None
+                else None
+            )
+            row["engine"] = ci.get("engineInfo")
+        elif a.get("add") is not None:
+            row["adds"] += 1
+        elif a.get("remove") is not None:
+            row["removes"] += 1
+    rows = [
+        (
+            v,
+            ts[v],
+            by_v[v]["operation"],
+            by_v[v]["params"],
+            by_v[v]["engine"],
+            by_v[v]["adds"],
+            by_v[v]["removes"],
+        )
+        for v in sorted(by_v, reverse=True)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp long, operation string, "
+        "operationParameters string, engineInfo string, "
+        "num_added_files long, num_removed_files long",
+    )
+
+
 def delta_version_at_timestamp(
     spark: SparkSession, table_path: str, timestamp: str | int
 ) -> int:
@@ -1085,43 +1186,18 @@ def delta_version_at_timestamp(
         if isinstance(timestamp, str)
         else int(timestamp)
     )
-    jvm, fs, _ = _fs(spark, table_path)
-    log_dir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_DELTA_DIR}")
-    entries: list[tuple[int, int]] = []
-    if fs.exists(log_dir):
-        for st in fs.listStatus(log_dir):
-            name = st.getPath().getName()
-            if name.endswith(".json") and name[:-5].isdigit():
-                entries.append(
-                    (int(name[:-5]), int(st.getModificationTime()))
-                )
-    if not entries:
+    ts_by_version = delta_commit_timestamps(spark, table_path)
+    if not ts_by_version:
         raise ValueError(f"{table_path} has no _delta_log commits")
-    entries.sort()
-    ts_by_version: dict[int, int] = {}
-    prev = -1
-    for v, mtime in entries:
-        prev = max(mtime, prev + 1)
-        ts_by_version[v] = prev
-    snap = delta_snapshot(spark, table_path)
-    cfg = snap.get("configuration") or {}
-    if cfg.get("delta.enableInCommitTimestamps") == "true":
-        enable_from = int(
-            cfg.get("delta.inCommitTimestampEnablementVersion", entries[0][0])
-        )
-        for v, a in delta_log_actions(spark, table_path, entries[0][0]):
-            if v >= enable_from and "commitInfo" in a:
-                ict = a["commitInfo"].get("inCommitTimestamp")
-                if ict is not None:
-                    ts_by_version[v] = int(ict)
+    first_v = min(ts_by_version)
     eligible = [v for v, ts in sorted(ts_by_version.items()) if ts <= want]
     if not eligible:
         raise ValueError(
             f"{table_path}: timestamp {timestamp!r} predates the "
             f"earliest resolvable commit "
-            f"(version {entries[0][0]} at {ts_by_version[entries[0][0]]})"
+            f"(version {first_v} at {ts_by_version[first_v]})"
         )
-    latest_v = entries[-1][0]
+    latest_v = max(ts_by_version)
     if want > ts_by_version[latest_v]:
         # strictly after the tip: refuse like delta-spark — "as of a
         # future time" silently meaning "latest" would hide clock
@@ -2254,8 +2330,10 @@ def _partition_value_typed(raw: str, ddl_type: str):
 def read_delta_cdf(
     spark: SparkSession,
     table_path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    starting_timestamp: str | int | None = None,
+    ending_timestamp: str | int | None = None,
 ):
     """Change-data-feed read THROUGH the Delta log (round 12) — the
     spec form of delta-spark's ``readChangeFeed``: rows changed by
@@ -2280,12 +2358,47 @@ def read_delta_cdf(
 
     Columns resolve under the LATEST schema (delta-spark's default);
     column-mapped tables scan by physical name and alias back.
+
+    Timestamp bounds (round 13, delta-spark's readChangeFeed
+    ``startingTimestamp`` / ``endingTimestamp``): the start resolves
+    to the FIRST commit at or after the time (refusing one past the
+    last commit), the end to the LAST commit at or before it —
+    mutually exclusive with the corresponding version bound.
     """
     import json as _json
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    if starting_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "pass from_version OR starting_timestamp, not both"
+            )
+        ts_map = delta_commit_timestamps(spark, table_path)
+        want = (
+            _iso_to_millis(starting_timestamp)
+            if isinstance(starting_timestamp, str)
+            else int(starting_timestamp)
+        )
+        hits = [v for v, ts in sorted(ts_map.items()) if ts >= want]
+        if not hits:
+            raise ValueError(
+                f"{table_path}: starting_timestamp "
+                f"{starting_timestamp!r} is after the last commit's "
+                f"timestamp ({ts_map[max(ts_map)]} ms)"
+            )
+        from_version = hits[0] - 1
+    if from_version is None:
+        from_version = -1  # full feed
+    if ending_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "pass to_version OR ending_timestamp, not both"
+            )
+        to_version = delta_version_at_timestamp(
+            spark, table_path, ending_timestamp
+        )
     snap = delta_snapshot(spark, table_path)
     tip = snap["version"]
     to_version = tip if to_version is None else to_version

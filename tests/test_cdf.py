@@ -357,3 +357,54 @@ def test_overwrite_of_dv_masked_file_deletes_only_live_rows(
         ).collect()
     )
     assert dels == list(range(10))
+
+
+def test_cdf_timestamp_bounds_and_history(spark, tmp_path):
+    """read_delta_cdf timestamp bounds (delta-spark's readChangeFeed
+    startingTimestamp/endingTimestamp, resolved by the spec clock)
+    and delta_history (DESCRIBE HISTORY through the log alone) —
+    both on an ICT table so times are the table's own recorded
+    clock, deterministic."""
+    t = versioned_table(spark, str(tmp_path / "tsb"), use_delta=False,
+                        cdf=True, ict=True)
+    t.write(_df(spark, [(1, "a")]), timestamp="2026-01-01T00:00:00")
+    t.write(_df(spark, [(2, "b")]), mode="append",
+            timestamp="2026-02-01T00:00:00")
+    t.delete_where(F.col("id") == 1, timestamp="2026-03-01T00:00:00",
+                   use_dv=True)
+    got = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in DL.read_delta_cdf(
+            spark, t.path, starting_timestamp="2026-01-15T00:00:00"
+        ).collect()
+    )
+    assert got == [(1, "delete", 2), (2, "insert", 1)]
+    mid = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in DL.read_delta_cdf(
+            spark, t.path,
+            starting_timestamp="2026-01-15T00:00:00",
+            ending_timestamp="2026-02-15T00:00:00",
+        ).collect()
+    )
+    assert mid == [(2, "insert", 1)]
+    with pytest.raises(ValueError, match="after the last commit"):
+        DL.read_delta_cdf(
+            spark, t.path, starting_timestamp="2030-01-01T00:00:00"
+        )
+    with pytest.raises(ValueError, match="not both"):
+        DL.read_delta_cdf(
+            spark, t.path, from_version=0,
+            starting_timestamp="2026-01-01T00:00:00",
+        )
+    # omitted bounds = the full feed
+    assert DL.read_delta_cdf(spark, t.path).count() == 3
+
+    hist = DL.delta_history(spark, t.path).collect()
+    assert [r.version for r in hist] == [2, 1, 0]
+    assert hist[2].operation == "APPEND"
+    assert hist[0].operation == "DELETE"
+    assert hist[0].num_added_files == 1  # DV re-add
+    assert hist[0].num_removed_files == 1
+    assert hist[2].timestamp == DL._iso_to_millis("2026-01-01T00:00:00")
+    assert all("versioned-table mirror" in r.engineInfo for r in hist)
