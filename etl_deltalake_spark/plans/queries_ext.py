@@ -5071,8 +5071,13 @@ def q_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = mk // 3, 2 * mk // 3
     return (
-        DL.read_delta(spark, t.path, ranges={"o_orderkey": (lo, hi)})
-        .filter(F.col("o_orderkey").between(lo, hi))
+        # the one-argument predicate-pushdown form: Catalyst mines the
+        # prune bounds from the SQL text AND the filter applies —
+        # grading ranges_from_condition + file skipping + row filter
+        DL.read_delta(
+            spark, t.path,
+            where=f"o_orderkey BETWEEN {lo} AND {hi}",
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
