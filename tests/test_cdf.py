@@ -408,3 +408,33 @@ def test_cdf_timestamp_bounds_and_history(spark, tmp_path):
     assert hist[0].num_removed_files == 1
     assert hist[2].timestamp == DL._iso_to_millis("2026-01-01T00:00:00")
     assert all("versioned-table mirror" in r.engineInfo for r in hist)
+
+
+def test_spec_and_custom_cdf_agree_on_full_script(spark, tmp_path):
+    """Two independent CDF implementations — the custom log's
+    table_changes (derives/serves from VersionedTable state) and the
+    spec read_delta_cdf (reconstructs from _delta_log cdc actions +
+    derivation) — must produce the SAME feed over one script
+    covering append, copy-on-write delete, merge-on-read update, and
+    a plain overwrite (custom versions are 1-based, the spec log
+    0-based)."""
+    t = versioned_table(spark, str(tmp_path / "agree"), use_delta=False,
+                        cdf=True)
+    t.write(_df(spark, [(i, f"v{i}") for i in range(8)]),
+            timestamp="2026-01-01T00:00:00")
+    t.write(_df(spark, [(100, "x")]), mode="append",
+            timestamp="2026-01-02T00:00:00")
+    t.delete_where(F.col("id") < 2, timestamp="2026-01-03T00:00:00")
+    t.update_where(F.col("id") == 5, {"val": F.lit("FIVE")},
+                   timestamp="2026-01-04T00:00:00", use_dv=True)
+    t.write(_df(spark, [(200, "y")]), mode="overwrite",
+            timestamp="2026-01-05T00:00:00")
+    custom = sorted(
+        (r.id, r.val, r._change_type, r._commit_version - 1)
+        for r in t.table_changes(0).collect()
+    )
+    spec = sorted(
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in DL.read_delta_cdf(spark, t.path).collect()
+    )
+    assert custom == spec
