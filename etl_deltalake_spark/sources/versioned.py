@@ -2477,6 +2477,101 @@ class VersionedTable:
             data_change=False, operation="optimize",
         )
 
+    def purge(
+        self,
+        timestamp: str = "1970-01-01T00:00:00",
+        max_retries: int = 5,
+    ) -> int:
+        """REORG TABLE ... APPLY (PURGE) (round 13): materialize
+        deletion vectors by rewriting ONLY the files that carry
+        masks — their live rows land in fresh files, the masked
+        originals are removed (the mirror's remove actions carry the
+        old descriptors), and no logical row changes, so the commit
+        is ``dataChange=false`` (CDF reads and streams skip it, like
+        OPTIMIZE). O(masked files), not O(table): a 100 TB table
+        whose right-to-be-forgotten pass masked 0.1% of its files
+        rewrites exactly that 0.1% — ``compact()`` is the O(table)
+        sledgehammer. The purged masks' DV sidecars become orphans
+        for ``vacuum`` once their snapshots age out. Returns the
+        number of files purged (0 when nothing is masked)."""
+        for _ in range(max_retries):
+            commits = self._commits()
+            files, dvs, latest = self._snapshot_state(commits=commits)
+            if latest is None:
+                raise ValueError(f"{self.path} has no commits")
+            if not dvs:
+                return 0
+            if not all(t is not None for _, t in latest.schema):
+                raise ValueError(
+                    "purge needs a typed commit log (pre-typed-log "
+                    "table: overwrite it once first)"
+                )
+            masked_rel = sorted(dvs)
+            masked_abs = {f"{self.path}/{rel}" for rel in masked_rel}
+            df = self._logical_scan(sorted(masked_abs), dvs, latest)
+            version = self.latest_version(commits) + 1
+            mapping = self._mapping_state(latest)
+            pb = tuple(latest.partition_by)
+            pb_phys = pb
+            out = df
+            if mapping is not None:
+                phys = mapping["physical"]
+                out = df.select(
+                    *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+                )
+                pb_phys = tuple(phys.get(c, c) for c in pb)
+            add = self._write_data_files(out, version, partition_by=pb_phys)
+            # a fully-masked file purges to zero live rows: drop the
+            # empty part files (pure-remove purge is legal)
+            add = [
+                rel for rel in add
+                if _parquet_num_rows(f"{self.path}/{rel}") != 0
+            ]
+            if self._try_commit(
+                version, "purge", add, masked_rel, latest.schema,
+                timestamp, data_change=False, mapping=mapping,
+                partition_by=pb,
+            ):
+                live_after = [
+                    f[len(self.path) + 1 :]
+                    for f in files
+                    if f not in masked_abs
+                ] + list(add)
+                self._maybe_checkpoint(
+                    version, live_after, latest.schema, timestamp,
+                    dv_live={}, mapping=mapping, partition_by=pb,
+                )
+                self._mirror_delta_log(
+                    version, add, masked_rel, latest.schema, timestamp,
+                    "purge", commits, live_after, data_change=False,
+                    dv_live={}, mapping=mapping, partition_by=pb,
+                )
+                return len(masked_rel)
+            # lost the race: clean up exactly what this attempt wrote
+            # (same rules as the DML loser path — partitioned hive
+            # dirs are shared across commits, delete per file)
+            if add:
+                jvm, fs, _ = _fs(self.spark, self.path)
+                if pb:
+                    for rel in add:
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                f"{self.path}/{rel}"
+                            ),
+                            False,
+                        )
+                else:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{self.path}/{add[0].rsplit('/', 1)[0]}"
+                        ),
+                        True,
+                    )
+        raise RuntimeError(
+            f"could not commit after {max_retries} attempts "
+            "(contended table?)"
+        )
+
     def vacuum(self, retain_versions: int = 1) -> int:
         """Delete data files unreachable from the ``retain_versions``
         most recent snapshots (plus orphans from lost commit races).

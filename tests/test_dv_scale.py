@@ -318,3 +318,89 @@ def test_dv_dml_lost_race_retries_through_log_store(spark, tmp_path):
     assert out.count() == 101  # 100 odd survivors + the rival's row
     assert out.filter(F.col("id") == 1001).count() == 1
     assert out.filter((F.col("id") % 2 == 0) & (F.col("id") < 1000)).count() == 0
+
+
+def test_purge_materializes_masks_rewriting_only_masked_files(
+    spark, tmp_path
+):
+    """REORG ... APPLY (PURGE) (round 13): only the DV-carrying
+    files rewrite; untouched files keep their identity; the commit
+    is dataChange=false so CDF sees nothing; reads stay bit-equal
+    and time travel still serves the pre-purge masks."""
+    t = versioned_table(spark, str(tmp_path / "pg"), use_delta=False)
+    for i in range(3):  # three single-file appends, 100 rows each
+        t.write(
+            spark.range(i * 100, (i + 1) * 100)
+            .select(F.col("id").cast("long"))
+            .coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+            timestamp=f"2026-01-{i + 1:02d}T00:00:00",
+        )
+    assert t.purge(timestamp="2026-01-04T00:00:00") == 0  # no masks
+    # mask rows in files 0 and 1 only; file 2 untouched
+    n = t.delete_where(
+        (F.col("id") < 150) & (F.col("id") % 10 == 0),
+        timestamp="2026-01-05T00:00:00",
+        use_dv=True,
+    )
+    assert n == 15
+    before = sorted(r.id for r in t.read().collect())
+    _f, dvs, _l = t._snapshot_state()
+    assert len(dvs) == 2
+    untouched = {
+        f for f in _f if f[len(t.path) + 1 :] not in dvs
+    }
+    assert t.purge(timestamp="2026-01-06T00:00:00") == 2
+    _f2, dvs2, _l2 = t._snapshot_state()
+    assert dvs2 == {}  # masks materialized
+    assert untouched <= set(_f2)  # the unmasked file kept its identity
+    assert sorted(r.id for r in t.read().collect()) == before
+    # mirrored commit: dataChange=false everywhere, removes carry the
+    # old descriptors, and the spec reader agrees with the custom one
+    acts = [
+        a
+        for v, a in DL.delta_log_actions(spark, t.path)
+        if v == 4  # delta version of the purge (custom v5)
+    ]
+    adds = [a["add"] for a in acts if a.get("add")]
+    rems = [a["remove"] for a in acts if a.get("remove")]
+    assert adds and rems
+    assert all(a["dataChange"] is False for a in adds)
+    assert all(r["dataChange"] is False for r in rems)
+    assert all(r.get("deletionVector") for r in rems)
+    assert not any(a.get("deletionVector") for a in adds)
+    assert sorted(
+        r.id for r in DL.read_delta(spark, t.path).collect()
+    ) == before
+    # CDF across the purge: zero change rows (dataChange=false)
+    assert (
+        DL.read_delta_cdf(spark, t.path, 3, 4).count() == 0
+    )
+    # time travel to the masked snapshot still applies the masks
+    assert t.read(version=4).count() == 285
+    assert t.read(version=3).count() == 300
+
+
+def test_purge_on_partitioned_mapped_table(spark, tmp_path):
+    """Purge composes with hive partitioning and column mapping:
+    rewritten live rows land under PHYSICAL names in the right
+    partition dirs, and the result is bit-equal."""
+    t = versioned_table(spark, str(tmp_path / "pgm"), use_delta=False)
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(90)],
+        "id long, p long, val string",
+    )
+    t.write(df, mode="overwrite", partition_by=["p"],
+            timestamp="2026-01-01T00:00:00")
+    t.rename_column("val", "label", "2026-01-02T00:00:00")
+    t.delete_where(F.col("id") % 9 == 0, timestamp="2026-01-03T00:00:00",
+                   use_dv=True)
+    before = sorted(map(tuple, t.read().collect()))
+    purged = t.purge(timestamp="2026-01-04T00:00:00")
+    assert purged >= 1
+    _f, dvs, _l = t._snapshot_state()
+    assert dvs == {}
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert sorted(
+        map(tuple, DL.read_delta(spark, t.path).collect())
+    ) == before
