@@ -551,3 +551,25 @@ def test_cdf_stream_derives_overwrite_insert_plus_delete(spark, tmp_path):
             (100, "insert", 2),
         ]
     )
+
+
+def test_stream_passes_silently_across_purge(spark, vt, tmp_path):
+    """A purge commit (dataChange=false adds AND removes) must be
+    invisible to deltastream — same rule as OPTIMIZE — and a later
+    real append still streams."""
+    vt.write(_df(spark, [(i,) for i in range(10)]),
+             timestamp="2026-01-01T00:00:00")
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    _drain(spark, vt.path, out, ckp)
+    vt.delete_where(F.col("id") < 3, timestamp="2026-01-02T00:00:00",
+                    use_dv=True)
+    # the DV commit itself refuses (non-CDF stream) — skip it, then
+    # purge and append
+    vt.purge(timestamp="2026-01-03T00:00:00")
+    vt.write(_df(spark, [(100,)]), timestamp="2026-01-04T00:00:00")
+    _drain(spark, vt.path, out, ckp, skipChangeCommits="true")
+    got = _got(spark, out)
+    # snapshot (v0 batch) + the append; the DV commit was skipped and
+    # the purge was invisible — nothing re-emitted, nothing refused
+    assert (100, 3) in got
+    assert len(got) == 11
