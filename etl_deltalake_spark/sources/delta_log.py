@@ -180,15 +180,19 @@ def metadata_action(
 
 def mirror_protocol(
     has_dv: bool, ict: bool, cm: bool = False, cdf: bool = False,
-    v2ck: bool = False,
+    v2ck: bool = False, gen: bool = False,
 ) -> dict | None:
     """The protocol action the mirror needs for its enabled features
     (None = the default ``PROTOCOL_ACTION`` suffices). Feature lists
     exist only at the table-features protocol versions (reader 3 /
     writer 7), so any feature forces writer 7; deletion vectors and
     column mapping are reader-visible and force reader 3; change data
-    feed and in-commit timestamps are writer-only."""
-    if not has_dv and not ict and not cm and not cdf and not v2ck:
+    feed, in-commit timestamps, and generated columns are
+    writer-only."""
+    if (
+        not has_dv and not ict and not cm and not cdf and not v2ck
+        and not gen
+    ):
         return None
     rfeats = sorted(
         (["deletionVectors"] if has_dv else [])
@@ -199,6 +203,7 @@ def mirror_protocol(
         rfeats
         + (["inCommitTimestamp"] if ict else [])
         + (["changeDataFeed"] if cdf else [])
+        + (["generatedColumns"] if gen else [])
     )
     p: dict = {
         "minReaderVersion": 3 if rfeats else 1,
@@ -432,31 +437,38 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
                 dv_state.pop(rel, None)
 
 
-def _schema_json_from_ddl(schema, mapping: dict | None = None) -> str:
+def _schema_json_from_ddl(
+    schema, mapping: dict | None = None, generated: dict | None = None
+) -> str:
     """Commit records carry (name, DDL type) pairs; rebuild the Spark
     StructType JSON the protocol wants (untyped legacy entries degrade
     to string, same rule versioned.read uses for empty snapshots).
     With a column-mapping state, every field carries the spec's
-    ``delta.columnMapping.physicalName`` + ``id`` metadata."""
+    ``delta.columnMapping.physicalName`` + ``id`` metadata;
+    ``generated`` (logical name → SQL expression) adds the spec's
+    ``delta.generationExpression`` (round 13)."""
     from pyspark.sql.types import StructField, StructType
 
     ddl = ", ".join(f"`{n}` {t or 'string'}" for n, t in schema)
     base = StructType.fromDDL(ddl)
-    if not mapping:
+    if not mapping and not generated:
         return base.json()
-    physical = mapping["physical"]
-    ids = mapping["columnIds"]
+    physical = (mapping or {}).get("physical", {})
+    ids = (mapping or {}).get("columnIds", {})
+
+    def md(f):
+        out: dict = {}
+        if mapping:
+            out[_CM_PHYS] = physical.get(f.name, f.name)
+            out[_CM_ID] = int(ids[physical.get(f.name, f.name)])
+        expr = (generated or {}).get(f.name)
+        if expr is not None:
+            out["delta.generationExpression"] = expr
+        return out
+
     return StructType(
         [
-            StructField(
-                f.name,
-                f.dataType,
-                f.nullable,
-                {
-                    _CM_PHYS: physical.get(f.name, f.name),
-                    _CM_ID: int(ids[physical.get(f.name, f.name)]),
-                },
-            )
+            StructField(f.name, f.dataType, f.nullable, md(f))
             for f in base.fields
         ]
     ).json()

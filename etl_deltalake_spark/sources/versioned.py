@@ -447,17 +447,45 @@ class VersionedTable:
             and st.getPath().getName().endswith(".json")
         ]
 
-    def _constraints_with_base(self) -> tuple[dict[str, str], int]:
-        """(live constraints, newest file number) — the file number
-        is the optimistic-concurrency token for mutations (0 when no
-        constraints file exists yet)."""
+    def _props_with_base(
+        self,
+    ) -> tuple[dict[str, str], dict[str, str], int]:
+        """(live constraints, generated-column expressions, newest
+        file number) — the file number is the optimistic-concurrency
+        token for mutations (0 when no props file exists yet). One
+        shared store: the commit records' ``consBase`` then covers
+        BOTH, so the mirror re-emits metaData whenever either
+        changes."""
         files = self._constraints_glob()
         if not files:
-            return {}, 0
+            return {}, {}, 0
         newest = max(files, key=lambda st: st.getPath().getName())
         base = int(newest.getPath().getName()[len("_constraints_"):-5])
         doc = json.loads(_read_small_file(self.spark, str(newest.getPath())))
-        return dict(doc["constraints"]), base
+        return (
+            dict(doc["constraints"]),
+            dict(doc.get("generated") or {}),
+            base,
+        )
+
+    def _constraints_with_base(self) -> tuple[dict[str, str], int]:
+        cons, _gen, base = self._props_with_base()
+        return cons, base
+
+    def _props_at(self, base: int) -> dict:
+        """The props document at an exact store file number (0 = the
+        empty pre-store state) — lets the mirror compare a commit's
+        recorded consBase state against the current one."""
+        if base <= 0:
+            return {}
+        path = (
+            f"{self.path}/{_LOG_DIR}/_constraints_"
+            f"{base:0{_VERSION_DIGITS}d}.json"
+        )
+        try:
+            return json.loads(_read_small_file(self.spark, path))
+        except Exception:
+            return {}
 
     def constraints(self) -> dict[str, str]:
         """The table's live CHECK constraints (name -> SQL boolean
@@ -465,15 +493,23 @@ class VersionedTable:
         newest-max-name rule as checkpoints)."""
         return self._constraints_with_base()[0]
 
-    def _try_publish_constraints(
-        self, cons: dict[str, str], base: int
+    def generated_columns(self) -> dict[str, str]:
+        """Live GENERATED ALWAYS AS expressions (column → SQL), the
+        spec's ``delta.generationExpression`` (round 13)."""
+        return self._props_with_base()[1]
+
+    def _try_publish_props(
+        self, cons: dict[str, str], gen: dict[str, str], base: int
     ) -> bool:
         """Put-if-absent at EXACTLY base+1 — never slides to a later
         slot (ADVICE r8: sliding published a STALE base map over a
         concurrent writer's constraints; now a lost race returns
         False and the caller re-reads and re-applies, the same
         optimistic-retry contract as the commit loop)."""
-        payload = json.dumps({"constraints": cons}, sort_keys=True).encode()
+        doc: dict = {"constraints": cons}
+        if gen:
+            doc["generated"] = gen
+        payload = json.dumps(doc, sort_keys=True).encode()
         path = (
             f"{self.path}/{_LOG_DIR}/_constraints_"
             f"{base + 1:0{_VERSION_DIGITS}d}.json"
@@ -528,23 +564,92 @@ class VersionedTable:
                 f"existing rows violate {name!r}: {sql_condition}"
             )
         for _ in range(5):
-            cons, base = self._constraints_with_base()
+            cons, gen, base = self._props_with_base()
             if name in cons:
                 raise ValueError(f"constraint {name!r} already exists")
             cons[name] = sql_condition
-            if self._try_publish_constraints(cons, base):
+            if self._try_publish_props(cons, gen, base):
                 return
         raise RuntimeError("could not publish constraints (contended)")
 
     def drop_constraint(self, name: str) -> None:
         for _ in range(5):
-            cons, base = self._constraints_with_base()
+            cons, gen, base = self._props_with_base()
             if name not in cons:
                 raise ValueError(f"no such constraint {name!r}")
             del cons[name]
-            if self._try_publish_constraints(cons, base):
+            if self._try_publish_props(cons, gen, base):
                 return
         raise RuntimeError("could not publish constraints (contended)")
+
+    def set_generated_column(self, column: str, expression: str) -> None:
+        """GENERATED ALWAYS AS parity (round 13, the spec's
+        ``delta.generationExpression``): every later write computes
+        ``column`` from ``expression`` when the frame omits it, and
+        VALIDATES a provided value against the expression (Delta's
+        rule — a writer may supply the value only if it matches).
+        Adding one to a non-empty table requires existing data to
+        already satisfy the expression, like ADD CONSTRAINT."""
+        if self._commits():
+            cur = self.read()
+            if column not in cur.columns:
+                raise ValueError(
+                    f"column {column!r} does not exist; generated "
+                    "columns attach to schema columns"
+                )
+            bad = cur.filter(
+                ~F.col(column).eqNullSafe(F.expr(expression))
+            )
+            if bad.limit(1).count() > 0:
+                raise ValueError(
+                    f"existing rows violate GENERATED ALWAYS AS for "
+                    f"{column!r}: {expression}"
+                )
+        for _ in range(5):
+            cons, gen, base = self._props_with_base()
+            if column in gen:
+                raise ValueError(
+                    f"{column!r} already has a generation expression"
+                )
+            gen[column] = expression
+            if self._try_publish_props(cons, gen, base):
+                return
+        raise RuntimeError("could not publish props (contended)")
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute omitted generated columns; validate provided ones
+        (one aggregate pass, like ``_enforce_constraints``)."""
+        gen = self.generated_columns()
+        if not gen:
+            return df
+        provided = [
+            (c, e) for c, e in sorted(gen.items()) if c in df.columns
+        ]
+        for c, e in sorted(gen.items()):
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e))
+        if provided:
+            row = df.agg(
+                *[
+                    F.sum(
+                        F.when(
+                            ~F.col(c).eqNullSafe(F.expr(e)), 1
+                        ).otherwise(0)
+                    ).alias(f"_g{i}")
+                    for i, (c, e) in enumerate(provided)
+                ]
+            ).collect()[0]
+            bad = [
+                f"{c!r} != {e}"
+                for i, (c, e) in enumerate(provided)
+                if (row[f"_g{i}"] or 0) > 0
+            ]
+            if bad:
+                raise ValueError(
+                    "generated-column value(s) do not match their "
+                    "expression: " + "; ".join(bad)
+                )
+        return df
 
     def latest_version(self, commits: list[Commit] | None = None) -> int:
         if commits is None:
@@ -885,6 +990,13 @@ class VersionedTable:
         # commits as OPTIMIZE, matching real writers' commitInfo);
         # replay semantics come from ``mode``'s add/remove lists only.
         op_label = operation or mode
+        # GENERATED ALWAYS AS: compute omitted generated columns /
+        # validate provided ones BEFORE schema enforcement, so a
+        # frame legitimately omitting them still append-matches.
+        # Maintenance rewrites (dataChange=false) re-write existing
+        # rows verbatim — already generated, skip the extra pass.
+        if data_change:
+            df = self._apply_generated(df)
         commits = self._commits()
         # Layout resolution: None INHERITS the table's current
         # partitioning (Delta behavior — compaction and plain
@@ -1042,7 +1154,14 @@ class VersionedTable:
 
         if commits:
             DL.backfill_missing(self.spark, self, commits)
-        cons, cons_base = self._constraints_with_base()
+        cons, gen, cons_base = self._props_with_base()
+        prev_gen = (
+            bool(
+                self._props_at(commits[-1].cons_base).get("generated")
+            )
+            if commits
+            else False
+        )
         emit_meta = (
             (not commits)
             or tuple(commit_schema) != tuple(commits[-1].schema)
@@ -1059,7 +1178,9 @@ class VersionedTable:
             # constraints exist now)
             or commits[-1].cons_base != cons_base
         )
-        schema_json = DL._schema_json_from_ddl(commit_schema, mapping)
+        schema_json = DL._schema_json_from_ddl(
+            commit_schema, mapping, generated=gen or None
+        )
         # Feature-driven protocol: the FIRST commit needing a feature
         # emits the upgrade action — merge-on-read deletes raise to
         # reader 3 / writer 7 with deletionVectors (readers that
@@ -1071,12 +1192,12 @@ class VersionedTable:
         has_cm = had_cm or mapping is not None
         cur_proto = DL.mirror_protocol(
             has_dv, self.ict, has_cm, cdf=self.cdf,
-            v2ck=self.v2_checkpoints,
+            v2ck=self.v2_checkpoints, gen=bool(gen),
         )
         prev_proto = (
             DL.mirror_protocol(
                 had_dv, self.ict, had_cm, cdf=self.cdf,
-                v2ck=self.v2_checkpoints,
+                v2ck=self.v2_checkpoints, gen=prev_gen,
             )
             if commits
             else None
@@ -1167,7 +1288,7 @@ class VersionedTable:
             }
             ckpt_proto = DL.mirror_protocol(
                 has_dv, self.ict, has_cm, cdf=self.cdf,
-                v2ck=self.v2_checkpoints,
+                v2ck=self.v2_checkpoints, gen=bool(gen),
             )
             proto_body = (ckpt_proto or {}).get("protocol") or {}
             DL.write_delta_checkpoint(
@@ -1227,6 +1348,7 @@ class VersionedTable:
           never opened for write.
         """
         commits = self._commits()
+        source = self._apply_generated(source)
         self._check_schema(source, "upsert", commits)
         if use_dv:
             files, dvs, latest = self._snapshot_state(commits=commits)

@@ -3841,3 +3841,63 @@ def test_cleanup_sweeps_superseded_checkpoint_generations(
 
     psnap = _snapshot_py(tv.path)
     assert psnap["version"] == 19 and len(psnap["adds"]) == 20
+
+
+def test_generated_columns(spark, vt):
+    """GENERATED ALWAYS AS (round 13, spec
+    ``delta.generationExpression``): omitted generated columns are
+    computed on write, provided values must MATCH the expression
+    (Delta's rule), the mirror's schemaString carries the expression
+    per field and the protocol gains the writer-only
+    generatedColumns feature, and a merge-on-read upsert source
+    omitting the column gets it computed too."""
+    vt.write(
+        spark.createDataFrame(
+            [(1, 100), (2, 200)], "id long, cents long"
+        ).coalesce(1),
+        timestamp="2026-01-01T00:00:00",
+    )
+    # existing data must satisfy the expression to attach it
+    with pytest.raises(ValueError, match="violate"):
+        vt.set_generated_column("cents", "id * 1000")
+    vt.set_generated_column("cents", "id * 100")
+    # omitted → computed
+    vt.write(
+        spark.createDataFrame([(3,)], "id long").coalesce(1),
+        mode="append",
+        timestamp="2026-01-02T00:00:00",
+    )
+    # provided-but-wrong → refused; provided-and-right → fine
+    with pytest.raises(ValueError, match="do not match"):
+        vt.write(
+            spark.createDataFrame(
+                [(4, 999)], "id long, cents long"
+            ).coalesce(1),
+            mode="append",
+            timestamp="2026-01-03T00:00:00",
+        )
+    vt.write(
+        spark.createDataFrame(
+            [(4, 400)], "id long, cents long"
+        ).coalesce(1),
+        mode="append",
+        timestamp="2026-01-03T00:00:00",
+    )
+    # merge-on-read upsert: source omits the generated column
+    vt.upsert(
+        spark.createDataFrame([(2,), (10,)], "id long"),
+        ["id"], timestamp="2026-01-04T00:00:00", use_dv=True,
+    )
+    want = [(1, 100), (2, 200), (3, 300), (4, 400), (10, 1000)]
+    assert sorted(map(tuple, vt.read().collect())) == want
+    assert sorted(
+        map(tuple, DL.read_delta(spark, vt.path).collect())
+    ) == want
+    snap = DL.delta_snapshot(spark, vt.path)
+    assert "generatedColumns" in snap["protocol"]["writerFeatures"]
+    fields = {
+        f["name"]: f["metadata"]
+        for f in json.loads(snap["schema_json"])["fields"]
+    }
+    assert fields["cents"]["delta.generationExpression"] == "id * 100"
+    assert "delta.generationExpression" not in fields["id"]
