@@ -111,6 +111,11 @@ HEADLINE = [
     "q_incr_semdedup",
     "q_components",
     "q_tpch_q20",
+    # round-14 rotation members (driver rows since r14): log-stats
+    # read-path file skipping and REORG PURGE — storage-engine hops
+    # dominated by commit/DML I/O by design, timed end-to-end
+    "q_pruned_read",
+    "q_purge_read",
 ]
 
 # Rows whose cost is dominated by IN-QUERY TRAINING by design

@@ -5950,3 +5950,31 @@ oracle("q_pruned_read")(
     ORDER BY o_orderpriority
     """
 )
+
+oracle("q_purge_read")(
+    """
+    WITH base AS (
+      SELECT p_partkey, p_brand,
+             CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    ),
+    post AS (
+      -- post-purge snapshot: DELETE %10=3 gone, UPDATE %10=6 +7,
+      -- purge itself changes NO logical row
+      SELECT p_partkey, p_brand,
+             cents + CASE WHEN p_partkey % 10 = 6 THEN 7 ELSE 0 END
+               AS cents
+      FROM base
+      WHERE p_partkey % 10 <> 3
+    )
+    SELECT p_brand,
+           COUNT(*) AS n,
+           CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS cdf_after_purge,
+           CAST(0 AS BIGINT) AS dvs_after_purge
+    FROM post
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """
+)

@@ -105,7 +105,6 @@ REGISTERED: tuple[str, ...] = (
     "q_regex_extract",
     "q_mask_email",
     # relational completeness (SURVEY §2.8)
-    "q_group_agg",
     "q_tpch_q9",
     "q_topk_per_group",
     "q_tpch_q21",
@@ -119,6 +118,8 @@ REGISTERED: tuple[str, ...] = (
     "q_cdf_spec",
     "q_partitioned_read",
     "q_clone_read",
+    "q_pruned_read",
+    "q_purge_read",
     "q_asof_join",
     "q_entity_match",
     "q_stats_agg",
@@ -145,7 +146,6 @@ REGISTERED: tuple[str, ...] = (
     "q_ann_recall",
     "q_components",
     "q_weighted_draw",
-    "q_semantic_dedup",
     "q_warc_extract",
     "q_media_decode",
     "q_audio_decode",
@@ -400,6 +400,30 @@ RETIRED_R13: tuple[str, ...] = (
     "q_sessionize",
 )
 
+# Round-14 rotation (VERDICT r13 Next #1): the round-13 storage
+# flagships — log-stats read-path file skipping and REORG PURGE —
+# had no driver rows.
+# q_group_agg → q_pruned_read: the plain grouped decimal aggregate is
+# the single most-carried shape on the driver surface — q_grouping_
+# sets executes a strict SUPERSET of the grouping (the plain group is
+# one of its grouping sets), and q_tpch_q9/q20/q21 plus every
+# storage row end in the same groupBy-sum/count reduction — while the
+# lineitem Q1 form keeps its own pytest oracle (q_tpch_q1, SLOTLESS).
+# Log-stats pruning (ranges= mined from the WHERE text, files skipped
+# before any footer opens, bit-equal results) is the round-13
+# capability 100 TB point queries live on and had no driver row.
+# q_semantic_dedup → q_purge_read: q_incr_semdedup executes MORE of
+# the same SemDeDup path per run — ivf_assign_df over BOTH halves and
+# TWO cluster-bounded cosine joins (store-vs-batch and intra-batch
+# min-dup) vs the single within-cluster pair join — so the family
+# keeps a strictly-stronger driver row; REORG PURGE (O(masked-files)
+# DV materialization, dataChange=false CDF silence, zero DVs left)
+# had none.
+RETIRED_R14: tuple[str, ...] = (
+    "q_group_agg",
+    "q_semantic_dedup",
+)
+
 # Oracle-paired queries without a driver slot (pytest-gated).
 SLOTLESS: tuple[str, ...] = (
     "q_pack_sequences",
@@ -519,10 +543,6 @@ SLOTLESS: tuple[str, ...] = (
     # post-DDL aggregate (q_dv_cdf / q_partitioned_read / q_dv_merge
     # were promoted to driver rows in the round-12 rotation)
     "q_rename_read",
-    # round 13 — log-stats file skipping wired into the read paths
-    # (ranges={col: (lo, hi)}), graded through the spec reader over
-    # a DV-masked multi-file table
-    "q_pruned_read",
 )
 
 
@@ -546,6 +566,7 @@ RETIRED_GROUPS: tuple[tuple[str, ...], ...] = (
     RETIRED_R11,
     RETIRED_R12,
     RETIRED_R13,
+    RETIRED_R14,
     SLOTLESS,
 )
 

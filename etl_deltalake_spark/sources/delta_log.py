@@ -46,6 +46,7 @@ table_path)``. No wall clock anywhere.
 
 from __future__ import annotations
 
+import decimal
 import json
 import uuid
 from datetime import datetime, timezone
@@ -2233,7 +2234,14 @@ def ranges_from_condition(spark: SparkSession, condition: str) -> dict:
                     True,
                 )
             if dt.startswith("decimal"):
-                return float(str(v)), True
+                # carry decimal literals EXACTLY — float(str(v))
+                # rounds to nearest, which can TIGHTEN a bound by
+                # 1 ULP and prune a file containing a matching row
+                # (a >17-significant-digit literal vs decimal-column
+                # stats); Python compares Decimal against int/float
+                # stats exactly, and an un-orderable pairing falls
+                # into add_survives_ranges' conservative keep
+                return decimal.Decimal(str(v)), True
         except Exception:
             return None, False
         return None, False  # timestamps/binary/etc: no bound
@@ -2328,7 +2336,13 @@ def _partition_value_typed(raw: str, ddl_type: str):
     t = ddl_type.lower()
     if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
         return int(raw)
-    if t in ("float", "double") or t.startswith("decimal"):
+    if t.startswith("decimal"):
+        # exact — float(raw) rounds to nearest, and a partition value
+        # nudged across a range bound would mis-prune (round 14; the
+        # same outward-safety rule as decimal literals in
+        # ranges_from_condition)
+        return decimal.Decimal(raw)
+    if t in ("float", "double"):
         return float(raw)
     if t == "boolean":
         return raw == "true"

@@ -591,13 +591,11 @@ class VersionedTable:
         Adding one to a non-empty table requires existing data to
         already satisfy the expression, like ADD CONSTRAINT.
 
-        Honest limitation (documented, not silent): ``update_where``
-        does NOT recompute a generated column when an update touches
-        its source columns — set the generated column explicitly in
-        the update map if its inputs change (real Delta recomputes;
-        copy-on-write paths here route through ``write`` and
-        validate, so a violating update fails loudly rather than
-        corrupting the invariant)."""
+        ``update_where`` follows the Delta writer rule (round 14):
+        an UPDATE recomputes every generated column it does not
+        explicitly SET, so updating a source column yields the
+        recomputed value; explicitly SET generated columns are
+        validated against the expression and a mismatch refuses."""
         if self._commits():
             cur = self.read()
             if column not in cur.columns:
@@ -657,6 +655,24 @@ class VersionedTable:
                     "generated-column value(s) do not match their "
                     "expression: " + "; ".join(bad)
                 )
+        return df
+
+    def _recompute_generated(
+        self, df: DataFrame, assigned: set[str]
+    ) -> DataFrame:
+        """Delta's UPDATE rule for generated columns (round 14): an
+        update RECOMPUTES every generated column it does not
+        explicitly SET. Applied to the POST-image frame (assignment
+        expressions evaluate over pre-update values, so recompute
+        must be a second projection over the assigned result).
+        Recomputing columns whose sources were untouched is a value
+        no-op — the table-wide invariant ``col == expr`` is enforced
+        on every write path — so no expression-dependency analysis
+        is needed for correctness."""
+        gen = self.generated_columns()
+        for c, e in sorted(gen.items()):
+            if c not in assigned and c in df.columns:
+                df = df.withColumn(c, F.expr(e))
         return df
 
     def latest_version(self, commits: list[Commit] | None = None) -> int:
@@ -2366,6 +2382,12 @@ class VersionedTable:
                     for c in cols
                 ]
             )
+            rewritten = self._recompute_generated(
+                rewritten, set(assignments)
+            )
+            # validates explicitly-SET generated columns (all schema
+            # columns are present, so no compute happens here)
+            rewritten = self._apply_generated(rewritten)
             self._enforce_constraints(rewritten)
             cdc_df = None
             if self.cdf:
@@ -2394,23 +2416,26 @@ class VersionedTable:
                 for c in cur.columns
             ]
         )
+        # recompute over the whole post-image: untouched rows already
+        # satisfy col == expr (write-path invariant), so this only
+        # changes values on updated rows whose sources moved
+        updated = self._recompute_generated(updated, set(assignments))
         cdc_df = None
         if self.cdf:
             pre = cur.filter(hit).withColumn(
                 "_change_type", F.lit("update_preimage")
             )
-            post = (
-                cur.filter(hit)
-                .select(
+            post = self._recompute_generated(
+                cur.filter(hit).select(
                     *[
                         assignments[c].alias(c)
                         if c in assignments
                         else F.col(c)
                         for c in cur.columns
                     ]
-                )
-                .withColumn("_change_type", F.lit("update_postimage"))
-            )
+                ),
+                set(assignments),
+            ).withColumn("_change_type", F.lit("update_postimage"))
             cdc_df = pre.unionByName(post)
         self.write(updated, mode="overwrite", timestamp=timestamp,
                    cdc_df=cdc_df)

