@@ -181,7 +181,7 @@ def metadata_action(
 
 def mirror_protocol(
     has_dv: bool, ict: bool, cm: bool = False, cdf: bool = False,
-    v2ck: bool = False, gen: bool = False,
+    v2ck: bool = False, gen: bool = False, ident: bool = False,
 ) -> dict | None:
     """The protocol action the mirror needs for its enabled features
     (None = the default ``PROTOCOL_ACTION`` suffices). Feature lists
@@ -192,7 +192,7 @@ def mirror_protocol(
     writer-only."""
     if (
         not has_dv and not ict and not cm and not cdf and not v2ck
-        and not gen
+        and not gen and not ident
     ):
         return None
     rfeats = sorted(
@@ -205,6 +205,7 @@ def mirror_protocol(
         + (["inCommitTimestamp"] if ict else [])
         + (["changeDataFeed"] if cdf else [])
         + (["generatedColumns"] if gen else [])
+        + (["identityColumns"] if ident else [])
     )
     p: dict = {
         "minReaderVersion": 3 if rfeats else 1,
@@ -439,7 +440,10 @@ def backfill_missing(spark: SparkSession, table, commits) -> None:
 
 
 def _schema_json_from_ddl(
-    schema, mapping: dict | None = None, generated: dict | None = None
+    schema,
+    mapping: dict | None = None,
+    generated: dict | None = None,
+    identity: dict | None = None,
 ) -> str:
     """Commit records carry (name, DDL type) pairs; rebuild the Spark
     StructType JSON the protocol wants (untyped legacy entries degrade
@@ -447,12 +451,16 @@ def _schema_json_from_ddl(
     With a column-mapping state, every field carries the spec's
     ``delta.columnMapping.physicalName`` + ``id`` metadata;
     ``generated`` (logical name → SQL expression) adds the spec's
-    ``delta.generationExpression`` (round 13)."""
+    ``delta.generationExpression`` (round 13); ``identity`` (logical
+    name → {start, step, allowExplicitInsert, highWaterMark?}) adds
+    the spec's ``delta.identity.*`` keys (round 14 — start/step/
+    highWaterMark are JSON longs, allowExplicitInsert a boolean,
+    matching delta-spark's field metadata)."""
     from pyspark.sql.types import StructField, StructType
 
     ddl = ", ".join(f"`{n}` {t or 'string'}" for n, t in schema)
     base = StructType.fromDDL(ddl)
-    if not mapping and not generated:
+    if not mapping and not generated and not identity:
         return base.json()
     physical = (mapping or {}).get("physical", {})
     ids = (mapping or {}).get("columnIds", {})
@@ -465,6 +473,17 @@ def _schema_json_from_ddl(
         expr = (generated or {}).get(f.name)
         if expr is not None:
             out["delta.generationExpression"] = expr
+        ispec = (identity or {}).get(f.name)
+        if ispec is not None:
+            out["delta.identity.start"] = int(ispec["start"])
+            out["delta.identity.step"] = int(ispec["step"])
+            out["delta.identity.allowExplicitInsert"] = bool(
+                ispec.get("allowExplicitInsert", False)
+            )
+            if "highWaterMark" in ispec:
+                out["delta.identity.highWaterMark"] = int(
+                    ispec["highWaterMark"]
+                )
         return out
 
     return StructType(

@@ -66,7 +66,7 @@ import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_deltalake_spark.sources.table_format import _delta_available
@@ -246,6 +246,13 @@ class Commit:
     # re-deriving them from add/remove diffs. Empty on non-CDF
     # tables and non-DML commits.
     cdc: tuple[str, ...] = ()
+    # Identity-column high watermarks ADVANCED by this commit (round
+    # 14, spec ``delta.identity.highWaterMark``): (column, watermark)
+    # pairs. Living in the commit record makes the advance ATOMIC
+    # with the allocation it covers — a raced allocator loses the
+    # version CAS, re-reads the log, and re-allocates above the
+    # winner's watermark. Empty on commits that allocate nothing.
+    identity_hw: tuple[tuple[str, int], ...] = ()
 
 
 class VersionedTable:
@@ -362,6 +369,14 @@ class VersionedTable:
                     cons_base=int(doc.get("consBase", -1)),
                     partition_by=tuple(doc.get("partitionBy") or ()),
                     cdc=tuple(doc.get("cdc") or ()),
+                    identity_hw=tuple(
+                        sorted(
+                            (k, int(v))
+                            for k, v in (
+                                doc.get("identityHw") or {}
+                            ).items()
+                        )
+                    ),
                 )
             )
         return sorted(out, key=lambda c: c.version)
@@ -449,27 +464,28 @@ class VersionedTable:
 
     def _props_with_base(
         self,
-    ) -> tuple[dict[str, str], dict[str, str], int]:
-        """(live constraints, generated-column expressions, newest
-        file number) — the file number is the optimistic-concurrency
-        token for mutations (0 when no props file exists yet). One
-        shared store: the commit records' ``consBase`` then covers
-        BOTH, so the mirror re-emits metaData whenever either
-        changes."""
+    ) -> tuple[dict[str, str], dict[str, str], dict[str, dict], int]:
+        """(live constraints, generated-column expressions,
+        identity-column specs, newest file number) — the file number
+        is the optimistic-concurrency token for mutations (0 when no
+        props file exists yet). One shared store: the commit records'
+        ``consBase`` then covers ALL THREE, so the mirror re-emits
+        metaData whenever any changes."""
         files = self._constraints_glob()
         if not files:
-            return {}, {}, 0
+            return {}, {}, {}, 0
         newest = max(files, key=lambda st: st.getPath().getName())
         base = int(newest.getPath().getName()[len("_constraints_"):-5])
         doc = json.loads(_read_small_file(self.spark, str(newest.getPath())))
         return (
             dict(doc["constraints"]),
             dict(doc.get("generated") or {}),
+            dict(doc.get("identity") or {}),
             base,
         )
 
     def _constraints_with_base(self) -> tuple[dict[str, str], int]:
-        cons, _gen, base = self._props_with_base()
+        cons, _gen, _ident, base = self._props_with_base()
         return cons, base
 
     def _props_at(self, base: int) -> dict:
@@ -498,8 +514,20 @@ class VersionedTable:
         spec's ``delta.generationExpression`` (round 13)."""
         return self._props_with_base()[1]
 
+    def identity_columns(self) -> dict[str, dict]:
+        """Live IDENTITY specs (round 14, spec ``delta.identity.*``):
+        column → {start, step, allowExplicitInsert, and optionally a
+        sync-seeded highWaterMark}. Allocation watermarks themselves
+        advance through COMMIT records (``Commit.identity_hw``), not
+        this store."""
+        return self._props_with_base()[2]
+
     def _try_publish_props(
-        self, cons: dict[str, str], gen: dict[str, str], base: int
+        self,
+        cons: dict[str, str],
+        gen: dict[str, str],
+        base: int,
+        ident: dict[str, dict] | None = None,
     ) -> bool:
         """Put-if-absent at EXACTLY base+1 — never slides to a later
         slot (ADVICE r8: sliding published a STALE base map over a
@@ -509,6 +537,8 @@ class VersionedTable:
         doc: dict = {"constraints": cons}
         if gen:
             doc["generated"] = gen
+        if ident:
+            doc["identity"] = ident
         payload = json.dumps(doc, sort_keys=True).encode()
         path = (
             f"{self.path}/{_LOG_DIR}/_constraints_"
@@ -564,21 +594,21 @@ class VersionedTable:
                 f"existing rows violate {name!r}: {sql_condition}"
             )
         for _ in range(5):
-            cons, gen, base = self._props_with_base()
+            cons, gen, ident, base = self._props_with_base()
             if name in cons:
                 raise ValueError(f"constraint {name!r} already exists")
             cons[name] = sql_condition
-            if self._try_publish_props(cons, gen, base):
+            if self._try_publish_props(cons, gen, base, ident):
                 return
         raise RuntimeError("could not publish constraints (contended)")
 
     def drop_constraint(self, name: str) -> None:
         for _ in range(5):
-            cons, gen, base = self._props_with_base()
+            cons, gen, ident, base = self._props_with_base()
             if name not in cons:
                 raise ValueError(f"no such constraint {name!r}")
             del cons[name]
-            if self._try_publish_props(cons, gen, base):
+            if self._try_publish_props(cons, gen, base, ident):
                 return
         raise RuntimeError("could not publish constraints (contended)")
 
@@ -612,13 +642,17 @@ class VersionedTable:
                     f"{column!r}: {expression}"
                 )
         for _ in range(5):
-            cons, gen, base = self._props_with_base()
+            cons, gen, ident, base = self._props_with_base()
             if column in gen:
                 raise ValueError(
                     f"{column!r} already has a generation expression"
                 )
+            if column in ident:
+                raise ValueError(
+                    f"{column!r} is an identity column"
+                )
             gen[column] = expression
-            if self._try_publish_props(cons, gen, base):
+            if self._try_publish_props(cons, gen, base, ident):
                 return
         raise RuntimeError("could not publish props (contended)")
 
@@ -674,6 +708,171 @@ class VersionedTable:
             if c not in assigned and c in df.columns:
                 df = df.withColumn(c, F.expr(e))
         return df
+
+    def set_identity_column(
+        self,
+        column: str,
+        start: int = 1,
+        step: int = 1,
+        allow_explicit_insert: bool = False,
+    ) -> None:
+        """GENERATED ALWAYS AS IDENTITY (round 14, spec
+        ``delta.identity.start/step/allowExplicitInsert/
+        highWaterMark`` + the writer-only ``identityColumns``
+        feature): every later write ALLOCATES values for ``column``
+        when the frame omits it — ``start``, ``start + step``, … with
+        gaps across writes allowed (the spec's contract) but never
+        collisions, raced writers included (the watermark advance
+        rides the commit CAS). ``allow_explicit_insert=True`` is the
+        GENERATED BY DEFAULT form: provided values are accepted and
+        the watermark jumps past them; the default ALWAYS form
+        refuses provided values. Attaching to a NON-empty table seeds
+        the watermark from the existing extreme (``SYNC IDENTITY``),
+        so prior rows are never re-allocated over. On an empty table
+        the column may not exist yet — the first allocating write
+        appends it as a trailing ``bigint`` column."""
+        if int(step) == 0:
+            raise ValueError("identity step must be non-zero")
+        commits = self._commits()
+        spec: dict = {
+            "start": int(start),
+            "step": int(step),
+            "allowExplicitInsert": bool(allow_explicit_insert),
+        }
+        if commits:
+            schema_cols = dict(commits[-1].schema)
+            if column in schema_cols:
+                t = (schema_cols[column] or "").lower()
+                if t not in ("bigint", "long"):
+                    raise ValueError(
+                        f"identity column {column!r} must be bigint, "
+                        f"got {t!r}"
+                    )
+                ext = (
+                    self.read()
+                    .agg(
+                        (F.max(column) if step > 0 else F.min(column))
+                    )
+                    .collect()[0][0]
+                )
+                if ext is not None:
+                    # SYNC IDENTITY: never allocate at or below an
+                    # existing value
+                    spec["highWaterMark"] = int(ext)
+            # a column absent from a non-empty table's schema will be
+            # appended by the first allocating write, like the empty-
+            # table case (mergeSchema append semantics)
+        for _ in range(5):
+            cons, gen, ident, base = self._props_with_base()
+            if column in ident:
+                raise ValueError(
+                    f"{column!r} is already an identity column"
+                )
+            if column in gen:
+                raise ValueError(
+                    f"{column!r} has a generation expression"
+                )
+            ident[column] = spec
+            if self._try_publish_props(cons, gen, base, ident):
+                return
+        raise RuntimeError("could not publish props (contended)")
+
+    def _identity_high_watermark(
+        self, column: str, commits: list[Commit], spec: dict
+    ) -> int:
+        """Live watermark: the newest commit that advanced it wins;
+        else the props store's sync seed; else ``start - step`` (so
+        the first allocation is exactly ``start``)."""
+        for c in reversed(commits or []):
+            hw = dict(c.identity_hw)
+            if column in hw:
+                return int(hw[column])
+        if "highWaterMark" in spec:
+            return int(spec["highWaterMark"])
+        return int(spec["start"]) - int(spec["step"])
+
+    def _allocate_identity(
+        self,
+        df: DataFrame,
+        commits: list[Commit],
+        idents: dict[str, dict],
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Allocate identity values for every identity column ``df``
+        omits: watermark + step·(1..n), a contiguous block per write
+        (real Delta reserves value RANGES per transaction; gaps
+        appear only when a write allocates more than it commits).
+        Returns (frame with the columns filled, {column: advanced
+        watermark}).
+
+        Scale shape: ONE batch-sized shuffle. The frame is pinned
+        (localCheckpoint) so the per-partition count pass and the
+        numbering pass see identical partitions, then row indexes are
+        partition-local ``row_number`` plus a driver-computed prefix
+        offset (bounded by the partition count) — no global sort, no
+        single-partition window."""
+        todo = {c: s for c, s in sorted(idents.items()) if c not in df.columns}
+        if not todo:
+            return df, {}
+        df = df.localCheckpoint(eager=True)
+        counts = {
+            r["_pid"]: r["n"]
+            for r in df.groupBy(
+                F.spark_partition_id().alias("_pid")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_rows = sum(counts.values())
+        if n_rows == 0:
+            out = df
+            for c in todo:
+                out = out.withColumn(c, F.lit(None).cast("bigint"))
+            return out, {}
+        offsets: dict[int, int] = {}
+        run = 0
+        for pid in sorted(counts):
+            offsets[pid] = run
+            run += counts[pid]
+        omap = F.create_map(
+            *[
+                F.lit(x)
+                for pid in sorted(offsets)
+                for x in (pid, offsets[pid])
+            ]
+        )
+        w = Window.partitionBy("_pid").orderBy("_mid")
+        out = (
+            df.withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn(
+                "_ridx",
+                (
+                    F.row_number().over(w).cast("bigint")
+                    - F.lit(1)
+                    + F.element_at(omap, F.col("_pid")).cast("bigint")
+                ),
+            )
+        )
+        hw_updates: dict[str, int] = {}
+        for c, s in todo.items():
+            hw = self._identity_high_watermark(c, commits, s)
+            step = int(s["step"])
+            out = out.withColumn(
+                c,
+                (
+                    F.lit(hw)
+                    + (F.col("_ridx") + F.lit(1)) * F.lit(step)
+                ).cast("bigint"),
+            )
+            hw_updates[c] = hw + step * n_rows
+        out = out.drop("_mid", "_pid", "_ridx")
+        # allocation appends at the end; restore the table's column
+        # order so append schema enforcement sees the exact layout
+        if commits:
+            table_cols = [n for n, _ in commits[-1].schema]
+            if set(out.columns) == set(table_cols):
+                out = out.select(*table_cols)
+        return out, hw_updates
 
     def latest_version(self, commits: list[Commit] | None = None) -> int:
         if commits is None:
@@ -889,6 +1088,7 @@ class VersionedTable:
         mapping: dict | None = None,
         partition_by: tuple[str, ...] = (),
         cdc: Sequence[str] = (),
+        identity_hw: dict[str, int] | None = None,
     ) -> bool:
         doc = {
             "version": version,
@@ -913,6 +1113,10 @@ class VersionedTable:
             doc["partitionBy"] = list(partition_by)
         if cdc:
             doc["cdc"] = list(cdc)
+        if identity_hw:
+            doc["identityHw"] = {
+                k: int(v) for k, v in identity_hw.items()
+            }
         return self._put_if_absent(
             self._log_path(version), json.dumps(doc).encode()
         )
@@ -993,6 +1197,7 @@ class VersionedTable:
         operation: str | None = None,
         partition_by: Sequence[str] | None = None,
         cdc_df: DataFrame | None = None,
+        _identity_preallocated: dict[str, int] | None = None,
     ) -> int | None:
         """Commit ``df`` as a new version. ``mode='append'`` adds
         files; ``mode='overwrite'`` adds files and logically removes
@@ -1022,6 +1227,54 @@ class VersionedTable:
         if data_change:
             df = self._apply_generated(df)
         commits = self._commits()
+        # IDENTITY allocation (round 14): omitted identity columns
+        # get watermark + step·(1..n); provided values refuse unless
+        # the column is the BY-DEFAULT form (then the watermark jumps
+        # past them). ``_identity_preallocated`` is the internal
+        # upsert hand-off: values already allocated upstream, stamp
+        # exactly these advances. Re-allocation happens on every lost
+        # commit race (the racer may have advanced the watermark).
+        idents = (
+            self.identity_columns()
+            if data_change and _identity_preallocated is None
+            else {}
+        )
+        ident_hw: dict[str, int] = dict(_identity_preallocated or {})
+        explicit_ident: dict[str, int] = {}
+        df0 = df
+        alloc_token = -1
+        if idents:
+            present = [c for c in sorted(idents) if c in df.columns]
+            refused = [
+                c
+                for c in present
+                if not idents[c].get("allowExplicitInsert")
+            ]
+            if refused:
+                raise ValueError(
+                    f"GENERATED ALWAYS AS IDENTITY column(s) "
+                    f"{refused} cannot be written explicitly (declare "
+                    "with allow_explicit_insert=True for the BY "
+                    "DEFAULT form)"
+                )
+            if present:
+                row = df.agg(
+                    *[
+                        (
+                            F.max(c)
+                            if int(idents[c]["step"]) > 0
+                            else F.min(c)
+                        ).alias(c)
+                        for c in present
+                    ]
+                ).collect()[0]
+                explicit_ident = {
+                    c: int(row[c]) for c in present if row[c] is not None
+                }
+            df, ident_hw = self._identity_attempt(
+                df0, commits, idents, explicit_ident
+            )
+            alloc_token = len(commits)
         # Layout resolution: None INHERITS the table's current
         # partitioning (Delta behavior — compaction and plain
         # overwrites keep the partition spec); pass an explicit
@@ -1097,6 +1350,7 @@ class VersionedTable:
                 version, op_label, add, remove, commit_schema, timestamp,
                 txn=txn, data_change=data_change, mapping=mapping,
                 partition_by=eff_pb, cdc=cdc_rels,
+                identity_hw=ident_hw or None,
             ):
                 if mode == "overwrite":
                     live_after = list(add)
@@ -1117,6 +1371,7 @@ class VersionedTable:
                     op_label, commits, live_after, txn=txn,
                     data_change=data_change, dv_live=dv_after,
                     mapping=mapping, partition_by=eff_pb, cdc=cdc_rels,
+                    identity_hw=ident_hw or None,
                 )
                 return version
             # Lost the race: orphan the just-written files (vacuum
@@ -1139,6 +1394,13 @@ class VersionedTable:
                         True,
                     )
             commits = self._commits()
+            if idents and len(commits) != alloc_token:
+                # the racer may have allocated identity values —
+                # re-derive ours above its advanced watermark
+                df, ident_hw = self._identity_attempt(
+                    df0, commits, idents, explicit_ident
+                )
+                alloc_token = len(commits)
             if mode == "append":
                 if merge_schema:
                     merged_schema = self._merge_schema(df, commits)
@@ -1147,6 +1409,26 @@ class VersionedTable:
         raise RuntimeError(
             f"could not commit after {max_retries} attempts (contended table?)"
         )
+
+    def _identity_attempt(
+        self,
+        df0: DataFrame,
+        commits: list[Commit],
+        idents: dict[str, dict],
+        explicit_ident: dict[str, int],
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """One allocation attempt against a specific log state:
+        allocate omitted identity columns, then fold in the watermark
+        advances implied by explicitly provided values (BY-DEFAULT
+        form). Re-run per lost commit race."""
+        df, hw = self._allocate_identity(df0, commits, idents)
+        for c, mx in explicit_ident.items():
+            cur = self._identity_high_watermark(c, commits, idents[c])
+            step = int(idents[c]["step"])
+            adv = max(cur, mx) if step > 0 else min(cur, mx)
+            if adv != cur:
+                hw[c] = adv
+        return df, hw
 
     def _mirror_delta_log(
         self,
@@ -1165,6 +1447,7 @@ class VersionedTable:
         mapping: dict | None = None,
         partition_by: tuple[str, ...] = (),
         cdc: Sequence[str] = (),
+        identity_hw: dict[str, int] | None = None,
     ) -> None:
         """Mirror the just-won commit into the REAL Delta protocol
         (sources/delta_log.py, round 9): ``_delta_log/%020d.json``
@@ -1178,14 +1461,30 @@ class VersionedTable:
 
         if commits:
             DL.backfill_missing(self.spark, self, commits)
-        cons, gen, cons_base = self._props_with_base()
-        prev_gen = (
-            bool(
-                self._props_at(commits[-1].cons_base).get("generated")
-            )
-            if commits
-            else False
+        cons, gen, ident, cons_base = self._props_with_base()
+        prev_props = (
+            self._props_at(commits[-1].cons_base) if commits else {}
         )
+        prev_gen = bool(prev_props.get("generated"))
+        prev_ident = bool(prev_props.get("identity"))
+        # spec delta.identity.* field metadata: static spec + the
+        # LIVE high watermark as of THIS commit (identity_hw carries
+        # this commit's advances; older advances replay from the log)
+        ident_meta: dict[str, dict] = {}
+        for col, spec in sorted(ident.items()):
+            hw_live = (identity_hw or {}).get(
+                col, self._identity_high_watermark(col, commits, spec)
+            )
+            entry = {
+                "start": int(spec["start"]),
+                "step": int(spec["step"]),
+                "allowExplicitInsert": bool(
+                    spec.get("allowExplicitInsert", False)
+                ),
+            }
+            if hw_live != int(spec["start"]) - int(spec["step"]):
+                entry["highWaterMark"] = int(hw_live)
+            ident_meta[col] = entry
         emit_meta = (
             (not commits)
             or tuple(commit_schema) != tuple(commits[-1].schema)
@@ -1201,9 +1500,14 @@ class VersionedTable:
             # commits carry cons_base -1: re-emit once if any
             # constraints exist now)
             or commits[-1].cons_base != cons_base
+            # an identity allocation advances delta.identity.
+            # highWaterMark, which lives in metaData (real Delta
+            # re-emits metaData on every allocating commit)
+            or bool(identity_hw)
         )
         schema_json = DL._schema_json_from_ddl(
-            commit_schema, mapping, generated=gen or None
+            commit_schema, mapping, generated=gen or None,
+            identity=ident_meta or None,
         )
         # Feature-driven protocol: the FIRST commit needing a feature
         # emits the upgrade action — merge-on-read deletes raise to
@@ -1217,11 +1521,13 @@ class VersionedTable:
         cur_proto = DL.mirror_protocol(
             has_dv, self.ict, has_cm, cdf=self.cdf,
             v2ck=self.v2_checkpoints, gen=bool(gen),
+            ident=bool(ident),
         )
         prev_proto = (
             DL.mirror_protocol(
                 had_dv, self.ict, had_cm, cdf=self.cdf,
                 v2ck=self.v2_checkpoints, gen=prev_gen,
+                ident=prev_ident,
             )
             if commits
             else None
@@ -1313,6 +1619,7 @@ class VersionedTable:
             ckpt_proto = DL.mirror_protocol(
                 has_dv, self.ict, has_cm, cdf=self.cdf,
                 v2ck=self.v2_checkpoints, gen=bool(gen),
+                ident=bool(ident),
             )
             proto_body = (ckpt_proto or {}).get("protocol") or {}
             DL.write_delta_checkpoint(
@@ -1370,8 +1677,114 @@ class VersionedTable:
           table writes kilobytes of bitmap plus the source, where
           copy-on-write rewrites everything. Untouched files are
           never opened for write.
+
+        IDENTITY columns (round 14): a source OMITTING an identity
+        column follows Delta's MERGE rule — matched rows KEEP the
+        target's values, insert rows ALLOCATE fresh ones; the whole
+        merge re-derives on a lost commit race so raced allocations
+        never collide. A GENERATED-ALWAYS identity column may not
+        appear in the source at all; the BY-DEFAULT form accepts
+        provided values and advances the watermark past them.
         """
-        commits = self._commits()
+        idents = self.identity_columns()
+        ident_present = [c for c in sorted(idents) if c in source.columns]
+        refused = [
+            c
+            for c in ident_present
+            if not idents[c].get("allowExplicitInsert")
+        ]
+        if refused:
+            raise ValueError(
+                f"GENERATED ALWAYS AS IDENTITY column(s) {refused} "
+                "must be omitted from a merge source: matched rows "
+                "keep their values, inserts allocate"
+            )
+        missing_ident = [c for c in sorted(idents) if c not in source.columns]
+        attempts = 5 if idents else 1
+        last_err: RuntimeError | None = None
+        for _ in range(attempts):
+            commits = self._commits()
+            src = source
+            ident_hw: dict[str, int] | None = {} if idents else None
+            if missing_ident:
+                src, ident_hw = self._identity_enrich_source(
+                    source, key_cols, commits, idents, missing_ident
+                )
+            if ident_present:
+                row = src.agg(
+                    *[
+                        (
+                            F.max(c)
+                            if int(idents[c]["step"]) > 0
+                            else F.min(c)
+                        ).alias(c)
+                        for c in ident_present
+                    ]
+                ).collect()[0]
+                for c in ident_present:
+                    if row[c] is None:
+                        continue
+                    cur = self._identity_high_watermark(
+                        c, commits, idents[c]
+                    )
+                    step = int(idents[c]["step"])
+                    adv = (
+                        max(cur, int(row[c]))
+                        if step > 0
+                        else min(cur, int(row[c]))
+                    )
+                    if adv != cur:
+                        ident_hw[c] = adv  # type: ignore[index]
+            try:
+                return self._upsert_once(
+                    src, key_cols, timestamp, use_dv, commits,
+                    ident_hw, inner_retries=1 if idents else 5,
+                )
+            except RuntimeError as e:
+                # lost the commit race under an identity allocation:
+                # the winner may have advanced the watermark — the
+                # whole merge (enrichment + allocation) re-derives
+                last_err = e
+        assert last_err is not None
+        raise last_err
+
+    def _identity_enrich_source(
+        self,
+        source: DataFrame,
+        key_cols: Sequence[str],
+        commits: list[Commit],
+        idents: dict[str, dict],
+        missing: list[str],
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Delta's MERGE identity rule for a source omitting identity
+        columns: recover the TARGET's values for matched keys (a key
+        join, broadcast-friendly — the source is the small side of a
+        merge) and allocate fresh values for the inserts only."""
+        todo = {c: idents[c] for c in missing}
+        if not commits:
+            return self._allocate_identity(source, commits, todo)
+        cur = self.read().select(*key_cols, *missing)
+        joined = source.join(cur, on=list(key_cols), how="left")
+        marker = missing[0]  # identity values are never null
+        matched = joined.filter(F.col(marker).isNotNull())
+        news = joined.filter(F.col(marker).isNull()).drop(*missing)
+        news, hw = self._allocate_identity(news, commits, todo)
+        src = matched.unionByName(news.select(*matched.columns))
+        table_cols = [n for n, _ in commits[-1].schema]
+        if set(src.columns) == set(table_cols):
+            src = src.select(*table_cols)
+        return src, hw
+
+    def _upsert_once(
+        self,
+        source: DataFrame,
+        key_cols: Sequence[str],
+        timestamp: str,
+        use_dv: bool,
+        commits: list[Commit],
+        ident_hw: dict[str, int] | None,
+        inner_retries: int = 5,
+    ) -> int:
         source = self._apply_generated(source)
         self._check_schema(source, "upsert", commits)
         if use_dv:
@@ -1403,6 +1816,8 @@ class VersionedTable:
                 version, _n = self._dv_mask_commit(
                     hits, dvs, commits, timestamp, "merge",
                     extra_df=source, cdc_df=cdc_df,
+                    max_retries=inner_retries,
+                    identity_hw=ident_hw or None,
                 )
                 if version is not None:
                     return version
@@ -1410,7 +1825,8 @@ class VersionedTable:
                 commits = self._commits()
             v = self.write(
                 source, mode="append", timestamp=timestamp,
-                operation="merge",
+                operation="merge", max_retries=inner_retries,
+                _identity_preallocated=ident_hw,
             )
             assert v is not None
             return v
@@ -1439,7 +1855,9 @@ class VersionedTable:
         # braces for the fallback's same-session reads.
         merged = merged.localCheckpoint(eager=True)
         return self.write(
-            merged, mode="overwrite", timestamp=timestamp, cdc_df=cdc_df
+            merged, mode="overwrite", timestamp=timestamp,
+            cdc_df=cdc_df, max_retries=inner_retries,
+            _identity_preallocated=ident_hw,
         )
 
     # ---- read path ----------------------------------------------------
@@ -2124,6 +2542,7 @@ class VersionedTable:
         extra_df: DataFrame | None = None,
         max_retries: int = 5,
         cdc_df: DataFrame | None = None,
+        identity_hw: dict[str, int] | None = None,
     ) -> int:
         """Commit a merge-on-read mask: ``hits`` is (``__fp``,
         ``__ri``) of the rows to delete (already disjoint from
@@ -2203,7 +2622,7 @@ class VersionedTable:
             if self._try_commit(
                 version, operation, add, masked, latest.schema,
                 timestamp, dv=dv_adds, mapping=mapping, partition_by=pb,
-                cdc=cdc_rels,
+                cdc=cdc_rels, identity_hw=identity_hw or None,
             ):
                 _files, dv_after, _l = self._snapshot_state(
                     commits=[
@@ -2232,6 +2651,7 @@ class VersionedTable:
                     timestamp, operation, commits, live_after,
                     dv_live=dv_after, dv_adds=dv_adds, mapping=mapping,
                     partition_by=pb, cdc=cdc_rels,
+                    identity_hw=identity_hw or None,
                 )
                 return version, n_new
             # Lost the race: masks are only valid against the exact
@@ -2360,6 +2780,12 @@ class VersionedTable:
         rows with deletion vectors AND adds new files holding the
         rewritten rows — cost proportional to the rows touched, not
         the table."""
+        bad_ident = sorted(set(assignments) & set(self.identity_columns()))
+        if bad_ident:
+            # Delta's rule: UPDATE may never SET an identity column
+            raise ValueError(
+                f"UPDATE cannot SET identity column(s) {bad_ident}"
+            )
         if use_dv:
             commits = self._commits()
             files, dvs, latest = self._snapshot_state(commits=commits)

@@ -887,6 +887,42 @@ def _golden_script_cdf(spark, path):
     return t
 
 
+def _golden_script_r14(spark, path):
+    """Round-14 golden tail (VERDICT r13 #6 fallback): the action
+    classes this round added — IDENTITY metadata
+    (``delta.identity.start/step/allowExplicitInsert`` plus a
+    ``highWaterMark`` that MOVES across allocating commits, each
+    re-emitting metaData like real Delta), generated-column metadata
+    riding the same schemaString, the identityColumns +
+    generatedColumns writer-feature pair, and REORG PURGE's shape
+    (removes carrying the purged file's deletionVector descriptor,
+    rewritten adds with dataChange=false). The 20-commit tail crosses
+    TWO checkpoint generations so ``cleanup_log``'s swept layout
+    (surviving checkpoint parquets + advanced ``_last_checkpoint``)
+    is byte-pinned too."""
+    t = versioned_table(spark, path, use_delta=False)
+    t.set_identity_column("uid", start=7, step=3)
+    t.set_generated_column("twice", "id * 2")
+    ddl = "id long, val string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, ddl).coalesce(1)
+
+    t.write(df([(1, "a"), (2, "b")]), timestamp="2026-05-01T00:00:00")
+    t.write(df([(3, "c")]), mode="append", timestamp="2026-05-02T00:00:00")
+    t.delete_where(
+        F.col("id") == 1, timestamp="2026-05-03T00:00:00", use_dv=True
+    )
+    t.purge(timestamp="2026-05-04T00:00:00")
+    for i in range(16):  # custom v5..v20 → delta checkpoints at 9, 19
+        t.write(
+            df([(10 + i, f"r{i}")]),
+            mode="append",
+            timestamp=f"2026-05-{5 + i:02d}T00:00:00",
+        )
+    return t
+
+
 def _normalize_manifest(lines):
     """Normalized v2-named-checkpoint manifest actions: sidecar names
     are random uuids and sizes vary with parquet encoding — mask
@@ -3963,3 +3999,60 @@ def test_update_where_recomputes_generated(spark, vt):
     want = [(10, 1000), (20, 2000), (30, 3000)]
     assert _rows(vt.read()) == want
     assert _rows(DL.read_delta(spark, vt.path)) == want
+
+
+def test_golden_r14_conformance(spark, tmp_path, monkeypatch):
+    """Round-14 golden extension: identity metadata (moving
+    highWaterMark), generated+identity feature pair, REORG PURGE
+    action shapes, and the swept two-generation checkpoint layout —
+    all byte-pinned against tests/data/golden_delta_log.json. The
+    checkpoint shards at 4 adds/part (the regen script's setting), so
+    the swept layout pins the multi-part × sweep composition."""
+    monkeypatch.setattr(DL, "_CHECKPOINT_PART_MAX", 4)
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "data", "golden_delta_log.json"
+    )
+    with open(golden_path, encoding="utf-8") as f:
+        golden = json.load(f)
+
+    t = _golden_script_r14(spark, str(tmp_path / "g14"))
+    for _, a in DL.delta_log_actions(spark, t.path):
+        kind = next(iter(a))
+        assert kind in _SPEC_FIELDS, f"unknown action {kind}"
+        keys = set(a[kind])
+        assert _SPEC_FIELDS[kind] <= keys
+        assert keys <= _SPEC_FIELDS[kind] | _SPEC_OPTIONAL.get(kind, set())
+    assert _normalize_stream(spark, t.path) == golden["r14_json_actions"]
+    # custom and spec reads agree after allocation + purge + tail
+    want = _rows(t.read())
+    assert _rows(DL.read_delta(spark, t.path)) == want
+    assert len(want) == 18  # 3 initial - 1 deleted + 16 tail
+
+    # swept layout: two checkpoint generations, older one collected
+    assert DL.cleanup_log(spark, t.path) == golden["r14_swept_json_count"]
+    mlog = f"{t.path}/_delta_log".replace("file:", "")
+    assert sorted(
+        n
+        for n in os.listdir(mlog)
+        if ".checkpoint." in n and not n.startswith(".")
+    ) == golden["r14_swept_checkpoint_files"]
+    assert (
+        sorted({v for v, _ in DL.delta_log_actions(spark, t.path)})
+        == golden["r14_surviving_json_versions"]
+    )
+    with open(f"{mlog}/_last_checkpoint", encoding="utf-8") as f:
+        assert (
+            json.load(f)["version"]
+            == golden["r14_last_checkpoint_version"]
+        )
+    # the swept log still reads, and identity metadata survived
+    assert _rows(DL.read_delta(spark, t.path)) == want
+    snap = DL.delta_snapshot(spark, t.path)
+    fields = {
+        f["name"]: f["metadata"]
+        for f in json.loads(snap["schema_json"])["fields"]
+    }
+    assert fields["uid"]["delta.identity.step"] == 3
+    assert fields["twice"]["delta.generationExpression"] == "id * 2"
+    assert "identityColumns" in snap["protocol"]["writerFeatures"]
+    assert "generatedColumns" in snap["protocol"]["writerFeatures"]

@@ -573,3 +573,76 @@ def test_stream_passes_silently_across_purge(spark, vt, tmp_path):
     # the purge was invisible — nothing re-emitted, nothing refused
     assert (100, 3) in got
     assert len(got) == 11
+
+
+def test_stream_resumes_from_checkpoint_after_purge_and_cleanup(
+    spark, vt, tmp_path
+):
+    """VERDICT r13 #7 — the delta-spark restart-after-vacuum
+    contract, snapshot leg: a stream drained to the tip, then a PURGE
+    lands exactly on the checkpoint interval and ``cleanup_log``
+    sweeps every pre-checkpoint JSON commit. The resumed stream must
+    pick up from ITS OWN checkpoint (never re-snapshot), emit nothing
+    for the purge (dataChange=false), and stream only the post-sweep
+    append — even though every commit below the log checkpoint is
+    gone."""
+    vt.write(_df(spark, [(i,) for i in range(10)]),
+             timestamp="2026-01-01T00:00:00")
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    _drain(spark, vt.path, out, ckp)
+    vt.delete_where(F.col("id") < 3, timestamp="2026-01-02T00:00:00",
+                    use_dv=True)
+    for i in range(7):  # custom v3..v9
+        vt.write(_df(spark, [(100 + i,)]),
+                 timestamp=f"2026-01-{3 + i:02d}T00:00:00")
+    _drain(spark, vt.path, out, ckp, skipChangeCommits="true")
+    before = _got(spark, out)
+    # the purge IS the checkpointing commit (custom v10 = delta 9)
+    assert vt.purge(timestamp="2026-01-10T00:00:00") > 0
+    assert DL.cleanup_log(spark, vt.path) > 0
+    vt.write(_df(spark, [(500,)]), timestamp="2026-01-11T00:00:00")
+    _drain(spark, vt.path, out, ckp)  # no skip option needed: purge
+    got = _got(spark, out)           # is dataChange=false
+    assert (500, 10) in got
+    # exactly ONE new row: no purge emission, no re-snapshot
+    assert sorted(set(got) - set(before)) == [(500, 10)]
+    assert len(got) == len(before) + 1
+
+
+def test_cdf_stream_silent_across_purge_then_resumes_after_cleanup(
+    spark, tmp_path
+):
+    """VERDICT r13 #7 — change-feed leg: the CDF stream sees the DV
+    DELETE's recorded change rows, NOTHING at the purge version, and
+    resumes from its checkpoint after the purge-triggered log sweep
+    with only the new append's inserts."""
+    spark.dataSource.register(DeltaStreamDataSource)
+    t = versioned_table(
+        spark, str(tmp_path / "pc"), use_delta=False, cdf=True
+    )
+    t.write(_df(spark, [(i,) for i in range(6)]),
+            timestamp="2026-01-01T00:00:00")
+    t.delete_where(F.col("id") < 2, timestamp="2026-01-02T00:00:00",
+                   use_dv=True)
+    for i in range(7):  # custom v3..v9
+        t.write(_df(spark, [(100 + i,)]),
+                timestamp=f"2026-01-{3 + i:02d}T00:00:00")
+    out, ckp = str(tmp_path / "out"), str(tmp_path / "ckp")
+    _drain(spark, t.path, out, ckp, readChangeFeed="true",
+           startingVersion="0")
+    before = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert (0, "delete", 1) in before and (1, "delete", 1) in before
+    assert t.purge(timestamp="2026-01-10T00:00:00") > 0
+    assert DL.cleanup_log(spark, t.path) > 0
+    t.write(_df(spark, [(500,)]), timestamp="2026-01-11T00:00:00")
+    _drain(spark, t.path, out, ckp, readChangeFeed="true",
+           startingVersion="0")
+    got = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert sorted(set(got) - set(before)) == [(500, "insert", 10)]
+    assert not any(v == 9 for _, _, v in got)  # the purge version

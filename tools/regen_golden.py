@@ -116,6 +116,23 @@ def main() -> None:
         and len(n.split(".")) == 5
     )
 
+    # ---- round-14 tail: identity + generated metadata, REORG PURGE
+    # shapes, and the swept two-generation checkpoint layout --------
+    t14 = T._golden_script_r14(spark, f"{tmp}/g14")
+    golden["r14_json_actions"] = T._normalize_stream(spark, t14.path)
+    golden["r14_swept_json_count"] = DL.cleanup_log(spark, t14.path)
+    mlog14 = f"{t14.path}/_delta_log".replace("file:", "")
+    golden["r14_swept_checkpoint_files"] = sorted(
+        n
+        for n in os.listdir(mlog14)
+        if ".checkpoint." in n and not n.startswith(".")
+    )
+    golden["r14_surviving_json_versions"] = sorted(
+        {v for v, _ in DL.delta_log_actions(spark, t14.path)}
+    )
+    with open(f"{mlog14}/_last_checkpoint", encoding="utf-8") as f:
+        golden["r14_last_checkpoint_version"] = json.load(f)["version"]
+
     out = os.path.join(REPO, "tests", "data", "golden_delta_log.json")
     with open(out, "w", encoding="utf-8") as f:
         json.dump(golden, f, indent=1, sort_keys=True)
