@@ -5978,3 +5978,36 @@ oracle("q_purge_read")(
     ORDER BY p_brand
     """
 )
+
+oracle("q_identity_read")(
+    """
+    WITH e AS (
+      SELECT s_suppkey, s_nationkey,
+             ROW_NUMBER() OVER (ORDER BY s_suppkey) AS r
+      FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    o AS (
+      SELECT s_suppkey, s_nationkey,
+             ROW_NUMBER() OVER (ORDER BY s_suppkey) AS r
+      FROM supplier WHERE s_suppkey % 2 = 1
+    ),
+    ids AS (
+      -- uid = 1000 + 7*(rank-1); the append continues at the
+      -- first write's advanced watermark
+      SELECT s_suppkey, s_nationkey, 993 + 7 * r AS uid FROM e
+      UNION ALL
+      SELECT s_suppkey, s_nationkey,
+             993 + 7 * ((SELECT MAX(r) FROM e) + r) AS uid
+      FROM o
+    )
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(uid) AS BIGINT) AS sum_uid,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+           CAST(MIN(uid) AS BIGINT) AS min_uid,
+           CAST(MAX(uid) AS BIGINT) AS max_uid
+    FROM ids
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """
+)

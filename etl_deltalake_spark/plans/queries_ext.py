@@ -5170,3 +5170,54 @@ def q_purge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def q_identity_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY allocation graded cross-engine (round 14, slotless
+    pytest gate): supplier splits into even keys (initial load) and
+    odd keys (append), each written as ONE sorted partition into a
+    table whose ``uid`` is GENERATED ALWAYS AS IDENTITY (START 1000
+    STEP 7). The allocator assigns ``watermark + step·(1..n)`` in
+    partition-row order — for a single sorted partition that is
+    exactly key-rank order, so the DuckDB oracle re-derives every
+    allocated value with ``row_number()`` and the append's values
+    continue above the first write's watermark. Graded through the
+    SPEC reader. Breaks if allocation skips/repeats a value, the
+    watermark does not advance commit-to-commit, or the mirrored log
+    loses the column."""
+    import tempfile
+
+    from etl_deltalake_spark.sources import delta_log as DL
+    from etl_deltalake_spark.sources.versioned import versioned_table
+
+    root = tempfile.mkdtemp(prefix="sgraft_ident_")
+    t = versioned_table(spark, f"{root}/t", use_delta=False)
+    t.set_identity_column("uid", start=1000, step=7)
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    t.write(
+        sup.filter(F.col("s_suppkey") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("s_suppkey"),
+        timestamp="2026-01-01T00:00:00",
+    )
+    t.write(
+        sup.filter(F.col("s_suppkey") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("s_suppkey"),
+        mode="append",
+        timestamp="2026-01-02T00:00:00",
+    )
+    return (
+        DL.read_delta(spark, t.path)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("uid").alias("sum_uid"),
+            F.sum("s_suppkey").alias("sum_key"),
+            F.min("uid").alias("min_uid"),
+            F.max("uid").alias("max_uid"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -543,6 +543,10 @@ SLOTLESS: tuple[str, ...] = (
     # post-DDL aggregate (q_dv_cdf / q_partitioned_read / q_dv_merge
     # were promoted to driver rows in the round-12 rotation)
     "q_rename_read",
+    # round 14 — IDENTITY allocation graded end-to-end through the
+    # spec reader (start/step arithmetic, watermark continuation
+    # across commits, single-sorted-partition determinism)
+    "q_identity_read",
 )
 
 

@@ -182,6 +182,7 @@ def metadata_action(
 def mirror_protocol(
     has_dv: bool, ict: bool, cm: bool = False, cdf: bool = False,
     v2ck: bool = False, gen: bool = False, ident: bool = False,
+    rt: bool = False,
 ) -> dict | None:
     """The protocol action the mirror needs for its enabled features
     (None = the default ``PROTOCOL_ACTION`` suffices). Feature lists
@@ -192,7 +193,7 @@ def mirror_protocol(
     writer-only."""
     if (
         not has_dv and not ict and not cm and not cdf and not v2ck
-        and not gen and not ident
+        and not gen and not ident and not rt
     ):
         return None
     rfeats = sorted(
@@ -206,6 +207,9 @@ def mirror_protocol(
         + (["changeDataFeed"] if cdf else [])
         + (["generatedColumns"] if gen else [])
         + (["identityColumns"] if ident else [])
+        # rowTracking depends on domainMetadata (its high watermark
+        # rides a delta.rowTracking domainMetadata action)
+        + (["domainMetadata", "rowTracking"] if rt else [])
     )
     p: dict = {
         "minReaderVersion": 3 if rfeats else 1,
@@ -236,6 +240,8 @@ def emit_delta_commit(
     metadata_configuration: dict[str, str] | None = None,
     partition_columns: list[str] | None = None,
     cdc_paths: list[str] | None = None,
+    row_ids: dict[str, tuple[int, int]] | None = None,
+    row_id_hw: int | None = None,
 ) -> bool:
     """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
     via the same temp+rename as the custom log). Returns False when
@@ -318,10 +324,31 @@ def emit_delta_commit(
         dv = (dv_adds or {}).get(rel)
         if dv is not None:
             entry["deletionVector"] = dv
+        rid = (row_ids or {}).get(rel)
+        if rid is not None:
+            # row tracking (round 14): fresh files mint
+            # [hw+1, hw+numRecords]; re-added files keep their
+            # original pair — stable row identity across rewrites
+            entry["baseRowId"] = int(rid[0])
+            entry["defaultRowCommitVersion"] = int(rid[1])
         stats = _file_stats(table_path, rel)
         if stats is not None:
             entry["stats"] = stats
         actions.append({"add": entry})
+    if row_id_hw is not None:
+        # the fresh-row-id high watermark rides the spec's
+        # delta.rowTracking domainMetadata action (latest wins)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": int(row_id_hw)}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     for rel in cdc_paths or []:
         # spec cdc action: the commit's change rows live in
         # _change_data/ parquet (with _change_type); dataChange is
@@ -523,7 +550,9 @@ _CHECKPOINT_SCHEMA = """
             offset:int,
             sizeInBytes:int,
             cardinality:bigint
-        >
+        >,
+        baseRowId:bigint,
+        defaultRowCommitVersion:bigint
     >,
     remove struct<
         path:string,
@@ -534,6 +563,11 @@ _CHECKPOINT_SCHEMA = """
         appId:string,
         version:bigint,
         lastUpdated:bigint
+    >,
+    domainMetadata struct<
+        domain:string,
+        configuration:string,
+        removed:boolean
     >
 """
 
@@ -560,6 +594,8 @@ def write_delta_checkpoint(
     configuration: dict[str, str] | None = None,
     partition_columns: list[str] | None = None,
     policy: str = "classic",
+    row_ids: dict[str, tuple[int, int]] | None = None,
+    row_id_hw: int | None = None,
 ) -> None:
     """The classic single-file parquet checkpoint at ``delta_version``
     (one nullable-struct row per action: protocol, metaData, one add
@@ -583,7 +619,7 @@ def write_delta_checkpoint(
     mrv, mwv = protocol or (1, 2)
     rfeats, wfeats = features or (None, None)
     rows = [
-        ((mrv, mwv, rfeats, wfeats), None, None, None, None),
+        ((mrv, mwv, rfeats, wfeats), None, None, None, None, None),
         (
             None,
             (
@@ -597,8 +633,23 @@ def write_delta_checkpoint(
             None,
             None,
             None,
+            None,
         ),
     ]
+    if row_id_hw is not None:
+        # row-tracking watermark survives log cleanup through the
+        # checkpoint's domainMetadata row (PROTOCOL.md: checkpoints
+        # carry the latest non-removed domainMetadata per domain)
+        rows.append(
+            (
+                None, None, None, None, None,
+                (
+                    "delta.rowTracking",
+                    json.dumps({"rowIdHighWaterMark": int(row_id_hw)}),
+                    False,
+                ),
+            )
+        )
     from urllib.parse import quote as _q
 
     for rel in live:
@@ -614,6 +665,7 @@ def write_delta_checkpoint(
             if dv is not None
             else None
         )
+        rid = (row_ids or {}).get(rel)
         rows.append(
             (
                 None,
@@ -627,18 +679,23 @@ def write_delta_checkpoint(
                     millis,
                     True,
                     dv_row,
+                    int(rid[0]) if rid is not None else None,
+                    int(rid[1]) if rid is not None else None,
                 ),
+                None,
                 None,
                 None,
             )
         )
     for rel, del_ts in sorted(tombstones or []):
         rows.append(
-            (None, None, None, (_q(rel, safe="/="), del_ts, True), None)
+            (None, None, None, (_q(rel, safe="/="), del_ts, True),
+             None, None)
         )
     for app_id in sorted(txns or {}):
         rows.append(
-            (None, None, None, None, (app_id, int(txns[app_id]), millis))
+            (None, None, None, None,
+             (app_id, int(txns[app_id]), millis), None)
         )
     jvm, fs, _ = _fs(spark, table_path)
 
@@ -730,6 +787,21 @@ def write_delta_checkpoint(
             {"checkpointMetadata": {"version": delta_version}},
             {"protocol": proto_doc},
             {"metaData": meta},
+            *(
+                [
+                    {
+                        "domainMetadata": {
+                            "domain": "delta.rowTracking",
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": int(row_id_hw)}
+                            ),
+                            "removed": False,
+                        }
+                    }
+                ]
+                if row_id_hw is not None
+                else []
+            ),
             *(
                 {"txn": {"appId": a, "version": int((txns or {})[a])}}
                 for a in sorted(txns or {})
@@ -937,6 +1009,7 @@ def delta_snapshot(
     configuration: dict[str, str] = {}
     protocol = None
     txns: dict[str, int] = {}
+    domains: dict[str, str | None] = {}
     as_of = version
     version = -1
     tail_from = 0
@@ -966,8 +1039,13 @@ def delta_snapshot(
                 live.pop(d["remove"]["path"], None)
             if d.get("txn") is not None:
                 txns[d["txn"]["appId"]] = int(d["txn"]["version"])
-            # domainMetadata / checkpointMetadata carry no
-            # snapshot-visible state for this reader
+            if d.get("domainMetadata") is not None:
+                dm = d["domainMetadata"]
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration")
+            # checkpointMetadata carries no snapshot-visible state
 
     tail = delta_log_actions(spark, table_path, tail_from)
     if as_of is not None:
@@ -1001,6 +1079,14 @@ def delta_snapshot(
             # version-ordered): a writer may legitimately LOWER an
             # appId's version, so plain assignment, never max().
             txns[action["txn"]["appId"]] = int(action["txn"]["version"])
+        elif "domainMetadata" in action:
+            # latest non-removed configuration per domain (round 14,
+            # e.g. delta.rowTracking's rowIdHighWaterMark)
+            dm = action["domainMetadata"]
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration")
     return {
         "files": sorted(live),
         "adds": [live[k] for k in sorted(live)],
@@ -1009,6 +1095,7 @@ def delta_snapshot(
         "configuration": configuration,
         "protocol": protocol,
         "txns": txns,
+        "domain_metadata": domains,
         "version": version,
     }
 

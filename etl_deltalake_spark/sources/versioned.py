@@ -253,6 +253,14 @@ class Commit:
     # version CAS, re-reads the log, and re-allocates above the
     # winner's watermark. Empty on commits that allocate nothing.
     identity_hw: tuple[tuple[str, int], ...] = ()
+    # Row tracking (round 14): (rel, (baseRowId,
+    # defaultRowCommitVersion)) per ADDED file — fresh ids for new
+    # files, the ORIGINAL pair copied for re-adds — plus the fresh-id
+    # high watermark after this commit (-1 = row tracking off or
+    # pre-feature commit). Riding the commit record keeps assignment
+    # atomic with the version CAS, the same design as identity_hw.
+    row_ids: tuple[tuple[str, tuple[int, int]], ...] = ()
+    row_id_hw: int = -1
 
 
 class VersionedTable:
@@ -275,6 +283,7 @@ class VersionedTable:
         log_store=None,
         cdf: bool = False,
         v2_checkpoints: bool = False,
+        row_tracking: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -293,6 +302,14 @@ class VersionedTable:
         # opt in when downstream readers support it (this repo's two
         # readers both do).
         self.v2_checkpoints = v2_checkpoints
+        # Row tracking (round 14, spec writer feature ``rowTracking``
+        # + its ``domainMetadata`` dependency): every mirrored add
+        # carries ``baseRowId`` / ``defaultRowCommitVersion`` and the
+        # fresh-id high watermark rides ``delta.rowTracking``
+        # domainMetadata actions. Re-added files (DV re-adds,
+        # OPTIMIZE, PURGE, RESTORE) KEEP their original ids — stable
+        # row identity across rewrites, the feature's whole point.
+        self.row_tracking = row_tracking
         # LogStore seam (round 12): commit-file placement is the ONE
         # operation optimistic concurrency needs to be atomic.
         # Default = Hadoop temp+rename, atomic on HDFS/ABFS/local but
@@ -377,6 +394,15 @@ class VersionedTable:
                             ).items()
                         )
                     ),
+                    row_ids=tuple(
+                        sorted(
+                            (rel, (int(b), int(dv)))
+                            for rel, (b, dv) in (
+                                doc.get("rowIds") or {}
+                            ).items()
+                        )
+                    ),
+                    row_id_hw=int(doc.get("rowIdHw", -1)),
                 )
             )
         return sorted(out, key=lambda c: c.version)
@@ -791,6 +817,25 @@ class VersionedTable:
             return int(spec["highWaterMark"])
         return int(spec["start"]) - int(spec["step"])
 
+    def _row_tracking_state(
+        self, commits: list[Commit] | None = None
+    ) -> tuple[dict[str, tuple[int, int]], int]:
+        """Replay row-tracking state from the commit log: rel →
+        (baseRowId, defaultRowCommitVersion), latest entry per rel
+        (REMOVED files keep their entries — RESTORE re-adds must
+        recover the original ids), plus the fresh-id high watermark
+        (-1 before any tracked commit)."""
+        if commits is None:
+            commits = self._commits()
+        state: dict[str, tuple[int, int]] = {}
+        hw = -1
+        for c in commits:
+            if c.row_id_hw >= 0:
+                hw = c.row_id_hw
+            for rel, pair in c.row_ids:
+                state[rel] = pair
+        return state, hw
+
     def _allocate_identity(
         self,
         df: DataFrame,
@@ -1117,6 +1162,21 @@ class VersionedTable:
             doc["identityHw"] = {
                 k: int(v) for k, v in identity_hw.items()
             }
+        if self.row_tracking:
+            state, hw = self._row_tracking_state()
+            assigned: dict[str, list[int]] = {}
+            for rel in add:
+                prior = state.get(rel)
+                if prior is not None:
+                    # re-add (DV mask, OPTIMIZE, PURGE, RESTORE):
+                    # stable ids — copy the original pair
+                    assigned[rel] = [prior[0], prior[1]]
+                else:
+                    n = _parquet_num_rows(f"{self.path}/{rel}")
+                    assigned[rel] = [hw + 1, version - 1]
+                    hw += n
+            doc["rowIds"] = assigned
+            doc["rowIdHw"] = hw
         return self._put_if_absent(
             self._log_path(version), json.dumps(doc).encode()
         )
@@ -1485,6 +1545,32 @@ class VersionedTable:
             if hw_live != int(spec["start"]) - int(spec["step"]):
                 entry["highWaterMark"] = int(hw_live)
             ident_meta[col] = entry
+        # row tracking: the just-won commit's recorded id assignments
+        # (one small-file read — _try_commit stamped them atomically)
+        rt_ids: dict[str, tuple[int, int]] | None = None
+        rt_hw_emit: int | None = None
+        rt_state: dict[str, tuple[int, int]] = {}
+        rt_hw = -1
+        if self.row_tracking:
+            newdoc = json.loads(
+                _read_small_file(self.spark, self._log_path(version))
+            )
+            rt_ids = {
+                rel: (int(b), int(dvv))
+                for rel, (b, dvv) in (newdoc.get("rowIds") or {}).items()
+            }
+            rt_hw = int(newdoc.get("rowIdHw", -1))
+            prev_hw = max(
+                (c.row_id_hw for c in commits if c.row_id_hw >= 0),
+                default=-1,
+            )
+            # domainMetadata only when fresh ids were minted (or on
+            # the first tracked commit) — latest-wins re-statements
+            # are legal but noisy
+            if rt_hw != prev_hw or not commits:
+                rt_hw_emit = rt_hw
+            rt_state, _ = self._row_tracking_state(commits)
+            rt_state.update(rt_ids)
         emit_meta = (
             (not commits)
             or tuple(commit_schema) != tuple(commits[-1].schema)
@@ -1521,13 +1607,13 @@ class VersionedTable:
         cur_proto = DL.mirror_protocol(
             has_dv, self.ict, has_cm, cdf=self.cdf,
             v2ck=self.v2_checkpoints, gen=bool(gen),
-            ident=bool(ident),
+            ident=bool(ident), rt=self.row_tracking,
         )
         prev_proto = (
             DL.mirror_protocol(
                 had_dv, self.ict, had_cm, cdf=self.cdf,
                 v2ck=self.v2_checkpoints, gen=prev_gen,
-                ident=prev_ident,
+                ident=prev_ident, rt=self.row_tracking,
             )
             if commits
             else None
@@ -1538,6 +1624,8 @@ class VersionedTable:
             mirror_config["delta.enableInCommitTimestamps"] = "true"
         if self.cdf:
             mirror_config["delta.enableChangeDataFeed"] = "true"
+        if self.row_tracking:
+            mirror_config["delta.enableRowTracking"] = "true"
         if has_cm:
             mirror_config["delta.columnMapping.mode"] = "name"
             if mapping is not None:
@@ -1580,6 +1668,8 @@ class VersionedTable:
             metadata_configuration=mirror_config or None,
             partition_columns=list(partition_by) or None,
             cdc_paths=list(cdc) or None,
+            row_ids=rt_ids,
+            row_id_hw=rt_hw_emit,
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             # Complete replay state per PROTOCOL.md: the checkpoint
@@ -1619,7 +1709,7 @@ class VersionedTable:
             ckpt_proto = DL.mirror_protocol(
                 has_dv, self.ict, has_cm, cdf=self.cdf,
                 v2ck=self.v2_checkpoints, gen=bool(gen),
-                ident=bool(ident),
+                ident=bool(ident), rt=self.row_tracking,
             )
             proto_body = (ckpt_proto or {}).get("protocol") or {}
             DL.write_delta_checkpoint(
@@ -1651,6 +1741,13 @@ class VersionedTable:
                 configuration=mirror_config or None,
                 partition_columns=list(partition_by) or None,
                 policy="v2" if self.v2_checkpoints else "classic",
+                row_ids=(
+                    {rel: rt_state[rel] for rel in live_after
+                     if rel in rt_state}
+                    if self.row_tracking
+                    else None
+                ),
+                row_id_hw=rt_hw if self.row_tracking else None,
             )
 
     def upsert(
@@ -3249,6 +3346,7 @@ def versioned_table(
     log_store=None,
     cdf: bool = False,
     v2_checkpoints: bool = False,
+    row_tracking: bool = False,
 ):
     """Factory: the Delta-native table when delta-spark is importable,
     else the parquet-log fallback above. Tests pin ``use_delta=False``
@@ -3265,5 +3363,5 @@ def versioned_table(
         )
     return VersionedTable(
         spark, path, ict=ict, log_store=log_store, cdf=cdf,
-        v2_checkpoints=v2_checkpoints,
+        v2_checkpoints=v2_checkpoints, row_tracking=row_tracking,
     )

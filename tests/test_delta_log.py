@@ -768,10 +768,14 @@ _SPEC_FIELDS = {
     "txn": {"appId", "version"},
     "commitInfo": {"timestamp", "operation"},
     "cdc": {"path", "partitionValues", "size", "dataChange"},
+    "domainMetadata": {"domain", "configuration", "removed"},
 }
 _SPEC_OPTIONAL = {
     "protocol": {"readerFeatures", "writerFeatures"},
-    "add": {"stats", "deletionVector"},
+    # row tracking (round 14): adds may carry baseRowId +
+    # defaultRowCommitVersion
+    "add": {"stats", "deletionVector", "baseRowId",
+            "defaultRowCommitVersion"},
     # removes of masked files copy the add's descriptor (round 13);
     # PROTOCOL.md also allows partitionValues/size on removes
     "remove": {"deletionVector", "partitionValues", "size"},

@@ -243,6 +243,10 @@ def test_casefold_inventory_outside_text_module():
         # round-12 CDF streaming: the readChangeFeed OPTION STRING
         # ("true"/"false"), same class as the two above
         ("sources/delta_stream.py", '"readChangeFeed", "false").lower()'),
+        # round-14 identity columns: the DDL type TOKEN of the target
+        # column ("BIGINT" vs "bigint"), the sources/delta_stream.py
+        # ddl_type precedent — never data columns
+        ("sources/versioned.py", 't = (schema_cols[column] or "").lower()'),
     }
     unexpected = [
         (rel, code)
