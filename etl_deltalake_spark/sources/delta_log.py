@@ -182,7 +182,7 @@ def metadata_action(
 def mirror_protocol(
     has_dv: bool, ict: bool, cm: bool = False, cdf: bool = False,
     v2ck: bool = False, gen: bool = False, ident: bool = False,
-    rt: bool = False,
+    rt: bool = False, clus: bool = False,
 ) -> dict | None:
     """The protocol action the mirror needs for its enabled features
     (None = the default ``PROTOCOL_ACTION`` suffices). Feature lists
@@ -193,7 +193,7 @@ def mirror_protocol(
     writer-only."""
     if (
         not has_dv and not ict and not cm and not cdf and not v2ck
-        and not gen and not ident and not rt
+        and not gen and not ident and not rt and not clus
     ):
         return None
     rfeats = sorted(
@@ -207,9 +207,12 @@ def mirror_protocol(
         + (["changeDataFeed"] if cdf else [])
         + (["generatedColumns"] if gen else [])
         + (["identityColumns"] if ident else [])
-        # rowTracking depends on domainMetadata (its high watermark
-        # rides a delta.rowTracking domainMetadata action)
-        + (["domainMetadata", "rowTracking"] if rt else [])
+        # rowTracking and clustering both depend on domainMetadata
+        # (their state rides delta.rowTracking / delta.clustering
+        # domainMetadata actions)
+        + (["domainMetadata"] if (rt or clus) else [])
+        + (["rowTracking"] if rt else [])
+        + (["clustering"] if clus else [])
     )
     p: dict = {
         "minReaderVersion": 3 if rfeats else 1,
@@ -241,7 +244,7 @@ def emit_delta_commit(
     partition_columns: list[str] | None = None,
     cdc_paths: list[str] | None = None,
     row_ids: dict[str, tuple[int, int]] | None = None,
-    row_id_hw: int | None = None,
+    domains: dict[str, str] | None = None,
 ) -> bool:
     """Write ``_delta_log/%020d.json`` for one commit (put-if-absent
     via the same temp+rename as the custom log). Returns False when
@@ -335,16 +338,15 @@ def emit_delta_commit(
         if stats is not None:
             entry["stats"] = stats
         actions.append({"add": entry})
-    if row_id_hw is not None:
-        # the fresh-row-id high watermark rides the spec's
-        # delta.rowTracking domainMetadata action (latest wins)
+    for domain in sorted(domains or {}):
+        # metadata domains ride domainMetadata actions (latest
+        # non-removed wins): delta.rowTracking's high watermark,
+        # delta.clustering's column spec, ... (round 14)
         actions.append(
             {
                 "domainMetadata": {
-                    "domain": "delta.rowTracking",
-                    "configuration": json.dumps(
-                        {"rowIdHighWaterMark": int(row_id_hw)}
-                    ),
+                    "domain": domain,
+                    "configuration": domains[domain],
                     "removed": False,
                 }
             }
@@ -595,7 +597,7 @@ def write_delta_checkpoint(
     partition_columns: list[str] | None = None,
     policy: str = "classic",
     row_ids: dict[str, tuple[int, int]] | None = None,
-    row_id_hw: int | None = None,
+    domains: dict[str, str] | None = None,
 ) -> None:
     """The classic single-file parquet checkpoint at ``delta_version``
     (one nullable-struct row per action: protocol, metaData, one add
@@ -636,18 +638,14 @@ def write_delta_checkpoint(
             None,
         ),
     ]
-    if row_id_hw is not None:
-        # row-tracking watermark survives log cleanup through the
-        # checkpoint's domainMetadata row (PROTOCOL.md: checkpoints
+    for domain in sorted(domains or {}):
+        # live metadata domains survive log cleanup through the
+        # checkpoint's domainMetadata rows (PROTOCOL.md: checkpoints
         # carry the latest non-removed domainMetadata per domain)
         rows.append(
             (
                 None, None, None, None, None,
-                (
-                    "delta.rowTracking",
-                    json.dumps({"rowIdHighWaterMark": int(row_id_hw)}),
-                    False,
-                ),
+                (domain, domains[domain], False),
             )
         )
     from urllib.parse import quote as _q
@@ -788,19 +786,14 @@ def write_delta_checkpoint(
             {"protocol": proto_doc},
             {"metaData": meta},
             *(
-                [
-                    {
-                        "domainMetadata": {
-                            "domain": "delta.rowTracking",
-                            "configuration": json.dumps(
-                                {"rowIdHighWaterMark": int(row_id_hw)}
-                            ),
-                            "removed": False,
-                        }
+                {
+                    "domainMetadata": {
+                        "domain": d,
+                        "configuration": (domains or {})[d],
+                        "removed": False,
                     }
-                ]
-                if row_id_hw is not None
-                else []
+                }
+                for d in sorted(domains or {})
             ),
             *(
                 {"txn": {"appId": a, "version": int((txns or {})[a])}}

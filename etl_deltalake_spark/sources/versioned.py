@@ -488,23 +488,28 @@ class VersionedTable:
             and st.getPath().getName().endswith(".json")
         ]
 
-    def _props_with_base(
-        self,
-    ) -> tuple[dict[str, str], dict[str, str], dict[str, dict], int]:
-        """(live constraints, generated-column expressions,
-        identity-column specs, newest file number) — the file number
-        is the optimistic-concurrency token for mutations (0 when no
-        props file exists yet). One shared store: the commit records'
-        ``consBase`` then covers ALL THREE, so the mirror re-emits
-        metaData whenever any changes."""
+    def _props_doc_with_base(self) -> tuple[dict, int]:
+        """The raw props document and its file number — the
+        optimistic-concurrency token for mutations (0 when no props
+        file exists yet). One shared store: the commit records'
+        ``consBase`` covers EVERY key (constraints, generated,
+        identity, clustering), so the mirror re-emits metaData /
+        domainMetadata whenever any changes. Mutators go through the
+        doc so keys they do not know about are preserved."""
         files = self._constraints_glob()
         if not files:
-            return {}, {}, {}, 0
+            return {}, 0
         newest = max(files, key=lambda st: st.getPath().getName())
         base = int(newest.getPath().getName()[len("_constraints_"):-5])
         doc = json.loads(_read_small_file(self.spark, str(newest.getPath())))
+        return doc, base
+
+    def _props_with_base(
+        self,
+    ) -> tuple[dict[str, str], dict[str, str], dict[str, dict], int]:
+        doc, base = self._props_doc_with_base()
         return (
-            dict(doc["constraints"]),
+            dict(doc.get("constraints") or {}),
             dict(doc.get("generated") or {}),
             dict(doc.get("identity") or {}),
             base,
@@ -548,23 +553,55 @@ class VersionedTable:
         this store."""
         return self._props_with_base()[2]
 
-    def _try_publish_props(
-        self,
-        cons: dict[str, str],
-        gen: dict[str, str],
-        base: int,
-        ident: dict[str, dict] | None = None,
-    ) -> bool:
+    def clustering_columns(self) -> list[str]:
+        """Live clustered-table columns (round 14, the spec's
+        liquid-clustering metadata: ``delta.clustering``
+        domainMetadata + the writer-only ``clustering`` feature) —
+        empty when the table is not clustered."""
+        return list(self._props_doc_with_base()[0].get("clustering") or [])
+
+    def set_clustering(self, columns: Sequence[str]) -> None:
+        """ALTER TABLE ... CLUSTER BY (round 14): record the
+        clustered-table spec. The mirror emits it as the spec's
+        ``delta.clustering`` domainMetadata (configuration
+        ``{"clusteringColumns": [["c1"], ["c2"]]}``) plus the
+        writer-only ``clustering`` + ``domainMetadata`` features on
+        the NEXT commit, and ``compact()`` with no ``zorder_by``
+        then applies the stored clustering (the OPTIMIZE-on-a-
+        clustered-table behavior). Pass an empty list to un-cluster
+        (``CLUSTER BY NONE``). Data is NOT rewritten here — like
+        real Delta, the spec change is metadata-only and takes
+        physical effect on the next OPTIMIZE / write."""
+        cols = [str(c) for c in columns]
+        commits = self._commits()
+        if commits and cols:
+            known = {n for n, _ in commits[-1].schema}
+            missing = [c for c in cols if c not in known]
+            if missing:
+                raise ValueError(
+                    f"clustering columns {missing} do not exist"
+                )
+        for _ in range(5):
+            doc, base = self._props_doc_with_base()
+            doc["clustering"] = cols
+            if not cols:
+                doc.pop("clustering", None)
+            if self._try_publish_doc(doc, base):
+                return
+        raise RuntimeError("could not publish props (contended)")
+
+    def _try_publish_doc(self, doc: dict, base: int) -> bool:
         """Put-if-absent at EXACTLY base+1 — never slides to a later
         slot (ADVICE r8: sliding published a STALE base map over a
         concurrent writer's constraints; now a lost race returns
         False and the caller re-reads and re-applies, the same
         optimistic-retry contract as the commit loop)."""
-        doc: dict = {"constraints": cons}
-        if gen:
-            doc["generated"] = gen
-        if ident:
-            doc["identity"] = ident
+        doc = {
+            k: v
+            for k, v in doc.items()
+            if v or k == "constraints"
+        }
+        doc.setdefault("constraints", {})
         payload = json.dumps(doc, sort_keys=True).encode()
         path = (
             f"{self.path}/{_LOG_DIR}/_constraints_"
@@ -620,21 +657,25 @@ class VersionedTable:
                 f"existing rows violate {name!r}: {sql_condition}"
             )
         for _ in range(5):
-            cons, gen, ident, base = self._props_with_base()
+            doc, base = self._props_doc_with_base()
+            cons = dict(doc.get("constraints") or {})
             if name in cons:
                 raise ValueError(f"constraint {name!r} already exists")
             cons[name] = sql_condition
-            if self._try_publish_props(cons, gen, base, ident):
+            doc["constraints"] = cons
+            if self._try_publish_doc(doc, base):
                 return
         raise RuntimeError("could not publish constraints (contended)")
 
     def drop_constraint(self, name: str) -> None:
         for _ in range(5):
-            cons, gen, ident, base = self._props_with_base()
+            doc, base = self._props_doc_with_base()
+            cons = dict(doc.get("constraints") or {})
             if name not in cons:
                 raise ValueError(f"no such constraint {name!r}")
             del cons[name]
-            if self._try_publish_props(cons, gen, base, ident):
+            doc["constraints"] = cons
+            if self._try_publish_doc(doc, base):
                 return
         raise RuntimeError("could not publish constraints (contended)")
 
@@ -668,17 +709,19 @@ class VersionedTable:
                     f"{column!r}: {expression}"
                 )
         for _ in range(5):
-            cons, gen, ident, base = self._props_with_base()
+            doc, base = self._props_doc_with_base()
+            gen = dict(doc.get("generated") or {})
             if column in gen:
                 raise ValueError(
                     f"{column!r} already has a generation expression"
                 )
-            if column in ident:
+            if column in (doc.get("identity") or {}):
                 raise ValueError(
                     f"{column!r} is an identity column"
                 )
             gen[column] = expression
-            if self._try_publish_props(cons, gen, base, ident):
+            doc["generated"] = gen
+            if self._try_publish_doc(doc, base):
                 return
         raise RuntimeError("could not publish props (contended)")
 
@@ -789,17 +832,19 @@ class VersionedTable:
             # appended by the first allocating write, like the empty-
             # table case (mergeSchema append semantics)
         for _ in range(5):
-            cons, gen, ident, base = self._props_with_base()
+            doc, base = self._props_doc_with_base()
+            ident = dict(doc.get("identity") or {})
             if column in ident:
                 raise ValueError(
                     f"{column!r} is already an identity column"
                 )
-            if column in gen:
+            if column in (doc.get("generated") or {}):
                 raise ValueError(
                     f"{column!r} has a generation expression"
                 )
             ident[column] = spec
-            if self._try_publish_props(cons, gen, base, ident):
+            doc["identity"] = ident
+            if self._try_publish_doc(doc, base):
                 return
         raise RuntimeError("could not publish props (contended)")
 
@@ -1521,12 +1566,18 @@ class VersionedTable:
 
         if commits:
             DL.backfill_missing(self.spark, self, commits)
-        cons, gen, ident, cons_base = self._props_with_base()
+        props_doc, _pb = self._props_doc_with_base()
+        cons = dict(props_doc.get("constraints") or {})
+        gen = dict(props_doc.get("generated") or {})
+        ident = dict(props_doc.get("identity") or {})
+        clustering = list(props_doc.get("clustering") or [])
+        cons_base = _pb
         prev_props = (
             self._props_at(commits[-1].cons_base) if commits else {}
         )
         prev_gen = bool(prev_props.get("generated"))
         prev_ident = bool(prev_props.get("identity"))
+        prev_clus = list(prev_props.get("clustering") or [])
         # spec delta.identity.* field metadata: static spec + the
         # LIVE high watermark as of THIS commit (identity_hw carries
         # this commit's advances; older advances replay from the log)
@@ -1571,6 +1622,30 @@ class VersionedTable:
                 rt_hw_emit = rt_hw
             rt_state, _ = self._row_tracking_state(commits)
             rt_state.update(rt_ids)
+        # metadata domains: commit only CHANGED configurations;
+        # checkpoints re-state every LIVE one (latest-wins replay)
+        dm_commit: dict[str, str] = {}
+        dm_live: dict[str, str] = {}
+        if rt_hw_emit is not None:
+            dm_commit["delta.rowTracking"] = json.dumps(
+                {"rowIdHighWaterMark": int(rt_hw_emit)}
+            )
+        if self.row_tracking and rt_hw >= 0:
+            dm_live["delta.rowTracking"] = json.dumps(
+                {"rowIdHighWaterMark": int(rt_hw)}
+            )
+        if clustering:
+            clus_cfg = json.dumps(
+                {"clusteringColumns": [[c] for c in clustering]}
+            )
+            dm_live["delta.clustering"] = clus_cfg
+            if clustering != prev_clus or not commits:
+                dm_commit["delta.clustering"] = clus_cfg
+        elif prev_clus:
+            # CLUSTER BY NONE: tombstone the domain once
+            dm_commit["delta.clustering"] = json.dumps(
+                {"clusteringColumns": []}
+            )
         emit_meta = (
             (not commits)
             or tuple(commit_schema) != tuple(commits[-1].schema)
@@ -1608,12 +1683,14 @@ class VersionedTable:
             has_dv, self.ict, has_cm, cdf=self.cdf,
             v2ck=self.v2_checkpoints, gen=bool(gen),
             ident=bool(ident), rt=self.row_tracking,
+            clus=bool(clustering),
         )
         prev_proto = (
             DL.mirror_protocol(
                 had_dv, self.ict, had_cm, cdf=self.cdf,
                 v2ck=self.v2_checkpoints, gen=prev_gen,
                 ident=prev_ident, rt=self.row_tracking,
+                clus=bool(prev_clus),
             )
             if commits
             else None
@@ -1669,7 +1746,7 @@ class VersionedTable:
             partition_columns=list(partition_by) or None,
             cdc_paths=list(cdc) or None,
             row_ids=rt_ids,
-            row_id_hw=rt_hw_emit,
+            domains=dm_commit or None,
         )
         if version % self.CHECKPOINT_INTERVAL == 0:
             # Complete replay state per PROTOCOL.md: the checkpoint
@@ -1710,6 +1787,7 @@ class VersionedTable:
                 has_dv, self.ict, has_cm, cdf=self.cdf,
                 v2ck=self.v2_checkpoints, gen=bool(gen),
                 ident=bool(ident), rt=self.row_tracking,
+                clus=bool(clustering),
             )
             proto_body = (ckpt_proto or {}).get("protocol") or {}
             DL.write_delta_checkpoint(
@@ -1747,7 +1825,7 @@ class VersionedTable:
                     if self.row_tracking
                     else None
                 ),
-                row_id_hw=rt_hw if self.row_tracking else None,
+                domains=dm_live or None,
             )
 
     def upsert(
@@ -3046,6 +3124,12 @@ class VersionedTable:
         streaming readers."""
         import math
 
+        if zorder_by is None:
+            # OPTIMIZE on a clustered table (round 14): apply the
+            # stored CLUSTER BY spec when the caller names none
+            stored = self.clustering_columns()
+            if stored:
+                zorder_by = stored
         jvm, fs, _ = _fs(self.spark, self.path)
         live, _latest = self._snapshot_files()
         total = sum(
