@@ -927,6 +927,39 @@ def _golden_script_r14(spark, path):
     return t
 
 
+def _golden_script_r14b(spark, path):
+    """Round-14 third-wave golden tail: row tracking + clustering on
+    ONE table — adds carrying ``baseRowId``/``defaultRowCommitVersion``
+    (fresh mints vs a DV re-add COPYING its original pair),
+    ``delta.rowTracking`` domainMetadata watermark advances,
+    ``delta.clustering`` domainMetadata (set → re-cluster → NONE),
+    and the clustering/rowTracking/domainMetadata writer-feature
+    protocol."""
+    t = versioned_table(
+        spark, path, use_delta=False, row_tracking=True
+    )
+    t.set_clustering(["id"])
+    ddl = "id long, val string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, ddl).coalesce(1)
+
+    t.write(df([(1, "a"), (2, "b"), (3, "c")]),
+            timestamp="2026-06-01T00:00:00")
+    t.write(df([(4, "d")]), mode="append",
+            timestamp="2026-06-02T00:00:00")
+    # DV delete: the masked file re-adds with its ORIGINAL row ids
+    t.delete_where(F.col("id") == 1,
+                   timestamp="2026-06-03T00:00:00", use_dv=True)
+    t.set_clustering(["val"])
+    t.write(df([(5, "e")]), mode="append",
+            timestamp="2026-06-04T00:00:00")
+    t.set_clustering([])
+    t.write(df([(6, "f")]), mode="append",
+            timestamp="2026-06-05T00:00:00")
+    return t
+
+
 def _normalize_manifest(lines):
     """Normalized v2-named-checkpoint manifest actions: sidecar names
     are random uuids and sizes vary with parquet encoding — mask
@@ -4060,3 +4093,25 @@ def test_golden_r14_conformance(spark, tmp_path, monkeypatch):
     assert fields["twice"]["delta.generationExpression"] == "id * 2"
     assert "identityColumns" in snap["protocol"]["writerFeatures"]
     assert "generatedColumns" in snap["protocol"]["writerFeatures"]
+
+
+def test_golden_r14b_conformance(spark, tmp_path):
+    """Round-14 third-wave golden pin: row-tracking add fields,
+    domainMetadata watermark/clustering actions, and the
+    clustering+rowTracking+domainMetadata protocol, byte-level."""
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "data", "golden_delta_log.json"
+    )
+    with open(golden_path, encoding="utf-8") as f:
+        golden = json.load(f)
+    t = _golden_script_r14b(spark, str(tmp_path / "g14b"))
+    for _, a in DL.delta_log_actions(spark, t.path):
+        kind = next(iter(a))
+        assert kind in _SPEC_FIELDS, f"unknown action {kind}"
+        keys = set(a[kind])
+        assert _SPEC_FIELDS[kind] <= keys
+        assert keys <= _SPEC_FIELDS[kind] | _SPEC_OPTIONAL.get(kind, set())
+    assert _normalize_stream(spark, t.path) == golden["r14b_json_actions"]
+    want = [(2, "b"), (3, "c"), (4, "d"), (5, "e"), (6, "f")]
+    assert _rows(t.read()) == want
+    assert _rows(DL.read_delta(spark, t.path)) == want

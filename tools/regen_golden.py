@@ -133,6 +133,10 @@ def main() -> None:
     with open(f"{mlog14}/_last_checkpoint", encoding="utf-8") as f:
         golden["r14_last_checkpoint_version"] = json.load(f)["version"]
 
+    # ---- round-14 third wave: row tracking + clustering shapes ----
+    t14b = T._golden_script_r14b(spark, f"{tmp}/g14b")
+    golden["r14b_json_actions"] = T._normalize_stream(spark, t14b.path)
+
     out = os.path.join(REPO, "tests", "data", "golden_delta_log.json")
     with open(out, "w", encoding="utf-8") as f:
         json.dump(golden, f, indent=1, sort_keys=True)
