@@ -326,6 +326,87 @@ def _partition_value(raw: str | None, ddl_type: str):
     return raw
 
 
+def _pa_type_of(ddl_type: str):
+    """Arrow type for a DDL string, matching EXACTLY what Spark's
+    Python-data-source worker produces for the row path
+    (``to_arrow_schema``, see plan_data_source_read.py) — yielded
+    RecordBatches bypass type validation, so a mismatch here would
+    reach the JVM. None = not covered, caller takes the row path."""
+    import re as _re
+
+    import pyarrow as pa
+
+    t = ddl_type.strip().lower()
+    prim = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "real": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if t in prim:
+        return prim[t]
+    m = _re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return None
+
+
+def _try_arrow_batch(specs, n_rows: int, masked):
+    """Columnar fast path for the streaming readers (round 14, guide
+    §4): build ONE RecordBatch per file partition so rows cross the
+    Python->JVM boundary as Arrow columns instead of pickled tuples.
+
+    ``specs`` is one (name, ddl_type, kind, payload) per output
+    column — kind "col" (pyarrow column from the parquet read),
+    "const" (python literal repeated n_rows times: partition values,
+    the commit version, derived _change_type) or "null" (pre-schema-
+    evolution null fill). ``masked`` is the DV's deleted row-index
+    set; surviving rows keep file order. Returns None when any type
+    or cast falls outside the supported map — callers then run the
+    row path, which handles everything (same output, slower).
+    Memory bound: one file's columns materialize at once — the same
+    bound the row path already had (it built full to_pylist lists)."""
+    import pyarrow as pa
+
+    try:
+        arrays = []
+        names = []
+        for name, ddl_type, kind, payload in specs:
+            t = _pa_type_of(ddl_type)
+            if t is None:
+                return None
+            if kind == "col":
+                arr = payload
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if arr.type != t:
+                    arr = arr.cast(t)
+            elif kind == "const":
+                arr = pa.array([payload] * n_rows, type=t)
+            else:
+                arr = pa.nulls(n_rows, type=t)
+            arrays.append(arr)
+            names.append(name)
+        batch = pa.RecordBatch.from_arrays(arrays, names=names)
+        if masked:
+            keep = [i for i in range(n_rows) if i not in masked]
+            batch = batch.take(pa.array(keep, type=pa.int64()))
+        return batch
+    except Exception:
+        return None
+
+
 class DeltaFilePartition(InputPartition):
     def __init__(
         self,
@@ -636,32 +717,51 @@ class DeltaStreamReader(DataSourceStreamReader):
         if part.is_cdc and "_change_type" in present:
             wanted.append("_change_type")
         table = pf.read(columns=wanted)
-        by_name = {n: table.column(n).to_pylist() for n in wanted}
         n_rows = table.num_rows if wanted else pf.metadata.num_rows
-        cols = []
+        masked = (
+            _dv_positions_py(self.root, part.dv) if part.dv else None
+        )
+        specs = []
         for name, ddl_type, phys, _fid in self.fields:
             src = col_of.get(name)
             # spec: partitionValues keys are PHYSICAL names on a
             # mapped table (physical == logical when unmapped)
             if src is not None:
-                cols.append(by_name[src])
+                specs.append((name, ddl_type, "col", table.column(src)))
             elif phys in part.partition_values:
                 val = _partition_value(
                     part.partition_values.get(phys), ddl_type
                 )
-                cols.append([val] * n_rows)
+                specs.append((name, ddl_type, "const", val))
             else:  # pre-schema-evolution file: null fill
-                cols.append([None] * n_rows)
+                specs.append((name, ddl_type, "null", None))
         if self.read_cdf:
             # CDF column: recorded in the cdc file itself, or the
             # derived literal ("insert" for snapshot/append rows)
             if part.is_cdc:
-                cols.append(by_name["_change_type"])
+                specs.append(
+                    ("_change_type", "string", "col",
+                     table.column("_change_type"))
+                )
             else:
-                cols.append([part.change_type] * n_rows)
-        masked = (
-            _dv_positions_py(self.root, part.dv) if part.dv else None
-        )
+                specs.append(
+                    ("_change_type", "string", "const", part.change_type)
+                )
+        specs.append(("_commit_version", "bigint", "const", part.version))
+        batch = _try_arrow_batch(specs, n_rows, masked)
+        if batch is not None:
+            if batch.num_rows:
+                yield batch
+            return
+        # row fallback — types outside the arrow map; same output
+        cols = []
+        for name, ddl_type, kind, payload in specs[:-1]:
+            if kind == "col":
+                cols.append(payload.to_pylist())
+            elif kind == "const":
+                cols.append([payload] * n_rows)
+            else:
+                cols.append([None] * n_rows)
         for i, row in enumerate(zip(*cols) if cols else ()):
             if masked is not None and i in masked:
                 continue

@@ -62,9 +62,13 @@ fallback, not a fork of the semantics.
 from __future__ import annotations
 
 import json
+import os
+import re
+import shutil
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
+from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -77,16 +81,237 @@ _DATA_DIR = "data"
 _CHANGE_DIR = "_change_data"
 _VERSION_DIGITS = 20
 
+# ---- driver-side metadata I/O (round 14 optimization) ----------------
+#
+# Every commit reads/writes a handful of metadata-sized files (commit
+# JSON, checkpoint pointers, DV sidecars). Routing those through the
+# JVM Hadoop FS costs 4-6 py4j round-trips EACH — measured ~2 s of
+# pure socket wait per storage-query execution at sf0.1 (profiling:
+# 6.7k py4j sends per q_purge_read run, 7.2 s of 8.3 s total in
+# socket.recv_into). When the path is local (file: scheme, or a bare
+# path while fs.defaultFS is file:///), the same operations are plain
+# OS calls with identical semantics: rename refuses to clobber
+# (os.link is the POSIX atomic put-if-absent), non-recursive delete
+# of a non-empty directory fails, listings hide Hadoop's .crc
+# checksum sidecars. Non-local paths (hdfs://, s3a://, or bare paths
+# under a non-file defaultFS) keep the Hadoop branch untouched — the
+# fast path is a driver-overhead cut, not a semantics change.
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+_DEFAULT_FS_LOCAL: dict[int, bool] = {}
+
+
+def _default_fs_is_local(spark: SparkSession) -> bool:
+    key = id(spark)
+    cached = _DEFAULT_FS_LOCAL.get(key)
+    if cached is None:
+        try:
+            cached = str(
+                spark._jsc.hadoopConfiguration().get(
+                    "fs.defaultFS", "file:///"
+                )
+            ).startswith("file:")
+        except Exception:
+            cached = False
+        _DEFAULT_FS_LOCAL[key] = cached
+    return cached
+
+
+def _strip_file_scheme(p: str) -> str | None:
+    """``file:``-scheme URI → OS path (None when the authority names a
+    remote host)."""
+    rest = p[5:]
+    if rest.startswith("//"):
+        tail = rest[2:]
+        i = tail.find("/")
+        host = tail[:i] if i >= 0 else tail
+        if i < 0 or host not in ("", "localhost"):
+            return None
+        return tail[i:]
+    return rest if rest.startswith("/") else None
+
+
+def _local_path(spark: SparkSession, path) -> str | None:
+    """OS path when ``path`` lives on the driver-visible local
+    filesystem, else None. Bare paths follow ``fs.defaultFS`` (a bare
+    path on an HDFS-defaulted cluster is NOT local)."""
+    s = str(path)
+    if s.startswith("file:"):
+        return _strip_file_scheme(s)
+    if _SCHEME_RE.match(s):
+        return None
+    if not _default_fs_is_local(spark):
+        return None
+    return s if s.startswith("/") else os.path.abspath(s)
+
+
+class _LPath:
+    """Local stand-in for ``org.apache.hadoop.fs.Path`` (the shim the
+    fast-path ``_fs`` hands to existing call sites unchanged)."""
+
+    __slots__ = ("_p",)
+
+    def __init__(self, a, b=None):
+        p = str(a) if b is None else f"{str(a).rstrip('/')}/{str(b)}"
+        if p.startswith("file:"):
+            stripped = _strip_file_scheme(p)
+            if stripped is not None:
+                p = stripped
+        self._p = p.rstrip("/") or "/"
+
+    def getName(self) -> str:
+        return self._p.rsplit("/", 1)[-1]
+
+    def getParent(self) -> "_LPath":
+        head = self._p.rsplit("/", 1)[0]
+        return _LPath(head or "/")
+
+    def toString(self) -> str:
+        return self._p
+
+    def __str__(self) -> str:
+        return self._p
+
+    def __repr__(self) -> str:
+        return f"_LPath({self._p!r})"
+
+
+class _LStatus:
+    """Local stand-in for Hadoop ``FileStatus``."""
+
+    __slots__ = ("_p", "_isdir", "_st")
+
+    def __init__(self, path: str, isdir: bool, st: os.stat_result):
+        self._p = path
+        self._isdir = isdir
+        self._st = st
+
+    def getPath(self) -> _LPath:
+        return _LPath(self._p)
+
+    def isDirectory(self) -> bool:
+        return self._isdir
+
+    def getLen(self) -> int:
+        return int(self._st.st_size)
+
+    def getModificationTime(self) -> int:
+        # Hadoop File.lastModified() is whole milliseconds
+        return self._st.st_mtime_ns // 1_000_000
+
+
+class _LocalFS:
+    """Python mirror of the Hadoop FileSystem surface this engine
+    uses. Hadoop-written ``.name.crc`` checksum sidecars are swept on
+    delete/rename/overwrite so a later Hadoop-path read can never
+    fail verification against a stale crc, and hidden from listings
+    exactly as ChecksumFileSystem hides them."""
+
+    @staticmethod
+    def _crc(lp: str) -> str:
+        d, n = os.path.split(lp)
+        return os.path.join(d, f".{n}.crc")
+
+    def _drop_crc(self, lp: str) -> None:
+        try:
+            os.unlink(self._crc(lp))
+        except OSError:
+            pass
+
+    def exists(self, p) -> bool:
+        return os.path.exists(str(p))
+
+    def getFileStatus(self, p) -> _LStatus:
+        lp = str(p)
+        st = os.stat(lp)
+        return _LStatus(lp, os.path.isdir(lp), st)
+
+    def listStatus(self, p) -> list[_LStatus]:
+        lp = str(p)
+        out = []
+        for e in os.scandir(lp):  # FileNotFoundError when missing
+            if e.name.startswith(".") and e.name.endswith(".crc"):
+                continue
+            out.append(
+                _LStatus(os.path.join(lp, e.name), e.is_dir(), e.stat())
+            )
+        out.sort(key=lambda s: s._p)
+        return out
+
+    def mkdirs(self, p) -> bool:
+        os.makedirs(str(p), exist_ok=True)
+        return True
+
+    def delete(self, p, recursive: bool = False) -> bool:
+        lp = str(p)
+        try:
+            if os.path.isdir(lp) and not os.path.islink(lp):
+                if recursive:
+                    shutil.rmtree(lp)
+                else:
+                    os.rmdir(lp)
+            else:
+                os.unlink(lp)
+        except FileNotFoundError:
+            return False
+        self._drop_crc(lp)
+        return True
+
+    def rename(self, src, dst) -> bool:
+        s, d = str(src), str(dst)
+        if not os.path.exists(s) or os.path.exists(d):
+            return False
+        if not os.path.isdir(os.path.dirname(d)):
+            return False  # Hadoop rename needs an existing parent
+        try:
+            if os.path.isfile(s):
+                os.link(s, d)  # atomic no-clobber on POSIX
+                os.unlink(s)
+            else:
+                os.rename(s, d)
+        except OSError:
+            return False
+        self._drop_crc(s)
+        self._drop_crc(d)
+        return True
+
+    def create(self, p, overwrite: bool = True):
+        lp = str(p)
+        if not overwrite and os.path.exists(lp):
+            raise FileExistsError(lp)
+        parent = os.path.dirname(lp)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        self._drop_crc(lp)
+        return open(lp, "wb")
+
+
+_LOCAL_FS = _LocalFS()
+_LOCAL_JVM = SimpleNamespace(
+    org=SimpleNamespace(
+        apache=SimpleNamespace(
+            hadoop=SimpleNamespace(fs=SimpleNamespace(Path=_LPath))
+        )
+    )
+)
+
 
 def _fs(spark: SparkSession, path: str):
+    lp = _local_path(spark, path)
+    if lp is not None:
+        return _LOCAL_JVM, _LOCAL_FS, _LPath(lp)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
 def _read_small_file(spark: SparkSession, path: str) -> bytes:
-    """Driver-side read of a metadata-sized file through Hadoop FS
-    (scheme-agnostic — NOT ``open()``, which only sees the local FS)."""
+    """Driver-side read of a metadata-sized file: plain ``open()`` on
+    the local fast path, Hadoop FS for every other scheme."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        with open(lp, "rb") as f:
+            return f.read()
     jvm, fs, hpath = _fs(spark, path)
     stream = fs.open(hpath)
     sink = jvm.java.io.ByteArrayOutputStream()
@@ -100,6 +325,21 @@ def _write_file_atomic(spark: SparkSession, path: str, payload: bytes) -> bool:
     Returns False when ``path`` already exists (rename refuses to
     clobber) — the optimistic-concurrency loss signal.
     """
+    lp = _local_path(spark, path)
+    if lp is not None:
+        parent = os.path.dirname(lp)
+        os.makedirs(parent, exist_ok=True)
+        tmp = os.path.join(parent, f"_tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, lp)  # atomic put-if-absent on POSIX
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        _LOCAL_FS._drop_crc(lp)
+        return True
     jvm, fs, hpath = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         hpath.getParent(), f"_tmp_{uuid.uuid4().hex}.json"
@@ -123,6 +363,16 @@ def _write_file_overwrite(
     readers replayed ever-longer JSON tails forever). A reader
     racing the swap sees the old pointer or none; both are safe —
     the pointer is an optimization, missing means full replay."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        parent = os.path.dirname(lp)
+        os.makedirs(parent, exist_ok=True)
+        tmp = os.path.join(parent, f"_tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, lp)  # atomic last-writer-wins
+        _LOCAL_FS._drop_crc(lp)
+        return True
     jvm, fs, hpath = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         hpath.getParent(), f"_tmp_{uuid.uuid4().hex}.json"
