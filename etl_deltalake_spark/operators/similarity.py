@@ -616,38 +616,173 @@ def ivf_assign_df(
     """
     if metric not in ("cosine", "l2"):
         raise ValueError(f"metric must be cosine|l2, got {metric!r}")
-    measure = cosine if metric == "cosine" else l2_sq
     pick = F.array_max if metric == "cosine" else F.array_min
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
-        "cid long, cv array<double>",
+    # centroid-id order — the same total order array_sort gave the
+    # old broadcast struct array, so argmax tie-breaks (first match
+    # = lowest cid) are unchanged
+    cents = sorted(
+        ((int(cid), [float(x) for x in cv]) for cid, cv in centroids)
     )
-    cent_row = (
-        cent_df.groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("_cents"))
-        .withColumn("_k", F.lit(1))
+    kernel = _centroid_sims_kernel(
+        [cv for _, cv in cents],
+        [_seq_norm_py(cv) for _, cv in cents],
+        metric,
     )
-    joined = df.withColumn("_k", F.lit(1)).join(F.broadcast(cent_row), "_k")
-    simmed = joined.select(
+    # RAW measures come from the Arrow kernel (bit-identical fold
+    # order — see _centroid_sims_kernel); ROUNDING, argmax and the
+    # tie-break stay JVM-side expressions exactly as before
+    simmed = df.select(
         F.col(id_col),
         F.col(vec_col),
         F.transform(
-            F.col("_cents"), lambda c: measure(F.col(vec_col), c["cv"], scale)
+            kernel(F.col(vec_col)), lambda s: F.round(s, scale)
         ).alias("_sims"),
-        F.col("_cents"),
     )
-    winner = F.element_at(
-        "_cents",
-        F.array_position(F.col("_sims"), pick(F.col("_sims"))).cast("int"),
-    )
-    return simmed.select(
+    idx = F.array_position(F.col("_sims"), pick(F.col("_sims"))).cast("int")
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
+    out_cols = [
         F.col(id_col),
         F.col(vec_col),
-        winner["cid"].alias("cluster_id"),
+        F.element_at(cid_arr, idx).alias("cluster_id"),
         *([pick(F.col("_sims")).alias(sim_col)] if sim_col else []),
-        *([winner["cv"].alias(centroid_col)] if centroid_col else []),
-    )
+    ]
+    if centroid_col:
+        # winner VECTOR requested (IVF+PQ residual encoding): carry
+        # the codebook as one literal array-of-structs (plan size
+        # O(nlist·d) literals — only this branch pays it)
+        cv_arr = F.array(
+            *[
+                F.array(*[F.lit(x) for x in cv])
+                for _, cv in cents
+            ]
+        )
+        out_cols.append(F.element_at(cv_arr, idx).alias(centroid_col))
+    return simmed.select(*out_cols)
+
+
+def _seq_norm_py(cv: Sequence[float]) -> float:
+    """Driver-side vector norm with the engines' sequential fold
+    order — bit-identical to SQL ``norm()`` (left fold of squares,
+    then sqrt)."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _centroid_sims_kernel(
+    cent_mat, cent_norms, metric: str
+):
+    """Vectorized Arrow kernel for the IVF assignment measure (round
+    14, guide §4): per input vector, the RAW (unrounded) cosine or
+    squared-L2 against every centroid, returned as one
+    ``array<double>`` in centroid-id order.
+
+    Bit-exactness contract: the SQL form folds dimension-by-dimension
+    (((0+t1)+t2)+...); the kernel accumulates a (rows x centroids)
+    matrix with one elementwise ``+=`` per DIMENSION, so every
+    (row, centroid) accumulator sees the identical add sequence —
+    same bits, ~20x less per-element overhead than Catalyst's
+    interpreted higher-order-function evaluation (zip_with/aggregate
+    lambdas are CodegenFallback). float32 inputs widen to float64
+    first, exactly like ``_to_double``. Rounding and argmax stay in
+    the JVM so tie-breaks and HALF_UP semantics are untouched."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.ascontiguousarray(cent_mat, dtype=np.float64)  # (k, d)
+    cn = np.asarray(cent_norms, dtype=np.float64)  # (k,)
+    k, d = C.shape
+
+    def fn(it):
+        for s in it:
+            if s.empty:
+                yield pd.Series([], dtype=object)
+                continue
+            V = np.stack(s.to_numpy()).astype(np.float64)  # (n, d)
+            n = V.shape[0]
+            acc = np.zeros((n, k))
+            if metric == "cosine":
+                nv = np.zeros(n)
+                for j in range(d):
+                    col = V[:, j]
+                    acc += col[:, None] * C[None, :, j]
+                    nv += col * col
+                sims = acc / (np.sqrt(nv)[:, None] * cn[None, :])
+            else:
+                for j in range(d):
+                    t = V[:, j][:, None] - C[None, :, j]
+                    acc += t * t
+                sims = acc
+            yield pd.Series(list(sims))
+
+    # real class objects, not strings — a pandas_udf defined in a
+    # closure cannot resolve string annotations (round-12 gotcha)
+    from typing import Iterator as _It
+
+    fn.__annotations__ = {
+        "it": _It[pd.Series],
+        "return": _It[pd.Series],
+    }
+    return F.pandas_udf(fn, "array<double>")
+
+
+def _pair_dot_kernel():
+    """Arrow kernel: RAW dot product of two array columns, dim-
+    sequential accumulation (bit-identical to the SQL ``dot()`` fold
+    — same contract as ``_centroid_sims_kernel``)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(it):
+        for a, b in it:
+            if a.empty:
+                yield pd.Series([], dtype="float64")
+                continue
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            B = np.stack(b.to_numpy()).astype(np.float64)
+            acc = np.zeros(A.shape[0])
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            yield pd.Series(acc)
+
+    from typing import Iterator as _It
+    from typing import Tuple as _Tup
+
+    fn.__annotations__ = {
+        "it": _It[_Tup[pd.Series, pd.Series]],
+        "return": _It[pd.Series],
+    }
+    return F.pandas_udf(fn, "double")
+
+
+def _vec_norm_kernel():
+    """Arrow kernel: vector norm, sequential squares fold + sqrt —
+    bit-identical to SQL ``norm()``."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(it):
+        for s in it:
+            if s.empty:
+                yield pd.Series([], dtype="float64")
+                continue
+            V = np.stack(s.to_numpy()).astype(np.float64)
+            acc = np.zeros(V.shape[0])
+            for j in range(V.shape[1]):
+                col = V[:, j]
+                acc += col * col
+            yield pd.Series(np.sqrt(acc))
+
+    from typing import Iterator as _It
+
+    fn.__annotations__ = {
+        "it": _It[pd.Series],
+        "return": _It[pd.Series],
+    }
+    return F.pandas_udf(fn, "double")
 
 
 def _cos_py(a: Sequence[float], b: Sequence[float], scale: int = 6) -> float:
@@ -1349,20 +1484,37 @@ def semantic_dedup_pairs(
             df, id_col, vec_col, centroids, scale
         ).localCheckpoint(eager=True)
     )
+    # Norms once per VECTOR (scan side), dots once per PAIR through
+    # the Arrow kernel (round 14, guide §4): the old per-pair
+    # cosine() re-derived both norms through interpreted zip_with/
+    # aggregate lambdas — 3x the inner work at ~20x the per-element
+    # cost. round(dot/(na*nb), scale) is bit-identical: same fold
+    # order (kernel contract), same product/division sequence, same
+    # JVM HALF_UP rounding.
+    nrm = _vec_norm_kernel()
     a = assigned.select(
         F.col(id_col).alias("doc_a"),
         F.col(vec_col).alias("_va"),
+        nrm(F.col(vec_col)).alias("_na"),
         "cluster_id",
     )
     b = assigned.select(
         F.col(id_col).alias("doc_b"),
         F.col(vec_col).alias("_vb"),
+        nrm(F.col(vec_col)).alias("_nb"),
         "cluster_id",
     )
     return (
         a.join(b, "cluster_id")
         .filter(F.col("doc_b") < F.col("doc_a"))
-        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb"), scale))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _pair_dot_kernel()(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                scale,
+            ),
+        )
         .filter(F.col("cos_sim") >= tau)
         .select("doc_a", "doc_b", "cluster_id", "cos_sim")
     )
@@ -1443,9 +1595,14 @@ def incremental_semantic_dedup(
     assigned = ivf_assign_df(
         new_df, id_col, vec_col, centroids, scale
     ).localCheckpoint(eager=True)
+    # norms per vector on the scan side, dots per pair through the
+    # Arrow kernel — same bit-exact rewrite as semantic_dedup_pairs
+    nrm = _vec_norm_kernel()
+    dotk = _pair_dot_kernel()
     n = assigned.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        nrm(F.col(vec_col)).alias("_nn"),
         "cluster_id",
     )
     matches = []
@@ -1453,23 +1610,39 @@ def incremental_semantic_dedup(
         h = store.select(
             F.col(id_col).alias("_hid"),
             F.col(vec_col).alias("_hv"),
+            nrm(F.col(vec_col)).alias("_hn"),
             "cluster_id",
         )
         matches.append(
             n.join(h, "cluster_id")
-            .withColumn("_cs", cosine(F.col("_v"), F.col("_hv"), scale))
+            .withColumn(
+                "_cs",
+                F.round(
+                    dotk(F.col("_v"), F.col("_hv"))
+                    / (F.col("_nn") * F.col("_hn")),
+                    scale,
+                ),
+            )
             .filter(F.col("_cs") >= tau)
             .select("_id", F.col("_hid").alias("_dup"))
         )
     nb = n.select(
         F.col("_id").alias("_bid"),
         F.col("_v").alias("_bv"),
+        F.col("_nn").alias("_bn"),
         "cluster_id",
     )
     matches.append(
         n.join(nb, "cluster_id")
         .filter(F.col("_bid") < F.col("_id"))
-        .withColumn("_cs", cosine(F.col("_v"), F.col("_bv"), scale))
+        .withColumn(
+            "_cs",
+            F.round(
+                dotk(F.col("_v"), F.col("_bv"))
+                / (F.col("_nn") * F.col("_bn")),
+                scale,
+            ),
+        )
         .filter(F.col("_cs") >= tau)
         .select("_id", F.col("_bid").alias("_dup"))
     )

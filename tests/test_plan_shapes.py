@@ -22,25 +22,24 @@ def _physical_plan(df) -> str:
 # Queries whose one BNLJ is a SINGLE-ROW broadcast cross join (a
 # scalar aggregate folded into the plan — O(n), not all-pairs):
 # q_lm_score crossJoins the 1-row vocab-size aggregate; q_bm25
-# crossJoins the 1-row (N, avgdl) corpus-constants aggregate;
-# q_ivfpq_topk broadcasts the 1-row collected-codebook array
-# (ivf_assign_df's constant-key join — Catalyst folds the trivially-
-# true key equality away, leaving a nested-loop node over exactly
-# one broadcast row).
+# crossJoins the 1-row (N, avgdl) corpus-constants aggregate.
 _SCALAR_CROSS_OK = {
     "q_lm_score": 1,
     "q_bm25": 1,
     "q_standardize": 1,
-    "q_ivfpq_topk": 1,
+    # (q_ivfpq_topk, q_incr_semdedup, q_ann_recall and
+    # q_ivf_recall_curve lost their codebook-broadcast BNLJ in the
+    # round-14 assignment rewrite: ivf_assign_df computes the raw
+    # measures in an Arrow kernel and takes the winner cid from a
+    # literal array, so no constant-key join exists to fold — their
+    # expected count is now the default 0)
     # heavy_hitters crossJoins the 1-row total-count aggregate for
     # the integer threshold test (stats.heavy_hitters)
     "q_heavy_hitters": 1,
     # corpus_divergence crossJoins the 1-row (N_a, N_b, |V|) totals
     "q_corpus_kl": 1,
-    # round 5: recall grading crossJoins the 1-row query vector
-    # inside cosine_topk (exact ground truth); Q22 broadcasts the
-    # 1-row positive-balance (sum, count) threshold aggregate
-    "q_ann_recall": 1,
+    # Q22 broadcasts the 1-row positive-balance (sum, count)
+    # threshold aggregate
     "q_tpch_q22": 1,
     # lm transfer crossJoins the 1-row train-vocabulary size
     "q_lm_transfer": 1,
@@ -53,9 +52,6 @@ _SCALAR_CROSS_OK = {
     # (round-9 boundary scoring; the corpus-max join is gone —
     # recency scores on last_epoch directly)
     "q_rfm": 1,
-    # one 1-row query-vector/ground-truth broadcast per branch:
-    # cosine exact + the shared structure across the nprobe sweep
-    "q_ivf_recall_curve": 3,
     # round 9: NB classifier — the CHECKPOINTED 1-row totals
     # broadcasts onto the model terms, and the 1-row consts
     # projection broadcasts onto the scored tokens (the totals'
@@ -75,12 +71,6 @@ _SCALAR_CROSS_OK = {
     "q_tpch_q11": 3,
     "q_tpch_q16": 1,
     "q_tpch_q20": 1,
-    # round 10: the incremental-SemDeDup STORE half assigns through
-    # ivf_assign_df un-checkpointed (the store is an input, built
-    # in-query only for grading) — its 1-row codebook broadcast is
-    # the single BNLJ; the batch half is checkpointed like
-    # q_semantic_dedup and contributes none.
-    "q_incr_semdedup": 1,
 }
 
 
