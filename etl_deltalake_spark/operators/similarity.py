@@ -589,6 +589,13 @@ def kmeans_codebook(
     return centroids
 
 
+# Upper bound on nlist·d for embedding the codebook as plan literals
+# in ivf_assign_df's centroid_col branch; larger codebooks switch to a
+# broadcast equi-join on the winning cluster_id (ADVICE r15: literal
+# plans grow O(nlist·d) and a 4096×768 book would be ~3M literals).
+_CENT_LITERAL_MAX = 16384
+
+
 def ivf_assign_df(
     df: DataFrame,
     id_col: str,
@@ -647,16 +654,48 @@ def ivf_assign_df(
         *([pick(F.col("_sims")).alias(sim_col)] if sim_col else []),
     ]
     if centroid_col:
-        # winner VECTOR requested (IVF+PQ residual encoding): carry
-        # the codebook as one literal array-of-structs (plan size
-        # O(nlist·d) literals — only this branch pays it)
-        cv_arr = F.array(
-            *[
-                F.array(*[F.lit(x) for x in cv])
-                for _, cv in cents
-            ]
+        # winner VECTOR requested (IVF+PQ residual encoding). Small
+        # codebooks ride as one literal array-of-arrays; past
+        # _CENT_LITERAL_MAX total elements (ADVICE r15: 4096×768
+        # would be ~3M literals — analysis-time blowup / driver OOM)
+        # the winner vector comes from a broadcast equi-join on the
+        # winning cluster_id instead — same rows, same values, plan
+        # size O(1) in nlist.
+        if len(cents) * len(cents[0][1]) <= _CENT_LITERAL_MAX:
+            cv_arr = F.array(
+                *[
+                    F.array(*[F.lit(x) for x in cv])
+                    for _, cv in cents
+                ]
+            )
+            out_cols.append(F.element_at(cv_arr, idx).alias(centroid_col))
+            return simmed.select(*out_cols)
+        spark = df.sparkSession
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
         )
-        out_cols.append(F.element_at(cv_arr, idx).alias(centroid_col))
+
+        book = spark.createDataFrame(
+            [(cid, list(cv)) for cid, cv in cents],
+            StructType(
+                [
+                    StructField("cluster_id", LongType(), False),
+                    StructField(centroid_col, ArrayType(DoubleType()), False),
+                ]
+            ),
+        )
+        assigned = simmed.select(*out_cols)
+        return assigned.join(F.broadcast(book), "cluster_id").select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cluster_id"),
+            *([F.col(sim_col)] if sim_col else []),
+            F.col(centroid_col),
+        )
     return simmed.select(*out_cols)
 
 
@@ -701,7 +740,26 @@ def _centroid_sims_kernel(
             if s.empty:
                 yield pd.Series([], dtype=object)
                 continue
-            V = np.stack(s.to_numpy()).astype(np.float64)  # (n, d)
+            raw = s.to_numpy()
+            # Null/ragged guard (round 15, ADVICE r14): the SQL forms
+            # this kernel replaces (zip_with/aggregate cosine, l2_sq)
+            # yield NULL for a null vector or a length mismatch —
+            # zip_with pads the shorter side with nulls and the sum
+            # fold propagates them. Mask those rows and emit None so
+            # the kernel degrades identically instead of raising in
+            # np.stack.
+            valid = np.array(
+                [v is not None and len(v) == d for v in raw], dtype=bool
+            )
+            if not valid.all():
+                out = np.empty(len(raw), dtype=object)
+                out[:] = None
+                if valid.any():
+                    sub = fn(iter([s[valid]]))
+                    out[valid] = next(sub).to_numpy()
+                yield pd.Series(out)
+                continue
+            V = np.stack(raw).astype(np.float64)  # (n, d)
             n = V.shape[0]
             acc = np.zeros((n, k))
             if metric == "cosine":
@@ -741,12 +799,35 @@ def _pair_dot_kernel():
             if a.empty:
                 yield pd.Series([], dtype="float64")
                 continue
-            A = np.stack(a.to_numpy()).astype(np.float64)
-            B = np.stack(b.to_numpy()).astype(np.float64)
-            acc = np.zeros(A.shape[0])
-            for j in range(A.shape[1]):
-                acc += A[:, j] * B[:, j]
-            yield pd.Series(acc)
+            ra, rb = a.to_numpy(), b.to_numpy()
+            # Null/ragged guard (round 15, ADVICE r14): SQL dot()
+            # returns NULL for a null side or a length mismatch
+            # (zip_with pads with nulls, the sum fold propagates).
+            # Rows are grouped by their common length so mixed-width
+            # batches still vectorize.
+            n = len(ra)
+            out = np.full(n, np.nan)
+            lens = np.array(
+                [
+                    len(x) if x is not None and y is not None
+                    and len(x) == len(y) else -1
+                    for x, y in zip(ra, rb)
+                ]
+            )
+            for L in np.unique(lens):
+                if L < 0:
+                    continue
+                m = lens == L
+                A = np.stack(ra[m]).astype(np.float64)
+                B = np.stack(rb[m]).astype(np.float64)
+                acc = np.zeros(A.shape[0])
+                for j in range(int(L)):
+                    acc += A[:, j] * B[:, j]
+                out[m] = acc
+            # invalid rows stay NaN; Spark's Arrow writer converts
+            # float NaN to SQL NULL (from_pandas semantics), matching
+            # the old null-propagating dot() exactly
+            yield pd.Series(out)
 
     from typing import Iterator as _It
     from typing import Tuple as _Tup
@@ -769,12 +850,27 @@ def _vec_norm_kernel():
             if s.empty:
                 yield pd.Series([], dtype="float64")
                 continue
-            V = np.stack(s.to_numpy()).astype(np.float64)
-            acc = np.zeros(V.shape[0])
-            for j in range(V.shape[1]):
-                col = V[:, j]
-                acc += col * col
-            yield pd.Series(np.sqrt(acc))
+            raw = s.to_numpy()
+            # Null/ragged guard (round 15, ADVICE r14): SQL norm()
+            # yields NULL for a null vector; rows group by length so
+            # mixed-width batches still vectorize. NaN → SQL NULL via
+            # the Arrow writer, same as _pair_dot_kernel.
+            n = len(raw)
+            out = np.full(n, np.nan)
+            lens = np.array(
+                [len(x) if x is not None else -1 for x in raw]
+            )
+            for L in np.unique(lens):
+                if L < 0:
+                    continue
+                m = lens == L
+                V = np.stack(raw[m]).astype(np.float64)
+                acc = np.zeros(V.shape[0])
+                for j in range(int(L)):
+                    col = V[:, j]
+                    acc += col * col
+                out[m] = np.sqrt(acc)
+            yield pd.Series(out)
 
     from typing import Iterator as _It
 

@@ -411,6 +411,19 @@ _PQ_CACHE: dict[str, list[list[tuple[int, list[float]]]]] = {}
 _KMEANS_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
+def reset_similarity_session_caches() -> None:
+    """Bench hook (round 15, VERDICT r14 #6): clear the session
+    codebook/probe memos so every timed bench rep performs its row's
+    FULL declared computation — training collects included — instead
+    of rep 2 reusing rep 1's codebooks and shaving the training out
+    of the reported min. The persisted ANN-index / MinHash-store
+    paths (_ANN_INDEX_CACHE, _NEARDUP_STORE_CACHE) are NOT cleared:
+    those are the queries' declared INPUTS (pre-existing serving
+    state), not part of any row's computation."""
+    for c in (_VEC_CACHE, _CENTROID_CACHE, _PQ_CACHE, _KMEANS_CACHE):
+        c.clear()
+
+
 def _pq_books(
     spark: SparkSession, sf_dir: str
 ) -> list[list[tuple[int, list[float]]]]:

@@ -69,23 +69,26 @@ def get_spark(app_name: str = "etl-deltalake-spark", master: str | None = None) 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+    )
+    if master.startswith("local"):
         # Output-commit overhead (round 14, guide §6): v2 commits task
         # output straight to the destination (one rename instead of
-        # two) and _SUCCESS markers are skipped. Correct for THIS
-        # engine at any scale: versioned/Delta tables take visibility
-        # from the log commit, never from directory state, so the v1
-        # job-level atomicity the default buys protects nothing here.
-        # Measured: 0.30 s -> 0.20 s per small parquet write job;
-        # storage queries run 8-12 such jobs each.
-        .config(
+        # two) and _SUCCESS markers are skipped. Versioned tables take
+        # visibility from the log commit, never from directory state —
+        # but _write_data_files derives the commit's add list from a
+        # post-job directory LISTING, and with v2 a zombie task attempt
+        # on a real cluster could leave stray files for that listing to
+        # sweep up (ADVICE r15). local[*] has no zombie attempts (tasks
+        # die with the one process), so the 0.30 s -> 0.20 s per-write
+        # win is taken only there; clusters keep the v1 default until
+        # the add list comes from task-reported outputs.
+        builder = builder.config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",
-        )
-        .config(
+        ).config(
             "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
             "false",
         )
-    )
     if _delta_available():
         for key, value in DELTA_SESSION_CONFIGS.items():
             builder = builder.config(key, value)

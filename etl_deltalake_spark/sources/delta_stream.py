@@ -393,6 +393,14 @@ def _try_arrow_batch(specs, n_rows: int, masked):
                 if arr.type != t:
                     arr = arr.cast(t)
             elif kind == "const":
+                if pa.types.is_timestamp(t) and isinstance(payload, str):
+                    # Partition-value timestamps arrive as naive
+                    # strings that Delta/Spark interpret in SESSION
+                    # time; pa.array would parse them as UTC and
+                    # shift the instant for non-UTC sessions (ADVICE
+                    # r15). Fall back to the row path, which carries
+                    # the string through Spark's own conversion.
+                    return None
                 arr = pa.array([payload] * n_rows, type=t)
             else:
                 arr = pa.nulls(n_rows, type=t)
