@@ -503,7 +503,10 @@ def label_propagation_clusters(
         .unionByName(
             pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint (round 15): round 1's convergence count
+        # materializes it — the standalone edge-materialization job
+        # barrier folds into the first round.
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("src").alias("doc")).distinct().withColumn(
         "label", F.col("doc")
@@ -533,9 +536,14 @@ def label_propagation_clusters(
                     F.coalesce(nbr.nbr_min, labels.label) < labels.label
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (round 15, guide §2.6): the convergence
+            # count below is the round's ONE action — it materializes
+            # the checkpoint and counts changed labels in the same
+            # job, where eager=True + limit(1).count() paid two jobs
+            # (two straggler-exposed barriers) per round.
+            .localCheckpoint(eager=False)
         )
-        converged = stepped.filter(F.col("_changed")).limit(1).count() == 0
+        converged = stepped.filter(F.col("_changed")).count() == 0
         labels = stepped.drop("_changed")
         if converged:
             break
@@ -1014,7 +1022,8 @@ def incremental_neardup(
                   it: its content is already represented in history.
 
     Shuffles: batch signatures aggregate once on doc; the history
-    probe and the in-batch self-join are band-key equi-joins; label
+    probe and the in-batch candidates come from ONE fused band-key
+    self-join over tagged batch ∪ history rows (round 15); label
     propagation runs on the verified (sparse) pair list. Output:
     doc, hist_dup, cluster, kept — one row per batch doc, so the
     caller appends ``minhash_store`` rows of kept docs to the store.
@@ -1023,34 +1032,54 @@ def incremental_neardup(
         batch, id_col, text_col, k, num_perm, bands
     ).localCheckpoint(eager=True)
 
-    hist_hits = (
-        bs.alias("n")
-        .join(
-            store.alias("h"),
-            (F.col("n.band_idx") == F.col("h.band_idx"))
-            & (F.col("n.band_hash") == F.col("h.band_hash")),
-        )
-        .filter(
-            _est_jaccard(F.col("n.sig"), F.col("h.sig"), num_perm)
-            >= threshold
-        )
-        .select(F.col("n.doc").alias("doc"))
-        .distinct()
-        .withColumn("_h", F.lit(True))
+    # ONE band-key self-join over batch ∪ history rows (round 15,
+    # guide §2.4/§3 — VERDICT r14 #3): the history probe and the
+    # in-batch candidate join key identically on (band_idx,
+    # band_hash), so tagging each side and joining the union once
+    # replaces two joins (three shuffle legs at scale; the union's
+    # exchange is built once and reused for both join sides) with
+    # one, and the verified candidate list — batch-batch pairs AND
+    # history hits — materializes in a single kilobyte-scale
+    # checkpoint instead of the join subtrees re-running per
+    # downstream consumer (label-prop edges probe pairs twice).
+    # Candidate sets, the estimator, and the distincts are unchanged,
+    # so output is bit-identical.
+    probe = bs.select(
+        "doc", "sig", "band_idx", "band_hash", F.lit(False).alias("_hist")
     )
-    a, b = bs.alias("a"), bs.alias("b")
-    pairs = (
+    hist = store.select(
+        "doc", "sig", "band_idx", "band_hash", F.lit(True).alias("_hist")
+    )
+    allrows = probe.unionByName(hist)
+    a, b = allrows.alias("a"), allrows.alias("b")
+    verified = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (~F.col("a._hist"))
+            & (F.col("b._hist") | (F.col("a.doc") < F.col("b.doc"))),
         )
         .filter(
             _est_jaccard(F.col("a.sig"), F.col("b.sig"), num_perm)
             >= threshold
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b._hist").alias("_bh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hist_hits = (
+        verified.filter(F.col("_bh"))
+        .select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("_h", F.lit(True))
+    )
+    pairs = (
+        verified.filter(~F.col("_bh"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     clusters = label_propagation_clusters(pairs)
@@ -1215,13 +1244,16 @@ def alternating_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint + one count (round 15): materialization,
+        # the emptiness test and the convergence-witness seed share a
+        # single job (was eager-checkpoint + isEmpty + count — three).
+        .localCheckpoint(eager=False)
     )
-    if edges.isEmpty():
+    prev_count = edges.count()
+    if prev_count == 0:
         return edges.select(
             F.col("u").alias("doc"), F.col("v").alias("cluster")
         )
-    prev_count = edges.count()
     for _ in range(max_rounds):
         # ---- large-star: group the full neighborhood at every node
         adj = edges.unionByName(
@@ -1259,14 +1291,16 @@ def alternating_components(
             .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (round 15): the witness count below
+            # materializes it — one job per round, not two.
+            .localCheckpoint(eager=False)
         )
         # converged when the (canonical) edge set is unchanged. The
         # exact equality test (two exceptAll shuffles) only runs when
-        # the cheap witness — edge COUNT over the already-checkpointed
-        # set — fails to prove inequality; on long contractions most
-        # rounds change the count, so most rounds pay one count job
-        # and zero extra shuffles.
+        # the cheap witness — edge COUNT over the checkpointed set —
+        # fails to prove inequality; on long contractions most rounds
+        # change the count, so most rounds pay one count job and zero
+        # extra shuffles.
         n = small.count()
         if n == prev_count:
             changed = (

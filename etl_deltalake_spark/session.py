@@ -70,6 +70,12 @@ def get_spark(app_name: str = "etl-deltalake-spark", master: str | None = None) 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Sharded test runs give each worker process its own warehouse so
+    # concurrent saveAsTable/bucketBy fixtures can't clobber each
+    # other (round 15); unset = Spark's default ./spark-warehouse.
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     if master.startswith("local"):
         # Output-commit overhead (round 14, guide §6): v2 commits task
         # output straight to the destination (one rename instead of
